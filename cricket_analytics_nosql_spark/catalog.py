@@ -1,0 +1,23 @@
+"""Driver-facing catalog: merges every module's QUERIES registry.
+
+``__spark_entry__.py`` derives its ``queries()`` / ``oracle_sql()``
+dicts from here; tests iterate the same registry so the in-repo
+parity suite and the driver's correctness gate check the same thing.
+"""
+
+from __future__ import annotations
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # local imports: keep catalog import cheap and cycle-free
+    from cricket_analytics_nosql_spark.operators import relational
+
+    registry: dict[str, QuerySpec] = {}
+    for module in (relational,):
+        overlap = registry.keys() & module.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        registry.update(module.QUERIES)
+    return registry

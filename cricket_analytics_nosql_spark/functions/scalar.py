@@ -1,0 +1,48 @@
+"""Scalar column helpers shared by the operator library.
+
+Money amounts are summed exactly: doubles are scaled to integer
+cents *before* aggregation so that Spark's nondeterministic partial
+-aggregation order cannot perturb low-order float bits. This keeps
+results bit-identical to the DuckDB oracle (SURVEY.md §7.8 risk 2)
+and is the right call at 100 TB too — long sums never lose precision
+and never need a merge-order guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cents(col: Column | str) -> Column:
+    """Scale a dollar double to exact integer cents (pre-aggregation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100, 0).cast("long")
+
+
+def dollars(cents_col: Column | str) -> Column:
+    """Exact cents total back to a double dollar amount (post-agg)."""
+    c = F.col(cents_col) if isinstance(cents_col, str) else cents_col
+    return (c.cast("double") / 100).cast("double")
+
+
+def revenue_cents() -> Column:
+    """lineitem discounted revenue in cents: price * (1 - discount).
+
+    Mirrors the reference's derived-metric style (strikeRate at
+    mongo_analytics_examples.py:24-25): compute once at scan time,
+    aggregate cheaply after.
+    """
+    return cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+def flag(cond: Column) -> Column:
+    """Boolean condition to 0/1 int flag — the reference's is_boundary /
+    is_dot idiom (etl_cricsheet_to_mongo.py:104-105, operator P9)."""
+    return F.when(cond, 1).otherwise(0)
+
+
+def safe_div(num: Column, den: Column) -> Column:
+    """NULL-on-zero division, both engines agree (x / 0 is NULL in
+    non-ANSI Spark but an error in DuckDB — make it explicit)."""
+    return F.when(den != 0, num / den).otherwise(F.lit(None))
