@@ -1,0 +1,357 @@
+"""Join operator family — SURVEY.md §2.5 (J1-J6) plus the engine
+extensions the reference lacks (semi/anti, as-of, range joins).
+
+Plan-shape notes (100 TB posture):
+- dim tables (region/nation/customer/part/supplier) are broadcast —
+  no shuffle of the fact side;
+- the self-join (J3) pre-aggregates to distinct endpoint pairs before
+  joining and orders pairs with ``<`` to halve the symmetric blowup;
+- the as-of join shuffles both sides once on the equi-key, then
+  resolves the inequality with a window — no cartesian explosion
+  beyond the per-key pair set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.functions.scalar import cents, dollars
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+
+def broadcast_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: equi-join enrichment through two broadcast dims — the
+    edge↔vertex lookup shape (cypher_queries.cypher:5-8) on the star
+    schema: customer → nation → region, aggregated per region."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents("c_acctbal")).alias("bal_c"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+        .select(
+            "r_name",
+            "n_customers",
+            dollars("bal_c").alias("total_balance"),
+            "n_nations",
+        )
+        .orderBy("r_name")
+    )
+
+
+ORACLE_BROADCAST_JOIN_ENRICH = """
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_balance,
+       COUNT(DISTINCT n_name) AS n_nations
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def anchored_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: one-sided anchored join — anchor one entity, group the
+    other side (cypher_queries.cypher:11-16: one batter vs all
+    bowlers). Here: customer #1's order lines per supplier."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") == 1)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_supp = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents("l_quantity")).alias("qty_c"),
+        )
+    )
+    return (
+        per_supp.join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        .select("s_name", "n_items", dollars("qty_c").alias("total_qty"))
+        .orderBy("s_name")
+    )
+
+
+ORACLE_ANCHORED_GROUP = """
+SELECT s_name, COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey AND o_custkey = 1
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name ORDER BY s_name
+"""
+
+
+def self_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+A8+P16+T4: self-join with theta residual — the 2-hop
+    partnership pattern (a)-[:FACED]->(bow)<-[:FACED]-(b), a<>b
+    (cypher_queries.cypher:19-25): supplier pairs co-supplying the
+    same part. Pre-aggregate to distinct (part, supplier) before the
+    join; ``<`` halves the symmetric pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("supp_a"),
+            F.col("b.l_suppkey").alias("supp_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+        .filter(F.col("shared_parts") >= 3)
+        .orderBy(F.desc("shared_parts"), "supp_a", "supp_b")
+        .limit(20)
+    )
+
+
+ORACLE_SELF_JOIN_THETA = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+       COUNT(*) AS shared_parts
+FROM ps a JOIN ps b
+  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+ORDER BY shared_parts DESC, supp_a, supp_b
+LIMIT 20
+"""
+
+
+def explode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+J4: UNWIND-then-join — 'UNWIND row.teams AS t; MERGE
+    (t)-[:PLAYED]->(m)' (neo4j_loader.py:44-46): explode part-name
+    words, join to lineitem, demand per word."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    words = part.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    )
+    return (
+        li.join(F.broadcast(words), li.l_partkey == words.p_partkey)
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+        .orderBy("word")
+    )
+
+
+ORACLE_EXPLODE_JOIN = """
+WITH words AS (
+  SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS word FROM part
+)
+SELECT word, COUNT(*) AS n_items, COUNT(DISTINCT p_partkey) AS n_parts
+FROM lineitem JOIN words ON l_partkey = p_partkey
+GROUP BY word ORDER BY word
+"""
+
+
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS) — SURVEY §2.5 engine extension; the 'update
+    existing' half of MERGE (neo4j_loader.py:37-42)."""
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 200000
+    )
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+"""
+
+
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti (NOT EXISTS) — the 'insert new' half of MERGE
+    (neo4j_loader.py:37, J6): customers with no P-status orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    pending = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
+    return cust.join(
+        pending, cust.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+S3+A10: MERGE/upsert as a full-outer join — replace_one(...,
+    upsert=True) (etl_cricsheet_to_mongo.py:136) and Cypher MERGE ...
+    ON MATCH SET coalesce(...) (neo4j_loader.py:37-42). 'Existing' =
+    customer balances; 'incoming' = open-order spend per customer;
+    matched rows take the incoming value, unmatched keep/insert."""
+    old = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), cents("c_acctbal").alias("old_c")
+    )
+    new = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.sum(cents("o_totalprice")).alias("new_c"))
+    )
+    merged = old.join(new, "key", "full_outer")
+    return merged.select(
+        "key",
+        dollars(F.coalesce("new_c", "old_c")).alias("balance"),
+        F.when(F.col("new_c").isNotNull() & F.col("old_c").isNotNull(), "updated")
+        .when(F.col("new_c").isNotNull(), "inserted")
+        .otherwise("kept")
+        .alias("merge_action"),
+    ).orderBy("key")
+
+
+ORACLE_UPSERT_MERGE = """
+WITH old AS (
+  SELECT c_custkey AS key, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS old_c
+  FROM customer
+), new AS (
+  SELECT o_custkey AS key,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS new_c
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+)
+SELECT COALESCE(old.key, new.key) AS key,
+       CAST(COALESCE(new_c, old_c) AS DOUBLE) / 100 AS balance,
+       CASE WHEN new_c IS NOT NULL AND old_c IS NOT NULL THEN 'updated'
+            WHEN new_c IS NOT NULL THEN 'inserted'
+            ELSE 'kept' END AS merge_action
+FROM old FULL OUTER JOIN new ON old.key = new.key
+ORDER BY key
+"""
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.5 'not present — engine exposes'): for
+    each purchase event, the most recent click by the same user at or
+    before it. One shuffle on the equi-key, inequality resolved by a
+    row_number window — scales as the per-key pair set, and AQE
+    splits skewed users."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    paired = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user) & (clicks.click_ts <= purchases.ts),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("click_ts"), F.desc("click_value")
+    )
+    return (
+        paired.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_click_ts"
+            ),
+            "click_value",
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ASOF_JOIN = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id AS c_user, ts AS click_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+), ranked AS (
+  SELECT p.event_id, p.user_id, c.click_ts, c.click_value,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.click_ts DESC, c.click_value DESC) AS rn
+  FROM purchases p LEFT JOIN clicks c
+    ON p.user_id = c.c_user AND c.click_ts <= p.ts
+)
+SELECT event_id, user_id,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
+       click_value
+FROM ranked WHERE rn = 1 ORDER BY event_id
+"""
+
+
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (SURVEY §2.5 extension): fact values bucketed into a
+    small literal band table via BETWEEN — broadcast nested-loop on a
+    tiny side, which is the right physical plan for band tables."""
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+            "inner",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("val_c"),
+        )
+        .select("band", "n_events", dollars("val_c").alias("total_value"))
+        .orderBy("band")
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e9)
+)
+SELECT band, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band ORDER BY band
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "broadcast_join_enrich": QuerySpec(
+        broadcast_join_enrich, ORACLE_BROADCAST_JOIN_ENRICH, ["J1"], bench=True
+    ),
+    "anchored_group": QuerySpec(anchored_group, ORACLE_ANCHORED_GROUP, ["J2", "P17"]),
+    "self_join_theta": QuerySpec(
+        self_join_theta, ORACLE_SELF_JOIN_THETA, ["J3", "A8", "P16", "T4"], bench=True
+    ),
+    "explode_join": QuerySpec(explode_join, ORACLE_EXPLODE_JOIN, ["F2", "J4"]),
+    "semi_join": QuerySpec(semi_join, ORACLE_SEMI_JOIN, ["J6"]),
+    "anti_join": QuerySpec(anti_join, ORACLE_ANTI_JOIN, ["J6"]),
+    "upsert_merge": QuerySpec(
+        upsert_merge, ORACLE_UPSERT_MERGE, ["J6", "S3", "A10"]
+    ),
+    "asof_join": QuerySpec(asof_join, ORACLE_ASOF_JOIN, [], bench=True),
+    "range_join": QuerySpec(range_join, ORACLE_RANGE_JOIN, []),
+}
