@@ -12,10 +12,15 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 
 def all_queries() -> dict[str, QuerySpec]:
     # local imports: keep catalog import cheap and cycle-free
-    from cricket_analytics_nosql_spark.operators import joins, relational
+    from cricket_analytics_nosql_spark.operators import (
+        joins,
+        relational,
+        setops,
+        windows,
+    )
 
     registry: dict[str, QuerySpec] = {}
-    for module in (relational, joins):
+    for module in (relational, joins, windows, setops):
         overlap = registry.keys() & module.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,338 @@
+"""Set operations, grouping analytics (rollup/cube/pivot), exact
+percentiles, array/nested ops, and the scalar-function sampler —
+SURVEY.md §2.7, §2.4 free-extenders, §2.9, and the F1 nested-flatten
+shape over the star schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.functions.scalar import cents, dollars
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+
+def union_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: UNION ALL + distinct — multi-source event-log merge
+    (SURVEY §2.7: the fixture queries exercise union)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_type")
+    b = ev.filter(F.col("value") > 150).select("user_id", "event_type")
+    return (
+        a.union(b)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+ORACLE_UNION_SETS = """
+WITH u AS (
+  SELECT user_id, event_type FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, event_type FROM events WHERE value > 150
+)
+SELECT user_id, event_type, COUNT(*) AS n
+FROM u GROUP BY user_id, event_type ORDER BY user_id, event_type
+"""
+
+
+def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: INTERSECT and EXCEPT — customers who buy in BUILDING
+    segment AND have open orders, minus those with pending ones."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    open_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("key")
+    )
+    pending_cust = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("key")
+    )
+    return building.intersect(open_cust).exceptAll(pending_cust.distinct()).orderBy(
+        "key"
+    )
+
+
+ORACLE_INTERSECT_EXCEPT = """
+SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'P'
+ORDER BY key
+"""
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (SURVEY §2.4 free-extender): region → nation hierarchy
+    totals with explicit grouping flags (cross-engine-stable encoding
+    of the subtotal rows)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    enriched = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        enriched.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents("c_acctbal")).alias("bal_c"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            "g_region",
+            "g_nation",
+            "n_customers",
+            dollars("bal_c").alias("total_balance"),
+        )
+        .orderBy("g_region", "g_nation", "r_name", "n_name")
+    )
+
+
+ORACLE_ROLLUP_AGG = """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+       CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY g_region, g_nation, r_name, n_name
+"""
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (SURVEY §2.4 free-extender): all subtotal combinations of
+    (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(cents("l_quantity")).alias("qty_c"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "g_rf",
+            "g_ls",
+            "n_items",
+            dollars("qty_c").alias("sum_qty"),
+        )
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_CUBE_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+"""
+
+
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-priority order counts spread across status columns —
+    equivalent to conditional aggregation, which is the oracle form."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PIVOT_WIDE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (SURVEY §2.4 free-extender; approximate twin
+    is approx_quantiles, rows-only). l_quantity is integral so the
+    linear-interpolated quantile is exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("median_qty"),
+            F.percentile("l_quantity", 0.9).alias("p90_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PERCENTILE_STATS = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def nested_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: the reference's signature 3-level flatten
+    (etl_cricsheet_to_mongo.py:70-106) proven on the star schema:
+    nest lineitems into per-order arrays-of-structs (innings→overs→
+    deliveries analogue), then explode back down carrying ancestor
+    columns, posexplode supplying the per-over ball number that the
+    source often omits (neo4j_loader.py:113-115)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        li.select(
+            "l_orderkey",
+            F.struct("l_linenumber", "l_quantity", "l_partkey").alias("item"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+    )
+    flattened = nested.select(
+        "l_orderkey", F.posexplode("items").alias("pos", "item")
+    ).select(
+        "l_orderkey",
+        (F.col("pos") + 1).alias("ball_no"),
+        F.col("item.l_linenumber").alias("l_linenumber"),
+        F.col("item.l_quantity").alias("l_quantity"),
+    )
+    return flattened.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(cents("l_quantity")).alias("qty_c"),
+        F.max("ball_no").alias("max_ball"),
+        F.min("l_linenumber").alias("first_line"),
+    ).select(
+        "l_orderkey", "n_items", dollars("qty_c").alias("sum_qty"),
+        "max_ball", "first_line",
+    ).orderBy("l_orderkey")
+
+
+ORACLE_NESTED_EXPLODE_ROUNDTRIP = """
+SELECT l_orderkey, COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+       COUNT(*) AS max_ball,
+       MIN(l_linenumber) AS first_line
+FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P13+§2.9 array surface: build per-part word arrays, take
+    head element (null-safe), size with the F.size(NULL) = -1 pitfall
+    handled via coalesce (mongo_analytics_examples.py:33)."""
+    part = load_table(spark, sf_dir, "part")
+    arr = F.split("p_name", " ")
+    empty_guarded = F.coalesce(
+        F.when(F.col("p_size") < 0, F.lit(None)).otherwise(arr), F.array()
+    )
+    return part.select(
+        "p_partkey",
+        F.element_at(arr, 1).alias("first_word"),
+        F.size(empty_guarded).alias("n_words"),
+        F.array_contains(arr, "red").cast("int").alias("has_red"),
+        F.concat_ws("|", F.sort_array(arr)).alias("sorted_words"),
+    )
+
+
+ORACLE_ARRAY_FUNCTIONS = """
+SELECT p_partkey,
+       string_split(p_name, ' ')[1] AS first_word,
+       len(string_split(p_name, ' ')) AS n_words,
+       CAST(list_contains(string_split(p_name, ' '), 'red') AS INTEGER) AS has_red,
+       array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words
+FROM part
+"""
+
+
+def scalar_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 scalar inventory: string concat (etl:52), casing,
+    substring, length, membership (etl:104), date arithmetic and
+    formatting — one projection exercising each."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderkey").cast("string")).alias(
+            "concat_key"
+        ),
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.col("o_orderstatus").isin("F", "P").cast("int").alias("is_closedish"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.abs(F.col("o_totalprice") * -1).alias("abs_price"),
+        F.round(F.col("o_totalprice") / 1000, 1).alias("price_k"),
+    )
+
+
+ORACLE_SCALAR_FUNCTION_SAMPLER = """
+SELECT o_orderkey,
+       o_orderstatus || '-' || CAST(o_orderkey AS VARCHAR) AS concat_key,
+       LOWER(o_orderpriority) AS prio_lower,
+       SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+       LENGTH(o_orderpriority) AS prio_len,
+       CAST(o_orderstatus IN ('F','P') AS INTEGER) AS is_closedish,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       ABS(o_totalprice * -1) AS abs_price,
+       ROUND(o_totalprice / 1000, 1) AS price_k
+FROM orders
+"""
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — sketch parameters differ from
+    DuckDB's HLL so there is no exact oracle; the parity test instead
+    bounds relative error against the exact count (rows-only here)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "union_sets": QuerySpec(union_sets, ORACLE_UNION_SETS, []),
+    "intersect_except": QuerySpec(intersect_except, ORACLE_INTERSECT_EXCEPT, []),
+    "rollup_agg": QuerySpec(rollup_agg, ORACLE_ROLLUP_AGG, []),
+    "cube_agg": QuerySpec(cube_agg, ORACLE_CUBE_AGG, []),
+    "pivot_wide": QuerySpec(pivot_wide, ORACLE_PIVOT_WIDE, []),
+    "percentile_stats": QuerySpec(percentile_stats, ORACLE_PERCENTILE_STATS, []),
+    "nested_explode_roundtrip": QuerySpec(
+        nested_explode_roundtrip, ORACLE_NESTED_EXPLODE_ROUNDTRIP, ["F1"], bench=True
+    ),
+    "array_functions": QuerySpec(
+        array_functions, ORACLE_ARRAY_FUNCTIONS, ["P6", "P13"]
+    ),
+    "scalar_function_sampler": QuerySpec(
+        scalar_function_sampler, ORACLE_SCALAR_FUNCTION_SAMPLER, []
+    ),
+    "approx_distinct": QuerySpec(approx_distinct, None, []),
+}

@@ -1,0 +1,247 @@
+"""Window-function surface + MERGE-semantics dedup — SURVEY.md §2.8
+(engine extension: the reference's closest analogues are the HAVING
+group A6 and first-writer-wins merge A10) and §2.4 A9/A10.
+
+All windows partition by a key before ordering — no global
+ORDER BY windows (a single-partition window is the classic 100 TB
+anti-pattern; every window here shuffles by its partition key only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.functions.scalar import cents, dollars
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer in order-date order — the 'running
+    score' cricket shape (SURVEY §2.8). Exact cents make the running
+    sum order-insensitive to float error."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        dollars(F.sum(cents("o_totalprice")).over(w)).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+    )
+
+
+ORACLE_WINDOW_RUNNING_TOTAL = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 100 AS running_spend,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+FROM orders
+"""
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank: top-3 orders per customer — the
+    'top-line-item per order' shape (SURVEY §7.2.5)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+ORACLE_WINDOW_TOPK_PER_GROUP = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+SELECT * FROM ranked WHERE rn <= 3
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: days since a customer's previous order and until the
+    next — the 'form curve' cricket shape (SURVEY §2.8)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_d = F.lag("o_orderdate").over(w)
+    next_d = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), prev_d).alias("days_since_prev"),
+        F.datediff(next_d, F.col("o_orderdate")).alias("days_until_next"),
+    )
+
+
+ORACLE_WINDOW_LAG_LEAD = """
+SELECT o_orderkey, o_custkey,
+       datediff('day', LAG(o_orderdate) OVER w, o_orderdate) AS days_since_prev,
+       datediff('day', o_orderdate, LEAD(o_orderdate) OVER w) AS days_until_next
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: MERGE-constraint dedup — 'MERGE (f:FACED {matchId, innings,
+    over, ball})' (neo4j_loader.py:58-65): at most one row per key.
+    dropDuplicates keeps an arbitrary row, so the engine's
+    deterministic form is a row_number window with an explicit
+    tie-break — same result on any cluster, any partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderstatus").orderBy("o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderstatus", "o_orderkey", "o_totalprice")
+    )
+
+
+ORACLE_DEDUP_BY_KEY = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderstatus, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                            ORDER BY o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderstatus, o_orderkey, o_totalprice
+FROM ranked WHERE rn = 1
+"""
+
+
+def first_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: 'ON MATCH SET m.date = coalesce(m.date, row.date)' — keep
+    the first non-null per key (neo4j_loader.py:38-42). min_by over
+    the non-null subset ≙ arg_min: deterministic because the order key
+    (event ts, id) is unique."""
+    ev = load_table(spark, sf_dir, "events")
+    # planted nulls: view events with value hidden for 'error' rows
+    v = ev.withColumn(
+        "val_or_null",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    return (
+        v.filter(F.col("val_or_null").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min_by("val_or_null", F.struct("ts", "event_id")).alias(
+                "first_value"
+            ),
+            F.count(F.lit(1)).alias("n_nonnull"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_FIRST_WRITER_WINS = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS val_or_null
+  FROM events
+)
+SELECT user_id,
+       (ARRAY_AGG(val_or_null ORDER BY ts, event_id))[1] AS first_value,
+       COUNT(*) AS n_nonnull
+FROM v WHERE val_or_null IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): lag + cumulative-sum
+    windows — the batch twin of streaming session_window (§2.11), and
+    the oracle shape for its parity test."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = 30
+    # integer microseconds both engines (epoch_us twin); TIMESTAMP_NTZ
+    # needs the ntz→ltz hop first, unambiguous under the pinned UTC tz
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_session = F.when(
+        ts_us - F.lag(ts_us).over(w) > gap_min * 60 * 1_000_000,
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn("new_s", new_session).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.sum(cents("value")).alias("val_c"),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            "session_start",
+            dollars("val_c").alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_SESSIONIZE_BATCH = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS session_value
+FROM numbered
+GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "window_running_total": QuerySpec(
+        window_running_total, ORACLE_WINDOW_RUNNING_TOTAL, [], bench=True
+    ),
+    "window_topk_per_group": QuerySpec(
+        window_topk_per_group, ORACLE_WINDOW_TOPK_PER_GROUP, []
+    ),
+    "window_lag_lead": QuerySpec(window_lag_lead, ORACLE_WINDOW_LAG_LEAD, []),
+    "dedup_by_key": QuerySpec(dedup_by_key, ORACLE_DEDUP_BY_KEY, ["A9"]),
+    "first_writer_wins": QuerySpec(
+        first_writer_wins, ORACLE_FIRST_WRITER_WINS, ["A10"]
+    ),
+    "sessionize_batch": QuerySpec(
+        sessionize_batch, ORACLE_SESSIONIZE_BATCH, [], bench=True
+    ),
+}
