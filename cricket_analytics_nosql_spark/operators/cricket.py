@@ -1,0 +1,132 @@
+"""The reference's analytics queries re-expressed over the flattened
+deliveries DataFrame — Mongo aggregation pipelines
+(mongo_analytics_examples.py) and Cypher query shapes
+(cypher_queries.cypher a-c). Parameterized like the Cypher $params
+(P17): plain function arguments.
+
+Physical shapes: group → partial+final hash agg; top-k plans as
+TakeOrderedAndProject; the partnership self-join pre-aggregates and
+orders pairs to bound the blowup (SURVEY J3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.functions.scalar import flag
+
+
+def _wicket_flag() -> F.Column:
+    """$cond[$gt[$size($ifNull(wickets, [])), 0], 1, 0]
+    (mongo_analytics_examples.py:33,46) — the F.size(NULL) = -1
+    legacy pitfall is dodged with coalesce (SURVEY P13)."""
+    return flag(F.size(F.coalesce(F.col("wickets"), F.array())) > 0)
+
+
+def runs_by_batter(deliveries: DataFrame, limit: int = 10) -> DataFrame:
+    """$group → $addFields → $sort → $limit
+    (mongo_analytics_examples.py:18-29): top batters by runs with
+    strike rate and boundary percent."""
+    agg = deliveries.groupBy("batter").agg(
+        F.sum("runs_batter").alias("runs"),
+        F.count(F.lit(1)).alias("balls"),
+        F.sum("is_boundary").alias("boundaries"),
+    )
+    return (
+        agg.withColumn(
+            "strikeRate", F.col("runs") / F.col("balls") * 100
+        )
+        .withColumn("boundaryPct", F.col("boundaries") / F.col("balls") * 100)
+        .orderBy(F.desc("runs"), F.asc("batter"))
+        .limit(limit)
+    )
+
+
+def wickets_by_bowler(deliveries: DataFrame, limit: int = 10) -> DataFrame:
+    """$project(wkts flag) → $group → $sort → $limit
+    (mongo_analytics_examples.py:31-38)."""
+    return (
+        deliveries.select("bowler", _wicket_flag().alias("wkts"))
+        .groupBy("bowler")
+        .agg(F.sum("wkts").alias("wickets"))
+        .orderBy(F.desc("wickets"), F.asc("bowler"))
+        .limit(limit)
+    )
+
+
+def batter_vs_bowler(
+    deliveries: DataFrame, batter: str, bowler: str
+) -> DataFrame:
+    """kohli_vs_southee (mongo_analytics_examples.py:40-48) and Cypher
+    (a) (cypher_queries.cypher:4-8): head-to-head duel — $match on
+    both names, grand-total group."""
+    return (
+        deliveries.filter(
+            (F.col("batter") == batter) & (F.col("bowler") == bowler)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("balls"),
+            F.sum("runs_total").alias("runs"),
+            F.sum(_wicket_flag()).alias("outs"),
+        )
+    )
+
+
+def toughest_bowlers(
+    deliveries: DataFrame, batter: str, min_balls: int = 30, limit: int = 10
+) -> DataFrame:
+    """Cypher (b) (cypher_queries.cypher:10-16): anchored one-sided
+    join shape — filter the batter, group by bowler, HAVING
+    balls >= 30, strike rate asc / outs desc."""
+    return (
+        deliveries.filter(F.col("batter") == batter)
+        .groupBy("bowler")
+        .agg(
+            F.count(F.lit(1)).alias("balls"),
+            F.sum("runs_total").alias("runs"),
+            F.sum(_wicket_flag()).alias("outs"),
+        )
+        .filter(F.col("balls") >= min_balls)
+        .select(
+            "bowler",
+            "balls",
+            "runs",
+            (F.col("runs").cast("double") / F.col("balls") * 100).alias(
+                "strikeRate"
+            ),
+            "outs",
+        )
+        .orderBy(F.asc("strikeRate"), F.desc("outs"), F.asc("bowler"))
+        .limit(limit)
+    )
+
+
+def partnership_proxy(
+    deliveries: DataFrame, team: str, min_co: int = 20, limit: int = 20
+) -> DataFrame:
+    """Cypher (c) (cypher_queries.cypher:18-25): batters frequently
+    facing the same bowler for one team — the 2-hop self-join with
+    theta residual. Faithful to the Cypher a <> b semantics (both
+    orderings emitted); pre-aggregation to per-(batter,bowler) ball
+    counts bounds the join blowup at scale (SURVEY J3)."""
+    per_pair = (
+        deliveries.filter(F.col("battingTeam") == team)
+        .groupBy("batter", "bowler")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = per_pair.select(
+        F.col("batter").alias("a"), "bowler", F.col("n").alias("n_a")
+    )
+    b = per_pair.select(
+        F.col("batter").alias("b"), "bowler", F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, "bowler")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("n_a") * F.col("n_b")).alias("co_appearances"))
+        .filter(F.col("co_appearances") >= min_co)
+        .orderBy(F.desc("co_appearances"), "a", "b")
+        .limit(limit)
+    )
