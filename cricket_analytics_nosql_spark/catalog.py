@@ -13,14 +13,29 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 def all_queries() -> dict[str, QuerySpec]:
     # local imports: keep catalog import cheap and cycle-free
     from cricket_analytics_nosql_spark.operators import (
+        dedup,
+        graph,
         joins,
+        multimodal,
         relational,
         setops,
+        similarity,
+        text,
         windows,
     )
 
     registry: dict[str, QuerySpec] = {}
-    for module in (relational, joins, windows, setops):
+    for module in (
+        relational,
+        joins,
+        windows,
+        setops,
+        graph,
+        text,
+        dedup,
+        similarity,
+        multimodal,
+    ):
         overlap = registry.keys() & module.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

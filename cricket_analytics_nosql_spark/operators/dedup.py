@@ -1,0 +1,354 @@
+"""Deduplication operators for LLM training-data pipelines —
+SURVEY.md §2.13 / BASELINE.md mandate, over the ``documents`` table.
+
+Four tiers, by cost and fuzziness:
+
+1. **Exact** — content-hash groupBy. One shuffle on a 16-byte key.
+2. **N-gram Jaccard (exact near-dup)** — inverted-index self-join on
+   shared 3-gram shingles. The index prunes the O(n²) pair space to
+   docs that share at least one shingle; Jaccard needs only the
+   intersection size plus per-doc set sizes, so the join carries
+   (doc, shingle) pairs, never texts. At 100 TB the scale levers are
+   a document-frequency cap on stop-shingles (drops the skewed hot
+   keys) and banding — both composable with this plan.
+3. **MinHash + LSH** — fixed-seed xxhash64 signatures, banded into
+   buckets; bucket-join yields candidates, which are *verified* with
+   the exact Jaccard — so precision is exact and only recall depends
+   on (bands × rows). Hash-seed-dependent → no SQL oracle; the test
+   suite checks it reproduces the exact-Jaccard pairs on fixtures.
+4. **SimHash** — 64-bit sign-of-weighted-bit-sums sketch computed
+   natively (64 conditional aggregates over exploded tokens — wide
+   but map-side combinable), candidates via 16-bit band collisions,
+   verified by hamming distance ≤ k with ``bit_count(xor)``.
+
+The same shingle convention as text.py keeps every tier comparable.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.operators.text import shingles_col, tokens_col
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: per content hash keep the smallest doc_id
+    (the canonical survivor), count the copies. The A9 MERGE shape
+    (neo4j_loader.py:58-65) applied to corpus hygiene."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy(F.desc("n_copies"), F.asc("keep_doc_id"))
+        .limit(100)
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS h, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY n_copies DESC, keep_doc_id ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Exact n-gram Jaccard near-dup via inverted index
+# ---------------------------------------------------------------------------
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded pairs — the inverted index rows."""
+    return docs.select(
+        "doc_id", F.explode(shingles_col(tokens_col(F.col("text")))).alias("s")
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard ≥ threshold — exact.
+
+    intersection(a,b) = count of shared shingles (groupBy after the
+    index self-join); |a|,|b| from a per-doc size frame; the `<`
+    ordering halves the symmetric pair space before the group.
+    """
+    sh = _doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Jaccard ≥ 0.8 (the corpus plants ~0.99
+    near-dup pairs), strongest first."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        jaccard_pairs(docs, 0.8)
+        .orderBy(F.desc("jaccard"), F.asc("d1"), F.asc("d2"))
+        .limit(200)
+    )
+
+
+ORACLE_DEDUP_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON d1 = sa.doc_id
+JOIN sizes sb ON d2 = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+ORDER BY jaccard DESC, d1 ASC, d2 ASC
+LIMIT 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH (banded) with exact verification
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 48) -> DataFrame:
+    """(doc_id, sig: array<long>) — per seed, the min of
+    xxhash64(seed ∥ shingle) over the doc's shingles.
+
+    Computed over the *exploded* (doc_id, shingle) rows: each shingle
+    is hashed once per seed and the 48 mins are partial-aggregated
+    map-side, so the doc_id shuffle carries 48 longs per doc per
+    partition. (The tempting array-expression form —
+    ``array_min(transform(shingles, …))`` × 48 — inlines and
+    recomputes the whole shingle pipeline per seed and blows up
+    codegen; measured 100× slower.) Docs with no shingles (<3
+    tokens) drop out, same as having a null signature."""
+    sh = _doc_shingles(docs)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidates(
+    sigs: DataFrame, bands: int = 16, rows: int = 3
+) -> DataFrame:
+    """Band the signature (bands × rows = num_hashes); docs sharing
+    any band bucket become candidate pairs. The bucket join is an
+    equi-join on (band_id, bucket_hash) — fully shuffle-partitioned,
+    no driver involvement, and the band explode is ×bands, not ×n²."""
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("sig")[b * rows + r] for r in range(rows)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("d1"), "band", "bucket"
+    )
+    b = banded.select(F.col("doc_id").alias("d2"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for a given (d1, d2) candidate frame only — the
+    verification arm of an LSH pipeline. Joins the candidates to the
+    shingle index instead of self-joining the whole index, so cost
+    scales with candidates × shingles-per-doc, not with the corpus
+    pair space."""
+    sh = _doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        pairs.join(a, "d1")
+        .join(b, ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: LSH candidates (recall knob:
+    16 bands × 3 rows ⇒ miss odds ~1e-5 at J=0.8, ~1e-7 above 0.85),
+    then exact Jaccard verification *of the candidates only* — output
+    precision is exact, and nothing in the plan ever touches the full
+    pair space. Hash-seed-dependent recall → rows-only driver check;
+    tests pin it to the exact-Jaccard result."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidates(minhash_signatures(docs))
+    return (
+        jaccard_verify(docs, cands, 0.8)
+        .orderBy(F.desc("jaccard"), F.asc("d1"), F.asc("d2"))
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash natively: explode tokens, hash each token once,
+    then for each bit position sum +1/-1 weighted by token count and
+    take the sign. The 64 conditional sums are map-side combinable,
+    so the shuffle carries 64 longs per doc-partition, not tokens."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    per_bit = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(bits - 1)  # keep the sign bit clear
+        ],
+    )
+    return per_bit.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs via 16-bit band collisions (any of 4 bands
+    equal → candidate; pigeonhole guarantees full recall for
+    hamming ≤ 3), verified with bit_count(xor) ≤ max_hamming."""
+    sigs = simhash_signatures(docs)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"), "band", "chunk"
+    )
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 of 64 bits), closest
+    first. Hash-dependent → rows-only driver check; tests pin
+    behavior on fixtures with known near-dups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        simhash_near_pairs(docs)
+        .orderBy(F.asc("hamming"), F.asc("d1"), F.asc("d2"))
+        .limit(200)
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(dedup_exact, ORACLE_DEDUP_EXACT, ["X-dedup", "A1"]),
+    "dedup_jaccard": QuerySpec(
+        dedup_jaccard, ORACLE_DEDUP_JACCARD, ["X-dedup", "J3"], bench=True
+    ),
+    "dedup_minhash_lsh": QuerySpec(
+        dedup_minhash_lsh, None, ["X-dedup"], bench=True
+    ),
+    "dedup_simhash": QuerySpec(dedup_simhash, None, ["X-dedup"]),
+}

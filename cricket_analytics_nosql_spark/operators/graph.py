@@ -1,0 +1,283 @@
+"""Graph layer — SURVEY.md §2.10 (G1-G3) and §7.4.
+
+The reference projects deliveries into a Neo4j property graph
+(neo4j_loader.py) and runs Cypher + GDS PageRank
+(cypher_queries.cypher:28-34). Spark-native form: a graph IS two
+DataFrames — ``vertices(id, ...)`` and ``edges(src, dst, ...)`` —
+and every Cypher query shape is a join/aggregation on them.
+
+PageRank (G2) is the one algorithm with real iterative content:
+each iteration is one join + one groupBy (one shuffle), with
+``localCheckpoint`` every few iterations to truncate lineage —
+without it the plan tree doubles per iteration and the driver
+OOMs long before 100 TB is the problem. Only O(1) scalars are
+ever collected to the driver (dangling mass, convergence delta);
+ranks themselves stay distributed.
+
+Generic testdata binding: the customer↔supplier trade graph
+(who bought from whom, via lineitem×orders) — a natural bipartite
+graph whose PageRank surfaces high-flow trading hubs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# G1 — graph projection with parallel-edge pre-aggregation
+# (cypher_queries.cypher:28; gds.graph.project collapses parallel edges the
+#  same way when given an aggregation)
+# ---------------------------------------------------------------------------
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge DataFrame of the customer→supplier trade graph.
+
+    lineitem ⋈ orders gives (customer, supplier) pairs per line item;
+    parallel edges collapse to one weighted edge (G1 pre-aggregation,
+    SURVEY §2.10) *before* any further graph work — at 100 TB the
+    collapsed edge list is orders of magnitude smaller than the raw
+    pair stream, so every downstream join touches the small form.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def graph_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 as a driver-checkable query: the collapsed weighted edge
+    list, heaviest trading pairs first."""
+    return (
+        trade_edges(spark, sf_dir)
+        .orderBy(F.desc("weight"), F.asc("src"), F.asc("dst"))
+        .limit(50)
+    )
+
+
+ORACLE_GRAPH_PROJECT = """
+SELECT o_custkey AS src, l_suppkey AS dst, COUNT(*) AS weight
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey, l_suppkey
+ORDER BY weight DESC, src ASC, dst ASC
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# G3 — degree-style stats over edges grouped by endpoint
+# (cypher_queries.cypher:5-16 duel stats = groupBy on edge endpoints)
+# ---------------------------------------------------------------------------
+
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree / weighted-degree per source vertex — the Cypher
+    duel-stat shape (A7/G3): top customers by distinct suppliers."""
+    return (
+        trade_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("out_degree"),
+            F.sum("weight").alias("total_weight"),
+        )
+        .orderBy(F.desc("out_degree"), F.desc("total_weight"), F.asc("src"))
+        .limit(25)
+    )
+
+
+ORACLE_GRAPH_DEGREE = """
+WITH edges AS (
+  SELECT o_custkey AS src, l_suppkey AS dst, COUNT(*) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+)
+SELECT src, COUNT(*) AS out_degree, SUM(weight) AS total_weight
+FROM edges
+GROUP BY src
+ORDER BY out_degree DESC, total_weight DESC, src ASC
+LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# G2 — PageRank as an iterative DataFrame loop
+# (cypher_queries.cypher:31-34: gds.pageRank.stream, top-20 by score)
+# ---------------------------------------------------------------------------
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 15,
+    tol: float | None = 1e-6,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Standard-formulation PageRank over an ``edges(src, dst)``
+    DataFrame; returns ``(id, pagerank)`` with scores summing to the
+    vertex count (the gds.pageRank normalization).
+
+    Per-iteration dataflow (one shuffle each):
+      contribs = ranks ⋈ edges on src  →  groupBy dst sum
+      new_rank = (1-d) + d * (contribs + dangling_mass / N)
+
+    Dangling vertices (no out-edges) redistribute their rank mass
+    uniformly — the standard fix. The mass is a 1-row aggregate kept
+    *lazy* and broadcast-cross-joined into the update (never collected
+    per iteration: a driver round-trip each loop would serialize the
+    whole job chain). Lineage is cut with ``localCheckpoint`` every
+    ``checkpoint_every`` iterations (SURVEY §7.8 risk 1); only the
+    occasional convergence delta reaches the driver.
+    """
+    spark = edges.sparkSession
+    # vertex universe = src ∪ dst; cache — reused every iteration
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "id long, pagerank double")
+
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # links: (id, dst, out_deg) — the static per-iteration join input,
+    # checkpointed once so each iteration starts from materialized data
+    links = (
+        edges.join(out_deg, "src")
+        .select(F.col("src").alias("id"), "dst", "out_deg")
+        .localCheckpoint()
+    )
+    # static set of dangling vertices (no out-edges), materialized once
+    dangling_ids = vertices.join(
+        links.select("id").distinct(), "id", "left_anti"
+    ).localCheckpoint()
+
+    ranks = vertices.withColumn("rank", F.lit(1.0))
+    for i in range(max_iter):
+        # 1-row frame: total rank mass sitting on dangling vertices
+        dm = ranks.join(dangling_ids, "id").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contribs = (
+            ranks.join(links, "id")
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = (
+            vertices.join(contribs, vertices.id == contribs.dst, "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+            new_ranks = new_ranks.localCheckpoint()
+            if tol is not None:
+                delta = (
+                    ranks.join(new_ranks.withColumnRenamed("rank", "new_rank"), "id")
+                    .agg(F.sum(F.abs(F.col("rank") - F.col("new_rank"))))
+                    .first()[0]
+                )
+                ranks = new_ranks
+                if delta is not None and delta < tol * n:
+                    break
+                continue
+        ranks = new_ranks
+    return ranks.withColumnRenamed("rank", "pagerank")
+
+
+def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2+T6: PageRank over the trade graph, top-20 by score
+    (cypher_queries.cypher:31-34). Deterministic (fixed iterations /
+    convergence on deterministic data) but not SQL-expressible —
+    rows-only oracle path. Scores rounded so float noise across
+    partition merge orders can't flap the ranking."""
+    edges = trade_edges(spark, sf_dir)
+    pr = pagerank(edges, max_iter=12, tol=1e-6)
+    return (
+        pr.select("id", F.round("pagerank", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cricket binding — the reference's actual graph (player duel graph)
+# ---------------------------------------------------------------------------
+
+def player_vertices(deliveries: DataFrame) -> DataFrame:
+    """A9: MERGE (p:Player {name}) — every batter/non-striker/bowler
+    exactly once (neo4j_loader.py:58-62, constraint :28)."""
+    return (
+        deliveries.select(F.col("batter").alias("name"))
+        .union(deliveries.select(F.col("nonStriker").alias("name")))
+        .union(deliveries.select(F.col("bowler").alias("name")))
+        .filter(F.col("name").isNotNull())
+        .distinct()
+    )
+
+
+def faced_edges(deliveries: DataFrame) -> DataFrame:
+    """A9 last-writer-wins: MERGE (bat)-[f:FACED {matchId, innings,
+    over, ball}]->(bow) SET f.runs/isWicket/team (neo4j_loader.py:
+    58-68) — edge keyed by composite identity, payload from the last
+    write. Reference defaults: ball→-1, runs→0 (neo4j_loader.py:
+    113-116, P12)."""
+    keyed = (
+        deliveries.na.drop(subset=["batter", "bowler", "matchId", "over"])
+        .select(
+            F.col("batter").alias("src"),
+            F.col("bowler").alias("dst"),
+            "matchId",
+            "innings",
+            "over",
+            F.coalesce(F.col("ball"), F.lit(-1)).alias("ball"),
+            F.coalesce(F.col("runs_total"), F.lit(0)).alias("runs"),
+            F.when(F.size(F.coalesce(F.col("wickets"), F.array())) > 0, 1)
+            .otherwise(0)
+            .alias("isWicket"),
+            F.col("battingTeam").alias("team"),
+        )
+    )
+    return keyed.dropDuplicates(["matchId", "innings", "over", "ball", "src"])
+
+
+def player_pagerank(deliveries: DataFrame, **kw) -> DataFrame:
+    """The reference's GDS call end-to-end: project the duel graph
+    (G1), run PageRank (G2), rank (T6)."""
+    edges = faced_edges(deliveries).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    return (
+        pagerank(edges, **kw)
+        .orderBy(F.desc("pagerank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "graph_project": QuerySpec(
+        graph_project, ORACLE_GRAPH_PROJECT, ["G1", "J1", "A8"]
+    ),
+    "graph_degree": QuerySpec(
+        graph_degree, ORACLE_GRAPH_DEGREE, ["G3", "A7", "T4"]
+    ),
+    "pagerank_top": QuerySpec(pagerank_top, None, ["G2", "T6"], bench=True),
+}

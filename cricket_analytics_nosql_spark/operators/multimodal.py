@@ -1,0 +1,143 @@
+"""Multimodal column support — SURVEY.md §2.13 / BASELINE.md
+mandate: image/audio/video as opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched Pandas functions.
+
+The container has no image/audio codecs, so the decode kernel is
+STUBBED: a deterministic fake feature extractor stands in behind the
+same ``mapInPandas`` plumbing a real decoder would use (schema,
+batching, partitioning are real and tested; swap ``_decode_batch``'s
+body for PIL/ffmpeg when available — the Spark side is unchanged).
+
+Binary payloads are synthesized from ``documents.text`` (utf-8
+encode) purely to have bytes to move; the engine-relevant parts are
+the BinaryType column, the metadata struct, and the Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+HAVE_PIL = False
+try:  # pragma: no cover - codec libs absent in this container
+    import PIL.Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    pass
+
+
+def attach_binary(docs: DataFrame) -> DataFrame:
+    """documents → multimodal frame: payload bytes + metadata struct.
+    (In production the payload comes off object storage; everything
+    downstream only sees (payload, meta).)"""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").alias("declared_size"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("head_sum", T.LongType()),
+        T.StructField("frame_count", T.LongType()),
+    ]
+)
+
+
+def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic fake 'decode': byte length, checksum of the
+    first 64 bytes, and a fake frame count (bytes // 256). A real
+    decoder (PIL / ffmpeg) plugs in here, same signature."""
+    if HAVE_PIL:  # pragma: no cover
+        raise NotImplementedError(
+            "real image decode not wired up; container has no codecs"
+        )
+    payloads = batch["payload"]
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bytes": payloads.map(len),
+            "head_sum": payloads.map(lambda b: int(sum(b[:64]))),
+            "frame_count": payloads.map(lambda b: len(b) // 256),
+        }
+    )
+
+
+def decode_features(mm: DataFrame) -> DataFrame:
+    """The multimodal hot path: Arrow-batched ``mapInPandas`` over
+    (doc_id, payload). Batches stream through Python with Arrow
+    zero-copy; partitioning is preserved (no shuffle), so at 100 TB
+    this scales with executors exactly like a JVM map."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _decode_batch(b)
+
+    return mm.select("doc_id", "payload").mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable slice of the binary plumbing that needs no
+    Python: payload size + content hash + metadata projection,
+    aggregated per origin. (The mapInPandas path is exercised by the
+    test suite; this query pins the schema/bytes semantics against
+    the DuckDB oracle.)"""
+    mm = attach_binary(load_table(spark, sf_dir, "documents"))
+    return (
+        mm.select(
+            F.col("meta.origin").alias("origin"),
+            F.length(F.col("payload")).alias("n_bytes"),
+            F.md5(F.col("payload")).alias("h"),
+            (F.length(F.col("payload")) == F.col("meta.declared_size")).cast(
+                "int"
+            ).alias("size_matches"),
+        )
+        .groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("size_matches").alias("n_size_matches"),
+            F.min("h").alias("min_hash"),
+        )
+        .orderBy("origin")
+    )
+
+
+ORACLE_MULTIMODAL_META = """
+WITH mm AS (
+  SELECT source AS origin,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS h,
+         CASE WHEN octet_length(encode(text)) = n_chars THEN 1 ELSE 0 END
+           AS size_matches
+  FROM documents
+)
+SELECT origin, COUNT(*) AS n_docs, SUM(n_bytes) AS total_bytes,
+       SUM(size_matches) AS n_size_matches, MIN(h) AS min_hash
+FROM mm
+GROUP BY origin
+ORDER BY origin
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "multimodal_meta": QuerySpec(
+        multimodal_meta, ORACLE_MULTIMODAL_META, ["X-mm"]
+    ),
+}

@@ -1,0 +1,268 @@
+"""Similarity search over embedding columns — SURVEY.md §2.13 /
+BASELINE.md mandate, over the ``embeddings`` table
+(vec_id, embedding: array<float>, label).
+
+Three paths, by scale posture:
+
+- **Brute-force top-k** (the baseline + the oracle): broadcast the
+  (small) query set against every vector; dot/norms via
+  ``zip_with`` + ``aggregate`` — JVM-side, whole-stage-codegen'd,
+  no Python in the loop. O(Q·N) but embarrassingly parallel and
+  shuffle-free until the per-query top-k (window over Q partitions).
+- **IVF** (scale path #1): coarse-quantize vectors into partitions
+  (here the given ``label`` as the cell id — stand-in for k-means
+  cells), keep a tiny centroid table, probe only the ``nprobe``
+  nearest cells per query. Search cost drops to O(Q·N·nprobe/cells);
+  the centroid table broadcasts.
+- **LSH** (scale path #2): sign-random-projection bit signatures →
+  bucket equi-join with multi-probe (hamming-1 neighbors), exact
+  re-rank inside the probed buckets.
+
+Both scale paths re-rank candidates with the exact cosine, so
+precision is exact; only recall is approximate (tests measure it
+against brute force).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+N_QUERIES = 8  # vec_id < 8 is the demo query set
+TOP_K = 5
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with a fixed left-to-right accumulation order (matches
+    the DuckDB oracle's list_inner_product loop, so rounded values
+    hash-compare equal)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _doubles(df: DataFrame) -> DataFrame:
+    """float32 → float64 once at scan; all math is then double-exact
+    and engine-agnostic."""
+    return df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector. The query
+    side (8 rows) broadcasts; the big side streams — at 100 TB this
+    is one scan, no shuffle until the tiny per-query top-k."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("q"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+ORACLE_ANN_BRUTE_FORCE = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, e.vec_id,
+         ROUND(list_inner_product(qv, v)
+               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6)
+           AS cos
+  FROM q, emb e
+  WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos, rank FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF scale path
+# ---------------------------------------------------------------------------
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, nprobe: int = 3, k: int = TOP_K
+) -> DataFrame:
+    """IVF probe: nearest ``nprobe`` cells per query by centroid
+    cosine, exact re-rank within the probed cells. ``label`` plays
+    the k-means cell id (centroids would come from a training pass
+    at ingest; the probe dataflow is identical)."""
+    dim = 64
+    centroids = emb.groupBy("label").agg(
+        F.array(
+            *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
+        ).alias("centroid")
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(
+        F.desc("c_cos"), F.asc("label")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "q_id",
+            "q",
+            "label",
+            cosine(F.col("q"), F.col("centroid")).alias("c_cos"),
+        )
+        .withColumn("p", F.row_number().over(probe_w))
+        .filter(F.col("p") <= nprobe)
+        .select("q_id", "q", "label")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        emb.join(F.broadcast(probes), "label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("q"), F.col("v")), 6).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-k (rows-only driver check: float
+    centroid averaging is partial-agg-order dependent in the last
+    ulp, so no byte-exact SQL oracle; recall vs brute force is
+    asserted in tests)."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q")
+    )
+    return ivf_topk(emb, queries).orderBy("q_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# LSH scale path (sign random projection)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (fixed seed — signatures
+    must be reproducible across runs and engines)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def srp_signature(v: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bit signature as a long: bit j set iff
+    v · plane_j > 0. Pure native expressions — the planes are inlined
+    literals, so this is a narrow map over the vectors."""
+    bits = [
+        F.when(
+            dot(v, F.array(*[F.lit(float(x)) for x in plane])) > 0,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k, textbook E2LSH shape: L=4
+    independent tables × 6 planes each, multi-probe at hamming ≤ 1
+    (7 probes/table), exact re-rank over the distinct candidates.
+
+    Multiple small tables beat one big signature when neighbors are
+    far (synthetic 64-d vectors top out near cos 0.45 ≈ 63°, so each
+    bit only agrees with p≈0.65): recall compounds as 1-(1-p_table)^L.
+    The candidate join is an equi-join on (table, bucket) — shuffle-
+    partitioned, no driver involvement, skew bounded by bucket size."""
+    n_tables, n_planes = 4, 6
+    emb = _doubles(load_table(spark, sf_dir, "embeddings"))
+    sig_cols = [
+        srp_signature(
+            F.col("v"), _hyperplanes(n_planes, 64, seed=100 + t)
+        ).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    hashed = emb.select("vec_id", "v", *sig_cols)
+    # explode to (vec_id, table, bucket) index rows
+    index = hashed.select(
+        "vec_id",
+        "v",
+        F.posexplode(
+            F.array(*[F.col(f"b{t}") for t in range(n_tables)])
+        ).alias("table", "bucket"),
+    )
+    queries = hashed.filter(F.col("vec_id") < N_QUERIES)
+    # probes: per table, own bucket + every 1-bit flip
+    probe_rows = []
+    for t in range(n_tables):
+        qb = F.col(f"b{t}")
+        buckets = F.array(
+            qb, *[qb.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+        )
+        probe_rows.append(
+            queries.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("v").alias("q"),
+                F.lit(t).alias("table"),
+                F.explode(buckets).alias("bucket"),
+            )
+        )
+    probes = functools.reduce(lambda a, b: a.unionAll(b), probe_rows)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        index.join(F.broadcast(probes), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.col("q"), F.col("v"))
+        .dropDuplicates(["q_id", "vec_id"])
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("q"), F.col("v")), 6).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("q_id", "rank")
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ann_brute_force": QuerySpec(
+        ann_brute_force, ORACLE_ANN_BRUTE_FORCE, ["X-sim"], bench=True
+    ),
+    "ann_ivf": QuerySpec(ann_ivf, None, ["X-sim"]),
+    "ann_lsh": QuerySpec(ann_lsh, None, ["X-sim"]),
+}

@@ -1,0 +1,285 @@
+"""Text-analysis operators for LLM training-data pipelines —
+SURVEY.md §2.13 / BASELINE.md mandate, over the ``documents`` table.
+
+All four capabilities (language-ID heuristic, quality scoring, token
+counting, document fingerprinting) are pure native-expression plans:
+split/regexp/explode/aggregate run JVM-side inside whole-stage
+codegen, so per-doc cost is a narrow map and the only shuffles are
+the final aggregations. At 100 TB these are scan-bound, exactly what
+a corpus-prep pass should be.
+
+Shingle convention (shared with dedup.py): word 3-grams from a
+single-space tokenization. Spark array indexing is 0-based while the
+DuckDB oracle is 1-based — both sides are written against their own
+convention to produce identical shingle sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+# Small closed-class English word list for the stopword-ratio features.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
+
+# BPE-ish lexer: word pieces, digit runs, single non-space symbols.
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization (single-space corpus convention)."""
+    return F.split(text, " ")
+
+
+def shingles_col(words: Column) -> Column:
+    """Distinct word 3-gram shingles; empty for docs under 3 tokens
+    (guard needed: Spark sequence(0, -1) would count *down*)."""
+    return F.when(
+        F.size(words) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score: token count,
+    mean token length, stopword ratio, distinct-token ratio, and a
+    BPE-ish regex token count. One narrow projection — no shuffle at
+    all except the final top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens_col(F.col("text"))
+    n_tok = F.size(w).cast("double")
+    stop_hits = F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in STOPWORDS])))
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(w, lambda t: t.isin(STOPWORDS))).cast("double") / n_tok
+    )
+    avg_tok_len = (
+        (F.length(F.col("text")) - (F.size(w) - 1)).cast("double") / n_tok
+    )
+    bpe_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
+    quality = (
+        F.lit(0.4) * F.least(n_tok / 100.0, F.lit(1.0))
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.3) * (F.lit(1.0) - F.least(stop_ratio * 5, F.lit(1.0)))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tok.cast("long").alias("n_tokens"),
+            bpe_tokens.alias("n_bpe_tokens"),
+            F.round(avg_tok_len, 6).alias("avg_token_len"),
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            F.round(distinct_ratio, 6).alias("distinct_ratio"),
+            F.round(quality, 6).alias("quality"),
+            stop_hits.alias("n_stopword_kinds"),
+        )
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+_STOP_SQL = "', '".join(STOPWORDS)
+
+ORACLE_TEXT_QUALITY = f"""
+WITH feat AS (
+  SELECT doc_id, lang,
+         string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         text
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         CAST(n_tok AS BIGINT) AS n_tokens,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+         ROUND(CAST(length(text) - (n_tok - 1) AS DOUBLE) / n_tok, 6) AS avg_token_len,
+         ROUND(CAST(len(list_filter(w, t -> t IN ('{_STOP_SQL}'))) AS DOUBLE) / n_tok, 6)
+           AS stopword_ratio,
+         ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / n_tok, 6) AS distinct_ratio,
+         ROUND(0.4 * LEAST(n_tok / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / n_tok)
+             + 0.3 * (1.0 - LEAST(CAST(len(list_filter(w, t -> t IN ('{_STOP_SQL}'))) AS DOUBLE) / n_tok * 5, 1.0)), 6)
+           AS quality,
+         len(list_intersect(list_distinct(w), ['{_STOP_SQL}'])) AS n_stopword_kinds
+  FROM feat
+)
+SELECT * FROM scored
+ORDER BY quality DESC, doc_id ASC
+LIMIT 100
+"""
+
+
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-hit-rate heuristic, compared against
+    the table's labeled ``lang``: the confusion profile per label.
+    (The corpus is synthetic English word-soup, so the heuristic
+    predictably says 'en' — the operator is the deliverable, and at
+    100 TB it's one narrow map + one small agg.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens_col(F.col("text"))
+    stop_ratio = (
+        F.size(F.filter(w, lambda t: t.isin(STOPWORDS))).cast("double")
+        / F.size(w)
+    )
+    pred = (
+        F.when(stop_ratio >= 0.08, "en")
+        .when(stop_ratio >= 0.02, "en_maybe")
+        .otherwise("unk")
+    )
+    return (
+        docs.select(F.col("lang").alias("labeled_lang"), pred.alias("pred_lang"))
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("labeled_lang", "pred_lang")
+    )
+
+
+ORACLE_LANGID = f"""
+WITH pred AS (
+  SELECT lang AS labeled_lang,
+         CASE
+           WHEN CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('{_STOP_SQL}'))) AS DOUBLE)
+                / len(string_split(text, ' ')) >= 0.08 THEN 'en'
+           WHEN CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('{_STOP_SQL}'))) AS DOUBLE)
+                / len(string_split(text, ' ')) >= 0.02 THEN 'en_maybe'
+           ELSE 'unk'
+         END AS pred_lang
+  FROM documents
+)
+SELECT labeled_lang, pred_lang, COUNT(*) AS n_docs
+FROM pred
+GROUP BY labeled_lang, pred_lang
+ORDER BY labeled_lang, pred_lang
+"""
+
+
+def token_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies with document frequency — the
+    explode → groupBy word-count (partial agg combines map-side, so
+    the shuffle carries one row per distinct token per partition,
+    not one per token occurrence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(30)
+    )
+
+
+ORACLE_TOKEN_FREQUENCY = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM tok
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 30
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: the lexicographic min of
+    the md5 hashes of the doc's 3-gram shingles (a deterministic
+    1-of-n sketch both engines compute identically). Groups with a
+    shared fingerprint are near-dup candidate clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_col(tokens_col(F.col("text")))
+    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    with_fp = docs.select("doc_id", fp.alias("fingerprint")).filter(
+        F.col("fingerprint").isNotNull()
+    )
+    return (
+        with_fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy(F.desc("cluster_size"), F.asc("fingerprint"))
+        .limit(50)
+    )
+
+
+ORACLE_DOC_FINGERPRINTS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+), fp AS (
+  SELECT doc_id, MIN(h) AS fingerprint FROM sh GROUP BY doc_id
+)
+SELECT fingerprint, COUNT(*) AS cluster_size, MIN(doc_id) AS min_doc_id
+FROM fp
+GROUP BY fingerprint
+HAVING COUNT(*) >= 2
+ORDER BY cluster_size DESC, fingerprint ASC
+LIMIT 50
+"""
+
+
+def lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup: docs/chars/mean length per
+    (lang, source) — the profiling pass that decides sampling weights
+    for a training mix."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ORACLE_LANG_SOURCE_PROFILE = """
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_quality_scores": QuerySpec(
+        text_quality_scores, ORACLE_TEXT_QUALITY, ["X-text"], bench=True
+    ),
+    "langid_heuristic": QuerySpec(langid_heuristic, ORACLE_LANGID, ["X-text"]),
+    "token_frequency_topk": QuerySpec(
+        token_frequency_topk, ORACLE_TOKEN_FREQUENCY, ["X-text", "A1"]
+    ),
+    "doc_fingerprints": QuerySpec(
+        doc_fingerprints, ORACLE_DOC_FINGERPRINTS, ["X-text"]
+    ),
+    "lang_source_profile": QuerySpec(
+        lang_source_profile, ORACLE_LANG_SOURCE_PROFILE, ["X-text", "A1"]
+    ),
+}

@@ -1,0 +1,117 @@
+"""Graph layer tests (SURVEY.md §5.4): PageRank against a
+hand-computable fixed point + invariants (no SQL oracle exists for
+iterative algorithms), and the cricket duel-graph builders'
+MERGE-equivalent dedup semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.graph import (
+    faced_edges,
+    pagerank,
+    player_pagerank,
+    player_vertices,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_pagerank_two_cycle(spark):
+    """A↔B: perfectly symmetric, ranks must both be 1.0 exactly."""
+    pr = {r.id: r.pagerank for r in pagerank(_edges(spark, [("A", "B"), ("B", "A")]), max_iter=10).collect()}
+    assert pr == {"A": pytest.approx(1.0), "B": pytest.approx(1.0)}
+
+
+def test_pagerank_hand_computed_chain(spark):
+    """A→B→C with C dangling. Hand-computed fixed point of
+    r = 0.15 + 0.85*(in + dangling/3), scores sum to N=3."""
+    pr = {
+        r.id: r.pagerank
+        for r in pagerank(
+            _edges(spark, [("A", "B"), ("B", "C")]), max_iter=50, tol=None
+        ).collect()
+    }
+    assert sum(pr.values()) == pytest.approx(3.0, abs=1e-5)
+    # fixed point solved by hand with s = 0.85/3:
+    #   rA = 0.15 + s*rC
+    #   rB = 0.15 + 0.85*rA + s*rC
+    #   rC = 0.15 + 0.85*rB + s*rC
+    # → rC = 0.385875 / (1 - s*(1 + 0.85 + 0.85^2)) ≈ 1.423237
+    assert pr["A"] == pytest.approx(0.553250, abs=1e-3)
+    assert pr["B"] == pytest.approx(1.023529, abs=1e-3)
+    assert pr["C"] == pytest.approx(1.423237, abs=1e-3)
+    assert pr["C"] > pr["B"] > pr["A"]
+
+
+def test_pagerank_mass_conservation_star(spark):
+    """Hub-and-spoke: total mass N regardless of structure; hub
+    (most in-links) ranks highest."""
+    edges = _edges(
+        spark, [("S1", "H"), ("S2", "H"), ("S3", "H"), ("H", "S1")]
+    )
+    rows = pagerank(edges, max_iter=40).collect()
+    total = sum(r.pagerank for r in rows)
+    assert total == pytest.approx(4.0, abs=1e-5)
+    top = max(rows, key=lambda r: r.pagerank)
+    assert top.id == "H"
+
+
+def test_pagerank_empty(spark):
+    assert pagerank(_edges(spark, [])).count() == 0
+
+
+@pytest.fixture(scope="module")
+def deliveries(spark):
+    rows = [
+        # matchId, innings, battingTeam, over, ball, batter, nonStriker,
+        # bowler, runs_batter, runs_extras, runs_total, wickets
+        ("M1", "1", "India", 0, 1, "Kohli", "Sharma", "Southee", 4, 0, 4, []),
+        ("M1", "1", "India", 0, 2, "Kohli", "Sharma", "Southee", 0, 0, 0,
+         [("Kohli", "bowled")]),
+        # duplicate composite key (matchId, innings, over, ball, src) —
+        # MERGE must keep exactly one
+        ("M1", "1", "India", 0, 2, "Kohli", "Sharma", "Southee", 0, 0, 0,
+         [("Kohli", "bowled")]),
+        ("M1", "1", "India", 0, None, "Sharma", "Kohli", "Boult", 1, 0, 1, []),
+        ("M2", "2", "NZ", 3, 1, "Williamson", None, "Bumrah", 2, 0, 2, []),
+    ]
+    schema = (
+        "matchId string, innings string, battingTeam string, over long, "
+        "ball long, batter string, nonStriker string, bowler string, "
+        "runs_batter long, runs_extras long, runs_total long, "
+        "wickets array<struct<player_out:string,kind:string>>"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_player_vertices_merge_dedup(deliveries):
+    names = {r.name for r in player_vertices(deliveries).collect()}
+    # nulls dropped, each player once despite appearing in many roles
+    assert names == {"Kohli", "Sharma", "Southee", "Boult", "Williamson", "Bumrah"}
+
+
+def test_faced_edges_composite_key_and_defaults(deliveries):
+    rows = faced_edges(deliveries).collect()
+    # 5 input rows → 4 edges (exact composite-key duplicate collapsed)
+    assert len(rows) == 4
+    by_key = {(r.matchId, r.innings, r.over, r.ball): r for r in rows}
+    # missing ball defaulted to -1 (neo4j_loader.py:113-115)
+    assert ("M1", "1", 0, -1) in by_key
+    e = by_key[("M1", "1", 0, 2)]
+    assert e.isWicket == 1 and e.src == "Kohli" and e.dst == "Southee"
+    assert by_key[("M2", "2", 3, 1)].team == "NZ"
+
+
+def test_player_pagerank_runs(deliveries):
+    rows = player_pagerank(deliveries, max_iter=20).collect()
+    assert len(rows) == 6
+    # bowlers receive all links from batters → Southee (2 in-edges
+    # incl. weight 2) must outrank any batter
+    pr = {r.id: r.pagerank for r in rows}
+    assert pr["Southee"] > pr["Kohli"]
+    assert sum(pr.values()) == pytest.approx(6.0, abs=1e-4)
