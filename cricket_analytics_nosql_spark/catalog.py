@@ -24,6 +24,8 @@ def all_queries() -> dict[str, QuerySpec]:
         windows,
     )
 
+    from cricket_analytics_nosql_spark.streaming import events as streaming_events
+
     registry: dict[str, QuerySpec] = {}
     for module in (
         relational,
@@ -35,6 +37,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         similarity,
         multimodal,
+        streaming_events,
     ):
         overlap = registry.keys() & module.QUERIES.keys()
         if overlap:

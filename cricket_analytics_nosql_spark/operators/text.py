@@ -16,7 +16,7 @@ convention to produce identical shingle sets.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec

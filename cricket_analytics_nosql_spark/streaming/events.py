@@ -1,0 +1,340 @@
+"""Structured Streaming surface — SURVEY.md §2.11 / §7.5.
+
+The reference is batch-only; the north star mandates a true streaming
+surface over the driver's ``events`` table. Design rule (SURVEY
+§2.11): every stateless/windowed transformation here is written
+against a plain DataFrame, so the *same function* runs on a batch
+frame or a ``readStream`` frame — batch-stream parity is then a
+testable property, not a hope.
+
+Replay harness: the testdata ``events.parquet`` is a single file, but
+a file stream source needs a directory of files arriving over time.
+``stage_event_files`` splits events into N time-ordered chunk files;
+with ``maxFilesPerTrigger=1`` each chunk becomes one micro-batch, so
+watermark advancement and late-data drop behave exactly as they
+would on a live stream (``availableNow`` drains the backlog
+deterministically — the §5.5 test pattern).
+
+At scale: these are the same windowed shuffles as the batch engine
+plus state-store lookups; state size is bounded by the watermark
+horizon, and ``spark.sql.shuffle.partitions`` sizes the state store
+exactly like any other shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+_EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+# ---------------------------------------------------------------------------
+# Replay staging + run harness
+# ---------------------------------------------------------------------------
+
+def set_arrival_order(directory: str, file_groups: list[list[str]]) -> None:
+    """Pin FileStreamSource pickup order: the source processes files
+    oldest-mtime-first, and sequential writes can land in the same
+    mtime tick — so arrival order is made explicit, 10 s apart."""
+    base = os.path.getmtime(directory) - 10 * len(file_groups)
+    for i, group in enumerate(file_groups):
+        for f in group:
+            t = base + i * 10
+            os.utime(f, (t, t))
+
+
+def _parquet_parts(directory: str) -> set[str]:
+    return {
+        os.path.join(directory, f)
+        for f in os.listdir(directory)
+        if f.endswith(".parquet")
+    }
+
+
+def stage_event_files(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> str:
+    """Write events as ``n_chunks`` time-ordered parquet files in a
+    scratch dir (oldest chunk first — arrival order ≈ event order,
+    with intra-chunk disorder preserved so watermarks have real work
+    to do). Returns the directory path."""
+    out = tempfile.mkdtemp(prefix="events_stream_")
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    lo, hi = bounds.lo, bounds.hi
+    span = (hi - lo) / n_chunks
+    groups: list[list[str]] = []
+    seen: set[str] = set()
+    for i in range(n_chunks):
+        start = lo + i * span
+        end = hi if i == n_chunks - 1 else lo + (i + 1) * span
+        chunk = ev.filter(
+            (F.col("ts") >= F.lit(start))
+            & (F.col("ts") <= F.lit(end) if i == n_chunks - 1 else F.col("ts") < F.lit(end))
+        )
+        chunk.coalesce(1).write.mode("append").parquet(out)
+        parts = _parquet_parts(out)
+        groups.append(sorted(parts - seen))
+        seen = parts
+    set_arrival_order(out, groups)
+    return out
+
+
+def read_events_stream(
+    spark: SparkSession, staged_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """readStream over the staged chunk files — one chunk per
+    micro-batch by default."""
+    return (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staged_dir)
+    )
+
+
+def run_available_now(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drain a streaming frame deterministically (availableNow) into
+    a memory sink; return the result as a batch DataFrame."""
+    name = "s" + uuid.uuid4().hex[:12]
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", os.path.join(ckpt, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def foreach_batch_upsert(
+    sdf: DataFrame, path: str, keys: list[str]
+) -> None:
+    """S3's upsert sink, streaming twin (SURVEY §2.11): per micro-
+    batch MERGE-by-key into a parquet target via foreachBatch —
+    union-with-existing + keep-latest-per-key + full rewrite.
+    Idempotent under batch replay (exactly-once effect on keys)."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            old = spark.read.parquet(path)
+            merged = batch.unionByName(old).dropDuplicates(keys)
+        except Exception:
+            merged = batch.dropDuplicates(keys)
+        merged.write.mode("overwrite").parquet(path + "_next")
+        # atomic-ish swap: rewrite target from the merged view
+        spark.read.parquet(path + "_next").write.mode("overwrite").parquet(path)
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            sdf.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", os.path.join(ckpt, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Stream-legal transformations (work on batch and stream frames alike)
+# ---------------------------------------------------------------------------
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling window × event_type: count + exact value sum
+    (cents-scaled — same money discipline as the batch engine)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            (F.col("value_cents").cast("double") / 100).alias("total_value"),
+        )
+    )
+
+
+def sliding_avg(events: DataFrame) -> DataFrame:
+    """2-hour window sliding every 1 hour: per-window event rate.
+    Distinct users via approx_count_distinct — exact countDistinct is
+    not stream-legal, and the HLL++ sketch is order-insensitive so
+    batch and stream replays agree exactly."""
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (gap-based): session start, length,
+    event count, value sum. Streaming-native via session_window;
+    identical semantics to the batch gaps-and-islands form."""
+    return (
+        events.groupBy(
+            F.col("user_id"), F.session_window("ts", gap).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vc"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            (F.col("vc").cast("double") / 100).alias("total_value"),
+        )
+    )
+
+
+def watermarked_dedup(events: DataFrame, horizon: str = "2 hours") -> DataFrame:
+    """Stateful dedup by event_id within the watermark horizon —
+    state is bounded by the horizon instead of growing forever
+    (dropDuplicates on a stream would). Batch frames take the plain
+    dropDuplicates path (watermark is a no-op there)."""
+    if events.isStreaming:
+        # watermarks require TIMESTAMP (tz-aware); the UTC session
+        # makes the cast from NTZ value-preserving
+        return (
+            events.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", horizon)
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def late_data_filter(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling aggregation — events later than the
+    horizon behind the max seen ts are dropped by the engine on a
+    stream; append mode only emits finalized windows. NB the filter
+    for micro-batch N uses the watermark computed through batch N-2
+    (commit-then-apply), so drops take effect one batch later than
+    the progress report suggests."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", horizon)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-facing queries: run the streaming pipeline with availableNow,
+# return the drained result as a batch frame (oracled in DuckDB).
+# ---------------------------------------------------------------------------
+
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_event_files(spark, sf_dir)
+    out = run_available_now(
+        tumbling_counts(read_events_stream(spark, staged)), "complete"
+    )
+    return out.orderBy("win_start", "event_type")
+
+
+ORACLE_STREAM_TUMBLING = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+FROM events
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
+
+
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_event_files(spark, sf_dir)
+    out = run_available_now(
+        session_aggregate(read_events_stream(spark, staged)), "complete"
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+ORACLE_STREAM_SESSION = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+"""
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate every event (union of the stream with itself at
+    staging), then stateful-dedup on the stream; summary per
+    event_type proves exactly-once survival."""
+    staged = stage_event_files(spark, sf_dir)
+    ev = read_events_stream(spark, staged, files_per_trigger=8)
+    doubled = ev.unionByName(ev)
+    out = run_available_now(watermarked_dedup(doubled), "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stream_tumbling_agg": QuerySpec(
+        stream_tumbling_agg, ORACLE_STREAM_TUMBLING, ["§2.11"], bench=False
+    ),
+    "stream_session_agg": QuerySpec(
+        stream_session_agg, ORACLE_STREAM_SESSION, ["§2.11"]
+    ),
+    "stream_dedup": QuerySpec(stream_dedup, ORACLE_STREAM_DEDUP, ["§2.11"]),
+}

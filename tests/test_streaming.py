@@ -1,0 +1,147 @@
+"""Streaming surface tests (SURVEY.md §5.5): batch-stream parity on
+the same transformations, watermark late-data drop over a real
+multi-batch replay, stateful dedup, and the foreachBatch upsert
+sink's idempotency.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.sources.tables import load_table
+from cricket_analytics_nosql_spark.streaming.events import (
+    foreach_batch_upsert,
+    late_data_filter,
+    read_events_stream,
+    run_available_now,
+    session_aggregate,
+    sliding_avg,
+    stage_event_files,
+    tumbling_counts,
+    watermarked_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def staged(spark, sf_small):
+    return stage_event_files(spark, sf_small, n_chunks=4)
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_small):
+    return load_table(spark, sf_small, "events").cache()
+
+
+def _rows(df, *keys):
+    return sorted(tuple(r) for r in df.select(*keys).collect())
+
+
+def test_staging_is_lossless(spark, staged, events_batch):
+    replay = spark.read.parquet(staged)
+    assert replay.count() == events_batch.count()
+    assert _rows(replay, "event_id") == _rows(events_batch, "event_id")
+
+
+def test_batch_stream_parity_tumbling(spark, staged, events_batch):
+    """Same function, batch frame vs streamed frame → same rows."""
+    stream_out = run_available_now(
+        tumbling_counts(read_events_stream(spark, staged)), "complete"
+    )
+    batch_out = tumbling_counts(events_batch)
+    cols = ["win_start", "event_type", "n_events", "total_value"]
+    assert _rows(stream_out, *cols) == _rows(batch_out, *cols)
+
+
+def test_batch_stream_parity_sliding(spark, staged, events_batch):
+    stream_out = run_available_now(
+        sliding_avg(read_events_stream(spark, staged)), "complete"
+    )
+    cols = ["win_start", "n_events", "n_users"]
+    assert _rows(stream_out, *cols) == _rows(sliding_avg(events_batch), *cols)
+
+
+def test_batch_stream_parity_sessions(spark, staged, events_batch):
+    stream_out = run_available_now(
+        session_aggregate(read_events_stream(spark, staged)), "complete"
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(stream_out, *cols) == _rows(
+        session_aggregate(events_batch), *cols
+    )
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Four micro-batches; the third carries an event hours older
+    than the watermark horizon and the engine must drop it (Spark
+    applies the watermark computed through batch N-2 when filtering
+    batch N — hence the spacer batch). The trailing batch pushes the
+    watermark far enough to finalize the on-time windows, so if the
+    late row had leaked into state its 07:00 window would emit."""
+    from cricket_analytics_nosql_spark.streaming.events import (
+        _parquet_parts,
+        set_arrival_order,
+    )
+
+    d = str(tmp_path / "late_stream")
+    os.makedirs(d)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts_s string"
+        ).select(
+            "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts")
+        )
+
+    files = [
+        mk([(1, "2024-01-01 10:05:00"), (2, "2024-01-01 10:55:00")]),
+        mk([(5, "2024-01-01 11:00:00")]),          # spacer
+        mk([(3, "2024-01-01 07:10:00"),            # late vs wm 09:55
+            (4, "2024-01-01 11:20:00")]),          # on time
+        mk([(6, "2024-01-01 12:30:00")]),          # finalizer
+    ]
+    groups, seen = [], set()
+    for b in files:
+        b.coalesce(1).write.mode("append").parquet(d)
+        parts = _parquet_parts(d)
+        groups.append(sorted(parts - seen))
+        seen = parts
+    set_arrival_order(d, groups)
+    sdf = (
+        spark.readStream.schema("event_id long, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = run_available_now(late_data_filter(sdf, "1 hour"), "append").collect()
+    counted = {str(r.win_start): r.n_events for r in out}
+    # final watermark is 11:30 (12:30 - 1h): every window ending at or
+    # before it is finalized. Had late event 3 leaked into state, its
+    # 07:00 window (end 08:00 ≤ 11:30) would have emitted with n=1.
+    assert counted == {"2024-01-01 10:00:00": 2}
+
+
+def test_stateful_dedup_within_watermark(spark, staged):
+    ev = read_events_stream(spark, staged, files_per_trigger=8)
+    doubled = ev.unionByName(ev)
+    out = run_available_now(watermarked_dedup(doubled), "append")
+    total = spark.read.parquet(staged).count()
+    assert out.count() == total
+    assert out.select("event_id").distinct().count() == total
+
+
+def test_foreach_batch_upsert_idempotent(spark, staged, tmp_path):
+    """Replaying the same stream into the sink twice must leave the
+    same state (exactly-once effect per key)."""
+    target = str(tmp_path / "upsert_target")
+    sdf = read_events_stream(spark, staged, files_per_trigger=2)
+    foreach_batch_upsert(sdf, target, ["event_id"])
+    once = spark.read.parquet(target)
+    n1 = once.count()
+    assert n1 == spark.read.parquet(staged).count()
+    foreach_batch_upsert(
+        read_events_stream(spark, staged, files_per_trigger=4), target,
+        ["event_id"],
+    )
+    assert spark.read.parquet(target).count() == n1
