@@ -20,6 +20,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         setops,
         similarity,
+        skew,
         text,
         windows,
     )
@@ -37,6 +38,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         similarity,
         multimodal,
+        skew,
         streaming_events,
     ):
         overlap = registry.keys() & module.QUERIES.keys()

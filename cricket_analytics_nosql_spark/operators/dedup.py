@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.operators.text import shingles_col, tokens_col
-from cricket_analytics_nosql_spark.sources.tables import load_table
+from cricket_analytics_nosql_spark.sources.tables import fan_out, load_table
 
 
 # ---------------------------------------------------------------------------
@@ -72,8 +72,10 @@ LIMIT 100
 # ---------------------------------------------------------------------------
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) exploded pairs — the inverted index rows."""
-    return docs.select(
+    """(doc_id, shingle) exploded pairs — the inverted index rows.
+    Fanned out first: shingling is the CPU-dense step and must not
+    run on however few splits the input file happened to have."""
+    return fan_out(docs).select(
         "doc_id", F.explode(shingles_col(tokens_col(F.col("text")))).alias("s")
     )
 
@@ -268,7 +270,7 @@ def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     then for each bit position sum +1/-1 weighted by token count and
     take the sign. The 64 conditional sums are map-side combinable,
     so the shuffle carries 64 longs per doc-partition, not tokens."""
-    tok = docs.select(
+    tok = fan_out(docs).select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("t")
     ).withColumn("h", F.xxhash64("t"))
     per_bit = tok.groupBy("doc_id").agg(

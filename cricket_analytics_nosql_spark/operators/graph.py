@@ -117,26 +117,33 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 15,
     tol: float | None = 1e-6,
-    checkpoint_every: int = 4,
+    check_every: int = 4,
 ) -> DataFrame:
     """Standard-formulation PageRank over an ``edges(src, dst)``
     DataFrame; returns ``(id, pagerank)`` with scores summing to the
     vertex count (the gds.pageRank normalization).
 
-    Per-iteration dataflow (one shuffle each):
-      contribs = ranks ⋈ edges on src  →  groupBy dst sum
-      new_rank = (1-d) + d * (contribs + dangling_mass / N)
+    Per-iteration dataflow — ONE shuffle, of vertex-sized data:
+      contribs(dst) = Σ rank(src)/out_deg(src)   (links ⋈ ranks)
+      rank'(v)     = (1-d) + d·(contribs(v) + dm/N)
 
-    Dangling vertices (no out-edges) redistribute their rank mass
-    uniformly — the standard fix. The mass is a 1-row aggregate kept
-    *lazy* and broadcast-cross-joined into the update (never collected
-    per iteration: a driver round-trip each loop would serialize the
-    whole job chain). Lineage is cut with ``localCheckpoint`` every
-    ``checkpoint_every`` iterations (SURVEY §7.8 risk 1); only the
-    occasional convergence delta reaches the driver.
+    Dangling mass needs no second pass over ranks: PageRank conserves
+    total mass at N, and Σ contribs is exactly the mass sitting on
+    non-dangling vertices, so dm = N − Σ contribs — a 1-row aggregate
+    over the (checkpointed, vertex-sized) contribs frame, broadcast-
+    cross-joined back in, never collected to the driver.
+
+    Lineage discipline (SURVEY §7.8 risk 1): contribs is
+    ``localCheckpoint``-ed every iteration — it is small (one row per
+    in-linked vertex) and every downstream consumer (the rank update
+    AND the next iteration) then reads materialized data. Leaving it
+    lazy is not an optimization: ranks_i references contribs_i twice,
+    so an unmaterialized chain re-executes earlier iterations
+    exponentially. The big edge list is pre-shuffled onto the join
+    key once and never moves again.
     """
     spark = edges.sparkSession
-    # vertex universe = src ∪ dst; cache — reused every iteration
+    # vertex universe = src ∪ dst; materialized — reused every iteration
     vertices = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -148,31 +155,21 @@ def pagerank(
         return spark.createDataFrame([], "id long, pagerank double")
 
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # links: (id, dst, out_deg) — the static per-iteration join input,
-    # checkpointed once so each iteration starts from materialized data
     links = (
         edges.join(out_deg, "src")
         .select(F.col("src").alias("id"), "dst", "out_deg")
+        .repartition(F.col("id"))
         .localCheckpoint()
     )
-    # static set of dangling vertices (no out-edges), materialized once
-    dangling_ids = vertices.join(
-        links.select("id").distinct(), "id", "left_anti"
-    ).localCheckpoint()
 
-    ranks = vertices.withColumn("rank", F.lit(1.0))
-    for i in range(max_iter):
-        # 1-row frame: total rank mass sitting on dangling vertices
-        dm = ranks.join(dangling_ids, "id").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+    def rank_view(contribs: DataFrame) -> DataFrame:
+        """Shallow view of ranks over a *checkpointed* contribs."""
+        dm = contribs.agg(
+            (F.lit(float(n)) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias(
+                "dm"
+            )
         )
-        contribs = (
-            ranks.join(links, "id")
-            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        new_ranks = (
+        return (
             vertices.join(contribs, vertices.id == contribs.dst, "left")
             .crossJoin(F.broadcast(dm))
             .select(
@@ -187,19 +184,31 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
-            new_ranks = new_ranks.localCheckpoint()
-            if tol is not None:
-                delta = (
-                    ranks.join(new_ranks.withColumnRenamed("rank", "new_rank"), "id")
-                    .agg(F.sum(F.abs(F.col("rank") - F.col("new_rank"))))
-                    .first()[0]
+
+    ranks = vertices.withColumn("rank", F.lit(1.0))
+    prev_contribs: DataFrame | None = None
+    for i in range(max_iter):
+        contribs = (
+            links.join(ranks, "id")
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+            .localCheckpoint()
+        )
+        ranks = rank_view(contribs)
+        # convergence: ranks are an affine map of contribs, so the
+        # L1 delta of consecutive contribs bounds the rank delta
+        if tol is not None and prev_contribs is not None and (i + 1) % check_every == 0:
+            delta = (
+                contribs.join(
+                    prev_contribs.withColumnRenamed("contrib", "prev"), "dst"
                 )
-                ranks = new_ranks
-                if delta is not None and delta < tol * n:
-                    break
-                continue
-        ranks = new_ranks
+                .agg(F.sum(F.abs(F.col("contrib") - F.col("prev"))))
+                .first()[0]
+            )
+            if delta is not None and delta < tol * n:
+                break
+        prev_contribs = contribs
     return ranks.withColumnRenamed("rank", "pagerank")
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
-from cricket_analytics_nosql_spark.sources.tables import load_table
+from cricket_analytics_nosql_spark.sources.tables import fan_out, load_table
 
 N_QUERIES = 8  # vec_id < 8 is the demo query set
 TOP_K = 5
@@ -56,8 +56,9 @@ def cosine(a: Column, b: Column) -> Column:
 
 def _doubles(df: DataFrame) -> DataFrame:
     """float32 → float64 once at scan; all math is then double-exact
-    and engine-agnostic."""
-    return df.select(
+    and engine-agnostic. Fanned out: vector math is CPU-dense and the
+    local single-file input would otherwise run on one core."""
+    return fan_out(df).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
 

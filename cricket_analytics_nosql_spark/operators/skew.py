@@ -1,0 +1,114 @@
+"""Skew-mitigation helpers — SURVEY.md §7.8 risk 5 / §4 item 3.
+
+Star keys (V Kohli in deliveries, hot users in event logs) turn one
+shuffle partition into the whole job's critical path. Two standard
+mitigations, both pure DataFrame composition:
+
+- **Salted two-phase aggregation**: groupBy((key, salt)) partial →
+  groupBy(key) final. The hot key's rows spread over ``n_salts``
+  partitions in phase 1; phase 2 merges ``n_salts`` partials per key
+  — O(distinct_keys × n_salts) rows, trivially small.
+- **Salted join** (skewed fact ⋈ small-ish dim): fact rows get a
+  random salt; the dim side is exploded ×n_salts so every
+  (key, salt) bucket finds its match. Dim replication costs
+  n_salts × |dim| — the knob trades dim duplication for fact-side
+  spread. (When the dim fits in a broadcast, prefer broadcast — AQE's
+  skew-join split handles the sort-merge case automatically; this
+  helper is for when neither applies.)
+
+AQE (`spark.sql.adaptive.skewJoin`) already splits skewed sort-merge
+join partitions at runtime; these helpers cover the aggregation case
+AQE doesn't, and clusters where AQE is off.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+
+def salted_sum(
+    df: DataFrame,
+    key: str,
+    agg_cols: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation for algebraic aggregates
+    (sum/count/min/max — anything where partials merge by the same
+    function). ``agg_cols`` maps output name → pre-aggregation column
+    expression; both phases sum.
+
+    Deterministic salt (hash of the whole row's monotonic id would
+    need a shuffle; crc32 of all columns is good enough spread and
+    keeps the plan narrow).
+    """
+    salt = (F.abs(F.hash(*df.columns)) % n_salts).alias("_salt")
+    phase1 = (
+        df.select(key, salt, *[c.alias(n) for n, c in agg_cols.items()])
+        .groupBy(key, "_salt")
+        .agg(*[F.sum(n).alias(n) for n in agg_cols])
+    )
+    return phase1.groupBy(key).agg(
+        *[F.sum(n).alias(n) for n in agg_cols]
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: fact side salted randomly-but-
+    deterministically, dim side exploded across all salts."""
+    f_salted = fact.withColumn(
+        "_salt", F.abs(F.hash(*fact.columns)) % n_salts
+    )
+    d_exploded = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return f_salted.join(d_exploded, [key, "_salt"]).drop("_salt")
+
+
+def skewed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable: per-user event totals via the salted
+    two-phase aggregation — results identical to a plain groupBy
+    (the oracle), plan immune to hot users."""
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum(
+        ev,
+        "user_id",
+        {
+            "n_events": F.lit(1),
+            "value_cents": F.round(F.col("value") * 100, 0).cast("long"),
+        },
+    )
+    return (
+        out.select(
+            "user_id",
+            "n_events",
+            (F.col("value_cents").cast("double") / 100).alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
+ORACLE_SKEWED_EVENT_COUNTS = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC
+LIMIT 50
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "skewed_event_counts": QuerySpec(
+        skewed_event_counts, ORACLE_SKEWED_EVENT_COUNTS, ["§7.8-skew", "A1"]
+    ),
+}

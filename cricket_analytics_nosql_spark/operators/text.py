@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
-from cricket_analytics_nosql_spark.sources.tables import load_table
+from cricket_analytics_nosql_spark.sources.tables import fan_out, load_table
 
 # Small closed-class English word list for the stopword-ratio features.
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
@@ -58,7 +58,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean token length, stopword ratio, distinct-token ratio, and a
     BPE-ish regex token count. One narrow projection — no shuffle at
     all except the final top-k."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     w = tokens_col(F.col("text"))
     n_tok = F.size(w).cast("double")
     stop_hits = F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in STOPWORDS])))
@@ -128,7 +128,7 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The corpus is synthetic English word-soup, so the heuristic
     predictably says 'en' — the operator is the deliverable, and at
     100 TB it's one narrow map + one small agg.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     w = tokens_col(F.col("text"))
     stop_ratio = (
         F.size(F.filter(w, lambda t: t.isin(STOPWORDS))).cast("double")
@@ -173,7 +173,7 @@ def token_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → groupBy word-count (partial agg combines map-side, so
     the shuffle carries one row per distinct token per partition,
     not one per token occurrence)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
     )
@@ -205,7 +205,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 hashes of the doc's 3-gram shingles (a deterministic
     1-of-n sketch both engines compute identically). Groups with a
     shared fingerprint are near-dup candidate clusters."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     sh = shingles_col(tokens_col(F.col("text")))
     fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
     with_fp = docs.select("doc_id", fp.alias("fingerprint")).filter(
@@ -237,6 +237,58 @@ FROM fp
 GROUP BY fingerprint
 HAVING COUNT(*) >= 2
 ORDER BY cluster_size DESC, fingerprint ASC
+LIMIT 50
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, token): explode → per-doc term counts joined
+    with document frequencies and the corpus size (1-row frame,
+    broadcast cross-join — never a driver collect). Top terms by
+    score. Both shuffles (per-doc tf, corpus df) are map-side
+    combinable; the df frame is tiny (vocab-sized) and broadcasts
+    into the final join."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("tfidf"), F.asc("doc_id"), F.asc("token")
+    ).limit(50)
+
+
+ORACLE_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT doc_id, tf.token AS token, tf, df,
+       ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+ORDER BY tfidf DESC, doc_id ASC, token ASC
 LIMIT 50
 """
 
@@ -281,5 +333,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "lang_source_profile": QuerySpec(
         lang_source_profile, ORACLE_LANG_SOURCE_PROFILE, ["X-text", "A1"]
+    ),
+    "tfidf_top_terms": QuerySpec(
+        tfidf_top_terms, ORACLE_TFIDF, ["X-text", "A1", "J1"]
     ),
 }

@@ -135,6 +135,19 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a small single-file input over all cores before
+    CPU-dense per-row work (shingling, hashing, vector math).
+
+    At 100 TB inputs arrive as thousands of splits and this is a
+    no-op concern; locally a 3 MB parquet is one split, so an
+    expression-heavy map would run on ONE core (measured 8 s for
+    shingling 5k docs single-threaded vs <1 s fanned out). The
+    round-robin shuffle of a few MB costs nothing by comparison."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

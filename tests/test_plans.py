@@ -1,0 +1,125 @@
+"""Physical-plan hygiene tests (SURVEY.md §4): the 100 TB posture is
+a property of the plans, not a comment — so assert it. Each check
+reads `.explain("formatted")` output:
+
+- filters/projections reach the parquet scan (PushedFilters /
+  ReadSchema pruning),
+- small dims broadcast (BroadcastHashJoin, no shuffle of the fact),
+- top-k plans fuse to TakeOrderedAndProject (no full sort),
+- hot paths run inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_medium):
+    from cricket_analytics_nosql_spark.operators.relational import (
+        pricing_summary,
+    )
+
+    plan = plan_of(pricing_summary(spark, sf_medium))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_medium):
+    from cricket_analytics_nosql_spark.operators.relational import (
+        top_revenue_customers,
+    )
+
+    plan = plan_of(top_revenue_customers(spark, sf_medium))
+    # lineitem scan must read only the join key + pricing columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "l_orderkey" in ln]
+    assert read, plan
+    schema_line = read[0]
+    for unneeded in ("l_comment", "l_shipdate", "l_partkey", "l_quantity"):
+        assert unneeded not in schema_line, schema_line
+
+
+def test_dim_join_broadcasts(spark, sf_medium):
+    from cricket_analytics_nosql_spark.operators.relational import (
+        top_revenue_customers,
+    )
+
+    plan = plan_of(top_revenue_customers(spark, sf_medium))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_fuses_to_take_ordered(spark, sf_medium):
+    from cricket_analytics_nosql_spark.operators.relational import (
+        top_revenue_customers,
+    )
+
+    plan = plan_of(top_revenue_customers(spark, sf_medium))
+    assert "TakeOrderedAndProject" in plan
+    # the limit must not plan a global Sort node
+    assert "\n   Sort " not in plan
+
+
+def test_hot_path_is_codegened(spark, sf_medium):
+    """AQE defers physical planning, so codegen subtrees only appear
+    pre-execution with AQE off — flip it just for the inspection."""
+    from cricket_analytics_nosql_spark.operators.relational import (
+        pricing_summary,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = pricing_summary(spark, sf_medium)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("codegen")
+        head = buf.getvalue().splitlines()[0]
+        n = int(head.split("Found ")[1].split(" WholeStageCodegen")[0])
+        assert n >= 2, head  # scan+filter+partial-agg span, final-agg span
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_medium):
+    """The groupBy must plan partial (map-side) + final hash agg —
+    the shuffle carries combined partials, not raw rows."""
+    from cricket_analytics_nosql_spark.operators.relational import (
+        pricing_summary,
+    )
+
+    plan = plan_of(pricing_summary(spark, sf_medium))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ann_broadcasts_queries_not_vectors(spark, sf_medium):
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        ann_brute_force,
+    )
+
+    plan = plan_of(ann_brute_force(spark, sf_medium))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_explode_flatten_is_narrow(spark):
+    """The 3-level cricket flatten must contain no Exchange — it is
+    a pure narrow pipeline (scan speed at 100 TB)."""
+    import json
+
+    from cricket_analytics_nosql_spark.operators.etl import flatten_deliveries
+    from cricket_analytics_nosql_spark.sources.cricsheet import (
+        CRICSHEET_SCHEMA,
+    )
+
+    doc = {
+        "info": {"match_id": "M1", "dates": ["2021-01-01"]},
+        "innings": [],
+    }
+    df = spark.createDataFrame([(json.dumps(doc),)], "s string")
+    raw = spark.read.schema(CRICSHEET_SCHEMA).json(df.rdd.map(lambda r: r.s))
+    plan = plan_of(flatten_deliveries(raw))
+    assert "Exchange" not in plan
