@@ -3,6 +3,16 @@
 ``__spark_entry__.py`` derives its ``queries()`` / ``oracle_sql()``
 dicts from here; tests iterate the same registry so the in-repo
 parity suite and the driver's correctness gate check the same thing.
+
+SURVEY.md §2 inventory ids not represented by a query, by design:
+- F3 (``UNWIND $rows`` client batch unnest) — an artifact of the
+  reference's client/server parameter batching; Spark DataFrames are
+  already distributed rows, there is nothing to unnest.
+- J5 (Mongo→Neo4j cross-store handoff join) — eliminated: one
+  engine, one storage layer; the same joins are plain DataFrame
+  joins (J1-J4, J6).
+- S9 (connectivity smoke) — ≙ the driver's own ``entry()`` smoke
+  check plus the session fixture in tests/conftest.py.
 """
 
 from __future__ import annotations
@@ -13,6 +23,7 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 def all_queries() -> dict[str, QuerySpec]:
     # local imports: keep catalog import cheap and cycle-free
     from cricket_analytics_nosql_spark.operators import (
+        cricket,
         dedup,
         graph,
         joins,
@@ -20,6 +31,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         setops,
         similarity,
+        sinks,
         skew,
         text,
         windows,
@@ -39,6 +51,8 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         multimodal,
         skew,
+        cricket,
+        sinks,
         streaming_events,
     ):
         overlap = registry.keys() & module.QUERIES.keys()

@@ -11,10 +11,11 @@ orders pairs to bound the blowup (SURVEY J3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.functions.scalar import flag
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 
 
 def _wicket_flag() -> F.Column:
@@ -130,3 +131,42 @@ def partnership_proxy(
         .orderBy(F.desc("co_appearances"), "a", "b")
         .limit(limit)
     )
+
+
+def cricket_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full entry-point 1 → entry-point 2 flow,
+    end-to-end in one plan (SURVEY §3.1-3.2): stage a Cricsheet-
+    shaped dump (with drift variants and one corrupt file), scan it
+    with the explicit-schema multiLine reader (S1), quarantine the
+    corrupt row (S2), run the 3-level flatten (F1, carrying P7/P8
+    drift fixes and P11/P12 validation), and answer runs_by_batter
+    (T1/T2 top-k). `sf_dir` is unused — the input is the committed
+    fixture dump; deterministic → rows-only driver check (the DuckDB
+    oracle only sees the star-schema views)."""
+    from cricket_analytics_nosql_spark.operators.etl import flatten_deliveries
+    from cricket_analytics_nosql_spark.sources.cricket_fixtures import (
+        write_demo_dir,
+    )
+    from cricket_analytics_nosql_spark.sources.cricsheet import (
+        read_cricsheet,
+        split_quarantine,
+    )
+
+    data_dir = write_demo_dir()
+    good, bad = split_quarantine(read_cricsheet(spark, data_dir))
+    deliveries = flatten_deliveries(good)
+    result = runs_by_batter(deliveries, limit=10)
+    # surface the quarantine count so the S2 path is part of the
+    # checked output (bad files must never silently disappear)
+    return result.crossJoin(
+        F.broadcast(bad.agg(F.count(F.lit(1)).alias("n_quarantined")))
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "cricket_pipeline": QuerySpec(
+        cricket_pipeline,
+        None,
+        ["S1", "S2", "F1", "P7", "P8", "P11", "P12", "T1", "T2", "T5"],
+    ),
+}

@@ -471,7 +471,7 @@ QUERIES: dict[str, QuerySpec] = {
     "top_revenue_customers": QuerySpec(
         top_revenue_customers,
         ORACLE_TOP_REVENUE_CUSTOMERS,
-        ["A1", "A2", "A5", "T1", "J1"],
+        ["A1", "A2", "A5", "P15", "T1", "J1"],
         bench=True,
     ),
     "pricing_summary": QuerySpec(

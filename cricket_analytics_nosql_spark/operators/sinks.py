@@ -1,0 +1,130 @@
+"""Sink-side operators — SURVEY.md §2.1 S3/S4/S5/S8.
+
+The reference's write paths are Mongo bulk inserts with secondary
+indexes (etl_cricsheet_to_mongo.py:111-145) and Neo4j MERGE batches
+(neo4j_loader.py:32-70). Spark-native equivalents:
+
+- S4 batched append → ``write.mode("append")`` — batching and
+  unordered parallelism are the task model, not app code.
+- S5 secondary indexes → partitioned layout + parquet min/max stats:
+  `partitionBy(col)` gives O(1) partition pruning on the hot key,
+  row-group stats serve the rest. No index maintenance cost at write
+  time beyond the layout shuffle.
+- S8 graph sink → vertices/edges as two parquet datasets (the MERGE
+  dedup happens before the write, operators/graph.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+
+def write_partitioned(df: DataFrame, path: str, key: str) -> None:
+    """S5: hot-key access path as physical layout — one directory
+    per key value; a reader filtering on `key` scans only its
+    partition (PartitionFilters in the plan, zero data skipped-in)."""
+    df.write.mode("overwrite").partitionBy(key).parquet(path)
+
+
+def write_graph(vertices: DataFrame, edges: DataFrame, out_dir: str) -> None:
+    """S8: the graph sink — two datasets, edges partition-pruned by
+    nothing (append-only event log shape); MERGE-equivalent dedup is
+    the caller's job (graph.player_vertices / faced_edges)."""
+    vertices.write.mode("overwrite").parquet(os.path.join(out_dir, "vertices"))
+    edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
+
+
+def partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S5 driver-checkable: append lineitem into a layout
+    partitioned by l_returnflag, then answer a per-flag rollup from
+    the partitioned copy — results must equal the oracle over the
+    original table (lossless write path), while the read plan prunes
+    to one directory per flag."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_"), "lineitem_by_flag")
+    write_partitioned(li, out, "l_returnflag")
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias(
+                "qty_c"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            "n_items",
+            (F.col("qty_c").cast("double") / 100).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PARTITIONED_SINK = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def graph_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 driver-checkable: project the trade graph, write the
+    vertex/edge datasets (the Neo4j-MERGE-batches replacement), and
+    answer the degree query from the *written* copy — equal to the
+    oracle over the live tables proves the sink is lossless."""
+    from cricket_analytics_nosql_spark.operators.graph import trade_edges
+
+    edges = trade_edges(spark, sf_dir)
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="graph_sink_"), "g")
+    write_graph(vertices, edges, out)
+    back = spark.read.parquet(os.path.join(out, "edges"))
+    return (
+        back.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("out_degree"),
+            F.sum("weight").alias("total_weight"),
+        )
+        .orderBy(F.desc("out_degree"), F.desc("total_weight"), F.asc("src"))
+        .limit(25)
+    )
+
+
+ORACLE_GRAPH_SINK = """
+WITH edges AS (
+  SELECT o_custkey AS src, l_suppkey AS dst, COUNT(*) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+)
+SELECT src, COUNT(*) AS out_degree, SUM(weight) AS total_weight
+FROM edges
+GROUP BY src
+ORDER BY out_degree DESC, total_weight DESC, src ASC
+LIMIT 25
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "partitioned_sink_roundtrip": QuerySpec(
+        partitioned_sink_roundtrip, ORACLE_PARTITIONED_SINK, ["S4", "S5", "A1"]
+    ),
+    "graph_sink_roundtrip": QuerySpec(
+        graph_sink_roundtrip, ORACLE_GRAPH_SINK, ["S8", "G1", "G3"]
+    ),
+}

@@ -277,3 +277,18 @@ def test_upsert_idempotent(spark, good, tmp_path):
     upsert_by_key(m, path, ["_id"])
     upsert_by_key(m.union(m), path, ["_id"])  # duplicate input → same state
     assert spark.read.parquet(path).count() == 4
+
+
+def test_cricket_pipeline_query(spark):
+    """The driver-facing end-to-end pipeline: fixture staging → scan
+    → quarantine → flatten → top batters, with the quarantine count
+    carried in-band."""
+    from cricket_analytics_nosql_spark.operators.cricket import cricket_pipeline
+
+    rows = cricket_pipeline(spark, "unused").collect()
+    got = [(r.batter, r.runs, r.n_quarantined) for r in rows]
+    assert got == [
+        ("RG Sharma", 6, 1),
+        ("V Kohli", 4, 1),
+        ("K Williamson", 2, 1),
+    ]

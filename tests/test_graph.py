@@ -115,3 +115,18 @@ def test_player_pagerank_runs(deliveries):
     pr = {r.id: r.pagerank for r in rows}
     assert pr["Southee"] > pr["Kohli"]
     assert sum(pr.values()) == pytest.approx(6.0, abs=1e-4)
+
+
+def test_write_graph_sink(spark, deliveries, tmp_path):
+    """S8: the graph sink round-trips both datasets losslessly."""
+    from cricket_analytics_nosql_spark.operators.sinks import write_graph
+
+    v = player_vertices(deliveries)
+    e = faced_edges(deliveries)
+    out = str(tmp_path / "graph")
+    write_graph(v, e, out)
+    assert spark.read.parquet(out + "/vertices").count() == v.count()
+    back = spark.read.parquet(out + "/edges")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in e.collect()
+    )

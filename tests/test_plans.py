@@ -123,3 +123,22 @@ def test_explode_flatten_is_narrow(spark):
     raw = spark.read.schema(CRICSHEET_SCHEMA).json(df.rdd.map(lambda r: r.s))
     plan = plan_of(flatten_deliveries(raw))
     assert "Exchange" not in plan
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_medium, tmp_path):
+    """S5: a key filter over the partitioned layout must prune at
+    the directory level (PartitionFilters), not post-scan."""
+    from cricket_analytics_nosql_spark.operators.sinks import write_partitioned
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_medium, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    out = str(tmp_path / "by_flag")
+    write_partitioned(li, out, "l_returnflag")
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = plan_of(df)
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+    assert df.count() == li.filter(F.col("l_returnflag") == "R").count()
