@@ -260,10 +260,55 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (X-dedup): all vector pairs
+    with cosine ≥ τ. At this corpus's scale the exact self-join is
+    the baseline; at 100 TB the identical plan runs behind the SRP-
+    LSH bucket pre-filter of ``ann_lsh`` (candidates → exact verify,
+    the dedup.py MinHash pattern). τ is set below the corpus maximum
+    (~0.48 on synthetic vectors) so the operator has real output."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("v1") < F.col("v2"))
+        .select(
+            "v1",
+            "v2",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.42)
+        .orderBy(F.desc("cos"), F.asc("v1"), F.asc("v2"))
+        .limit(100)
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         ROUND(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)
+           AS cos
+  FROM emb a, emb b
+  WHERE a.vec_id < b.vec_id
+)
+SELECT v1, v2, cos FROM pairs
+WHERE cos >= 0.42
+ORDER BY cos DESC, v1 ASC, v2 ASC
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_brute_force": QuerySpec(
         ann_brute_force, ORACLE_ANN_BRUTE_FORCE, ["X-sim"], bench=True
     ),
     "ann_ivf": QuerySpec(ann_ivf, None, ["X-sim"]),
     "ann_lsh": QuerySpec(ann_lsh, None, ["X-sim"]),
+    "dedup_embedding_cosine": QuerySpec(
+        dedup_embedding_cosine, ORACLE_DEDUP_EMBEDDING, ["X-dedup", "X-sim"]
+    ),
 }

@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis) — SURVEY.md §5: invariants over
+random inputs for kernels where golden cases alone are thin.
+
+Spark jobs are expensive per example, so each property batches all
+hypothesis examples into ONE DataFrame and runs a single job: the
+property is asserted per-row on the collected result.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.text import shingles_col, tokens_col
+
+WORD = st.text(alphabet="abcdef", min_size=1, max_size=5)
+TEXT = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
+
+
+def _batch(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(TEXT, min_size=30, max_size=30))
+def test_shingle_count_property(spark, texts):
+    """#distinct shingles ≤ max(0, n_tokens - 2), and every shingle
+    is exactly 3 tokens wide."""
+    df = _batch(spark, texts).select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_tok"),
+        shingles_col(tokens_col(F.col("text"))).alias("sh"),
+    )
+    for r in df.collect():
+        assert len(r.sh) <= max(0, r.n_tok - 2)
+        assert len(set(r.sh)) == len(r.sh)  # distinct
+        for s in r.sh:
+            assert len(s.split(" ")) == 3
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(TEXT.filter(lambda t: len(t.split()) >= 3), min_size=20, max_size=20))
+def test_jaccard_bounds_and_self_identity(spark, texts):
+    """0 < J ≤ 1 on emitted pairs; a doc unioned with itself under a
+    different id must produce J == 1."""
+    from cricket_analytics_nosql_spark.operators.dedup import jaccard_pairs
+
+    base = _batch(spark, texts)
+    clones = base.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    pairs = jaccard_pairs(base.unionByName(clones), 0.0).collect()
+    by_pair = {(r.d1, r.d2): r.jaccard for r in pairs}
+    for (d1, d2), j in by_pair.items():
+        assert 0.0 < j <= 1.0
+    for i in range(20):
+        # clone pair must exist with J == 1 (identical shingle sets)
+        assert by_pair.get((i, i + 1000)) == 1.0
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+            min_size=8,
+            max_size=8,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=12,
+        max_size=12,
+    )
+)
+def test_cosine_properties(spark, vecs):
+    """cos(v, v) == 1 within float error; |cos| ≤ 1 + eps."""
+    from cricket_analytics_nosql_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "i long, v array<double>",
+    )
+    rows = df.select(
+        cosine(F.col("v"), F.col("v")).alias("self_cos")
+    ).collect()
+    for r in rows:
+        assert abs(r.self_cos - 1.0) < 1e-9
+    a = df.select(F.col("i").alias("i1"), F.col("v").alias("va"))
+    b = df.select(F.col("i").alias("i2"), F.col("v").alias("vb"))
+    cross = (
+        a.crossJoin(b)
+        .filter(F.col("i1") < F.col("i2"))
+        .select(cosine(F.col("va"), F.col("vb")).alias("c"))
+        .collect()
+    )
+    for r in cross:
+        assert abs(r.c) <= 1.0 + 1e-9
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["hot", "a", "b", "c"]), st.integers(-100, 100)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_salted_sum_equals_plain(spark, rows):
+    from cricket_analytics_nosql_spark.operators.skew import salted_sum
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    salted = {
+        r.k: (r.n, r.total)
+        for r in salted_sum(df, "k", {"n": F.lit(1), "total": F.col("v")}).collect()
+    }
+    plain = {
+        r.k: (r.n, r.total)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert salted == plain
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(TEXT, min_size=10, max_size=10))
+def test_simhash_deterministic_and_64bit(spark, texts):
+    from cricket_analytics_nosql_spark.operators.dedup import simhash_signatures
+
+    df = _batch(spark, [t if t.strip() else "x y z" for t in texts])
+    s1 = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    s2 = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    assert s1 == s2  # deterministic across runs
+    for v in s1.values():
+        assert 0 <= v < (1 << 63)
