@@ -92,6 +92,79 @@ def decode_features(mm: DataFrame) -> DataFrame:
     return mm.select("doc_id", "payload").mapInPandas(gen, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(mm: DataFrame, max_side: int = 64) -> DataFrame:
+    """Resize kernel behind the same mapInPandas plumbing. STUB: with
+    no codec library, 'dimensions' are derived deterministically from
+    the payload (sqrt split of the byte count) and the 'thumbnail' is
+    a byte-subsample — a real implementation swaps only the function
+    body (PIL ``Image.open(io.BytesIO(b)).thumbnail(...)``)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if HAVE_PIL:  # pragma: no cover
+            raise NotImplementedError("real resize needs codec libs")
+        for b in batches:
+            n = b["payload"].map(len)
+            width = n.map(lambda x: max(1, int(x ** 0.5)))
+            height = (n // width.clip(lower=1)).astype("int64")
+            step = (n // (max_side * max_side)).clip(lower=1)
+            thumb = [
+                bytes(p[:: int(s)][: max_side * max_side])
+                for p, s in zip(b["payload"], step)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "width": width.astype("int64"),
+                    "height": height,
+                    "thumb": thumb,
+                }
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(mm: DataFrame, every: int = 256, limit: int = 4) -> DataFrame:
+    """Frame-sampling kernel (1 row in → N frame rows out — the UDTF
+    shape, SURVEY §2.12). STUB: 'frames' are fixed-stride byte slices
+    standing in for decoded video frames; the row-explosion plumbing,
+    schema, and batch handling are the real deliverable."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if HAVE_PIL:  # pragma: no cover
+            raise NotImplementedError("real frame sampling needs ffmpeg")
+        for b in batches:
+            out_ids, out_nos, out_frames = [], [], []
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                for i in range(min(limit, max(1, len(payload) // every))):
+                    out_ids.append(doc_id)
+                    out_nos.append(i)
+                    out_frames.append(bytes(payload[i * every:(i + 1) * every]))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_no": out_nos, "frame": out_frames}
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(kernel, FRAME_SCHEMA)
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable slice of the binary plumbing that needs no
     Python: payload size + content hash + metadata projection,

@@ -145,3 +145,83 @@ def test_foreach_batch_upsert_idempotent(spark, staged, tmp_path):
         ["event_id"],
     )
     assert spark.read.parquet(target).count() == n1
+
+
+def test_custom_stateful_spike_monitor(spark, tmp_path):
+    """applyInPandasWithState: per-user running-mean spike counter.
+    Three micro-batches with hand-computable state transitions, plus
+    parity with the batch closed form."""
+    from cricket_analytics_nosql_spark.streaming.events import (
+        _parquet_parts,
+        set_arrival_order,
+    )
+    from cricket_analytics_nosql_spark.streaming.stateful import (
+        spike_monitor_batch,
+        spike_monitor_stream,
+    )
+
+    d = str(tmp_path / "spike_stream")
+    os.makedirs(d)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, value double"
+        ).select(
+            "event_id",
+            F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            "value",
+        )
+
+    # user 7: b1 mean 10; b2 has 100 (> 3*10, spike) and 10;
+    #         running mean before b3 = (10+10+100+10)/4 = 32.5,
+    #         b3's 50 is NOT a spike (< 97.5), 200 IS.
+    batches = [
+        mk([(1, "2024-01-01 00:00:00", 7, 10.0),
+            (2, "2024-01-01 00:01:00", 7, 10.0),
+            (3, "2024-01-01 00:02:00", 8, 5.0)]),
+        mk([(4, "2024-01-01 01:00:00", 7, 100.0),
+            (5, "2024-01-01 01:01:00", 7, 10.0)]),
+        mk([(6, "2024-01-01 02:00:00", 7, 50.0),
+            (7, "2024-01-01 02:01:00", 7, 200.0),
+            (8, "2024-01-01 02:02:00", 8, 5.0)]),
+    ]
+    groups, seen = [], set()
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(d)
+        parts = _parquet_parts(d)
+        groups.append(sorted(parts - seen))
+        seen = parts
+    set_arrival_order(d, groups)
+    sdf = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = run_available_now(spike_monitor_stream(sdf), "update").collect()
+    # final state per user = row with the max event count
+    final = {}
+    for r in out:
+        if r.user_id not in final or r.n_events_total > final[r.user_id].n_events_total:
+            final[r.user_id] = r
+    assert final[7].n_events_total == 6
+    assert final[7].n_spikes_total == 2       # the 100 in b2, the 200 in b3
+    assert final[7].running_mean == pytest.approx(380.0 / 6)
+    assert final[8].n_spikes_total == 0
+    # parity with the batch closed form given the same batch bounds
+    all_events = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    import datetime as dt
+
+    bounds = [dt.datetime(2024, 1, 1, 1, 0), dt.datetime(2024, 1, 1, 2, 0)]
+    batch_rows = {
+        r.user_id: r for r in spike_monitor_batch(all_events, bounds).collect()
+    }
+    for uid, r in final.items():
+        b = batch_rows[uid]
+        assert (b.n_events_total, b.n_spikes_total) == (
+            r.n_events_total,
+            r.n_spikes_total,
+        )
+        assert b.running_mean == pytest.approx(r.running_mean)
