@@ -79,6 +79,25 @@ ORDER BY l_returnflag
 """
 
 
+def write_bucketed(
+    df: DataFrame, table: str, n_buckets: int, key: str
+) -> None:
+    """S5's co-location form: hash-bucketed (and sorted) layout on
+    the join key. Two tables bucketed the same way join with NO
+    Exchange on either side — the shuffle is paid once at write time
+    and amortized over every subsequent join, the classic 100 TB
+    trade for fact-to-fact joins too big to broadcast. (Catalog
+    table required: bucketing metadata lives in the metastore, so
+    this is a library/test surface, not a driver query — the
+    driver's environment owns no warehouse.)"""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
 def graph_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 driver-checkable: project the trade graph, write the
     vertex/edge datasets (the Neo4j-MERGE-batches replacement), and

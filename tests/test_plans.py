@@ -142,3 +142,39 @@ def test_partitioned_sink_prunes_partitions(spark, sf_medium, tmp_path):
     plan = plan_of(df)
     assert "PartitionFilters: [isnotnull(l_returnflag" in plan
     assert df.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_medium):
+    """S5 co-location: same-bucketed tables must sort-merge join
+    with zero Exchange — the write-once shuffle replaces the
+    per-query one."""
+    import pyspark.sql.functions as F
+
+    from cricket_analytics_nosql_spark.operators.sinks import write_bucketed
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_medium, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_medium, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    write_bucketed(li, "li_bucketed", 8, "l_orderkey")
+    write_bucketed(orders, "orders_bucketed", 8, "o_orderkey")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_bucketed").join(
+            spark.table("orders_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
