@@ -74,10 +74,18 @@ LIMIT 100
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) exploded pairs — the inverted index rows.
     Fanned out first: shingling is the CPU-dense step and must not
-    run on however few splits the input file happened to have."""
+    run on however few splits the input file happened to have.
+
+    Persisted (MEMORY_AND_DISK — spillable, so safe at scale): every
+    caller fans the index into ≥2 consumers (sizes + both join
+    sides, or signatures + verification), and without a persist each
+    consumer re-runs the tokenize→shingle→explode pipeline — the
+    CPU-dominant step — from the raw text. At 100 TB this frame is
+    the one you'd materialize as a table; in-session persist is the
+    same decision one scope smaller."""
     return fan_out(docs).select(
         "doc_id", F.explode(shingles_col(tokens_col(F.col("text")))).alias("s")
-    )
+    ).persist()
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:

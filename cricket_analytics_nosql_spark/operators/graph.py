@@ -118,6 +118,7 @@ def pagerank(
     max_iter: int = 15,
     tol: float | None = 1e-6,
     check_every: int = 4,
+    broadcast_max_vertices: int = 1_000_000,
 ) -> DataFrame:
     """Standard-formulation PageRank over an ``edges(src, dst)``
     DataFrame; returns ``(id, pagerank)`` with scores summing to the
@@ -159,51 +160,61 @@ def pagerank(
     if n == 0:
         return spark.createDataFrame([], "id long, pagerank double")
 
+    # Rank/contrib frames are VERTEX-sized — usually orders of
+    # magnitude smaller than the edge list. Below the threshold,
+    # broadcast them into every join: the edge list then never
+    # shuffles at all and each iteration's only exchange is the
+    # vertex-sized partial-agg of contribs. Above it (billion-vertex
+    # graphs), fall back to pre-partitioning the edge list on the
+    # join key once so the per-iteration shuffle is rank-sized.
+    small = n <= broadcast_max_vertices
+    maybe_bcast = F.broadcast if small else (lambda df: df)
+
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    links = (
-        edges.join(out_deg, "src")
-        .select(F.col("src").alias("id"), "dst", "out_deg")
-        .repartition(F.col("id"))
+    links = edges.join(maybe_bcast(out_deg), "src").select(
+        F.col("src").alias("id"), "dst", "out_deg"
+    )
+    if not small:
+        links = links.repartition(F.col("id"))
+    links = links.localCheckpoint()
+
+    def rank_col(dm: float) -> F.Column:
+        """rank(v) as an expression over a left-joined contrib column.
+        dm is the dangling mass — an O(1) scalar (see module note):
+        collecting it beats a crossJoin-broadcast subplan re-evaluated
+        inside every downstream job."""
+        return (
+            F.lit(1.0 - damping)
+            + F.lit(damping)
+            * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / float(n)))
+        ).alias("rank")
+
+    # Iteration 1 directly from the uniform rank=1 start: no join —
+    # contrib(dst) = Σ 1/out_deg over in-edges.
+    contribs = (
+        links.select("dst", (F.lit(1.0) / F.col("out_deg")).alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("contrib"))
         .localCheckpoint()
     )
-
-    def rank_view(contribs: DataFrame) -> DataFrame:
-        """Shallow view of ranks over a *checkpointed* contribs."""
-        dm = contribs.agg(
-            (F.lit(float(n)) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias(
-                "dm"
-            )
-        )
-        return (
-            vertices.join(contribs, vertices.id == contribs.dst, "left")
-            .crossJoin(F.broadcast(dm))
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dm") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
-        )
-
-    ranks = vertices.withColumn("rank", F.lit(1.0))
-    prev_contribs: DataFrame | None = None
-    for i in range(max_iter):
+    dm = float(n) - (contribs.agg(F.sum("contrib")).first()[0] or 0.0)
+    prev_contribs = contribs
+    for i in range(1, max_iter):
+        # ranks never materialize as a vertex frame mid-loop: the
+        # rank formula is inlined into the links⋈contribs join (left,
+        # because vertices with no in-links still hold base rank)
+        cprev = maybe_bcast(prev_contribs.withColumnRenamed("dst", "id"))
         contribs = (
-            links.join(ranks, "id")
-            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            links.join(cprev, "id", "left")
+            .select("dst", (rank_col(dm) / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
             .localCheckpoint()
         )
-        ranks = rank_view(contribs)
+        dm = float(n) - (contribs.agg(F.sum("contrib")).first()[0] or 0.0)
         # convergence: ranks are an affine map of contribs, so the
         # L1 delta of consecutive contribs bounds the rank delta
-        if tol is not None and prev_contribs is not None and (i + 1) % check_every == 0:
+        if tol is not None and (i + 1) % check_every == 0:
             delta = (
                 contribs.join(
                     prev_contribs.withColumnRenamed("contrib", "prev"), "dst"
@@ -214,7 +225,10 @@ def pagerank(
             if delta is not None and delta < tol * n:
                 break
         prev_contribs = contribs
-    return ranks.withColumnRenamed("rank", "pagerank")
+    # vertex universe joined ONCE, at the end
+    return vertices.join(
+        maybe_bcast(contribs), vertices.id == contribs.dst, "left"
+    ).select("id", rank_col(dm).alias("pagerank"))
 
 
 def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
