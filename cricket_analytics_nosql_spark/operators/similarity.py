@@ -67,9 +67,17 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector. The query
     side (8 rows) broadcasts; the big side streams — at 100 TB this
     is one scan, no shuffle until the tiny per-query top-k."""
-    emb = _doubles(load_table(spark, sf_dir, "embeddings"))
+    # Norms are per-ROW, so compute them once before the crossJoin —
+    # inside it each would be recomputed per (query, vector) pair,
+    # tripling the array math. dot/(qn*vn) is bit-identical to the
+    # inline cosine (same operand order), so the oracle still hashes.
+    emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "vn", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q"),
+        F.col("vn").alias("qn"),
     )
     scored = (
         emb.crossJoin(F.broadcast(queries))
@@ -77,7 +85,9 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine(F.col("q"), F.col("v")), 6).alias("cos"),
+            F.round(
+                dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
