@@ -196,6 +196,34 @@ def sliding_avg(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_traffic(events: DataFrame) -> DataFrame:
+    """2-hour window sliding every 1 hour: exact count + cents-exact
+    value sum (both stream-legal in any output mode — unlike exact
+    countDistinct, see sliding_avg). Each event lands in exactly two
+    windows; the ×2 row expansion happens inside the window operator,
+    before the partial agg, so the shuffle still carries one row per
+    (window, group) per map partition."""
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vc"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "n_events",
+            (F.col("vc").cast("double") / 100).alias("total_value"),
+        )
+    )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast join (SURVEY §2.11 design rule: the
+    stream-legal twin of J1). Stateless — the static side is
+    re-broadcast per micro-batch, the stream side never buffers."""
+    return events.join(F.broadcast(dim), "user_id")
+
+
 def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-user session windows (gap-based): session start, length,
     event count, value sum. Streaming-native via session_window;
@@ -329,9 +357,71 @@ ORDER BY event_type
 """
 
 
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_event_files(spark, sf_dir)
+    out = run_available_now(
+        sliding_traffic(read_events_stream(spark, staged)), "complete"
+    )
+    return out.orderBy("win_start")
+
+
+# each event belongs to the 2-hour windows starting at its own hour
+# bucket and one hour earlier — expand to both, then group
+ORACLE_STREAM_SLIDING = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS hb, value FROM events
+), expanded AS (
+  SELECT hb AS win_start, value FROM b
+  UNION ALL
+  SELECT hb - INTERVAL '1 hour' AS win_start, value FROM b
+)
+SELECT win_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+FROM expanded
+GROUP BY win_start
+ORDER BY win_start
+"""
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's stream-legal twin: enrich the event stream with the
+    (static, broadcast) customer dimension per micro-batch, then
+    aggregate per market segment."""
+    staged = stage_event_files(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = enrich_with_dim(read_events_stream(spark, staged), cust)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vc"),
+    )
+    out = run_available_now(agg, "complete")
+    return out.select(
+        "c_mktsegment",
+        "n_events",
+        (F.col("vc").cast("double") / 100).alias("total_value"),
+    ).orderBy("c_mktsegment")
+
+
+ORACLE_STREAM_STATIC_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_agg": QuerySpec(
         stream_tumbling_agg, ORACLE_STREAM_TUMBLING, ["§2.11"], bench=False
+    ),
+    "stream_sliding_agg": QuerySpec(
+        stream_sliding_agg, ORACLE_STREAM_SLIDING, ["§2.11"]
+    ),
+    "stream_static_join": QuerySpec(
+        stream_static_join, ORACLE_STREAM_STATIC_JOIN, ["§2.11", "J1"]
     ),
     "stream_session_agg": QuerySpec(
         stream_session_agg, ORACLE_STREAM_SESSION, ["§2.11"]

@@ -13,12 +13,14 @@ from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.sources.tables import load_table
 from cricket_analytics_nosql_spark.streaming.events import (
+    enrich_with_dim,
     foreach_batch_upsert,
     late_data_filter,
     read_events_stream,
     run_available_now,
     session_aggregate,
     sliding_avg,
+    sliding_traffic,
     stage_event_files,
     tumbling_counts,
     watermarked_dedup,
@@ -61,6 +63,35 @@ def test_batch_stream_parity_sliding(spark, staged, events_batch):
     )
     cols = ["win_start", "n_events", "n_users"]
     assert _rows(stream_out, *cols) == _rows(sliding_avg(events_batch), *cols)
+
+
+def test_batch_stream_parity_sliding_traffic(spark, staged, events_batch):
+    stream_out = run_available_now(
+        sliding_traffic(read_events_stream(spark, staged)), "complete"
+    )
+    cols = ["win_start", "n_events", "total_value"]
+    assert _rows(stream_out, *cols) == _rows(
+        sliding_traffic(events_batch), *cols
+    )
+
+
+def test_batch_stream_parity_static_join(spark, sf_small, staged, events_batch):
+    dim = load_table(spark, sf_small, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg_cols = ["c_mktsegment", "n_events"]
+    stream_out = run_available_now(
+        enrich_with_dim(read_events_stream(spark, staged), dim)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events")),
+        "complete",
+    )
+    batch_out = (
+        enrich_with_dim(events_batch, dim)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert _rows(stream_out, *agg_cols) == _rows(batch_out, *agg_cols)
 
 
 def test_batch_stream_parity_sessions(spark, staged, events_batch):
