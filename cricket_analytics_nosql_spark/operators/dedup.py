@@ -270,6 +270,122 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 3b. Duplicate-cluster resolution (connected components over pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation over an undirected pair graph →
+    ``(doc_id, cluster_id)`` where cluster_id is the smallest doc_id
+    reachable. This is the resolution step a dedup pipeline needs
+    after pair generation: pairs only say "these two are dups";
+    survivors must be picked per *transitive* group (a~b, b~c ⇒ one
+    survivor among {a,b,c}).
+
+    Each round is one join + groupBy (label-sized shuffle) and labels
+    are localCheckpoint-ed — same lineage discipline as PageRank
+    (operators/graph.py). Near-dup clusters are near-cliques, so the
+    label frontier collapses in O(log diameter) ≈ 2-3 rounds; the
+    fixpoint check is a LIMIT-1 existence probe, not a full count."""
+    edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = sym.select("a").distinct().withColumn("label", F.col("a"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(
+                labels.select(
+                    F.col("a").alias("b"), F.col("label").alias("nl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("minn"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "a", "left")
+            .select(
+                "a",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("minn"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("a", F.col("label").alias("old")), "a"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("a").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact Jaccard ≥ 0.8) resolved into duplicate
+    clusters: every clustered doc with its cluster id (= smallest
+    member, the survivor) and the cluster size. Deterministic, so
+    exact-oracle-checkable — the oracle closes the pair graph with a
+    recursive CTE, which is the SQL spelling of the same fixpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    cc = connected_components(jaccard_pairs(docs, 0.8).select("d1", "d2"))
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select("cluster_id", "doc_id", "n_members")
+        .orderBy("cluster_id", "doc_id")
+        .limit(500)
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes sa ON d1 = sa.doc_id
+  JOIN sizes sb ON d2 = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+), sym AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), cc AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a
+), sized AS (
+  SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY cluster_id
+)
+SELECT cc.cluster_id, cc.doc_id, sized.n_members
+FROM cc JOIN sized ON cc.cluster_id = sized.cluster_id
+ORDER BY cc.cluster_id, cc.doc_id
+LIMIT 500
+"""
+
+
+# ---------------------------------------------------------------------------
 # 4. SimHash
 # ---------------------------------------------------------------------------
 
@@ -359,6 +475,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_minhash_lsh": QuerySpec(
         dedup_minhash_lsh, None, ["X-dedup"], bench=True
+    ),
+    "dedup_clusters": QuerySpec(
+        dedup_clusters, ORACLE_DEDUP_CLUSTERS, ["X-dedup"]
     ),
     "dedup_simhash": QuerySpec(dedup_simhash, None, ["X-dedup"]),
 }

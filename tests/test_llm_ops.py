@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.dedup import (
+    connected_components,
     jaccard_pairs,
     lsh_candidates,
     minhash_signatures,
@@ -84,6 +85,25 @@ def test_minhash_signature_shape(docs):
     sig = minhash_signatures(docs, num_hashes=32).first()
     assert len(sig.sig) == 32
     assert all(isinstance(x, int) for x in sig.sig)
+
+
+def test_connected_components_transitive_chain(spark):
+    """a~b and b~c must land in ONE cluster labeled by the smallest
+    member even though (a, c) was never a pair; disjoint pairs stay
+    separate clusters."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "d1 long, d2 long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
 
 
 def test_simhash_identical_and_near(spark):
