@@ -127,37 +127,113 @@ ORDER BY q_id, rank
 # IVF scale path
 # ---------------------------------------------------------------------------
 
+def dist2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² — squared euclidean, same zip_with/aggregate
+    native-expression shape as dot()."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, v, cell): each vector to its nearest centroid.
+    Centroids broadcast (k rows); argmin via min_by over a
+    (distance, cell) struct so ties break deterministically on the
+    lower cell id. One narrow map + a vec_id-keyed partial agg — no
+    data-sized shuffle beyond the assignment rows themselves."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        "cell",
+        dist2(F.col("v"), F.col("centroid")).alias("d2"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
+        # v is constant within the group; min_by keeps it deterministic
+        F.min_by("v", F.struct("d2", "cell")).alias("v"),
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = 16, max_iter: int = 4, dim: int = 64
+) -> DataFrame:
+    """Distributed Lloyd's iteration → (cell, centroid) DataFrame.
+
+    Deterministic: seeds are the k lowest vec_ids (reproducible
+    across runs/partitionings, unlike sampling). Each round is one
+    broadcast-assign + one per-cell average (map-side combinable:
+    the shuffle carries k×dim partial sums per partition, not
+    vectors). Centroids are localCheckpoint-ed per round — they feed
+    the next broadcast AND keep lineage flat (same discipline as
+    pagerank). Cells that lose every member simply drop out (the
+    classic empty-cell case) — k is an upper bound."""
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("vec_id"))
+            .alias("cell"),
+            F.col("v").alias("centroid"),
+        )
+    )
+    centroids = seeds.localCheckpoint()
+    for _ in range(max_iter):
+        assigned = assign_cells(emb, centroids)
+        centroids = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(
+                    *[F.avg(F.col("v")[i]) for i in range(dim)]
+                ).alias("centroid")
+            )
+            .localCheckpoint()
+        )
+    return centroids
+
+
 def ivf_topk(
-    emb: DataFrame, queries: DataFrame, nprobe: int = 3, k: int = TOP_K
+    emb: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 3,
+    k: int = TOP_K,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe: nearest ``nprobe`` cells per query by centroid
-    cosine, exact re-rank within the probed cells. ``label`` plays
-    the k-means cell id (centroids would come from a training pass
-    at ingest; the probe dataflow is identical)."""
+    cosine, exact re-rank within the probed cells. ``centroids``
+    (cell, centroid) normally comes from ``kmeans_fit`` at ingest;
+    when omitted, the given ``label`` plays the cell id (the probe
+    dataflow is identical either way)."""
     dim = 64
-    centroids = emb.groupBy("label").agg(
-        F.array(
-            *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
-        ).alias("centroid")
-    )
+    if centroids is None:
+        centroids = emb.groupBy(F.col("label").alias("cell")).agg(
+            F.array(
+                *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
+            ).alias("centroid")
+        )
+        emb = emb.withColumn("cell", F.col("label"))
+    else:
+        emb = assign_cells(emb, centroids)
     probe_w = Window.partitionBy("q_id").orderBy(
-        F.desc("c_cos"), F.asc("label")
+        F.desc("c_cos"), F.asc("cell")
     )
     probes = (
         queries.crossJoin(F.broadcast(centroids))
         .select(
             "q_id",
             "q",
-            "label",
+            "cell",
             cosine(F.col("q"), F.col("centroid")).alias("c_cos"),
         )
         .withColumn("p", F.row_number().over(probe_w))
         .filter(F.col("p") <= nprobe)
-        .select("q_id", "q", "label")
+        .select("q_id", "q", "cell")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        emb.join(F.broadcast(probes), "label")
+        emb.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -179,6 +255,20 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("v").alias("q")
     )
     return ivf_topk(emb, queries).orderBy("q_id", "rank")
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ingest-then-probe IVF path: a distributed Lloyd's
+    pass (kmeans_fit) trains the coarse quantizer instead of
+    borrowing the given labels, then the same nprobe/re-rank probe.
+    Rows-only driver check for the same float-averaging reason as
+    ann_ivf; recall vs brute force is asserted in tests."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q")
+    )
+    cents = kmeans_fit(emb, k=16, max_iter=3)
+    return ivf_topk(emb, queries, centroids=cents).orderBy("q_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -317,6 +407,7 @@ QUERIES: dict[str, QuerySpec] = {
         ann_brute_force, ORACLE_ANN_BRUTE_FORCE, ["X-sim"], bench=True
     ),
     "ann_ivf": QuerySpec(ann_ivf, None, ["X-sim"]),
+    "ann_ivf_kmeans": QuerySpec(ann_ivf_kmeans, None, ["X-sim"]),
     "ann_lsh": QuerySpec(ann_lsh, None, ["X-sim"]),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, ORACLE_DEDUP_EMBEDDING, ["X-dedup", "X-sim"]

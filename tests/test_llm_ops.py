@@ -27,6 +27,7 @@ from cricket_analytics_nosql_spark.operators.multimodal import (
 from cricket_analytics_nosql_spark.operators.similarity import (
     ann_brute_force,
     ann_ivf,
+    ann_ivf_kmeans,
     ann_lsh,
 )
 from cricket_analytics_nosql_spark.operators.text import shingles_col, tokens_col
@@ -157,6 +158,30 @@ def test_ann_ivf_recall(spark, sf_small):
     assert len(approx) == 8 * 5
     # nprobe=3 of 10 cells on weakly-clustered synthetic data: sane floor
     assert _recall(approx, exact) >= 0.3
+
+
+def test_ann_ivf_kmeans_recall_and_determinism(spark, sf_small):
+    approx = ann_ivf_kmeans(spark, sf_small).collect()
+    assert len(approx) == 8 * 5
+    exact = ann_brute_force(spark, sf_small).collect()
+    assert _recall(approx, exact) >= 0.3
+    # deterministic seeds + tie-broken assignment ⇒ repeat runs agree
+    again = ann_ivf_kmeans(spark, sf_small).collect()
+    assert [tuple(r) for r in approx] == [tuple(r) for r in again]
+
+
+def test_kmeans_centroids_shape(spark, sf_small):
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        _doubles,
+        kmeans_fit,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    emb = _doubles(load_table(spark, sf_small, "embeddings"))
+    cents = kmeans_fit(emb, k=8, max_iter=2)
+    rows = cents.collect()
+    assert 1 <= len(rows) <= 8  # empty cells may drop
+    assert all(len(r.centroid) == 64 for r in rows)
 
 
 def test_ann_lsh_recall(spark, sf_small):
