@@ -35,10 +35,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(catalog):
         spec = catalog[name]
-        # best of 2: the first run pays codegen/JIT for this plan
-        # shape; the repeat measures the engine, not the compiler
+        # best of 3: the first run pays codegen/JIT for this plan
+        # shape; the repeats measure the engine, not the compiler
+        # (3 rather than 2 — observed rare whole-process slow runs
+        # where both of 2 samples landed high)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
