@@ -1,0 +1,186 @@
+"""Command-line entry points mirroring the reference's three scripts
+(SURVEY.md §3) so a reference user can switch 1:1:
+
+  python -m cricket_analytics_nosql_spark etl --data-dir D --out W
+      ≙ etl_cricsheet_to_mongo.py --data_dir (etl:109-147): scan
+      Cricsheet JSON, normalize matches, flatten deliveries, write
+      both tables (idempotent overwrite ≙ upsert, S3). The
+      reference's --batch knob has no equivalent: batching/bulk
+      parallelism is Spark's job (S4).
+
+  python -m cricket_analytics_nosql_spark graph --warehouse W [--limit N]
+      ≙ neo4j_loader.py (:72-138): project deliveries into
+      player vertices + FACED edges (MERGE-dedup semantics, A9),
+      write both, run PageRank, print the top hubs. --limit caps
+      deliveries rows like the loader's cursor cap (S7).
+
+  python -m cricket_analytics_nosql_spark analytics --warehouse W
+      ≙ mongo_analytics_examples.py (:18-52) + the four Cypher
+      queries: runs every reference query over the warehouse and
+      prints the (top-k-bounded) results.
+
+All heavy lifting stays in the operator modules; this file is only
+argparse + orchestration, like the reference's scripts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _spark() -> SparkSession:
+    from cricket_analytics_nosql_spark.session import get_spark
+
+    return get_spark("cricket-analytics-cli")
+
+
+def _show(title: str, df: DataFrame, n: int = 20) -> None:
+    print(f"\n== {title}")
+    df.show(n, truncate=False)
+
+
+def cmd_etl(args: argparse.Namespace) -> int:
+    from cricket_analytics_nosql_spark.operators.etl import (
+        flatten_deliveries,
+        normalize_matches,
+    )
+    from cricket_analytics_nosql_spark.sources.cricsheet import (
+        read_cricsheet,
+        split_quarantine,
+    )
+
+    spark = _spark()
+    raw = read_cricsheet(spark, args.data_dir)
+    good, bad = split_quarantine(raw)
+    n_bad = bad.count()
+    if n_bad:
+        # per-file error isolation (S2): quarantine, report, continue
+        bad.write.mode("overwrite").json(
+            os.path.join(args.out, "quarantine")
+        )
+        print(f"quarantined {n_bad} corrupt file(s)", file=sys.stderr)
+    matches = normalize_matches(good)
+    deliveries = flatten_deliveries(good)
+    matches.write.mode("overwrite").parquet(
+        os.path.join(args.out, "matches.parquet")
+    )
+    deliveries.write.mode("overwrite").parquet(
+        os.path.join(args.out, "deliveries.parquet")
+    )
+    print(
+        f"wrote {matches.count()} matches, {deliveries.count()} deliveries "
+        f"to {args.out}"
+    )
+    return 0
+
+
+def _load_deliveries(
+    spark: SparkSession, warehouse: str, limit: int | None
+) -> DataFrame:
+    df = spark.read.parquet(os.path.join(warehouse, "deliveries.parquet"))
+    return df.limit(limit) if limit else df
+
+
+def cmd_graph(args: argparse.Namespace) -> int:
+    from pyspark.sql import functions as F
+
+    from cricket_analytics_nosql_spark.operators.graph import (
+        faced_edges,
+        player_pagerank,
+        player_vertices,
+    )
+    from cricket_analytics_nosql_spark.operators.sinks import write_graph
+
+    spark = _spark()
+    deliveries = _load_deliveries(spark, args.warehouse, args.limit)
+    vertices = player_vertices(deliveries)
+    edges = faced_edges(deliveries)
+    out = os.path.join(args.warehouse, "graph")
+    write_graph(vertices.withColumnRenamed("name", "id"), edges, out)
+    print(
+        f"wrote {vertices.count()} vertices, {edges.count()} edges to {out}"
+    )
+    _show(
+        "PageRank top hubs (cypher_queries.cypher:28-34)",
+        player_pagerank(deliveries).select(
+            "id", F.round("pagerank", 6).alias("score")
+        ),
+    )
+    return 0
+
+
+def cmd_analytics(args: argparse.Namespace) -> int:
+    from cricket_analytics_nosql_spark.operators.cricket import (
+        batter_vs_bowler,
+        partnership_proxy,
+        runs_by_batter,
+        toughest_bowlers,
+        wickets_by_bowler,
+    )
+
+    spark = _spark()
+    deliveries = _load_deliveries(spark, args.warehouse, args.limit)
+    _show(
+        "Top batters by runs (mongo_analytics_examples.py:18-29)",
+        runs_by_batter(deliveries),
+    )
+    _show(
+        "Top bowlers by wickets (mongo_analytics_examples.py:31-38)",
+        wickets_by_bowler(deliveries),
+    )
+    if args.batter and args.bowler:
+        _show(
+            f"Head-to-head {args.batter} vs {args.bowler} "
+            "(mongo_analytics_examples.py:40-48)",
+            batter_vs_bowler(deliveries, args.batter, args.bowler),
+        )
+    if args.batter:
+        _show(
+            f"Toughest bowlers for {args.batter} "
+            "(cypher_queries.cypher:10-16)",
+            toughest_bowlers(deliveries, args.batter),
+        )
+    if args.team:
+        _show(
+            f"Partnership proxy pairs for {args.team} "
+            "(cypher_queries.cypher:19-25)",
+            partnership_proxy(deliveries, args.team, min_co=args.min_co),
+        )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cricket_analytics_nosql_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    etl = sub.add_parser("etl", help="Cricsheet JSON dir → parquet warehouse")
+    etl.add_argument("--data-dir", required=True)
+    etl.add_argument("--out", required=True)
+    etl.set_defaults(fn=cmd_etl)
+
+    graph = sub.add_parser(
+        "graph", help="project duel graph, write it, run PageRank"
+    )
+    graph.add_argument("--warehouse", required=True)
+    graph.add_argument("--limit", type=int, default=None)
+    graph.set_defaults(fn=cmd_graph)
+
+    ana = sub.add_parser("analytics", help="run the reference queries")
+    ana.add_argument("--warehouse", required=True)
+    ana.add_argument("--limit", type=int, default=None)
+    ana.add_argument("--batter", default="V Kohli")
+    ana.add_argument("--bowler", default="TG Southee")
+    ana.add_argument("--team", default="India")
+    ana.add_argument("--min-co", type=int, default=20, dest="min_co")
+    ana.set_defaults(fn=cmd_analytics)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

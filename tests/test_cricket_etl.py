@@ -292,3 +292,23 @@ def test_cricket_pipeline_query(spark):
         ("V Kohli", 4, 1),
         ("K Williamson", 2, 1),
     ]
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """The reference's three script entry points (SURVEY §3) via the
+    CLI twins: etl → graph → analytics, chained over one warehouse."""
+    from cricket_analytics_nosql_spark.cli import main
+    from cricket_analytics_nosql_spark.sources.cricket_fixtures import (
+        write_demo_dir,
+    )
+
+    wh = str(tmp_path / "wh")
+    assert main(["etl", "--data-dir", write_demo_dir(), "--out", wh]) == 0
+    matches = spark.read.parquet(os.path.join(wh, "matches.parquet"))
+    deliveries = spark.read.parquet(os.path.join(wh, "deliveries.parquet"))
+    assert matches.count() == 4 and deliveries.count() > 0
+    assert main(["graph", "--warehouse", wh]) == 0
+    vertices = spark.read.parquet(os.path.join(wh, "graph", "vertices"))
+    edges = spark.read.parquet(os.path.join(wh, "graph", "edges"))
+    assert vertices.count() > 0 and edges.count() > 0
+    assert main(["analytics", "--warehouse", wh, "--limit", "1000"]) == 0
