@@ -386,6 +386,120 @@ LIMIT 500
 
 
 # ---------------------------------------------------------------------------
+# 3c. The composed cleaning pipeline (what the pieces are FOR)
+# ---------------------------------------------------------------------------
+
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LLM training-data cleaning pass, composed from
+    the operators above: keep a document iff it is
+
+      1. the smallest doc_id of its exact-content (md5) group,
+      2. NOT a non-survivor member of a near-dup cluster
+         (connected components over exact-Jaccard ≥ 0.8 pairs —
+         transitive, so a~b~c keeps only one of three), and
+      3. at or above the quality floor (rounded composite score,
+         shared expression with text_quality_scores).
+
+    Reported as per-(lang, source) retention so the corpus shift is
+    visible, not just the row count. All three predicates are
+    deterministic → exact DuckDB oracle. Plan shape: one narrow map
+    (quality), one window over the md5 hash (same shuffle cost as a
+    groupBy), one left-anti-style flag join against the (tiny)
+    cluster-loser set — the full-corpus frame is touched once."""
+    from pyspark.sql import Window
+
+    from cricket_analytics_nosql_spark.operators.text import quality_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    losers = (
+        connected_components(jaccard_pairs(docs, 0.8).select("d1", "d2"))
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit(True).alias("is_dup_loser"))
+    )
+    flagged = (
+        docs.withColumn(
+            "keep_hash",
+            F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+            == F.col("doc_id"),
+        )
+        .join(F.broadcast(losers), "doc_id", "left")
+        .withColumn("q", F.round(quality_col(F.col("text")), 6))
+        .withColumn(
+            "keep",
+            F.col("keep_hash")
+            & F.col("is_dup_loser").isNull()
+            & (F.col("q") >= 0.45),
+        )
+    )
+    return (
+        flagged.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("keep")).alias("n_kept"),
+            F.round(
+                F.count_if(F.col("keep")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("retention"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_STOPS_SQL = "', '".join(
+    ["the", "a", "of", "and", "to", "in", "is", "on", "for", "it"]
+)
+
+ORACLE_CORPUS_CLEAN = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes sa ON d1 = sa.doc_id
+  JOIN sizes sb ON d2 = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+), sym AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), losers AS (
+  SELECT a AS doc_id FROM reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a
+), flagged AS (
+  SELECT lang, source,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) = doc_id AS keep_hash,
+         doc_id IN (SELECT doc_id FROM losers) AS is_dup_loser,
+         ROUND(0.4 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' ')))
+             + 0.3 * (1.0 - LEAST(CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('{_STOPS_SQL}'))) AS DOUBLE)
+                      / len(string_split(text, ' ')) * 5, 1.0)), 6) AS q
+  FROM documents
+)
+SELECT lang, source, COUNT(*) AS n_docs,
+       COUNT(*) FILTER (keep_hash AND NOT is_dup_loser AND q >= 0.45) AS n_kept,
+       ROUND(CAST(COUNT(*) FILTER (keep_hash AND NOT is_dup_loser AND q >= 0.45)
+                  AS DOUBLE) / COUNT(*), 4) AS retention
+FROM flagged
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
 # 4. SimHash
 # ---------------------------------------------------------------------------
 
@@ -478,6 +592,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_clusters": QuerySpec(
         dedup_clusters, ORACLE_DEDUP_CLUSTERS, ["X-dedup"]
+    ),
+    "corpus_clean": QuerySpec(
+        corpus_clean, ORACLE_CORPUS_CLEAN, ["X-dedup", "X-text"]
     ),
     "dedup_simhash": QuerySpec(dedup_simhash, None, ["X-dedup"]),
 }

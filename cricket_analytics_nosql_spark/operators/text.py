@@ -53,6 +53,24 @@ def shingles_col(words: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def quality_col(text: F.Column) -> F.Column:
+    """Composite quality score ∈ [0,1]: length saturation +
+    distinct-token ratio + inverted stopword density. Shared by
+    text_quality_scores and the corpus_clean pipeline so the filter
+    and the report can never disagree."""
+    w = tokens_col(text)
+    n_tok = F.size(w).cast("double")
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n_tok
+    stop_ratio = (
+        F.size(F.filter(w, lambda t: t.isin(STOPWORDS))).cast("double") / n_tok
+    )
+    return (
+        F.lit(0.4) * F.least(n_tok / 100.0, F.lit(1.0))
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.3) * (F.lit(1.0) - F.least(stop_ratio * 5, F.lit(1.0)))
+    )
+
+
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + composite score: token count,
     mean token length, stopword ratio, distinct-token ratio, and a
@@ -70,11 +88,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(F.col("text")) - (F.size(w) - 1)).cast("double") / n_tok
     )
     bpe_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0))
-    quality = (
-        F.lit(0.4) * F.least(n_tok / 100.0, F.lit(1.0))
-        + F.lit(0.3) * distinct_ratio
-        + F.lit(0.3) * (F.lit(1.0) - F.least(stop_ratio * 5, F.lit(1.0)))
-    )
+    quality = quality_col(F.col("text"))
     return (
         docs.select(
             "doc_id",
