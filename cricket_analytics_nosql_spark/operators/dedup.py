@@ -29,7 +29,7 @@ from __future__ import annotations
 import functools
 import operator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
@@ -287,12 +287,18 @@ def connected_components(
     are localCheckpoint-ed — same lineage discipline as PageRank
     (operators/graph.py). Near-dup clusters are near-cliques, so the
     label frontier collapses in O(log diameter) ≈ 2-3 rounds; the
-    fixpoint check is a LIMIT-1 existence probe, not a full count."""
+    fixpoint check costs NO job of its own — the changed-label count
+    is measured by an ``Observation`` on the update projection inside
+    the same job that materializes the new labels (the probe-join
+    alternative re-shuffles both label frames every round)."""
     edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
     sym = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()
-    labels = sym.select("a").distinct().withColumn("label", F.col("a"))
+    labels = (
+        sym.select("a").distinct().withColumn("label", F.col("a"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(
@@ -304,26 +310,26 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nl").alias("minn"))
         )
-        new_labels = (
+        obs = Observation()
+        labels = (
             labels.join(neighbor_min, "a", "left")
             .select(
                 "a",
+                F.col("label").alias("old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("minn"), F.col("label"))
                 ).alias("label"),
             )
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("old")).cast("long")).alias(
+                    "changed"
+                ),
+            )
+            .select("a", "label")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.select("a", F.col("label").alias("old")), "a"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        if int(obs.get["changed"] or 0) == 0:
             break
     return labels.select(
         F.col("a").alias("doc_id"), F.col("label").alias("cluster_id")
