@@ -163,14 +163,17 @@ def pagerank(
     # is typically the output of an expensive upstream join — left
     # lazy, that upstream would re-execute once per consumer.
     edges = edges.localCheckpoint()
-    # vertex universe = src ∪ dst; materialized — reused every iteration
+    # vertex universe = src ∪ dst; materialized — reused every
+    # iteration. N is observed on the materialization job itself.
+    n_obs = Observation()
     vertices = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
+        .observe(n_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    n = vertices.count()
+    n = int(n_obs.get["n"])
     if n == 0:
         return spark.createDataFrame([], "id long, pagerank double")
 
