@@ -364,6 +364,6 @@ QUERIES: dict[str, QuerySpec] = {
     "upsert_merge": QuerySpec(
         upsert_merge, ORACLE_UPSERT_MERGE, ["J6", "S3", "A10"]
     ),
-    "asof_join": QuerySpec(asof_join, ORACLE_ASOF_JOIN, [], bench=True),
+    "asof_join": QuerySpec(asof_join, ORACLE_ASOF_JOIN, ["X-ts"], bench=True),
     "range_join": QuerySpec(range_join, ORACLE_RANGE_JOIN, []),
 }

@@ -318,10 +318,84 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup over the event
+    log: one pass produces hour, day, per-type, and grand-total
+    aggregates (the continuous-aggregate shape time-series stores
+    materialize; here a single declarative ROLLUP over time buckets).
+
+    Scale notes: ROLLUP plans as one Expand (×4 rows) feeding a
+    partial+final hash agg, so the shuffle carries one row per
+    (grain, bucket) per map partition — bounded by bucket count, not
+    event count. The exact COUNT(DISTINCT user_id) adds the standard
+    second Expand pass; at 100 TB grains above hour should instead
+    merge HLL sketches upward from the hour grain
+    (``approx_count_distinct`` — see ``approx_distinct``), trading
+    the distinct rescan for mergeable state. The bucket columns stay
+    ``timestamp_ntz`` end-to-end (events.ts discipline, tables.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("bucket_day"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+        "user_id",
+        cents("value").alias("value_c"),
+    )
+    return (
+        bucketed.rollup("event_type", "bucket_day", "bucket_hour")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("bucket_day").cast("int").alias("g_day"),
+            F.grouping("bucket_hour").cast("int").alias("g_hour"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.sum("value_c").alias("value_c"),
+        )
+        .select(
+            "event_type",
+            "bucket_day",
+            "bucket_hour",
+            "g_type",
+            "g_day",
+            "g_hour",
+            "n_events",
+            "n_users",
+            dollars("value_c").alias("total_value"),
+        )
+        .orderBy(
+            "g_type", "g_day", "g_hour", "event_type", "bucket_day", "bucket_hour"
+        )
+    )
+
+
+ORACLE_TIME_ROLLUP = """
+WITH b AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP)  AS bucket_day,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+         user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT event_type, bucket_day, bucket_hour,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(bucket_day) AS INTEGER) AS g_day,
+       CAST(GROUPING(bucket_hour) AS INTEGER) AS g_hour,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(value_c) AS DOUBLE) / 100 AS total_value
+FROM b
+GROUP BY ROLLUP (event_type, bucket_day, bucket_hour)
+ORDER BY g_type, g_day, g_hour, event_type, bucket_day, bucket_hour
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "union_sets": QuerySpec(union_sets, ORACLE_UNION_SETS, []),
     "intersect_except": QuerySpec(intersect_except, ORACLE_INTERSECT_EXCEPT, []),
     "rollup_agg": QuerySpec(rollup_agg, ORACLE_ROLLUP_AGG, []),
+    "time_rollup": QuerySpec(time_rollup, ORACLE_TIME_ROLLUP, ["X-ts"]),
     "cube_agg": QuerySpec(cube_agg, ORACLE_CUBE_AGG, []),
     "pivot_wide": QuerySpec(pivot_wide, ORACLE_PIVOT_WIDE, []),
     "percentile_stats": QuerySpec(percentile_stats, ORACLE_PERCENTILE_STATS, []),

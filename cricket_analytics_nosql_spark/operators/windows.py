@@ -242,6 +242,6 @@ QUERIES: dict[str, QuerySpec] = {
         first_writer_wins, ORACLE_FIRST_WRITER_WINS, ["A10"]
     ),
     "sessionize_batch": QuerySpec(
-        sessionize_batch, ORACLE_SESSIONIZE_BATCH, [], bench=True
+        sessionize_batch, ORACLE_SESSIONIZE_BATCH, ["X-ts"], bench=True
     ),
 }

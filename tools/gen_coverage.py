@@ -32,6 +32,7 @@ EXT = [
     ("X-sim", "Similarity search (brute-force / IVF / SRP-LSH)"),
     ("X-text", "Text analysis (quality / lang-ID / tokens / TF-IDF / fingerprints)"),
     ("X-mm", "Multimodal binary columns"),
+    ("X-ts", "Time-series (hypertable-style rollup / sessionize / as-of)"),
     ("§2.11", "Structured Streaming"),
     ("§7.8-skew", "Skew mitigation"),
 ]
