@@ -123,20 +123,31 @@ def run_available_now(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
 
 
 def foreach_batch_upsert(
-    sdf: DataFrame, path: str, keys: list[str]
+    sdf: DataFrame, path: str, keys: list[str], output_mode: str = "append"
 ) -> None:
     """S3's upsert sink, streaming twin (SURVEY §2.11): per micro-
     batch MERGE-by-key into a parquet target via foreachBatch —
-    union-with-existing + keep-latest-per-key + full rewrite.
-    Idempotent under batch replay (exactly-once effect on keys)."""
+    anti-join out the matched old rows, union the batch's rows.
+    Last-writer-wins is deterministic (the incoming batch always
+    replaces the target's row for a key — Cypher ``SET`` semantics,
+    neo4j_loader.py:66-68), which is what makes ``update``-mode
+    aggregation sinks correct: each micro-batch re-emits changed
+    group rows and the latest state must replace the stale row.
+    Idempotent under batch replay (exactly-once effect on keys).
+    Production target would be a transactional table format's MERGE;
+    the plan shape (anti-join + union, both key-partitioned) is the
+    same."""
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        fresh = batch.dropDuplicates(keys)
         try:
             old = spark.read.parquet(path)
-            merged = batch.unionByName(old).dropDuplicates(keys)
+            merged = old.join(
+                fresh.select(*keys), keys, "left_anti"
+            ).unionByName(fresh)
         except Exception:
-            merged = batch.dropDuplicates(keys)
+            merged = fresh
         merged.write.mode("overwrite").parquet(path + "_next")
         # atomic-ish swap: rewrite target from the merged view
         spark.read.parquet(path + "_next").write.mode("overwrite").parquet(path)
@@ -144,6 +155,7 @@ def foreach_batch_upsert(
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
         q = (
             sdf.writeStream.foreachBatch(upsert)
+            .outputMode(output_mode)
             .option("checkpointLocation", os.path.join(ckpt, "cp"))
             .trigger(availableNow=True)
             .start()
@@ -173,6 +185,32 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
             "event_type",
             "n_events",
             (F.col("value_cents").cast("double") / 100).alias("total_value"),
+        )
+    )
+
+
+def hourly_grain(events: DataFrame) -> DataFrame:
+    """Finest grain of the continuous aggregate: 1-hour bucket ×
+    event_type with only *mergeable* aggregates (count, exact cents
+    sum — deliberately no exact distinct, which cannot be rolled
+    upward). Stream-legal in update mode; the coarser day/type/total
+    grains are derived batch-side from this table
+    (``stream_time_rollup``) — the hypertable continuous-aggregate
+    split: streaming maintains the finest grain, everything above it
+    is a cheap re-aggregation of bucket-count-bounded rows."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "value_c"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("bucket_hour"),
+            "event_type",
+            "n_events",
+            "value_c",
         )
     )
 
@@ -413,6 +451,73 @@ ORDER BY c_mktsegment
 """
 
 
+def stream_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate, end to end: the stream maintains the
+    hour×type grain in a parquet target via update-mode foreachBatch
+    MERGE (``hourly_grain`` + ``foreach_batch_upsert``); the coarser
+    day / type / grand-total grains are then one batch ROLLUP over
+    the maintained table — re-aggregating bucket-count-bounded rows,
+    never the raw events. This is ``time_rollup``'s streaming twin
+    minus the non-mergeable exact-distinct column."""
+    staged = stage_event_files(spark, sf_dir)
+    target = os.path.join(
+        tempfile.mkdtemp(prefix="cagg_"), "hourly"
+    )
+    foreach_batch_upsert(
+        hourly_grain(read_events_stream(spark, staged)),
+        target,
+        ["bucket_hour", "event_type"],
+        output_mode="update",
+    )
+    maintained = spark.read.parquet(target)
+    return (
+        maintained.withColumn(
+            "bucket_day", F.date_trunc("day", F.col("bucket_hour"))
+        )
+        .rollup("event_type", "bucket_day", "bucket_hour")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("bucket_day").cast("int").alias("g_day"),
+            F.grouping("bucket_hour").cast("int").alias("g_hour"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_c").alias("value_c"),
+        )
+        .select(
+            "event_type",
+            "bucket_day",
+            "bucket_hour",
+            "g_type",
+            "g_day",
+            "g_hour",
+            "n_events",
+            (F.col("value_c").cast("double") / 100).alias("total_value"),
+        )
+        .orderBy(
+            "g_type", "g_day", "g_hour", "event_type", "bucket_day", "bucket_hour"
+        )
+    )
+
+
+ORACLE_STREAM_TIME_ROLLUP = """
+WITH b AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP)  AS bucket_day,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_c
+  FROM events
+)
+SELECT event_type, bucket_day, bucket_hour,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(bucket_day) AS INTEGER) AS g_day,
+       CAST(GROUPING(bucket_hour) AS INTEGER) AS g_hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(value_c) AS DOUBLE) / 100 AS total_value
+FROM b
+GROUP BY ROLLUP (event_type, bucket_day, bucket_hour)
+ORDER BY g_type, g_day, g_hour, event_type, bucket_day, bucket_hour
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_agg": QuerySpec(
         stream_tumbling_agg, ORACLE_STREAM_TUMBLING, ["§2.11"], bench=False
@@ -427,4 +532,7 @@ QUERIES: dict[str, QuerySpec] = {
         stream_session_agg, ORACLE_STREAM_SESSION, ["§2.11"]
     ),
     "stream_dedup": QuerySpec(stream_dedup, ORACLE_STREAM_DEDUP, ["§2.11"]),
+    "stream_time_rollup": QuerySpec(
+        stream_time_rollup, ORACLE_STREAM_TIME_ROLLUP, ["§2.11", "X-ts", "S3"]
+    ),
 }
