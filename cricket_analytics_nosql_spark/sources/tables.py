@@ -119,20 +119,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark 4
-    rejects (PARQUET_TYPE_ILLEGAL). Read nanos as raw int64 via the
-    legacy conf, then truncate to micros — byte-identical to what
-    DuckDB's reader produces for the oracle. The conversion is a
-    scan-time projection (no shuffle, codegen'd), so it scales."""
+    """events.ts arrives as parquet TIMESTAMP in either micros (read
+    natively) or nanos precision. Vanilla Spark 4 rejects TIMESTAMP
+    (NANOS) (PARQUET_TYPE_ILLEGAL), so for that encoding read nanos
+    as raw int64 via the legacy conf and truncate to micros —
+    byte-identical to what DuckDB's reader produces for the oracle.
+    Either way the fix-up is a scan-time projection (no shuffle,
+    codegen'd), so it scales."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
-    return df.withColumn(
-        "ts",
-        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-    )
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields).get("ts")
+    if ts_type == "bigint":  # nanosAsLong kicked in: TIMESTAMP(NANOS) file
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    elif ts_type != "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
 
 
 def fan_out(df: DataFrame) -> DataFrame:
