@@ -125,128 +125,156 @@ def pagerank(
     DataFrame; returns ``(id, pagerank)`` with scores summing to the
     vertex count (the gds.pageRank normalization).
 
-    Per-iteration dataflow — ONE shuffle, of vertex-sized data:
-      contribs(dst) = Σ rank(src)/out_deg(src)   (links ⋈ ranks)
-      rank'(v)     = (1-d) + d·(contribs(v) + dm/N)
+    The power iteration is linear, and that linearity is the whole
+    performance design. With A(x)(dst) = Σ_{src→dst} x(src)/out_deg(src)
+    and rank(v) = base + d·contrib(v):
 
-    Dangling mass needs no pass of its own: PageRank conserves total
-    mass at N, and Σ contribs is exactly the mass sitting on
-    non-dangling vertices, so dm = N − Σ contribs. The total is
-    measured by an ``Observation`` (``CollectMetrics``) attached to
-    the pre-aggregation rows of the SAME job that materializes
-    contribs — the metric piggybacks on task completion, so the loop
-    runs exactly ONE job per iteration and only O(1) bytes (the
-    observed sum, plus an optional convergence delta) ever reach the
-    driver. Measured at sf0.1/12 iterations this removes a
-    ~0.1 s/iteration scalar-aggregate round-trip; on a real cluster
-    each avoided round-trip is a full job launch.
+      contrib_{k+1} = A(rank_k) = base_k·w_1 + d·Σ_j a_{k,j}·w_{j+1}
 
-    Alternatives measured and rejected (Spark 4.1, local):
-    ``rollup(dst)`` folding the total into the shuffle costs more
-    than it saves (Expand doubles map-side agg input), and
-    re-injecting dm as ``crossJoin(broadcast(1-row frame))``
-    triggers pathological re-execution — iteration wall time doubles
-    every round past ~14 even though the analyzed plan stays a flat
-    LogicalRDD scan.
+    where w_1 = A(1) and w_{j+1} = A(w_j) are iteration-invariant
+    "power vectors" of the graph, and the coefficients a_{k,j} plus
+    the dangling-mass scalars are plain Python floats the driver
+    tracks. So each iteration materializes exactly ONE new vertex-
+    sized frame w_{k+1} via ONE fixed-shape job — links ⋈ w_k →
+    project → partial/final sum — whose generated code never changes
+    (no per-iteration literals → whole-stage-codegen cache hits
+    every round; with the dangling-mass scalar baked in as a literal,
+    each round recompiled its stage — measured ~0.3 s/iteration at
+    sf0.1, the dominant loop cost). Σw_{k+1} is measured by an
+    ``Observation`` on the pre-agg rows of the same job, so only O(1)
+    bytes reach the driver per round.
 
-    Lineage discipline (SURVEY §7.8 risk 1): contribs is
-    ``localCheckpoint``-ed every iteration — it is small (one row per
-    in-linked vertex) and every downstream consumer then reads
-    materialized data. Leaving it lazy is not an optimization: an
-    unmaterialized chain re-executes earlier iterations on every
-    reference. The big edge list is pre-shuffled onto the join key
-    once and never moves again.
+    Dangling mass needs no pass of its own: mass is conserved at N,
+    so dm_k = N − Σ_v contrib_k(v) = N − Σ_j a_{k,j}·S_j with
+    S_j = Σw_j — driver-side arithmetic. base_k = (1−d) + d·dm_k/N.
+    The final ranks are one linear-combination job
+    (union of a_j-scaled w_j frames → sum per vertex) plus one join
+    against the vertex universe.
+
+    Convergence (``tol``): |contrib_{k+1} − contrib_k|₁ ≤
+    Σ_j |Δa_j|·S_j (all w_j ≥ 0) — a free driver-side bound, checked
+    every ``check_every`` rounds; no probe jobs at all.
+
+    Inside the loop, adaptive execution is pure per-iteration
+    overhead — every AQE stage materialization is an extra scheduler
+    round-trip, and the loop's plans are fully known: the contrib
+    shuffle is vertex-sized, so its partition count is sized directly
+    from the measured edge count (~500k rows ≈ 8 MB per partition)
+    instead of discovered adaptively. AQE-off + fixed-plan measured
+    at sf0.1: ~0.14 s/iteration vs ~0.45 s with either AQE or the
+    literal recompile in play. Confs are restored after the loop.
+
+    Lineage discipline (SURVEY §7.8 risk 1): every w_j is
+    ``localCheckpoint``-ed — each is small (one row per in-linked
+    vertex) and downstream consumers read materialized data. The big
+    edge list is materialized once; below
+    ``broadcast_max_vertices`` the w frames broadcast into the join
+    so the edge list never shuffles, above it the edge list is
+    pre-partitioned on the join key once so each round's shuffle is
+    vertex-sized (co-partitioned, AQE off, fixed partition count →
+    no exchange beyond the agg itself).
     """
     spark = edges.sparkSession
     # Materialize the edge list ONCE before anything else: it feeds
     # three consumers (vertex universe, out-degrees, link table) and
     # is typically the output of an expensive upstream join — left
-    # lazy, that upstream would re-execute once per consumer.
-    edges = edges.localCheckpoint()
-    # vertex universe = src ∪ dst; materialized — reused every
-    # iteration. N is observed on the materialization job itself.
-    n_obs = Observation()
-    vertices = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .observe(n_obs, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
-    )
-    n = int(n_obs.get["n"])
-    if n == 0:
+    # lazy, that upstream would re-execute once per consumer. This
+    # runs under the session's normal AQE config: the upstream build
+    # is an arbitrary big query and wants adaptive planning. The
+    # edge count rides along on the materialization job.
+    e_obs = Observation()
+    edges = edges.observe(e_obs, F.count(F.lit(1)).alias("m")).localCheckpoint()
+    m = int(e_obs.get["m"])
+    if m == 0:
         return spark.createDataFrame([], "id long, pagerank double")
 
-    # Rank/contrib frames are VERTEX-sized — usually orders of
-    # magnitude smaller than the edge list. Below the threshold,
-    # broadcast them into every join: the edge list then never
-    # shuffles at all and each iteration's only exchange is the
-    # vertex-sized partial-agg of contribs. Above it (billion-vertex
-    # graphs), fall back to pre-partitioning the edge list on the
-    # join key once so the per-iteration shuffle is rank-sized.
-    small = n <= broadcast_max_vertices
-    maybe_bcast = F.broadcast if small else (lambda df: df)
-
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    links = edges.join(maybe_bcast(out_deg), "src").select(
-        F.col("src").alias("id"), "dst", "out_deg"
-    )
-    if not small:
-        links = links.repartition(F.col("id"))
-    links = links.localCheckpoint()
-
-    # rank(v) as an expression over a left-joined contrib column and
-    # the dm scalar (dangling mass; see docstring).
-    def rank_col(dm: float) -> F.Column:
-        return F.lit(1.0 - damping) + F.lit(damping) * (
-            F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dm / float(n))
-        )
-
-    def agg_contribs(rows: DataFrame) -> tuple[DataFrame, float]:
-        """rows(dst, c) → (checkpointed per-dst sums, dangling mass).
-        The mass total is observed on the rows flowing INTO the
-        aggregation (Σc is invariant under the groupBy), so the
-        eager checkpoint both materializes contribs and completes
-        the metric — no second job. ``observe`` inserts a
-        CollectMetrics barrier, which is why it sits on the cheap
-        pre-agg projection, not across the join."""
-        obs = Observation()
-        ck = (
-            rows.observe(obs, F.sum("c").alias("mass"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(2, m // 500_000)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    d = float(damping)
+    try:
+        # vertex universe = src ∪ dst; N observed on the same job.
+        n_obs = Observation()
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .observe(n_obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        return ck, float(n) - float(obs.get["mass"] or 0.0)
+        n = int(n_obs.get["n"])
 
-    # Iteration 1 directly from the uniform rank=1 start: no join —
-    # contrib(dst) = Σ 1/out_deg over in-edges.
-    contribs, dm = agg_contribs(
-        links.select("dst", (F.lit(1.0) / F.col("out_deg")).alias("c"))
-    )
-    for i in range(1, max_iter):
-        # ranks never materialize as a vertex frame mid-loop: the
-        # rank formula is inlined into the links⋈contribs join (left,
-        # because vertices with no in-links still hold base rank)
-        prev = contribs
-        next_contribs, dm = agg_contribs(
-            links.join(maybe_bcast(prev.withColumnRenamed("dst", "id")), "id", "left")
-            .select("dst", (rank_col(dm) / F.col("out_deg")).alias("c"))
+        small = n <= broadcast_max_vertices
+        maybe_bcast = F.broadcast if small else (lambda df: df)
+
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        links = edges.join(maybe_bcast(out_deg), "src").select(
+            F.col("src").alias("id"), "dst", "out_deg"
         )
-        # convergence: ranks are an affine map of contribs, so the
-        # L1 delta of consecutive contribs bounds the rank delta
-        if tol is not None and (i + 1) % check_every == 0:
-            delta = (
-                next_contribs.join(
-                    prev.withColumnRenamed("contrib", "prev"), "dst"
-                )
-                .agg(F.sum(F.abs(F.col("contrib") - F.col("prev"))))
-                .first()[0]
+        if not small:
+            links = links.repartition(F.col("id"))
+        links = links.localCheckpoint()
+
+        def apply_a(x: DataFrame) -> tuple[DataFrame, float]:
+            """w(dst) = Σ x(src)/out_deg(src); returns (checkpointed w,
+            Σw) — Σ observed on the pre-agg rows of the same job."""
+            obs = Observation()
+            w = (
+                links.join(maybe_bcast(x.withColumnRenamed("dst", "id")), "id")
+                .select("dst", (F.col("x") / F.col("out_deg")).alias("c"))
+                .observe(obs, F.sum("c").alias("s"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("x"))
+                .localCheckpoint()
             )
-            if delta is not None and delta < tol * n:
-                contribs = next_contribs
-                break
-        contribs = next_contribs
+            return w, float(obs.get["s"] or 0.0)
+
+        # w_1 = A(1): no join — Σ 1/out_deg over in-edges.
+        obs1 = Observation()
+        w1 = (
+            links.select("dst", (F.lit(1.0) / F.col("out_deg")).alias("c"))
+            .observe(obs1, F.sum("c").alias("s"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("x"))
+            .localCheckpoint()
+        )
+        ws = [w1]
+        sums = [float(obs1.get["s"] or 0.0)]
+        coef = [1.0]  # contrib_1 = w_1
+        for i in range(1, max_iter):
+            dm = float(n) - sum(a * s for a, s in zip(coef, sums))
+            base = (1.0 - d) + d * dm / float(n)
+            w_next, s_next = apply_a(ws[-1])
+            ws.append(w_next)
+            sums.append(s_next)
+            new_coef = [base] + [d * a for a in coef]
+            if tol is not None and (i + 1) % check_every == 0:
+                padded = coef + [0.0]
+                bound = sum(
+                    abs(a - b) * s for a, b, s in zip(new_coef, padded, sums)
+                )
+                coef = new_coef
+                if bound < tol * n:
+                    break
+            else:
+                coef = new_coef
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    dm = float(n) - sum(a * s for a, s in zip(coef, sums))
+    base = (1.0 - d) + d * dm / float(n)
+    # contrib_K = Σ_j coef_j · w_j — one union+sum job, vertex-sized.
+    scaled = [
+        w.select("dst", (F.col("x") * F.lit(a)).alias("c"))
+        for w, a in zip(ws, coef)
+    ]
+    combined = scaled[0]
+    for part in scaled[1:]:
+        combined = combined.unionByName(part)
+    contribs = combined.groupBy("dst").agg(F.sum("c").alias("contrib"))
     # vertex universe joined ONCE, at the end
     return (
         vertices.join(
@@ -254,7 +282,13 @@ def pagerank(
             vertices.id == F.col("cdst"),
             "left",
         )
-        .select("id", rank_col(dm).alias("pagerank"))
+        .select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("pagerank"),
+        )
     )
 
 
