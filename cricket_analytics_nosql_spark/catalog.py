@@ -28,6 +28,7 @@ def all_queries() -> dict[str, QuerySpec]:
         graph,
         joins,
         multimodal,
+        pysurface,
         relational,
         setops,
         similarity,
@@ -38,6 +39,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     from cricket_analytics_nosql_spark.streaming import events as streaming_events
+    from cricket_analytics_nosql_spark.streaming import stateful as streaming_stateful
 
     registry: dict[str, QuerySpec] = {}
     for module in (
@@ -53,7 +55,9 @@ def all_queries() -> dict[str, QuerySpec]:
         skew,
         cricket,
         sinks,
+        pysurface,
         streaming_events,
+        streaming_stateful,
     ):
         overlap = registry.keys() & module.QUERIES.keys()
         if overlap:

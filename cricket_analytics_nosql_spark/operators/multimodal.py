@@ -209,8 +209,64 @@ ORDER BY origin
 """
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``mapInPandas`` decode kernel as a driver query: the Arrow
+    round-trip must be byte-lossless, so the decoded n_bytes /
+    frame_count must equal what SQL computes from the source text
+    directly. (head_sum has no SQL twin — pinned by unit tests.)"""
+    mm = attach_binary(load_table(spark, sf_dir, "documents"))
+    return (
+        decode_features(mm)
+        .select("doc_id", "n_bytes", "frame_count")
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+ORACLE_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(text)) // 256 AS frame_count
+FROM documents ORDER BY doc_id LIMIT 500
+"""
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-sampling kernel (1 row in → N frame rows out) as a
+    driver query: per-doc frame count + total sampled bytes, which
+    the oracle reproduces in closed form (stride slices of the
+    payload: every frame is full 256 bytes except a short payload's
+    single truncated one)."""
+    mm = attach_binary(load_table(spark, sf_dir, "documents"))
+    return (
+        sample_frames(mm)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.length("frame")).alias("frame_bytes"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id,
+       LEAST(4, GREATEST(1, n // 256)) AS n_frames,
+       CASE WHEN n < 256 THEN n ELSE 256 * LEAST(4, n // 256) END AS frame_bytes
+FROM b ORDER BY doc_id LIMIT 500
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_meta": QuerySpec(
         multimodal_meta, ORACLE_MULTIMODAL_META, ["X-mm"]
+    ),
+    "multimodal_decode": QuerySpec(
+        multimodal_decode, ORACLE_MULTIMODAL_DECODE, ["X-mm", "§2.12"]
+    ),
+    "multimodal_frames": QuerySpec(
+        multimodal_frames, ORACLE_MULTIMODAL_FRAMES, ["X-mm", "§2.12"]
     ),
 }

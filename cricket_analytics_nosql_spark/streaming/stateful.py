@@ -139,3 +139,93 @@ def spike_monitor_batch(
     return totals.join(spikes, "user_id", "left").na.fill(
         {"n_spikes_total": 0}
     ).select("user_id", "n_events_total", "n_spikes_total", "running_mean")
+
+
+def stream_spike_monitor(spark, sf_dir: str) -> DataFrame:
+    """Driver query for the custom stateful operator: replay the
+    events table as a 4-chunk stream through
+    ``applyInPandasWithState``, keep each user's final (update-mode)
+    emission, and compare against a pure-SQL restatement of the same
+    cross-batch semantics — the batch boundaries are the replay's
+    time quartiles, so the oracle can reconstruct them from
+    min/max(ts) alone. n_spikes_total is genuinely order-dependent
+    state (events judged against the running mean *before their
+    batch*), which no single groupBy could produce. The float
+    running_mean itself is excluded from the driver surface (pandas
+    incremental summation vs SQL SUM differ in the last ulp, which
+    flaps a 6-decimal round) — it is pinned by the unit parity test
+    instead; the integer state columns here are exact."""
+    from cricket_analytics_nosql_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stage_event_files,
+    )
+    from pyspark.sql import Window
+
+    staged = stage_event_files(spark, sf_dir)
+    out = run_available_now(
+        spike_monitor_stream(read_events_stream(spark, staged)), "update"
+    )
+    # final state per user = the emission with the highest event
+    # total (counts are strictly increasing across a user's batches)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events_total"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events_total", "n_spikes_total")
+        .orderBy("user_id")
+    )
+
+
+# Batch boundaries: stage_event_files splits [lo, hi] into 4 spans of
+# (hi-lo)/4. Python timedelta division is exact µs arithmetic, while
+# DuckDB interval division splits the day and micro components
+# separately (observed 6 h divergence) — so the oracle reconstructs
+# the boundaries in epoch-microseconds. Dividing by 4 is exact in
+# binary floating point, so ROUND sees the same quotient Python does.
+ORACLE_STREAM_SPIKE_MONITOR = """
+WITH bounds AS (
+  SELECT epoch_us(MIN(ts)) AS lo_us,
+         CAST(ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 4.0) AS BIGINT)
+           AS span_us
+  FROM events
+),
+ev AS (
+  SELECT user_id, value,
+         CASE WHEN epoch_us(ts) >= lo_us + span_us * 3 THEN 3
+              WHEN epoch_us(ts) >= lo_us + span_us * 2 THEN 2
+              WHEN epoch_us(ts) >= lo_us + span_us     THEN 1
+              ELSE 0 END AS batch
+  FROM events, bounds
+),
+prior AS (
+  SELECT user_id, value,
+         COUNT(*) OVER w AS cnt_b,
+         SUM(value) OVER w AS sum_b
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY batch
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+spk AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE cnt_b > 0 AND value > 3.0 * (sum_b / cnt_b))
+           AS n_spikes
+  FROM prior GROUP BY user_id
+),
+totals AS (
+  SELECT user_id, COUNT(*) AS n_events_total FROM events GROUP BY user_id
+)
+SELECT t.user_id, t.n_events_total,
+       COALESCE(s.n_spikes, 0) AS n_spikes_total
+FROM totals t LEFT JOIN spk s USING (user_id)
+ORDER BY t.user_id
+"""
+
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec  # noqa: E402
+
+QUERIES: dict[str, QuerySpec] = {
+    "stream_spike_monitor": QuerySpec(
+        stream_spike_monitor, ORACLE_STREAM_SPIKE_MONITOR, ["§2.11", "§2.12"]
+    ),
+}

@@ -34,6 +34,7 @@ EXT = [
     ("X-mm", "Multimodal binary columns"),
     ("X-ts", "Time-series (hypertable-style rollup / sessionize / as-of)"),
     ("§2.11", "Structured Streaming"),
+    ("§2.12", "Vectorized Python surface (pandas_udf / UDTF / mapInPandas / applyInPandasWithState)"),
     ("§7.8-skew", "Skew mitigation"),
 ]
 
@@ -76,10 +77,8 @@ def main() -> None:
     out.append(
         "Library surfaces without a driver-query form (tested in `tests/`): "
         "bucketed co-located joins (`write_bucketed`, no-Exchange plan test), "
-        "`applyInPandasWithState` spike monitor (stream↔batch parity test), "
-        "multimodal resize/frame-sample `mapInPandas` kernels, pandas_udf + "
-        "Python UDTF twins (§2.12), cricket ETL golden tests over the "
-        "v1.0.0/v1.1.0 drift matrix (§5.2)."
+        "multimodal resize (`resize_images` mapInPandas kernel), cricket ETL "
+        "golden tests over the v1.0.0/v1.1.0 drift matrix (§5.2)."
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "COVERAGE.md"), "w") as fh:
