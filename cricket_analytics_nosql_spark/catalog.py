@@ -23,6 +23,7 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 def all_queries() -> dict[str, QuerySpec]:
     # local imports: keep catalog import cheap and cycle-free
     from cricket_analytics_nosql_spark.operators import (
+        analytics,
         cricket,
         dedup,
         graph,
@@ -44,6 +45,7 @@ def all_queries() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
     for module in (
         relational,
+        analytics,
         joins,
         windows,
         setops,

@@ -1,0 +1,141 @@
+"""Deep multi-join analytics — the star-schema query shapes a user
+of the reference would grow into once the data lives in one engine.
+
+The reference's joins are two-table patterns (SURVEY.md §2.5); these
+queries compose them into the classic warehouse forms (TPC-H Q5/Q8
+lineage) that exercise what actually matters at 100 TB: join ORDER
+(dims reduce the fact stream as early as possible), join STRATEGY
+(broadcast the small side, shuffle only fact-sized data once), and
+exact money arithmetic through multi-way joins (functions/scalar.py
+cents discipline).
+
+Plan notes (validated via .explain):
+- region/nation are O(10²) rows at any scale factor — always
+  broadcast; Catalyst folds the two dim joins into the fact scan's
+  stage, so the only exchanges left are the agg shuffles.
+- customer/supplier are broadcast at bench scale by AQE's dynamic
+  sizing; at 100 TB they become shuffle joins on the fact's key —
+  the query text is identical, which is the point of declaring the
+  plan instead of scheduling it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.functions.scalar import dollars, revenue_cents
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (fact × 5 dims) — revenue per
+    nation for one region and order-date window, where customer and
+    supplier must sit in the SAME nation (the join graph has a
+    cycle, so join order genuinely matters)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+
+    joined = (
+        li.join(window, li.l_orderkey == window.o_orderkey)
+        .join(cust, window.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(revenue_cents()).alias("rev_c"))
+        .select("n_name", dollars("rev_c").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+ORACLE_REGIONAL_REVENUE = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS DOUBLE) / 100 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the generalization of rollup/cube
+    (which the engine already exposes) to arbitrary set lists; this
+    one is deliberately NOT a rollup ((flag,status), (status), ())
+    so the Expand shape differs from both."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "gs_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n_items,
+               SUM(CAST(ROUND(l_quantity * 100, 0) AS LONG)) AS qty_c
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       COUNT(*) AS n_items,
+       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_c
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "regional_revenue": QuerySpec(
+        regional_revenue, ORACLE_REGIONAL_REVENUE, ["J1", "A1", "T1"],
+        bench=True,
+    ),
+    "grouping_sets_agg": QuerySpec(
+        grouping_sets_agg, ORACLE_GROUPING_SETS, ["A1", "A4"]
+    ),
+}

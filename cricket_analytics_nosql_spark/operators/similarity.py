@@ -402,6 +402,58 @@ LIMIT 100
 """
 
 
+def vector_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics — the training-data curation
+    primitive behind class balancing and centroid-based filtering:
+    vector count, dimensionality, and the L2 norm of the label
+    centroid (element-wise mean). posexplode turns the array column
+    into (vec, dim, value) rows so the centroid is one groupBy —
+    fully shuffle-partitioned on (label, dim), no per-label collect,
+    which is what makes it work when one label holds billions of
+    vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    centroid = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("dims"),
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias(
+                "centroid_norm"
+            ),
+        )
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        counts.join(centroid, "label")
+        .select("label", "n_vecs", "dims", "centroid_norm")
+        .orderBy("label")
+    )
+
+
+ORACLE_VECTOR_LABEL_STATS = """
+WITH dims AS (
+  SELECT label,
+         CAST(unnest(range(len(embedding))) AS INT) AS dim,
+         CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS x
+  FROM embeddings
+), centroid AS (
+  SELECT label, dim, AVG(x) AS c FROM dims GROUP BY label, dim
+), per_label AS (
+  SELECT label, COUNT(*) AS dims, ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm
+  FROM centroid GROUP BY label
+)
+SELECT e.label, COUNT(*) AS n_vecs, ANY_VALUE(p.dims) AS dims,
+       ANY_VALUE(p.centroid_norm) AS centroid_norm
+FROM embeddings e JOIN per_label p ON e.label = p.label
+GROUP BY e.label
+ORDER BY e.label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_brute_force": QuerySpec(
         ann_brute_force, ORACLE_ANN_BRUTE_FORCE, ["X-sim"], bench=True
@@ -411,5 +463,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_lsh": QuerySpec(ann_lsh, None, ["X-sim"]),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, ORACLE_DEDUP_EMBEDDING, ["X-dedup", "X-sim"]
+    ),
+    "vector_label_stats": QuerySpec(
+        vector_label_stats, ORACLE_VECTOR_LABEL_STATS, ["X-sim", "A1"]
     ),
 }
