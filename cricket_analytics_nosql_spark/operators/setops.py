@@ -391,6 +391,58 @@ ORDER BY g_type, g_day, g_hour, event_type, bucket_day, bucket_hour
 """
 
 
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension: the regex family the reference never needed
+    but any log/text engine must have — extract, global replace,
+    match-test — over part names."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("first_token"),
+        F.regexp_replace(F.col("p_name"), r"\s+", "_").alias("snake_name"),
+        F.col("p_name").rlike("red|blue").cast("int").alias("has_color"),
+        F.regexp_extract(F.col("p_name"), r"(\w+)$", 1).alias("last_token"),
+    )
+
+
+ORACLE_REGEX_FUNCTIONS = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_token,
+       regexp_replace(p_name, '\\s+', '_', 'g') AS snake_name,
+       CAST(regexp_matches(p_name, 'red|blue') AS INTEGER) AS has_color,
+       regexp_extract(p_name, '(\\w+)$', 1) AS last_token
+FROM part
+"""
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension: MapType construction and explosion —
+    attribute maps are how semi-structured per-row metadata travels
+    (the reference's officials sub-document is exactly this shape,
+    etl_cricsheet_to_mongo.py:59-66). Build map<attr,value>, explode
+    to (key, value) rows, profile value frequencies per key."""
+    part = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return (
+        part.select("p_partkey", F.explode(m).alias("k", "v"))
+        .groupBy("k", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k", "v")
+    )
+
+
+ORACLE_MAP_FUNCTIONS = """
+SELECT k, v, COUNT(*) AS n FROM (
+  SELECT 'brand' AS k, p_brand AS v FROM part
+  UNION ALL
+  SELECT 'type' AS k, p_type AS v FROM part
+)
+GROUP BY k, v ORDER BY k, v
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "union_sets": QuerySpec(union_sets, ORACLE_UNION_SETS, []),
     "intersect_except": QuerySpec(intersect_except, ORACLE_INTERSECT_EXCEPT, []),
@@ -409,4 +461,6 @@ QUERIES: dict[str, QuerySpec] = {
         scalar_function_sampler, ORACLE_SCALAR_FUNCTION_SAMPLER, []
     ),
     "approx_distinct": QuerySpec(approx_distinct, None, []),
+    "regex_functions": QuerySpec(regex_functions, ORACLE_REGEX_FUNCTIONS, []),
+    "map_functions": QuerySpec(map_functions, ORACLE_MAP_FUNCTIONS, ["P1", "F2"]),
 }
