@@ -178,3 +178,34 @@ def test_bucketed_join_has_no_exchange(spark, sf_medium):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_regional_revenue_single_fact_pass(spark, sf_medium):
+    """Q5 shape: the lineitem fact must flow through stacked
+    BroadcastHashJoins without ever being exchanged — the only
+    shuffles allowed are the final aggregation and the result sort."""
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        regional_revenue,
+    )
+
+    plan = plan_of(regional_revenue(spark, sf_medium))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # formatted explain lists each node twice (tree + detail); count
+    # the detail entries, e.g. "(31) Exchange"
+    import re
+
+    shuffle_exchanges = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffle_exchanges) <= 2, plan
+    # date window + column pruning reach the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_grouping_sets_single_expand(spark, sf_medium):
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        grouping_sets_agg,
+    )
+
+    import re
+
+    plan = plan_of(grouping_sets_agg(spark, sf_medium))
+    assert len(re.findall(r"\(\d+\) Expand\b", plan)) == 1, plan
