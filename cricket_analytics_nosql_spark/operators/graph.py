@@ -195,18 +195,10 @@ def pagerank(
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     d = float(damping)
     try:
-        # vertex universe = src ∪ dst; N observed on the same job.
-        n_obs = Observation()
-        vertices = (
-            edges.select(F.col("src").alias("id"))
-            .union(edges.select(F.col("dst").alias("id")))
-            .distinct()
-            .observe(n_obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint()
-        )
-        n = int(n_obs.get["n"])
-
-        small = n <= broadcast_max_vertices
+        # Vertex frames have at most 2m rows, so the broadcast
+        # decision can be made from the edge count before any vertex
+        # frame exists.
+        small = m <= broadcast_max_vertices
         maybe_bcast = F.broadcast if small else (lambda df: df)
 
         out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
@@ -243,6 +235,21 @@ def pagerank(
         ws = [w1]
         sums = [float(obs1.get["s"] or 0.0)]
         coef = [1.0]  # contrib_1 = w_1
+
+        # Vertex universe = src ∪ dst — but srcs are links' join keys
+        # and every in-linked dst is already a w_1 row, so the union
+        # reads one checkpointed edge pass plus a vertex-sized frame
+        # instead of re-scanning the edge list twice (halves the
+        # distinct's input).
+        n_obs = Observation()
+        vertices = (
+            links.select("id")
+            .union(w1.select(F.col("dst").alias("id")))
+            .distinct()
+            .observe(n_obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        n = int(n_obs.get["n"])
         for i in range(1, max_iter):
             dm = float(n) - sum(a * s for a, s in zip(coef, sums))
             base = (1.0 - d) + d * dm / float(n)
