@@ -334,7 +334,54 @@ ORDER BY lang, source
 """
 
 
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (BASELINE mandate): a GPT-2-style
+    pre-tokenizer approximation — letter runs, digit runs, single
+    punctuation — next to the plain whitespace count. Both are pure
+    JVM regex expressions (no Python in the hot path); the ratio is
+    the compression-rate proxy a data-mix pipeline budgets with."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+        ).alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_ws"), 6
+            ).alias("bpe_per_ws"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TOKEN_COUNT_BPE = """
+WITH t AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0))
+           AS n_bpe
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_ws) AS ws_tokens,
+       SUM(n_bpe) AS bpe_tokens,
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS bpe_per_ws
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "token_count_bpe": QuerySpec(
+        token_count_bpe, ORACLE_TOKEN_COUNT_BPE, ["X-text"]
+    ),
     "text_quality_scores": QuerySpec(
         text_quality_scores, ORACLE_TEXT_QUALITY, ["X-text"], bench=True
     ),
