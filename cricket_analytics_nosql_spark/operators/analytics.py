@@ -123,7 +123,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
        CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
        COUNT(*) AS n_items,
-       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_c
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
 ORDER BY g_flag, g_status, l_returnflag, l_linestatus

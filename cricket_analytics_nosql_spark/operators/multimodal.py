@@ -201,8 +201,8 @@ WITH mm AS (
            AS size_matches
   FROM documents
 )
-SELECT origin, COUNT(*) AS n_docs, SUM(n_bytes) AS total_bytes,
-       SUM(size_matches) AS n_size_matches, MIN(h) AS min_hash
+SELECT origin, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(size_matches) AS BIGINT) AS n_size_matches, MIN(h) AS min_hash
 FROM mm
 GROUP BY origin
 ORDER BY origin

@@ -51,7 +51,7 @@ def pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PANDAS_UDF_TOKENS = """
 WITH t AS (SELECT lang, len(string_split(text, ' ')) AS t FROM documents)
-SELECT lang, COUNT(*) AS n_docs, SUM(t) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS total_tokens,
        ROUND(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
 FROM t GROUP BY lang ORDER BY lang
 """

@@ -222,9 +222,9 @@ def derived_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DERIVED_FLAGS = """
 SELECT l_suppkey,
-       SUM(CASE WHEN l_quantity IN (4.0, 6.0) THEN 1 ELSE 0 END) AS small_lots,
-       SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS full_price_items,
-       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_items,
+       CAST(SUM(CASE WHEN l_quantity IN (4.0, 6.0) THEN 1 ELSE 0 END) AS BIGINT) AS small_lots,
+       CAST(SUM(CASE WHEN l_discount = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS full_price_items,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_items,
        COUNT(*) AS n_items
 FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
 """
@@ -372,7 +372,7 @@ def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_GLOBAL_AGG = """
 SELECT COUNT(*) AS n_rows,
        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_price,
-       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
        strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS first_ship,
        strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS last_ship
 FROM lineitem
@@ -402,7 +402,7 @@ def count_if_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_COUNT_IF_HAVING = """
 SELECT l_partkey, COUNT(*) AS n_items,
        COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
-       SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted
 FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 5 ORDER BY l_partkey
 """
 

@@ -131,7 +131,7 @@ WITH edges AS (
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY o_custkey, l_suppkey
 )
-SELECT src, COUNT(*) AS out_degree, SUM(weight) AS total_weight
+SELECT src, COUNT(*) AS out_degree, CAST(SUM(weight) AS BIGINT) AS total_weight
 FROM edges
 GROUP BY src
 ORDER BY out_degree DESC, total_weight DESC, src ASC

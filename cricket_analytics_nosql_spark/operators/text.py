@@ -326,7 +326,7 @@ def lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LANG_SOURCE_PROFILE = """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
 FROM documents
 GROUP BY lang, source
@@ -371,8 +371,8 @@ WITH t AS (
            AS n_bpe
   FROM documents
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_ws) AS ws_tokens,
-       SUM(n_bpe) AS bpe_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
        ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS bpe_per_ws
 FROM t GROUP BY lang ORDER BY lang
 """

@@ -221,7 +221,7 @@ WITH marked AS (
             AS session_id
   FROM marked
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS session_value
 FROM numbered
