@@ -39,6 +39,7 @@ def all_queries() -> dict[str, QuerySpec]:
         windows,
     )
 
+    from cricket_analytics_nosql_spark.plans import driver_queries as plan_queries
     from cricket_analytics_nosql_spark.streaming import events as streaming_events
     from cricket_analytics_nosql_spark.streaming import stateful as streaming_stateful
 
@@ -58,6 +59,7 @@ def all_queries() -> dict[str, QuerySpec]:
         cricket,
         sinks,
         pysurface,
+        plan_queries,
         streaming_events,
         streaming_stateful,
     ):

@@ -1,0 +1,127 @@
+"""Driver-checkable queries that run THROUGH the Mongo-pipeline
+compiler (plans/mongo_pipeline.py) — each is one of the reference's
+three pipeline shapes (mongo_analytics_examples.py) re-targeted at
+the star schema, submitted as a raw pipeline document and compiled
+to a DataFrame plan. The DuckDB oracle states the same query in SQL,
+so the compiler itself sits inside the correctness gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.plans.mongo_pipeline import compile_pipeline
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+
+def mongo_pipeline_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """runs_by_batter shape (mongo_analytics_examples.py:19-28):
+    $group multi-accumulator → $addFields derived rate → $sort desc →
+    $limit — submitted as a pipeline document."""
+    pipeline = [
+        {
+            "$group": {
+                "_id": "$l_suppkey",
+                "balls": {"$sum": 1},
+                "big_lots": {
+                    "$sum": {"$cond": [{"$gte": ["$l_quantity", 45.0]}, 1, 0]}
+                },
+                "max_qty": {"$max": "$l_quantity"},
+            }
+        },
+        {
+            "$addFields": {
+                "big_lot_pct": {
+                    "$divide": [
+                        {"$multiply": [{"$toDouble": "$big_lots"}, 100]},
+                        "$balls",
+                    ]
+                }
+            }
+        },
+        {"$sort": {"big_lots": -1, "_id": 1}},
+        {"$limit": 10},
+    ]
+    return compile_pipeline(load_table(spark, sf_dir, "lineitem"), pipeline)
+
+
+ORACLE_MONGO_GROUP_TOPK = """
+SELECT l_suppkey AS _id, COUNT(*) AS balls,
+       CAST(SUM(CASE WHEN l_quantity >= 45.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS big_lots,
+       MAX(l_quantity) AS max_qty,
+       CAST(SUM(CASE WHEN l_quantity >= 45.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         * 100 / COUNT(*) AS big_lot_pct
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY big_lots DESC, _id ASC
+LIMIT 10
+"""
+
+
+def mongo_pipeline_match_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kohli_vs_southee shape (mongo_analytics_examples.py:41-48):
+    $match point predicates → global $group (_id: None) with a
+    conditional count."""
+    pipeline = [
+        {"$match": {"l_returnflag": "R", "l_linestatus": "F"}},
+        {
+            "$group": {
+                "_id": None,
+                "balls": {"$sum": 1},
+                "discounted": {
+                    "$sum": {"$cond": [{"$gt": ["$l_discount", 0.0]}, 1, 0]}
+                },
+            }
+        },
+        {"$project": {"balls": 1, "discounted": 1}},
+    ]
+    return compile_pipeline(load_table(spark, sf_dir, "lineitem"), pipeline)
+
+
+ORACLE_MONGO_MATCH_GLOBAL = """
+SELECT COUNT(*) AS balls,
+       CAST(SUM(CASE WHEN l_discount > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS discounted
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+"""
+
+
+def mongo_pipeline_unwind_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$project computed array → $unwind (the Cypher UNWIND / F2
+    shape, neo4j_loader.py:44-46) → $group → $sort/$limit: token
+    frequencies via the pipeline dialect."""
+    pipeline = [
+        {"$project": {"p_partkey": 1, "words": {"$split": ["$p_name", " "]}}},
+        {"$unwind": "$words"},
+        {"$group": {"_id": "$words", "n": {"$sum": 1}}},
+        {"$sort": {"n": -1, "_id": 1}},
+        {"$limit": 20},
+    ]
+    return compile_pipeline(load_table(spark, sf_dir, "part"), pipeline)
+
+
+ORACLE_MONGO_UNWIND_TOPK = """
+SELECT w AS _id, COUNT(*) AS n
+FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+GROUP BY w
+ORDER BY n DESC, _id ASC
+LIMIT 20
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "mongo_pipeline_group_topk": QuerySpec(
+        mongo_pipeline_group_topk, ORACLE_MONGO_GROUP_TOPK,
+        ["A1", "A2", "A3", "A5", "T1"],
+    ),
+    "mongo_pipeline_match_global": QuerySpec(
+        mongo_pipeline_match_global, ORACLE_MONGO_MATCH_GLOBAL,
+        ["P10", "A4", "P14"],
+    ),
+    "mongo_pipeline_unwind_topk": QuerySpec(
+        mongo_pipeline_unwind_topk, ORACLE_MONGO_UNWIND_TOPK,
+        ["F2", "A8", "T2"],
+    ),
+}

@@ -1,0 +1,193 @@
+"""Mongo-pipeline compiler tests: the reference's EXACT pipeline
+documents (mongo_analytics_examples.py, quoted verbatim below),
+compiled onto a cricket-shaped DataFrame, must agree with the native
+DataFrame implementations in operators/cricket.py — the "run your
+existing pipelines unchanged" guarantee."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.cricket import (
+    batter_vs_bowler,
+    runs_by_batter,
+    wickets_by_bowler,
+)
+from cricket_analytics_nosql_spark.plans.mongo_pipeline import (
+    compile_expr,
+    compile_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def deliveries(spark):
+    rows = [
+        # matchId, batter, bowler, runs_batter, runs_total, wickets
+        ("M1", "V Kohli", "TG Southee", 4, 4, None),
+        ("M1", "V Kohli", "TG Southee", 0, 0, [("V Kohli", "caught")]),
+        ("M1", "V Kohli", "MA Starc", 6, 6, None),
+        ("M1", "RG Sharma", "TG Southee", 1, 1, None),
+        ("M1", "RG Sharma", "MA Starc", 0, 1, None),
+        ("M2", "V Kohli", "TG Southee", 2, 2, None),
+        ("M2", "RG Sharma", "MA Starc", 0, 0, [("RG Sharma", "bowled")]),
+        ("M2", "MS Dhoni", "TG Southee", 6, 6, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "matchId string, batter string, bowler string, runs_batter int, "
+        "runs_total int, wickets array<struct<player_out:string,kind:string>>",
+    )
+    return df.withColumn(
+        "is_boundary", F.col("runs_batter").isin(4, 6).cast("int")
+    )
+
+
+def rows_of(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_reference_runs_by_batter_pipeline(spark, deliveries):
+    """mongo_analytics_examples.py:19-28, verbatim stage documents."""
+    pipe = [
+        {
+            "$group": {
+                "_id": "$batter",
+                "runs": {"$sum": "$runs_batter"},
+                "balls": {"$sum": 1},
+                "boundaries": {"$sum": "$is_boundary"},
+            }
+        },
+        {
+            "$addFields": {
+                "strikeRate": {
+                    "$multiply": [{"$divide": ["$runs", "$balls"]}, 100]
+                },
+                "boundaryPct": {
+                    "$multiply": [{"$divide": ["$boundaries", "$balls"]}, 100]
+                },
+            }
+        },
+        {"$sort": {"runs": -1, "_id": 1}},
+        {"$limit": 10},
+    ]
+    got = compile_pipeline(deliveries, pipe)
+    native = runs_by_batter(deliveries)
+    got_rows = rows_of(
+        got.select("_id", "runs", "balls", "boundaries", "strikeRate", "boundaryPct")
+    )
+    native_rows = rows_of(
+        native.select("batter", "runs", "balls", "boundaries", "strikeRate", "boundaryPct")
+    )
+    assert got_rows == native_rows
+    assert got_rows[0][0] == "V Kohli" and got_rows[0][1] == 12
+
+
+def test_reference_wickets_by_bowler_pipeline(spark, deliveries):
+    """mongo_analytics_examples.py:32-38: $project flag via
+    $cond/$size/$ifNull, then $group/$sort/$limit."""
+    pipe = [
+        {
+            "$project": {
+                "bowler": 1,
+                "wkts": {
+                    "$cond": [
+                        {"$gt": [{"$size": {"$ifNull": ["$wickets", []]}}, 0]},
+                        1,
+                        0,
+                    ]
+                },
+            }
+        },
+        {"$group": {"_id": "$bowler", "wickets": {"$sum": "$wkts"}}},
+        {"$sort": {"wickets": -1, "_id": 1}},
+        {"$limit": 10},
+    ]
+    got = rows_of(compile_pipeline(deliveries, pipe))
+    native = rows_of(wickets_by_bowler(deliveries))
+    assert got == native
+    assert got[0] == ("MA Starc", 1) or got[0] == ("TG Southee", 1)
+
+
+def test_reference_head_to_head_pipeline(spark, deliveries):
+    """mongo_analytics_examples.py:41-48: $match both names + global
+    $group (_id: None)."""
+    pipe = [
+        {"$match": {"batter": "V Kohli", "bowler": "TG Southee"}},
+        {
+            "$group": {
+                "_id": None,
+                "balls": {"$sum": 1},
+                "runs": {"$sum": "$runs_total"},
+                "outs": {
+                    "$sum": {
+                        "$cond": [
+                            {"$gt": [{"$size": {"$ifNull": ["$wickets", []]}}, 0]},
+                            1,
+                            0,
+                        ]
+                    }
+                },
+            }
+        },
+    ]
+    got = compile_pipeline(deliveries, pipe).collect()[0]
+    native = batter_vs_bowler(deliveries, "V Kohli", "TG Southee").collect()[0]
+    assert (got.balls, got.runs, got.outs) == (
+        native.balls,
+        native.runs,
+        native.outs,
+    ) == (3, 6, 1)
+
+
+def test_match_operator_dialect(spark, deliveries):
+    got = compile_pipeline(
+        deliveries,
+        [{"$match": {"runs_batter": {"$gte": 4}, "bowler": {"$in": ["TG Southee", "MA Starc"]}}}],
+    )
+    assert got.count() == 3
+
+
+def test_unwind_carries_ancestors(spark, deliveries):
+    got = compile_pipeline(
+        deliveries,
+        [
+            {"$match": {"wickets": {"$exists": True}}},
+            {"$unwind": "$wickets"},
+            {"$project": {"batter": 1, "kind": "$wickets.kind"}},
+        ],
+    )
+    assert rows_of(got.orderBy("batter")) == [
+        ("RG Sharma", "bowled"),
+        ("V Kohli", "caught"),
+    ]
+
+
+def test_group_by_document_key(spark, deliveries):
+    got = compile_pipeline(
+        deliveries,
+        [
+            {
+                "$group": {
+                    "_id": {"m": "$matchId", "b": "$batter"},
+                    "n": {"$sum": 1},
+                }
+            },
+            {"$sort": {"n": -1}},
+        ],
+    )
+    top = got.collect()[0]
+    assert top._id.m == "M1" and top._id.b in ("V Kohli", "RG Sharma")
+    assert top.n == 3 or top.n == 2
+
+
+def test_unsupported_stage_raises(spark, deliveries):
+    with pytest.raises(ValueError, match="unsupported pipeline stage"):
+        compile_pipeline(deliveries, [{"$lookup": {}}])
+
+
+def test_expr_literal_and_concat(spark):
+    df = spark.range(1).select(F.lit("a").alias("x"))
+    col = compile_expr({"$concat": ["$x", {"$literal": "-"}, "b"]})
+    assert df.select(col.alias("y")).collect()[0].y == "a-b"
