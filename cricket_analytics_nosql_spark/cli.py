@@ -153,6 +153,30 @@ def cmd_analytics(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_pipeline(args: argparse.Namespace) -> int:
+    """Run a MongoDB aggregation-pipeline document (JSON file or
+    inline string) against a warehouse table through the compiler —
+    the reference user's ``D.aggregate(pipe)`` call, Spark-executed
+    (plans/mongo_pipeline.py)."""
+    import json
+
+    from cricket_analytics_nosql_spark.plans.mongo_pipeline import (
+        compile_pipeline,
+    )
+
+    spark = _spark()
+    if os.path.exists(args.pipeline):
+        with open(args.pipeline) as fh:
+            pipe = json.load(fh)
+    else:
+        pipe = json.loads(args.pipeline)
+    df = spark.read.parquet(
+        os.path.join(args.warehouse, f"{args.collection}.parquet")
+    )
+    _show(f"pipeline over {args.collection}", compile_pipeline(df, pipe))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cricket_analytics_nosql_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -177,6 +201,19 @@ def main(argv: list[str] | None = None) -> int:
     ana.add_argument("--team", default="India")
     ana.add_argument("--min-co", type=int, default=20, dest="min_co")
     ana.set_defaults(fn=cmd_analytics)
+
+    pipe = sub.add_parser(
+        "pipeline",
+        help="run a Mongo aggregation pipeline (JSON) via the compiler",
+    )
+    pipe.add_argument("--warehouse", required=True)
+    pipe.add_argument(
+        "--collection", default="deliveries", help="warehouse table name"
+    )
+    pipe.add_argument(
+        "--pipeline", required=True, help="JSON file path or inline JSON"
+    )
+    pipe.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)
     return args.fn(args)
