@@ -111,6 +111,46 @@ LIMIT 20
 """
 
 
+def mongo_pipeline_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$lookup + $unwind + $group — the pipeline dialect's join
+    (J1): orders enriched with their customer, aggregated per market
+    segment. The foreign side pre-groups per key, so the join carries
+    one row per customer, and the oracle is the plain SQL join."""
+    pipeline = [
+        {
+            "$lookup": {
+                "from": "customer",
+                "localField": "o_custkey",
+                "foreignField": "c_custkey",
+                "as": "cust",
+            }
+        },
+        {"$unwind": "$cust"},
+        {
+            "$group": {
+                "_id": "$cust.c_mktsegment",
+                "n_orders": {"$sum": 1},
+                "max_price": {"$max": "$o_totalprice"},
+            }
+        },
+        {"$sort": {"n_orders": -1, "_id": 1}},
+    ]
+    return compile_pipeline(
+        load_table(spark, sf_dir, "orders"),
+        pipeline,
+        collections={"customer": load_table(spark, sf_dir, "customer")},
+    )
+
+
+ORACLE_MONGO_LOOKUP = """
+SELECT c_mktsegment AS _id, COUNT(*) AS n_orders,
+       MAX(o_totalprice) AS max_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY n_orders DESC, _id ASC
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "mongo_pipeline_group_topk": QuerySpec(
         mongo_pipeline_group_topk, ORACLE_MONGO_GROUP_TOPK,
@@ -123,5 +163,8 @@ QUERIES: dict[str, QuerySpec] = {
     "mongo_pipeline_unwind_topk": QuerySpec(
         mongo_pipeline_unwind_topk, ORACLE_MONGO_UNWIND_TOPK,
         ["F2", "A8", "T2"],
+    ),
+    "mongo_pipeline_lookup": QuerySpec(
+        mongo_pipeline_lookup, ORACLE_MONGO_LOOKUP, ["J1", "A1"]
     ),
 }

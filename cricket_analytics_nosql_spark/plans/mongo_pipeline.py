@@ -234,13 +234,46 @@ def _compile_unwind(df: DataFrame, spec: Any) -> DataFrame:
     return df.withColumn(name, F.explode(F.col(name)))
 
 
-def compile_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
+def _compile_lookup(
+    df: DataFrame, spec: dict, collections: dict[str, DataFrame]
+) -> DataFrame:
+    """``$lookup`` (equality form) — Mongo's left outer join: embeds
+    the matching foreign rows as an array of structs under ``as``
+    (empty array on no match, like Mongo). Compiled as: pre-group the
+    foreign side per key into a struct array, then one left
+    equi-join — the foreign aggregation is shuffle-partitioned on the
+    key, so the join carries one row per distinct key, not one per
+    foreign row. ``$unwind`` of the array afterwards restores the
+    flat-join shape (J1)."""
+    right = collections[spec["from"]]
+    as_name = spec["as"]
+    grouped = right.groupBy(
+        F.col(spec["foreignField"]).alias("__lookup_key")
+    ).agg(
+        F.collect_list(F.struct(*right.columns)).alias(as_name)
+    )
+    joined = df.join(
+        grouped,
+        df[spec["localField"]] == grouped["__lookup_key"],
+        "left",
+    ).drop("__lookup_key")
+    return joined.withColumn(
+        as_name, F.coalesce(F.col(as_name), F.array())
+    )
+
+
+def compile_pipeline(
+    df: DataFrame,
+    pipeline: list[dict],
+    collections: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """Compile a Mongo aggregation pipeline onto ``df``. Stages are
     applied in order; Catalyst then optimizes the WHOLE chain (pushes
     $match into the scan, prunes columns across stages, fuses
     $sort+$limit) — the optimizations the reference author had to
     hand-encode in stage order (SURVEY §4) happen regardless of
-    stage order here."""
+    stage order here. ``collections`` resolves foreign collection
+    names for ``$lookup`` / ``$unionWith``."""
     for stage in pipeline:
         if len(stage) != 1:
             raise ValueError(f"pipeline stage must have one key: {stage}")
@@ -262,6 +295,17 @@ def compile_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
             df = df.agg(F.count(F.lit(1)).alias(spec))
         elif op == "$unwind":
             df = _compile_unwind(df, spec)
+        elif op == "$lookup":
+            if not collections:
+                raise ValueError("$lookup requires a collections resolver")
+            df = _compile_lookup(df, spec, collections)
+        elif op == "$unionWith":
+            if not collections:
+                raise ValueError("$unionWith requires a collections resolver")
+            name = spec["coll"] if isinstance(spec, dict) else spec
+            df = df.unionByName(
+                collections[name], allowMissingColumns=True
+            )
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return df

@@ -184,6 +184,8 @@ def test_group_by_document_key(spark, deliveries):
 
 def test_unsupported_stage_raises(spark, deliveries):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
+        compile_pipeline(deliveries, [{"$facet": {}}])
+    with pytest.raises(ValueError, match="collections resolver"):
         compile_pipeline(deliveries, [{"$lookup": {}}])
 
 
@@ -191,3 +193,47 @@ def test_expr_literal_and_concat(spark):
     df = spark.range(1).select(F.lit("a").alias("x"))
     col = compile_expr({"$concat": ["$x", {"$literal": "-"}, "b"]})
     assert df.select(col.alias("y")).collect()[0].y == "a-b"
+
+
+def test_lookup_unwind_equals_join(spark, deliveries):
+    players = spark.createDataFrame(
+        [("V Kohli", "India"), ("RG Sharma", "India"), ("MS Dhoni", "India")],
+        "name string, team string",
+    )
+    got = compile_pipeline(
+        deliveries,
+        [
+            {
+                "$lookup": {
+                    "from": "players",
+                    "localField": "batter",
+                    "foreignField": "name",
+                    "as": "p",
+                }
+            },
+            {"$unwind": "$p"},
+            {"$group": {"_id": "$p.team", "n": {"$sum": 1}}},
+        ],
+        collections={"players": players},
+    ).collect()
+    assert [(r._id, r.n) for r in got] == [("India", 8)]
+
+
+def test_lookup_no_match_is_empty_array(spark, deliveries):
+    players = spark.createDataFrame([("Nobody", "X")], "name string, team string")
+    got = compile_pipeline(
+        deliveries,
+        [{"$lookup": {"from": "players", "localField": "batter",
+                      "foreignField": "name", "as": "p"}}],
+        collections={"players": players},
+    )
+    assert got.filter(F.size("p") == 0).count() == deliveries.count()
+
+
+def test_union_with(spark, deliveries):
+    got = compile_pipeline(
+        deliveries,
+        [{"$unionWith": "more"}, {"$count": "n"}],
+        collections={"more": deliveries},
+    ).collect()
+    assert got[0].n == 2 * deliveries.count()
