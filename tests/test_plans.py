@@ -209,3 +209,36 @@ def test_grouping_sets_single_expand(spark, sf_medium):
 
     plan = plan_of(grouping_sets_agg(spark, sf_medium))
     assert len(re.findall(r"\(\d+\) Expand\b", plan)) == 1, plan
+
+
+def test_no_driver_side_data_paths():
+    """100 TB posture, enforced: no operator/plan/streaming module
+    may materialize data on the driver (.collect/.toPandas/driver
+    loops). O(1)-scalar reads (Observation results, min/max bounds)
+    are the only exception, whitelisted explicitly."""
+    import os
+    import re
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "cricket_analytics_nosql_spark",
+    )
+    allowed = {
+        # O(1) time-bounds scalar for the stream replay harness
+        ("streaming/events.py", ".first()"),
+    }
+    bad = []
+    for sub in ("operators", "plans", "streaming", "functions", "sources"):
+        d = os.path.join(root, sub)
+        for fname in os.listdir(d):
+            if not fname.endswith(".py"):
+                continue
+            rel = f"{sub}/{fname}"
+            src = open(os.path.join(d, fname)).read()
+            # strip comments and docstrings so prose mentions don't trip
+            src = re.sub(r'"""[\s\S]*?"""', "", src)
+            src = re.sub(r"#[^\n]*", "", src)
+            for pat in (".collect()", ".toPandas()", ".first()"):
+                if pat in src and (rel, pat) not in allowed:
+                    bad.append((rel, pat))
+    assert not bad, f"driver-side materialization in library code: {bad}"
