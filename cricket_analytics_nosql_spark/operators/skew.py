@@ -107,8 +107,47 @@ LIMIT 50
 """
 
 
+def salted_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable salted join: events ⋈ customer through the
+    salt-and-explode path, aggregated per market segment — results
+    must be IDENTICAL to the plain SQL join (the oracle), proving the
+    mitigation never changes semantics. (When the dim broadcasts,
+    prefer broadcast — this is the neither-side-broadcastable plan;
+    the dim replication is n_salts × |dim|.)"""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "user_id", n_salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vc"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_events",
+            (F.col("vc").cast("double") / 100).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_SALTED_JOIN_ENRICH = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "skewed_event_counts": QuerySpec(
         skewed_event_counts, ORACLE_SKEWED_EVENT_COUNTS, ["§7.8-skew", "A1"]
+    ),
+    "salted_join_enrich": QuerySpec(
+        salted_join_enrich, ORACLE_SALTED_JOIN_ENRICH, ["§7.8-skew", "J1"]
     ),
 }
