@@ -229,7 +229,45 @@ GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
 
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 range-frame window: trailing 24-hour per-user activity at
+    every event (RANGE, not ROWS — peers by time value, so a burst at
+    one timestamp enters the frame atomically). Spark's rangeBetween
+    needs a numeric order key: epoch micros of ts, with the frame in
+    micros; the oracle states the same frame as a DuckDB interval
+    RANGE. The cast chain is value-preserving because the engine
+    pins the session to UTC (configure_session)."""
+    ev = load_table(spark, sf_dir, "events")
+    order_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(order_us)
+        .rangeBetween(-24 * 3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        dollars(F.sum(cents("value")).over(w)).alias("value_24h"),
+    ).orderBy("event_id")
+
+
+ORACLE_WINDOW_TIME_RANGE = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_24h,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100
+         AS value_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '24 hours' PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "window_time_range": QuerySpec(
+        window_time_range, ORACLE_WINDOW_TIME_RANGE, []
+    ),
     "window_running_total": QuerySpec(
         window_running_total, ORACLE_WINDOW_RUNNING_TOTAL, [], bench=True
     ),
