@@ -131,3 +131,83 @@ def test_simhash_deterministic_and_64bit(spark, texts):
     assert s1 == s2  # deterministic across runs
     for v in s1.values():
         assert 0 <= v < (1 << 63)
+
+
+INT_VAL = st.integers(min_value=-5, max_value=9)
+MATCH_OP = st.sampled_from(["$eq", "$ne", "$gt", "$gte", "$lt", "$lte"])
+PY_OPS = {
+    "$eq": lambda a, b: a == b,
+    "$ne": lambda a, b: a != b,
+    "$gt": lambda a, b: a > b,
+    "$gte": lambda a, b: a >= b,
+    "$lt": lambda a, b: a < b,
+    "$lte": lambda a, b: a <= b,
+}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(INT_VAL, INT_VAL), min_size=25, max_size=25),
+    MATCH_OP,
+    INT_VAL,
+    MATCH_OP,
+    INT_VAL,
+)
+def test_mongo_match_compiler_property(spark, rows, op_a, va, op_b, vb):
+    """compile_match over random {$op: v} documents agrees with the
+    direct Python evaluation of the same predicate on every row
+    (implicit AND across fields — the reference's point-lookup form,
+    mongo_analytics_examples.py:42)."""
+    from cricket_analytics_nosql_spark.plans.mongo_pipeline import (
+        compile_match,
+    )
+
+    df = spark.createDataFrame(rows, "a int, b int")
+    spec = {"a": {op_a: va}, "b": {op_b: vb}}
+    got = sorted(
+        (r.a, r.b) for r in df.filter(compile_match(spec)).collect()
+    )
+    want = sorted(
+        (a, b)
+        for a, b in rows
+        if PY_OPS[op_a](a, va) and PY_OPS[op_b](b, vb)
+    )
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), INT_VAL), min_size=30, max_size=30))
+def test_mongo_group_compiler_property(spark, rows):
+    """$group accumulators agree with Python folds per key: $sum:1
+    counts, $sum/$min/$max fold values."""
+    from collections import defaultdict
+
+    from cricket_analytics_nosql_spark.plans.mongo_pipeline import (
+        compile_pipeline,
+    )
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {
+        r._id: (r.n, r.s, r.lo, r.hi)
+        for r in compile_pipeline(
+            df,
+            [
+                {
+                    "$group": {
+                        "_id": "$k",
+                        "n": {"$sum": 1},
+                        "s": {"$sum": "$v"},
+                        "lo": {"$min": "$v"},
+                        "hi": {"$max": "$v"},
+                    }
+                }
+            ],
+        ).collect()
+    }
+    acc = defaultdict(list)
+    for k, v in rows:
+        acc[k].append(v)
+    want = {
+        k: (len(vs), sum(vs), min(vs), max(vs)) for k, vs in acc.items()
+    }
+    assert got == want
