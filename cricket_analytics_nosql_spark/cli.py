@@ -177,6 +177,26 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc Spark SQL over the registered tables: the driver's
+    star-schema tables (--sf-dir) and/or a cricket warehouse
+    (--warehouse, registers matches/deliveries)."""
+    spark = _spark()
+    if args.sf_dir:
+        from cricket_analytics_nosql_spark.sources.tables import (
+            register_views,
+        )
+
+        register_views(spark, args.sf_dir)
+    if args.warehouse:
+        for t in ("matches", "deliveries"):
+            path = os.path.join(args.warehouse, f"{t}.parquet")
+            if os.path.exists(path):
+                spark.read.parquet(path).createOrReplaceTempView(t)
+    _show("sql", spark.sql(args.query), n=args.max_rows)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cricket_analytics_nosql_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -214,6 +234,13 @@ def main(argv: list[str] | None = None) -> int:
         "--pipeline", required=True, help="JSON file path or inline JSON"
     )
     pipe.set_defaults(fn=cmd_pipeline)
+
+    sql = sub.add_parser("sql", help="ad-hoc Spark SQL over the tables")
+    sql.add_argument("--sf-dir", default=None, help="star-schema dir")
+    sql.add_argument("--warehouse", default=None, help="cricket warehouse")
+    sql.add_argument("--query", required=True)
+    sql.add_argument("--max-rows", type=int, default=20, dest="max_rows")
+    sql.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     return args.fn(args)
