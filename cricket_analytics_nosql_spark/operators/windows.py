@@ -264,7 +264,47 @@ ORDER BY event_id
 """
 
 
+def null_ordering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7.8 risk 2 made explicit: engines default null sort order
+    differently (Spark ASC=NULLS FIRST, DuckDB ASC=NULLS LAST), so
+    every ordered surface in this repo pins the order. This query
+    sorts a genuinely-nullable column (lag over each customer's
+    orders — first order has no predecessor) with explicit NULLS
+    FIRST and a unique tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+    )
+    return gaps.orderBy(
+        F.col("days_since_prev").asc_nulls_first(), F.col("o_orderkey").asc()
+    ).limit(100)
+
+
+ORACLE_NULL_ORDERING_TOPK = """
+WITH gaps AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(date_diff('day',
+              LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS INTEGER) AS days_since_prev
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, days_since_prev
+FROM gaps
+ORDER BY days_since_prev ASC NULLS FIRST, o_orderkey ASC
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "null_ordering_topk": QuerySpec(
+        null_ordering_topk, ORACLE_NULL_ORDERING_TOPK, ["T3"]
+    ),
     "window_time_range": QuerySpec(
         window_time_range, ORACLE_WINDOW_TIME_RANGE, []
     ),

@@ -242,3 +242,26 @@ def test_no_driver_side_data_paths():
                 if pat in src and (rel, pat) not in allowed:
                     bad.append((rel, pat))
     assert not bad, f"driver-side materialization in library code: {bad}"
+
+
+def test_pipeline_match_pushdown_reaches_scan(spark, sf_medium):
+    """A $match submitted through the Mongo-pipeline compiler must
+    reach the parquet scan as PushedFilters — proof that compiled
+    pipelines get full Catalyst treatment."""
+    from cricket_analytics_nosql_spark.plans.mongo_pipeline import (
+        compile_pipeline,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    df = compile_pipeline(
+        load_table(spark, sf_medium, "lineitem"),
+        [
+            {"$match": {"l_returnflag": "R"}},
+            {"$group": {"_id": "$l_suppkey", "n": {"$sum": 1}}},
+        ],
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan
+    # column pruning crossed the stage boundary too
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in read
