@@ -518,7 +518,74 @@ ORDER BY g_type, g_day, g_hour, event_type, bucket_day, bucket_hour
 """
 
 
+def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each click matched to the same user's purchases within the next
+    hour. Both sides are watermarked so the join state is BOUNDED —
+    a click is evicted once the watermark passes click_ts + 1 h (no
+    match can arrive after that), which is exactly how the state
+    stays finite at 100 TB. Works identically on batch frames
+    (watermark is a no-op there) — the §2.11 design rule."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", "2 hours")
+        p = p.withWatermark("p_ts", "2 hours")
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "click_id", "p_id")
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 stream-stream join, driver-checked: replay events as two
+    streams (clicks / purchases), range-join them with watermarked
+    state, drain with availableNow, then aggregate the emitted pairs
+    batch-side. Deterministic: the replay's chunks are time-ordered
+    and the 2 h watermark horizon dominates both the 1 h join window
+    and the intra-chunk disorder, so no pair is ever dropped — the
+    oracle is the plain SQL self-join."""
+    staged = stage_event_files(spark, sf_dir)
+    ev = read_events_stream(spark, staged)
+    pairs = click_purchase_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    out = run_available_now(pairs, "append")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+SELECT c.user_id, COUNT(*) AS n_pairs
+FROM events c
+JOIN events p ON c.user_id = p.user_id
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY c.user_id
+ORDER BY n_pairs DESC, c.user_id ASC
+LIMIT 50
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_stream_join": QuerySpec(
+        stream_stream_join, ORACLE_STREAM_STREAM_JOIN, ["§2.11", "J1"]
+    ),
     "stream_tumbling_agg": QuerySpec(
         stream_tumbling_agg, ORACLE_STREAM_TUMBLING, ["§2.11"], bench=False
     ),
