@@ -256,3 +256,34 @@ def test_custom_stateful_spike_monitor(spark, tmp_path):
             r.n_spikes_total,
         )
         assert b.running_mean == pytest.approx(r.running_mean)
+
+
+def test_stream_stream_join_batch_parity(spark, sf_small):
+    """click_purchase_pairs runs identically on batch frames (where
+    the watermark is a no-op) and on the replayed stream — §2.11's
+    same-function design rule, for the stream-stream join."""
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+    from cricket_analytics_nosql_spark.streaming.events import (
+        click_purchase_pairs,
+        read_events_stream,
+        run_available_now,
+        stage_event_files,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    batch = click_purchase_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    staged = stage_event_files(spark, sf_small)
+    sev = read_events_stream(spark, staged)
+    streamed = run_available_now(
+        click_purchase_pairs(
+            sev.filter(F.col("event_type") == "click"),
+            sev.filter(F.col("event_type") == "purchase"),
+        ),
+        "append",
+    )
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in streamed.collect())
+    assert b == s and len(b) > 0
