@@ -38,9 +38,14 @@ def _spark() -> SparkSession:
     return get_spark("cricket-analytics-cli")
 
 
-def _show(title: str, df: DataFrame, n: int = 20) -> None:
+def _show(
+    title: str, df: DataFrame, n: int = 20, explain: bool = False
+) -> None:
     print(f"\n== {title}")
-    df.show(n, truncate=False)
+    if explain:
+        df.explain("formatted")
+    else:
+        df.show(n, truncate=False)
 
 
 def cmd_etl(args: argparse.Namespace) -> int:
@@ -173,7 +178,11 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
     df = spark.read.parquet(
         os.path.join(args.warehouse, f"{args.collection}.parquet")
     )
-    _show(f"pipeline over {args.collection}", compile_pipeline(df, pipe))
+    _show(
+        f"pipeline over {args.collection}",
+        compile_pipeline(df, pipe),
+        explain=args.explain,
+    )
     return 0
 
 
@@ -193,7 +202,7 @@ def cmd_sql(args: argparse.Namespace) -> int:
             path = os.path.join(args.warehouse, f"{t}.parquet")
             if os.path.exists(path):
                 spark.read.parquet(path).createOrReplaceTempView(t)
-    _show("sql", spark.sql(args.query), n=args.max_rows)
+    _show("sql", spark.sql(args.query), n=args.max_rows, explain=args.explain)
     return 0
 
 
@@ -233,6 +242,7 @@ def main(argv: list[str] | None = None) -> int:
     pipe.add_argument(
         "--pipeline", required=True, help="JSON file path or inline JSON"
     )
+    pipe.add_argument("--explain", action="store_true")
     pipe.set_defaults(fn=cmd_pipeline)
 
     sql = sub.add_parser("sql", help="ad-hoc Spark SQL over the tables")
@@ -240,6 +250,7 @@ def main(argv: list[str] | None = None) -> int:
     sql.add_argument("--warehouse", default=None, help="cricket warehouse")
     sql.add_argument("--query", required=True)
     sql.add_argument("--max-rows", type=int, default=20, dest="max_rows")
+    sql.add_argument("--explain", action="store_true")
     sql.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
