@@ -295,6 +295,16 @@ def compile_pipeline(
             df = df.agg(F.count(F.lit(1)).alias(spec))
         elif op == "$unwind":
             df = _compile_unwind(df, spec)
+        elif op == "$sortByCount":
+            # sugar: $group by expr + count + sort desc (Mongo docs)
+            df = _compile_group(
+                df, {"_id": spec, "count": {"$sum": 1}}
+            ).orderBy(F.col("count").desc(), F.col("_id").asc())
+        elif op == "$replaceRoot":
+            root = spec["newRoot"] if isinstance(spec, dict) else spec
+            df = df.select(compile_expr(root).alias("__root")).select(
+                "__root.*"
+            )
         elif op == "$lookup":
             if not collections:
                 raise ValueError("$lookup requires a collections resolver")

@@ -237,3 +237,21 @@ def test_union_with(spark, deliveries):
         collections={"more": deliveries},
     ).collect()
     assert got[0].n == 2 * deliveries.count()
+
+
+def test_sort_by_count(spark, deliveries):
+    got = compile_pipeline(deliveries, [{"$sortByCount": "$batter"}]).collect()
+    assert [(r._id, r["count"]) for r in got] == [
+        ("V Kohli", 4),
+        ("RG Sharma", 3),
+        ("MS Dhoni", 1),
+    ]
+
+
+def test_replace_root_promotes_struct(spark):
+    df = spark.createDataFrame(
+        [(1, ("x", 2))], "id int, info struct<name:string,n:int>"
+    )
+    got = compile_pipeline(df, [{"$replaceRoot": {"newRoot": "$info"}}])
+    assert got.columns == ["name", "n"]
+    assert tuple(got.collect()[0]) == ("x", 2)
