@@ -75,6 +75,15 @@ def main() -> None:
         out.append(f"| {label} | {names} | {mark} |")
     out.append("")
     out.append(
+        "Query front-ends (§3.2 IR parity): the Mongo aggregation-pipeline "
+        "dialect compiles to the same DataFrame plans "
+        "(`plans/mongo_pipeline.py`; `mongo_pipeline_*` queries above run "
+        "THROUGH the compiler and hash-match their SQL oracles; the "
+        "reference's three verbatim pipelines are pinned in "
+        "`tests/test_mongo_pipeline.py`). CLI: `etl` / `graph` / "
+        "`analytics` / `pipeline` / `sql`.\n"
+    )
+    out.append(
         "Library surfaces without a driver-query form (tested in `tests/`): "
         "bucketed co-located joins (`write_bucketed`, no-Exchange plan test), "
         "multimodal resize (`resize_images` mapInPandas kernel), cricket ETL "
