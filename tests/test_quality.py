@@ -1,0 +1,47 @@
+"""observed_quality: metrics ride the materializing job — no second
+pass — and report exact null/violation counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.quality import observed_quality
+
+
+def test_observed_quality_counts(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, -1.0), (3, "c", None), (4, None, 5.0)],
+        "id int, name string, score double",
+    )
+    out, obs = observed_quality(
+        df,
+        null_cols=["name", "score"],
+        checks={"positive_score": F.col("score") > 0},
+    )
+    # the ONLY action: a sink write — metrics ride along
+    out.write.mode("overwrite").parquet(str(tmp_path / "t"))
+    got = obs.get
+    assert got["n_rows"] == 4
+    assert got["nulls_name"] == 2
+    assert got["nulls_score"] == 1
+    # score NULL counts as a failure, like a violated constraint
+    assert got["fail_positive_score"] == 2
+
+
+def test_observed_quality_on_star_schema(spark, sf_small):
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem")
+    out, obs = observed_quality(
+        li,
+        null_cols=["l_orderkey"],
+        checks={
+            "discount_range": (F.col("l_discount") >= 0)
+            & (F.col("l_discount") <= 1)
+        },
+    )
+    n = out.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["nulls_l_orderkey"] == 0
+    assert got["fail_discount_range"] == 0
