@@ -130,6 +130,50 @@ ORDER BY g_flag, g_status, l_returnflag, l_linestatus
 """
 
 
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery + correlated EXISTS — Catalyst
+    decorrelates both into joins (RewriteCorrelatedScalarSubquery),
+    so the declarative form costs one aggregated self-join, not a
+    per-row re-scan: orders 1.5× above their customer's average with
+    at least one returned line item."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("cs_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "cs_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM cs_orders o
+        WHERE o.o_totalprice > (
+            SELECT 1.5 * AVG(o2.o_totalprice)
+            FROM cs_orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        AND EXISTS (
+            SELECT 1 FROM cs_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+        )
+        ORDER BY o.o_orderkey
+        """
+    )
+
+
+ORACLE_CORRELATED_SUBQUERY = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > (
+    SELECT 1.5 * AVG(o2.o_totalprice)
+    FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+ORDER BY o.o_orderkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "regional_revenue": QuerySpec(
         regional_revenue, ORACLE_REGIONAL_REVENUE, ["J1", "A1", "T1"],
@@ -137,5 +181,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "grouping_sets_agg": QuerySpec(
         grouping_sets_agg, ORACLE_GROUPING_SETS, ["A1", "A4"]
+    ),
+    "correlated_subquery": QuerySpec(
+        correlated_subquery, ORACLE_CORRELATED_SUBQUERY, ["J6", "A6"]
     ),
 }

@@ -151,6 +151,42 @@ ORDER BY n_orders DESC, _id ASC
 """
 
 
+def mongo_pipeline_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$bucket histogram (right-open boundaries, default bucket for
+    out-of-range) — order-value distribution with per-bucket count
+    and max."""
+    pipeline = [
+        {
+            "$bucket": {
+                "groupBy": "$o_totalprice",
+                "boundaries": [0.0, 50000.0, 100000.0, 200000.0, 400000.0],
+                "default": -1.0,
+                "output": {
+                    "n": {"$sum": 1},
+                    "hi": {"$max": "$o_totalprice"},
+                },
+            }
+        },
+        {"$sort": {"_id": 1}},
+    ]
+    return compile_pipeline(load_table(spark, sf_dir, "orders"), pipeline)
+
+
+ORACLE_MONGO_BUCKET = """
+WITH b AS (
+  SELECT CASE WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 0.0
+              WHEN o_totalprice >= 50000 AND o_totalprice < 100000 THEN 50000.0
+              WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 100000.0
+              WHEN o_totalprice >= 200000 AND o_totalprice < 400000 THEN 200000.0
+              ELSE -1.0 END AS _id,
+         o_totalprice
+  FROM orders
+)
+SELECT _id, COUNT(*) AS n, MAX(o_totalprice) AS hi
+FROM b GROUP BY _id ORDER BY _id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "mongo_pipeline_group_topk": QuerySpec(
         mongo_pipeline_group_topk, ORACLE_MONGO_GROUP_TOPK,
@@ -166,5 +202,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "mongo_pipeline_lookup": QuerySpec(
         mongo_pipeline_lookup, ORACLE_MONGO_LOOKUP, ["J1", "A1"]
+    ),
+    "mongo_pipeline_bucket": QuerySpec(
+        mongo_pipeline_bucket, ORACLE_MONGO_BUCKET, ["A1", "P9"]
     ),
 }

@@ -295,6 +295,21 @@ def compile_pipeline(
             df = df.agg(F.count(F.lit(1)).alias(spec))
         elif op == "$unwind":
             df = _compile_unwind(df, spec)
+        elif op == "$bucket":
+            gb = compile_expr(spec["groupBy"])
+            bounds = spec["boundaries"]
+            bucket = F.lit(spec.get("default"))
+            # right-open [b_i, b_{i+1}) buckets, labelled by lower bound
+            for i in range(len(bounds) - 1, 0, -1):
+                bucket = F.when(
+                    (gb >= F.lit(bounds[i - 1])) & (gb < F.lit(bounds[i])),
+                    F.lit(bounds[i - 1]),
+                ).otherwise(bucket)
+            output = spec.get("output", {"count": {"$sum": 1}})
+            df = _compile_group(
+                df.withColumn("__bucket", bucket),
+                {"_id": "$__bucket", **output},
+            )
         elif op == "$sortByCount":
             # sugar: $group by expr + count + sort desc (Mongo docs)
             df = _compile_group(
