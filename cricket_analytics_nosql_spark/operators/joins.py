@@ -350,7 +350,51 @@ GROUP BY band ORDER BY band
 """
 
 
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` ≙ IS NOT DISTINCT FROM): a plain
+    equi-join silently drops null keys in every engine; when null is
+    a legitimate key value (here: low-k events with the type masked
+    out), the null-safe operator keeps the group and matches it to
+    the dim's null row. Broadcast dim, fact never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = F.when(
+        F.get_json_object(F.col("props"), "$.k").cast("int") < 10,
+        F.lit(None),
+    ).otherwise(F.col("event_type"))
+    left = ev.select(masked.alias("k"))
+    dim = spark.createDataFrame(
+        [("click", "C"), ("purchase", "P"), (None, "UNKNOWN")],
+        "k string, label string",
+    )
+    joined = left.join(
+        F.broadcast(dim), left["k"].eqNullSafe(dim["k"]), "left"
+    )
+    return (
+        joined.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("label").asc_nulls_first())
+    )
+
+
+ORACLE_NULL_SAFE_JOIN = """
+WITH left_t AS (
+  SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) < 10
+              THEN NULL ELSE event_type END AS k
+  FROM events
+), dim(k, label) AS (
+  VALUES ('click', 'C'), ('purchase', 'P'), (NULL, 'UNKNOWN')
+)
+SELECT label, COUNT(*) AS n
+FROM left_t LEFT JOIN dim ON left_t.k IS NOT DISTINCT FROM dim.k
+GROUP BY label
+ORDER BY label NULLS FIRST
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "null_safe_join": QuerySpec(
+        null_safe_join, ORACLE_NULL_SAFE_JOIN, ["J1", "P12"]
+    ),
     "broadcast_join_enrich": QuerySpec(
         broadcast_join_enrich, ORACLE_BROADCAST_JOIN_ENRICH, ["J1"], bench=True
     ),
