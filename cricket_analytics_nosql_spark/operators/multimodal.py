@@ -259,6 +259,38 @@ FROM b ORDER BY doc_id LIMIT 500
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize kernel as a driver query: stub dimensions and
+    thumbnail sizes are deterministic functions of the payload byte
+    count, so the oracle reproduces them in closed form (width =
+    ⌊√n⌋, height = n // width, thumb = every-step-th byte capped at
+    64×64)."""
+    mm = attach_binary(load_table(spark, sf_dir, "documents"))
+    return (
+        resize_images(mm)
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            F.length("thumb").alias("thumb_bytes"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id,
+       CAST(FLOOR(SQRT(n)) AS BIGINT) AS width,
+       n // CAST(FLOOR(SQRT(n)) AS BIGINT) AS height,
+       LEAST(4096,
+             (n + GREATEST(1, n // 4096) - 1) // GREATEST(1, n // 4096))
+         AS thumb_bytes
+FROM b ORDER BY doc_id LIMIT 500
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_meta": QuerySpec(
         multimodal_meta, ORACLE_MULTIMODAL_META, ["X-mm"]
@@ -268,5 +300,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_frames": QuerySpec(
         multimodal_frames, ORACLE_MULTIMODAL_FRAMES, ["X-mm", "§2.12"]
+    ),
+    "multimodal_resize": QuerySpec(
+        multimodal_resize, ORACLE_MULTIMODAL_RESIZE, ["X-mm", "§2.12"]
     ),
 }

@@ -86,7 +86,7 @@ def main() -> None:
     out.append(
         "Library surfaces without a driver-query form (tested in `tests/`): "
         "bucketed co-located joins (`write_bucketed`, no-Exchange plan test), "
-        "multimodal resize (`resize_images` mapInPandas kernel), cricket ETL "
+        "cricket ETL "
         "golden tests over the v1.0.0/v1.1.0 drift matrix (§5.2)."
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
