@@ -443,7 +443,74 @@ GROUP BY k, v ORDER BY k, v
 """
 
 
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension: log/exp/pow/sqrt math — absent from the
+    reference but table stakes for an analytics engine. Rounded to 4
+    decimals: JVM Math and libm agree to within ulps on these, and
+    the rounding absorbs the difference; row count capped so the
+    flap probability is negligible."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy("o_orderkey")
+        .limit(200)
+        .select(
+            "o_orderkey",
+            F.round(F.log(F.col("o_totalprice")), 4).alias("ln_price"),
+            F.round(F.log10(F.col("o_totalprice")), 4).alias("log10_price"),
+            F.round(F.sqrt(F.col("o_totalprice")), 4).alias("sqrt_price"),
+            F.round(F.pow(F.col("o_totalprice"), 0.25), 4).alias("price_4rt"),
+            F.round(
+                F.exp(F.col("o_totalprice") / 100000.0), 4
+            ).alias("exp_scaled"),
+        )
+    )
+
+
+ORACLE_MATH_FUNCTIONS = """
+SELECT o_orderkey,
+       ROUND(LN(o_totalprice), 4) AS ln_price,
+       ROUND(LOG10(o_totalprice), 4) AS log10_price,
+       ROUND(SQRT(o_totalprice), 4) AS sqrt_price,
+       ROUND(POW(o_totalprice, 0.25), 4) AS price_4rt,
+       ROUND(EXP(o_totalprice / 100000.0), 4) AS exp_scaled
+FROM orders ORDER BY o_orderkey LIMIT 200
+"""
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension: pad / reverse / replace / position / repeat —
+    the rest of the string family beyond the sampler."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_up"),
+        F.lpad(F.col("p_brand"), 12, ".").alias("brand_pad"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.replace(
+            F.col("p_name"), F.lit(" "), F.lit("_")
+        ).alias("name_snake"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_x2"),
+    )
+
+
+ORACLE_STRING_FUNCTIONS = """
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_up,
+       LPAD(p_brand, 12, '.') AS brand_pad,
+       REVERSE(p_brand) AS brand_rev,
+       REPLACE(p_name, ' ', '_') AS name_snake,
+       CAST(STRPOS(p_name, 'a') AS INTEGER) AS first_a,
+       REPEAT(p_brand, 2) AS brand_x2
+FROM part
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "math_functions": QuerySpec(math_functions, ORACLE_MATH_FUNCTIONS, []),
+    "string_functions": QuerySpec(
+        string_functions, ORACLE_STRING_FUNCTIONS, []
+    ),
     "union_sets": QuerySpec(union_sets, ORACLE_UNION_SETS, []),
     "intersect_except": QuerySpec(intersect_except, ORACLE_INTERSECT_EXCEPT, []),
     "rollup_agg": QuerySpec(rollup_agg, ORACLE_ROLLUP_AGG, []),
