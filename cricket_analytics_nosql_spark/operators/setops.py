@@ -506,7 +506,46 @@ FROM part
 """
 
 
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension: calendar family — trunc, last-day, quarter,
+    day-of-week, interval add. Outputs are formatted to strings so
+    the comparison checks calendar SEMANTICS, not engine date-type
+    representation (Spark dayofweek is 1=Sunday; DuckDB dow is
+    0=Sunday — the oracle maps it)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy("o_orderkey")
+        .limit(500)
+        .select(
+            "o_orderkey",
+            F.date_format(
+                F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd"
+            ).alias("month_start"),
+            F.date_format(F.last_day(F.col("o_orderdate")), "yyyy-MM-dd").alias(
+                "month_end"
+            ),
+            F.quarter(F.col("o_orderdate")).alias("q"),
+            F.dayofweek(F.col("o_orderdate")).alias("dow1sun"),
+            F.date_format(
+                F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"), "yyyy-MM-dd"
+            ).alias("due45"),
+        )
+    )
+
+
+ORACLE_DATE_FUNCTIONS = """
+SELECT o_orderkey,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q,
+       CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INTEGER) AS dow1sun,
+       strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d') AS due45
+FROM orders ORDER BY o_orderkey LIMIT 500
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "date_functions": QuerySpec(date_functions, ORACLE_DATE_FUNCTIONS, []),
     "math_functions": QuerySpec(math_functions, ORACLE_MATH_FUNCTIONS, []),
     "string_functions": QuerySpec(
         string_functions, ORACLE_STRING_FUNCTIONS, []
