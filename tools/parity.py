@@ -79,3 +79,33 @@ def compare(spark_df, oracle: str, sf_dir: str, name: str = "?") -> None:
             f"[{name}] value mismatch; first diffs (spark vs oracle):\n"
             + "\n".join(f"  S {a}\n  O {b}" for a, b in diff)
         )
+
+
+if __name__ == "__main__":
+    # Usage: python -m tools.parity [query ...]   (default: all)
+    import os
+    import sys as _sys
+
+    _sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from cricket_analytics_nosql_spark.catalog import all_queries
+    from cricket_analytics_nosql_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark("parity")
+    qs = all_queries()
+    names = _sys.argv[1:] or sorted(qs)
+    failed = 0
+    for n in names:
+        spec = qs[n]
+        if not spec.oracle:
+            print(f"{n}: rows={spec.fn(spark, sf_dir).count()} (no oracle)")
+            continue
+        try:
+            compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir, n)
+            print(f"{n}: OK")
+        except AssertionError as exc:
+            failed += 1
+            print(exc)
+    raise SystemExit(1 if failed else 0)
