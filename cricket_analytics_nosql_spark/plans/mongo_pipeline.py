@@ -320,6 +320,21 @@ def compile_pipeline(
             df = df.select(compile_expr(root).alias("__root")).select(
                 "__root.*"
             )
+        elif op == "$facet":
+            # fan-out: each sub-pipeline over the SAME input, results
+            # embedded as one array-of-structs column each, one row out
+            faceted = []
+            for name, subpipe in spec.items():
+                sub = compile_pipeline(df, subpipe, collections)
+                faceted.append(
+                    sub.agg(
+                        F.collect_list(F.struct(*sub.columns)).alias(name)
+                    )
+                )
+            out = faceted[0]
+            for frame in faceted[1:]:
+                out = out.crossJoin(frame)
+            df = out
         elif op == "$lookup":
             if not collections:
                 raise ValueError("$lookup requires a collections resolver")

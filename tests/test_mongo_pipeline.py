@@ -184,7 +184,7 @@ def test_group_by_document_key(spark, deliveries):
 
 def test_unsupported_stage_raises(spark, deliveries):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
-        compile_pipeline(deliveries, [{"$facet": {}}])
+        compile_pipeline(deliveries, [{"$merge": {}}])
     with pytest.raises(ValueError, match="collections resolver"):
         compile_pipeline(deliveries, [{"$lookup": {}}])
 
@@ -255,3 +255,28 @@ def test_replace_root_promotes_struct(spark):
     got = compile_pipeline(df, [{"$replaceRoot": {"newRoot": "$info"}}])
     assert got.columns == ["name", "n"]
     assert tuple(got.collect()[0]) == ("x", 2)
+
+
+def test_facet_two_pipelines_one_row(spark, deliveries):
+    got = compile_pipeline(
+        deliveries,
+        [
+            {
+                "$facet": {
+                    "by_batter": [
+                        {"$group": {"_id": "$batter", "n": {"$sum": 1}}},
+                        {"$sort": {"n": -1, "_id": 1}},
+                    ],
+                    "totals": [
+                        {"$group": {"_id": None, "runs": {"$sum": "$runs_total"}}}
+                    ],
+                }
+            }
+        ],
+    ).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert [(r["_id"], r["n"]) for r in row.by_batter] == [
+        ("V Kohli", 4), ("RG Sharma", 3), ("MS Dhoni", 1)
+    ]
+    assert row.totals[0]["runs"] == 20
