@@ -280,3 +280,21 @@ def test_facet_two_pipelines_one_row(spark, deliveries):
         ("V Kohli", 4), ("RG Sharma", 3), ("MS Dhoni", 1)
     ]
     assert row.totals[0]["runs"] == 20
+
+
+def test_bucket_default_and_bounds(spark, deliveries):
+    got = compile_pipeline(
+        deliveries,
+        [
+            {
+                "$bucket": {
+                    "groupBy": "$runs_batter",
+                    "boundaries": [0, 1, 4],
+                    "default": -99,
+                }
+            },
+            {"$sort": {"_id": 1}},
+        ],
+    ).collect()
+    # runs: [4,0,6,1,0,2,0,6] → [0,1): three 0s; [1,4): 1,2; default: 4,6,6
+    assert [(r._id, r["count"]) for r in got] == [(-99, 3), (0, 3), (1, 2)]
