@@ -259,36 +259,49 @@ ORDER BY key
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY §2.5 'not present — engine exposes'): for
     each purchase event, the most recent click by the same user at or
-    before it. One shuffle on the equi-key, inequality resolved by a
-    row_number window — scales as the per-key pair set, and AQE
-    splits skewed users."""
+    before it.
+
+    Union-tag plan, degenerated to a single scan: clicks and
+    purchases come from the same table, so instead of a range join
+    (which pairs every purchase with ALL prior clicks of the same
+    user — quadratic on hot users, and ``events.user_id`` is the
+    documented skew column) we keep one row per event, tag purchases,
+    and carry the most recent click forward with
+    ``last(_, ignorenulls=True)`` over a running row frame.  Physical
+    plan: one scan → ONE Exchange(hashpartitioning(user_id)) → sort
+    by (ts, tag) → running window → filter.  No join node at all, so
+    there is nothing to explode on a hot key; cost is O(events per
+    user), not O(clicks x purchases per user).  Ties: a click at the
+    purchase's exact ts counts (tag sorts clicks first), and among
+    equal-ts clicks the max click_value wins (ascending sort + last).
+    """
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    is_purchase = F.col("event_type") == "purchase"
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        is_purchase.cast("int").alias("tag"),
+        # click rows carry (ts, value) atomically so last() can never
+        # mix fields from two different click rows
+        F.when(~is_purchase, F.struct("ts", "value")).alias("click"),
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("click_ts"),
-        F.col("value").alias("click_value"),
-    )
-    paired = purchases.join(
-        clicks,
-        (purchases.user_id == clicks.c_user) & (clicks.click_ts <= purchases.ts),
-        "left",
-    )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("click_ts"), F.desc("click_value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("tag"), F.asc("value"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        paired.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        tagged.withColumn("last_click", F.last("click", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
         .select(
             "event_id",
             "user_id",
-            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            F.date_format("last_click.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
                 "last_click_ts"
             ),
-            "click_value",
+            F.col("last_click.value").alias("click_value"),
         )
         .orderBy("event_id")
     )

@@ -244,6 +244,24 @@ def test_no_driver_side_data_paths():
     assert not bad, f"driver-side materialization in library code: {bad}"
 
 
+def test_asof_join_single_shuffle_no_join(spark, sf_medium):
+    """The as-of join must compile to the union-tag running-window
+    plan: exactly ONE hash Exchange (on user_id) and NO join node —
+    a range join would pair every purchase with all prior clicks of
+    the same (skewed) user before pruning."""
+    import re
+
+    from cricket_analytics_nosql_spark.operators.joins import asof_join
+
+    plan = plan_of(asof_join(spark, sf_medium))
+    assert "Join" not in plan, plan
+    hash_exchanges = re.findall(r"hashpartitioning\(user_id", plan)
+    assert len(hash_exchanges) == 1, plan
+    # the only other Exchange is the final presentation sort
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2, plan
+    assert "Window" in plan, plan
+
+
 def test_pipeline_match_pushdown_reaches_scan(spark, sf_medium):
     """A $match submitted through the Mongo-pipeline compiler must
     reach the parquet scan as PushedFilters — proof that compiled
