@@ -60,6 +60,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "mongo_pipeline_unwind_topk",
     "mongo_pipeline_lookup",
     "mongo_pipeline_bucket",
+    "mongo_pipeline_merge",
     "stream_stream_join",
     "stream_tumbling_agg",
     "stream_sliding_agg",

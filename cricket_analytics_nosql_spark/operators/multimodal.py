@@ -34,6 +34,14 @@ try:  # pragma: no cover - codec libs absent in this container
 except ImportError:
     pass
 
+# NOTE on HAVE_PIL: it is a capability flag only. The kernels below
+# always run the deterministic byte-math stand-ins — the synthetic
+# payloads are UTF-8 text, not decodable media, and the driver's
+# oracle checks pin the deterministic outputs, so installing codecs
+# must never change (or break) results. A real deployment swaps the
+# kernel BODY at the documented plug-in points, keyed on HAVE_PIL,
+# with its own golden tests.
+
 
 def attach_binary(docs: DataFrame) -> DataFrame:
     """documents → multimodal frame: payload bytes + metadata struct.
@@ -64,10 +72,6 @@ def _decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Deterministic fake 'decode': byte length, checksum of the
     first 64 bytes, and a fake frame count (bytes // 256). A real
     decoder (PIL / ffmpeg) plugs in here, same signature."""
-    if HAVE_PIL:  # pragma: no cover
-        raise NotImplementedError(
-            "real image decode not wired up; container has no codecs"
-        )
     payloads = batch["payload"]
     return pd.DataFrame(
         {
@@ -110,8 +114,6 @@ def resize_images(mm: DataFrame, max_side: int = 64) -> DataFrame:
     body (PIL ``Image.open(io.BytesIO(b)).thumbnail(...)``)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if HAVE_PIL:  # pragma: no cover
-            raise NotImplementedError("real resize needs codec libs")
         for b in batches:
             n = b["payload"].map(len)
             width = n.map(lambda x: max(1, int(x ** 0.5)))
@@ -149,8 +151,6 @@ def sample_frames(mm: DataFrame, every: int = 256, limit: int = 4) -> DataFrame:
     schema, and batch handling are the real deliverable."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if HAVE_PIL:  # pragma: no cover
-            raise NotImplementedError("real frame sampling needs ffmpeg")
         for b in batches:
             out_ids, out_nos, out_frames = [], [], []
             for doc_id, payload in zip(b["doc_id"], b["payload"]):

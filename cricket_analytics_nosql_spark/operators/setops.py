@@ -308,14 +308,47 @@ FROM orders
 
 
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — sketch parameters differ from
-    DuckDB's HLL so there is no exact oracle; the parity test instead
-    bounds relative error against the exact count (rows-only here)."""
+    """approx_count_distinct (HLL++) next to the exact count. The
+    sketch's register layout differs from DuckDB's HLL, so the approx
+    value itself can have no byte-exact oracle — instead the query
+    emits the EXACT counts (oracled exactly) plus a boolean per
+    column asserting the sketch landed within its documented ±5%
+    relative-error envelope (oracled as literal TRUE). The driver's
+    hash check therefore verifies both the exact path and the sketch
+    bound; ``tests/test_quality.py`` pins the tighter measured error.
+    At 100 TB the approx column is the one you'd ship: mergeable
+    fixed-size state, no second Expand pass over the fact."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    within = lambda approx, exact: (  # noqa: E731
+        (F.abs(F.col(approx) - F.col(exact)) / F.col(exact)) <= F.lit(0.05)
     )
+    return (
+        li.agg(
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            # rsd 1.5%: the default 5% is a *standard deviation*, so
+            # a single sketch misses a 5% gate ~1 run in 3 on small
+            # cardinalities; 1.5% keeps the gate safe at every SF for
+            # a fixed ~37 KB of register state
+            F.approx_count_distinct("l_orderkey", 0.015).alias("a_o"),
+            F.approx_count_distinct("l_partkey", 0.015).alias("a_p"),
+        )
+        .select(
+            "exact_orders",
+            "exact_parts",
+            within("a_o", "exact_orders").alias("approx_orders_ok"),
+            within("a_p", "exact_parts").alias("approx_parts_ok"),
+        )
+    )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS approx_orders_ok,
+       TRUE AS approx_parts_ok
+FROM lineitem
+"""
 
 
 def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,7 +599,7 @@ QUERIES: dict[str, QuerySpec] = {
     "scalar_function_sampler": QuerySpec(
         scalar_function_sampler, ORACLE_SCALAR_FUNCTION_SAMPLER, []
     ),
-    "approx_distinct": QuerySpec(approx_distinct, None, []),
+    "approx_distinct": QuerySpec(approx_distinct, ORACLE_APPROX_DISTINCT, []),
     "regex_functions": QuerySpec(regex_functions, ORACLE_REGEX_FUNCTIONS, []),
     "map_functions": QuerySpec(map_functions, ORACLE_MAP_FUNCTIONS, ["P1", "F2"]),
 }

@@ -187,6 +187,78 @@ FROM b GROUP BY _id ORDER BY _id
 """
 
 
+def mongo_pipeline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline dialect's WRITE path ($merge → upsert-by-key,
+    the reference's replace_one(upsert=True) sink,
+    etl_cricsheet_to_mongo.py:136): seed a balances target from
+    customer, upsert per-customer open-order spend into it through
+    the compiler, then answer from the re-read target — also through
+    the compiler. Money stays in integer cents across the merge so
+    partial-aggregation order can't move a bit."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cricket_analytics_nosql_spark.functions.scalar import cents
+
+    target = os.path.join(tempfile.mkdtemp(prefix="merge_"), "balances")
+    seed = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("_id"), cents("c_acctbal").alias("balance_c")
+    )
+    seed.write.mode("overwrite").parquet(target)
+    cents_expr = {
+        "$toLong": {"$round": [{"$multiply": ["$o_totalprice", 100]}, 0]}
+    }
+    merged = compile_pipeline(
+        load_table(spark, sf_dir, "orders"),
+        [
+            {"$match": {"o_orderstatus": "O"}},
+            {"$group": {"_id": "$o_custkey", "balance_c": {"$sum": cents_expr}}},
+            {
+                "$merge": {
+                    "into": "balances",
+                    "on": "_id",
+                    "whenMatched": "replace",
+                    "whenNotMatched": "insert",
+                }
+            },
+        ],
+        sinks={"balances": target},
+    )
+    return compile_pipeline(
+        merged,
+        [
+            {
+                "$project": {
+                    "_id": 1,
+                    "balance": {
+                        "$divide": [{"$toDouble": "$balance_c"}, 100]
+                    },
+                }
+            },
+            {"$sort": {"_id": 1}},
+        ],
+    )
+
+
+ORACLE_MONGO_MERGE = """
+WITH old AS (
+  SELECT c_custkey AS _id,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS balance_c
+  FROM customer
+), new AS (
+  SELECT o_custkey AS _id,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS balance_c
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+)
+SELECT COALESCE(new._id, old._id) AS _id,
+       CAST(COALESCE(new.balance_c, old.balance_c) AS DOUBLE) / 100 AS balance
+FROM old FULL OUTER JOIN new ON old._id = new._id
+ORDER BY _id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "mongo_pipeline_group_topk": QuerySpec(
         mongo_pipeline_group_topk, ORACLE_MONGO_GROUP_TOPK,
@@ -205,5 +277,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "mongo_pipeline_bucket": QuerySpec(
         mongo_pipeline_bucket, ORACLE_MONGO_BUCKET, ["A1", "P9"]
+    ),
+    "mongo_pipeline_merge": QuerySpec(
+        mongo_pipeline_merge, ORACLE_MONGO_MERGE, ["S3", "J6", "A9"]
     ),
 }

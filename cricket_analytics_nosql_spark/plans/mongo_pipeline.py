@@ -14,7 +14,9 @@ the natural closures ($unwind for the Cypher UNWIND shape, the
 comparison/boolean family for $match):
 
 - stages: ``$match``, ``$project``, ``$addFields``, ``$group``,
-  ``$sort``, ``$limit``, ``$unwind``, ``$count``
+  ``$sort``, ``$limit``, ``$unwind``, ``$count``, and the write
+  stages ``$out`` / ``$merge`` (terminal, via a ``sinks`` path
+  resolver)
 - accumulators: ``$sum``, ``$avg``, ``$min``, ``$max``, ``$first``,
   ``$last``, ``$push`` (collect_list), ``$addToSet`` (collect_set)
 - expressions: field paths (``"$a.b"``), literals, ``$cond``,
@@ -109,7 +111,24 @@ def compile_expr(e: Any) -> Column:
             return ~compile_expr(inner)
         if op == "$in":
             value, arr = arg
-            return compile_expr(value).isin(*[a for a in arr])
+            v = compile_expr(value)
+            if isinstance(arr, str) and arr.startswith("$"):
+                # field-path array operand: {"$in": ["$x", "$tags"]}
+                return F.array_contains(F.col(arr[1:]), v)
+            if isinstance(arr, list):
+                if all(
+                    not (isinstance(a, str) and a.startswith("$"))
+                    and not isinstance(a, dict)
+                    for a in arr
+                ):
+                    return v.isin(*arr)
+                # element expressions: membership over a built array
+                return F.array_contains(
+                    F.array(*[compile_expr(a) for a in arr]), v
+                )
+            raise ValueError(
+                f"$in: second operand must be a list or array field path: {arr!r}"
+            )
         if op == "$split":
             s, delim = arg
             return F.split(compile_expr(s), delim)
@@ -117,6 +136,17 @@ def compile_expr(e: Any) -> Column:
             return compile_expr(arg).cast("double")
         if op == "$toInt":
             return compile_expr(arg).cast("int")
+        if op == "$toLong":
+            return compile_expr(arg).cast("long")
+        if op == "$round":
+            # [num, place]; note: Spark rounds half-up where Mongo
+            # rounds half-to-even — exact halves of the chosen place
+            # differ (documented divergence)
+            if isinstance(arg, list):
+                num, place = (arg + [0])[:2]
+            else:
+                num, place = arg, 0
+            return F.round(compile_expr(num), int(place))
         if op == "$toString":
             return compile_expr(arg).cast("string")
         if op in _BINOPS:
@@ -179,8 +209,53 @@ _ACCUMULATORS = {
 }
 
 
-def _compile_group(df: DataFrame, spec: dict) -> DataFrame:
+_ORDER_SENSITIVE = {"$first", "$last", "$push"}
+
+
+def _compile_group(
+    df: DataFrame, spec: dict, sort_spec: dict | None = None
+) -> DataFrame:
+    """$group. The Mongo idiom '$sort then $group {$first: ...}'
+    (top-1-per-group) depends on row order surviving into the
+    aggregation — Spark gives NO such guarantee through a shuffle, so
+    when an order-sensitive accumulator ($first/$last/$push) follows
+    a $sort whose keys are still live columns, the sort is compiled
+    INTO the aggregation: a row_number window over (group key, sort
+    order) adds a per-group ordinal, then $first = min_by(ordinal),
+    $last = max_by(ordinal), $push = array_sort by ordinal. One extra
+    vertex-sized window sort, same single shuffle, deterministic at
+    any partition count. Without a preceding $sort the accumulators
+    fall back to F.first/F.last/collect_list, which is exactly
+    Mongo's own contract: unordered input ⇒ unspecified result."""
+    from pyspark.sql import Window
+
     _id = spec["_id"]
+    if isinstance(_id, str):
+        key_expr = compile_expr(_id)
+    elif isinstance(_id, dict) and any(k.startswith("$") for k in _id):
+        # operator expression as the key, e.g. {"$toLong": "$x"}
+        key_expr = compile_expr(_id)
+    elif isinstance(_id, dict):
+        key_expr = F.struct(*[compile_expr(v).alias(k) for k, v in _id.items()])
+    elif _id is None:
+        key_expr = None
+    else:
+        raise ValueError(f"unsupported $group _id: {_id!r}")
+
+    ordered = sort_spec is not None and any(
+        next(iter(d)) in _ORDER_SENSITIVE
+        for n, d in spec.items()
+        if n != "_id"
+    )
+    if ordered and not all(f in df.columns for f in sort_spec):
+        ordered = False  # sort keys projected away: natural-order fallback
+    rn = "__mongo_rn"
+    if ordered:
+        w = Window.partitionBy(
+            *([key_expr] if key_expr is not None else [])
+        ).orderBy(*_sort_cols(sort_spec))
+        df = df.withColumn(rn, F.row_number().over(w))
+
     aggs = []
     for name, acc_doc in spec.items():
         if name == "_id":
@@ -188,43 +263,77 @@ def _compile_group(df: DataFrame, spec: dict) -> DataFrame:
         (acc, arg), = acc_doc.items()
         if acc == "$sum" and arg == 1:
             aggs.append(F.count(F.lit(1)).alias(name))  # A2 count idiom
+        elif ordered and acc == "$first":
+            aggs.append(F.min_by(compile_expr(arg), F.col(rn)).alias(name))
+        elif ordered and acc == "$last":
+            aggs.append(F.max_by(compile_expr(arg), F.col(rn)).alias(name))
+        elif ordered and acc == "$push":
+            aggs.append(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(rn).alias("o"), compile_expr(arg).alias("v"))
+                        )
+                    ),
+                    lambda s: s.v,
+                ).alias(name)
+            )
         else:
             aggs.append(_ACCUMULATORS[acc](compile_expr(arg)).alias(name))
     if _id is None:
         return df.agg(*aggs)  # A4 global aggregate
-    if isinstance(_id, str):
-        keyed = df.withColumn("_id", compile_expr(_id))
-        return keyed.groupBy("_id").agg(*aggs)
-    if isinstance(_id, dict):
-        key = F.struct(
-            *[compile_expr(v).alias(k) for k, v in _id.items()]
-        )
-        return df.withColumn("_id", key).groupBy("_id").agg(*aggs)
-    raise ValueError(f"unsupported $group _id: {_id!r}")
+    return df.withColumn("_id", key_expr).groupBy("_id").agg(*aggs)
 
 
 def _compile_project(df: DataFrame, spec: dict) -> DataFrame:
+    """Mongo $project is modal: ALL-exclusion specs (every non-_id
+    value 0) keep everything except the named fields (→ df.drop);
+    inclusion specs keep only the named fields (plus _id unless
+    excluded). Mixing inclusion and exclusion outside _id is an
+    error in Mongo and raises here too — silently treating a 0 as
+    'skip' inside an inclusion list would drop every other column."""
+    id_rule = spec.get("_id")
+    non_id = {k: v for k, v in spec.items() if k != "_id"}
+    exclusions = [k for k, v in non_id.items() if v == 0]
+    if exclusions:
+        if len(exclusions) != len(non_id):
+            raise ValueError(
+                "$project cannot mix inclusion and exclusion "
+                f"(excluded {exclusions}, spec {spec!r})"
+            )
+        drops = exclusions + (["_id"] if id_rule == 0 else [])
+        return df.drop(*[c for c in drops if c in df.columns])
+    if not non_id:
+        # only _id mentioned: {"_id": 0} drops it, {"_id": 1} keeps it alone
+        if id_rule == 0:
+            return df.drop("_id") if "_id" in df.columns else df
+        return df.select("_id")
     cols: list[Column] = []
-    explicit_id = "_id" in spec
-    for name, rule in spec.items():
-        if rule == 0:
-            continue
+    for name, rule in non_id.items():
         if rule == 1:
             cols.append(F.col(name))
         else:
             cols.append(compile_expr(rule).alias(name))
-    # Mongo keeps _id unless projected away; only mirror when present
-    if not explicit_id and "_id" in df.columns:
+    # Mongo keeps _id unless projected away
+    if id_rule == 0:
+        pass
+    elif id_rule == 1 or ("_id" in spec and id_rule is not None):
+        head = F.col("_id") if id_rule == 1 else compile_expr(id_rule).alias("_id")
+        cols.insert(0, head)
+    elif "_id" not in spec and "_id" in df.columns:
         cols.insert(0, F.col("_id"))
     return df.select(*cols)
 
 
-def _compile_sort(df: DataFrame, spec: dict) -> DataFrame:
-    keys = [
+def _sort_cols(spec: dict) -> list[Column]:
+    return [
         F.col(f).asc() if direction >= 0 else F.col(f).desc()
         for f, direction in spec.items()
     ]
-    return df.orderBy(*keys)
+
+
+def _compile_sort(df: DataFrame, spec: dict) -> DataFrame:
+    return df.orderBy(*_sort_cols(spec))
 
 
 def _compile_unwind(df: DataFrame, spec: Any) -> DataFrame:
@@ -244,9 +353,21 @@ def _compile_lookup(
     equi-join — the foreign aggregation is shuffle-partitioned on the
     key, so the join carries one row per distinct key, not one per
     foreign row. ``$unwind`` of the array afterwards restores the
-    flat-join shape (J1)."""
+    flat-join shape (J1).
+
+    Null keys follow Mongo: a null localField matches foreign docs
+    whose foreignField is also null (``eqNullSafe``), not the empty
+    array a plain equi-join would silently produce. The ``as`` name
+    (and the internal join key) must not collide with an existing
+    input column — Mongo would overwrite; here it raises."""
     right = collections[spec["from"]]
     as_name = spec["as"]
+    for clash in (as_name, "__lookup_key"):
+        if clash in df.columns:
+            raise ValueError(
+                f"$lookup output column {clash!r} collides with an "
+                "existing input column"
+            )
     grouped = right.groupBy(
         F.col(spec["foreignField"]).alias("__lookup_key")
     ).agg(
@@ -254,7 +375,7 @@ def _compile_lookup(
     )
     joined = df.join(
         grouped,
-        df[spec["localField"]] == grouped["__lookup_key"],
+        df[spec["localField"]].eqNullSafe(grouped["__lookup_key"]),
         "left",
     ).drop("__lookup_key")
     return joined.withColumn(
@@ -262,10 +383,83 @@ def _compile_lookup(
     )
 
 
+def _apply_out_sink(
+    df: DataFrame, spec: Any, sinks: dict[str, str]
+) -> DataFrame:
+    """``$out``: replace the target collection with the pipeline
+    result (etl_cricsheet_to_mongo.py:136's drop-and-reload mode).
+    The result is materialized (localCheckpoint) before the
+    overwrite so a pipeline reading from its own target can't
+    clobber its input mid-plan; returns the re-read target."""
+    name = spec if isinstance(spec, str) else spec["coll"]
+    if name not in sinks:
+        raise ValueError(f"$out: no sink path registered for {name!r}")
+    spark = df.sparkSession
+    out = df.localCheckpoint()
+    out.write.mode("overwrite").parquet(sinks[name])
+    return spark.read.parquet(sinks[name])
+
+
+def _apply_merge_sink(
+    df: DataFrame, spec: Any, sinks: dict[str, str]
+) -> DataFrame:
+    """``$merge``: upsert the pipeline result into the target by key
+    — the pipeline dialect of the reference's
+    ``replace_one(upsert=True)`` sink (etl_cricsheet_to_mongo.py:136)
+    and of ``operators.etl.upsert_by_key``. Supported: whenMatched
+    ∈ {replace, keepExisting}, whenNotMatched ∈ {insert, discard}
+    (Mongo's defaults for the reference's shape are replace/insert).
+    Three key-joins against the existing target — all equi-joins,
+    shuffle-partitioned on the merge key — then one overwrite;
+    at 100 TB the same dataflow lands on a partition-overwrite or
+    Delta MERGE sink instead of a whole-table rewrite."""
+    name = spec["into"] if isinstance(spec, dict) else spec
+    if name not in sinks:
+        raise ValueError(f"$merge: no sink path registered for {name!r}")
+    path = sinks[name]
+    on = spec.get("on", "_id") if isinstance(spec, dict) else "_id"
+    keys = [on] if isinstance(on, str) else list(on)
+    when_matched = (
+        spec.get("whenMatched", "replace") if isinstance(spec, dict) else "replace"
+    )
+    when_not_matched = (
+        spec.get("whenNotMatched", "insert") if isinstance(spec, dict) else "insert"
+    )
+    if when_matched not in ("replace", "keepExisting"):
+        raise ValueError(f"$merge: unsupported whenMatched {when_matched!r}")
+    if when_not_matched not in ("insert", "discard"):
+        raise ValueError(
+            f"$merge: unsupported whenNotMatched {when_not_matched!r}"
+        )
+    spark = df.sparkSession
+    new = df.dropDuplicates(keys)
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # first write: target doesn't exist yet
+        existing = None
+    if existing is None:
+        result = new if when_not_matched == "insert" else new.limit(0)
+    else:
+        kept_unmatched = existing.join(new.select(*keys), keys, "left_anti")
+        if when_matched == "replace":
+            matched = new.join(existing.select(*keys), keys, "left_semi")
+        else:
+            matched = existing.join(new.select(*keys), keys, "left_semi")
+        result = kept_unmatched.unionByName(matched, allowMissingColumns=True)
+        if when_not_matched == "insert":
+            inserted = new.join(existing.select(*keys), keys, "left_anti")
+            result = result.unionByName(inserted, allowMissingColumns=True)
+    # sever lineage from the files about to be overwritten
+    result = result.localCheckpoint()
+    result.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def compile_pipeline(
     df: DataFrame,
     pipeline: list[dict],
     collections: dict[str, DataFrame] | None = None,
+    sinks: dict[str, str] | None = None,
 ) -> DataFrame:
     """Compile a Mongo aggregation pipeline onto ``df``. Stages are
     applied in order; Catalyst then optimizes the WHOLE chain (pushes
@@ -273,7 +467,13 @@ def compile_pipeline(
     $sort+$limit) — the optimizations the reference author had to
     hand-encode in stage order (SURVEY §4) happen regardless of
     stage order here. ``collections`` resolves foreign collection
-    names for ``$lookup`` / ``$unionWith``."""
+    names for ``$lookup`` / ``$unionWith``.
+
+    A ``$sort`` is remembered across order-preserving stages so a
+    later ``$group`` with $first/$last/$push compiles the ordering
+    into the aggregation (see ``_compile_group``) instead of relying
+    on row order surviving the shuffle."""
+    pending_sort: dict | None = None
     for stage in pipeline:
         if len(stage) != 1:
             raise ValueError(f"pipeline stage must have one key: {stage}")
@@ -286,7 +486,7 @@ def compile_pipeline(
             for name, rule in spec.items():
                 df = df.withColumn(name, compile_expr(rule))
         elif op == "$group":
-            df = _compile_group(df, spec)
+            df = _compile_group(df, spec, sort_spec=pending_sort)
         elif op == "$sort":
             df = _compile_sort(df, spec)
         elif op == "$limit":
@@ -346,6 +546,20 @@ def compile_pipeline(
             df = df.unionByName(
                 collections[name], allowMissingColumns=True
             )
+        elif op in ("$out", "$merge"):
+            if stage is not pipeline[-1]:
+                raise ValueError(f"{op} must be the final pipeline stage")
+            if not sinks:
+                raise ValueError(f"{op} requires a sinks path resolver")
+            if op == "$out":
+                df = _apply_out_sink(df, spec, sinks)
+            else:
+                df = _apply_merge_sink(df, spec, sinks)
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
+        if op == "$sort":
+            pending_sort = spec
+        elif op not in ("$match", "$limit", "$addFields", "$project"):
+            # $group consumed it; other stages don't preserve row order
+            pending_sort = None
     return df

@@ -56,11 +56,19 @@ def configure_session(spark: SparkSession) -> SparkSession:
     default means 200-task exchanges and 200-partition streaming
     state stores per micro-batch (measured ~24 s/streaming query at
     local[4] vs ~6 s sized) — and AQE coalescing cannot shrink the
-    state-store partitioning, which is fixed at first checkpoint."""
+    state-store partitioning, which is fixed at first checkpoint.
+
+    LOCAL MASTERS ONLY: on a cluster, ``defaultParallelism`` at
+    startup under dynamic allocation can be tiny (few executors yet),
+    and since shuffle.partitions also seeds AQE's initialPartitionNum
+    a blanket override would permanently cap shuffle/state-store
+    parallelism. Cluster sessions keep whatever the deployment
+    configured."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(spark.sparkContext.defaultParallelism),
-    )
+    if spark.sparkContext.master.startswith("local"):
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
     return spark

@@ -65,6 +65,30 @@ def test_pagerank_empty(spark):
     assert pagerank(_edges(spark, [])).count() == 0
 
 
+def test_pagerank_copartitioned_branch_matches_broadcast(spark, sf_small):
+    """The large-graph path (broadcast_max_vertices exceeded → edge
+    list pre-partitioned on the join key, w frames shuffled instead
+    of broadcast) must produce the SAME ranks as the broadcast path —
+    the physical strategy may not change the fixed point. Forced with
+    broadcast_max_vertices=0 on the real sf0.001 trade graph."""
+    from cricket_analytics_nosql_spark.operators.graph import trade_edges
+
+    edges = trade_edges(spark, sf_small)
+    small = {
+        r.id: r.pagerank
+        for r in pagerank(edges, max_iter=8, tol=None).collect()
+    }
+    big = {
+        r.id: r.pagerank
+        for r in pagerank(
+            edges, max_iter=8, tol=None, broadcast_max_vertices=0
+        ).collect()
+    }
+    assert small.keys() == big.keys()
+    for k in small:
+        assert small[k] == pytest.approx(big[k], abs=1e-9), k
+
+
 @pytest.fixture(scope="module")
 def deliveries(spark):
     rows = [

@@ -214,3 +214,71 @@ def test_multimodal_meta_struct(docs):
     row = mm.first()
     assert row.meta.mime == "text/plain"
     assert isinstance(row.payload, (bytes, bytearray))
+
+
+def test_multimodal_kernels_codec_presence_is_inert(docs, monkeypatch):
+    """Installing codec libraries must not change (or break) kernel
+    output: HAVE_PIL is a capability flag, not a dispatch switch —
+    the deterministic kernels are the pinned, oracled behavior."""
+    from cricket_analytics_nosql_spark.operators import multimodal as mm_mod
+    from cricket_analytics_nosql_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    mm = attach_binary(docs)
+    before = sorted(
+        (r.doc_id, r.n_bytes, r.head_sum) for r in decode_features(mm).collect()
+    )
+    monkeypatch.setattr(mm_mod, "HAVE_PIL", True)
+    after = sorted(
+        (r.doc_id, r.n_bytes, r.head_sum) for r in decode_features(mm).collect()
+    )
+    assert before == after
+    # the other two kernels run without raising under HAVE_PIL=True
+    assert resize_images(mm).count() == mm.count()
+    assert sample_frames(mm).count() >= mm.count()
+
+
+def test_exact_cosine_pairs_equals_all_pairs_and_prunes(spark):
+    """exact_cosine_pairs must return EXACTLY the all-pairs answer
+    (zero misses — it is an exact operator, unlike the LSH paths) on
+    clustered data where the angular cell prune genuinely fires."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        cosine,
+        exact_cosine_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    # three tight clusters around far-apart anchors + uniform noise
+    anchors = rng.randn(3, 64) * 4
+    rows = []
+    vid = 0
+    for a in anchors:
+        for _ in range(40):
+            rows.append((vid, (a + rng.randn(64) * 0.3).tolist()))
+            vid += 1
+    for _ in range(30):
+        rows.append((vid, rng.randn(64).tolist()))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    tau = 0.9
+    got = {
+        (r.v1, r.v2)
+        for r in exact_cosine_pairs(emb, tau=tau, k=6).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
+    want = {
+        (r.v1, r.v2)
+        for r in a.crossJoin(b)
+        .filter(F.col("v1") < F.col("v2"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= tau)
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 100  # the clusters actually produce near-dups

@@ -184,9 +184,11 @@ def test_group_by_document_key(spark, deliveries):
 
 def test_unsupported_stage_raises(spark, deliveries):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
-        compile_pipeline(deliveries, [{"$merge": {}}])
+        compile_pipeline(deliveries, [{"$graphLookup": {}}])
     with pytest.raises(ValueError, match="collections resolver"):
         compile_pipeline(deliveries, [{"$lookup": {}}])
+    with pytest.raises(ValueError, match="sinks path resolver"):
+        compile_pipeline(deliveries, [{"$merge": {"into": "t"}}])
 
 
 def test_expr_literal_and_concat(spark):
@@ -298,3 +300,215 @@ def test_bucket_default_and_bounds(spark, deliveries):
     ).collect()
     # runs: [4,0,6,1,0,2,0,6] → [0,1): three 0s; [1,4): 1,2; default: 4,6,6
     assert [(r._id, r["count"]) for r in got] == [(-99, 3), (0, 3), (1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Mongo-semantics edge cases: $project modality, ordered $group
+# accumulators, $in field paths, $lookup null/collision rules
+# ---------------------------------------------------------------------------
+
+
+def test_project_exclusion_mode_keeps_other_columns(spark, deliveries):
+    out = compile_pipeline(deliveries, [{"$project": {"wickets": 0}}])
+    assert "wickets" not in out.columns
+    # everything else survives — exclusion is not "skip"
+    assert set(out.columns) == set(deliveries.columns) - {"wickets"}
+    out2 = compile_pipeline(
+        deliveries, [{"$project": {"wickets": 0, "is_boundary": 0}}]
+    )
+    assert set(out2.columns) == set(deliveries.columns) - {
+        "wickets",
+        "is_boundary",
+    }
+
+
+def test_project_id_exclusion_alone(spark, deliveries):
+    withid = deliveries.withColumn("_id", F.col("matchId"))
+    out = compile_pipeline(withid, [{"$project": {"_id": 0}}])
+    assert set(out.columns) == set(deliveries.columns)
+
+
+def test_project_mixed_mode_raises(spark, deliveries):
+    with pytest.raises(ValueError, match="mix"):
+        compile_pipeline(
+            deliveries, [{"$project": {"batter": 1, "wickets": 0}}]
+        )
+
+
+def test_project_inclusion_with_id_exclusion(spark, deliveries):
+    withid = deliveries.withColumn("_id", F.col("matchId"))
+    out = compile_pipeline(
+        withid, [{"$project": {"_id": 0, "batter": 1}}]
+    )
+    assert out.columns == ["batter"]
+
+
+def test_sort_group_first_is_deterministic_across_partitions(spark):
+    """'$sort then $group {$first}' (top-1-per-group) must give the
+    sort-order answer regardless of partitioning — the compiler folds
+    the sort into the aggregation via a per-group ordinal."""
+    import random
+
+    rows = [
+        (k, v, f"p{k}_{v}")
+        for k in range(20)
+        for v in random.Random(3).sample(range(1000), 50)
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, v int, payload string"
+    ).repartition(32)
+    out = compile_pipeline(
+        df,
+        [
+            {"$sort": {"v": -1}},
+            {
+                "$group": {
+                    "_id": "$k",
+                    "best": {"$first": "$payload"},
+                    "worst": {"$last": "$payload"},
+                    "n": {"$sum": 1},
+                    "all_v": {"$push": "$v"},
+                }
+            },
+        ],
+    )
+    got = {r._id: (r.best, r.worst, r.all_v) for r in out.collect()}
+    by_k = {}
+    for k, v, p in rows:
+        by_k.setdefault(k, []).append((v, p))
+    for k, vals in by_k.items():
+        vals.sort(key=lambda t: -t[0])
+        assert got[k][0] == vals[0][1], k
+        assert got[k][1] == vals[-1][1], k
+        assert got[k][2] == [v for v, _ in vals], k
+
+
+def test_in_with_field_path_array(spark, deliveries):
+    tagged = deliveries.withColumn(
+        "tags", F.array(F.col("batter"), F.col("bowler"))
+    )
+    out = compile_pipeline(
+        tagged,
+        [
+            {"$addFields": {"kohli_involved": {"$in": ["V Kohli", "$tags"]}}},
+            {"$match": {"kohli_involved": True}},
+        ],
+    )
+    got = rows_of(out.select("batter", "bowler"))
+    assert all("V Kohli" in t for t in got)
+    assert len(got) == 4
+
+
+def test_in_rejects_non_list_literal(spark):
+    with pytest.raises(ValueError, match="\\$in"):
+        compile_expr({"$in": ["$x", "tags"]})
+
+
+def test_lookup_null_key_matches_null_foreign(spark):
+    local = spark.createDataFrame(
+        [(1, "a"), (2, None)], "id int, key string"
+    )
+    foreign = spark.createDataFrame(
+        [("a", 10), (None, 99)], "fkey string, payload int"
+    )
+    out = compile_pipeline(
+        local,
+        [
+            {
+                "$lookup": {
+                    "from": "f",
+                    "localField": "key",
+                    "foreignField": "fkey",
+                    "as": "matched",
+                }
+            }
+        ],
+        collections={"f": foreign},
+    )
+    got = {r.id: [m.payload for m in r.matched] for r in out.collect()}
+    assert got == {1: [10], 2: [99]}
+
+
+def test_lookup_as_collision_raises(spark, deliveries):
+    with pytest.raises(ValueError, match="collides"):
+        compile_pipeline(
+            deliveries,
+            [
+                {
+                    "$lookup": {
+                        "from": "f",
+                        "localField": "batter",
+                        "foreignField": "batter",
+                        "as": "wickets",
+                    }
+                }
+            ],
+            collections={"f": deliveries},
+        )
+
+
+def test_merge_sink_roundtrip_matches_dataframe_twin(spark, tmp_path):
+    """$merge writes, re-reads, and must hash-match the DataFrame-API
+    upsert twin (full-outer coalesce) for every whenMatched /
+    whenNotMatched combination supported."""
+    target = str(tmp_path / "balances")
+    existing = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "_id long, bal long"
+    )
+    incoming = spark.createDataFrame(
+        [(2, 999), (4, 400)], "_id long, bal long"
+    )
+
+    def run(when_matched, when_not_matched):
+        existing.write.mode("overwrite").parquet(target)
+        out = compile_pipeline(
+            incoming,
+            [
+                {
+                    "$merge": {
+                        "into": "t",
+                        "on": "_id",
+                        "whenMatched": when_matched,
+                        "whenNotMatched": when_not_matched,
+                    }
+                }
+            ],
+            sinks={"t": target},
+        )
+        return {r._id: r.bal for r in out.collect()}
+
+    assert run("replace", "insert") == {1: 100, 2: 999, 3: 300, 4: 400}
+    assert run("keepExisting", "insert") == {1: 100, 2: 200, 3: 300, 4: 400}
+    assert run("replace", "discard") == {1: 100, 2: 999, 3: 300}
+    # DataFrame-API twin of the default (replace/insert) mode
+    existing.write.mode("overwrite").parquet(target)
+    twin = (
+        existing.alias("o")
+        .join(incoming.alias("n"), "_id", "full_outer")
+        .select(
+            "_id",
+            F.coalesce(F.col("n.bal"), F.col("o.bal")).alias("bal"),
+        )
+    )
+    want = {r._id: r.bal for r in twin.collect()}
+    assert run("replace", "insert") == want
+
+
+def test_out_sink_replaces_target(spark, tmp_path):
+    target = str(tmp_path / "out_t")
+    spark.createDataFrame([(99, 1)], "_id long, n long").write.parquet(target)
+    src = spark.createDataFrame([(1, 10), (2, 20)], "_id long, n long")
+    out = compile_pipeline(
+        src, [{"$match": {"n": {"$gt": 0}}}, {"$out": "t"}], sinks={"t": target}
+    )
+    assert {r._id for r in out.collect()} == {1, 2}
+
+
+def test_sink_stage_must_be_terminal(spark, tmp_path):
+    src = spark.createDataFrame([(1, 10)], "_id long, n long")
+    with pytest.raises(ValueError, match="final"):
+        compile_pipeline(
+            src,
+            [{"$out": "t"}, {"$limit": 1}],
+            sinks={"t": str(tmp_path / "x")},
+        )

@@ -262,6 +262,18 @@ def test_asof_join_single_shuffle_no_join(spark, sf_medium):
     assert "Window" in plan, plan
 
 
+def test_embedding_dedup_has_no_cartesian(spark, sf_medium):
+    """The exact cosine threshold join must block through IVF-cell
+    equi-joins — no CartesianProduct over the vector table. (The only
+    nested-loop join allowed is the k×k cell-pair candidate table.)"""
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        dedup_embedding_cosine,
+    )
+
+    plan = plan_of(dedup_embedding_cosine(spark, sf_medium))
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_pipeline_match_pushdown_reaches_scan(spark, sf_medium):
     """A $match submitted through the Mongo-pipeline compiler must
     reach the parquet scan as PushedFilters — proof that compiled

@@ -45,3 +45,20 @@ def test_observed_quality_on_star_schema(spark, sf_small):
     assert got["n_rows"] == n
     assert got["nulls_l_orderkey"] == 0
     assert got["fail_discount_range"] == 0
+
+
+def test_approx_distinct_error_bound(spark, sf_medium):
+    """The HLL++ sketch must land within 5% of the exact distinct
+    count (default rsd 0.05; typically ~2%) — pins the bound that
+    approx_distinct's *_ok output columns assert."""
+    from cricket_analytics_nosql_spark.operators.setops import approx_distinct
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    row = approx_distinct(spark, sf_medium).collect()[0]
+    assert row.approx_orders_ok and row.approx_parts_ok
+    li = load_table(spark, sf_medium, "lineitem")
+    exact = li.agg(
+        F.count_distinct("l_orderkey").alias("o"),
+        F.count_distinct("l_partkey").alias("p"),
+    ).collect()[0]
+    assert row.exact_orders == exact.o and row.exact_parts == exact.p
