@@ -61,6 +61,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "mongo_pipeline_lookup",
     "mongo_pipeline_bucket",
     "mongo_pipeline_merge",
+    "sample_stratified_docs",
+    "docs_length_trim",
+    "char_ngram_profile",
     "stream_stream_join",
     "stream_tumbling_agg",
     "stream_sliding_agg",
@@ -99,6 +102,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         pysurface,
         relational,
+        sampling,
         setops,
         similarity,
         sinks,
@@ -120,6 +124,7 @@ def all_queries() -> dict[str, QuerySpec]:
         setops,
         graph,
         text,
+        sampling,
         dedup,
         similarity,
         multimodal,

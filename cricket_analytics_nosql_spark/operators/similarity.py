@@ -371,6 +371,7 @@ def exact_cosine_pairs(
     tau: float,
     centroids: DataFrame | None = None,
     k: int = 16,
+    dim: int = 64,
 ) -> DataFrame:
     """All vector pairs (v1 < v2) with cosine ≥ τ — EXACT, via
     IVF-cell blocking with an angular triangle-inequality prune.
@@ -404,7 +405,7 @@ def exact_cosine_pairs(
     import math
 
     if centroids is None:
-        centroids = kmeans_fit(emb, k=k, max_iter=3)
+        centroids = kmeans_fit(emb, k=k, max_iter=3, dim=dim)
     assigned = assign_cells(emb, centroids)
     radii = (
         assigned.join(F.broadcast(centroids), "cell")

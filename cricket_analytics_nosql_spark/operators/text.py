@@ -16,7 +16,7 @@ convention to produce identical shingle sets.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
@@ -378,7 +378,57 @@ FROM t GROUP BY lang ORDER BY lang
 """
 
 
+def char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-bigram profile, top 12 by frequency —
+    the statistic an n-gram language identifier is trained on (the
+    trained sibling of ``langid_heuristic``'s hand-rules). The
+    bigram explosion is a pure narrow expression (sequence →
+    transform → explode — no Python, no pre-shuffle), so the heavy
+    row multiplication happens inside the scan stage and the only
+    exchange carries (lang, bigram) partial counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(lower(text), i, 2))"
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("lang", "bg").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bg"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 12)
+        .orderBy("lang", "rank")
+    )
+
+
+ORACLE_CHAR_NGRAM_PROFILE = """
+WITH bgs AS (
+  SELECT lang,
+         unnest([substr(lower(text), CAST(i AS INT), 2)
+                 for i in range(1, length(text))]) AS bg
+  FROM documents
+), counts AS (
+  SELECT lang, bg, COUNT(*) AS n FROM bgs GROUP BY lang, bg
+), ranked AS (
+  SELECT lang, bg, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bg ASC) AS rank
+  FROM counts
+)
+SELECT lang, bg, n, rank FROM ranked WHERE rank <= 12
+ORDER BY lang, rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "char_ngram_profile": QuerySpec(
+        char_ngram_profile, ORACLE_CHAR_NGRAM_PROFILE, ["X-text", "A1"]
+    ),
     "token_count_bpe": QuerySpec(
         token_count_bpe, ORACLE_TOKEN_COUNT_BPE, ["X-text"]
     ),

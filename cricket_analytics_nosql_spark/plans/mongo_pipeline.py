@@ -14,9 +14,10 @@ the natural closures ($unwind for the Cypher UNWIND shape, the
 comparison/boolean family for $match):
 
 - stages: ``$match``, ``$project``, ``$addFields``, ``$group``,
-  ``$sort``, ``$limit``, ``$unwind``, ``$count``, and the write
-  stages ``$out`` / ``$merge`` (terminal, via a ``sinks`` path
-  resolver)
+  ``$sort``, ``$limit``, ``$skip``, ``$unwind`` (incl.
+  ``preserveNullAndEmptyArrays`` / ``includeArrayIndex``),
+  ``$count``, and the write stages ``$out`` / ``$merge`` (terminal,
+  via a ``sinks`` path resolver)
 - accumulators: ``$sum``, ``$avg``, ``$min``, ``$max``, ``$first``,
   ``$last``, ``$push`` (collect_list), ``$addToSet`` (collect_set)
 - expressions: field paths (``"$a.b"``), literals, ``$cond``,
@@ -172,24 +173,45 @@ _MATCH_OPS = {
     "$in": lambda c, v: c.isin(*v),
     "$nin": lambda c, v: ~c.isin(*v),
     "$exists": lambda c, v: c.isNotNull() if v else c.isNull(),
+    "$regex": lambda c, v: c.rlike(v),
+    "$mod": lambda c, v: (c % v[0]) == v[1],
 }
+
+
+def _compile_field_cond(col: Column, cond: Any) -> Column:
+    if isinstance(cond, dict):
+        preds = []
+        for op, v in cond.items():
+            if op == "$not":
+                preds.append(~_compile_field_cond(col, v))
+            elif op in _MATCH_OPS:
+                preds.append(_MATCH_OPS[op](col, v))
+            else:
+                raise ValueError(f"unsupported $match operator: {op}")
+        return _fold(preds, lambda a, b: a & b)
+    return col == cond
 
 
 def compile_match(spec: dict) -> Column:
     """{"field": value | {"$gt": v, ...}, ...} with implicit AND —
     the reference's point-lookup form (mongo_analytics_examples.py:42,
-    operator P10)."""
+    operator P10) — plus the boolean connectors of the query dialect:
+    top-level ``$and`` / ``$or`` / ``$nor`` (lists of sub-queries),
+    per-field ``$not``, and ``$regex`` / ``$mod``."""
     preds: list[Column] = []
     for field, cond in spec.items():
         if field == "$expr":
             preds.append(compile_expr(cond))
-            continue
-        col = F.col(field)
-        if isinstance(cond, dict):
-            for op, v in cond.items():
-                preds.append(_MATCH_OPS[op](col, v))
+        elif field in ("$and", "$or", "$nor"):
+            subs = [compile_match(s) for s in cond]
+            if field == "$and":
+                preds.append(_fold(subs, lambda a, b: a & b))
+            elif field == "$or":
+                preds.append(_fold(subs, lambda a, b: a | b))
+            else:
+                preds.append(~_fold(subs, lambda a, b: a | b))
         else:
-            preds.append(col == cond)
+            preds.append(_compile_field_cond(F.col(field), cond))
     return _fold(preds, lambda a, b: a & b) if preds else F.lit(True)
 
 
@@ -337,10 +359,23 @@ def _compile_sort(df: DataFrame, spec: dict) -> DataFrame:
 
 
 def _compile_unwind(df: DataFrame, spec: Any) -> DataFrame:
+    """F2: UNWIND/explode of an array field, ancestors carried along.
+    Document form supports ``preserveNullAndEmptyArrays`` (→
+    explode_outer) and ``includeArrayIndex`` (→ posexplode)."""
     path = spec["path"] if isinstance(spec, dict) else spec
     name = path[1:]
-    # F2: UNWIND/explode of an array field, ancestors carried along
-    return df.withColumn(name, F.explode(F.col(name)))
+    preserve = isinstance(spec, dict) and spec.get(
+        "preserveNullAndEmptyArrays", False
+    )
+    idx = spec.get("includeArrayIndex") if isinstance(spec, dict) else None
+    if idx is not None:
+        gen = F.posexplode_outer(F.col(name)) if preserve else F.posexplode(
+            F.col(name)
+        )
+        other = [c for c in df.columns if c != name]
+        return df.select(*other, gen.alias(idx, name))
+    gen = F.explode_outer(F.col(name)) if preserve else F.explode(F.col(name))
+    return df.withColumn(name, gen)
 
 
 def _compile_lookup(
@@ -491,6 +526,8 @@ def compile_pipeline(
             df = _compile_sort(df, spec)
         elif op == "$limit":
             df = df.limit(int(spec))
+        elif op == "$skip":
+            df = df.offset(int(spec))
         elif op == "$count":
             df = df.agg(F.count(F.lit(1)).alias(spec))
         elif op == "$unwind":
@@ -559,7 +596,7 @@ def compile_pipeline(
             raise ValueError(f"unsupported pipeline stage: {op}")
         if op == "$sort":
             pending_sort = spec
-        elif op not in ("$match", "$limit", "$addFields", "$project"):
+        elif op not in ("$match", "$limit", "$skip", "$addFields", "$project"):
             # $group consumed it; other stages don't preserve row order
             pending_sort = None
     return df

@@ -512,3 +512,64 @@ def test_sink_stage_must_be_terminal(spark, tmp_path):
             [{"$out": "t"}, {"$limit": 1}],
             sinks={"t": str(tmp_path / "x")},
         )
+
+
+def test_match_boolean_connectors_and_regex(spark, deliveries):
+    out = compile_pipeline(
+        deliveries,
+        [
+            {
+                "$match": {
+                    "$or": [
+                        {"batter": {"$regex": "^V "}},
+                        {"runs_batter": {"$gte": 6}},
+                    ],
+                    "bowler": {"$not": {"$eq": "MA Starc"}},
+                }
+            }
+        ],
+    )
+    rows = out.select("batter", "bowler", "runs_batter").collect()
+    assert rows, "connector match returned nothing"
+    for r in rows:
+        assert r.batter.startswith("V ") or r.runs_batter >= 6
+        assert r.bowler != "MA Starc"
+    nor = compile_pipeline(
+        deliveries,
+        [{"$match": {"$nor": [{"batter": "V Kohli"}, {"runs_batter": 0}]}}],
+    ).collect()
+    for r in nor:
+        assert r.batter != "V Kohli" and r.runs_batter != 0
+
+
+def test_sort_skip_limit_pagination(spark, deliveries):
+    page = compile_pipeline(
+        deliveries,
+        [
+            {"$sort": {"runs_batter": -1, "batter": 1, "bowler": 1}},
+            {"$skip": 2},
+            {"$limit": 3},
+        ],
+    ).select("runs_batter").collect()
+    full = sorted(
+        deliveries.select("runs_batter", "batter", "bowler").collect(),
+        key=lambda r: (-r.runs_batter, r.batter, r.bowler),
+    )
+    assert [r.runs_batter for r in page] == [r.runs_batter for r in full[2:5]]
+
+
+def test_unwind_options(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)], "id int, xs array<string>"
+    )
+    plain = compile_pipeline(df, [{"$unwind": "$xs"}])
+    assert plain.count() == 2
+    kept = compile_pipeline(
+        df, [{"$unwind": {"path": "$xs", "preserveNullAndEmptyArrays": True}}]
+    )
+    assert kept.count() == 4  # 2 elements + the empty + the null row
+    indexed = compile_pipeline(
+        df, [{"$unwind": {"path": "$xs", "includeArrayIndex": "i"}}]
+    )
+    got = {(r.id, r.i, r.xs) for r in indexed.collect()}
+    assert got == {(1, 0, "a"), (1, 1, "b")}
