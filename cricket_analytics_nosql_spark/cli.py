@@ -175,12 +175,40 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
             pipe = json.load(fh)
     else:
         pipe = json.loads(args.pipeline)
+
+    warehouse = args.warehouse
+
+    class _Collections(dict):
+        """$lookup/$unionWith resolver: any warehouse table by name."""
+
+        def __bool__(self):  # non-empty even before first resolve
+            return True
+
+        def __missing__(self, name):
+            df = spark.read.parquet(
+                os.path.join(warehouse, f"{name}.parquet")
+            )
+            self[name] = df
+            return df
+
+    class _Sinks(dict):
+        """$out/$merge resolver: collection name → warehouse path."""
+
+        def __bool__(self):  # non-empty even before first resolve
+            return True
+
+        def __contains__(self, name):  # every name resolves
+            return True
+
+        def __missing__(self, name):
+            return os.path.join(warehouse, f"{name}.parquet")
+
     df = spark.read.parquet(
-        os.path.join(args.warehouse, f"{args.collection}.parquet")
+        os.path.join(warehouse, f"{args.collection}.parquet")
     )
     _show(
         f"pipeline over {args.collection}",
-        compile_pipeline(df, pipe),
+        compile_pipeline(df, pipe, collections=_Collections(), sinks=_Sinks()),
         explain=args.explain,
     )
     return 0

@@ -172,8 +172,11 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 48) -> DataFrame:
     partition. (The tempting array-expression form —
     ``array_min(transform(shingles, …))`` × 48 — inlines and
     recomputes the whole shingle pipeline per seed and blows up
-    codegen; measured 100× slower.) Docs with no shingles (<3
-    tokens) drop out, same as having a null signature."""
+    codegen; measured 100× slower. A Kirsch-Mitzenmacher h1+i·h2
+    family was also tried: no measurable win — the job is row-bound,
+    not hash-bound — and the ANSI-safe masked variant correlates the
+    48 mins badly enough to sink banding recall.) Docs with no
+    shingles (<3 tokens) drop out, same as having a null signature."""
     sh = _doc_shingles(docs)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"m{i}")

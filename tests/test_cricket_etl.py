@@ -312,3 +312,62 @@ def test_cli_end_to_end(spark, tmp_path):
     edges = spark.read.parquet(os.path.join(wh, "graph", "edges"))
     assert vertices.count() > 0 and edges.count() > 0
     assert main(["analytics", "--warehouse", wh, "--limit", "1000"]) == 0
+
+
+def test_cli_pipeline_with_lookup_and_merge_sink(spark, tmp_path):
+    """CLI pipeline subcommand resolves $lookup collections and
+    $out/$merge sink paths against the warehouse directory — the
+    reference user's aggregate-then-write flow, end to end."""
+    import json
+
+    from cricket_analytics_nosql_spark.cli import main
+    from cricket_analytics_nosql_spark.sources.cricket_fixtures import (
+        write_demo_dir,
+    )
+
+    wh = str(tmp_path / "wh")
+    assert main(["etl", "--data-dir", write_demo_dir(), "--out", wh]) == 0
+    pipe = [
+        {"$group": {"_id": "$batter", "runs": {"$sum": "$runs_batter"}}},
+        {"$merge": {"into": "batter_totals", "on": "_id"}},
+    ]
+    assert main(
+        [
+            "pipeline",
+            "--warehouse",
+            wh,
+            "--collection",
+            "deliveries",
+            "--pipeline",
+            json.dumps(pipe),
+        ]
+    ) == 0
+    written = spark.read.parquet(os.path.join(wh, "batter_totals.parquet"))
+    assert written.count() > 0
+    # second run upserts idempotently (same keys → same row count)
+    n = written.count()
+    assert main(
+        ["pipeline", "--warehouse", wh, "--collection", "deliveries",
+         "--pipeline", json.dumps(pipe)]
+    ) == 0
+    assert (
+        spark.read.parquet(os.path.join(wh, "batter_totals.parquet")).count()
+        == n
+    )
+    # $lookup against a sibling warehouse table through the resolver
+    lk = [
+        {
+            "$lookup": {
+                "from": "matches",
+                "localField": "matchId",
+                "foreignField": "_id",
+                "as": "m",
+            }
+        },
+        {"$unwind": "$m"},
+        {"$group": {"_id": "$m.info.city", "balls": {"$sum": 1}}},
+    ]
+    assert main(
+        ["pipeline", "--warehouse", wh, "--collection", "deliveries",
+         "--pipeline", json.dumps(lk)]
+    ) == 0
