@@ -64,6 +64,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sample_stratified_docs",
     "docs_length_trim",
     "char_ngram_profile",
+    "cypher_trade_degree",
     "stream_stream_join",
     "stream_tumbling_agg",
     "stream_sliding_agg",

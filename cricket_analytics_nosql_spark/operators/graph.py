@@ -373,9 +373,30 @@ def player_pagerank(deliveries: DataFrame, **kw) -> DataFrame:
     )
 
 
+def cypher_trade_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3/A7 submitted as CYPHER TEXT through the front-end compiler
+    (plans/cypher.py) — the duel-stat WITH-aggregation shape
+    (cypher_queries.cypher:10-16) bound to the trade graph. The SQL
+    oracle is identical to graph_degree's, so this row proves the
+    Cypher parse → DataFrame → Catalyst path end-to-end."""
+    from cricket_analytics_nosql_spark.plans.cypher import compile_cypher
+
+    q = """
+    MATCH (c:Customer)-[r:TRADE]->(s:Supplier)
+    WITH c, count(r) AS out_degree, sum(r.weight) AS total_weight
+    RETURN c.name AS src, out_degree, total_weight
+    ORDER BY out_degree DESC, total_weight DESC, src ASC
+    LIMIT 25
+    """
+    return compile_cypher(q, trade_edges(spark, sf_dir))
+
+
 QUERIES: dict[str, QuerySpec] = {
     "graph_project": QuerySpec(
         graph_project, ORACLE_GRAPH_PROJECT, ["G1", "J1", "A8"]
+    ),
+    "cypher_trade_degree": QuerySpec(
+        cypher_trade_degree, ORACLE_GRAPH_DEGREE, ["G3", "A7", "§3.3"]
     ),
     "graph_degree": QuerySpec(
         graph_degree, ORACLE_GRAPH_DEGREE, ["G3", "A7", "T4"]

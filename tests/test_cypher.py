@@ -1,0 +1,180 @@
+"""Cypher front-end tests: the reference's EXACT Cypher statements
+(cypher_queries.cypher a/b/c/e, quoted verbatim) compiled onto the
+duel-graph edge DataFrame must agree with the native DataFrame twins
+in operators/cricket.py and operators/graph.py — the Neo4j sibling
+of the "run your existing pipelines unchanged" guarantee."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.cricket import (
+    batter_vs_bowler,
+    partnership_proxy,
+    toughest_bowlers,
+)
+from cricket_analytics_nosql_spark.operators.graph import (
+    faced_edges,
+    player_pagerank,
+)
+from cricket_analytics_nosql_spark.plans.cypher import compile_cypher
+
+BATTERS = [f"Bat{i}" for i in range(12)]
+BOWLERS = [f"Bowl{i}" for i in range(6)]
+
+
+@pytest.fixture(scope="module")
+def deliveries(spark):
+    """3000 synthetic deliveries, unique per MERGE key (over is the
+    row index) so faced_edges is 1:1 with deliveries and the edge
+    frame agrees with the raw-deliveries twins."""
+    rng = random.Random(17)
+    rows = []
+    for i in range(3000):
+        batter = rng.choice(BATTERS)
+        rows.append(
+            (
+                "M1",
+                1,
+                "TeamA" if BATTERS.index(batter) < 6 else "TeamB",
+                i,
+                1,
+                batter,
+                rng.choice(BOWLERS),
+                rng.randint(0, 6),
+                [("x", "bowled")] if rng.random() < 0.05 else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "matchId string, innings int, battingTeam string, over int, "
+        "ball int, batter string, bowler string, runs_total int, "
+        "wickets array<struct<player_out:string,kind:string>>",
+    )
+
+
+@pytest.fixture(scope="module")
+def edges(deliveries):
+    return faced_edges(deliveries)
+
+
+def test_cypher_a_head_to_head(deliveries, edges):
+    """cypher_queries.cypher:4-8, verbatim."""
+    q = """
+    MATCH (bat:Player {name:$batter})-[r:FACED]->(bow:Player {name:$bowler})
+    RETURN count(r) AS balls,
+           sum(r.runs) AS runs,
+           sum(CASE WHEN r.isWicket THEN 1 ELSE 0 END) AS outs;
+    """
+    got = compile_cypher(
+        q, edges, params={"batter": "Bat3", "bowler": "Bowl2"}
+    ).collect()[0]
+    want = batter_vs_bowler(deliveries, "Bat3", "Bowl2").collect()[0]
+    assert (got.balls, got.runs, got.outs) == (
+        want.balls,
+        want.runs,
+        want.outs,
+    )
+    assert got.balls > 0
+
+
+def test_cypher_b_toughest_bowlers(deliveries, edges):
+    """cypher_queries.cypher:10-16, verbatim."""
+    q = """
+    MATCH (bat:Player {name:$batter})-[r:FACED]->(bow:Player)
+    WITH bow, count(r) AS balls, sum(r.runs) AS runs, sum(CASE WHEN r.isWicket THEN 1 ELSE 0 END) AS outs
+    WHERE balls >= 30
+    RETURN bow.name AS bowler, balls, runs, (toFloat(runs)/balls)*100 AS strikeRate, outs
+    ORDER BY strikeRate ASC, outs DESC
+    LIMIT 10
+    """
+    got = compile_cypher(q, edges, params={"batter": "Bat1"}).collect()
+    want = toughest_bowlers(deliveries, "Bat1", min_balls=30).collect()
+    key = lambda r: (  # noqa: E731
+        r.bowler, r.balls, r.runs, round(r.strikeRate, 9), r.outs
+    )
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) > 0
+
+
+def test_cypher_c_partnership(deliveries, edges):
+    """cypher_queries.cypher:18-25, verbatim."""
+    q = """
+    MATCH (a:Player)-[r:FACED]->(bow:Player)<-[s:FACED]-(b:Player)
+    WHERE a <> b AND r.team = $team AND s.team = $team
+    WITH a,b, count(*) AS co_appearances
+    WHERE co_appearances >= 20
+    RETURN a.name, b.name, co_appearances
+    ORDER BY co_appearances DESC
+    LIMIT 20
+    """
+    got = compile_cypher(q, edges, params={"team": "TeamA"})
+    want = partnership_proxy(deliveries, "TeamA", min_co=20, limit=20)
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w
+    assert len(g) > 0
+
+
+def test_cypher_e_pagerank(deliveries, edges):
+    """cypher_queries.cypher:31-34, verbatim — routed to the
+    DataFrame PageRank."""
+    q = """
+    CALL gds.pageRank.stream('duels')
+    YIELD nodeId, score
+    RETURN gds.util.asNode(nodeId).name AS player, score
+    ORDER BY score DESC LIMIT 20
+    """
+    got = compile_cypher(q, edges).collect()
+    want = player_pagerank(deliveries).collect()
+    assert [r.player for r in got] == [r.id for r in want]
+    for g, w in zip(got, want):
+        assert g.score == pytest.approx(w.pagerank, abs=1e-6)
+
+
+def test_cypher_d_graph_project(edges):
+    """cypher_queries.cypher:28 — the projection is the collapsed
+    weighted edge frame (G1)."""
+    q = "CALL gds.graph.project('duels','Player','FACED', {relationshipProperties:['runs','isWicket']});"
+    got = compile_cypher(q, edges)
+    assert set(got.columns) == {"src", "dst", "weight"}
+    assert (
+        got.agg(F.sum("weight")).collect()[0][0] == edges.count()
+    )
+
+
+def test_cypher_rejects_unsupported(spark, edges):
+    with pytest.raises(ValueError):
+        compile_cypher("MATCH (a)-[r:T*1..3]->(b) RETURN a", edges)
+    with pytest.raises(ValueError, match="parameter"):
+        compile_cypher(
+            "MATCH (a:P {name:$missing})-[r:T]->(b:P) RETURN count(r) AS n",
+            edges,
+        )
+
+
+def test_cypher_order_of_clauses_and_params(spark, edges):
+    """WHERE on the pattern frame + arithmetic + param in WHERE."""
+    q = """
+    MATCH (a:Player)-[r:FACED]->(b:Player)
+    WHERE r.runs >= $min_runs
+    WITH b, count(r) AS n
+    RETURN b.name AS bowler, n
+    ORDER BY n DESC, bowler ASC
+    LIMIT 3
+    """
+    got = compile_cypher(q, edges, params={"min_runs": 4})
+    want = (
+        edges.filter(F.col("runs") >= 4)
+        .groupBy(F.col("dst").alias("bowler"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bowler"))
+        .limit(3)
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
