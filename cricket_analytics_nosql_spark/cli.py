@@ -214,6 +214,38 @@ def cmd_pipeline(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_cypher(args: argparse.Namespace) -> int:
+    """Run a Cypher statement (file or inline text) against the
+    warehouse's duel graph through the Cypher→DataFrame compiler —
+    the reference user's Neo4j-Browser paste, Spark-executed
+    (plans/cypher.py). ``--param k=v`` binds ``$k``."""
+    from cricket_analytics_nosql_spark.operators.graph import faced_edges
+    from cricket_analytics_nosql_spark.plans.cypher import compile_cypher
+
+    spark = _spark()
+    if os.path.exists(args.query):
+        with open(args.query) as fh:
+            query = fh.read()
+    else:
+        query = args.query
+    params: dict[str, object] = {}
+    for kv in args.param or []:
+        k, _, v = kv.partition("=")
+        try:
+            params[k] = int(v)
+        except ValueError:
+            try:
+                params[k] = float(v)
+            except ValueError:
+                params[k] = v
+    deliveries = spark.read.parquet(
+        os.path.join(args.warehouse, "deliveries.parquet")
+    )
+    edges = faced_edges(deliveries)
+    _show("cypher", compile_cypher(query, edges, params), explain=args.explain)
+    return 0
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     """Ad-hoc Spark SQL over the registered tables: the driver's
     star-schema tables (--sf-dir) and/or a cricket warehouse
@@ -272,6 +304,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     pipe.add_argument("--explain", action="store_true")
     pipe.set_defaults(fn=cmd_pipeline)
+
+    cy = sub.add_parser(
+        "cypher",
+        help="run a Cypher statement against the duel graph via the compiler",
+    )
+    cy.add_argument("--warehouse", required=True)
+    cy.add_argument(
+        "--query", required=True, help="Cypher file path or inline text"
+    )
+    cy.add_argument(
+        "--param",
+        action="append",
+        help="bind $name (repeatable): --param batter='V Kohli'",
+    )
+    cy.add_argument("--explain", action="store_true")
+    cy.set_defaults(fn=cmd_cypher)
 
     sql = sub.add_parser("sql", help="ad-hoc Spark SQL over the tables")
     sql.add_argument("--sf-dir", default=None, help="star-schema dir")

@@ -178,3 +178,23 @@ def test_cypher_order_of_clauses_and_params(spark, edges):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in want.collect()
     ]
+
+
+def test_cli_cypher_subcommand(spark, tmp_path):
+    """CLI: etl a warehouse, then run a reference-shaped Cypher
+    statement against its duel graph with a bound parameter."""
+    from cricket_analytics_nosql_spark.cli import main
+    from cricket_analytics_nosql_spark.sources.cricket_fixtures import (
+        write_demo_dir,
+    )
+
+    wh = str(tmp_path / "wh")
+    assert main(["etl", "--data-dir", write_demo_dir(), "--out", wh]) == 0
+    q = (
+        "MATCH (bat:Player {name:$batter})-[r:FACED]->(bow:Player) "
+        "RETURN count(r) AS balls, sum(r.runs) AS runs"
+    )
+    assert main(
+        ["cypher", "--warehouse", wh, "--query", q,
+         "--param", "batter=V Kohli"]
+    ) == 0
