@@ -211,3 +211,137 @@ def test_mongo_group_compiler_property(spark, rows):
         k: (len(vs), sum(vs), min(vs), max(vs)) for k, vs in acc.items()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Mongo $match compiler vs a pure-Python evaluator of the query dialect
+# ---------------------------------------------------------------------------
+
+_INT_FIELDS = ("a", "b")
+_STR_FIELD = "s"
+
+_int_leaf = st.one_of(
+    st.integers(0, 4).map(lambda v: v),  # implicit $eq
+    st.sampled_from(["$eq", "$ne", "$gt", "$gte", "$lt", "$lte"]).flatmap(
+        lambda op: st.integers(0, 4).map(lambda v: {op: v})
+    ),
+    st.lists(st.integers(0, 4), min_size=1, max_size=3).map(
+        lambda vs: {"$in": vs}
+    ),
+    st.lists(st.integers(0, 4), min_size=1, max_size=3).map(
+        lambda vs: {"$nin": vs}
+    ),
+    st.tuples(st.integers(2, 4), st.integers(0, 1)).map(
+        lambda t: {"$mod": [t[0], t[1]]}
+    ),
+)
+_str_leaf = st.one_of(
+    st.sampled_from(["xx", "xy", "yx", "yy"]),
+    st.sampled_from(["^x", "y$", "x", "zzz"]).map(lambda p: {"$regex": p}),
+)
+
+
+def _field_clause():
+    int_clause = st.tuples(st.sampled_from(_INT_FIELDS), _int_leaf)
+    not_clause = st.tuples(
+        st.sampled_from(_INT_FIELDS),
+        _int_leaf.filter(lambda c: isinstance(c, dict)).map(
+            lambda c: {"$not": c}
+        ),
+    )
+    str_clause = st.tuples(st.just(_STR_FIELD), _str_leaf)
+    return st.one_of(int_clause, str_clause, not_clause)
+
+
+_match_spec = st.recursive(
+    st.dictionaries(
+        st.just(0), _field_clause(), min_size=1, max_size=2
+    ).map(lambda d: dict(d.values())),
+    lambda children: st.one_of(
+        st.tuples(
+            st.sampled_from(["$and", "$or", "$nor"]),
+            st.lists(children, min_size=1, max_size=2),
+        ).map(lambda t: {t[0]: t[1]}),
+    ),
+    max_leaves=4,
+)
+
+
+def _ev_cond(v, cond):
+    import re as _re
+
+    if isinstance(cond, dict):
+        for op, arg in cond.items():
+            if op == "$eq":
+                ok = v == arg
+            elif op == "$ne":
+                ok = v != arg
+            elif op == "$gt":
+                ok = v > arg
+            elif op == "$gte":
+                ok = v >= arg
+            elif op == "$lt":
+                ok = v < arg
+            elif op == "$lte":
+                ok = v <= arg
+            elif op == "$in":
+                ok = v in arg
+            elif op == "$nin":
+                ok = v not in arg
+            elif op == "$mod":
+                ok = v % arg[0] == arg[1]
+            elif op == "$regex":
+                ok = _re.search(arg, v) is not None
+            elif op == "$not":
+                ok = not _ev_cond(v, arg)
+            else:  # pragma: no cover
+                raise AssertionError(op)
+            if not ok:
+                return False
+        return True
+    return v == cond
+
+
+def _ev_match(spec, row):
+    for f, cond in spec.items():
+        if f == "$and":
+            if not all(_ev_match(s, row) for s in cond):
+                return False
+        elif f == "$or":
+            if not any(_ev_match(s, row) for s in cond):
+                return False
+        elif f == "$nor":
+            if any(_ev_match(s, row) for s in cond):
+                return False
+        elif not _ev_cond(row[f], cond):
+            return False
+    return True
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(_match_spec, min_size=4, max_size=4))
+def test_match_compiler_agrees_with_python_evaluator(spark, specs):
+    """compile_match must select exactly the rows a direct Python
+    evaluation of the Mongo query dialect selects — over the full
+    (a, b, s) row space, for random nested connector specs."""
+    from cricket_analytics_nosql_spark.plans.mongo_pipeline import (
+        compile_match,
+    )
+
+    rows = [
+        (a, b, s)
+        for a in range(5)
+        for b in range(5)
+        for s in ("xx", "xy", "yx", "yy")
+    ]
+    df = spark.createDataFrame(rows, "a int, b int, s string")
+    for spec in specs:
+        got = {
+            (r.a, r.b, r.s) for r in df.filter(compile_match(spec)).collect()
+        }
+        want = {
+            (a, b, s)
+            for (a, b, s) in rows
+            if _ev_match(spec, {"a": a, "b": b, "s": s})
+        }
+        assert got == want, spec
