@@ -40,6 +40,17 @@ Supported grammar (the reference's surface + natural closure):
 Not Cypher-complete, loudly: variable-length paths, OPTIONAL MATCH,
 MERGE/CREATE, multiple labels, and map projections raise
 ``ValueError`` at parse time rather than mis-compiling.
+
+Scale note: the compiler emits the LITERAL pattern plan — a 2-hop
+pattern is an edge self-join on the shared variable, which on a hot
+middle vertex produces the full per-vertex pair set before any
+aggregation (Neo4j's own execution does the same expansion). Catalyst
+still pushes filters and prunes columns through it, but heavy
+analytical use of the 2-hop shape should prefer the pre-aggregated
+native operator (``operators/cricket.partnership_proxy``, SURVEY J3:
+per-(batter,bowler) counts first, then the join carries one row per
+pair) — the front-end is the compatibility surface, not the tuned
+path. The two produce identical results (tested).
 """
 
 from __future__ import annotations

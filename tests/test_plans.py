@@ -274,6 +274,25 @@ def test_embedding_dedup_has_no_cartesian(spark, sf_medium):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_sampling_queries_prune_and_stay_narrow(spark, sf_medium):
+    """Curation ops: the stratified-sample filter must be a narrow
+    predicate over a pruned scan (no text column read, no exchange
+    before the audit aggregation's own shuffle)."""
+    from cricket_analytics_nosql_spark.operators.sampling import (
+        docs_length_trim,
+        sample_stratified_docs,
+    )
+
+    plan = plan_of(sample_stratified_docs(spark, sf_medium))
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("text" not in ln for ln in reads), plan
+    plan2 = plan_of(docs_length_trim(spark, sf_medium))
+    reads2 = [ln for ln in plan2.splitlines() if "ReadSchema" in ln]
+    assert reads2 and all("text" not in ln for ln in reads2), plan2
+    # quantile bounds come back via a broadcast join, fact never shuffles
+    assert "BroadcastHashJoin" in plan2, plan2
+
+
 def test_pipeline_match_pushdown_reaches_scan(spark, sf_medium):
     """A $match submitted through the Mongo-pipeline compiler must
     reach the parquet scan as PushedFilters — proof that compiled
