@@ -369,10 +369,12 @@ class _Scope:
         self,
         node_cols: dict[str, str] | None = None,
         rel_cols: dict[str, dict[str, str]] | None = None,
+        columns: set[str] | None = None,
     ):
         self.node_cols = node_cols or {}
         self.rel_cols = rel_cols or {}
         self.flat = node_cols is None  # post-WITH: bare column scope
+        self.columns = columns  # known output columns in flat scope
 
     def var(self, name: str) -> Column:
         if not self.flat and name in self.node_cols:
@@ -397,8 +399,20 @@ class _Scope:
                     )
                 return F.col(self.node_cols[var])
             raise ValueError(f"cypher: unknown variable {var!r}")
-        # post-WITH: a carried node variable is its identity value, so
-        # `.name` is the column itself (e.g. WITH bow ... RETURN bow.name)
+        # post-WITH: an unaliased dotted item became a column whose
+        # NAME contains the dot (`WITH a.name, ...` → column "a.name"),
+        # and a carried node variable is its identity value, so `.name`
+        # on it is the column itself (WITH bow ... RETURN bow.name)
+        dotted = f"{var}.{prop}"
+        if self.columns is not None:
+            if dotted in self.columns:
+                return F.col(f"`{dotted}`")
+            if var in self.columns and prop == "name":
+                return F.col(var)
+            raise ValueError(
+                f"cypher: {dotted!r} resolves to no carried column "
+                f"(have {sorted(self.columns)})"
+            )
         if prop != "name":
             raise ValueError(
                 "cypher: only .name resolves on carried variables"
@@ -506,8 +520,9 @@ def _project_or_aggregate(
             if _has_agg(it.expr)
         ]
         grouped = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-        # restore the item order of the clause
-        return grouped.select(*names)
+        # restore the item order of the clause; backticks because an
+        # unaliased dotted item's NAME contains the dot
+        return grouped.select(*[F.col(f"`{n}`") for n in names])
     return df.select(
         *[
             _compile_expr(it.expr, scope, params).alias(n)
@@ -624,19 +639,20 @@ def compile_cypher(
     while p.opt("kw", "with"):
         items = p.items()
         df = _project_or_aggregate(df, items, scope, params)
-        scope = _Scope()  # post-WITH: bare column scope
+        scope = _Scope(columns=set(df.columns))  # post-WITH column scope
         if p.opt("kw", "where"):
             e = p.expr()
             df = df.filter(_boolify(_compile_expr(e, scope, params), e))
     p.eat("kw", "return")
     items = p.items()
     df = _project_or_aggregate(df, items, scope, params)
+    out_scope = _Scope(columns=set(df.columns))
     if p.opt("kw", "order"):
         p.eat("kw", "by")
         keys = []
         while True:
             e = p.expr()
-            col = _compile_expr(e, _Scope(), params)
+            col = _compile_expr(e, out_scope, params)
             if p.opt("kw", "desc"):
                 keys.append(col.desc())
             else:

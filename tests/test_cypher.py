@@ -198,3 +198,20 @@ def test_cli_cypher_subcommand(spark, tmp_path):
         ["cypher", "--warehouse", wh, "--query", q,
          "--param", "batter=V Kohli"]
     ) == 0
+
+
+def test_unaliased_dotted_items_roundtrip(spark, edges):
+    """`WITH a.name, count(*)` yields a column literally named
+    'a.name'; later references and ORDER BY must resolve it (backtick
+    handling) instead of treating the dot as struct access."""
+    q = """
+    MATCH (a:Player)-[r:FACED]->(b:Player)
+    WITH a.name, count(r) AS n
+    RETURN a.name, n
+    ORDER BY n DESC, a.name ASC
+    LIMIT 5
+    """
+    got = compile_cypher(q, edges)
+    assert got.columns == ["a.name", "n"]
+    rows = got.collect()
+    assert len(rows) == 5 and rows[0].n >= rows[-1].n
