@@ -65,6 +65,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "docs_length_trim",
     "char_ngram_profile",
     "cypher_trade_degree",
+    "repetition_stats",
+    "decontaminate",
     "stream_stream_join",
     "stream_tumbling_agg",
     "stream_sliding_agg",

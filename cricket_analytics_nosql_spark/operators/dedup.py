@@ -591,8 +591,73 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-leakage scan every
+    training-data pipeline runs before export: which corpus documents
+    share suspiciously many word-3-gram shingles with a held-out
+    benchmark set (here: doc_id < 8 plays the benchmark). The
+    benchmark's distinct shingle set is tiny and broadcasts; the
+    corpus side is the shared shingle index (one narrow explode), so
+    the scan never shuffles until the per-doc overlap count — the
+    same candidates→count shape as the LSH verify arm, and at 100 TB
+    the benchmark set stays broadcast-sized by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    bench = sh.filter(F.col("doc_id") < 8).select("s").distinct()
+    cand = sh.filter(F.col("doc_id") >= 8)
+    sizes = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlap = (
+        cand.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(sizes, "doc_id")
+        .filter(F.col("n_overlap") >= 3)
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_shingles",
+            F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias(
+                "overlap_frac"
+            ),
+        )
+        .orderBy(F.desc("n_overlap"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+ORACLE_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id < 8
+), cand AS (
+  SELECT doc_id, s FROM sh WHERE doc_id >= 8
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM cand GROUP BY doc_id
+), overlap AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM cand JOIN bench USING (s)
+  GROUP BY doc_id
+)
+SELECT o.doc_id, o.n_overlap, sz.n_shingles,
+       ROUND(CAST(o.n_overlap AS DOUBLE) / sz.n_shingles, 6) AS overlap_frac
+FROM overlap o JOIN sizes sz ON o.doc_id = sz.doc_id
+WHERE o.n_overlap >= 3
+ORDER BY o.n_overlap DESC, o.doc_id ASC
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, ORACLE_DEDUP_EXACT, ["X-dedup", "A1"]),
+    "decontaminate": QuerySpec(
+        decontaminate, ORACLE_DECONTAMINATE, ["X-dedup", "X-curation", "J1"]
+    ),
     "dedup_jaccard": QuerySpec(
         dedup_jaccard, ORACLE_DEDUP_JACCARD, ["X-dedup", "J3"], bench=True
     ),

@@ -425,7 +425,95 @@ ORDER BY lang, rank
 """
 
 
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals: per-document
+    duplicate-word and duplicate-bigram fractions, profiled per
+    language with a flag count at the documented threshold (docs
+    whose duplicate-bigram fraction exceeds 0.25 — the 'repetitive
+    junk' rule of corpus-filtering pipelines). All native array
+    expressions over the scan — no shuffle until the per-language
+    rollup, which carries integer sums only, so partial aggregation
+    is exact and the flag comparison is a single deterministic
+    division per row (no float-order hazard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens_col(F.col("text"))
+    bi = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = docs.select(
+        "lang",
+        F.size(w).alias("nw"),
+        F.size(F.array_distinct(w)).alias("dw"),
+        F.size(bi).alias("nb"),
+        F.size(F.array_distinct(bi)).alias("db"),
+    )
+    flagged = (F.col("nb") > 0) & (
+        (F.lit(1.0) - F.col("db") / F.col("nb")) > 0.25
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("total_words"),
+            F.sum("dw").alias("distinct_words"),
+            F.sum("nb").alias("total_bigrams"),
+            F.sum("db").alias("distinct_bigrams"),
+            F.sum(flagged.cast("long")).alias("n_flagged"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "distinct_words",
+            "total_bigrams",
+            "distinct_bigrams",
+            "n_flagged",
+            F.round(
+                F.lit(1.0)
+                - F.col("distinct_bigrams") / F.col("total_bigrams"),
+                6,
+            ).alias("dup_bigram_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_REPETITION_STATS = """
+WITH per_doc AS (
+  SELECT lang,
+         string_split(text, ' ') AS w,
+         [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bi
+  FROM documents
+), sized AS (
+  SELECT lang,
+         len(w) AS nw, len(list_distinct(w)) AS dw,
+         len(bi) AS nb, len(list_distinct(bi)) AS db
+  FROM per_doc
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS total_words,
+       CAST(SUM(dw) AS BIGINT) AS distinct_words,
+       CAST(SUM(nb) AS BIGINT) AS total_bigrams,
+       CAST(SUM(db) AS BIGINT) AS distinct_bigrams,
+       CAST(SUM(CASE WHEN nb > 0 AND (1.0 - CAST(db AS DOUBLE)/nb) > 0.25
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       ROUND(1.0 - CAST(SUM(db) AS DOUBLE) / SUM(nb), 6) AS dup_bigram_frac
+FROM sized
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "repetition_stats": QuerySpec(
+        repetition_stats, ORACLE_REPETITION_STATS, ["X-text", "X-curation"]
+    ),
     "char_ngram_profile": QuerySpec(
         char_ngram_profile, ORACLE_CHAR_NGRAM_PROFILE, ["X-text", "A1"]
     ),
