@@ -61,6 +61,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "mongo_pipeline_lookup",
     "mongo_pipeline_bucket",
     "mongo_pipeline_merge",
+    "mongo_pipeline_window",
     "sample_stratified_docs",
     "docs_length_trim",
     "char_ngram_profile",

@@ -242,6 +242,64 @@ def mongo_pipeline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mongo_pipeline_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$setWindowFields through the compiler: per-customer running
+    order spend (documents [unbounded, current] frame) and order
+    ordinal, trimmed to each customer's first 3 orders — the Mongo
+    window-function dialect compiled to one Exchange(custkey) +
+    partition-local Window, same plan as windows.py's native running
+    total. Money in integer cents end-to-end."""
+    cents_expr = {
+        "$toLong": {"$round": [{"$multiply": ["$o_totalprice", 100]}, 0]}
+    }
+    pipeline = [
+        {
+            "$setWindowFields": {
+                "partitionBy": "$o_custkey",
+                "sortBy": {"o_orderdate": 1, "o_orderkey": 1},
+                "output": {
+                    "run_c": {
+                        "$sum": cents_expr,
+                        "window": {"documents": ["unbounded", "current"]},
+                    },
+                    "ord_no": {"$documentNumber": {}},
+                },
+            }
+        },
+        {"$match": {"ord_no": {"$lte": 3}}},
+        {
+            "$project": {
+                "o_custkey": 1,
+                "o_orderkey": 1,
+                "ord_no": 1,
+                "running_spend": {
+                    "$divide": [{"$toDouble": "$run_c"}, 100]
+                },
+            }
+        },
+        {"$sort": {"o_custkey": 1, "ord_no": 1}},
+    ]
+    return compile_pipeline(load_table(spark, sf_dir, "orders"), pipeline)
+
+
+ORACLE_MONGO_WINDOW = """
+WITH w AS (
+  SELECT o_custkey, o_orderkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_c,
+         ROW_NUMBER()
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS ord_no
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, ord_no,
+       CAST(run_c AS DOUBLE) / 100 AS running_spend
+FROM w WHERE ord_no <= 3
+ORDER BY o_custkey, ord_no
+"""
+
+
 ORACLE_MONGO_MERGE = """
 WITH old AS (
   SELECT c_custkey AS _id,
@@ -280,5 +338,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "mongo_pipeline_merge": QuerySpec(
         mongo_pipeline_merge, ORACLE_MONGO_MERGE, ["S3", "J6", "A9"]
+    ),
+    "mongo_pipeline_window": QuerySpec(
+        mongo_pipeline_window, ORACLE_MONGO_WINDOW, ["§2.8", "T1"]
     ),
 }

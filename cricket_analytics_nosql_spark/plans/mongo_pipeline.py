@@ -16,8 +16,9 @@ comparison/boolean family for $match):
 - stages: ``$match``, ``$project``, ``$addFields``, ``$group``,
   ``$sort``, ``$limit``, ``$skip``, ``$unwind`` (incl.
   ``preserveNullAndEmptyArrays`` / ``includeArrayIndex``),
-  ``$count``, and the write stages ``$out`` / ``$merge`` (terminal,
-  via a ``sinks`` path resolver)
+  ``$count``, ``$setWindowFields`` (window functions: running
+  frames, rank family, $shift), and the write stages ``$out`` /
+  ``$merge`` (terminal, via a ``sinks`` path resolver)
 - accumulators: ``$sum``, ``$avg``, ``$min``, ``$max``, ``$first``,
   ``$last``, ``$push`` (collect_list), ``$addToSet`` (collect_set)
 - expressions: field paths (``"$a.b"``), literals, ``$cond``,
@@ -418,6 +419,88 @@ def _compile_lookup(
     )
 
 
+def _compile_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
+    """``$setWindowFields`` → Spark Window functions. Supported:
+    ``partitionBy`` (expression), ``sortBy``, and ``output`` fields
+    using ``$sum/$avg/$min/$max/$count`` (with an optional
+    ``window.documents [a, b]`` row frame; 'unbounded'/'current'/int
+    bounds — Mongo's default frame with a sortBy is
+    [unbounded, current], without one the whole partition),
+    ``$rank`` / ``$denseRank`` / ``$documentNumber``, and ``$shift``
+    (by > 0 → lead, by < 0 → lag, with ``default``). One Exchange on
+    the partition key, ranking/frames computed partition-locally —
+    the same plan the native windows.py operators produce."""
+    from pyspark.sql import Window
+
+    part = spec.get("partitionBy")
+    sort_by = spec.get("sortBy")
+    w = Window.partitionBy(
+        *([compile_expr(part)] if part is not None else [])
+    )
+    if sort_by:
+        w = w.orderBy(*_sort_cols(sort_by))
+
+    def bound(b: Any, *, is_lower: bool) -> int:
+        if b == "unbounded":
+            return (
+                Window.unboundedPreceding if is_lower
+                else Window.unboundedFollowing
+            )
+        if b == "current":
+            return Window.currentRow
+        return int(b)
+
+    out = df
+    for name, odoc in spec["output"].items():
+        odoc = dict(odoc)
+        win = odoc.pop("window", None)
+        (op, arg), = odoc.items()
+        if op in ("$rank", "$denseRank", "$documentNumber"):
+            if not sort_by:
+                raise ValueError(f"$setWindowFields: {op} requires sortBy")
+            fn = {
+                "$rank": F.rank,
+                "$denseRank": F.dense_rank,
+                "$documentNumber": F.row_number,
+            }[op]
+            out = out.withColumn(name, fn().over(w))
+            continue
+        if op == "$shift":
+            if not sort_by:
+                raise ValueError("$setWindowFields: $shift requires sortBy")
+            by = int(arg.get("by", 1))
+            default = arg.get("default")
+            expr = compile_expr(arg["output"])
+            col = (
+                F.lead(expr, by, default) if by >= 0 else F.lag(expr, -by, default)
+            )
+            out = out.withColumn(name, col.over(w))
+            continue
+        if op not in ("$sum", "$avg", "$min", "$max", "$count"):
+            raise ValueError(f"$setWindowFields: unsupported {op}")
+        if op == "$count" or (op == "$sum" and arg == 1):
+            agg = F.count(F.lit(1))
+        else:
+            agg = {
+                "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max
+            }[op](compile_expr(arg))
+        frame = w
+        if win is not None:
+            if "documents" not in win:
+                raise ValueError(
+                    "$setWindowFields: only documents (row) frames supported"
+                )
+            lo, hi = win["documents"]
+            frame = w.rowsBetween(
+                bound(lo, is_lower=True), bound(hi, is_lower=False)
+            )
+        elif sort_by:
+            # Mongo default with sortBy: [unbounded, current]
+            frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = out.withColumn(name, agg.over(frame))
+    return out
+
+
 def _apply_out_sink(
     df: DataFrame, spec: Any, sinks: dict[str, str]
 ) -> DataFrame:
@@ -530,6 +613,8 @@ def compile_pipeline(
             df = df.offset(int(spec))
         elif op == "$count":
             df = df.agg(F.count(F.lit(1)).alias(spec))
+        elif op == "$setWindowFields":
+            df = _compile_set_window_fields(df, spec)
         elif op == "$unwind":
             df = _compile_unwind(df, spec)
         elif op == "$bucket":

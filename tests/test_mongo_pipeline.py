@@ -573,3 +573,62 @@ def test_unwind_options(spark):
     )
     got = {(r.id, r.i, r.xs) for r in indexed.collect()}
     assert got == {(1, 0, "a"), (1, 1, "b")}
+
+
+def test_set_window_fields_rank_shift_and_frames(spark):
+    rows = [
+        ("a", 1, 10), ("a", 2, 20), ("a", 2, 5), ("a", 3, 1),
+        ("b", 1, 7), ("b", 2, 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v int")
+    out = compile_pipeline(
+        df,
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$k",
+                    "sortBy": {"t": 1, "v": 1},
+                    "output": {
+                        "running": {
+                            "$sum": "$v",
+                            "window": {"documents": ["unbounded", "current"]},
+                        },
+                        "total": {
+                            "$sum": "$v",
+                            "window": {"documents": ["unbounded", "unbounded"]},
+                        },
+                        "rk": {"$rank": {}},
+                        "dn": {"$documentNumber": {}},
+                        "prev_v": {"$shift": {"output": "$v", "by": -1}},
+                        "next_v": {"$shift": {"output": "$v", "by": 1, "default": -1}},
+                    },
+                }
+            },
+            {"$sort": {"k": 1, "t": 1, "v": 1}},
+        ],
+    ).collect()
+    a = [r for r in out if r.k == "a"]
+    assert [r.running for r in a] == [10, 15, 35, 36]
+    assert all(r.total == 36 for r in a)
+    assert [r.rk for r in a] == [1, 2, 3, 4]
+    assert [r.dn for r in a] == [1, 2, 3, 4]
+    assert [r.prev_v for r in a] == [None, 10, 5, 20]
+    assert [r.next_v for r in a] == [5, 20, 1, -1]
+    b = [r for r in out if r.k == "b"]
+    assert [r.running for r in b] == [7, 14]
+
+
+def test_set_window_fields_requires_sort_for_rank(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(ValueError, match="requires sortBy"):
+        compile_pipeline(
+            df,
+            [
+                {
+                    "$setWindowFields": {
+                        "partitionBy": "$k",
+                        "output": {"r": {"$rank": {}}},
+                    }
+                }
+            ],
+        )
