@@ -24,7 +24,9 @@ comparison/boolean family for $match):
 - expressions: field paths (``"$a.b"``), literals, ``$cond``,
   ``$ifNull``, ``$size``, ``$add``, ``$subtract``, ``$multiply``,
   ``$divide``, ``$concat``, ``$toDouble``, ``$toInt``, ``$toString``,
-  comparison (``$eq $ne $gt $gte $lt $lte $in``), boolean
+  ``$toLong``, ``$round``, date ops (``$year $month $dayOfMonth
+  $hour $dateToString $dateTrunc``), comparison
+  (``$eq $ne $gt $gte $lt $lte $in``), boolean
   (``$and $or $not``), ``$literal``
 
 Semantics notes (Mongo → Spark):
@@ -140,6 +142,26 @@ def compile_expr(e: Any) -> Column:
             return compile_expr(arg).cast("int")
         if op == "$toLong":
             return compile_expr(arg).cast("long")
+        if op == "$year":
+            return F.year(compile_expr(arg))
+        if op == "$month":
+            return F.month(compile_expr(arg))
+        if op == "$dayOfMonth":
+            return F.dayofmonth(compile_expr(arg))
+        if op == "$hour":
+            return F.hour(compile_expr(arg))
+        if op == "$dateToString":
+            # {"$dateToString": {"format": "%Y-%m-%d", "date": expr}}
+            fmt = arg["format"]
+            for mongo, java in (
+                ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
+                ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
+            ):
+                fmt = fmt.replace(mongo, java)
+            return F.date_format(compile_expr(arg["date"]), fmt)
+        if op == "$dateTrunc":
+            # {"$dateTrunc": {"date": expr, "unit": "day"|"hour"|...}}
+            return F.date_trunc(arg["unit"], compile_expr(arg["date"]))
         if op == "$round":
             # [num, place]; note: Spark rounds half-up where Mongo
             # rounds half-to-even — exact halves of the chosen place

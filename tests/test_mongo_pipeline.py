@@ -632,3 +632,34 @@ def test_set_window_fields_requires_sort_for_rank(spark):
                 }
             ],
         )
+
+
+def test_date_expression_operators(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 7, 14, 45, 9),)], "ts timestamp"
+    )
+    out = compile_pipeline(
+        df,
+        [
+            {
+                "$addFields": {
+                    "y": {"$year": "$ts"},
+                    "m": {"$month": "$ts"},
+                    "d": {"$dayOfMonth": "$ts"},
+                    "h": {"$hour": "$ts"},
+                    "s": {
+                        "$dateToString": {
+                            "format": "%Y-%m-%d %H:%M",
+                            "date": "$ts",
+                        }
+                    },
+                    "trunc": {"$dateTrunc": {"date": "$ts", "unit": "hour"}},
+                }
+            }
+        ],
+    ).collect()[0]
+    assert (out.y, out.m, out.d, out.h) == (2024, 3, 7, 14)
+    assert out.s == "2024-03-07 14:45"
+    assert out.trunc.minute == 0 and out.trunc.hour == 14

@@ -287,3 +287,47 @@ def test_stream_stream_join_batch_parity(spark, sf_small):
     b = sorted(tuple(r) for r in batch.collect())
     s = sorted(tuple(r) for r in streamed.collect())
     assert b == s and len(b) > 0
+
+
+def test_pipeline_compiler_composes_with_streams(spark, sf_small):
+    """A Mongo-pipeline document compiled onto a STREAMING frame must
+    produce the same result as on the batch frame — the front-end is
+    engine-orthogonal because it only builds DataFrame expressions
+    ($match/$addFields/$group compile to the same Catalyst plan under
+    the micro-batch planner)."""
+    from cricket_analytics_nosql_spark.plans.mongo_pipeline import (
+        compile_pipeline,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+    from cricket_analytics_nosql_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stage_event_files,
+    )
+
+    pipe = [
+        {"$match": {"event_type": {"$in": ["click", "purchase"]}}},
+        {
+            "$addFields": {
+                "value_c": {
+                    "$toLong": {"$round": [{"$multiply": ["$value", 100]}, 0]}
+                },
+                "day": {"$dateTrunc": {"date": "$ts", "unit": "day"}},
+            }
+        },
+        {
+            "$group": {
+                "_id": {"t": "$event_type", "d": "$day"},
+                "n": {"$sum": 1},
+                "total_c": {"$sum": "$value_c"},
+            }
+        },
+    ]
+    batch = compile_pipeline(load_table(spark, sf_small, "events"), pipe)
+    staged = stage_event_files(spark, sf_small)
+    streamed = run_available_now(
+        compile_pipeline(read_events_stream(spark, staged), pipe), "complete"
+    )
+    b = sorted((r._id.t, r._id.d, r.n, r.total_c) for r in batch.collect())
+    s = sorted((r._id.t, r._id.d, r.n, r.total_c) for r in streamed.collect())
+    assert b == s and len(b) > 0
