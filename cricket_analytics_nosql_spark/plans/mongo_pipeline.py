@@ -659,8 +659,15 @@ def compile_pipeline(
             df = _compile_group(
                 df, {"_id": spec, "count": {"$sum": 1}}
             ).orderBy(F.col("count").desc(), F.col("_id").asc())
-        elif op == "$replaceRoot":
-            root = spec["newRoot"] if isinstance(spec, dict) else spec
+        elif op == "$unset":
+            # sugar for an all-exclusion $project
+            fields = [spec] if isinstance(spec, str) else list(spec)
+            df = df.drop(*[f for f in fields if f in df.columns])
+        elif op in ("$replaceRoot", "$replaceWith"):
+            if op == "$replaceRoot":
+                root = spec["newRoot"] if isinstance(spec, dict) else spec
+            else:
+                root = spec
             df = df.select(compile_expr(root).alias("__root")).select(
                 "__root.*"
             )

@@ -663,3 +663,15 @@ def test_date_expression_operators(spark):
     assert (out.y, out.m, out.d, out.h) == (2024, 3, 7, 14)
     assert out.s == "2024-03-07 14:45"
     assert out.trunc.minute == 0 and out.trunc.hour == 14
+
+
+def test_unset_and_replace_with(spark, deliveries):
+    out = compile_pipeline(deliveries, [{"$unset": ["wickets", "is_boundary"]}])
+    assert set(out.columns) == set(deliveries.columns) - {"wickets", "is_boundary"}
+    out2 = compile_pipeline(deliveries, [{"$unset": "wickets"}])
+    assert "wickets" not in out2.columns
+    nested = deliveries.select(
+        F.struct("batter", "bowler").alias("duel"), "runs_batter"
+    )
+    out3 = compile_pipeline(nested, [{"$replaceWith": "$duel"}])
+    assert out3.columns == ["batter", "bowler"]
