@@ -379,6 +379,18 @@ class _Scope:
     def var(self, name: str) -> Column:
         if not self.flat and name in self.node_cols:
             return F.col(self.node_cols[name])
+        if not self.flat and name in self.rel_cols:
+            raise ValueError(
+                f"cypher: relationship {name!r} is not a value — "
+                "reference a property (e.g. "
+                f"{name}.{next(iter(self.rel_cols[name]), 'prop')}) "
+                "or count it"
+            )
+        if self.flat and self.columns is not None and name not in self.columns:
+            raise ValueError(
+                f"cypher: unknown name {name!r} "
+                f"(carried columns: {sorted(self.columns)})"
+            )
         return F.col(name)
 
     def prop(self, var: str, prop: str) -> Column:
