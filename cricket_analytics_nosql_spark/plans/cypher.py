@@ -370,11 +370,15 @@ class _Scope:
         node_cols: dict[str, str] | None = None,
         rel_cols: dict[str, dict[str, str]] | None = None,
         columns: set[str] | None = None,
+        rel_markers: dict[str, str] | None = None,
     ):
         self.node_cols = node_cols or {}
         self.rel_cols = rel_cols or {}
         self.flat = node_cols is None  # post-WITH: bare column scope
         self.columns = columns  # known output columns in flat scope
+        # per-relationship presence marker (null when an OPTIONAL
+        # MATCH found nothing) — what count(r) counts
+        self.rel_markers = rel_markers or {}
 
     def var(self, name: str) -> Column:
         if not self.flat and name in self.node_cols:
@@ -486,14 +490,19 @@ def _compile_expr(e: Any, scope: _Scope, params: dict[str, Any]) -> Column:
             if name == "count":
                 if not args or args[0][0] == "star":
                     return F.count(F.lit(1))
-                # count(r) over a bound relationship = row count
+                # count(r) over a bound relationship: counts rows where
+                # the relationship matched (marker null under a failed
+                # OPTIONAL MATCH, always 1 on an inner pattern)
                 a0 = args[0]
                 if (
                     a0[0] == "var"
                     and not scope.flat
                     and a0[1] in scope.rel_cols
                 ):
-                    return F.count(F.lit(1))
+                    marker = scope.rel_markers.get(a0[1])
+                    return (
+                        F.count(F.col(marker)) if marker else F.count(F.lit(1))
+                    )
                 inner = _compile_expr(args[0], scope, params)
                 return (
                     F.count_distinct(inner) if distinct else F.count(inner)
@@ -555,6 +564,7 @@ def _build_pattern_frame(
         raise ValueError("cypher: at most 2 hops supported")
     node_cols: dict[str, str] = {}
     rel_cols: dict[str, dict[str, str]] = {}
+    rel_markers: dict[str, str] = {}
     props = [c for c in edges.columns if c not in ("src", "dst")]
     frames: list[DataFrame] = []
     for i, hop in enumerate(hops):
@@ -562,6 +572,7 @@ def _build_pattern_frame(
         sel = [
             F.col("src").alias(f"__v_{hop.left}"),
             F.col("dst").alias(f"__v_{hop.right}"),
+            F.lit(1).alias(f"__m_{rel}"),
         ]
         for p in props:
             sel.append(F.col(p).alias(f"__p_{rel}_{p}"))
@@ -569,6 +580,7 @@ def _build_pattern_frame(
         node_cols.setdefault(hop.left, f"__v_{hop.left}")
         node_cols.setdefault(hop.right, f"__v_{hop.right}")
         rel_cols[rel] = {p: f"__p_{rel}_{p}" for p in props}
+        rel_markers[rel] = f"__m_{rel}"
     df = frames[0]
     if len(frames) == 2:
         shared = [
@@ -578,7 +590,7 @@ def _build_pattern_frame(
         if not shared:
             raise ValueError("cypher: 2-hop pattern must share a variable")
         df = df.join(frames[1], shared)
-    scope = _Scope(node_cols, rel_cols)
+    scope = _Scope(node_cols, rel_cols, rel_markers=rel_markers)
     # node property-map filters ({name: $x}): name is the identity
     for n in nodes:
         for k, v in n.props.items():
@@ -648,6 +660,31 @@ def compile_cypher(
     if p.opt("kw", "where"):
         e = p.expr()
         df = df.filter(_boolify(_compile_expr(e, scope, params), e))
+    # OPTIONAL MATCH: Cypher's left join — the optional pattern (with
+    # its own WHERE applied BEFORE the join, per Cypher semantics:
+    # non-matching rows survive with nulls) joins on the node
+    # variables shared with the mandatory pattern.
+    while p.at("id") and p.peek().text.lower() == "optional":
+        p.eat("id")
+        p.eat("kw", "match")
+        o_nodes, o_hops = p.pattern()
+        o_df, o_scope = _build_pattern_frame(edges, o_nodes, o_hops, params)
+        if p.opt("kw", "where"):
+            e = p.expr()
+            o_df = o_df.filter(
+                _boolify(_compile_expr(e, o_scope, params), e)
+            )
+        shared = [c for c in df.columns if c in o_df.columns]
+        if not shared:
+            raise ValueError(
+                "cypher: OPTIONAL MATCH must share a variable with MATCH"
+            )
+        df = df.join(o_df, shared, "left")
+        scope = _Scope(
+            {**o_scope.node_cols, **scope.node_cols},
+            {**o_scope.rel_cols, **scope.rel_cols},
+            rel_markers={**o_scope.rel_markers, **scope.rel_markers},
+        )
     while p.opt("kw", "with"):
         items = p.items()
         df = _project_or_aggregate(df, items, scope, params)

@@ -215,3 +215,41 @@ def test_unaliased_dotted_items_roundtrip(spark, edges):
     assert got.columns == ["a.name", "n"]
     rows = got.collect()
     assert len(rows) == 5 and rows[0].n >= rows[-1].n
+
+
+def test_optional_match_left_join_semantics(spark, edges):
+    """OPTIONAL MATCH keeps non-matching rows with nulls: every
+    batter appears, count(s) is 0 where the optional pattern (facing
+    a specific bowler for >= 6 runs) found nothing, and sum skips
+    the nulls."""
+    q = """
+    MATCH (a:Player)-[r:FACED]->(x:Player)
+    OPTIONAL MATCH (a)-[s:FACED]->(star:Player {name:'Bowl0'})
+    WHERE s.runs >= 6
+    WITH a, count(r) AS pairs, count(s) AS star_hits, sum(s.runs) AS star_runs
+    RETURN a.name AS batter, pairs, star_hits, star_runs
+    ORDER BY batter ASC
+    """
+    got = {r.batter: (r.star_hits, r.star_runs) for r in
+           compile_cypher(q, edges).collect()}
+    # twin: per batter, the number of >=6-run deliveries to Bowl0
+    want = {
+        r.src: (r.n, r.tot)
+        for r in edges.filter(
+            (F.col("dst") == "Bowl0") & (F.col("runs") >= 6)
+        )
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("runs").alias("tot"))
+        .collect()
+    }
+    all_batters = {r.src for r in edges.select("src").distinct().collect()}
+    assert set(got) == all_batters  # nobody dropped
+    for b in all_batters:
+        wn, wt = want.get(b, (0, None))
+        # optional multiplicity: each mandatory row of `a` repeats the
+        # optional matches, so counts scale by the batter's pair rows
+        pairs = [r for r in compile_cypher(
+            "MATCH (a:Player)-[r:FACED]->(x:Player) WITH a, count(r) AS p "
+            "RETURN a.name AS b, p", edges).collect() if r.b == b][0].p
+        assert got[b][0] == wn * pairs
+        assert got[b][1] == (wt * pairs if wt is not None else None)
