@@ -112,6 +112,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sinks,
         skew,
         text,
+        training,
         windows,
     )
 
@@ -133,6 +134,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         multimodal,
         skew,
+        training,
         cricket,
         sinks,
         pysurface,

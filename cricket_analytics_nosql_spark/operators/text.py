@@ -510,7 +510,108 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# PII detection / redaction
+
+# Portable regex subset: character classes, bounded repeats and \b
+# behave identically under Java regex (Spark) and RE2 (DuckDB) — no
+# lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email, then IP, then phone match with a typed
+    placeholder. Email runs first so its domain dots are consumed
+    before the IP pattern can see them."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IP_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over documents: per-doc match
+    counts by type and the scrubbed text. Pure regex expressions in
+    the scan stage — the 100 TB shape is a narrow map with zero
+    shuffles (the orderBy here is presentation-only).
+
+    The synthetic corpus contains no PII, so the query first injects
+    a deterministic, doc_id-derived contact tail (emails / phone /
+    IPv4, with per-doc presence varying on doc_id so the counts are
+    non-constant) and then scrubs it — the detector is exercised on
+    known ground truth and the oracle checks both the counts and the
+    redacted strings byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    tail = F.concat(
+        F.lit(" contact user"), s(did), F.lit("@example.com"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" cc admin"), s(did), F.lit("@mail.example.org")),
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit(" call 555-"), F.lpad(s(did % 10000), 4, "0")
+            )
+        ),
+        F.lit(" host 10.0."), s(did % 256), F.lit("."), s((did * 7) % 256),
+    )
+    with_pii = docs.select(did.alias("doc_id"), F.concat("text", tail).alias("t"))
+    return (
+        with_pii.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL_RE), 0)).alias(
+                "n_emails"
+            ),
+            F.size(F.regexp_extract_all("t", F.lit(PII_PHONE_RE), 0)).alias(
+                "n_phones"
+            ),
+            F.size(F.regexp_extract_all("t", F.lit(PII_IP_RE), 0)).alias(
+                "n_ips"
+            ),
+            redact_pii(F.col("t")).alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# NOTE: RE2 needs the same literal patterns; DuckDB regexp_replace is
+# first-match-only without the 'g' flag.
+_SQL_EMAIL = PII_EMAIL_RE
+_SQL_PHONE = PII_PHONE_RE
+_SQL_IP = PII_IP_RE
+
+ORACLE_PII_SCRUB = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ''
+                 ELSE ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END
+         || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+         || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_SQL_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_SQL_PHONE}')) AS n_phones,
+       len(regexp_extract_all(t, '{_SQL_IP}')) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{_SQL_EMAIL}', '<EMAIL>', 'g'),
+           '{_SQL_IP}', '<IP>', 'g'),
+         '{_SQL_PHONE}', '<PHONE>', 'g') AS redacted
+FROM injected
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pii_scrub": QuerySpec(pii_scrub, ORACLE_PII_SCRUB, ["X-text", "X-curation"]),
     "repetition_stats": QuerySpec(
         repetition_stats, ORACLE_REPETITION_STATS, ["X-text", "X-curation"]
     ),

@@ -1,0 +1,238 @@
+"""Training-data export operators over the ``documents`` table —
+SURVEY.md §2.13 extension (the last mile of an LLM data pipeline:
+split, pack, rebalance, scrub before tokens hit the trainer).
+
+Reference analogue: none — the reference stops at analytics
+(`mongo_analytics_examples.py`); these are the operations the north
+star's 100 TB training-corpus mandate adds on top. Every operator is
+pure native expressions (narrow maps + one small aggregate), so the
+fact table rides the scan and never shuffles unless the semantics
+demand a window.
+
+Determinism rule shared by the whole module: anything that samples
+or routes rows does it off the stable ``doc_id`` key, never RNG
+state — reruns, repartitions, and different engines must agree
+row-for-row (the property that makes a corpus split auditable).
+On real corpora with structured ids, swap the plain modulo for
+``F.pmod(F.xxhash64(key), denom)`` — same plan shape, no SQL oracle
+(xxhash64 is Spark-specific), which is why the oracled forms keep
+the modulo (same trade documented in ``sampling.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# deterministic train/val/test split
+
+SPLIT_DENOM = 100
+TRAIN_LT = 80  # doc_id % 100 in [0, 80)  -> train
+VAL_LT = 90    # [80, 90) -> val, [90, 100) -> test
+
+
+def split_column(key, denom: int = SPLIT_DENOM):
+    """'train' / 'val' / 'test' from a stable integer key. A narrow
+    expression — the split is a *property of the row*, not of a job:
+    any engine, any partitioning, any rerun lands the row in the same
+    split, and membership can be re-derived (and so audited) at read
+    time without storing an assignment table."""
+    bucket = F.pmod(key, F.lit(denom))
+    return (
+        F.when(bucket < TRAIN_LT, F.lit("train"))
+        .when(bucket < VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the split audit table — per (source, split) doc
+    counts and char mass. One narrow map + one tiny aggregate; at
+    100 TB the shuffle carries |sources| x 3 rows per map partition."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        docs.withColumn("split", split_column(F.col("doc_id")))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+ORACLE_TRAIN_VAL_TEST_SPLIT = f"""
+SELECT source,
+       CASE WHEN doc_id % {SPLIT_DENOM} < {TRAIN_LT} THEN 'train'
+            WHEN doc_id % {SPLIT_DENOM} < {VAL_LT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM documents
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+# --------------------------------------------------------------------------
+# sequence packing (concat-and-split)
+
+PACK_BUDGET = 256  # tokens per packed sequence
+
+
+def pack_sequences_assign(
+    df: DataFrame, stream: str, order: str, tokens: str, budget: int
+) -> DataFrame:
+    """Concat-and-split packing: within each ``stream``, documents
+    are laid end-to-end in ``order`` and the tape is cut every
+    ``budget`` tokens — a doc's sequence id is the cut its first
+    token falls into (GPT-style packing; boundary docs continue into
+    the next sequence, flagged ``overflows``).
+
+    Greedy first-fit bin packing is inherently sequential and cannot
+    be a window expression; concat-and-split is what large pipelines
+    actually run *because* it is one running sum: a single exchange
+    on the stream key, a partition-local sort, zero waste (no bin
+    ever ends short). Adds columns ``seq_no`` and ``overflows``."""
+    w = (
+        Window.partitionBy(stream)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens).over(w), F.lit(0))
+    seq_no = F.floor(cum_before / budget)
+    return df.withColumn("seq_no", seq_no).withColumn(
+        "overflows",
+        ((cum_before + F.col(tokens)) > (seq_no + 1) * budget).cast("int"),
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: pack documents into {PACK_BUDGET}-token
+    sequences per language stream (whitespace token counts), one row
+    per packed sequence: docs packed, tokens packed, docs that spill
+    into the next sequence."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    packed = pack_sequences_assign(docs, "lang", "doc_id", "n_tokens", PACK_BUDGET)
+    return (
+        packed.groupBy("lang", "seq_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("overflows").alias("n_overflow_docs"),
+        )
+        .orderBy("lang", "seq_no")
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH tok AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM tok
+)
+SELECT lang,
+       CAST(FLOOR(cum_before / {PACK_BUDGET}) AS BIGINT) AS seq_no,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN cum_before + n_tokens >
+                     (FLOOR(cum_before / {PACK_BUDGET}) + 1) * {PACK_BUDGET}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_docs
+FROM cum
+GROUP BY lang, seq_no
+ORDER BY lang, seq_no
+"""
+
+# --------------------------------------------------------------------------
+# domain-mixture rebalancing
+
+MIX_DENOM = 10_000
+
+
+def mixture_rates(counts: DataFrame, count_col: str = "n") -> DataFrame:
+    """Downsample-to-uniform keep rates: every source is cut to the
+    size of the smallest one (rate = floor(DENOM * min/n) out of
+    DENOM). The rates frame is |sources| rows — driver-free to
+    compute, broadcast back onto the fact."""
+    mn = counts.agg(F.min(count_col).alias("__mn"))
+    return counts.crossJoin(F.broadcast(mn)).select(
+        "*",
+        F.floor(F.lit(float(MIX_DENOM)) * F.col("__mn") / F.col(count_col))
+        .alias("keep_rate"),
+    ).drop("__mn")
+
+
+def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: rebalance the corpus to a uniform source
+    mixture by deterministic downsampling; audit rows of
+    (source, n_before, keep_rate, n_after). Two passes over the
+    (pruned, 2-column) fact: one tiny count aggregate, then a narrow
+    broadcast-joined filter — the 100 TB text column is read zero
+    times."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    rates = mixture_rates(counts, "n_before")
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(F.pmod(F.col("doc_id"), F.lit(MIX_DENOM)) < F.col("keep_rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_before",
+            "keep_rate",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOMAIN_MIXTURE = f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n_before FROM documents GROUP BY source
+), r AS (
+  SELECT source, n_before,
+         CAST(FLOOR({float(MIX_DENOM)} * (SELECT MIN(n_before) FROM c) / n_before)
+              AS BIGINT) AS keep_rate
+  FROM c
+), kept AS (
+  SELECT d.source, COUNT(*) AS n_after
+  FROM documents d JOIN r ON d.source = r.source
+  WHERE d.doc_id % {MIX_DENOM} < r.keep_rate
+  GROUP BY d.source
+)
+SELECT r.source, r.n_before, r.keep_rate,
+       COALESCE(kept.n_after, 0) AS n_after
+FROM r LEFT JOIN kept ON r.source = kept.source
+ORDER BY r.source
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "train_val_test_split": QuerySpec(
+        train_val_test_split, ORACLE_TRAIN_VAL_TEST_SPLIT, ["X-training"]
+    ),
+    "pack_sequences": QuerySpec(
+        pack_sequences, ORACLE_PACK_SEQUENCES, ["X-training", "§2.8"]
+    ),
+    "domain_mixture_resample": QuerySpec(
+        domain_mixture_resample, ORACLE_DOMAIN_MIXTURE, ["X-training", "J1"]
+    ),
+}

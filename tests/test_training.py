@@ -1,0 +1,112 @@
+"""Unit/invariant tests for the training-data export operators
+(operators/training.py) and PII scrubbing (operators/text.py) —
+properties the DuckDB oracle can't state (completeness, partition
+laws), per SURVEY.md §5.
+
+The oracle-differential check for these queries lives in
+tests/test_oracle_parity.py like every other catalog entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators import text as text_ops
+from cricket_analytics_nosql_spark.operators import training
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+
+def test_split_partitions_corpus(spark, sf_small):
+    """Every document lands in exactly one split; the audit table's
+    counts re-add to the corpus size."""
+    docs = load_table(spark, sf_small, "documents")
+    total = docs.count()
+    audit = training.train_val_test_split(spark, sf_small)
+    agg = audit.agg(
+        F.sum("n_docs").alias("n"),
+        F.countDistinct("split").alias("k"),
+    ).first()
+    assert agg.n == total
+    assert agg.k == 3
+
+
+def test_split_is_rerun_and_partitioning_stable(spark, sf_small):
+    """The split column is a pure function of the key: recomputing
+    on a repartitioned frame yields the identical assignment."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id")
+    a = docs.withColumn("s", training.split_column(F.col("doc_id")))
+    b = (
+        docs.repartition(13)
+        .withColumn("s", training.split_column(F.col("doc_id")))
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pack_sequences_laws(spark, sf_small):
+    """Packing laws: every doc is packed exactly once; seq_no is a
+    dense-enough prefix (starts at 0 per stream); no sequence except
+    a stream's last is 'short' (ends before budget without an
+    overflowing doc) — the zero-waste property of concat-and-split."""
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    packed = training.pack_sequences_assign(
+        docs, "lang", "doc_id", "n_tokens", training.PACK_BUDGET
+    )
+    assert packed.count() == docs.count()
+    per_seq = (
+        packed.groupBy("lang", "seq_no")
+        .agg(F.sum("n_tokens").alias("tok"), F.max("overflows").alias("ovf"))
+    )
+    # first sequence of every stream is numbered 0
+    firsts = per_seq.groupBy("lang").agg(F.min("seq_no").alias("m"))
+    assert firsts.filter(F.col("m") != 0).count() == 0
+    # every non-final sequence either fills the budget with whole
+    # docs or ends in a doc that overflows into the next sequence
+    last = per_seq.groupBy("lang").agg(F.max("seq_no").alias("last_seq"))
+    bad = (
+        per_seq.join(last, "lang")
+        .filter(F.col("seq_no") != F.col("last_seq"))
+        .filter((F.col("tok") < training.PACK_BUDGET) & (F.col("ovf") == 0))
+    )
+    assert bad.count() == 0
+
+
+def test_mixture_resample_uniformizes(spark, sf_small):
+    """Downsample-to-uniform: no source grows, and every achieved
+    size is within the deterministic-modulo quantization error of
+    the smallest source's size."""
+    audit = training.domain_mixture_resample(spark, sf_small).collect()
+    mn = min(r.n_before for r in audit)
+    for r in audit:
+        assert r.n_after <= r.n_before
+        # rate is exact for the min source (keep_rate == DENOM)
+        if r.n_before == mn:
+            assert r.n_after == r.n_before
+    sizes = [r.n_after for r in audit]
+    # achieved sizes cluster at the target: spread bounded by the
+    # per-source quantization of a DENOM-grid rate on doc_id % DENOM
+    assert max(sizes) - min(sizes) <= max(3, mn // 10)
+
+
+def test_pii_scrub_is_complete(spark, sf_small):
+    """Scrub completeness: after redaction none of the three PII
+    patterns match anywhere (the property the byte-equality oracle
+    can't express), and per-type counts match the injection rule."""
+    out = training  # noqa: F841  (module import exercised above)
+    df = text_ops.pii_scrub(spark, sf_small)
+    residue = df.select(
+        F.sum(
+            F.size(F.regexp_extract_all("redacted", F.lit(text_ops.PII_EMAIL_RE), 0))
+            + F.size(F.regexp_extract_all("redacted", F.lit(text_ops.PII_PHONE_RE), 0))
+            + F.size(F.regexp_extract_all("redacted", F.lit(text_ops.PII_IP_RE), 0))
+        ).alias("n")
+    ).first()
+    assert residue.n == 0
+    rows = df.select("doc_id", "n_emails", "n_phones", "n_ips").collect()
+    for r in rows:
+        assert r.n_emails == (2 if r.doc_id % 3 == 0 else 1)
+        assert r.n_phones == (0 if r.doc_id % 5 == 0 else 1)
+        assert r.n_ips == 1
