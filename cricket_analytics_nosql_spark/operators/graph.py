@@ -16,8 +16,11 @@ contrib shuffle via rollup, fetched as one row — and an optional
 convergence delta); ranks themselves stay distributed.
 
 Generic testdata binding: the customer↔supplier trade graph
-(who bought from whom, via lineitem×orders) — a natural bipartite
-graph whose PageRank surfaces high-flow trading hubs.
+(who bought from whom, via lineitem×orders). For PageRank the
+graph is made bidirectional (goods flow one way, payment flows
+back) with the two vertex namespaces kept disjoint — raw custkey
+and suppkey ranges overlap, and a shared id space would silently
+conflate customer k with supplier k.
 """
 
 from __future__ import annotations
@@ -190,7 +193,14 @@ def pagerank(
 
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(2, m // 500_000)
+    # One knob sizes BOTH sides of the per-round job: the link scan's
+    # task count (links are repartitioned to this below) and the
+    # contrib shuffle. Locally the loop is task-launch-bound, so
+    # fewer/fatter partitions win (measured at 1.2M edges on
+    # local[32]: 8 parts ≈ 0.23 s/round vs 64 natural ≈ 0.35 s); at
+    # cluster scale the same formula (~150k edge rows ≈ 5 MB per
+    # task) keeps partitions comfortably in-memory.
+    loop_parts = max(2, m // 150_000)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     d = float(damping)
@@ -205,8 +215,13 @@ def pagerank(
         links = edges.join(maybe_bcast(out_deg), "src").select(
             F.col("src").alias("id"), "dst", "out_deg"
         )
+        # loop_parts partitions either way: hash on the join key for
+        # the co-partitioned strategy, round-robin for the broadcast
+        # one (where only the task count matters, not placement).
         if not small:
-            links = links.repartition(F.col("id"))
+            links = links.repartition(loop_parts, F.col("id"))
+        else:
+            links = links.repartition(loop_parts)
         links = links.localCheckpoint()
 
         def apply_a(x: DataFrame) -> tuple[DataFrame, float]:
@@ -235,6 +250,14 @@ def pagerank(
         ws = [w1]
         sums = [float(obs1.get["s"] or 0.0)]
         coef = [1.0]  # contrib_1 = w_1
+        # A annihilates a power vector (Σw_j = 0 with w ≥ 0 ⇒ w_j is
+        # identically zero ⇒ every later w is zero too: A is linear
+        # and positivity-preserving). From that point the remaining
+        # rounds are pure coefficient arithmetic — no more jobs. Not
+        # a corner case: any DAG reaches it at depth ≤ diameter, and
+        # the bipartite trade graph reaches it at j = 2, which turns
+        # 11 of this bench query's 12 rounds into driver-side floats.
+        exhausted = sums[0] == 0.0
 
         # Vertex universe = src ∪ dst — but srcs are links' join keys
         # and every in-linked dst is already a w_1 row, so the union
@@ -253,10 +276,16 @@ def pagerank(
         for i in range(1, max_iter):
             dm = float(n) - sum(a * s for a, s in zip(coef, sums))
             base = (1.0 - d) + d * dm / float(n)
-            w_next, s_next = apply_a(ws[-1])
-            ws.append(w_next)
-            sums.append(s_next)
-            new_coef = [base] + [d * a for a in coef]
+            if not exhausted:
+                w_next, s_next = apply_a(ws[-1])
+                if s_next == 0.0:
+                    exhausted = True  # zero frame: drop it, and all later
+                else:
+                    ws.append(w_next)
+                    sums.append(s_next)
+            # truncation is exact: coefficients shifted past len(ws)
+            # would multiply identically-zero frames
+            new_coef = ([base] + [d * a for a in coef])[: len(ws)]
             if tol is not None and (i + 1) % check_every == 0:
                 padded = coef + [0.0]
                 bound = sum(
@@ -299,22 +328,54 @@ def pagerank(
     )
 
 
-def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G2+T6: PageRank over the trade graph, top-20 by score
-    (cypher_queries.cypher:31-34). Deterministic (fixed iterations /
-    convergence on deterministic data) but not SQL-expressible —
-    rows-only oracle path. Scores rounded so float noise across
-    partition merge orders can't flap the ranking.
+def trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PageRank binding of the trade graph: bidirectional
+    (customer→supplier for goods ordered, supplier→customer for the
+    payment flow back), with disjoint vertex namespaces — customer k
+    becomes vertex 2k, supplier k becomes 2k+1, because the raw key
+    ranges overlap and a shared id space would conflate customer k
+    with supplier k. The cycle structure makes the power iteration do
+    real multi-hop work (a one-directional binding annihilates at
+    depth 2 and the solver would shortcut it — see ``pagerank``).
 
-    Fixed iteration count, no tol probe: on this graph the L1 delta
-    decays ~d² per round and sits above tol·N until past 12, so the
-    probes are pure overhead (measured ~0.8 s/probe — a join job per
-    check); 12 rounds is already 6-decimal-converged here."""
-    edges = trade_edges(spark, sf_dir)
+    The base edge list is materialized before the union mirrors it:
+    left lazy, both union branches would re-execute the
+    lineitem⋈orders build (measured ~0.8 s doubled work at sf0.1);
+    checkpointed, the mirror is a re-read of local blocks."""
+    e = trade_edges(spark, sf_dir).localCheckpoint()
+    c = (F.col("src") * 2).alias("src_c")
+    s = (F.col("dst") * 2 + 1).alias("dst_s")
+    fwd = e.select(c.alias("src"), s.alias("dst"))
+    rev = e.select(s.alias("src"), c.alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2+T6: PageRank over the bidirectional trade graph, top-20 by
+    score (cypher_queries.cypher:31-34), decoded back to
+    (entity, key). Deterministic (fixed iterations on deterministic
+    data) but not SQL-expressible — rows-only oracle path. Scores
+    rounded so float noise across partition merge orders can't flap
+    the ranking.
+
+    Fixed 12-round budget, tol off: the semantics are the 12-round
+    power ranks (the reference's gds.pageRank call is likewise
+    budgeted by maxIterations). The near-bipartite cycle structure
+    mixes slowly, so the driver-side convergence bound stays above
+    any useful tol inside the budget — checking it buys nothing
+    (the check itself is free scalar arithmetic, but it would never
+    fire)."""
+    edges = trade_graph_edges(spark, sf_dir)
     pr = pagerank(edges, max_iter=12, tol=None)
     return (
-        pr.select("id", F.round("pagerank", 6).alias("pagerank"))
-        .orderBy(F.desc("pagerank"), F.asc("id"))
+        pr.select(
+            F.when(F.col("id") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            F.shiftright("id", 1).alias("key"),
+            F.round("pagerank", 6).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), F.asc("entity"), F.asc("key"))
         .limit(20)
     )
 
@@ -366,8 +427,12 @@ def player_pagerank(deliveries: DataFrame, **kw) -> DataFrame:
     edges = faced_edges(deliveries).groupBy("src", "dst").agg(
         F.count(F.lit(1)).alias("weight")
     )
+    # round-then-order (same policy as pagerank_top): scores are
+    # sorted at 6-decimal precision with the id tie-break, so
+    # float-merge-order ulps can't flap the ranking
     return (
         pagerank(edges, **kw)
+        .select("id", F.round("pagerank", 6).alias("pagerank"))
         .orderBy(F.desc("pagerank"), F.asc("id"))
         .limit(20)
     )

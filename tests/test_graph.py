@@ -70,10 +70,11 @@ def test_pagerank_copartitioned_branch_matches_broadcast(spark, sf_small):
     list pre-partitioned on the join key, w frames shuffled instead
     of broadcast) must produce the SAME ranks as the broadcast path —
     the physical strategy may not change the fixed point. Forced with
-    broadcast_max_vertices=0 on the real sf0.001 trade graph."""
-    from cricket_analytics_nosql_spark.operators.graph import trade_edges
+    broadcast_max_vertices=0 on the real sf0.001 trade graph (the
+    bidirectional PageRank binding, cycles and all)."""
+    from cricket_analytics_nosql_spark.operators.graph import trade_graph_edges
 
-    edges = trade_edges(spark, sf_small)
+    edges = trade_graph_edges(spark, sf_small)
     small = {
         r.id: r.pagerank
         for r in pagerank(edges, max_iter=8, tol=None).collect()
