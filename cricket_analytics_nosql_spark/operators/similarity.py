@@ -542,6 +542,93 @@ ORDER BY e.label
 """
 
 
+# --------------------------------------------------------------------------
+# int8 embedding quantization (training-data compression)
+
+def quantize_cols(v: Column) -> tuple[Column, Column, Column]:
+    """Per-vector symmetric int8 quantization as native expressions:
+    scale = max|x|/127, q_i = floor(x_i/scale + 0.5). ``floor(+0.5)``
+    instead of round(): engines disagree on tie-rounding (HALF_UP vs
+    half-away-from-zero) while floor is exact IEEE in both, so the
+    quantized codes are engine-identical. Returns (scale, rmse,
+    max_abs_err) of the dequantized reconstruction — all computed in
+    one fold over the array, no explode, rides the scan."""
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = amax / F.lit(127.0)
+    err = lambda x: x - F.floor(x / scale + F.lit(0.5)) * scale  # noqa: E731
+    err2 = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + F.pow(err(x), F.lit(2.0))
+    )
+    maxerr = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(err(x)))
+    )
+    rmse = F.sqrt(err2 / F.size(v))
+    zero = scale == 0.0  # all-zero vector: reconstruction is exact
+    return (
+        scale,
+        F.when(zero, F.lit(0.0)).otherwise(rmse),
+        F.when(zero, F.lit(0.0)).otherwise(maxerr),
+    )
+
+
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization audit: per label, the reconstruction error a
+    symmetric per-vector int8 scheme would cost (4× compression of a
+    float32 corpus). Narrow map over the scan → one tiny aggregate;
+    the quantized codes themselves would be written next to the
+    originals in the same pass at export time."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings"))
+    scale, rmse, maxerr = quantize_cols(F.col("v"))
+    per_vec = emb.select(
+        "label",
+        scale.alias("scale"),
+        rmse.alias("rmse"),
+        maxerr.alias("maxerr"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.round(F.avg("rmse"), 6).alias("avg_rmse"),
+            F.round(F.max("maxerr"), 6).alias("worst_abs_err"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH per_vec AS (
+  SELECT label,
+         list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x)), 'max') / 127.0 AS scale,
+         CAST(len(embedding) AS DOUBLE) AS d,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), errs AS (
+  SELECT label, scale,
+         CASE WHEN scale = 0 THEN 0.0 ELSE sqrt(
+           list_aggregate(list_transform(v,
+             x -> pow(x - floor(x / scale + 0.5) * scale, 2)), 'sum') / d)
+         END AS rmse,
+         CASE WHEN scale = 0 THEN 0.0 ELSE
+           list_aggregate(list_transform(v,
+             x -> abs(x - floor(x / scale + 0.5) * scale)), 'max')
+         END AS maxerr
+  FROM per_vec
+)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(AVG(scale), 6) AS avg_scale,
+       ROUND(AVG(rmse), 6) AS avg_rmse,
+       ROUND(MAX(maxerr), 6) AS worst_abs_err
+FROM errs
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ann_brute_force": QuerySpec(
         ann_brute_force, ORACLE_ANN_BRUTE_FORCE, ["X-sim"], bench=True
@@ -554,5 +641,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "vector_label_stats": QuerySpec(
         vector_label_stats, ORACLE_VECTOR_LABEL_STATS, ["X-sim", "A1"]
+    ),
+    "embedding_quantize_stats": QuerySpec(
+        embedding_quantize_stats, ORACLE_EMBEDDING_QUANTIZE, ["X-sim", "X-training"]
     ),
 }
