@@ -573,7 +573,9 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             redact_pii(F.col("t")).alias("redacted"),
         )
-        .orderBy("doc_id")
+        # no presentation sort: the full-output frame stays a pure
+        # narrow map (a global orderBy here would be a 100 TB sort
+        # for nothing — the driver's value compare is order-blind)
     )
 
 
@@ -596,7 +598,7 @@ WITH injected AS (
          || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
   FROM documents
 )
-SELECT doc_id,
+SELECT doc_id,  -- unordered on both sides; compare is order-blind
        len(regexp_extract_all(t, '{_SQL_EMAIL}')) AS n_emails,
        len(regexp_extract_all(t, '{_SQL_PHONE}')) AS n_phones,
        len(regexp_extract_all(t, '{_SQL_IP}')) AS n_ips,
@@ -606,7 +608,6 @@ SELECT doc_id,
            '{_SQL_IP}', '<IP>', 'g'),
          '{_SQL_PHONE}', '<PHONE>', 'g') AS redacted
 FROM injected
-ORDER BY doc_id
 """
 
 

@@ -83,24 +83,29 @@ ORDER BY source, split
 # sequence packing (concat-and-split)
 
 PACK_BUDGET = 256  # tokens per packed sequence
+PACK_SHARDS = 8    # parallel packing streams per language
 
 
 def pack_sequences_assign(
-    df: DataFrame, stream: str, order: str, tokens: str, budget: int
+    df: DataFrame, stream: list[str], order: str, tokens: str, budget: int
 ) -> DataFrame:
-    """Concat-and-split packing: within each ``stream``, documents
-    are laid end-to-end in ``order`` and the tape is cut every
-    ``budget`` tokens — a doc's sequence id is the cut its first
-    token falls into (GPT-style packing; boundary docs continue into
-    the next sequence, flagged ``overflows``).
+    """Concat-and-split packing: within each ``stream`` (a composite
+    key), documents are laid end-to-end in ``order`` and the tape is
+    cut every ``budget`` tokens — a doc's sequence id is the cut its
+    first token falls into (GPT-style packing; boundary docs continue
+    into the next sequence, flagged ``overflows``).
 
     Greedy first-fit bin packing is inherently sequential and cannot
     be a window expression; concat-and-split is what large pipelines
     actually run *because* it is one running sum: a single exchange
     on the stream key, a partition-local sort, zero waste (no bin
-    ever ends short). Adds columns ``seq_no`` and ``overflows``."""
+    ever ends short). The stream key sets the parallelism: packing
+    per language alone means one task per language, so distributed
+    packing streams are (domain, shard) — a sequence never crosses
+    shards, which is exactly how per-writer packing runs at 100 TB.
+    Adds columns ``seq_no`` and ``overflows``."""
     w = (
-        Window.partitionBy(stream)
+        Window.partitionBy(*stream)
         .orderBy(order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -114,38 +119,43 @@ def pack_sequences_assign(
 
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: pack documents into {PACK_BUDGET}-token
-    sequences per language stream (whitespace token counts), one row
-    per packed sequence: docs packed, tokens packed, docs that spill
-    into the next sequence."""
+    sequences on (lang, shard) streams (whitespace token counts,
+    shard = doc_id mod {PACK_SHARDS}), one row per packed sequence:
+    docs packed, tokens packed, docs that spill into the next
+    sequence."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
     )
-    packed = pack_sequences_assign(docs, "lang", "doc_id", "n_tokens", PACK_BUDGET)
+    packed = pack_sequences_assign(
+        docs, ["lang", "shard"], "doc_id", "n_tokens", PACK_BUDGET
+    )
     return (
-        packed.groupBy("lang", "seq_no")
+        packed.groupBy("lang", "shard", "seq_no")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
             F.sum("overflows").alias("n_overflow_docs"),
         )
-        .orderBy("lang", "seq_no")
+        .orderBy("lang", "shard", "seq_no")
     )
 
 
 ORACLE_PACK_SEQUENCES = f"""
 WITH tok AS (
-  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
   FROM documents
 ), cum AS (
-  SELECT lang, n_tokens,
+  SELECT lang, shard, n_tokens,
          COALESCE(SUM(n_tokens) OVER (
-           PARTITION BY lang ORDER BY doc_id
+           PARTITION BY lang, shard ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
   FROM tok
 )
-SELECT lang,
+SELECT lang, shard,
        CAST(FLOOR(cum_before / {PACK_BUDGET}) AS BIGINT) AS seq_no,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
@@ -153,8 +163,8 @@ SELECT lang,
                      (FLOOR(cum_before / {PACK_BUDGET}) + 1) * {PACK_BUDGET}
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_docs
 FROM cum
-GROUP BY lang, seq_no
-ORDER BY lang, seq_no
+GROUP BY lang, shard, seq_no
+ORDER BY lang, shard, seq_no
 """
 
 # --------------------------------------------------------------------------

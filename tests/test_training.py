@@ -50,24 +50,25 @@ def test_pack_sequences_laws(spark, sf_small):
     docs = load_table(spark, sf_small, "documents").select(
         "doc_id",
         "lang",
+        F.pmod(F.col("doc_id"), F.lit(training.PACK_SHARDS)).alias("shard"),
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
     )
     packed = training.pack_sequences_assign(
-        docs, "lang", "doc_id", "n_tokens", training.PACK_BUDGET
+        docs, ["lang", "shard"], "doc_id", "n_tokens", training.PACK_BUDGET
     )
     assert packed.count() == docs.count()
     per_seq = (
-        packed.groupBy("lang", "seq_no")
+        packed.groupBy("lang", "shard", "seq_no")
         .agg(F.sum("n_tokens").alias("tok"), F.max("overflows").alias("ovf"))
     )
     # first sequence of every stream is numbered 0
-    firsts = per_seq.groupBy("lang").agg(F.min("seq_no").alias("m"))
+    firsts = per_seq.groupBy("lang", "shard").agg(F.min("seq_no").alias("m"))
     assert firsts.filter(F.col("m") != 0).count() == 0
     # every non-final sequence either fills the budget with whole
     # docs or ends in a doc that overflows into the next sequence
-    last = per_seq.groupBy("lang").agg(F.max("seq_no").alias("last_seq"))
+    last = per_seq.groupBy("lang", "shard").agg(F.max("seq_no").alias("last_seq"))
     bad = (
-        per_seq.join(last, "lang")
+        per_seq.join(last, ["lang", "shard"])
         .filter(F.col("seq_no") != F.col("last_seq"))
         .filter((F.col("tok") < training.PACK_BUDGET) & (F.col("ovf") == 0))
     )
