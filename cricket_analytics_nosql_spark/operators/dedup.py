@@ -71,6 +71,11 @@ LIMIT 100
 # 2. Exact n-gram Jaccard near-dup via inverted index
 # ---------------------------------------------------------------------------
 
+# persisted shingle indexes, keyed by the semantic hash of their
+# input frame (collisions disambiguated with sameSemantics)
+_SHINGLE_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) exploded pairs — the inverted index rows.
     Fanned out first: shingling is the CPU-dense step and must not
@@ -82,10 +87,25 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     consumer re-runs the tokenize→shingle→explode pipeline — the
     CPU-dominant step — from the raw text. At 100 TB this frame is
     the one you'd materialize as a table; in-session persist is the
-    same decision one scope smaller."""
-    return fan_out(docs).select(
+    same decision one scope smaller.
+
+    MEMOIZED per semantically-identical input (same discipline as
+    the streaming staging memo): without this, every call — the
+    jaccard and minhash queries each call it, and a bench repeats
+    each query 3× — persisted a FRESH copy of the same index and
+    never released it, accumulating storage until eviction pressure
+    made run times flap (observed 0.95 → 3.6 s on the same query in
+    one bench session). One input, one persisted index, however many
+    queries consume it."""
+    key = docs.semanticHash()
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None and hit[0].sameSemantics(docs):
+        return hit[1]
+    sh = fan_out(docs).select(
         "doc_id", F.explode(shingles_col(tokens_col(F.col("text")))).alias("s")
     ).persist()
+    _SHINGLE_CACHE[key] = (docs, sh)
+    return sh
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
