@@ -314,3 +314,57 @@ def test_pipeline_match_pushdown_reaches_scan(spark, sf_medium):
     # column pruning crossed the stage boundary too
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "l_extendedprice" not in read
+
+
+def test_training_split_is_narrow_pruned(spark, sf_medium):
+    """Training-export ops: the split audit reads only the 3 columns
+    it needs (never text) and its only exchange is the audit
+    aggregation's own; the mixture resample brings keep-rates back
+    via broadcast so the fact side never shuffles."""
+    from cricket_analytics_nosql_spark.operators.training import (
+        domain_mixture_resample,
+        train_val_test_split,
+    )
+
+    import re
+
+    plan = plan_of(train_val_test_split(spark, sf_medium))
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("text" not in ln for ln in reads), plan
+    # partial→final agg + presentation sort, nothing else
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    plan2 = plan_of(domain_mixture_resample(spark, sf_medium))
+    assert "BroadcastHashJoin" in plan2, plan2
+    reads2 = [ln for ln in plan2.splitlines() if "ReadSchema" in ln]
+    assert reads2 and all("text" not in ln for ln in reads2), plan2
+
+
+def test_pii_scrub_no_exchange(spark, sf_medium):
+    """PII scrubbing is a pure scan-stage map: regex expressions in
+    one codegen span, zero exchanges anywhere in the plan."""
+    from cricket_analytics_nosql_spark.operators.text import pii_scrub
+
+    df = pii_scrub(spark, sf_medium)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    head = buf.getvalue().splitlines()[0]
+    n = int(head.split("Found ")[1].split(" WholeStageCodegen")[0])
+    assert n >= 1, head
+
+
+def test_pack_sequences_single_stream_exchange(spark, sf_medium):
+    """Sequence packing: exactly one exchange partitions the
+    (lang, shard) streams; the running cumsum and the per-sequence
+    rollup both reuse that clustering (the rollup keys are a
+    superset of the window partition keys)."""
+    from cricket_analytics_nosql_spark.operators.training import pack_sequences
+
+    import re
+
+    plan = plan_of(pack_sequences(spark, sf_medium))
+    # stream exchange + final presentation sort; the groupBy must NOT
+    # add a third shuffle between them
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
