@@ -84,15 +84,30 @@ def _fold(cols: list[Column], op) -> Column:
     return out
 
 
-def compile_expr(e: Any) -> Column:
-    """Mongo expression document → Column."""
+def compile_expr(e: Any, env: dict[str, Column] | None = None) -> Column:
+    """Mongo expression document → Column. ``env`` binds ``$$var``
+    references inside array-operator lambdas ($filter/$map/$reduce);
+    ``$$this`` / ``$$value`` and user-named ``as`` variables resolve
+    through it."""
+
+    def ce(x: Any) -> Column:
+        return compile_expr(x, env)
+
+    if isinstance(e, str) and e.startswith("$$"):
+        name = e[2:].split(".", 1)[0]
+        if env is None or name not in env:
+            raise ValueError(f"unbound expression variable: {e}")
+        bound = env[name]
+        if "." in e[2:]:  # $$this.field on struct elements
+            return bound[e[2:].split(".", 1)[1]]
+        return bound
     if isinstance(e, str) and e.startswith("$"):
         return F.col(e[1:])
     if e is None or isinstance(e, (int, float, bool, str)):
         return F.lit(e)
     if isinstance(e, list):
         # bare array literal, e.g. {"$ifNull": ["$wickets", []]}
-        return F.array(*[compile_expr(x) for x in e])
+        return F.array(*[ce(x) for x in e])
     if isinstance(e, dict):
         if len(e) != 1:
             raise ValueError(f"expression must have one operator: {e}")
@@ -104,18 +119,18 @@ def compile_expr(e: Any) -> Column:
                 branches = [arg["if"], arg["then"], arg["else"]]
             else:
                 branches = list(arg)
-            cond, then, other = (compile_expr(a) for a in branches)
+            cond, then, other = (ce(a) for a in branches)
             return F.when(cond, then).otherwise(other)
         if op == "$ifNull":
-            return F.coalesce(*[compile_expr(a) for a in arg])
+            return F.coalesce(*[ce(a) for a in arg])
         if op == "$size":
-            return F.size(compile_expr(arg))
+            return F.size(ce(arg))
         if op == "$not":
             inner = arg[0] if isinstance(arg, list) else arg
-            return ~compile_expr(inner)
+            return ~ce(inner)
         if op == "$in":
             value, arr = arg
-            v = compile_expr(value)
+            v = ce(value)
             if isinstance(arr, str) and arr.startswith("$"):
                 # field-path array operand: {"$in": ["$x", "$tags"]}
                 return F.array_contains(F.col(arr[1:]), v)
@@ -128,28 +143,28 @@ def compile_expr(e: Any) -> Column:
                     return v.isin(*arr)
                 # element expressions: membership over a built array
                 return F.array_contains(
-                    F.array(*[compile_expr(a) for a in arr]), v
+                    F.array(*[ce(a) for a in arr]), v
                 )
             raise ValueError(
                 f"$in: second operand must be a list or array field path: {arr!r}"
             )
         if op == "$split":
             s, delim = arg
-            return F.split(compile_expr(s), delim)
+            return F.split(ce(s), delim)
         if op == "$toDouble":
-            return compile_expr(arg).cast("double")
+            return ce(arg).cast("double")
         if op == "$toInt":
-            return compile_expr(arg).cast("int")
+            return ce(arg).cast("int")
         if op == "$toLong":
-            return compile_expr(arg).cast("long")
+            return ce(arg).cast("long")
         if op == "$year":
-            return F.year(compile_expr(arg))
+            return F.year(ce(arg))
         if op == "$month":
-            return F.month(compile_expr(arg))
+            return F.month(ce(arg))
         if op == "$dayOfMonth":
-            return F.dayofmonth(compile_expr(arg))
+            return F.dayofmonth(ce(arg))
         if op == "$hour":
-            return F.hour(compile_expr(arg))
+            return F.hour(ce(arg))
         if op == "$dateToString":
             # {"$dateToString": {"format": "%Y-%m-%d", "date": expr}}
             fmt = arg["format"]
@@ -158,10 +173,10 @@ def compile_expr(e: Any) -> Column:
                 ("%H", "HH"), ("%M", "mm"), ("%S", "ss"),
             ):
                 fmt = fmt.replace(mongo, java)
-            return F.date_format(compile_expr(arg["date"]), fmt)
+            return F.date_format(ce(arg["date"]), fmt)
         if op == "$dateTrunc":
             # {"$dateTrunc": {"date": expr, "unit": "day"|"hour"|...}}
-            return F.date_trunc(arg["unit"], compile_expr(arg["date"]))
+            return F.date_trunc(arg["unit"], ce(arg["date"]))
         if op == "$round":
             # [num, place]; note: Spark rounds half-up where Mongo
             # rounds half-to-even — exact halves of the chosen place
@@ -170,14 +185,110 @@ def compile_expr(e: Any) -> Column:
                 num, place = (arg + [0])[:2]
             else:
                 num, place = arg, 0
-            return F.round(compile_expr(num), int(place))
+            return F.round(ce(num), int(place))
         if op == "$toString":
-            return compile_expr(arg).cast("string")
+            return ce(arg).cast("string")
+        if op == "$toUpper":
+            return F.upper(ce(arg))
+        if op == "$toLower":
+            return F.lower(ce(arg))
+        if op == "$trim":
+            # {"$trim": {"input": expr[, "chars": str]}}
+            spec = arg if isinstance(arg, dict) else {"input": arg}
+            inp = ce(spec["input"])
+            if "chars" in spec:
+                return F.trim(inp, F.lit(spec["chars"]))
+            return F.trim(inp)
+        if op == "$strLenCP":
+            return F.length(ce(arg))
+        if op == "$substrCP":
+            # [str, start, len] — Mongo 0-based → Spark 1-based
+            s, start, n = arg
+            return F.substring(ce(s), int(start) + 1, int(n))
+        if op == "$arrayElemAt":
+            # Mongo 0-based (negative = from end); element_at is
+            # 1-based with the same negative convention
+            a, idx = arg
+            i = int(idx)
+            return F.element_at(ce(a), i + 1 if i >= 0 else i)
+        if op == "$slice":
+            # [arr, n] (first/last n) or [arr, pos, n] — positions
+            # 0-based from the front, negative from the end, exactly
+            # Spark's slice() convention after the +1 shift
+            if len(arg) == 2:
+                a, n = arg
+                n = int(n)
+                return (
+                    F.slice(ce(a), 1, n)
+                    if n >= 0
+                    else F.slice(ce(a), n, -n)
+                )
+            a, pos, n = arg
+            pos = int(pos)
+            return F.slice(ce(a), pos + 1 if pos >= 0 else pos, int(n))
+        if op == "$concatArrays":
+            return F.concat(*[ce(x) for x in arg])
+        if op in ("$filter", "$map"):
+            spec = dict(arg)
+            var = spec.get("as", "this")
+            body_key = "cond" if op == "$filter" else "in"
+
+            def lam(x: Column) -> Column:
+                inner = dict(env or {})
+                inner[var] = x
+                inner["this"] = x  # $$this always works
+                return compile_expr(spec[body_key], inner)
+
+            fn = F.filter if op == "$filter" else F.transform
+            return fn(ce(spec["input"]), lam)
+        if op == "$reduce":
+            spec = dict(arg)
+
+            def merge(acc: Column, x: Column) -> Column:
+                inner = dict(env or {})
+                inner["value"] = acc
+                inner["this"] = x
+                return compile_expr(spec["in"], inner)
+
+            return F.aggregate(
+                ce(spec["input"]), ce(spec["initialValue"]), merge
+            )
+        if op == "$switch":
+            out = None
+            for br in arg["branches"]:
+                c, t = ce(br["case"]), ce(br["then"])
+                out = F.when(c, t) if out is None else out.when(c, t)
+            if out is None:
+                raise ValueError("$switch: at least one branch required")
+            if "default" in arg:
+                out = out.otherwise(ce(arg["default"]))
+            return out
+        if op == "$abs":
+            return F.abs(ce(arg))
+        if op == "$ceil":
+            return F.ceil(ce(arg))
+        if op == "$floor":
+            return F.floor(ce(arg))
+        if op == "$sqrt":
+            return F.sqrt(ce(arg))
+        if op == "$exp":
+            return F.exp(ce(arg))
+        if op == "$ln":
+            return F.log(ce(arg))
+        if op == "$log10":
+            return F.log10(ce(arg))
+        if op == "$pow":
+            a, b = arg
+            return F.pow(ce(a), ce(b))
+        if op == "$max" and isinstance(arg, list):
+            return F.greatest(*[ce(x) for x in arg])
+        if op == "$min" and isinstance(arg, list):
+            return F.least(*[ce(x) for x in arg])
         if op in _BINOPS:
-            a, b = (compile_expr(x) for x in arg)
+            a, b = (ce(x) for x in arg)
             return _BINOPS[op](a, b)
         if op in _VARARG:
-            return _VARARG[op]([compile_expr(x) for x in arg])
+            return _VARARG[op]([ce(x) for x in arg])
         raise ValueError(f"unsupported expression operator: {op}")
     raise ValueError(f"cannot compile expression: {e!r}")
 

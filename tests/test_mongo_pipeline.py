@@ -675,3 +675,76 @@ def test_unset_and_replace_with(spark, deliveries):
     )
     out3 = compile_pipeline(nested, [{"$replaceWith": "$duel"}])
     assert out3.columns == ["batter", "bowler"]
+
+
+def test_expr_string_and_math_operators(spark):
+    """Round-3 expression surface: string case/trim/substr, math,
+    $switch — checked against hand-computed values."""
+    df = spark.range(1).select(
+        F.lit("  Hello World  ").alias("s"), F.lit(-2.7).alias("x")
+    )
+    cases = {
+        "up": ({"$toUpper": {"$trim": {"input": "$s"}}}, "HELLO WORLD"),
+        "low": ({"$toLower": {"$trim": {"input": "$s"}}}, "hello world"),
+        "ln_": ({"$strLenCP": {"$trim": {"input": "$s"}}}, 11),
+        "sub": ({"$substrCP": [{"$trim": {"input": "$s"}}, 6, 5]}, "World"),
+        "abs_": ({"$abs": "$x"}, 2.7),
+        "ceil_": ({"$ceil": "$x"}, -2),
+        "floor_": ({"$floor": "$x"}, -3),
+        "pw": ({"$pow": [{"$abs": "$x"}, 2]}, 7.29),
+        "mx": ({"$max": [1, 5, 3]}, 5),
+        "mn": ({"$min": [{"$literal": 9}, 4]}, 4),
+        "sw": (
+            {"$switch": {
+                "branches": [
+                    {"case": {"$lt": ["$x", -10]}, "then": "lo"},
+                    {"case": {"$lt": ["$x", 0]}, "then": "neg"},
+                ],
+                "default": "pos",
+            }},
+            "neg",
+        ),
+    }
+    row = df.select(
+        *[compile_expr(e).alias(k) for k, (e, _) in cases.items()]
+    ).collect()[0]
+    for k, (_, want) in cases.items():
+        got = getattr(row, k)
+        if isinstance(want, float):
+            assert got == pytest.approx(want), (k, got)
+        else:
+            assert got == want, (k, got)
+
+
+def test_expr_array_lambda_operators(spark):
+    """$filter/$map/$reduce/$slice/$arrayElemAt/$concatArrays with
+    $$this / named variables."""
+    df = spark.range(1).select(F.array(F.lit(3), F.lit(1), F.lit(4), F.lit(1), F.lit(5)).alias("a"))
+    cases = {
+        "filt": ({"$filter": {"input": "$a", "cond": {"$gt": ["$$this", 1]}}}, [3, 4, 5]),
+        "filt_named": (
+            {"$filter": {"input": "$a", "as": "n", "cond": {"$gte": ["$$n", 4]}}},
+            [4, 5],
+        ),
+        "mp": ({"$map": {"input": "$a", "in": {"$multiply": ["$$this", 10]}}}, [30, 10, 40, 10, 50]),
+        "red": ({"$reduce": {"input": "$a", "initialValue": 0, "in": {"$add": ["$$value", "$$this"]}}}, 14),
+        "head2": ({"$slice": ["$a", 2]}, [3, 1]),
+        "last2": ({"$slice": ["$a", -2]}, [1, 5]),
+        "mid": ({"$slice": ["$a", 1, 3]}, [1, 4, 1]),
+        "at0": ({"$arrayElemAt": ["$a", 0]}, 3),
+        "atneg": ({"$arrayElemAt": ["$a", -1]}, 5),
+        "cat": ({"$concatArrays": [{"$slice": ["$a", 1]}, {"$slice": ["$a", -1]}]}, [3, 5]),
+    }
+    row = df.select(
+        *[compile_expr(e).alias(k) for k, (e, _) in cases.items()]
+    ).collect()[0]
+    for k, (_, want) in cases.items():
+        got = getattr(row, k)
+        if isinstance(want, list):
+            got = list(got)
+        assert got == want, (k, got)
+
+
+def test_expr_unbound_variable_raises(spark):
+    with pytest.raises(ValueError, match="unbound expression variable"):
+        compile_expr({"$add": ["$$this", 1]})
