@@ -96,11 +96,18 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     never released it, accumulating storage until eviction pressure
     made run times flap (observed 0.95 → 3.6 s on the same query in
     one bench session). One input, one persisted index, however many
-    queries consume it."""
+    queries consume it. Caveats shared with any cache of scanned
+    data (including Spark's own persist): rewriting the underlying
+    files in-process serves the cached index. A dead cached entry
+    (stopped session) is detected and rebuilt."""
     key = docs.semanticHash()
     hit = _SHINGLE_CACHE.get(key)
-    if hit is not None and hit[0].sameSemantics(docs):
-        return hit[1]
+    if hit is not None:
+        try:
+            if hit[0].sameSemantics(docs):
+                return hit[1]
+        except Exception:  # cached frame from a stopped SparkSession
+            del _SHINGLE_CACHE[key]
     sh = fan_out(docs).select(
         "doc_id", F.explode(shingles_col(tokens_col(F.col("text")))).alias("s")
     ).persist()

@@ -387,12 +387,17 @@ def char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     row multiplication happens inside the scan stage and the only
     exchange carries (lang, bigram) partial counts."""
     docs = load_table(spark, sf_dir, "documents")
+    # guard length >= 2: sequence(1, 0) counts DOWN ([1, 0]) and
+    # would emit phantom bigrams for 0/1-char texts that the range()
+    # oracle (empty) never produces
     bigrams = docs.select(
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, length(text) - 1),"
+                "CASE WHEN length(text) >= 2 THEN"
+                " transform(sequence(1, length(text) - 1),"
                 " i -> substring(lower(text), i, 2))"
+                " ELSE array() END"
             )
         ).alias("bg"),
     )

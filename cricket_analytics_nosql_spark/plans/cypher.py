@@ -354,6 +354,10 @@ _AGGS = {"count", "sum", "avg", "min", "max"}
 
 
 def _has_agg(e: Any) -> bool:
+    if isinstance(e, list):
+        # argument lists / CASE branch lists — recurse element-wise
+        # (an aggregate can sit inside toFloat(sum(..)) or a WHEN)
+        return any(_has_agg(x) for x in e)
     if not isinstance(e, tuple):
         return False
     if e[0] == "call" and e[1] in _AGGS:
@@ -664,6 +668,7 @@ def compile_cypher(
     # its own WHERE applied BEFORE the join, per Cypher semantics:
     # non-matching rows survive with nulls) joins on the node
     # variables shared with the mandatory pattern.
+    opt_idx = 0
     while p.at("id") and p.peek().text.lower() == "optional":
         p.eat("id")
         p.eat("kw", "match")
@@ -674,16 +679,40 @@ def compile_cypher(
             o_df = o_df.filter(
                 _boolify(_compile_expr(e, o_scope, params), e)
             )
-        shared = [c for c in df.columns if c in o_df.columns]
+        # join ONLY on shared node variables — anonymous relationships
+        # in both patterns default to the same internal name (__r0),
+        # and joining on their marker/property columns would demand
+        # the optional edge's payload equal the mandatory one's
+        shared = [
+            c for c in df.columns
+            if c.startswith("__v_") and c in o_df.columns
+        ]
         if not shared:
             raise ValueError(
                 "cypher: OPTIONAL MATCH must share a variable with MATCH"
             )
+        # rename colliding non-key columns (they are distinct Cypher
+        # variables that happen to share an internal name)
+        renames = {
+            c: f"{c}__opt{opt_idx}"
+            for c in o_df.columns
+            if c not in shared and c in df.columns
+        }
+        opt_idx += 1
+        for old, new in renames.items():
+            o_df = o_df.withColumnRenamed(old, new)
+        o_rel_cols = {
+            r: {pr: renames.get(c, c) for pr, c in cols.items()}
+            for r, cols in o_scope.rel_cols.items()
+        }
+        o_rel_markers = {
+            r: renames.get(c, c) for r, c in o_scope.rel_markers.items()
+        }
         df = df.join(o_df, shared, "left")
         scope = _Scope(
             {**o_scope.node_cols, **scope.node_cols},
-            {**o_scope.rel_cols, **scope.rel_cols},
-            rel_markers={**o_scope.rel_markers, **scope.rel_markers},
+            {**o_rel_cols, **scope.rel_cols},
+            rel_markers={**o_rel_markers, **scope.rel_markers},
         )
     while p.opt("kw", "with"):
         items = p.items()

@@ -628,8 +628,15 @@ def _compile_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 bound(lo, is_lower=True), bound(hi, is_lower=False)
             )
         elif sort_by:
-            # Mongo default with sortBy: [unbounded, current]
-            frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            # Mongo's default window is the WHOLE partition even when
+            # sortBy is present (sortBy alone only drives rank/shift
+            # functions); Spark's implicit frame under an orderBy is
+            # [unbounded, current], so the full frame must be set
+            # explicitly or every accumulator silently turns into a
+            # running value.
+            frame = w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
         out = out.withColumn(name, agg.over(frame))
     return out
 
@@ -684,9 +691,18 @@ def _apply_merge_sink(
         )
     spark = df.sparkSession
     new = df.dropDuplicates(keys)
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(path)
-    except Exception:  # first write: target doesn't exist yet
+    except AnalysisException as e:
+        # ONLY path-absence means "first write". Any other read
+        # failure (corrupt file, permissions, schema error) must
+        # surface — treating it as absence would overwrite the
+        # target with just the incoming rows and silently destroy
+        # every previously merged row.
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         existing = None
     if existing is None:
         result = new if when_not_matched == "insert" else new.limit(0)
@@ -725,10 +741,17 @@ def compile_pipeline(
     into the aggregation (see ``_compile_group``) instead of relying
     on row order surviving the shuffle."""
     pending_sort: dict | None = None
+    sort_poison: str | None = None
     for stage in pipeline:
         if len(stage) != 1:
             raise ValueError(f"pipeline stage must have one key: {stage}")
         (op, spec), = stage.items()
+        if op == "$group" and sort_poison and _has_order_sensitive(spec):
+            # the pending $sort's key values were rewritten between
+            # the $sort and this ordered $group; Mongo would order by
+            # the ORIGINAL values, which no longer exist as columns —
+            # refuse rather than silently order by the new ones
+            raise ValueError(sort_poison)
         if op == "$match":
             df = df.filter(compile_match(spec))
         elif op == "$project":
@@ -821,7 +844,45 @@ def compile_pipeline(
             raise ValueError(f"unsupported pipeline stage: {op}")
         if op == "$sort":
             pending_sort = spec
+            sort_poison = None
+        elif op in ("$addFields", "$project", "$unset") and pending_sort:
+            disturbed = _disturbed_sort_keys(op, spec, pending_sort)
+            if disturbed:
+                pending_sort = None
+                sort_poison = (
+                    f"{op} rewrites/removes $sort key(s) {sorted(disturbed)}; "
+                    "a later ordered $group ($first/$last/$push) would order "
+                    "by the rewritten values, not the order the $sort "
+                    "established — assign to a new field name, or move the "
+                    "$sort after this stage"
+                )
         elif op not in ("$match", "$limit", "$skip", "$addFields", "$project"):
             # $group consumed it; other stages don't preserve row order
             pending_sort = None
     return df
+
+
+def _has_order_sensitive(group_spec: dict) -> bool:
+    return any(
+        next(iter(d)) in _ORDER_SENSITIVE
+        for n, d in group_spec.items()
+        if n != "_id"
+    )
+
+
+def _disturbed_sort_keys(op: str, spec: Any, sort_spec: dict) -> set[str]:
+    """Sort keys whose VALUES do not survive this stage unchanged.
+    $project inclusion entries of literal 1/True keep the original
+    column; anything else (expression, exclusion, omission from an
+    inclusion list, $unset) loses or rewrites it."""
+    keys = set(sort_spec)
+    if op == "$addFields":
+        return keys & set(spec)
+    if op == "$unset":
+        fields = {spec} if isinstance(spec, str) else set(spec)
+        return keys & fields
+    # $project
+    non_id = {k: v for k, v in spec.items() if k != "_id"}
+    if non_id and all(v == 0 for v in non_id.values()):  # exclusion mode
+        return keys & set(non_id)
+    return {k for k in keys if spec.get(k) not in (1, True)}

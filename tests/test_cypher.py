@@ -253,3 +253,46 @@ def test_optional_match_left_join_semantics(spark, edges):
             "RETURN a.name AS b, p", edges).collect() if r.b == b][0].p
         assert got[b][0] == wn * pairs
         assert got[b][1] == (wt * pairs if wt is not None else None)
+
+
+def test_optional_match_anonymous_rels_join_on_nodes_only(edges):
+    """Both patterns use an anonymous relationship (internally both
+    __r0): the left join must key on the shared NODE variable only,
+    never on the edge marker/property columns (which would demand the
+    optional edge's payload equal the mandatory one's)."""
+    q = """
+    MATCH (a:Player)-[r:FACED]->(x:Player)
+    OPTIONAL MATCH (a)-->(s:Player {name:'Bowl0'})
+    WITH a, count(r) AS outs, count(s) AS to_bowl0
+    RETURN a.name AS player, outs, to_bowl0
+    ORDER BY player
+    """
+    got = {r.player: (r.outs, r.to_bowl0) for r in compile_cypher(q, edges).collect()}
+    # ground truth straight off the edge frame
+    import pyspark.sql.functions as F
+    outs = {r.src: r.n for r in edges.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    b0 = {r.src: r.n for r in edges.filter(F.col("dst") == "Bowl0")
+          .groupBy("src").agg(F.count("*").alias("n")).collect()}
+    for player, (o, t) in got.items():
+        # every (mandatory-row, optional-match) pair survives the join:
+        # outs multiplies by matches to Bowl0 when present
+        want_outs = outs[player] * max(b0.get(player, 0), 1)
+        want_t = outs[player] * b0.get(player, 0)
+        assert (o, t) == (want_outs, want_t), (player, o, t, want_outs, want_t)
+    assert any(v[1] > 0 for v in got.values())  # some batter faced Bowl0
+
+
+def test_aggregate_inside_tofloat_detected(edges):
+    """toFloat(sum(...)) must be classified as an aggregate item
+    (regression: _has_agg didn't recurse into argument lists)."""
+    q = """
+    MATCH (a:Player)-[r:FACED]->(b:Player)
+    WITH b, toFloat(sum(r.runs)) AS runs
+    RETURN b.name AS bowler, runs
+    ORDER BY bowler
+    """
+    got = {r.bowler: r.runs for r in compile_cypher(q, edges).collect()}
+    import pyspark.sql.functions as F
+    want = {r.dst: float(r.s) for r in
+            edges.groupBy("dst").agg(F.sum("runs").alias("s")).collect()}
+    assert got == want and all(isinstance(v, float) for v in got.values())

@@ -748,3 +748,72 @@ def test_expr_array_lambda_operators(spark):
 def test_expr_unbound_variable_raises(spark):
     with pytest.raises(ValueError, match="unbound expression variable"):
         compile_expr({"$add": ["$$this", 1]})
+
+
+def test_set_window_fields_default_window_is_whole_partition(spark):
+    """Mongo's default window with sortBy present is the WHOLE
+    partition, not a running frame (Spark's implicit frame under an
+    orderBy) — every row must carry the partition total."""
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("b", 1, 5)],
+        "k string, t int, v int",
+    )
+    got = compile_pipeline(
+        df,
+        [{"$setWindowFields": {
+            "partitionBy": "$k",
+            "sortBy": {"t": 1},
+            "output": {"total": {"$sum": "$v"}},
+        }}],
+    )
+    rows = {(r.k, r.t): r.total for r in got.collect()}
+    assert rows[("a", 1)] == 60 and rows[("a", 2)] == 60 and rows[("a", 3)] == 60
+    assert rows[("b", 1)] == 5
+
+
+def test_sort_key_overwrite_poisons_ordered_group(spark, deliveries):
+    """$sort → $addFields overwriting the sort key → ordered $group
+    must raise (Mongo orders by the ORIGINAL values, which no longer
+    exist) instead of silently ordering by the rewritten ones."""
+    pipe = [
+        {"$sort": {"runs_total": -1}},
+        {"$addFields": {"runs_total": {"$abs": "$runs_total"}}},
+        {"$group": {"_id": "$batter", "best": {"$first": "$bowler"}}},
+    ]
+    with pytest.raises(ValueError, match="rewrites/removes .sort key"):
+        compile_pipeline(deliveries, pipe)
+    # order-INsensitive accumulators after the overwrite stay legal
+    ok = compile_pipeline(
+        deliveries,
+        [
+            {"$sort": {"runs_total": -1}},
+            {"$addFields": {"runs_total": {"$abs": "$runs_total"}}},
+            {"$group": {"_id": "$batter", "n": {"$sum": 1}}},
+        ],
+    )
+    assert ok.count() == 3
+    # and a fresh $sort AFTER the overwrite un-poisons
+    ok2 = compile_pipeline(
+        deliveries,
+        [
+            {"$sort": {"runs_total": -1}},
+            {"$addFields": {"runs_total": {"$abs": "$runs_total"}}},
+            {"$sort": {"runs_total": -1}},
+            {"$group": {"_id": "$batter", "best": {"$first": "$bowler"}}},
+        ],
+    )
+    assert ok2.count() == 3
+
+
+def test_merge_read_failure_is_not_treated_as_first_write(spark, deliveries, tmp_path):
+    """A corrupt/unreadable existing target must raise, never be
+    silently overwritten with only the incoming rows."""
+    target = tmp_path / "tgt"
+    target.mkdir()
+    (target / "part-00000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt|magic"):
+        compile_pipeline(
+            deliveries.withColumn("_id", F.col("batter")),
+            [{"$merge": {"into": "t", "on": "_id"}}],
+            sinks={"t": str(target)},
+        ).collect()
