@@ -345,3 +345,47 @@ def test_match_compiler_agrees_with_python_evaluator(spark, specs):
             if _ev_match(spec, {"a": a, "b": b, "s": s})
         }
         assert got == want, spec
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-50, 50), min_size=0, max_size=8),
+        min_size=20,
+        max_size=20,
+    ),
+    st.integers(-10, 10),
+)
+def test_pipeline_array_lambda_ops_property(spark, arrays, thresh):
+    """$filter/$map/$reduce over random int arrays agree with the
+    direct Python comprehension/fold on every row (the $$this
+    binding introduced for the round-3 expression dialect)."""
+    from cricket_analytics_nosql_spark.plans.mongo_pipeline import (
+        compile_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)],
+        "i int, a array<int>",
+    )
+    out = df.select(
+        "i",
+        compile_expr(
+            {"$filter": {"input": "$a", "cond": {"$gte": ["$$this", thresh]}}}
+        ).alias("f"),
+        compile_expr(
+            {"$map": {"input": "$a", "in": {"$add": ["$$this", 1]}}}
+        ).alias("m"),
+        compile_expr(
+            {"$reduce": {
+                "input": "$a",
+                "initialValue": 0,
+                "in": {"$add": ["$$value", "$$this"]},
+            }}
+        ).alias("r"),
+    ).collect()
+    for row in out:
+        a = arrays[row.i]
+        assert list(row.f) == [x for x in a if x >= thresh], row
+        assert list(row.m) == [x + 1 for x in a], row
+        assert row.r == sum(a), row
