@@ -557,8 +557,8 @@ def _compile_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     ``partitionBy`` (expression), ``sortBy``, and ``output`` fields
     using ``$sum/$avg/$min/$max/$count`` (with an optional
     ``window.documents [a, b]`` row frame; 'unbounded'/'current'/int
-    bounds — Mongo's default frame with a sortBy is
-    [unbounded, current], without one the whole partition),
+    bounds — with no explicit window the frame is the whole
+    partition, Mongo's default, whether or not sortBy is present),
     ``$rank`` / ``$denseRank`` / ``$documentNumber``, and ``$shift``
     (by > 0 → lead, by < 0 → lag, with ``default``). One Exchange on
     the partition key, ranking/frames computed partition-locally —
@@ -639,6 +639,98 @@ def _compile_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             )
         out = out.withColumn(name, agg.over(frame))
     return out
+
+
+def _compile_fill(df: DataFrame, spec: dict) -> DataFrame:
+    """``$fill`` → null repair. ``{"value": expr}`` compiles to a
+    coalesce (pure narrow map); ``{"method": "locf"}`` compiles to
+    ``last(col, ignorenulls=True)`` over a running row frame — one
+    Exchange on the partition key, carry-forward computed
+    partition-locally. ``method: "linear"`` is not supported (it
+    needs both neighbours; raise rather than approximate)."""
+    from pyspark.sql import Window
+
+    part = spec.get("partitionBy")
+    sort_by = spec.get("sortBy")
+    w = Window.partitionBy(
+        *([compile_expr(part)] if part is not None else [])
+    )
+    if sort_by:
+        w = w.orderBy(*_sort_cols(sort_by))
+    for field, rule in spec["output"].items():
+        if "value" in rule:
+            df = df.withColumn(
+                field, F.coalesce(F.col(field), compile_expr(rule["value"]))
+            )
+        elif rule.get("method") == "locf":
+            if not sort_by:
+                raise ValueError("$fill: locf requires sortBy")
+            df = df.withColumn(
+                field,
+                F.coalesce(
+                    F.col(field),
+                    F.last(F.col(field), ignorenulls=True).over(
+                        w.rowsBetween(
+                            Window.unboundedPreceding, Window.currentRow
+                        )
+                    ),
+                ),
+            )
+        else:
+            raise ValueError(f"$fill: unsupported output rule {rule!r}")
+    return df
+
+
+def _compile_densify(df: DataFrame, spec: dict) -> DataFrame:
+    """``$densify`` → generate the missing steps of a numeric field.
+    Generated documents carry only the partition fields + the
+    densified field (all other columns null), exactly Mongo's
+    contract. Plan: per-partition (or global) min/max aggregate →
+    ``sequence`` → ``explode`` → anti-join against the existing
+    (partition, field) pairs → union. The aggregates are tiny
+    (one row per partition); the anti-join shuffles on the same
+    keys the data is already grouped by."""
+    field = spec["field"]
+    parts = list(spec.get("partitionByFields", []))
+    rng = spec["range"]
+    step = int(rng["step"])
+    bounds = rng.get("bounds", "full")
+    f = F.col(field)
+    if isinstance(bounds, list):
+        lo, hi = int(bounds[0]), int(bounds[1])
+        # [lower, upper): last generated value is the largest
+        # lo + k*step strictly below hi
+        span = F.sequence(
+            F.lit(lo), F.lit(lo + ((hi - 1 - lo) // step) * step), F.lit(step)
+        )
+        per = (
+            df.select(*parts).distinct() if parts
+            else df.sparkSession.range(1).select()
+        )
+        dense = per.select(*parts, F.explode(span).alias(field))
+    else:
+        if bounds == "partition":
+            if not parts:
+                raise ValueError(
+                    "$densify: bounds 'partition' needs partitionByFields"
+                )
+            ext = df.groupBy(*parts).agg(
+                F.min(f).alias("__lo"), F.max(f).alias("__hi")
+            )
+        elif bounds == "full":
+            glob = df.agg(F.min(f).alias("__lo"), F.max(f).alias("__hi"))
+            ext = (
+                df.select(*parts).distinct().crossJoin(F.broadcast(glob))
+                if parts else glob
+            )
+        else:
+            raise ValueError(f"$densify: unsupported bounds {bounds!r}")
+        span = F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+        dense = ext.select(*parts, F.explode(span).alias(field))
+    missing = dense.join(
+        df.select(*parts, field).distinct(), [*parts, field], "left_anti"
+    )
+    return df.unionByName(missing, allowMissingColumns=True)
 
 
 def _apply_out_sink(
@@ -771,6 +863,10 @@ def compile_pipeline(
             df = df.agg(F.count(F.lit(1)).alias(spec))
         elif op == "$setWindowFields":
             df = _compile_set_window_fields(df, spec)
+        elif op == "$fill":
+            df = _compile_fill(df, spec)
+        elif op == "$densify":
+            df = _compile_densify(df, spec)
         elif op == "$unwind":
             df = _compile_unwind(df, spec)
         elif op == "$bucket":

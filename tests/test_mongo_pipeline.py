@@ -817,3 +817,65 @@ def test_merge_read_failure_is_not_treated_as_first_write(spark, deliveries, tmp
             [{"$merge": {"into": "t", "on": "_id"}}],
             sinks={"t": str(target)},
         ).collect()
+
+
+def test_fill_value_and_locf(spark):
+    df = spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 10), ("a", 3, None), ("a", 4, None),
+         ("b", 1, None), ("b", 2, 7)],
+        "k string, t int, v int",
+    )
+    got = compile_pipeline(
+        df,
+        [{"$fill": {
+            "partitionBy": "$k",
+            "sortBy": {"t": 1},
+            "output": {"v": {"method": "locf"}},
+        }},
+         {"$fill": {"output": {"v": {"value": -1}}}}],
+    )
+    rows = {(r.k, r.t): r.v for r in got.collect()}
+    # locf carries 10 forward within partition a; leading nulls get
+    # the value-fill fallback
+    assert rows == {
+        ("a", 1): -1, ("a", 2): 10, ("a", 3): 10, ("a", 4): 10,
+        ("b", 1): -1, ("b", 2): 7,
+    }
+    with pytest.raises(ValueError, match="locf requires sortBy"):
+        compile_pipeline(df, [{"$fill": {"output": {"v": {"method": "locf"}}}}])
+
+
+def test_densify_partition_and_explicit_bounds(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 4, "y"), ("b", 2, "z")],
+        "k string, t int, payload string",
+    )
+    got = compile_pipeline(
+        df,
+        [{"$densify": {
+            "field": "t",
+            "partitionByFields": ["k"],
+            "range": {"step": 1, "bounds": "partition"},
+        }}],
+    )
+    rows = sorted((r.k, r.t, r.payload) for r in got.collect())
+    # generated docs carry only (k, t); payload is null
+    assert rows == [
+        ("a", 1, "x"), ("a", 2, None), ("a", 3, None), ("a", 4, "y"),
+        ("b", 2, "z"),
+    ]
+    full = compile_pipeline(
+        df,
+        [{"$densify": {
+            "field": "t",
+            "partitionByFields": ["k"],
+            "range": {"step": 2, "bounds": [0, 5]},
+        }}],
+    )
+    frows = sorted((r.k, r.t) for r in full.select("k", "t").collect())
+    # [0, 5) step 2 -> 0, 2, 4 per partition, unioned with existing
+    # (values that already exist are not generated twice)
+    assert frows == [
+        ("a", 0), ("a", 1), ("a", 2), ("a", 4),
+        ("b", 0), ("b", 2), ("b", 4),
+    ]
