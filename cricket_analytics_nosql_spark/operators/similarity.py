@@ -543,6 +543,71 @@ ORDER BY e.label
 
 
 # --------------------------------------------------------------------------
+# kNN graph (all-vectors nearest neighbours)
+
+KNN_K = 3
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbour graph over the whole embedding
+    table: (vec_id, neighbor_id, cos, rank ≤ {KNN_K}) — the edge
+    list dedup clustering and diversity sampling consume. This is
+    the exact baseline (every vector scores against every other;
+    norms hoisted out of the pair loop, per-vector bounded top-k,
+    no shuffle until k rows/vector). The 100 TB path swaps the
+    scoring side for the IVF probe (``ivf_topk`` with the full
+    table as the query side) and trades exactness for cell-bounded
+    candidates — same output schema, recall-tested like ``ann_ivf``."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "vn", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    right = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("vn").alias("nn"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(right))
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("v"), F.col("nv")) / (F.col("vn") * F.col("nn")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .orderBy("vec_id", "rank")
+    )
+
+
+ORACLE_KNN_GRAPH = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+  FROM emb a, emb b
+  WHERE a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, neighbor_id, cos, rank FROM ranked
+WHERE rank <= {KNN_K}
+ORDER BY vec_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
 # int8 embedding quantization (training-data compression)
 
 def quantize_cols(v: Column) -> tuple[Column, Column, Column]:
@@ -645,4 +710,5 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_quantize_stats": QuerySpec(
         embedding_quantize_stats, ORACLE_EMBEDDING_QUANTIZE, ["X-sim", "X-training"]
     ),
+    "knn_graph": QuerySpec(knn_graph, ORACLE_KNN_GRAPH, ["X-sim", "X-dedup"]),
 }
