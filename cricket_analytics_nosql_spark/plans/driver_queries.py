@@ -8,6 +8,7 @@ so the compiler itself sits inside the correctness gate."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.plans.mongo_pipeline import compile_pipeline
@@ -317,7 +318,78 @@ ORDER BY _id
 """
 
 
+def mongo_pipeline_graph_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$graphLookup — the pipeline dialect's recursive traversal,
+    over the bidirectional trade graph (operators/graph.py): from 3
+    seed customers, all edge-docs reachable within one recursive hop
+    (shortest-path ≤ 1), reported as counts. Bounded-depth BFS and a
+    recursive CTE agree on the reachable SET, which is what the
+    oracle counts (first-reach depths are BFS-specific bookkeeping)."""
+    from cricket_analytics_nosql_spark.operators.graph import (
+        trade_graph_edges,
+    )
+    from cricket_analytics_nosql_spark.plans.mongo_pipeline import (
+        compile_pipeline,
+    )
+
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 3)
+        .select((F.col("c_custkey") * 2).alias("start"))
+    )
+    pipeline = [
+        {
+            "$graphLookup": {
+                "from": "trade",
+                "startWith": "$start",
+                "connectFromField": "dst",
+                "connectToField": "src",
+                "as": "reach",
+                "maxDepth": 1,
+            }
+        },
+        {"$project": {"start": 1, "n_reached": {"$size": "$reach"}}},
+        {"$sort": {"start": 1}},
+    ]
+    return compile_pipeline(
+        seeds,
+        pipeline,
+        collections={
+            "trade": trade_graph_edges(spark, sf_dir).select("src", "dst")
+        },
+    )
+
+
+ORACLE_MONGO_GRAPH_LOOKUP = """
+WITH RECURSIVE base AS (
+  SELECT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM base
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM base
+), seeds AS (
+  SELECT c_custkey * 2 AS seed FROM customer WHERE c_custkey < 3
+), reach(seed, src, dst, depth) AS (
+  SELECT s.seed, e.src, e.dst, 0 FROM seeds s JOIN e ON e.src = s.seed
+  UNION
+  SELECT r.seed, e.src, e.dst, r.depth + 1
+  FROM reach r JOIN e ON e.src = r.dst
+  WHERE r.depth < 1
+)
+SELECT seed AS start, COUNT(DISTINCT (src, dst)) AS n_reached
+FROM reach
+GROUP BY seed
+ORDER BY start
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mongo_pipeline_graph_lookup": QuerySpec(
+        mongo_pipeline_graph_lookup, ORACLE_MONGO_GRAPH_LOOKUP,
+        ["G1", "G2", "§3.3"],
+    ),
     "mongo_pipeline_group_topk": QuerySpec(
         mongo_pipeline_group_topk, ORACLE_MONGO_GROUP_TOPK,
         ["A1", "A2", "A3", "A5", "T1"],

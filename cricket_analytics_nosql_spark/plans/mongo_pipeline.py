@@ -733,6 +733,94 @@ def _compile_densify(df: DataFrame, spec: dict) -> DataFrame:
     return df.unionByName(missing, allowMissingColumns=True)
 
 
+def _compile_graph_lookup(
+    df: DataFrame, spec: dict, collections: Any
+) -> DataFrame:
+    """``$graphLookup`` → iterative frontier-expansion BFS over the
+    foreign collection, the pipeline dialect's recursive traversal.
+
+    Reachability is computed per DISTINCT start value, not per input
+    row — rows sharing a seed share one traversal — then joined back
+    onto the input. Each round: explode the frontier's connectFrom
+    values → equi-join the foreign collection's connectToField →
+    anti-join the visited set → accumulate. The loop follows the
+    engine's iterative discipline (PageRank, connected components):
+    ``localCheckpoint`` every round to cut lineage, stop on an empty
+    frontier (O(1) count on a checkpointed frame), hard cap as a
+    runaway guard. Foreign-doc identity for the visited set is the
+    full document struct (Mongo dedups on _id; a full-struct dedup
+    is the schema-agnostic equivalent).
+
+    Output: the ``as`` column holds the array of reached documents,
+    each a struct of the foreign collection's columns (+ the long
+    ``depthField`` if requested, 0 = first hop), array-sorted for
+    determinism (Mongo leaves the order unspecified)."""
+    if not collections:
+        raise ValueError("$graphLookup requires a collections resolver")
+    foreign = collections[spec["from"]]
+    start = compile_expr(spec["startWith"])
+    from_f, to_f = spec["connectFromField"], spec["connectToField"]
+    as_f = spec["as"]
+    depth_f = spec.get("depthField")
+    max_depth = int(spec.get("maxDepth", 20))
+    if as_f in df.columns:
+        raise ValueError(f"$graphLookup: column {as_f!r} already exists")
+
+    doc = F.struct(*[F.col(c) for c in foreign.columns]).alias("__doc")
+    fr = foreign.select(
+        doc, F.col(to_f).alias("__to"), F.col(from_f).alias("__from")
+    )
+    seeds = df.select(start.alias("__seed")).distinct()
+    # depth 0: foreign docs whose connectTo equals the start value
+    frontier = (
+        seeds.join(fr, F.col("__seed") == F.col("__to"))
+        .select("__seed", "__doc", "__from", F.lit(0).alias("__depth"))
+        .distinct()
+        .localCheckpoint()
+    )
+    reached = frontier
+    for depth in range(1, max_depth + 1):
+        if frontier.isEmpty():
+            break
+        candidates = (
+            frontier.select("__seed", F.col("__from").alias("__hop"))
+            .distinct()
+            .join(fr, F.col("__hop") == F.col("__to"))
+            .select("__seed", "__doc", "__from")
+            .distinct()
+        )
+        seen = reached.select(
+            F.col("__seed").alias("__s2"), F.col("__doc").alias("__seen")
+        )
+        frontier = (
+            candidates.join(
+                seen,
+                (candidates["__seed"] == seen["__s2"])
+                & (candidates["__doc"] == seen["__seen"]),
+                "left_anti",
+            )
+            .withColumn("__depth", F.lit(depth))
+            .localCheckpoint()
+        )
+        reached = reached.unionByName(frontier).localCheckpoint()
+    if depth_f:
+        elem = F.struct(
+            *[F.col("__doc")[c].alias(c) for c in foreign.columns],
+            F.col("__depth").cast("long").alias(depth_f),
+        )
+    else:
+        elem = F.col("__doc")
+    agg = reached.groupBy("__seed").agg(
+        F.array_sort(F.collect_list(elem)).alias("__arr")
+    )
+    out = df.join(agg, start == agg["__seed"], "left").drop("__seed")
+    fill = F.coalesce(
+        F.col("__arr"),
+        F.array().cast(agg.schema["__arr"].dataType),
+    )
+    return out.withColumn(as_f, fill).drop("__arr")
+
+
 def _apply_out_sink(
     df: DataFrame, spec: Any, sinks: dict[str, str]
 ) -> DataFrame:
@@ -920,6 +1008,8 @@ def compile_pipeline(
             if not collections:
                 raise ValueError("$lookup requires a collections resolver")
             df = _compile_lookup(df, spec, collections)
+        elif op == "$graphLookup":
+            df = _compile_graph_lookup(df, spec, collections)
         elif op == "$unionWith":
             if not collections:
                 raise ValueError("$unionWith requires a collections resolver")

@@ -184,7 +184,9 @@ def test_group_by_document_key(spark, deliveries):
 
 def test_unsupported_stage_raises(spark, deliveries):
     with pytest.raises(ValueError, match="unsupported pipeline stage"):
-        compile_pipeline(deliveries, [{"$graphLookup": {}}])
+        compile_pipeline(deliveries, [{"$densifyX": {}}])
+    with pytest.raises(ValueError, match="collections resolver"):
+        compile_pipeline(deliveries, [{"$graphLookup": {"from": "g"}}])
     with pytest.raises(ValueError, match="collections resolver"):
         compile_pipeline(deliveries, [{"$lookup": {}}])
     with pytest.raises(ValueError, match="sinks path resolver"):
@@ -879,3 +881,58 @@ def test_densify_partition_and_explicit_bounds(spark):
         ("a", 0), ("a", 1), ("a", 2), ("a", 4),
         ("b", 0), ("b", 2), ("b", 4),
     ]
+
+
+def test_graph_lookup_bfs_depths_and_cycle(spark):
+    """$graphLookup: BFS over an edge-doc collection with a cycle —
+    reached sets, first-reach depths, maxDepth truncation, and the
+    empty-result fill all checked by hand."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("x", "x")],
+        "src string, dst string",
+    )
+    people = spark.createDataFrame(
+        [("a",), ("d",), ("z",)], "start string"
+    )
+    got = compile_pipeline(
+        people,
+        [{"$graphLookup": {
+            "from": "g",
+            "startWith": "$start",
+            "connectFromField": "dst",
+            "connectToField": "src",
+            "as": "reach",
+            "depthField": "d",
+        }}],
+        collections={"g": edges},
+    )
+    rows = {r.start: sorted((e.src, e.dst, e.d) for e in r.reach)
+            for r in got.collect()}
+    # from a: (a,b)@0 -> (b,c)@1 -> (c,a),(c,d)@2 -> (a,b) already seen
+    assert rows["a"] == [("a", "b", 0), ("b", "c", 1), ("c", "a", 2), ("c", "d", 2)]
+    # d has no outgoing edges; z is absent entirely
+    assert rows["d"] == [] and rows["z"] == []
+    # maxDepth 0: first lookup only
+    got0 = compile_pipeline(
+        people,
+        [{"$graphLookup": {
+            "from": "g", "startWith": "$start",
+            "connectFromField": "dst", "connectToField": "src",
+            "as": "reach", "maxDepth": 0,
+        }}],
+        collections={"g": edges},
+    )
+    rows0 = {r.start: sorted((e.src, e.dst) for e in r.reach)
+             for r in got0.collect()}
+    assert rows0["a"] == [("a", "b")]
+    # self-loop terminates (visited-set dedup)
+    loop = compile_pipeline(
+        spark.createDataFrame([("x",)], "start string"),
+        [{"$graphLookup": {
+            "from": "g", "startWith": "$start",
+            "connectFromField": "dst", "connectToField": "src",
+            "as": "reach",
+        }}],
+        collections={"g": edges},
+    ).collect()[0]
+    assert [(e.src, e.dst) for e in loop.reach] == [("x", "x")]
