@@ -528,7 +528,12 @@ def _compile_lookup(
     whose foreignField is also null (``eqNullSafe``), not the empty
     array a plain equi-join would silently produce. The ``as`` name
     (and the internal join key) must not collide with an existing
-    input column — Mongo would overwrite; here it raises."""
+    input column — Mongo would overwrite; here it raises.
+
+    The ``let``/``pipeline`` form routes to
+    ``_compile_lookup_pipeline``."""
+    if "pipeline" in spec or "let" in spec:
+        return _compile_lookup_pipeline(df, spec, collections)
     right = collections[spec["from"]]
     as_name = spec["as"]
     for clash in (as_name, "__lookup_key"):
@@ -550,6 +555,83 @@ def _compile_lookup(
     return joined.withColumn(
         as_name, F.coalesce(F.col(as_name), F.array())
     )
+
+
+def _compile_lookup_pipeline(
+    df: DataFrame, spec: dict, collections: dict[str, DataFrame]
+) -> DataFrame:
+    """``$lookup`` with ``let`` + ``pipeline`` — Mongo's correlated
+    join form. Supported sub-pipeline: a leading ``$match`` whose
+    predicate is ``$expr`` (arbitrary expression over foreign fields
+    and ``$$var`` bindings — compiled through the same ``env``
+    machinery as $filter/$map), optionally followed by a
+    ``$project`` over the foreign columns. Anything else raises.
+
+    Plan: matches are grouped per DISTINCT ``let``-value tuple, not
+    per input row — rows sharing bindings share one probe — then
+    joined back onto the input on the let expressions (null-safe,
+    left). The join condition is exactly the compiled ``$expr``, so
+    equality bindings give Catalyst an equi-join it can hash; pure
+    theta conditions degrade to the same BNL join SQL would."""
+    right = collections[spec["from"]]
+    as_name = spec["as"]
+    lets: dict[str, Any] = spec.get("let", {})
+    sub = list(spec.get("pipeline", []))
+    if as_name in df.columns:
+        raise ValueError(
+            f"$lookup output column {as_name!r} collides with an "
+            "existing input column"
+        )
+    if not sub or "$match" not in sub[0] or "$expr" not in sub[0]["$match"]:
+        raise ValueError(
+            "$lookup pipeline form: sub-pipeline must start with "
+            "{'$match': {'$expr': ...}}"
+        )
+    cond_doc = sub[0]["$match"]["$expr"]
+    rest = sub[1:]
+    if len(rest) > 1 or (rest and "$project" not in rest[0]):
+        raise ValueError(
+            "$lookup pipeline form: only an optional trailing $project "
+            "is supported after the $expr $match"
+        )
+    let_cols = {v: f"__let_{v}" for v in lets}
+    clash = [c for c in let_cols.values() if c in right.columns]
+    if clash:
+        raise ValueError(f"$lookup: let columns collide with foreign: {clash}")
+    keyframe = df.select(
+        *[compile_expr(e).alias(let_cols[v]) for v, e in lets.items()]
+    ).distinct()
+    env = {v: F.col(c) for v, c in let_cols.items()}
+    matched = keyframe.join(right, compile_expr(cond_doc, env), "inner")
+    if rest:
+        keep = _project_columns(right, rest[0]["$project"])
+    else:
+        keep = list(right.columns)
+    grouped = matched.groupBy(*let_cols.values()).agg(
+        F.collect_list(F.struct(*[F.col(c) for c in keep])).alias(as_name)
+    )
+    join_cond = None
+    for v, c in let_cols.items():
+        this = compile_expr(lets[v]).eqNullSafe(grouped[c])
+        join_cond = this if join_cond is None else (join_cond & this)
+    out = df.join(grouped, join_cond, "left").drop(*let_cols.values())
+    return out.withColumn(as_name, F.coalesce(F.col(as_name), F.array()))
+
+
+def _project_columns(right: DataFrame, proj: dict) -> list[str]:
+    """Column subset a simple inclusion/exclusion $project keeps
+    (used for the foreign side of the pipeline-form $lookup, where
+    the projection must be a plain column selection)."""
+    non_id = {k: v for k, v in proj.items() if k != "_id"}
+    if non_id and all(v == 0 for v in non_id.values()):
+        return [c for c in right.columns if c not in non_id]
+    bad = [k for k, v in non_id.items() if v not in (1, True)]
+    if bad:
+        raise ValueError(
+            f"$lookup pipeline form: $project supports plain column "
+            f"selection only, got expressions for {bad}"
+        )
+    return [k for k in non_id if k in right.columns]
 
 
 def _compile_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:

@@ -936,3 +936,75 @@ def test_graph_lookup_bfs_depths_and_cycle(spark):
         collections={"g": edges},
     ).collect()[0]
     assert [(e.src, e.dst) for e in loop.reach] == [("x", "x")]
+
+
+def test_lookup_pipeline_form_correlated_join(spark, deliveries):
+    """$lookup with let + pipeline ($expr over $$vars): equality
+    binding plus a theta residual, with a trailing $project — checked
+    against a hand-built join."""
+    bowlers = spark.createDataFrame(
+        [("TG Southee", 4, "NZ"), ("MA Starc", 5, "AUS")],
+        "name string, min_runs int, country string",
+    )
+    got = compile_pipeline(
+        deliveries,
+        [
+            {"$lookup": {
+                "from": "bowlers",
+                "let": {"b": "$bowler", "r": "$runs_total"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$and": [
+                        {"$eq": ["$name", "$$b"]},
+                        {"$gte": ["$$r", "$min_runs"]},
+                    ]}}},
+                    {"$project": {"country": 1}},
+                ],
+                "as": "hit",
+            }},
+            {"$project": {"bowler": 1, "runs_total": 1,
+                          "n": {"$size": "$hit"}}},
+        ],
+        collections={"bowlers": bowlers},
+    )
+    rows = sorted((r.bowler, r.runs_total, r.n) for r in got.collect())
+    # a delivery 'hits' when runs_total >= the bowler's min_runs
+    want = sorted(
+        (b, rt, int((b == "TG Southee" and rt >= 4) or (b == "MA Starc" and rt >= 5)))
+        for b, rt in [("TG Southee", 4), ("TG Southee", 0), ("MA Starc", 6),
+                      ("TG Southee", 1), ("MA Starc", 1), ("TG Southee", 2),
+                      ("MA Starc", 0), ("TG Southee", 6)]
+    )
+    assert rows == want
+    # projected element carries only the requested column
+    one = compile_pipeline(
+        deliveries,
+        [{"$lookup": {
+            "from": "bowlers",
+            "let": {"b": "$bowler"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$name", "$$b"]}}},
+                {"$project": {"country": 1}},
+            ],
+            "as": "hit",
+        }}],
+        collections={"bowlers": bowlers},
+    ).select(F.explode("hit").alias("h")).limit(1).collect()[0]
+    assert list(one.h.asDict()) == ["country"]
+
+
+def test_lookup_pipeline_form_unsupported_shapes_raise(spark, deliveries):
+    with pytest.raises(ValueError, match="must start with"):
+        compile_pipeline(
+            deliveries,
+            [{"$lookup": {"from": "x", "let": {}, "pipeline": [{"$limit": 1}], "as": "a"}}],
+            collections={"x": deliveries},
+        )
+    with pytest.raises(ValueError, match="trailing .project"):
+        compile_pipeline(
+            deliveries,
+            [{"$lookup": {"from": "x", "let": {"b": "$bowler"}, "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$bowler", "$$b"]}}},
+                {"$limit": 1},
+            ], "as": "a"}}],
+            collections={"x": deliveries},
+        )
