@@ -385,7 +385,57 @@ ORDER BY start
 """
 
 
+def mongo_pipeline_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-lambda expression dialect ($split → $filter/$map/
+    $reduce with $$this/$$value bindings) end-to-end over documents:
+    per-language counts of long tokens and total token characters.
+    All lambdas compile to native higher-order functions (filter/
+    transform/aggregate) — one narrow pass, one aggregation."""
+    pipeline = [
+        {"$addFields": {"toks": {"$split": ["$text", " "]}}},
+        {"$project": {
+            "lang": 1,
+            "n_long": {"$size": {"$filter": {
+                "input": "$toks",
+                "cond": {"$gte": [{"$strLenCP": "$$this"}, 5]},
+            }}},
+            "chars": {"$reduce": {
+                "input": {"$map": {"input": "$toks",
+                                   "in": {"$strLenCP": "$$this"}}},
+                "initialValue": 0,
+                "in": {"$add": ["$$value", "$$this"]},
+            }},
+        }},
+        {"$group": {
+            "_id": "$lang",
+            "docs": {"$sum": 1},
+            "long_tokens": {"$sum": "$n_long"},
+            "token_chars": {"$sum": "$chars"},
+        }},
+        {"$sort": {"_id": 1}},
+    ]
+    return compile_pipeline(load_table(spark, sf_dir, "documents"), pipeline)
+
+
+ORACLE_MONGO_ARRAY_OPS = """
+SELECT lang AS _id, COUNT(*) AS docs,
+       CAST(SUM(len(list_filter(string_split(text, ' '),
+                                x -> length(x) >= 5))) AS BIGINT)
+         AS long_tokens,
+       CAST(SUM(list_aggregate(list_transform(string_split(text, ' '),
+                                              x -> length(x)), 'sum'))
+            AS BIGINT) AS token_chars
+FROM documents
+GROUP BY lang
+ORDER BY _id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mongo_pipeline_array_ops": QuerySpec(
+        mongo_pipeline_array_ops, ORACLE_MONGO_ARRAY_OPS,
+        ["§2.9", "X-text"],
+    ),
     "mongo_pipeline_graph_lookup": QuerySpec(
         mongo_pipeline_graph_lookup, ORACLE_MONGO_GRAPH_LOOKUP,
         ["G1", "G2", "§3.3"],

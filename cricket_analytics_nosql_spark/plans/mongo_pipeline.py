@@ -1054,6 +1054,41 @@ def compile_pipeline(
                 df.withColumn("__bucket", bucket),
                 {"_id": "$__bucket", **output},
             )
+        elif op == "$bucketAuto":
+            # equi-height buckets: boundaries at the k/N quantiles
+            # (exact percentile — swap for approx_percentile at
+            # scale, same plan shape). DIVERGENCE from Mongo,
+            # documented: no 'granularity' rounding; buckets are
+            # labelled {min, max} like Mongo's _id document. The
+            # quantile frame is N+1 scalars — broadcast back, the
+            # fact side never shuffles before its aggregation.
+            gb = compile_expr(spec["groupBy"])
+            n = int(spec["buckets"])
+            if spec.get("granularity"):
+                raise ValueError("$bucketAuto: granularity unsupported")
+            qs = [i / n for i in range(n + 1)]
+            bounds_df = df.select(
+                F.percentile(gb, F.array(*[F.lit(q) for q in qs])).alias("__qs")
+            )
+            with_b = df.crossJoin(F.broadcast(bounds_df))
+            q_arr = F.col("__qs")
+            # right-open except the last bucket, which is closed
+            bucket = F.lit(n - 1)
+            for i in range(n - 1, 0, -1):
+                bucket = F.when(gb < q_arr[i], F.lit(i - 1)).otherwise(bucket)
+            output = spec.get("output", {"count": {"$sum": 1}})
+            df = _compile_group(
+                with_b.withColumn("__bucket", bucket)
+                .withColumn(
+                    "__bucket_id",
+                    F.struct(
+                        q_arr[F.col("__bucket")].alias("min"),
+                        q_arr[F.col("__bucket") + 1].alias("max"),
+                    ),
+                )
+                .drop("__qs"),
+                {"_id": "$__bucket_id", **output},
+            ).orderBy(F.col("_id.min"))
         elif op == "$sortByCount":
             # sugar: $group by expr + count + sort desc (Mongo docs)
             df = _compile_group(

@@ -1008,3 +1008,27 @@ def test_lookup_pipeline_form_unsupported_shapes_raise(spark, deliveries):
             ], "as": "a"}}],
             collections={"x": deliveries},
         )
+
+
+def test_bucket_auto_equi_height(spark):
+    """$bucketAuto: equi-height buckets at exact quantile boundaries,
+    labelled {min, max}; counts split evenly on a uniform column."""
+    df = spark.range(100).select(F.col("id").cast("int").alias("v"))
+    got = compile_pipeline(
+        df,
+        [{"$bucketAuto": {
+            "groupBy": "$v",
+            "buckets": 4,
+            "output": {"n": {"$sum": 1}, "lo": {"$min": "$v"}},
+        }}],
+    ).collect()
+    assert [r.n for r in got] == [25, 25, 25, 25]
+    assert [r.lo for r in got] == [0, 25, 50, 75]
+    # boundary struct is contiguous: each bucket's max = next min
+    for a, b in zip(got, got[1:]):
+        assert a._id.max == b._id.min
+    with pytest.raises(ValueError, match="granularity"):
+        compile_pipeline(
+            df, [{"$bucketAuto": {"groupBy": "$v", "buckets": 2,
+                                  "granularity": "R5"}}]
+        )
