@@ -328,9 +328,6 @@ def mongo_pipeline_graph_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cricket_analytics_nosql_spark.operators.graph import (
         trade_graph_edges,
     )
-    from cricket_analytics_nosql_spark.plans.mongo_pipeline import (
-        compile_pipeline,
-    )
 
     seeds = (
         load_table(spark, sf_dir, "customer")

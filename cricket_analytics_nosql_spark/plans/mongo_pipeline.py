@@ -572,23 +572,39 @@ def _compile_lookup_pipeline(
     joined back onto the input on the let expressions (null-safe,
     left). The join condition is exactly the compiled ``$expr``, so
     equality bindings give Catalyst an equi-join it can hash; pure
-    theta conditions degrade to the same BNL join SQL would."""
+    theta conditions degrade to the same BNL join SQL would.
+
+    Mongo 5.0's concise form (``localField``/``foreignField``
+    together with a pipeline) adds the implicit null-safe equality
+    on top of whatever the sub-pipeline matches."""
     right = collections[spec["from"]]
     as_name = spec["as"]
-    lets: dict[str, Any] = spec.get("let", {})
+    lets: dict[str, Any] = dict(spec.get("let", {}))
     sub = list(spec.get("pipeline", []))
     if as_name in df.columns:
         raise ValueError(
             f"$lookup output column {as_name!r} collides with an "
             "existing input column"
         )
-    if not sub or "$match" not in sub[0] or "$expr" not in sub[0]["$match"]:
+    # concise form: implicit equality joins the explicit $expr
+    concise = "localField" in spec or "foreignField" in spec
+    if concise:
+        if "localField" not in spec or "foreignField" not in spec:
+            raise ValueError(
+                "$lookup: localField and foreignField must appear together"
+            )
+        lets["__concise"] = "$" + spec["localField"]
+    if sub and "$match" in sub[0] and "$expr" in sub[0]["$match"]:
+        cond_doc = sub[0]["$match"]["$expr"]
+        rest = sub[1:]
+    elif concise:
+        cond_doc = None  # equality only
+        rest = sub
+    else:
         raise ValueError(
             "$lookup pipeline form: sub-pipeline must start with "
             "{'$match': {'$expr': ...}}"
         )
-    cond_doc = sub[0]["$match"]["$expr"]
-    rest = sub[1:]
     if len(rest) > 1 or (rest and "$project" not in rest[0]):
         raise ValueError(
             "$lookup pipeline form: only an optional trailing $project "
@@ -602,7 +618,14 @@ def _compile_lookup_pipeline(
         *[compile_expr(e).alias(let_cols[v]) for v, e in lets.items()]
     ).distinct()
     env = {v: F.col(c) for v, c in let_cols.items()}
-    matched = keyframe.join(right, compile_expr(cond_doc, env), "inner")
+    cond = compile_expr(cond_doc, env) if cond_doc is not None else F.lit(True)
+    if concise:
+        # null-safe like the equality-form $lookup (null local keys
+        # match null foreign keys, per Mongo)
+        cond = cond & F.col(let_cols["__concise"]).eqNullSafe(
+            right[spec["foreignField"]]
+        )
+    matched = keyframe.join(right, cond, "inner")
     if rest:
         keep = _project_columns(right, rest[0]["$project"])
     else:
@@ -772,24 +795,61 @@ def _compile_densify(df: DataFrame, spec: dict) -> DataFrame:
     (partition, field) pairs → union. The aggregates are tiny
     (one row per partition); the anti-join shuffles on the same
     keys the data is already grouped by."""
+    import math
+
+    from pyspark.sql import types as T
+
     field = spec["field"]
     parts = list(spec.get("partitionByFields", []))
     rng = spec["range"]
-    step = int(rng["step"])
+    raw_step = rng["step"]
     bounds = rng.get("bounds", "full")
     f = F.col(field)
-    if isinstance(bounds, list):
-        lo, hi = int(bounds[0]), int(bounds[1])
-        # [lower, upper): last generated value is the largest
-        # lo + k*step strictly below hi
-        span = F.sequence(
-            F.lit(lo), F.lit(lo + ((hi - 1 - lo) // step) * step), F.lit(step)
+    field_type = df.schema[field].dataType
+    integral = isinstance(
+        field_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    if integral and float(raw_step) != int(raw_step):
+        # a fractional step over an int column would generate values
+        # the column's type cannot hold — Mongo (schemaless) emits
+        # doubles here; a typed engine must refuse, not truncate
+        raise ValueError(
+            f"$densify: fractional step {raw_step!r} over integral "
+            f"field {field!r} — cast the field to double first"
         )
+    step = int(raw_step) if integral else float(raw_step)
+
+    def span_from(lo_c: Column, hi_c: Column) -> Column:
+        """Values lo, lo+step, ... ≤ hi (empty when hi < lo)."""
+        if integral:
+            return F.when(
+                hi_c >= lo_c, F.sequence(lo_c, hi_c, F.lit(step))
+            ).otherwise(F.array().cast(f"array<{field_type.simpleString()}>"))
+        n = F.floor((hi_c - lo_c) / F.lit(step)).cast("int")
+        return F.when(
+            n >= 0,
+            F.transform(
+                F.sequence(F.lit(0), n),
+                lambda i: (
+                    lo_c + i.cast("double") * F.lit(step)
+                ).cast(field_type),
+            ),
+        ).otherwise(F.array().cast(f"array<{field_type.simpleString()}>"))
+
+    if isinstance(bounds, list):
+        lo, hi = bounds
+        # [lower, upper): the last generated value is the largest
+        # lo + k*step strictly below hi
+        k = math.ceil((hi - lo) / step) - 1  # largest k: lo + k*step < hi
+        last = lo + max(k, -1) * step
         per = (
             df.select(*parts).distinct() if parts
             else df.sparkSession.range(1).select()
         )
-        dense = per.select(*parts, F.explode(span).alias(field))
+        dense = per.select(
+            *parts,
+            F.explode(span_from(F.lit(lo), F.lit(last))).alias(field),
+        )
     else:
         if bounds == "partition":
             if not parts:
@@ -807,12 +867,18 @@ def _compile_densify(df: DataFrame, spec: dict) -> DataFrame:
             )
         else:
             raise ValueError(f"$densify: unsupported bounds {bounds!r}")
-        span = F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
-        dense = ext.select(*parts, F.explode(span).alias(field))
+        dense = ext.select(
+            *parts,
+            F.explode(span_from(F.col("__lo"), F.col("__hi"))).alias(field),
+        )
     missing = dense.join(
         df.select(*parts, field).distinct(), [*parts, field], "left_anti"
     )
     return df.unionByName(missing, allowMissingColumns=True)
+
+
+# runaway guard for $graphLookup traversals with no explicit maxDepth
+_GL_CAP = 50
 
 
 def _compile_graph_lookup(
@@ -836,15 +902,28 @@ def _compile_graph_lookup(
     Output: the ``as`` column holds the array of reached documents,
     each a struct of the foreign collection's columns (+ the long
     ``depthField`` if requested, 0 = first hop), array-sorted for
-    determinism (Mongo leaves the order unspecified)."""
+    determinism (Mongo leaves the order unspecified).
+
+    ``restrictSearchWithMatch`` filters the foreign collection before
+    traversal (equivalent to Mongo filtering every candidate level).
+    Without an explicit ``maxDepth`` the traversal runs to exhaustion
+    like Mongo; a runaway guard raises — rather than silently
+    truncating — if the frontier is still live after ``_GL_CAP`` rounds.
+    Seed equality is null-safe (same reasoning as ``_compile_lookup``:
+    null startWith matches a null connectToField)."""
     if not collections:
         raise ValueError("$graphLookup requires a collections resolver")
     foreign = collections[spec["from"]]
+    if spec.get("restrictSearchWithMatch"):
+        foreign = foreign.filter(
+            compile_match(spec["restrictSearchWithMatch"])
+        )
     start = compile_expr(spec["startWith"])
     from_f, to_f = spec["connectFromField"], spec["connectToField"]
     as_f = spec["as"]
     depth_f = spec.get("depthField")
-    max_depth = int(spec.get("maxDepth", 20))
+    explicit_depth = "maxDepth" in spec
+    max_depth = int(spec["maxDepth"]) if explicit_depth else _GL_CAP
     if as_f in df.columns:
         raise ValueError(f"$graphLookup: column {as_f!r} already exists")
 
@@ -855,14 +934,16 @@ def _compile_graph_lookup(
     seeds = df.select(start.alias("__seed")).distinct()
     # depth 0: foreign docs whose connectTo equals the start value
     frontier = (
-        seeds.join(fr, F.col("__seed") == F.col("__to"))
+        seeds.join(fr, F.col("__seed").eqNullSafe(F.col("__to")))
         .select("__seed", "__doc", "__from", F.lit(0).alias("__depth"))
         .distinct()
         .localCheckpoint()
     )
     reached = frontier
+    exhausted = False
     for depth in range(1, max_depth + 1):
         if frontier.isEmpty():
+            exhausted = True
             break
         candidates = (
             frontier.select("__seed", F.col("__from").alias("__hop"))
@@ -885,6 +966,13 @@ def _compile_graph_lookup(
             .localCheckpoint()
         )
         reached = reached.unionByName(frontier).localCheckpoint()
+    if not explicit_depth and not exhausted and not frontier.isEmpty():
+        raise ValueError(
+            f"$graphLookup: traversal still expanding after {_GL_CAP} "
+            "rounds with no maxDepth — set maxDepth explicitly "
+            "(Mongo's default is unbounded; silently truncating would "
+            "return incomplete results)"
+        )
     if depth_f:
         elem = F.struct(
             *[F.col("__doc")[c].alias(c) for c in foreign.columns],
@@ -895,7 +983,7 @@ def _compile_graph_lookup(
     agg = reached.groupBy("__seed").agg(
         F.array_sort(F.collect_list(elem)).alias("__arr")
     )
-    out = df.join(agg, start == agg["__seed"], "left").drop("__seed")
+    out = df.join(agg, start.eqNullSafe(agg["__seed"]), "left").drop("__seed")
     fill = F.coalesce(
         F.col("__arr"),
         F.array().cast(agg.schema["__arr"].dataType),
@@ -1072,10 +1160,14 @@ def compile_pipeline(
             )
             with_b = df.crossJoin(F.broadcast(bounds_df))
             q_arr = F.col("__qs")
-            # right-open except the last bucket, which is closed
+            # right-open except the last bucket, which is closed;
+            # null groupBy values sort FIRST in Mongo's BSON order,
+            # so they land in bucket 0 (a bare `<` would leave them
+            # falling through every When into the LAST bucket)
             bucket = F.lit(n - 1)
             for i in range(n - 1, 0, -1):
                 bucket = F.when(gb < q_arr[i], F.lit(i - 1)).otherwise(bucket)
+            bucket = F.when(gb.isNull(), F.lit(0)).otherwise(bucket)
             output = spec.get("output", {"count": {"$sum": 1}})
             df = _compile_group(
                 with_b.withColumn("__bucket", bucket)

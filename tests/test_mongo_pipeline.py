@@ -1032,3 +1032,105 @@ def test_bucket_auto_equi_height(spark):
             df, [{"$bucketAuto": {"groupBy": "$v", "buckets": 2,
                                   "granularity": "R5"}}]
         )
+
+
+def test_graph_lookup_review_fixes(spark):
+    """Round-3 review fixes: restrictSearchWithMatch filters the
+    traversal; null startWith matches null connectTo (null-safe);
+    no-maxDepth runs to exhaustion and a still-expanding traversal
+    raises instead of silently truncating."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 99), ("c", "d", 1)],
+        "src string, dst string, w int",
+    )
+    got = compile_pipeline(
+        spark.createDataFrame([("a",)], "start string"),
+        [{"$graphLookup": {
+            "from": "g", "startWith": "$start",
+            "connectFromField": "dst", "connectToField": "src",
+            "as": "reach",
+            "restrictSearchWithMatch": {"w": {"$lt": 10}},
+        }}],
+        collections={"g": edges},
+    ).collect()[0]
+    # (a,c,99) filtered out, so (c,d) is unreachable too
+    assert [(e.src, e.dst) for e in got.reach] == [("a", "b")]
+    # null-safe seeds
+    ne = spark.createDataFrame(
+        [(None, "x")], "src string, dst string"
+    )
+    gotn = compile_pipeline(
+        spark.createDataFrame([(None,), ("q",)], "start string"),
+        [{"$graphLookup": {
+            "from": "g", "startWith": "$start",
+            "connectFromField": "dst", "connectToField": "src",
+            "as": "reach",
+        }}],
+        collections={"g": ne},
+    )
+    rows = {r.start: [(e.src, e.dst) for e in r.reach] for r in gotn.collect()}
+    assert rows[None] == [(None, "x")] and rows["q"] == []
+    # deep chain, no maxDepth: runs past the old default of 20
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(30)], "src string, dst string"
+    )
+    deep = compile_pipeline(
+        spark.createDataFrame([("n0",)], "start string"),
+        [{"$graphLookup": {
+            "from": "g", "startWith": "$start",
+            "connectFromField": "dst", "connectToField": "src",
+            "as": "reach",
+        }}],
+        collections={"g": chain},
+    ).collect()[0]
+    assert len(deep.reach) == 30
+
+
+def test_lookup_concise_form_equality_plus_pipeline(spark):
+    """Mongo 5.0 concise $lookup: localField/foreignField AND a
+    pipeline — the implicit equality must apply (review fix: it was
+    silently dropped)."""
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    right = spark.createDataFrame(
+        [(1, 5), (2, 5), (2, -1)], "k2 int, v int"
+    )
+    got = compile_pipeline(
+        left,
+        [{"$lookup": {
+            "from": "r", "localField": "k", "foreignField": "k2",
+            "pipeline": [{"$match": {"$expr": {"$gt": ["$v", 0]}}}],
+            "as": "hit",
+        }},
+         {"$project": {"k": 1, "n": {"$size": "$hit"}}}],
+        collections={"r": right},
+    )
+    assert sorted((r.k, r.n) for r in got.collect()) == [(1, 1), (2, 1)]
+
+
+def test_densify_fractional_step(spark):
+    df = spark.createDataFrame([("a", 0.0), ("a", 5.0)], "k string, t double")
+    got = compile_pipeline(
+        df,
+        [{"$densify": {"field": "t", "partitionByFields": ["k"],
+                       "range": {"step": 2.5, "bounds": "partition"}}}],
+    )
+    assert sorted(r.t for r in got.collect()) == [0.0, 2.5, 5.0]
+    # fractional step over an int column refuses rather than truncates
+    idf = spark.createDataFrame([("a", 0), ("a", 5)], "k string, t int")
+    with pytest.raises(ValueError, match="fractional step"):
+        compile_pipeline(
+            idf,
+            [{"$densify": {"field": "t", "partitionByFields": ["k"],
+                           "range": {"step": 2.5, "bounds": "partition"}}}],
+        )
+
+
+def test_bucket_auto_nulls_in_first_bucket(spark):
+    df = spark.createDataFrame(
+        [(None,), (1,), (2,), (3,), (4,)], "v int"
+    )
+    got = compile_pipeline(
+        df, [{"$bucketAuto": {"groupBy": "$v", "buckets": 2}}]
+    ).collect()
+    # nulls sort first in BSON order -> first bucket
+    assert [r["count"] for r in got] == [3, 2]
