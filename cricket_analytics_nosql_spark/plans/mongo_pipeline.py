@@ -447,7 +447,12 @@ def _compile_project(df: DataFrame, spec: dict) -> DataFrame:
     inclusion specs keep only the named fields (plus _id unless
     excluded). Mixing inclusion and exclusion outside _id is an
     error in Mongo and raises here too — silently treating a 0 as
-    'skip' inside an inclusion list would drop every other column."""
+    'skip' inside an inclusion list would drop every other column.
+
+    Dotted paths preserve Mongo's nesting: inclusion ``{"a.b": 1}``
+    rebuilds ``a`` as a struct containing only ``b`` (siblings under
+    the same root merge); exclusion ``{"a.b": 0}`` drops the subfield
+    in place (``Column.dropFields``)."""
     id_rule = spec.get("_id")
     non_id = {k: v for k, v in spec.items() if k != "_id"}
     exclusions = [k for k, v in non_id.items() if v == 0]
@@ -457,16 +462,50 @@ def _compile_project(df: DataFrame, spec: dict) -> DataFrame:
                 "$project cannot mix inclusion and exclusion "
                 f"(excluded {exclusions}, spec {spec!r})"
             )
-        drops = exclusions + (["_id"] if id_rule == 0 else [])
-        return df.drop(*[c for c in drops if c in df.columns])
+        out = df
+        plain = [e for e in exclusions if "." not in e]
+        for e in exclusions:
+            if "." in e:
+                root, rest = e.split(".", 1)
+                out = out.withColumn(root, F.col(root).dropFields(rest))
+        drops = plain + (["_id"] if id_rule == 0 else [])
+        return out.drop(*[c for c in drops if c in out.columns])
     if not non_id:
         # only _id mentioned: {"_id": 0} drops it, {"_id": 1} keeps it alone
         if id_rule == 0:
             return df.drop("_id") if "_id" in df.columns else df
         return df.select("_id")
-    cols: list[Column] = []
+    # dotted inclusions: group by root, rebuild the nested struct
+    trees: dict[str, dict] = {}
     for name, rule in non_id.items():
-        if rule == 1:
+        if rule == 1 and "." in name:
+            parts = name.split(".")
+            node = trees.setdefault(parts[0], {})
+            for p in parts[1:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = name
+
+    def _build(tree: dict) -> Column:
+        return F.struct(
+            *[
+                (_build(v) if isinstance(v, dict) else F.col(v)).alias(k)
+                for k, v in tree.items()
+            ]
+        )
+
+    cols: list[Column] = []
+    emitted_roots: set[str] = set()
+    for name, rule in non_id.items():
+        if rule == 1 and "." in name:
+            root = name.split(".", 1)[0]
+            if root not in emitted_roots:
+                emitted_roots.add(root)
+                cols.append(_build(trees[root]).alias(root))
+        elif rule == 1:
+            if name in trees:
+                raise ValueError(
+                    f"$project: {name!r} listed both whole and by subfield"
+                )
             cols.append(F.col(name))
         else:
             cols.append(compile_expr(rule).alias(name))

@@ -1134,3 +1134,24 @@ def test_bucket_auto_nulls_in_first_bucket(spark):
     ).collect()
     # nulls sort first in BSON order -> first bucket
     assert [r["count"] for r in got] == [3, 2]
+
+
+def test_project_dotted_paths_preserve_nesting(spark):
+    """Dotted $project keeps Mongo's document shape: inclusion
+    rebuilds the root struct with only the named subfields; exclusion
+    drops the subfield in place."""
+    df = spark.createDataFrame(
+        [(1, ("Pune", "T20", "IN")), (2, ("Delhi", "ODI", "IN"))],
+        "id int, info struct<city:string, match_type:string, country:string>",
+    )
+    inc = compile_pipeline(
+        df, [{"$project": {"id": 1, "info.city": 1, "info.match_type": 1}}]
+    )
+    assert inc.columns == ["id", "info"]
+    r = inc.orderBy("id").collect()[0]
+    assert r.info.asDict() == {"city": "Pune", "match_type": "T20"}
+    exc = compile_pipeline(df, [{"$project": {"info.country": 0}}])
+    assert exc.columns == ["id", "info"]
+    assert "country" not in exc.schema["info"].dataType.fieldNames()
+    with pytest.raises(ValueError, match="whole and by subfield"):
+        compile_pipeline(df, [{"$project": {"info": 1, "info.city": 1}}])
