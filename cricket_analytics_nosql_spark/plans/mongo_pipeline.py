@@ -1147,7 +1147,15 @@ def compile_pipeline(
             df = _compile_project(df, spec)
         elif op == "$addFields":
             for name, rule in spec.items():
-                df = df.withColumn(name, compile_expr(rule))
+                if "." in name:
+                    # dotted path sets the nested field in place,
+                    # preserving the document shape (Mongo semantics)
+                    root, rest = name.split(".", 1)
+                    df = df.withColumn(
+                        root, F.col(root).withField(rest, compile_expr(rule))
+                    )
+                else:
+                    df = df.withColumn(name, compile_expr(rule))
         elif op == "$group":
             df = _compile_group(df, spec, sort_spec=pending_sort)
         elif op == "$sort":

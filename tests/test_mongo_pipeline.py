@@ -1155,3 +1155,19 @@ def test_project_dotted_paths_preserve_nesting(spark):
     assert "country" not in exc.schema["info"].dataType.fieldNames()
     with pytest.raises(ValueError, match="whole and by subfield"):
         compile_pipeline(df, [{"$project": {"info": 1, "info.city": 1}}])
+
+
+def test_add_fields_dotted_sets_nested_field(spark):
+    df = spark.createDataFrame(
+        [(1, ("Pune", "T20"))],
+        "id int, info struct<city:string, match_type:string>",
+    )
+    got = compile_pipeline(
+        df,
+        [{"$addFields": {
+            "info.city": {"$toUpper": "$info.city"},
+            "info.season": {"$literal": 2024},
+        }}],
+    ).collect()[0]
+    assert got.info.city == "PUNE" and got.info.match_type == "T20"
+    assert got.info.season == 2024
