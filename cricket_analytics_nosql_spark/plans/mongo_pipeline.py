@@ -753,13 +753,22 @@ def _compile_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             )
             out = out.withColumn(name, col.over(w))
             continue
-        if op not in ("$sum", "$avg", "$min", "$max", "$count"):
+        if op not in (
+            "$sum", "$avg", "$min", "$max", "$count",
+            "$first", "$last", "$push",
+        ):
             raise ValueError(f"$setWindowFields: unsupported {op}")
+        if op in ("$first", "$last", "$push") and not sort_by:
+            # without an ordering these are Mongo's 'unspecified
+            # result' — refuse rather than return partition-order noise
+            raise ValueError(f"$setWindowFields: {op} requires sortBy")
         if op == "$count" or (op == "$sum" and arg == 1):
             agg = F.count(F.lit(1))
         else:
             agg = {
-                "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max
+                "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
+                "$first": F.first, "$last": F.last,
+                "$push": F.collect_list,
             }[op](compile_expr(arg))
         frame = w
         if win is not None:

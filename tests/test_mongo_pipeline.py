@@ -1171,3 +1171,38 @@ def test_add_fields_dotted_sets_nested_field(spark):
     ).collect()[0]
     assert got.info.city == "PUNE" and got.info.match_type == "T20"
     assert got.info.season == 2024
+
+
+def test_set_window_fields_order_sensitive_functions(spark):
+    """$first/$last/$push in $setWindowFields: deterministic given
+    sortBy (frame order), full-partition default window."""
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("b", 1, 5)],
+        "k string, t int, v int",
+    )
+    got = compile_pipeline(
+        df,
+        [{"$setWindowFields": {
+            "partitionBy": "$k",
+            "sortBy": {"t": 1},
+            "output": {
+                "fst": {"$first": "$v"},
+                "lst": {"$last": "$v"},
+                "all": {"$push": "$v"},
+                "run": {"$push": "$v",
+                        "window": {"documents": ["unbounded", "current"]}},
+            },
+        }}],
+    )
+    rows = {(r.k, r.t): (r.fst, r.lst, list(r.all), list(r.run))
+            for r in got.collect()}
+    assert rows[("a", 2)] == (10, 30, [10, 20, 30], [10, 20])
+    assert rows[("b", 1)] == (5, 5, [5], [5])
+    with pytest.raises(ValueError, match="requires sortBy"):
+        compile_pipeline(
+            df,
+            [{"$setWindowFields": {
+                "partitionBy": "$k",
+                "output": {"fst": {"$first": "$v"}},
+            }}],
+        )
