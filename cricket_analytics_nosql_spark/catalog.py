@@ -29,6 +29,13 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 # driver's window converts judge-verified coverage into
 # driver-verified coverage.  Queries not listed keep registry order
 # after the window; nothing is dropped.
+#
+# ROUND 4 TODO: once CORRECTNESS_r03 lands green for this window,
+# rotate it to the round-3 additions that have never been
+# driver-checked: train_val_test_split, pack_sequences,
+# domain_mixture_resample, pii_scrub, embedding_quantize_stats,
+# knn_graph, mongo_pipeline_graph_lookup, mongo_pipeline_array_ops
+# (+ keep a handful of r3-green canaries).
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # never driver-checked (rounds 1-2)
     "map_functions",

@@ -1063,7 +1063,7 @@ def _apply_merge_sink(
     — the pipeline dialect of the reference's
     ``replace_one(upsert=True)`` sink (etl_cricsheet_to_mongo.py:136)
     and of ``operators.etl.upsert_by_key``. Supported: whenMatched
-    ∈ {replace, keepExisting}, whenNotMatched ∈ {insert, discard}
+    ∈ {replace, keepExisting, merge}, whenNotMatched ∈ {insert, discard}
     (Mongo's defaults for the reference's shape are replace/insert).
     Three key-joins against the existing target — all equi-joins,
     shuffle-partitioned on the merge key — then one overwrite;
@@ -1081,7 +1081,7 @@ def _apply_merge_sink(
     when_not_matched = (
         spec.get("whenNotMatched", "insert") if isinstance(spec, dict) else "insert"
     )
-    if when_matched not in ("replace", "keepExisting"):
+    if when_matched not in ("replace", "keepExisting", "merge"):
         raise ValueError(f"$merge: unsupported whenMatched {when_matched!r}")
     if when_not_matched not in ("insert", "discard"):
         raise ValueError(
@@ -1108,6 +1108,37 @@ def _apply_merge_sink(
         kept_unmatched = existing.join(new.select(*keys), keys, "left_anti")
         if when_matched == "replace":
             matched = new.join(existing.select(*keys), keys, "left_semi")
+        elif when_matched == "merge":
+            # field-wise document merge (Mongo's whenMatched: merge):
+            # incoming non-null fields win, existing fields survive
+            # where the incoming doc lacks or nulls them; columns only
+            # on one side pass through
+            n = new.select(
+                *keys,
+                *[
+                    F.col(c).alias(f"__new_{c}")
+                    for c in new.columns
+                    if c not in keys
+                ],
+            )
+            merged_cols = [
+                (
+                    F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c)
+                    if c in new.columns
+                    else F.col(c)
+                )
+                for c in existing.columns
+                if c not in keys
+            ]
+            extra = [
+                F.col(f"__new_{c}").alias(c)
+                for c in new.columns
+                if c not in keys and c not in existing.columns
+            ]
+            matched = (
+                existing.join(n, keys, "inner")
+                .select(*keys, *merged_cols, *extra)
+            )
         else:
             matched = existing.join(new.select(*keys), keys, "left_semi")
         result = kept_unmatched.unionByName(matched, allowMissingColumns=True)

@@ -1206,3 +1206,28 @@ def test_set_window_fields_order_sensitive_functions(spark):
                 "output": {"fst": {"$first": "$v"}},
             }}],
         )
+
+
+def test_merge_when_matched_merge_mode(spark, tmp_path):
+    """whenMatched: 'merge' — field-wise doc merge: incoming non-null
+    fields win, existing values survive where the incoming doc lacks
+    or nulls them, one-sided columns pass through."""
+    target = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(1, "alice", 100), (2, "bob", 200)],
+        "_id int, name string, score int",
+    ).write.parquet(target)
+    incoming = spark.createDataFrame(
+        [(1, None, 150, "x"), (3, "carol", 300, "y")],
+        "_id int, name string, score int, tag string",
+    )
+    out = compile_pipeline(
+        incoming,
+        [{"$merge": {"into": "t", "on": "_id",
+                     "whenMatched": "merge", "whenNotMatched": "insert"}}],
+        sinks={"t": target},
+    )
+    rows = {r._id: (r.name, r.score, r.tag) for r in out.collect()}
+    assert rows[1] == ("alice", 150, "x")   # null name keeps existing
+    assert rows[2] == ("bob", 200, None)    # untouched
+    assert rows[3] == ("carol", 300, "y")   # inserted
