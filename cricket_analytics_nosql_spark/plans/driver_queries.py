@@ -428,7 +428,49 @@ ORDER BY _id
 """
 
 
+def mongo_pipeline_densify_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$densify + $fill end-to-end: hourly event counts on a sparse
+    slice of the log (event_id % 97), densified to the full 24-hour
+    grid per event type and zero-filled — the gap-repair idiom of
+    time-series rollups, in the pipeline dialect."""
+    pipeline = [
+        {"$match": {"event_id": {"$mod": [97, 0]}}},
+        {"$addFields": {"hour": {"$hour": "$ts"}}},
+        {"$group": {"_id": {"et": "$event_type", "h": "$hour"},
+                    "n": {"$sum": 1}}},
+        {"$project": {"_id": 0, "event_type": "$_id.et",
+                      "hour": "$_id.h", "n": 1}},
+        {"$densify": {"field": "hour", "partitionByFields": ["event_type"],
+                      "range": {"step": 1, "bounds": [0, 24]}}},
+        {"$fill": {"output": {"n": {"value": 0}}}},
+        {"$sort": {"event_type": 1, "hour": 1}},
+    ]
+    return compile_pipeline(load_table(spark, sf_dir, "events"), pipeline)
+
+
+ORACLE_MONGO_DENSIFY_FILL = """
+WITH f AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS h
+  FROM events WHERE event_id % 97 = 0
+), c AS (
+  SELECT event_type, h, COUNT(*) AS n FROM f GROUP BY 1, 2
+), types AS (
+  SELECT DISTINCT event_type FROM f
+), grid AS (
+  SELECT t.event_type, CAST(r.range AS BIGINT) AS hour
+  FROM types t, range(0, 24) r
+)
+SELECT g.event_type, g.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.hour = c.h
+ORDER BY g.event_type, g.hour
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mongo_pipeline_densify_fill": QuerySpec(
+        mongo_pipeline_densify_fill, ORACLE_MONGO_DENSIFY_FILL,
+        ["§2.8", "P12"],
+    ),
     "mongo_pipeline_array_ops": QuerySpec(
         mongo_pipeline_array_ops, ORACLE_MONGO_ARRAY_OPS,
         ["§2.9", "X-text"],
