@@ -389,3 +389,52 @@ def test_pipeline_array_lambda_ops_property(spark, arrays, thresh):
         assert list(row.f) == [x for x in a if x >= thresh], row
         assert list(row.m) == [x + 1 for x in a], row
         assert row.r == sum(a), row
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=16,
+    ),
+    st.integers(0, 7),
+    st.integers(0, 3),
+)
+def test_graph_lookup_agrees_with_python_bfs(spark, edge_pairs, seed, max_depth):
+    """$graphLookup over random small digraphs agrees with a direct
+    Python BFS: same reached edge-doc set, same first-reach depths."""
+    from collections import deque
+
+    from cricket_analytics_nosql_spark.plans.mongo_pipeline import (
+        compile_pipeline,
+    )
+
+    edges = sorted(set(edge_pairs))
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    got = compile_pipeline(
+        spark.createDataFrame([(seed,)], "start int"),
+        [{"$graphLookup": {
+            "from": "g", "startWith": "$start",
+            "connectFromField": "dst", "connectToField": "src",
+            "as": "reach", "maxDepth": max_depth, "depthField": "d",
+        }}],
+        collections={"g": edf},
+    ).collect()[0]
+    got_set = {(e.src, e.dst): e.d for e in got.reach}
+
+    # reference BFS over edge-docs: frontier of docs, expand via dst
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append((s, d))
+    want: dict[tuple[int, int], int] = {}
+    frontier = deque((doc, 0) for doc in adj.get(seed, []))
+    while frontier:
+        doc, depth = frontier.popleft()
+        if doc in want or depth > max_depth:
+            continue
+        want[doc] = depth
+        for nxt in adj.get(doc[1], []):
+            if nxt not in want:
+                frontier.append((nxt, depth + 1))
+    assert got_set == want, (edges, seed, max_depth)
