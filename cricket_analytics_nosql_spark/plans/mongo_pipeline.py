@@ -467,7 +467,13 @@ def _compile_project(df: DataFrame, spec: dict) -> DataFrame:
         for e in exclusions:
             if "." in e:
                 root, rest = e.split(".", 1)
-                out = out.withColumn(root, F.col(root).dropFields(rest))
+                # unknown roots are inert, like Mongo's unknown
+                # exclusion paths (plain exclusions get the same
+                # tolerance via the 'in out.columns' filter below)
+                if root in out.columns:
+                    out = out.withColumn(
+                        root, F.col(root).dropFields(rest)
+                    )
         drops = plain + (["_id"] if id_rule == 0 else [])
         return out.drop(*[c for c in drops if c in out.columns])
     if not non_id:
@@ -475,20 +481,34 @@ def _compile_project(df: DataFrame, spec: dict) -> DataFrame:
         if id_rule == 0:
             return df.drop("_id") if "_id" in df.columns else df
         return df.select("_id")
-    # dotted inclusions: group by root, rebuild the nested struct
+    # dotted keys (inclusion OR expression): group by root, rebuild
+    # the nested struct. Leaves are Columns; a prefix/extension
+    # collision between two paths ('a.b' and 'a.b.c') raises like
+    # Mongo's path-collision error.
     trees: dict[str, dict] = {}
     for name, rule in non_id.items():
-        if rule == 1 and "." in name:
+        if "." in name:
             parts = name.split(".")
             node = trees.setdefault(parts[0], {})
-            for p in parts[1:-1]:
+            if not isinstance(node, dict):
+                raise ValueError(f"$project: path collision at {parts[0]!r}")
+            for i, p in enumerate(parts[1:-1], start=1):
                 node = node.setdefault(p, {})
-            node[parts[-1]] = name
+                if not isinstance(node, dict):
+                    raise ValueError(
+                        "$project: path collision at "
+                        f"{'.'.join(parts[: i + 1])!r}"
+                    )
+            if parts[-1] in node:
+                raise ValueError(f"$project: path collision at {name!r}")
+            node[parts[-1]] = (
+                F.col(name) if rule == 1 else compile_expr(rule)
+            )
 
     def _build(tree: dict) -> Column:
         return F.struct(
             *[
-                (_build(v) if isinstance(v, dict) else F.col(v)).alias(k)
+                (_build(v) if isinstance(v, dict) else v).alias(k)
                 for k, v in tree.items()
             ]
         )
@@ -496,7 +516,7 @@ def _compile_project(df: DataFrame, spec: dict) -> DataFrame:
     cols: list[Column] = []
     emitted_roots: set[str] = set()
     for name, rule in non_id.items():
-        if rule == 1 and "." in name:
+        if "." in name:
             root = name.split(".", 1)[0]
             if root not in emitted_roots:
                 emitted_roots.add(root)
@@ -508,6 +528,10 @@ def _compile_project(df: DataFrame, spec: dict) -> DataFrame:
                 )
             cols.append(F.col(name))
         else:
+            if name in trees:
+                raise ValueError(
+                    f"$project: {name!r} listed both whole and by subfield"
+                )
             cols.append(compile_expr(rule).alias(name))
     # Mongo keeps _id unless projected away
     if id_rule == 0:
@@ -764,11 +788,15 @@ def _compile_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             raise ValueError(f"$setWindowFields: {op} requires sortBy")
         if op == "$count" or (op == "$sum" and arg == 1):
             agg = F.count(F.lit(1))
+        elif op == "$push":
+            # struct-wrap so null elements survive (collect_list drops
+            # bare nulls; Mongo's $push keeps them) — same trick as
+            # the $group-stage $push
+            agg = F.collect_list(F.struct(compile_expr(arg).alias("v")))
         else:
             agg = {
                 "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
                 "$first": F.first, "$last": F.last,
-                "$push": F.collect_list,
             }[op](compile_expr(arg))
         frame = w
         if win is not None:
@@ -790,7 +818,10 @@ def _compile_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             frame = w.rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
-        out = out.withColumn(name, agg.over(frame))
+        col = agg.over(frame)
+        if op == "$push":
+            col = F.transform(col, lambda x: x["v"])  # unwrap
+        out = out.withColumn(name, col)
     return out
 
 
@@ -1112,7 +1143,12 @@ def _apply_merge_sink(
             # field-wise document merge (Mongo's whenMatched: merge):
             # incoming non-null fields win, existing fields survive
             # where the incoming doc lacks or nulls them; columns only
-            # on one side pass through
+            # on one side pass through. DOCUMENTED DIVERGENCE: a
+            # fixed-schema frame cannot distinguish an absent field
+            # from an explicit null, so an incoming null can never
+            # clear an existing value (Mongo's $mergeObjects would
+            # set it to null when the field is explicitly present) —
+            # to clear a field, use whenMatched: replace
             n = new.select(
                 *keys,
                 *[
@@ -1186,14 +1222,29 @@ def compile_pipeline(
         elif op == "$project":
             df = _compile_project(df, spec)
         elif op == "$addFields":
+            from pyspark.sql import types as T
+
             for name, rule in spec.items():
                 if "." in name:
                     # dotted path sets the nested field in place,
-                    # preserving the document shape (Mongo semantics)
+                    # preserving the document shape (Mongo
+                    # semantics); a missing or non-struct root is
+                    # created/replaced as a fresh nested document,
+                    # also per Mongo
                     root, rest = name.split(".", 1)
-                    df = df.withColumn(
-                        root, F.col(root).withField(rest, compile_expr(rule))
+                    root_is_struct = root in df.columns and isinstance(
+                        df.schema[root].dataType, T.StructType
                     )
+                    if root_is_struct:
+                        df = df.withColumn(
+                            root,
+                            F.col(root).withField(rest, compile_expr(rule)),
+                        )
+                    else:
+                        nested = compile_expr(rule)
+                        for part in reversed(rest.split(".")):
+                            nested = F.struct(nested.alias(part))
+                        df = df.withColumn(root, nested)
                 else:
                     df = df.withColumn(name, compile_expr(rule))
         elif op == "$group":
@@ -1274,9 +1325,10 @@ def compile_pipeline(
                 df, {"_id": spec, "count": {"$sum": 1}}
             ).orderBy(F.col("count").desc(), F.col("_id").asc())
         elif op == "$unset":
-            # sugar for an all-exclusion $project
+            # sugar for an all-exclusion $project (which also gives
+            # dotted paths the in-place subfield drop)
             fields = [spec] if isinstance(spec, str) else list(spec)
-            df = df.drop(*[f for f in fields if f in df.columns])
+            df = _compile_project(df, {f: 0 for f in fields})
         elif op in ("$replaceRoot", "$replaceWith"):
             if op == "$replaceRoot":
                 root = spec["newRoot"] if isinstance(spec, dict) else spec
@@ -1352,19 +1404,41 @@ def _has_order_sensitive(group_spec: dict) -> bool:
     )
 
 
+def _paths_overlap(a: str, b: str) -> bool:
+    """True when writing/removing path ``a`` can change the value at
+    path ``b`` (equal, or one is a prefix segment of the other —
+    'a.b' disturbs 'a' and vice versa)."""
+    return a == b or a.startswith(b + ".") or b.startswith(a + ".")
+
+
 def _disturbed_sort_keys(op: str, spec: Any, sort_spec: dict) -> set[str]:
     """Sort keys whose VALUES do not survive this stage unchanged.
     $project inclusion entries of literal 1/True keep the original
     column; anything else (expression, exclusion, omission from an
-    inclusion list, $unset) loses or rewrites it."""
+    inclusion list, $unset) loses or rewrites it. Paths are compared
+    segment-wise: a dotted write into a struct disturbs a sort on
+    the whole struct and vice versa."""
     keys = set(sort_spec)
     if op == "$addFields":
-        return keys & set(spec)
+        return {k for k in keys if any(_paths_overlap(w, k) for w in spec)}
     if op == "$unset":
         fields = {spec} if isinstance(spec, str) else set(spec)
-        return keys & fields
+        return {k for k in keys if any(_paths_overlap(w, k) for w in fields)}
     # $project
     non_id = {k: v for k, v in spec.items() if k != "_id"}
     if non_id and all(v == 0 for v in non_id.values()):  # exclusion mode
-        return keys & set(non_id)
-    return {k for k in keys if spec.get(k) not in (1, True)}
+        return {
+            k for k in keys if any(_paths_overlap(w, k) for w in non_id)
+        }
+    # inclusion mode: key K survives verbatim iff some rule-1 entry
+    # covers it whole (W == K, or W is an ancestor path of K). A
+    # dotted inclusion UNDER K rebuilds K's struct (different value);
+    # an expression at/inside K rewrites it; anything else drops it.
+    return {
+        k
+        for k in keys
+        if not any(
+            r in (1, True) and (w == k or k.startswith(w + "."))
+            for w, r in non_id.items()
+        )
+    }

@@ -1231,3 +1231,53 @@ def test_merge_when_matched_merge_mode(spark, tmp_path):
     assert rows[1] == ("alice", 150, "x")   # null name keeps existing
     assert rows[2] == ("bob", 200, None)    # untouched
     assert rows[3] == ("carol", 300, "y")   # inserted
+
+
+def test_dotted_path_review_fixes(spark):
+    """Third review round: dotted-path edge cases."""
+    df = spark.createDataFrame(
+        [("k1", 2, ("Pune", "T20")), ("k1", 1, ("Delhi", "ODI"))],
+        "k string, v int, info struct<city:string, mt:string>",
+    )
+    # 1) $setWindowFields $push preserves nulls
+    nulls = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, None), ("a", 3, 30)], "k string, t int, v int"
+    )
+    got = compile_pipeline(
+        nulls,
+        [{"$setWindowFields": {
+            "partitionBy": "$k", "sortBy": {"t": 1},
+            "output": {"all": {"$push": "$v"}},
+        }}],
+    ).collect()[0]
+    assert list(got.all) == [10, None, 30]
+    # 2) dotted $addFields into a sort key poisons the pending $sort
+    with pytest.raises(ValueError, match="rewrites/removes .sort key"):
+        compile_pipeline(
+            df,
+            [{"$sort": {"info": 1}},
+             {"$addFields": {"info.city": {"$toUpper": "$info.city"}}},
+             {"$group": {"_id": "$k", "f": {"$first": "$v"}}}],
+        )
+    # 3) prefix/extension path collisions raise
+    with pytest.raises(ValueError, match="path collision"):
+        compile_pipeline(df, [{"$project": {"info.city": 1, "info.city.x": 1}}])
+    with pytest.raises(ValueError, match="path collision"):
+        compile_pipeline(df, [{"$project": {"info.city.x": 1, "info.city": 1}}])
+    # 4) dotted expression rule nests under the root
+    exp = compile_pipeline(
+        df, [{"$project": {"info.city": 1, "info.up": {"$toUpper": "$info.mt"}}}]
+    )
+    assert exp.columns == ["info"]
+    r = exp.orderBy("info.city").collect()[0]
+    assert r.info.asDict() == {"city": "Delhi", "up": "ODI"}
+    # 5) dotted $unset drops the subfield (parity with $project exclusion)
+    uns = compile_pipeline(df, [{"$unset": "info.mt"}])
+    assert uns.schema["info"].dataType.fieldNames() == ["city"]
+    # 6) excluding under an absent root is inert, like Mongo
+    assert compile_pipeline(df, [{"$project": {"nope.x": 0}}]).count() == 2
+    # 7) dotted $addFields with an absent root creates the document
+    created = compile_pipeline(
+        df, [{"$addFields": {"meta.flag.deep": {"$literal": 7}}}]
+    ).collect()[0]
+    assert created.meta.flag.deep == 7
