@@ -44,12 +44,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(catalog):
         spec = catalog[name]
-        # best of 3: the first run pays codegen/JIT for this plan
-        # shape; the repeats measure the engine, not the compiler
-        # (3 rather than 2 — observed rare whole-process slow runs
-        # where both of 2 samples landed high)
+        # best of 5: the first run pays codegen/JIT for this plan
+        # shape; the repeats measure the engine, not the compiler.
+        # 5 rather than 3: the host carries bursty external load
+        # (load-avg spikes 2 -> 11 inside a single bench run were
+        # observed inflating individual queries 3-5x) — more samples
+        # per query raise the odds that at least one lands in a calm
+        # window, at ~40s extra wall for the whole set.
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
