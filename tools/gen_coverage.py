@@ -32,6 +32,8 @@ EXT = [
     ("X-sim", "Similarity search (brute-force / IVF / SRP-LSH)"),
     ("X-text", "Text analysis (quality / lang-ID / tokens / TF-IDF / fingerprints)"),
     ("X-mm", "Multimodal binary columns"),
+    ("X-curation", "Corpus curation (stratified sampling / quantile trim / repetition / decontamination / PII scrub)"),
+    ("X-training", "Training export (split / sequence packing / mixture rebalance / int8 quantization)"),
     ("X-ts", "Time-series (hypertable-style rollup / sessionize / as-of)"),
     ("§2.11", "Structured Streaming"),
     ("§2.12", "Vectorized Python surface (pandas_udf / UDTF / mapInPandas / applyInPandasWithState)"),
