@@ -120,6 +120,7 @@ def all_queries() -> dict[str, QuerySpec]:
         skew,
         text,
         training,
+        versioning,
         windows,
     )
 
@@ -142,6 +143,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         skew,
         training,
+        versioning,
         cricket,
         sinks,
         pysurface,

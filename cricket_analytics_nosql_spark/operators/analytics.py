@@ -174,6 +174,105 @@ ORDER BY o.o_orderkey
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-funnel analysis over the events stream: of the
+    users who VIEWed, how many later CLICKed, and of those how many
+    later PURCHASEd — each stage's timestamp must strictly follow the
+    previous stage's first occurrence (the product-analytics funnel,
+    not mere set intersection: a purchase *before* the first
+    qualifying click does not convert).
+
+    Stage times are sequentially dependent (first click AFTER the
+    first view, first purchase AFTER that click), so they cannot be
+    one flat aggregate — but they CAN all ride one partitioning:
+    three chained window-min expressions over the same
+    ``partitionBy(user_id)`` window. Physical plan: ONE Exchange of
+    the events table on user_id, three Window operators with no
+    intervening shuffle, then a user-level dedup (already
+    partitioned — no exchange) and a single-row global agg. At
+    100 TB this is exactly one fact shuffle, the floor for any
+    per-user sequential semantics; the same shape Flink's CEP or a
+    MATCH_RECOGNIZE engine would produce for a 3-step pattern.
+
+    Output (single row, all integers): users entering each stage and
+    the total view→purchase latency over converted users.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    staged = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t1")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_us") > F.col("t2")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    per_user = (
+        staged.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(
+            F.min("t1").alias("t1"),
+            F.min("t2").alias("t2"),
+            F.min("t3").alias("t3"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.col("t1")).alias("n_viewed"),
+        F.count(F.col("t2")).alias("n_clicked"),
+        F.count(F.col("t3")).alias("n_purchased"),
+        F.sum(
+            F.when(F.col("t3").isNotNull(), F.col("t3") - F.col("t1"))
+        ).alias("view_to_purchase_us_total"),
+    )
+
+
+ORACLE_FUNNEL_CONVERSION = """
+WITH s1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1
+  FROM events GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'click'
+                   AND epoch_us(e.ts) > s1.t1
+                  THEN epoch_us(e.ts) END) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'purchase'
+                   AND epoch_us(e.ts) > s2.t2
+                  THEN epoch_us(e.ts) END) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  GROUP BY e.user_id
+)
+SELECT COUNT(s1.t1) AS n_viewed,
+       COUNT(s2.t2) AS n_clicked,
+       COUNT(s3.t3) AS n_purchased,
+       CAST(SUM(CASE WHEN s3.t3 IS NOT NULL THEN s3.t3 - s1.t1 END)
+            AS BIGINT) AS view_to_purchase_us_total
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "regional_revenue": QuerySpec(
         regional_revenue, ORACLE_REGIONAL_REVENUE, ["J1", "A1", "T1"],
@@ -184,5 +283,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "correlated_subquery": QuerySpec(
         correlated_subquery, ORACLE_CORRELATED_SUBQUERY, ["J6", "A6"]
+    ),
+    "funnel_conversion": QuerySpec(
+        funnel_conversion, ORACLE_FUNNEL_CONVERSION, ["§2.8", "A3", "A4"]
     ),
 }

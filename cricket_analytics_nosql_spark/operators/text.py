@@ -616,7 +616,117 @@ FROM injected
 """
 
 
+# --------------------------------------------------------------------------
+# corpus bigram language model → per-doc surprisal (perplexity filter)
+
+LM_MIN_BIGRAMS = 20
+LM_TOPK = 100
+
+
+def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering without the external KenLM:
+    train a bigram LM on the corpus itself (MLE, no smoothing — every
+    observed bigram has a count) and score each document by its mean
+    token surprisal −ln P(w2|w1) = ln(c(w1·)/c(w1,w2)). High-mean
+    docs are the incoherent tail a curation pass would cut; the
+    driver query returns the worst {LM_TOPK} documents with at least
+    {LM_MIN_BIGRAMS} bigrams.
+
+    Cross-engine determinism: each bigram's surprisal is computed
+    from two exact integers (ln of an exactly-rounded IEEE quotient),
+    rounded to integer MICRO-nats before the per-doc sum — integer
+    sums are associative, so partial aggregation order (which Spark
+    does not fix) cannot wobble the result, and the DuckDB oracle
+    lands on identical bits.
+
+    Scale: the bigram stream shuffles twice for the two count tables
+    (both map-side-combined, output is vocabulary²-bounded which in
+    practice is ≪ corpus size) and twice more to join the counts
+    back. Stopword-headed keys are the documented skew: AQE skew-join
+    split handles the join side, and the count aggregates are immune
+    (partial combine collapses hot keys before the exchange). When
+    the LM is trained on a sample (the usual practice) both count
+    tables broadcast and the fact stream never shuffles at all."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                    " (t, i) -> struct(t AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("n1").cast("double") / F.col("n12")) * 1e6, 0
+            )
+            .cast("long")
+            .alias("surprisal_micro"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("surprisal_micro").alias("surprisal_micro_total"),
+    )
+    return (
+        per_doc.filter(F.col("n_bigrams") >= LM_MIN_BIGRAMS)
+        .orderBy(
+            F.desc(
+                F.col("surprisal_micro_total").cast("double")
+                / F.col("n_bigrams")
+            ),
+            F.asc("doc_id"),
+        )
+        .limit(LM_TOPK)
+    )
+
+
+ORACLE_LM_SURPRISAL = f"""
+WITH pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(range(1, len(w))) AS t(i)
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS n12 FROM pairs GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS n1 FROM pairs GROUP BY w1
+), scored AS (
+  SELECT p.doc_id,
+         CAST(ROUND(ln(CAST(c1.n1 AS DOUBLE) / c2.n12) * 1000000, 0)
+              AS BIGINT) AS surprisal_micro
+  FROM pairs p
+  JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+  JOIN c1 ON p.w1 = c1.w1
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(surprisal_micro) AS BIGINT) AS surprisal_micro_total
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, surprisal_micro_total
+FROM per_doc
+WHERE n_bigrams >= {LM_MIN_BIGRAMS}
+ORDER BY CAST(surprisal_micro_total AS DOUBLE) / n_bigrams DESC,
+         doc_id ASC
+LIMIT {LM_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "lm_surprisal": QuerySpec(
+        lm_surprisal, ORACLE_LM_SURPRISAL, ["X-text", "X-curation", "A1", "J1"]
+    ),
     "pii_scrub": QuerySpec(pii_scrub, ORACLE_PII_SCRUB, ["X-text", "X-curation"]),
     "repetition_stats": QuerySpec(
         repetition_stats, ORACLE_REPETITION_STATS, ["X-text", "X-curation"]
