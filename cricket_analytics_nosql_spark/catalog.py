@@ -110,6 +110,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         graph,
         joins,
+        layout,
         multimodal,
         pysurface,
         relational,
@@ -144,6 +145,7 @@ def all_queries() -> dict[str, QuerySpec]:
         skew,
         training,
         versioning,
+        layout,
         cricket,
         sinks,
         pysurface,

@@ -1,0 +1,173 @@
+"""Z-order (Morton-curve) data layout — multi-dimensional clustering
+for scan pruning at 100 TB.
+
+A table range-partitioned and sorted on ONE column prunes scans on
+that column only; queries filtering the other hot dimension read
+every file. Interleaving the bits of two key columns into a single
+Morton key and laying the table out in Morton order gives BOTH
+dimensions locality: any file covers a small rectangle of
+(user, time) space, so parquet min/max stats skip most files for
+either predicate — the same layout trick Delta's OPTIMIZE ZORDER BY
+and Hudi clustering apply, built here from native expressions.
+
+Everything is closed-form integer bit arithmetic (shift/and/add), so
+it rides whole-stage codegen — no UDF, no shuffle beyond the single
+range-exchange of the write itself.
+
+Reference analogue: none — the reference delegates layout to
+MongoDB's B-tree indexes (SURVEY.md §2.1 S5); this is the
+column-store equivalent a Spark user owns explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+MORTON_BITS = 16  # bits kept per dimension → 32-bit Morton key
+US_PER_HOUR = 3_600_000_000
+
+
+def morton_key(x: Column, y: Column, bits: int = MORTON_BITS) -> Column:
+    """Interleave the low ``bits`` of two non-negative integer
+    columns: x occupies even bit positions, y odd. Disjoint bit
+    positions mean plain addition assembles the key (no OR needed),
+    and the whole expression folds into one codegen'd projection."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key + F.shiftleft(
+            F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        key = key + F.shiftleft(
+            F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return key
+
+
+def zorder_write(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    path: str,
+    num_files: int,
+) -> None:
+    """Write ``df`` clustered on the Morton key of (x, y).
+
+    Raw column values interleave badly when the two dimensions use
+    different numbers of bits (a 4-bit user id against a 20-bit
+    epoch-hour puts every meaningful user bit below every hour bit —
+    the curve degenerates to an hour sort). So both dimensions are
+    first affine-rescaled onto the full ``MORTON_BITS`` range from
+    their min/max — the same per-column normalization Delta's
+    OPTIMIZE ZORDER BY applies via range ids. The bounds pass is a
+    4-scalar aggregate (min/max × 2 columns) — an O(1) driver read
+    over a column-pruned scan, the documented exception to the
+    no-driver-data rule.
+
+    Then: range-partition on the key (one exchange — range bounds
+    come from Spark's reservoir sample), sort within partitions,
+    drop the key before writing. Each output file covers a compact
+    Morton range = a small rectangle in (x, y) space, which parquet
+    footer stats expose to any engine's file-skipping."""
+    xy = df.select(x.cast("long").alias("__x"), y.cast("long").alias("__y"))
+    b = xy.agg(
+        F.min("__x").alias("x0"),
+        F.max("__x").alias("x1"),
+        F.min("__y").alias("y0"),
+        F.max("__y").alias("y1"),
+    ).first()
+    top = (1 << MORTON_BITS) - 1
+
+    def _rescale(col: Column, lo: int, hi: int) -> Column:
+        span = max(hi - lo, 1)
+        return ((col.cast("long") - F.lit(lo)) * top / F.lit(span)).cast(
+            "long"
+        )
+
+    keyed = df.withColumn(
+        "__zkey",
+        morton_key(_rescale(x, b.x0, b.x1), _rescale(y, b.y0, b.y1)),
+    )
+    (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the Morton-block audit of the events table —
+    bucket events by the top bits of their (user_id, hour) Morton
+    key and report each block's population and its (user, hour)
+    bounding rectangle. Block spans being small relative to the
+    global ranges IS the data-skipping guarantee, stated as a query.
+    Plan: one codegen'd projection + one map-side-combined aggregate
+    keyed on ~2^10 blocks — a metadata-sized shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {US_PER_HOUR}"
+        ).alias("hr"),
+    )
+    u16 = F.col("user_id").bitwiseAND(F.lit((1 << MORTON_BITS) - 1))
+    h16 = F.col("hr").bitwiseAND(F.lit((1 << MORTON_BITS) - 1))
+    keyed = ev.select(
+        "user_id",
+        "hr",
+        F.shiftright(morton_key(u16, h16), 22).alias("z_block"),
+    )
+    return (
+        keyed.groupBy("z_block")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("user_min"),
+            F.max("user_id").alias("user_max"),
+            F.min("hr").alias("hr_min"),
+            F.max("hr").alias("hr_max"),
+        )
+        .orderBy("z_block")
+    )
+
+
+def _sql_morton(x: str, y: str, bits: int = MORTON_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_MASK = (1 << MORTON_BITS) - 1
+
+ORACLE_ZORDER_LAYOUT = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {US_PER_HOUR} AS hr
+  FROM events
+), keyed AS (
+  SELECT user_id, hr,
+         ({_sql_morton(f'(user_id & {_MASK})', f'(hr & {_MASK})')}) >> 22
+             AS z_block
+  FROM ev
+)
+SELECT z_block,
+       COUNT(*) AS n_events,
+       MIN(user_id) AS user_min,
+       MAX(user_id) AS user_max,
+       MIN(hr) AS hr_min,
+       MAX(hr) AS hr_max
+FROM keyed
+GROUP BY z_block
+ORDER BY z_block
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "zorder_layout": QuerySpec(
+        zorder_layout, ORACLE_ZORDER_LAYOUT, ["S5", "A1", "X-layout"]
+    ),
+}

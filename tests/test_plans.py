@@ -226,6 +226,8 @@ def test_no_driver_side_data_paths():
     allowed = {
         # O(1) time-bounds scalar for the stream replay harness
         ("streaming/events.py", ".first()"),
+        # O(1) min/max bounds for Z-order dimension rescaling
+        ("operators/layout.py", ".first()"),
     }
     bad = []
     for sub in ("operators", "plans", "streaming", "functions", "sources"):
