@@ -35,6 +35,8 @@ EXT = [
     ("X-curation", "Corpus curation (stratified sampling / quantile trim / repetition / decontamination / PII scrub)"),
     ("X-training", "Training export (split / sequence packing / mixture rebalance / int8 quantization)"),
     ("X-ts", "Time-series (hypertable-style rollup / sessionize / as-of)"),
+    ("X-versioning", "Data versioning (snapshot diff / incremental audit)"),
+    ("X-layout", "Data layout (Z-order multi-dimensional clustering)"),
     ("§2.11", "Structured Streaming"),
     ("§2.12", "Vectorized Python surface (pandas_udf / UDTF / mapInPandas / applyInPandasWithState)"),
     ("§7.8-skew", "Skew mitigation"),
