@@ -370,3 +370,32 @@ def test_pack_sequences_single_stream_exchange(spark, sf_medium):
     # stream exchange + final presentation sort; the groupBy must NOT
     # add a third shuffle between them
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_funnel_single_fact_shuffle(spark, sf_medium):
+    """The 3-stage funnel must ride ONE exchange of events on
+    user_id: chained window-mins plus the per-user rollup all reuse
+    that clustering; the only other exchange is the 1-row global
+    aggregate's SinglePartition collect."""
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        funnel_conversion,
+    )
+
+    import re
+
+    plan = plan_of(funnel_conversion(spark, sf_medium))
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_snapshot_diff_copartitioned_single_join(spark, sf_medium):
+    """The snapshot diff is one co-partitioned join: both sides
+    exchange on the key once, and the status classification adds no
+    further shuffle before the audit aggregate."""
+    from cricket_analytics_nosql_spark.operators.versioning import dataset_diff
+
+    import re
+
+    plan = plan_of(dataset_diff(spark, sf_medium))
+    joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)
+    assert len(joins) == 1, plan
