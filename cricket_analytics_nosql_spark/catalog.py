@@ -119,6 +119,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         sinks,
         skew,
+        sketches,
         text,
         training,
         versioning,
@@ -137,6 +138,7 @@ def all_queries() -> dict[str, QuerySpec]:
         windows,
         setops,
         graph,
+        sketches,
         text,
         sampling,
         dedup,

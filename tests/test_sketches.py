@@ -1,0 +1,52 @@
+"""Misra-Gries summary: the two-stage (partition → merge) sketch
+must keep its textbook guarantees against exact counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.sketches import (
+    misra_gries_summary,
+)
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+
+def _exact_counts(df, col):
+    return {
+        r[col]: r.n
+        for r in df.groupBy(col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_misra_gries_guarantees_on_tokens(spark, sf_small):
+    """On the corpus token stream with K=50: (a) ≤ K rows, (b) every
+    item with true count > n/K is reported, (c) estimates bracket
+    the truth: est ≤ true ≤ est + n/K."""
+    k = 50
+    toks = (
+        load_table(spark, sf_small, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .repartition(8)  # force a real multi-partition merge
+    )
+    exact = _exact_counts(toks, "token")
+    n = sum(exact.values())
+    summary = {
+        r.item: r.est for r in misra_gries_summary(toks, "token", k).collect()
+    }
+    assert 0 < len(summary) <= k
+    slack = n / k
+    for item, true in exact.items():
+        if true > slack:
+            assert item in summary, (item, true, slack)
+    for item, est in summary.items():
+        true = exact.get(item, 0)
+        assert est <= true <= est + slack, (item, est, true, slack)
+
+
+def test_misra_gries_exact_when_k_exceeds_vocab(spark):
+    """With k larger than the vocabulary the sketch degrades to
+    exact counting — no decrements ever fire."""
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    got = {r.item: r.est for r in misra_gries_summary(df, "v", 10).collect()}
+    assert got == {"a": 5, "b": 3, "c": 2}
