@@ -155,3 +155,25 @@ def test_write_graph_sink(spark, deliveries, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in e.collect()
     )
+
+
+def test_triangle_stats_hand_graphs(spark):
+    """Pin the degree-ordered orientation on graphs with known
+    counts: K4 has 4 triangles / 12 wedges; a 5-star has none."""
+    from cricket_analytics_nosql_spark.operators.graph import triangle_stats
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "va long, vb long",
+    )
+    r = triangle_stats(k4).collect()[0]
+    assert (r.n_vertices, r.n_edges, r.n_wedges, r.n_triangles) == (
+        4, 6, 12, 4,
+    )
+    assert r.clustering_micro == 1_000_000
+
+    star = spark.createDataFrame(
+        [(0, b) for b in range(1, 6)], "va long, vb long"
+    )
+    r = triangle_stats(star).collect()[0]
+    assert (r.n_triangles, r.n_wedges) == (0, 10)
