@@ -34,7 +34,9 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 # rotate it to the round-3 additions that have never been
 # driver-checked: train_val_test_split, pack_sequences,
 # domain_mixture_resample, pii_scrub, embedding_quantize_stats,
-# knn_graph, mongo_pipeline_graph_lookup, mongo_pipeline_array_ops
+# knn_graph, mongo_pipeline_graph_lookup, mongo_pipeline_array_ops,
+# funnel_conversion, dataset_diff, lm_surprisal, zorder_layout,
+# heavy_hitters, graph_triangles, and any later additions
 # (+ keep a handful of r3-green canaries).
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # never driver-checked (rounds 1-2)

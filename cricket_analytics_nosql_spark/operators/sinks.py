@@ -139,6 +139,48 @@ LIMIT 25
 """
 
 
+def compact_small_files(
+    spark: SparkSession, path: str, target_files: int
+) -> int:
+    """The 100 TB housekeeping operator: a dataset accreted by many
+    small appends (streaming micro-batches, per-task writes) pays
+    per-file open/footer costs on every subsequent scan — scan
+    throughput collapses long before data size is the problem.
+    Rewrite it as ``target_files`` files via coalesce (NARROW: no
+    shuffle, tasks just concatenate input splits; use a
+    repartition-based rewrite instead only when the data must also
+    be re-clustered — see ``layout.zorder_write``).
+
+    Write-then-swap keeps readers consistent: the compacted copy
+    lands in a sibling temp dir, then atomically replaces the
+    original (on object stores this is the manifest-commit a table
+    format provides; plain-directory rename is the filesystem
+    equivalent). Returns the file count before compaction."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_before = len(df.inputFiles())
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_before
+
+
+def read_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: batches written over months drift
+    (columns added, never silently re-typed — the loaders' rule).
+    ``mergeSchema`` unions the footer schemas across all files;
+    files missing a column yield NULLs for it, so old batches stay
+    readable after the schema grows. Cost note: schema merging
+    lists every footer at planning time — at 100 TB pin the merged
+    schema in a catalog/table format and read with an explicit
+    schema instead; this helper is the bootstrap for deriving it."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "partitioned_sink_roundtrip": QuerySpec(
         partitioned_sink_roundtrip, ORACLE_PARTITIONED_SINK, ["S4", "S5", "A1"]
