@@ -115,6 +115,7 @@ def all_queries() -> dict[str, QuerySpec]:
         layout,
         multimodal,
         pysurface,
+        quality,
         relational,
         sampling,
         setops,
@@ -150,6 +151,7 @@ def all_queries() -> dict[str, QuerySpec]:
         training,
         versioning,
         layout,
+        quality,
         cricket,
         sinks,
         pysurface,

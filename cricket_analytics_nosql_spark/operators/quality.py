@@ -47,3 +47,129 @@ def observed_quality(
         )
     obs = Observation()
     return df.observe(obs, *metrics), obs
+
+
+def constraint_audit(spark, sf_dir: str):
+    """Declarative constraint suite over the warehouse — the
+    Deequ-style audit a 100 TB pipeline runs before publishing a
+    snapshot, as ONE catalog query: every constraint reports
+    (rows checked, violations), and constraints on the same table
+    share a single scan.
+
+    - ``orders.pk_unique``        o_orderkey has no duplicates
+    - ``orders.price_positive``   o_totalprice > 0
+    - ``lineitem.fk_orders``      every l_orderkey exists in orders
+    - ``lineitem.qty_range``      1 ≤ l_quantity ≤ 50
+    - ``events.ts_not_null``      ts is present
+
+    Plan: three table scans total. The orders pass folds uniqueness
+    into count−count(distinct) (one Expand-free aggregate); the
+    lineitem pass resolves the FK with a broadcast-or-shuffle left
+    join against the pruned orders key column and folds the range
+    check into the same aggregate; events is a pure narrow count.
+    Violations, not violating rows: the audit output is O(rules),
+    so it broadcasts anywhere — drill-down queries (anti_join) fetch
+    the offending rows on demand."""
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    o_agg = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
+            "dup"
+        ),
+        F.sum(
+            F.when(F.col("o_totalprice") > 0, 0).otherwise(1)
+        ).alias("nonpos"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    okeys = orders.select(F.col("o_orderkey").alias("k")).withColumn(
+        "present", F.lit(1)
+    )
+    l_agg = (
+        li.join(okeys, li.l_orderkey == okeys.k, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("present").isNull(), 1).otherwise(0)).alias(
+                "orphan"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+                    0,
+                ).otherwise(1)
+            ).alias("qty_bad"),
+        )
+    )
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    e_agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ts").isNull().cast("long")).alias("ts_null"),
+    )
+
+    def row(src, name, n_col, v_col):
+        return src.select(
+            F.lit(name).alias("constraint_name"),
+            F.col(n_col).cast("long").alias("n_checked"),
+            F.col(v_col).cast("long").alias("n_violations"),
+        )
+
+    return (
+        row(o_agg, "orders.pk_unique", "n", "dup")
+        .unionAll(row(o_agg, "orders.price_positive", "n", "nonpos"))
+        .unionAll(row(l_agg, "lineitem.fk_orders", "n", "orphan"))
+        .unionAll(row(l_agg, "lineitem.qty_range", "n", "qty_bad"))
+        .unionAll(row(e_agg, "events.ts_not_null", "n", "ts_null"))
+        .orderBy("constraint_name")
+    )
+
+
+ORACLE_CONSTRAINT_AUDIT = """
+WITH o AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup,
+         SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS nonpos
+  FROM orders
+), l AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orphan,
+         SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+             AS qty_bad
+  FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey
+), e AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_null
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'orders.pk_unique' AS constraint_name,
+         CAST(n AS BIGINT) AS n_checked, CAST(dup AS BIGINT) AS n_violations
+  FROM o
+  UNION ALL
+  SELECT 'orders.price_positive', CAST(n AS BIGINT), CAST(nonpos AS BIGINT)
+  FROM o
+  UNION ALL
+  SELECT 'lineitem.fk_orders', CAST(n AS BIGINT), CAST(orphan AS BIGINT)
+  FROM l
+  UNION ALL
+  SELECT 'lineitem.qty_range', CAST(n AS BIGINT), CAST(qty_bad AS BIGINT)
+  FROM l
+  UNION ALL
+  SELECT 'events.ts_not_null', CAST(n AS BIGINT), CAST(ts_null AS BIGINT)
+  FROM e
+)
+ORDER BY constraint_name
+"""
+
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec  # noqa: E402
+
+QUERIES: dict[str, QuerySpec] = {
+    "constraint_audit": QuerySpec(
+        constraint_audit, ORACLE_CONSTRAINT_AUDIT, ["A4", "J6", "X-quality"]
+    ),
+}

@@ -36,6 +36,7 @@ EXT = [
     ("X-training", "Training export (split / sequence packing / mixture rebalance / int8 quantization)"),
     ("X-ts", "Time-series (hypertable-style rollup / sessionize / as-of)"),
     ("X-versioning", "Data versioning (snapshot diff / incremental audit)"),
+    ("X-quality", "Data-quality constraints (uniqueness / referential / range / null audit)"),
     ("X-layout", "Data layout (Z-order multi-dimensional clustering)"),
     ("§2.11", "Structured Streaming"),
     ("§2.12", "Vectorized Python surface (pandas_udf / UDTF / mapInPandas / applyInPandasWithState)"),
