@@ -694,7 +694,90 @@ ORDER BY label
 """
 
 
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al., 2023:
+    cluster embeddings, prune near-duplicates within clusters), as a
+    composition the engine already owns end-to-end EXACTLY: the
+    cell-blocked threshold join produces every cosine ≥ τ pair
+    (``exact_cosine_pairs`` — IVF cells ARE the SemDeDup clustering,
+    with the triangle-inequality prune making the within-cluster
+    restriction lossless instead of approximate), connected
+    components resolve transitive groups, and the min-id member of
+    each group survives.
+
+    Output is the per-label retention audit (kept / dropped / total),
+    integers only. Scale: pair volume is the blocked threshold
+    join's (no all-pairs anywhere); the component loop shuffles
+    label-sized frames O(log diameter) rounds; the audit join on
+    vec_id is one co-partitioned exchange."""
+    from cricket_analytics_nosql_spark.operators.dedup import (
+        connected_components,
+    )
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = _doubles(raw)
+    pairs = exact_cosine_pairs(emb, tau=0.42).select(
+        F.col("v1").alias("d1"), F.col("v2").alias("d2")
+    )
+    cc = connected_components(pairs)
+    dropped = cc.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return (
+        raw.select("vec_id", "label")
+        .join(dropped.withColumn("is_dropped", F.lit(1)), "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+        .withColumn("n_kept", F.col("n_vectors") - F.col("n_dropped"))
+        .orderBy("label")
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH RECURSIVE emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM emb a, emb b
+  WHERE a.vec_id < b.vec_id
+    AND ROUND(list_inner_product(a.v, b.v)
+              / (sqrt(list_inner_product(a.v, a.v))
+                 * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.42
+), sym AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), cc AS (
+  SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a
+), dropped AS (
+  SELECT vec_id FROM cc WHERE vec_id <> cluster_id
+)
+SELECT e.label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+GROUP BY e.label
+ORDER BY e.label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "semantic_dedup": QuerySpec(
+        semantic_dedup, ORACLE_SEMANTIC_DEDUP, ["X-dedup", "X-sim", "X-curation"]
+    ),
     "ann_brute_force": QuerySpec(
         ann_brute_force, ORACLE_ANN_BRUTE_FORCE, ["X-sim"], bench=True
     ),
