@@ -11,7 +11,7 @@ pure native expressions so they ride the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
@@ -152,7 +152,67 @@ ORDER BY d.source
 """
 
 
+DOMAIN_CAP = 400  # max documents kept per source
+
+
+def cap_per_group(
+    df: DataFrame, group: str, order: str, cap: int
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically
+    by ``order`` — the per-domain cap every web-scale corpus applies
+    so a single giant host cannot dominate the mixture (Common
+    Crawl-style curation). One exchange on the group key; the
+    row_number window is the top-k-per-group shape the engine
+    already plans with a partial sort, and the deterministic order
+    key (not RNG) makes the kept set reproducible and auditable."""
+    w = Window.partitionBy(group).orderBy(F.asc(order))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: cap each source at {DOMAIN_CAP} docs (ordered
+    by doc_id) and report the per-source retention — before/after
+    counts and the kept char mass."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    kept = cap_per_group(docs, "source", "doc_id", DOMAIN_CAP)
+    before = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    after = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+    return before.join(after, "source").orderBy("source")
+
+
+ORACLE_DOMAIN_CAP = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), before AS (
+  SELECT source, COUNT(*) AS n_before FROM documents GROUP BY source
+), after AS (
+  SELECT source, COUNT(*) AS n_kept,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+  FROM ranked WHERE rn <= {DOMAIN_CAP} GROUP BY source
+)
+SELECT b.source, b.n_before, a.n_kept, a.chars_kept
+FROM before b JOIN after a ON b.source = a.source
+ORDER BY b.source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "domain_cap_sample": QuerySpec(
+        domain_cap_sample, ORACLE_DOMAIN_CAP, ["X-curation", "§2.8", "T4"]
+    ),
     "sample_stratified_docs": QuerySpec(
         sample_stratified_docs, ORACLE_SAMPLE_STRATIFIED, ["X-curation"]
     ),
