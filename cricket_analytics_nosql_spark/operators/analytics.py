@@ -285,6 +285,7 @@ QUERIES: dict[str, QuerySpec] = {
         correlated_subquery, ORACLE_CORRELATED_SUBQUERY, ["J6", "A6"]
     ),
     "funnel_conversion": QuerySpec(
-        funnel_conversion, ORACLE_FUNNEL_CONVERSION, ["§2.8", "A3", "A4"]
+        funnel_conversion, ORACLE_FUNNEL_CONVERSION, ["§2.8", "A3", "A4"],
+        bench=True,
     ),
 }

@@ -725,7 +725,8 @@ LIMIT {LM_TOPK}
 
 QUERIES: dict[str, QuerySpec] = {
     "lm_surprisal": QuerySpec(
-        lm_surprisal, ORACLE_LM_SURPRISAL, ["X-text", "X-curation", "A1", "J1"]
+        lm_surprisal, ORACLE_LM_SURPRISAL, ["X-text", "X-curation", "A1", "J1"],
+        bench=True,
     ),
     "pii_scrub": QuerySpec(pii_scrub, ORACLE_PII_SCRUB, ["X-text", "X-curation"]),
     "repetition_stats": QuerySpec(
