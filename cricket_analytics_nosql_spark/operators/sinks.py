@@ -155,7 +155,15 @@ def compact_small_files(
     lands in a sibling temp dir, then atomically replaces the
     original (on object stores this is the manifest-commit a table
     format provides; plain-directory rename is the filesystem
-    equivalent). Returns the file count before compaction."""
+    equivalent). Returns the file count before compaction.
+
+    Streaming-sink targets: a Structured Streaming parquet sink
+    keeps a ``_spark_metadata`` commit log that enumerates ITS
+    files; the compacted copy deliberately does not carry it (batch
+    readers then list the directory normally). Do not resume the
+    original streaming query into the compacted path — point new
+    appends at a fresh checkpoint/log, or compact under a table
+    format that owns the manifest."""
     import shutil
 
     df = spark.read.parquet(path)

@@ -49,3 +49,45 @@ def test_schema_evolution_read_merges_batches(spark, tmp_path):
     rows = {r.id: r for r in df.collect()}
     assert rows[1].score is None  # old batch: NULL-filled new column
     assert rows[2].score == 9.5
+
+
+def test_stream_ingest_then_compaction(spark, sf_small, tmp_path):
+    """The operational loop at 100 TB: micro-batch appends fragment
+    the dataset (one small file per batch per task); periodic
+    compaction restores scan-sized files without changing a row.
+    Drive a real availableNow stream into a parquet sink, then
+    compact, then prove the rollup over the compacted copy equals
+    the batch rollup over the source."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cricket_analytics_nosql_spark.streaming.events import (
+        read_events_stream,
+        stage_event_files,
+    )
+
+    staged = stage_event_files(spark, sf_small, n_chunks=4)
+    out = str(tmp_path / "ingested")
+    q = (
+        read_events_stream(spark, staged)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    n_before = compact_small_files(spark, out, target_files=2)
+    assert n_before >= 4  # at least one file per micro-batch
+
+    back = spark.read.parquet(out)
+    assert len(back.inputFiles()) <= 2
+    src = spark.read.parquet(os.path.join(staged))
+    assert back.count() == src.count()
+    got = back.agg(F.sum("event_id")).collect()[0][0]
+    want = src.agg(F.sum("event_id")).collect()[0][0]
+    assert got == want
