@@ -235,6 +235,28 @@ ORDER BY r.source
 """
 
 
+def export_jsonl_shards(
+    df: DataFrame, path: str, key: str, n_shards: int
+) -> None:
+    """Trainer-facing export: newline-delimited JSON in ``n_shards``
+    hash-sharded directories (``shard=NN/``) — the layout data
+    loaders consume with one worker per shard. Sharding is
+    deterministic off the stable key (pmod, same rule as the split
+    column), so re-exports are byte-stable modulo row order within a
+    shard and any shard can be regenerated alone. One exchange
+    (repartition on the shard id) then a narrow JSON serialize; at
+    100 TB pick n_shards so a shard ≈ a few GB — the loader-side
+    sweet spot — and let the writer split oversized shards into
+    multiple part files rather than inflating the exchange."""
+    (
+        df.withColumn("shard", F.pmod(F.col(key), F.lit(n_shards)))
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(path)
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "train_val_test_split": QuerySpec(
         train_val_test_split, ORACLE_TRAIN_VAL_TEST_SPLIT, ["X-training"]

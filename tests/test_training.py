@@ -111,3 +111,40 @@ def test_pii_scrub_is_complete(spark, sf_small):
         assert r.n_emails == (2 if r.doc_id % 3 == 0 else 1)
         assert r.n_phones == (0 if r.doc_id % 5 == 0 else 1)
         assert r.n_ips == 1
+
+
+def test_export_jsonl_shards_roundtrip(spark, sf_small, tmp_path):
+    """The JSONL export must (a) produce every requested shard as a
+    directory, (b) route each doc to pmod(key, shards)
+    deterministically, (c) round-trip content losslessly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cricket_analytics_nosql_spark.operators.training import (
+        export_jsonl_shards,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "shards")
+    export_jsonl_shards(docs, out, "doc_id", 4)
+
+    dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("shard=")
+    )
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    # partition column came back; routing must match the rule
+    bad = back.filter(
+        F.pmod(F.col("doc_id"), F.lit(4)) != F.col("shard")
+    ).count()
+    assert bad == 0
+    # lossless: same (doc_id, text) multiset
+    a = docs.select("doc_id", "text")
+    b = back.select("doc_id", "text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
