@@ -79,13 +79,21 @@ def zorder_write(
         F.min("__y").alias("y0"),
         F.max("__y").alias("y1"),
     ).first()
+    if b.x0 is None or b.y0 is None:
+        # empty input (or an all-NULL dimension): nothing to cluster —
+        # write as-is rather than dying in the rescale arithmetic
+        df.write.mode("overwrite").parquet(path)
+        return
     top = (1 << MORTON_BITS) - 1
 
     def _rescale(col: Column, lo: int, hi: int) -> Column:
-        span = max(hi - lo, 1)
-        return ((col.cast("long") - F.lit(lo)) * top / F.lit(span)).cast(
-            "long"
-        )
+        # double arithmetic: (col - lo) * 65535 in LONG overflows once
+        # the span exceeds ~1.4e14 (e.g. a raw epoch-micros column);
+        # the target is 16 bits, so double precision is ample
+        span = float(max(hi - lo, 1))
+        return (
+            (col.cast("double") - float(lo)) * top / F.lit(span)
+        ).cast("long")
 
     keyed = df.withColumn(
         "__zkey",

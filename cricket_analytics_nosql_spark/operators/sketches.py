@@ -46,7 +46,10 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # derive the grand total from the vocabulary-sized counts frame —
+    # aggregating `toks` separately would re-scan and re-explode the
+    # whole corpus (the subtrees differ, so ReuseExchange can't help)
+    total = counts.agg(F.sum("n").alias("n_total"))
     return (
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("n") * HH_K > F.col("n_total"))

@@ -250,7 +250,11 @@ def export_jsonl_shards(
     multiple part files rather than inflating the exchange."""
     (
         df.withColumn("shard", F.pmod(F.col(key), F.lit(n_shards)))
-        .repartition(n_shards, "shard")
+        # RANGE partition on the shard id: hash(shard) % n collides
+        # for small n (empty tasks + tasks carrying 2-3 shards);
+        # range bounds on n distinct values give the intended ~1:1
+        # shard-to-task mapping
+        .repartitionByRange(n_shards, "shard")
         .write.mode("overwrite")
         .partitionBy("shard")
         .json(path)

@@ -55,18 +55,22 @@ def snapshot_diff(
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
     )
     cond = reduce(
         lambda a, b: a & b,
         [o[f"__ok_{k}"].eqNullSafe(n[f"__nk_{k}"]) for k in key_cols],
     )
     joined = o.join(n, cond, "full_outer")
-    in_old = joined[f"__ok_{key_cols[0]}"].isNotNull()
-    in_new = joined[f"__nk_{key_cols[0]}"].isNotNull()
+    # presence markers, NOT key.isNotNull(): the join matches NULL
+    # keys null-safely, so a NULL business key is a legal matched row
+    in_old = joined["__in_old"].isNotNull()
+    in_new = joined["__in_new"].isNotNull()
     same = reduce(
         lambda a, b: a & b,
         [
@@ -90,7 +94,7 @@ def snapshot_diff(
         status.alias("status"),
         *[F.col(f"old_{c}") for c in compare_cols],
         *[F.col(f"new_{c}") for c in compare_cols],
-    )
+    )  # __in_old/__in_new markers are dropped by the explicit select
 
 
 # Deterministic synthetic snapshot pair derived from orders: the old

@@ -68,3 +68,31 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_small, tmp_path):
     mean_h = sum(r.dh for r in spans) / len(spans)
     assert mean_u < 0.6 * glob.du, (mean_u, glob.du)
     assert mean_h < 0.6 * glob.dh, (mean_h, glob.dh)
+
+
+def test_zorder_write_empty_input(spark, tmp_path):
+    """Empty frames (routine in incremental pipelines) must write an
+    empty dataset, not die in the bounds arithmetic."""
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.LongType()),
+        ])
+    )
+    out = str(tmp_path / "empty")
+    zorder_write(empty, F.col("a"), F.col("b"), out, num_files=4)
+    assert spark.read.parquet(out).count() == 0
+
+
+def test_zorder_write_wide_span_no_overflow(spark, tmp_path):
+    """Epoch-micros-scale spans used to overflow the long rescale
+    multiply; the double path must key them correctly."""
+    rows = [(i, i * 40_000_000_000_000) for i in range(64)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = str(tmp_path / "wide")
+    zorder_write(df, F.col("a"), F.col("b"), out, num_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 64
+    assert back.agg(F.sum("a")).collect()[0][0] == sum(range(64))

@@ -50,3 +50,28 @@ def test_misra_gries_exact_when_k_exceeds_vocab(spark):
     df = spark.createDataFrame(rows, "v string").repartition(4)
     got = {r.item: r.est for r in misra_gries_summary(df, "v", 10).collect()}
     assert got == {"a": 5, "b": 3, "c": 2}
+
+
+def test_snapshot_diff_null_keys(spark):
+    """NULL business keys are matched null-safely and must classify
+    by presence markers, not key nullability."""
+    from cricket_analytics_nosql_spark.operators.versioning import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(None, "x"), (1, "a"), (2, "gone")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "x"), (1, "a2"), (3, "new")], "k int, v string"
+    )
+    got = {
+        (r.k, r.status)
+        for r in snapshot_diff(old, new, ["k"], ["v"]).collect()
+    }
+    assert got == {
+        (None, "unchanged"),
+        (1, "changed"),
+        (2, "removed"),
+        (3, "added"),
+    }
