@@ -588,12 +588,57 @@ FROM tri
 """
 
 
+def cypher_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded variable-length Cypher (``-[:TRADE*1..2]->``) through
+    the front-end compiler: all 1- and 2-hop trade paths out of one
+    anchored customer vertex on the bidirectional graph, path counts
+    per destination. The anchor filter pushes through the compiled
+    union into each chain's first edge scan, so the plan expands one
+    vertex's frontier, not the whole graph's."""
+    from cricket_analytics_nosql_spark.plans.cypher import compile_cypher
+
+    q = """
+    MATCH (a {name: 2})-[:TRADE*1..2]->(b)
+    RETURN b.name AS dest, count(*) AS n_paths
+    ORDER BY n_paths DESC, dest ASC
+    LIMIT 25
+    """
+    return compile_cypher(q, trade_graph_edges(spark, sf_dir))
+
+
+ORACLE_CYPHER_TRADE_REACH = """
+WITH e0 AS (
+  SELECT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+), e AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM e0
+), paths AS (
+  SELECT dst FROM e WHERE src = 2
+  UNION ALL
+  SELECT b.dst FROM e a JOIN e b ON a.dst = b.src WHERE a.src = 2
+)
+SELECT dst AS dest, COUNT(*) AS n_paths
+FROM paths
+GROUP BY dest
+ORDER BY n_paths DESC, dest ASC
+LIMIT 25
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "graph_project": QuerySpec(
         graph_project, ORACLE_GRAPH_PROJECT, ["G1", "J1", "A8"]
     ),
     "graph_triangles": QuerySpec(
         graph_triangles, ORACLE_GRAPH_TRIANGLES, ["G1", "A8", "J3"]
+    ),
+    "cypher_trade_reach": QuerySpec(
+        cypher_trade_reach,
+        ORACLE_CYPHER_TRADE_REACH,
+        ["§3.3", "G1", "A8", "J3"],
     ),
     "cypher_trade_degree": QuerySpec(
         cypher_trade_degree, ORACLE_GRAPH_DEGREE, ["G3", "A7", "§3.3"]

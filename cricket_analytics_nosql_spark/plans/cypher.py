@@ -37,9 +37,12 @@ Supported grammar (the reference's surface + natural closure):
 - ``CALL gds.graph.project('g', ...)`` → the weighted projection
   (G1: parallel edges collapsed)
 
-Not Cypher-complete, loudly: variable-length paths, OPTIONAL MATCH,
-MERGE/CREATE, multiple labels, and map projections raise
-``ValueError`` at parse time rather than mis-compiling.
+Bounded variable-length paths (``-[:T*1..3]->``) compile to a union
+of chained joins — one row per path, Cypher's semantics; unbounded
+``*`` and rel-variable binding on them are refused. Still not
+Cypher-complete, loudly: MERGE/CREATE, multiple labels, and map
+projections raise ``ValueError`` at parse time rather than
+mis-compiling.
 
 Scale note: the compiler emits the LITERAL pattern plan — a 2-hop
 pattern is an edge self-join on the shared variable, which on a hot
@@ -130,6 +133,8 @@ class _Hop:
     rtype: str | None
     right: str
     left_is_src: bool  # arrow direction: True for (left)-[]->(right)
+    minlen: int = 1  # variable-length bounds: -[:T*mn..mx]->
+    maxlen: int = 1
 
 
 @dataclass
@@ -215,10 +220,33 @@ class _Parser:
             else:
                 self.eat("sym", "-")
             rel = rtype = None
+            mn = mx = 1
             if self.opt("sym", "["):
-                rel = self.eat("id").text
+                if self.at("id"):
+                    rel = self.eat("id").text
                 if self.opt("sym", ":"):
                     rtype = self.eat("id").text
+                if self.opt("sym", "*"):
+                    # -[:T*2]-> or -[:T*1..3]-> ; unbounded (*) refused
+                    if not self.at("num"):
+                        raise ValueError(
+                            "cypher: unbounded variable-length path — "
+                            "give explicit bounds, e.g. [:T*1..3]"
+                        )
+                    mn = int(self.eat("num").text)
+                    mx = mn
+                    if self.opt("sym", "."):
+                        self.eat("sym", ".")
+                        mx = int(self.eat("num").text)
+                    if mn < 1 or mx < mn:
+                        raise ValueError(
+                            f"cypher: bad variable-length bounds *{mn}..{mx}"
+                        )
+                    if rel is not None:
+                        raise ValueError(
+                            "cypher: a variable-length relationship cannot "
+                            "bind a variable (it would be a LIST of rels)"
+                        )
                 self.eat("sym", "]")
             if incoming:
                 self.eat("sym", "-")  # (x)<-[r]-(y)
@@ -228,9 +256,13 @@ class _Parser:
             left = nodes[-1]
             nodes.append(right)
             if incoming:
-                hops.append(_Hop(right.var, rel, rtype, left.var, True))
+                hops.append(
+                    _Hop(right.var, rel, rtype, left.var, True, mn, mx)
+                )
             else:
-                hops.append(_Hop(left.var, rel, rtype, right.var, True))
+                hops.append(
+                    _Hop(left.var, rel, rtype, right.var, True, mn, mx)
+                )
         return nodes, hops
 
     # ---- expressions ----
@@ -573,17 +605,56 @@ def _build_pattern_frame(
     frames: list[DataFrame] = []
     for i, hop in enumerate(hops):
         rel = hop.rel or f"__r{i}"
-        sel = [
-            F.col("src").alias(f"__v_{hop.left}"),
-            F.col("dst").alias(f"__v_{hop.right}"),
-            F.lit(1).alias(f"__m_{rel}"),
-        ]
-        for p in props:
-            sel.append(F.col(p).alias(f"__p_{rel}_{p}"))
-        frames.append(edges.select(*sel))
+        if (hop.minlen, hop.maxlen) == (1, 1):
+            sel = [
+                F.col("src").alias(f"__v_{hop.left}"),
+                F.col("dst").alias(f"__v_{hop.right}"),
+                F.lit(1).alias(f"__m_{rel}"),
+            ]
+            for p in props:
+                sel.append(F.col(p).alias(f"__p_{rel}_{p}"))
+            frames.append(edges.select(*sel))
+            rel_cols[rel] = {p: f"__p_{rel}_{p}" for p in props}
+        else:
+            # variable-length hop: one row per PATH of each length in
+            # [minlen, maxlen] (Cypher's row-per-path semantics), as a
+            # union of chained equi-joins; length-L reuses the L-1
+            # prefix, so the plan is maxlen-1 joins, not quadratic.
+            # Anchor filters on the start node push down through the
+            # union into every chain's first edge scan (Catalyst).
+            # SCALE: rows grow with the path count — keep maxlen
+            # small and anchor one end; for reachability (distinct
+            # endpoints, no path multiplicity) prefer the iterative
+            # frontier ops (graph.connected_components, $graphLookup).
+            chain = edges.select(
+                F.col("src").alias("__s"), F.col("dst").alias("__e")
+            )
+            per_len: list[DataFrame] = []
+            if hop.minlen == 1:
+                per_len.append(chain)
+            for length in range(2, hop.maxlen + 1):
+                step = edges.select(
+                    F.col("src").alias("__e"),
+                    F.col("dst").alias("__e_next"),
+                )
+                chain = chain.join(step, "__e").select(
+                    "__s", F.col("__e_next").alias("__e")
+                )
+                if length >= hop.minlen:
+                    per_len.append(chain)
+            vl = per_len[0]
+            for extra in per_len[1:]:
+                vl = vl.unionByName(extra)
+            frames.append(
+                vl.select(
+                    F.col("__s").alias(f"__v_{hop.left}"),
+                    F.col("__e").alias(f"__v_{hop.right}"),
+                    F.lit(1).alias(f"__m_{rel}"),
+                )
+            )
+            rel_cols[rel] = {}  # a rel LIST has no scalar properties
         node_cols.setdefault(hop.left, f"__v_{hop.left}")
         node_cols.setdefault(hop.right, f"__v_{hop.right}")
-        rel_cols[rel] = {p: f"__p_{rel}_{p}" for p in props}
         rel_markers[rel] = f"__m_{rel}"
     df = frames[0]
     if len(frames) == 2:

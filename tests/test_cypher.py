@@ -296,3 +296,58 @@ def test_aggregate_inside_tofloat_detected(edges):
     want = {r.dst: float(r.s) for r in
             edges.groupBy("dst").agg(F.sum("runs").alias("s")).collect()}
     assert got == want and all(isinstance(v, float) for v in got.values())
+
+
+def test_varlength_path_counts_hand_graph(spark):
+    """Row-per-path semantics on a diamond: a→{b,c}→d gives two
+    2-hop paths a⇒d; *1..2 returns 1-hop and 2-hop rows together."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from cricket_analytics_nosql_spark.plans.cypher import compile_cypher
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    got = {
+        (r.dest, r.n_paths)
+        for r in compile_cypher(
+            """
+            MATCH (a {name: 1})-[:E*1..2]->(b)
+            RETURN b.name AS dest, count(*) AS n_paths
+            """,
+            edges,
+        ).collect()
+    }
+    assert got == {(2, 1), (3, 1), (4, 2)}
+
+    only2 = {
+        (r.dest, r.n_paths)
+        for r in compile_cypher(
+            """
+            MATCH (a {name: 1})-[:E*2..2]->(b)
+            RETURN b.name AS dest, count(*) AS n_paths
+            """,
+            edges,
+        ).collect()
+    }
+    assert only2 == {(4, 2)}
+
+
+def test_varlength_refusals(spark):
+    import pytest
+
+    from cricket_analytics_nosql_spark.plans.cypher import compile_cypher
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="unbounded"):
+        compile_cypher(
+            "MATCH (a)-[:E*]->(b) RETURN count(*) AS n", edges
+        )
+    with pytest.raises(ValueError, match="bind a variable"):
+        compile_cypher(
+            "MATCH (a)-[r:E*1..2]->(b) RETURN count(*) AS n", edges
+        )
+    with pytest.raises(ValueError, match="bounds"):
+        compile_cypher(
+            "MATCH (a)-[:E*3..2]->(b) RETURN count(*) AS n", edges
+        )
