@@ -438,3 +438,76 @@ def test_graph_lookup_agrees_with_python_bfs(spark, edge_pairs, seed, max_depth)
             if nxt not in want:
                 frontier.append((nxt, depth + 1))
     assert got_set == want, (edges, seed, max_depth)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.sampled_from("abc")),
+        min_size=0, max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 15), st.sampled_from("abc")),
+        min_size=0, max_size=25,
+    ),
+)
+def test_snapshot_diff_matches_python_reference(spark, old_rows, new_rows):
+    """snapshot_diff vs a dict-based reference diff on random
+    keyed snapshots (duplicate keys dropped to keep both sides
+    set-like, as the operator's contract assumes)."""
+    from cricket_analytics_nosql_spark.operators.versioning import (
+        snapshot_diff,
+    )
+
+    old_map = dict(old_rows)
+    new_map = dict(new_rows)
+    want = {}
+    for k in set(old_map) | set(new_map):
+        if k not in old_map:
+            want[k] = "added"
+        elif k not in new_map:
+            want[k] = "removed"
+        elif old_map[k] == new_map[k]:
+            want[k] = "unchanged"
+        else:
+            want[k] = "changed"
+
+    mk = lambda m: spark.createDataFrame(  # noqa: E731
+        [(k, v) for k, v in m.items()], "k int, v string"
+    ) if m else spark.createDataFrame([], "k int, v string")
+    got = {
+        r.k: r.status
+        for r in snapshot_diff(mk(old_map), mk(new_map), ["k"], ["v"]).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(st.integers(0, 9), min_size=1, max_size=300),
+    st.integers(3, 8),
+)
+def test_misra_gries_invariants_random_streams(spark, stream, k):
+    """Textbook MG guarantees on random streams and ks, through the
+    real two-stage (partition → merge) plan."""
+    from collections import Counter
+
+    from cricket_analytics_nosql_spark.operators.sketches import (
+        misra_gries_summary,
+    )
+
+    df = spark.createDataFrame(
+        [(str(v),) for v in stream], "v string"
+    ).repartition(4)
+    got = {
+        r.item: r.est for r in misra_gries_summary(df, "v", k).collect()
+    }
+    exact = Counter(str(v) for v in stream)
+    n = len(stream)
+    assert len(got) <= k
+    for item, true in exact.items():
+        if true > n / k:
+            assert item in got, (item, true, n, k)
+    for item, est in got.items():
+        true = exact.get(item, 0)
+        assert est <= true <= est + n / k, (item, est, true, n, k)
