@@ -174,6 +174,115 @@ ORDER BY o.o_orderkey
 """
 
 
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): of all 'PROMO'-part
+    revenue sold into ASIA-nation customers per order year, the
+    share supplied by NATION_7-based suppliers. The deepest join in the
+    catalog — lineitem × part × orders × customer × nation ×
+    region × supplier × nation — with the classic Q8 twist that
+    nation joins twice under different roles (customer's market vs
+    supplier's origin).
+
+    Plan: part ('PROMO' filter first — it prunes ~5/6 of the fact
+    stream at the scan-side join), nation, region broadcast; orders
+    carries the year; customer/supplier resolve under AQE's dynamic
+    sizing locally and become key-partitioned shuffle joins at
+    100 TB with the query text unchanged. Share is reported as exact
+    integer pairs (nation cents / total cents) plus a micro-units
+    ratio via integer division — no float aggregation anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", revenue_cents().alias("rev_c")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select(F.col("n_nationkey").alias("mkt_nationkey"))
+    china = nation.filter(F.col("n_name") == "NATION_7").select(
+        F.col("n_nationkey").alias("cn_nationkey")
+    )
+
+    flow = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(asia_nations),
+            cust.c_nationkey == F.col("mkt_nationkey"),
+            "left_semi",
+        )
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(china),
+            supp.s_nationkey == F.col("cn_nationkey"),
+            "left",
+        )
+    )
+    return (
+        flow.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("cn_nationkey").isNotNull(), F.col("rev_c"))
+                .otherwise(F.lit(0))
+            ).alias("nation_rev_c"),
+            F.sum("rev_c").alias("total_rev_c"),
+        )
+        .select(
+            "o_year",
+            "nation_rev_c",
+            "total_rev_c",
+            F.expr("(nation_rev_c * 1000000) div total_rev_c").alias(
+                "share_micro"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE_MARKET_SHARE = """
+WITH asia AS (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), china AS (
+  SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7'
+), flow AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS rev_c,
+         s.s_nationkey IN (SELECT n_nationkey FROM china) AS from_cn
+  FROM lineitem l
+  JOIN part p      ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+  JOIN orders o    ON l.l_orderkey = o.o_orderkey
+  JOIN customer c  ON o.o_custkey = c.c_custkey
+  JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey IN (SELECT n_nationkey FROM asia)
+)
+SELECT CAST(o_year AS INT) AS o_year,
+       CAST(SUM(CASE WHEN from_cn THEN rev_c ELSE 0 END) AS BIGINT)
+           AS nation_rev_c,
+       CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+       CAST((SUM(CASE WHEN from_cn THEN rev_c ELSE 0 END) * 1000000)
+            // SUM(rev_c) AS BIGINT) AS share_micro
+FROM flow
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event-funnel analysis over the events stream: of the
     users who VIEWed, how many later CLICKed, and of those how many
@@ -283,6 +392,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "correlated_subquery": QuerySpec(
         correlated_subquery, ORACLE_CORRELATED_SUBQUERY, ["J6", "A6"]
+    ),
+    "market_share": QuerySpec(
+        market_share, ORACLE_MARKET_SHARE, ["J1", "J6", "A1", "A3"]
     ),
     "funnel_conversion": QuerySpec(
         funnel_conversion, ORACLE_FUNNEL_CONVERSION, ["§2.8", "A3", "A4"],
