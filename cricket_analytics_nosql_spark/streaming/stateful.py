@@ -222,10 +222,212 @@ ORDER BY t.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4's arbitrary-state API, the successor to
+# applyInPandasWithState): typed state handles (ValueState/ListState/
+# MapState), timers, and TTL — the engine surface a long-running 100 TB
+# keyed monitor migrates to. Operator: per-user HIGH-WATER MARK —
+# count events that exceed the user's max value from all PRIOR
+# micro-batches (batch-granular, so intra-batch order can't matter),
+# track the running max. State is one fixed-size ValueState row per
+# user; no sums of floats anywhere (max is exact), so every output
+# column is driver-oracle-safe including the double hwm.
+#
+# ENVIRONMENT GATE: the transformWithState Python worker speaks a
+# protobuf protocol to the JVM state server, so it needs the
+# `protobuf` package at runtime. Where that's absent (this container)
+# the SAME kernel runs through applyInPandasWithState — identical
+# semantics, columns, and oracle; `HAVE_TWS_PROTO` selects the API.
+# ---------------------------------------------------------------------------
+
+try:  # capability probe, not a version check — mirrors multimodal.HAVE_PIL
+    import google.protobuf  # noqa: F401
+
+    HAVE_TWS_PROTO = True
+except ImportError:
+    HAVE_TWS_PROTO = False
+
+HWM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events_total", T.LongType()),
+        T.StructField("n_hwm_records", T.LongType()),
+        T.StructField("hwm", T.DoubleType()),
+    ]
+)
+
+HWM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seen", T.LongType()),
+        T.StructField("hwm", T.DoubleType()),
+        T.StructField("n_rec", T.LongType()),
+        T.StructField("n_ev", T.LongType()),
+    ]
+)
+
+
+def _make_hwm_processor():
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class HwmProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("hwm", HWM_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                seen, hwm, n_rec, n_ev = self._state.get()
+            else:
+                seen, hwm, n_rec, n_ev = 0, 0.0, 0, 0
+            for pdf in rows:
+                vals = pdf["value"]
+                if len(vals) == 0:
+                    continue
+                if seen:
+                    n_rec += int((vals > hwm).sum())
+                mx = float(vals.max())
+                hwm = mx if (not seen or mx > hwm) else hwm
+                seen = 1
+                n_ev += len(vals)
+            self._state.update((seen, hwm, n_rec, n_ev))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events_total": [n_ev],
+                    "n_hwm_records": [n_rec],
+                    "hwm": [hwm],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return HwmProcessor()
+
+
+def _hwm_update_legacy(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The HWM kernel on the GroupState API — byte-identical
+    semantics to HwmProcessor.handleInputRows."""
+    (seen, hwm, n_rec, n_ev) = (
+        state.get if state.exists else (0, 0.0, 0, 0)
+    )
+    for pdf in batches:
+        vals = pdf["value"]
+        if len(vals) == 0:
+            continue
+        if seen:
+            n_rec += int((vals > hwm).sum())
+        mx = float(vals.max())
+        hwm = mx if (not seen or mx > hwm) else hwm
+        seen = 1
+        n_ev += len(vals)
+    state.update((seen, hwm, n_rec, n_ev))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events_total": [n_ev],
+            "n_hwm_records": [n_rec],
+            "hwm": [hwm],
+        }
+    )
+
+
+def hwm_monitor_stream(events: DataFrame) -> DataFrame:
+    """Streaming form — ``transformWithStateInPandas`` when the
+    protobuf runtime is present, the same kernel through
+    ``applyInPandasWithState`` otherwise. One update-mode row per
+    (user, micro-batch) with totals as of that batch."""
+    keyed = events.select("user_id", "value").groupBy("user_id")
+    if HAVE_TWS_PROTO:
+        return keyed.transformWithStateInPandas(
+            _make_hwm_processor(),
+            outputStructType=HWM_OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    return keyed.applyInPandasWithState(
+        _hwm_update_legacy,
+        outputStructType=HWM_OUTPUT_SCHEMA,
+        stateStructType=HWM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_hwm_monitor(spark, sf_dir: str) -> DataFrame:
+    """Driver query for the transformWithState surface: replay the
+    events table as a 4-chunk stream, keep each user's final
+    emission, compare against the SQL restatement (prior-batch MAX
+    window). Exactly the spike monitor's harness, different state
+    API and a max-state kernel whose float column is exact."""
+    from cricket_analytics_nosql_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stage_event_files,
+    )
+    from pyspark.sql import Window
+
+    staged = stage_event_files(spark, sf_dir)
+    out = run_available_now(
+        hwm_monitor_stream(read_events_stream(spark, staged)), "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events_total"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events_total", "n_hwm_records", "hwm")
+        .orderBy("user_id")
+    )
+
+
+ORACLE_STREAM_HWM_MONITOR = """
+WITH bounds AS (
+  SELECT epoch_us(MIN(ts)) AS lo_us,
+         CAST(ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 4.0) AS BIGINT)
+           AS span_us
+  FROM events
+),
+ev AS (
+  SELECT user_id, value,
+         CASE WHEN epoch_us(ts) >= lo_us + span_us * 3 THEN 3
+              WHEN epoch_us(ts) >= lo_us + span_us * 2 THEN 2
+              WHEN epoch_us(ts) >= lo_us + span_us     THEN 1
+              ELSE 0 END AS batch
+  FROM events, bounds
+),
+prior AS (
+  SELECT user_id, value,
+         MAX(value) OVER w AS mx_b
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY batch
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+rec AS (
+  SELECT user_id,
+         COUNT(*) FILTER (WHERE mx_b IS NOT NULL AND value > mx_b)
+           AS n_hwm
+  FROM prior GROUP BY user_id
+),
+totals AS (
+  SELECT user_id, COUNT(*) AS n_events_total, MAX(value) AS hwm
+  FROM events GROUP BY user_id
+)
+SELECT t.user_id, t.n_events_total,
+       COALESCE(r.n_hwm, 0) AS n_hwm_records,
+       t.hwm
+FROM totals t LEFT JOIN rec r USING (user_id)
+ORDER BY t.user_id
+"""
+
+
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec  # noqa: E402
 
 QUERIES: dict[str, QuerySpec] = {
     "stream_spike_monitor": QuerySpec(
         stream_spike_monitor, ORACLE_STREAM_SPIKE_MONITOR, ["§2.11", "§2.12"]
+    ),
+    "stream_hwm_monitor": QuerySpec(
+        stream_hwm_monitor, ORACLE_STREAM_HWM_MONITOR, ["§2.11", "§2.12"]
     ),
 }
