@@ -404,7 +404,121 @@ ORDER BY label NULLS FIRST
 """
 
 
+# --------------------------------------------------------------------------
+# SCD2 point-in-time join
+
+SCD2_VERSION_DATES = ["1995-01-01", "1996-07-01", "1998-01-01", "1999-07-01"]
+
+
+def _supplier_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic slowly-changing dimension: every supplier reprices
+    at four fixed dates; version price is a deterministic function of
+    (supplier, version) so both engines derive identical history."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    versions = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("timestamp_ntz").alias("valid_from"),
+                (
+                    F.col("s_suppkey") * 100 + F.lit(13 + 7 * i)
+                ).alias("price_c"),
+            )
+            for i, d in enumerate(SCD2_VERSION_DATES)
+        ]
+    )
+    return supp.select(
+        "s_suppkey", F.explode(versions).alias("v")
+    ).select("s_suppkey", "v.valid_from", "v.price_c")
+
+
+def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2) join: each lineitem priced by the
+    supplier tariff version in force at its ship date — the
+    warehouse staple for joining facts to slowly-changing dims.
+
+    Same single-shuffle union-tag plan as ``asof_join`` but CROSS
+    table: version rows and fact rows union into one stream, one
+    Exchange on the supplier key, sort by (ts, tag) with version
+    rows first on ties (valid_from is inclusive), and
+    ``last(version, ignorenulls=True)`` over the running frame
+    carries each tariff forward onto every fact row it governs. No
+    join node at all, so a hot supplier costs O(its rows), never
+    O(versions × facts) — the interval-join formulation the oracle
+    uses would build exactly that blowup shape at scale.
+
+    Output: per version date, lines priced under it and the exact
+    cent mass charged (price × quantity, integers)."""
+    hist = _supplier_price_history(spark, sf_dir).select(
+        F.col("s_suppkey").alias("k"),
+        F.col("valid_from").alias("ts"),
+        F.lit(0).alias("tag"),
+        F.struct("valid_from", "price_c").alias("ver"),
+        F.lit(None).cast("long").alias("qty_c"),
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"),
+        F.col("l_shipdate").alias("ts"),
+        F.lit(1).alias("tag"),
+        F.lit(None)
+        .cast("struct<valid_from:timestamp_ntz,price_c:bigint>")
+        .alias("ver"),
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qty_c"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.asc("ts"), F.asc("tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    priced = (
+        hist.unionByName(fact)
+        .withColumn("cur", F.last("ver", ignorenulls=True).over(w))
+        .filter((F.col("tag") == 1) & F.col("cur").isNotNull())
+    )
+    return (
+        priced.groupBy(F.col("cur.valid_from").alias("valid_from"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.col("cur.price_c") * F.col("qty_c")
+            ).alias("charged_c"),
+        )
+        .orderBy("valid_from")
+    )
+
+
+_SCD2_DIM_SQL = " UNION ALL ".join(
+    f"SELECT s_suppkey, TIMESTAMP '{d}' AS valid_from,"
+    f" s_suppkey * 100 + {13 + 7 * i} AS price_c FROM supplier"
+    for i, d in enumerate(SCD2_VERSION_DATES)
+)
+
+ORACLE_SCD2_POINTINTIME = f"""
+WITH dim AS (
+  {_SCD2_DIM_SQL}
+), versions AS (
+  SELECT s_suppkey, valid_from, price_c,
+         LEAD(valid_from) OVER (PARTITION BY s_suppkey
+                                ORDER BY valid_from) AS valid_to
+  FROM dim
+)
+SELECT v.valid_from,
+       COUNT(*) AS n_lines,
+       CAST(SUM(v.price_c * CAST(ROUND(l.l_quantity * 100) AS BIGINT))
+            AS BIGINT) AS charged_c
+FROM lineitem l
+JOIN versions v
+  ON l.l_suppkey = v.s_suppkey
+ AND l.l_shipdate >= v.valid_from
+ AND (v.valid_to IS NULL OR l.l_shipdate < v.valid_to)
+GROUP BY v.valid_from
+ORDER BY v.valid_from
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "scd2_pointintime_join": QuerySpec(
+        scd2_pointintime_join, ORACLE_SCD2_POINTINTIME, ["X-ts", "J1", "§2.8"]
+    ),
     "null_safe_join": QuerySpec(
         null_safe_join, ORACLE_NULL_SAFE_JOIN, ["J1", "P12"]
     ),

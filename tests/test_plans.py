@@ -399,3 +399,19 @@ def test_snapshot_diff_copartitioned_single_join(spark, sf_medium):
     plan = plan_of(dataset_diff(spark, sf_medium))
     joins = re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan)
     assert len(joins) == 1, plan
+
+
+def test_scd2_join_single_shuffle_no_join(spark, sf_medium):
+    """The SCD2 point-in-time join must compile like the as-of join:
+    union-tag stream, ONE hash Exchange on the supplier key, no join
+    node — an interval join would pair hot suppliers with every
+    version before pruning."""
+    import re
+
+    from cricket_analytics_nosql_spark.operators.joins import (
+        scd2_pointintime_join,
+    )
+
+    plan = plan_of(scd2_pointintime_join(spark, sf_medium))
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"hashpartitioning\(k", plan)) == 1, plan
