@@ -588,6 +588,51 @@ FROM tri
 """
 
 
+def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """The k-core of an undirected graph (``va < vb`` edge rows): the
+    unique maximal subgraph where every vertex keeps degree ≥ k —
+    the standard coarse filter before expensive graph analytics
+    (PageRank/community passes on a 100 TB graph run on the 2-core
+    or 3-core, not the raw edge list full of degree-1 noise).
+
+    Iterative peeling: drop all vertices below degree k, remove
+    their incident edges, recompute — the classic fixpoint, O(log)
+    rounds on real graphs because each round's removals cascade.
+    Each round is one degree aggregate + one semi-join filter of the
+    (shrinking) edge list; the surviving edges are localCheckpoint-ed
+    per round (same lineage discipline as ``connected_components``)
+    and the removal count is observed inside the checkpoint job, so
+    the fixpoint test costs no extra pass. Returns the surviving
+    edges."""
+    cur = edges.select("va", "vb").localCheckpoint()
+    prev = -1  # previous round's surviving-edge count; fixpoint when
+    # a round removes nothing (one no-op round instead of a count()
+    # probe job — the same zero-extra-pass discipline as the CC loop)
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("va").alias("v"))
+            .unionAll(cur.select(F.col("vb").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        obs = Observation()
+        cur = (
+            cur.join(
+                keep.select(F.col("v").alias("va")), "va", "left_semi"
+            )
+            .join(keep.select(F.col("v").alias("vb")), "vb", "left_semi")
+            .select("va", "vb")
+            .observe(obs, F.count(F.lit(1)).alias("n_edges"))
+            .localCheckpoint()
+        )
+        after = int(obs.get["n_edges"] or 0)
+        if after == prev or after == 0:
+            break
+        prev = after
+    return cur
+
+
 def cypher_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded variable-length Cypher (``-[:TRADE*1..2]->``) through
     the front-end compiler: all 1- and 2-hop trade paths out of one

@@ -177,3 +177,45 @@ def test_triangle_stats_hand_graphs(spark):
     )
     r = triangle_stats(star).collect()[0]
     assert (r.n_triangles, r.n_wedges) == (0, 10)
+
+
+def test_kcore_hand_graphs(spark):
+    """K4 with a pendant tail: the 3-core is exactly K4 (the tail and
+    its attachment chain peel away, including the cascade); a pure
+    path has an empty 2-core."""
+    from cricket_analytics_nosql_spark.operators.graph import kcore
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tail = [(3, 4), (4, 5)]  # 4 hangs off K4, 5 off 4 — cascades away
+    edges = spark.createDataFrame(k4 + tail, "va long, vb long")
+    core = {(r.va, r.vb) for r in kcore(edges, 3).collect()}
+    assert core == set(k4)
+
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "va long, vb long"
+    )
+    assert kcore(path, 2).count() == 0
+
+
+def test_kcore_invariant_on_part_graph(spark, sf_small):
+    """Every vertex of the k-core keeps degree ≥ k inside the core,
+    and the core is a subset of the input edges."""
+    from pyspark.sql import functions as F
+
+    from cricket_analytics_nosql_spark.operators.graph import (
+        kcore,
+        part_cooccur_edges,
+    )
+
+    k = 4
+    edges = part_cooccur_edges(spark, sf_small).select("va", "vb")
+    core = kcore(edges, k)
+    assert core.exceptAll(edges).count() == 0
+    deg = (
+        core.select(F.col("va").alias("v"))
+        .unionAll(core.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    assert deg.filter(F.col("d") < k).count() == 0
+    assert core.count() > 0  # the co-purchase graph has a real 4-core
