@@ -266,6 +266,26 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run any catalog query by name against a star-schema dir —
+    the operator surface as a CLI (``query --list`` enumerates)."""
+    from cricket_analytics_nosql_spark.catalog import all_queries
+
+    cat = all_queries()
+    if args.list:
+        for name, spec in cat.items():
+            mark = "oracle" if spec.oracle else "rows-only"
+            print(f"{name}\t{mark}\t{','.join(spec.ops)}")
+        return 0
+    if args.name not in cat:
+        print(f"unknown query {args.name!r}; see --list", file=sys.stderr)
+        return 2
+    spark = _spark()
+    df = cat[args.name].fn(spark, args.sf_dir)
+    _show(args.name, df, n=args.max_rows, explain=args.explain)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cricket_analytics_nosql_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -329,7 +349,21 @@ def main(argv: list[str] | None = None) -> int:
     sql.add_argument("--explain", action="store_true")
     sql.set_defaults(fn=cmd_sql)
 
+    qy = sub.add_parser(
+        "query", help="run a named catalog query over a star-schema dir"
+    )
+    qy.add_argument("name", nargs="?", default=None)
+    qy.add_argument("--list", action="store_true", help="list queries")
+    qy.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.01", help="star-schema dir"
+    )
+    qy.add_argument("--max-rows", type=int, default=20, dest="max_rows")
+    qy.add_argument("--explain", action="store_true")
+    qy.set_defaults(fn=cmd_query)
+
     args = p.parse_args(argv)
+    if args.cmd == "query" and not args.list and not args.name:
+        p.error("query: give a NAME or --list")
     return args.fn(args)
 
 
