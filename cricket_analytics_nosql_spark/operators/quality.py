@@ -166,10 +166,74 @@ ORDER BY constraint_name
 """
 
 
+PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Column-level profile — the data-catalog staple behind every
+    "describe dataset" page: per column, row count, null count, and
+    exact distinct count, as one row per column.
+
+    ONE pass over the table: all per-column aggregates ride a single
+    scan (the naive spelling — one SELECT per column UNION ALL'd, as
+    the test oracle does — scans the table once per column, a 6×
+    difference here and a fatal one at 100 TB). The wide single-row
+    aggregate is then unpivoted driver-free with ``stack``. Exact
+    ``count_distinct`` plans one Expand over the column set; at
+    100 TB swap ``approx_count_distinct`` in — same single-pass
+    shape, no Expand."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __null_{c}, __dist_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_null, n_distinct)",
+    ).select(
+        "col_name",
+        F.col("__n").alias("n_rows"),
+        "n_null",
+        "n_distinct",
+    ).orderBy("col_name")
+
+
+def table_profile(spark, sf_dir: str):
+    """Driver query: the one-pass profile of the orders table."""
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    return profile(
+        load_table(spark, sf_dir, "orders").select(*PROFILE_COLS),
+        PROFILE_COLS,
+    )
+
+
+ORACLE_TABLE_PROFILE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,"
+    f" CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_null,"
+    f" COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec  # noqa: E402
 
 QUERIES: dict[str, QuerySpec] = {
     "constraint_audit": QuerySpec(
         constraint_audit, ORACLE_CONSTRAINT_AUDIT, ["A4", "J6", "X-quality"]
+    ),
+    "table_profile": QuerySpec(
+        table_profile, ORACLE_TABLE_PROFILE, ["A4", "A1", "X-quality"]
     ),
 }
