@@ -235,6 +235,56 @@ ORDER BY r.source
 """
 
 
+# --------------------------------------------------------------------------
+# deterministic global shuffle (training-order randomization)
+
+LCG_A = 48271          # Lehmer / MINSTD multiplier
+LCG_M = 2147483647     # 2^31 − 1
+
+
+def shuffle_key(key) -> "F.Column":
+    """Pseudorandom-but-deterministic permutation key: the Lehmer
+    LCG ``(a·k) mod (2^31−1)``. Training runs need the corpus in
+    'random' order, but the order must be REPRODUCIBLE (resume a
+    crashed run, ablate against the same curriculum) and engine-
+    portable — so no rand(), no xxhash (engine-specific): plain
+    modular arithmetic that any engine computes bit-identically,
+    with operands bounded so ANSI-mode 64-bit multiply cannot
+    overflow. Follow with ``repartitionByRange(shuffle_key)`` +
+    in-partition sort for a total order any reader can re-derive."""
+    return F.pmod(F.col(key) * F.lit(LCG_A), F.lit(LCG_M))
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the shuffled-order audit — the first 50
+    documents of the deterministic global shuffle with their
+    permutation keys and train-split tags (proves shuffle and split
+    compose off the same stable id)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            shuffle_key("doc_id").alias("shuf_key"),
+            split_column(F.col("doc_id")).alias("split"),
+        )
+        .orderBy("shuf_key", "doc_id")
+        .limit(50)
+    )
+
+
+ORACLE_CORPUS_SHUFFLE = f"""
+SELECT doc_id, source,
+       (doc_id * {LCG_A}) % {LCG_M} AS shuf_key,
+       CASE WHEN doc_id % {SPLIT_DENOM} < {TRAIN_LT} THEN 'train'
+            WHEN doc_id % {SPLIT_DENOM} < {VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY shuf_key, doc_id
+LIMIT 50
+"""
+
+
 def export_jsonl_shards(
     df: DataFrame, path: str, key: str, n_shards: int
 ) -> None:
@@ -270,5 +320,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "domain_mixture_resample": QuerySpec(
         domain_mixture_resample, ORACLE_DOMAIN_MIXTURE, ["X-training", "J1"]
+    ),
+    "corpus_shuffle": QuerySpec(
+        corpus_shuffle, ORACLE_CORPUS_SHUFFLE, ["X-training", "T3"]
     ),
 }
