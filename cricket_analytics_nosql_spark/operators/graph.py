@@ -630,6 +630,15 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         if after == prev or after == 0:
             break
         prev = after
+    else:
+        # exhausting the budget without a fixpoint would silently
+        # return a NON-core (vertices below k remain) — refuse.
+        # Adversarial shapes (a long path under k=2 peels two
+        # vertices a round) need max_iter ≈ diameter/2.
+        raise RuntimeError(
+            f"kcore: no fixpoint within max_iter={max_iter} rounds; "
+            "raise max_iter (pathological low-connectivity graph)"
+        )
     return cur
 
 

@@ -37,7 +37,7 @@ Supported grammar (the reference's surface + natural closure):
 - ``CALL gds.graph.project('g', ...)`` → the weighted projection
   (G1: parallel edges collapsed)
 
-Bounded variable-length paths (``-[:T*1..3]->``) compile to a union
+Bounded variable-length paths (``-[:T*1..2]->``) compile to a union
 of chained joins — one row per path, Cypher's semantics; unbounded
 ``*`` and rel-variable binding on them are refused. Still not
 Cypher-complete, loudly: MERGE/CREATE, multiple labels, and map
@@ -231,7 +231,7 @@ class _Parser:
                     if not self.at("num"):
                         raise ValueError(
                             "cypher: unbounded variable-length path — "
-                            "give explicit bounds, e.g. [:T*1..3]"
+                            "give explicit bounds, e.g. [:T*1..2]"
                         )
                     mn = int(self.eat("num").text)
                     mx = mn
@@ -626,6 +626,17 @@ def _build_pattern_frame(
             # small and anchor one end; for reachability (distinct
             # endpoints, no path multiplicity) prefer the iterative
             # frontier ops (graph.connected_components, $graphLookup).
+            if hop.maxlen > 2:
+                # Cypher's relationship-uniqueness rule (no edge
+                # traversed twice in one path) needs every step's
+                # endpoints carried for pairwise comparison beyond
+                # length 2 — not implemented; refuse rather than
+                # overcount (e.g. a→b→a→b on a reciprocal edge pair).
+                raise ValueError(
+                    "cypher: variable-length paths support at most "
+                    "*..2 (relationship uniqueness beyond length 2 "
+                    "is not implemented)"
+                )
             chain = edges.select(
                 F.col("src").alias("__s"), F.col("dst").alias("__e")
             )
@@ -637,8 +648,18 @@ def _build_pattern_frame(
                     F.col("src").alias("__e"),
                     F.col("dst").alias("__e_next"),
                 )
-                chain = chain.join(step, "__e").select(
-                    "__s", F.col("__e_next").alias("__e")
+                # relationship uniqueness at length 2: the two edges
+                # (s,m) and (m,e) coincide only when s==m==e (a
+                # self-loop traversed twice) — filter that path out
+                chain = (
+                    chain.join(step, "__e")
+                    .filter(
+                        ~(
+                            (F.col("__s") == F.col("__e"))
+                            & (F.col("__e") == F.col("__e_next"))
+                        )
+                    )
+                    .select("__s", F.col("__e_next").alias("__e"))
                 )
                 if length >= hop.minlen:
                     per_len.append(chain)

@@ -266,6 +266,51 @@ HWM_STATE_SCHEMA = T.StructType(
 )
 
 
+def _hwm_fold(
+    state: tuple, batches: Iterable[pd.DataFrame]
+) -> tuple:
+    """The ONE high-water-mark kernel, shared by both state APIs.
+
+    All of a micro-batch's chunks are folded against the PRIOR
+    batches' hwm before the mark moves: Arrow splits a large per-key
+    batch into several pandas chunks (default 10k rows), and
+    updating hwm per chunk would silently count *intra*-batch
+    exceedances — diverging from the prior-batch-max semantics the
+    oracle's `RANGE ... 1 PRECEDING` window states, with the answer
+    depending on chunk boundaries."""
+    seen, hwm, n_rec, n_ev = state
+    batch_max = None
+    batch_n = 0
+    batch_exceed = 0
+    for pdf in batches:
+        vals = pdf["value"]
+        if len(vals) == 0:
+            continue
+        if seen:
+            batch_exceed += int((vals > hwm).sum())
+        mx = float(vals.max())
+        batch_max = mx if (batch_max is None or mx > batch_max) else batch_max
+        batch_n += len(vals)
+    if batch_n:
+        n_rec += batch_exceed
+        hwm = batch_max if (not seen or batch_max > hwm) else hwm
+        seen = 1
+        n_ev += batch_n
+    return seen, hwm, n_rec, n_ev
+
+
+def _hwm_emit(key: tuple, state: tuple) -> pd.DataFrame:
+    seen, hwm, n_rec, n_ev = state
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events_total": [n_ev],
+            "n_hwm_records": [n_rec],
+            "hwm": [hwm],
+        }
+    )
+
+
 def _make_hwm_processor():
     from pyspark.sql.streaming import StatefulProcessor
 
@@ -274,29 +319,14 @@ def _make_hwm_processor():
             self._state = handle.getValueState("hwm", HWM_STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
-            if self._state.exists():
-                seen, hwm, n_rec, n_ev = self._state.get()
-            else:
-                seen, hwm, n_rec, n_ev = 0, 0.0, 0, 0
-            for pdf in rows:
-                vals = pdf["value"]
-                if len(vals) == 0:
-                    continue
-                if seen:
-                    n_rec += int((vals > hwm).sum())
-                mx = float(vals.max())
-                hwm = mx if (not seen or mx > hwm) else hwm
-                seen = 1
-                n_ev += len(vals)
-            self._state.update((seen, hwm, n_rec, n_ev))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events_total": [n_ev],
-                    "n_hwm_records": [n_rec],
-                    "hwm": [hwm],
-                }
+            prior = (
+                tuple(self._state.get())
+                if self._state.exists()
+                else (0, 0.0, 0, 0)
             )
+            state = _hwm_fold(prior, rows)
+            self._state.update(state)
+            yield _hwm_emit(key, state)
 
         def close(self) -> None:
             pass
@@ -307,30 +337,12 @@ def _make_hwm_processor():
 def _hwm_update_legacy(
     key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """The HWM kernel on the GroupState API — byte-identical
-    semantics to HwmProcessor.handleInputRows."""
-    (seen, hwm, n_rec, n_ev) = (
-        state.get if state.exists else (0, 0.0, 0, 0)
-    )
-    for pdf in batches:
-        vals = pdf["value"]
-        if len(vals) == 0:
-            continue
-        if seen:
-            n_rec += int((vals > hwm).sum())
-        mx = float(vals.max())
-        hwm = mx if (not seen or mx > hwm) else hwm
-        seen = 1
-        n_ev += len(vals)
-    state.update((seen, hwm, n_rec, n_ev))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events_total": [n_ev],
-            "n_hwm_records": [n_rec],
-            "hwm": [hwm],
-        }
-    )
+    """The same ``_hwm_fold`` kernel on the GroupState API — one
+    shared fold, two thin API wrappers."""
+    prior = tuple(state.get) if state.exists else (0, 0.0, 0, 0)
+    new = _hwm_fold(prior, batches)
+    state.update(new)
+    yield _hwm_emit(key, new)
 
 
 def hwm_monitor_stream(events: DataFrame) -> DataFrame:

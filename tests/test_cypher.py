@@ -351,3 +351,23 @@ def test_varlength_refusals(spark):
         compile_cypher(
             "MATCH (a)-[:E*3..2]->(b) RETURN count(*) AS n", edges
         )
+
+
+def test_varlength_maxlen_refusal_and_selfloop_uniqueness(spark):
+    import pytest
+
+    from cricket_analytics_nosql_spark.plans.cypher import compile_cypher
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="at most"):
+        compile_cypher(
+            "MATCH (a)-[:E*1..3]->(b) RETURN count(*) AS n", edges
+        )
+
+    # self-loop: 1→1→1 would reuse the same relationship — Cypher
+    # excludes it, so only the 1-hop path remains
+    loop = spark.createDataFrame([(1, 1)], "src long, dst long")
+    got = compile_cypher(
+        "MATCH (a {name: 1})-[:E*1..2]->(b) RETURN count(*) AS n", loop
+    ).collect()[0].n
+    assert got == 1
