@@ -249,9 +249,138 @@ ORDER BY event_type, day
 """
 
 
+# --------------------------------------------------------------------------
+# CDC apply (change-data-capture log → snapshot)
+
+CDC_BASE_SKIP = 97      # snapshot is missing every 97th key
+CDC_UPD_EVERY = 5       # seq-1 UPDATE: +$1.00 reprice
+CDC_DEL_EVERY = 11      # seq-2 DELETE
+CDC_INS_PRICE_BUMP = 7  # seq-3 INSERT of the missing keys, +7c
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC log to a snapshot: changes carry full row images
+    with an op ('U' upsert-image, 'D' delete) and a total-order
+    sequence number per key; the highest sequence wins and a final
+    'D' removes the key (Debezium-style envelope, collapsed).
+
+    Plan: the snapshot unions in as sequence-0 images, ONE exchange
+    on the key, a per-key row_number by descending sequence, keep
+    rank 1 where the op isn't a delete. No join node — applying a
+    day's log to a 100 TB snapshot costs one co-partitioned shuffle
+    of (snapshot + log), the same floor as the diff. Ties beyond the
+    sequence are broken deterministically by op so a replayed log
+    cannot flap the result."""
+    from pyspark.sql import Window
+
+    snap = snapshot.withColumn(seq_col, F.lit(0).cast("long")).withColumn(
+        op_col, F.lit("U")
+    )
+    unioned = snap.unionByName(changes.select(*snap.columns))
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(seq_col), F.desc(op_col)
+    )
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != "D"))
+        .drop("__rn", seq_col, op_col)
+    )
+
+
+def cdc_apply_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: apply a three-step synthetic CDC log (reprice,
+    delete, late insert — with keys hit by BOTH the reprice and the
+    later delete, so sequence ordering is load-bearing) and report
+    the per-status row count and cent mass of the applied table."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    key = F.col("o_orderkey")
+    snapshot = orders.filter(F.pmod(key, F.lit(CDC_BASE_SKIP)) != 0)
+    upd = (
+        snapshot.filter(F.pmod(key, F.lit(CDC_UPD_EVERY)) == 0)
+        .withColumn("price_c", F.col("price_c") + 100)
+        .withColumn("seq", F.lit(1).cast("long"))
+        .withColumn("op", F.lit("U"))
+    )
+    dele = (
+        snapshot.filter(F.pmod(key, F.lit(CDC_DEL_EVERY)) == 0)
+        .withColumn("seq", F.lit(2).cast("long"))
+        .withColumn("op", F.lit("D"))
+    )
+    ins = (
+        orders.filter(F.pmod(key, F.lit(CDC_BASE_SKIP)) == 0)
+        .withColumn("price_c", F.col("price_c") + CDC_INS_PRICE_BUMP)
+        .withColumn("seq", F.lit(3).cast("long"))
+        .withColumn("op", F.lit("U"))
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    applied = cdc_apply(snapshot, changes, ["o_orderkey"])
+    return (
+        applied.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_c").alias("price_c_total"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_CDC_APPLY = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+), snapshot AS (
+  SELECT *, 0 AS seq, 'U' AS op FROM base
+  WHERE o_orderkey % {CDC_BASE_SKIP} <> 0
+), upd AS (
+  SELECT o_orderkey, o_orderstatus, price_c + 100 AS price_c,
+         1 AS seq, 'U' AS op
+  FROM snapshot WHERE o_orderkey % {CDC_UPD_EVERY} = 0
+), del AS (
+  SELECT o_orderkey, o_orderstatus, price_c, 2 AS seq, 'D' AS op
+  FROM snapshot WHERE o_orderkey % {CDC_DEL_EVERY} = 0
+), ins AS (
+  SELECT o_orderkey, o_orderstatus,
+         price_c + {CDC_INS_PRICE_BUMP} AS price_c, 3 AS seq, 'U' AS op
+  FROM base WHERE o_orderkey % {CDC_BASE_SKIP} = 0
+), unioned AS (
+  SELECT * FROM snapshot UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                               ORDER BY seq DESC, op DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(price_c) AS BIGINT) AS price_c_total,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dataset_diff": QuerySpec(
         dataset_diff, ORACLE_DATASET_DIFF, ["J6", "A1", "X-versioning"]
+    ),
+    "cdc_apply_audit": QuerySpec(
+        cdc_apply_audit,
+        ORACLE_CDC_APPLY,
+        ["A9", "A10", "S3", "X-versioning"],
     ),
     "incremental_rollup": QuerySpec(
         incremental_rollup,
