@@ -415,3 +415,45 @@ def test_scd2_join_single_shuffle_no_join(spark, sf_medium):
     plan = plan_of(scd2_pointintime_join(spark, sf_medium))
     assert "Join" not in plan, plan
     assert len(re.findall(r"hashpartitioning\(k", plan)) == 1, plan
+
+
+def test_no_cartesian_products_across_catalog(spark, sf_small):
+    """Catalog-wide 100 TB hygiene gate: NO query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only
+    where it is the design (ann_brute_force broadcasts a tiny query
+    set against the fact by construction). Streaming queries are
+    excluded (building them executes a stream); sink round-trips
+    execute their writes, which explain() tolerates."""
+    from cricket_analytics_nosql_spark.catalog import all_queries
+
+    # BNLJ is legitimate exactly where the broadcast side is
+    # metadata-sized by construction: ANN/IVF centroid or query-set
+    # probes, the k×k cell-pair candidate table, 1-row global
+    # aggregates crossed back onto results, the |sources| rates
+    # frame, and the range join's bounds table.
+    bnlj_by_design = {
+        "ann_brute_force",
+        "ann_ivf",
+        "ann_ivf_kmeans",
+        "knn_graph",
+        "dedup_embedding_cosine",
+        "tfidf_top_terms",
+        "range_join",
+        "graph_triangles",
+        "heavy_hitters",
+        "domain_mixture_resample",
+    }
+    offenders = []
+    for name, spec in all_queries().items():
+        if name.startswith("stream_") or name == "cricket_pipeline":
+            continue
+        try:
+            plan = plan_of(spec.fn(spark, sf_small))
+        except Exception as exc:  # pragma: no cover - fail loudly
+            offenders.append((name, f"explain failed: {exc}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in bnlj_by_design:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
