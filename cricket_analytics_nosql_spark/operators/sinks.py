@@ -177,6 +177,51 @@ def compact_small_files(
     return n_before
 
 
+def write_partition_overwrite(
+    df: DataFrame, path: str, partition_col: str
+) -> None:
+    """Backfill write: replace ONLY the partitions present in ``df``
+    and leave every other partition untouched (dynamic partition
+    overwrite). THE idempotent reprocessing primitive at 100 TB — a
+    failed day's pipeline reruns against just that day's partition;
+    a static overwrite would wipe the whole dataset, an append would
+    double-count. Session-conf scoped to the write and restored."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set(key, old)
+
+
+def read_new_partitions(
+    spark: SparkSession, path: str, partition_col: str, processed: set[str]
+) -> tuple[DataFrame, set[str]]:
+    """Incremental batch consumption of a partitioned dataset:
+    return (frame of unprocessed partitions, their values). The
+    caller persists the processed set (a tiny manifest — the batch
+    twin of a streaming checkpoint) and gets exactly-once batch
+    semantics over an append-only partition layout without running a
+    stream. Listing is directory-level metadata; the returned frame
+    carries partition filters, so the scan reads only the new
+    partitions' files (PartitionFilters, not post-scan filtering)."""
+    prefix = f"{partition_col}="
+    on_disk = {
+        d[len(prefix):]
+        for d in os.listdir(path)
+        if d.startswith(prefix)
+    }
+    fresh = sorted(on_disk - set(processed))
+    df = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(fresh)
+        if fresh
+        else F.lit(False)
+    )
+    return df, set(fresh)
+
+
 def read_evolving(spark: SparkSession, path: str) -> DataFrame:
     """Schema-evolution read: batches written over months drift
     (columns added, never silently re-typed — the loaders' rule).

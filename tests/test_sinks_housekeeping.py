@@ -91,3 +91,89 @@ def test_stream_ingest_then_compaction(spark, sf_small, tmp_path):
     got = back.agg(F.sum("event_id")).collect()[0][0]
     want = src.agg(F.sum("event_id")).collect()[0][0]
     assert got == want
+
+
+def test_partition_overwrite_touches_only_written_partitions(
+    spark, sf_small, tmp_path
+):
+    """Dynamic partition overwrite must replace exactly the incoming
+    partitions: a corrected 'R' backfill changes R, leaves A/N
+    byte-identical, and never doubles rows."""
+    from cricket_analytics_nosql_spark.operators.sinks import (
+        write_partition_overwrite,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "by_flag")
+    li.write.partitionBy("l_returnflag").parquet(out)
+    before = {
+        r.l_returnflag: (r.n, r.q)
+        for r in spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
+        )
+        .collect()
+    }
+
+    fixed_r = li.filter(F.col("l_returnflag") == "R").withColumn(
+        "l_quantity", F.col("l_quantity") + 1
+    )
+    write_partition_overwrite(fixed_r, out, "l_returnflag")
+
+    after = {
+        r.l_returnflag: (r.n, r.q)
+        for r in spark.read.parquet(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
+        )
+        .collect()
+    }
+    assert set(after) == set(before)
+    for flag in before:
+        assert after[flag][0] == before[flag][0]  # no row doubling
+        if flag == "R":
+            assert after[flag][1] == before[flag][1] + 100 * before[flag][0]
+        else:
+            assert after[flag][1] == before[flag][1]
+
+
+def test_read_new_partitions_incremental(spark, sf_small, tmp_path):
+    """The manifest-driven incremental reader must see each
+    partition exactly once across successive calls, and its scan
+    must partition-prune."""
+    from cricket_analytics_nosql_spark.operators.sinks import (
+        read_new_partitions,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    )
+    out = str(tmp_path / "inc")
+    li.filter(F.col("l_returnflag").isin("A", "N")).write.partitionBy(
+        "l_returnflag"
+    ).parquet(out)
+
+    df1, seen1 = read_new_partitions(spark, out, "l_returnflag", set())
+    assert seen1 == {"A", "N"}
+    n1 = df1.count()
+
+    # nothing new → empty frame, no reprocessing
+    df2, seen2 = read_new_partitions(spark, out, "l_returnflag", seen1)
+    assert seen2 == set() and df2.count() == 0
+
+    # late partition arrives → only it is read
+    li.filter(F.col("l_returnflag") == "R").write.mode(
+        "append"
+    ).partitionBy("l_returnflag").parquet(out)
+    df3, seen3 = read_new_partitions(spark, out, "l_returnflag", seen1)
+    assert seen3 == {"R"}
+    assert df3.select("l_returnflag").distinct().collect()[0][0] == "R"
+    assert n1 + df3.count() == li.count()
