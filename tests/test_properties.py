@@ -511,3 +511,52 @@ def test_misra_gries_invariants_random_streams(spark, stream, k):
     for item, est in got.items():
         true = exact.get(item, 0)
         assert est <= true <= est + n / k, (item, est, true, n, k)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 8), st.integers(0, 100)), max_size=12),
+    st.lists(
+        st.tuples(
+            st.integers(0, 8),      # key
+            st.integers(1, 5),      # seq
+            st.sampled_from("UD"),  # op
+            st.integers(0, 100),    # value image
+        ),
+        max_size=20,
+    ),
+)
+def test_cdc_apply_matches_python_replay(spark, snap_rows, change_rows):
+    """cdc_apply vs a dict replay: highest (seq, op) wins per key,
+    'D' removes. Duplicate snapshot keys are deduped to keep the
+    contract's set-like domain; duplicate (key, seq, op) change rows
+    are deduped likewise."""
+    from cricket_analytics_nosql_spark.operators.versioning import cdc_apply
+
+    snap = {}
+    for k, v in snap_rows:
+        snap[k] = v
+    chg = {}
+    for k, seq, op, v in change_rows:
+        chg[(k, seq, op)] = v
+
+    state = {k: (0, "U", v) for k, v in snap.items()}
+    for (k, seq, op), v in sorted(chg.items()):
+        cur = state.get(k)
+        if cur is None or (seq, op) > (cur[0], cur[1]):
+            state[k] = (seq, op, v)
+    want = {k: v for k, (seq, op, v) in state.items() if op != "D"}
+
+    mk_snap = spark.createDataFrame(
+        [(k, v) for k, v in snap.items()] or [],
+        "k int, v int",
+    )
+    mk_chg = spark.createDataFrame(
+        [(k, v, seq, op) for (k, seq, op), v in chg.items()] or [],
+        "k int, v int, seq long, op string",
+    )
+    got = {
+        r.k: r.v
+        for r in cdc_apply(mk_snap, mk_chg, ["k"]).collect()
+    }
+    assert got == want
