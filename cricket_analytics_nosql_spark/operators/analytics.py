@@ -382,6 +382,74 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — with the funnel, the other half of
+    the product-analytics pair: users grouped by first-activity week
+    (their cohort), then for each (cohort, week-offset) cell the
+    count of cohort members still active that week.
+
+    Plan: one exchange of the pruned (user, week) activity set to
+    compute per-user cohorts (a window-min over user — reused by the
+    dedup that follows on the same clustering), then one
+    aggregate-sized shuffle for the matrix. The fact's timestamp
+    column never leaves the scan stage un-truncated. All-integer
+    output; weeks are epoch-day arithmetic, not engine week
+    formatting (ISO-week edge rules differ across engines)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        # Monday-aligned week id in whole days since epoch: both
+        # engines agree on date_trunc('week') = Monday, and the
+        # integer day id sidesteps timestamp formatting entirely
+        (
+            F.unix_micros(
+                F.date_trunc("week", F.col("ts")).cast("timestamp")
+            )
+            / F.lit(86_400_000_000)
+        )
+        .cast("long")
+        .alias("week_day"),
+    )
+    from pyspark.sql import Window
+
+    weeks = ev.distinct()
+    w = Window.partitionBy("user_id")
+    with_cohort = weeks.withColumn(
+        "cohort_day", F.min("week_day").over(w)
+    )
+    return (
+        with_cohort.select(
+            "cohort_day",
+            ((F.col("week_day") - F.col("cohort_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP))
+              // 86400000000 AS BIGINT) AS week_day
+  FROM events
+), cohorts AS (
+  SELECT user_id, week_day,
+         MIN(week_day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM weeks
+)
+SELECT cohort_day,
+       (week_day - cohort_day) // 7 AS week_offset,
+       COUNT(*) AS n_active_users
+FROM cohorts
+GROUP BY cohort_day, week_offset
+ORDER BY cohort_day, week_offset
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "regional_revenue": QuerySpec(
         regional_revenue, ORACLE_REGIONAL_REVENUE, ["J1", "A1", "T1"],
@@ -395,6 +463,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "market_share": QuerySpec(
         market_share, ORACLE_MARKET_SHARE, ["J1", "J6", "A1", "A3"]
+    ),
+    "cohort_retention": QuerySpec(
+        cohort_retention, ORACLE_COHORT_RETENTION, ["§2.8", "A1", "X-ts"]
     ),
     "funnel_conversion": QuerySpec(
         funnel_conversion, ORACLE_FUNNEL_CONVERSION, ["§2.8", "A3", "A4"],
