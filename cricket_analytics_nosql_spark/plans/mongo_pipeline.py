@@ -151,6 +151,19 @@ def compile_expr(e: Any, env: dict[str, Column] | None = None) -> Column:
         if op == "$split":
             s, delim = arg
             return F.split(ce(s), delim)
+        if op == "$regexMatch":
+            spec = dict(arg)
+            pattern = spec["regex"]
+            if not isinstance(pattern, str):
+                raise ValueError("$regexMatch: regex must be a literal string")
+            opts = spec.get("options", "")
+            if opts not in ("", "i"):
+                raise ValueError(
+                    f"$regexMatch: unsupported options {opts!r} (only 'i')"
+                )
+            if opts == "i":
+                pattern = "(?i)" + pattern
+            return ce(spec["input"]).rlike(pattern)
         if op == "$toDouble":
             return ce(arg).cast("double")
         if op == "$toInt":

@@ -1281,3 +1281,41 @@ def test_dotted_path_review_fixes(spark):
         df, [{"$addFields": {"meta.flag.deep": {"$literal": 7}}}]
     ).collect()[0]
     assert created.meta.flag.deep == 7
+
+
+def test_regex_match_expression(spark):
+    from cricket_analytics_nosql_spark.plans.mongo_pipeline import (
+        compile_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [("Alpha",), ("beta",), ("gamma",)], "s string"
+    )
+    out = compile_pipeline(
+        df,
+        [
+            {
+                "$addFields": {
+                    "is_a": {
+                        "$regexMatch": {
+                            "input": "$s",
+                            "regex": "^a",
+                            "options": "i",
+                        }
+                    }
+                }
+            },
+            {"$match": {"$expr": {"$regexMatch": {"input": "$s", "regex": "ta$"}}}},
+        ],
+    )
+    rows = {r.s: r.is_a for r in out.collect()}
+    assert rows == {"beta": False}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="options"):
+        compile_pipeline(
+            df,
+            [{"$addFields": {"x": {"$regexMatch": {
+                "input": "$s", "regex": "a", "options": "ix"}}}}],
+        )
