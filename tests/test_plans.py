@@ -457,3 +457,26 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_by_design:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_regional_revenue_broadcast_fallback_same_answer(spark, sf_small):
+    """The 100 TB claim made executable: when dims outgrow broadcast
+    (simulated by disabling the threshold), the same query text
+    plans shuffle joins instead — and the answer is identical."""
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        regional_revenue,
+    )
+
+    want = [tuple(r) for r in regional_revenue(spark, sf_small).collect()]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = regional_revenue(spark, sf_small)
+        plan = plan_of(df)
+        # F.broadcast() hints survive, but the threshold-driven
+        # broadcasts must be gone: at least one shuffle join appears
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        got = [tuple(r) for r in df.collect()]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want
