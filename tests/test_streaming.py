@@ -397,3 +397,32 @@ def test_checkpoint_resume_exactly_once(spark, sf_small, tmp_path):
     assert back.agg(F.sum("event_id")).collect()[0][0] == src.agg(
         F.sum("event_id")
     ).collect()[0][0]
+
+
+def test_hwm_fold_is_chunk_invariant():
+    """The fold must treat all chunks of one micro-batch against the
+    PRIOR batches' mark: splitting a batch into chunks cannot change
+    the result (regression: per-chunk hwm updates counted intra-batch
+    exceedances)."""
+    import pandas as pd
+
+    from cricket_analytics_nosql_spark.streaming.stateful import _hwm_fold
+
+    prior = (1, 5.0, 0, 3)  # seen, hwm=5, no records, 3 events
+    whole = _hwm_fold(prior, [pd.DataFrame({"value": [6.0, 7.0, 4.0]})])
+    split = _hwm_fold(
+        prior,
+        [
+            pd.DataFrame({"value": [6.0]}),
+            pd.DataFrame({"value": [7.0, 4.0]}),
+        ],
+    )
+    assert whole == split == (1, 7.0, 2, 6)
+
+    # first-ever batch: nothing exceeds (no prior mark), even across
+    # chunks where chunk 1's max would otherwise become the bar
+    first = _hwm_fold(
+        (0, 0.0, 0, 0),
+        [pd.DataFrame({"value": [3.0]}), pd.DataFrame({"value": [9.0]})],
+    )
+    assert first == (1, 9.0, 0, 2)
