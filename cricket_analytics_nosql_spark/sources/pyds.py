@@ -50,6 +50,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
@@ -100,6 +101,51 @@ class CollectionDumpReader(DataSourceReader):
         yield (os.path.basename(partition.path), doc)
 
 
+class CollectionDumpStreamReader(DataSourceStreamReader):
+    """Streaming twin: tail the dump directory as documents arrive.
+
+    Offsets are {"index": N} over the SORTED file listing — files
+    are append-only and names monotone in arrival order (the
+    mongodump/cricsheet convention), so the sorted prefix is a
+    replayable, checkpointable position. Each micro-batch's
+    partitions are the files in (start, end]: one schedulable split
+    per new document, planned on the driver from a directory listing
+    (metadata), never file contents — this is the
+    ``DataSourceStreamReader`` (executor-read) API, not the
+    driver-reading Simple variant."""
+
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("collection_dump: .load(path) is required")
+        self.suffix = options.get("suffix", ".json")
+
+    def _listing(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.root) if n.endswith(self.suffix)
+        )
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(self._listing())}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        names = self._listing()[start["index"]: end["index"]]
+        return [_FilePartition(os.path.join(self.root, n)) for n in names]
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path, encoding="utf-8") as f:
+            doc = f.read()
+        yield (os.path.basename(partition.path), doc)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the directory is the source of truth
+
+
 class CollectionDumpDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -110,3 +156,6 @@ class CollectionDumpDataSource(DataSource):
 
     def reader(self, schema) -> CollectionDumpReader:
         return CollectionDumpReader(self.options)
+
+    def streamReader(self, schema) -> CollectionDumpStreamReader:
+        return CollectionDumpStreamReader(self.options)

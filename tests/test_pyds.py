@@ -70,3 +70,43 @@ def test_path_filter_prunes_partitions(spark, tmp_path):
     with pytest.raises(Exception):
         # unpruned scan must hit the poison file
         _read(spark, str(tmp_path)).collect()
+
+
+def test_stream_reader_tails_directory(spark, tmp_path):
+    """The streaming form: drain existing documents with availableNow
+    from a checkpoint, add a document, drain again — the second run
+    reads ONLY the new arrival (offset = sorted-listing index)."""
+    src = tmp_path / "dumps"
+    src.mkdir()
+    for i in range(2):
+        (src / f"m{i}.json").write_text(f'{{"i": {i}}}', encoding="utf-8")
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(CollectionDumpDataSource)
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("collection_dump")
+            .schema("path string, doc string")
+            .load(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert {r.path for r in spark.read.parquet(out).collect()} == {
+        "m0.json",
+        "m1.json",
+    }
+
+    (src / "m2.json").write_text('{"i": 2}', encoding="utf-8")
+    drain()
+    rows = [r.path for r in spark.read.parquet(out).collect()]
+    assert sorted(rows) == ["m0.json", "m1.json", "m2.json"]  # no re-reads
