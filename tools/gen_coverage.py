@@ -86,13 +86,20 @@ def main() -> None:
         "THROUGH the compiler and hash-match their SQL oracles; the "
         "reference's three verbatim pipelines are pinned in "
         "`tests/test_mongo_pipeline.py`). CLI: `etl` / `graph` / "
-        "`analytics` / `pipeline` / `sql`.\n"
+        "`analytics` / `pipeline` / `cypher` / `sql` / `query`.\n"
     )
     out.append(
         "Library surfaces without a driver-query form (tested in `tests/`): "
-        "bucketed co-located joins (`write_bucketed`, no-Exchange plan test), "
-        "cricket ETL "
-        "golden tests over the v1.0.0/v1.1.0 drift matrix (§5.2)."
+        "bucketed co-located joins (`write_bucketed`, no-Exchange plan test); "
+        "cricket ETL golden tests over the v1.0.0/v1.1.0 drift matrix (§5.2); "
+        "Z-order clustered writes (`layout.zorder_write`, per-file "
+        "bounding-box test); small-file compaction, schema-evolution reads, "
+        "dynamic partition-overwrite backfill, manifest-driven incremental "
+        "reads (`operators/sinks.py`); Misra-Gries bounded-memory summary "
+        "(`sketches.misra_gries_summary`, guarantee tests); k-core "
+        "decomposition (`graph.kcore`); JSONL shard export "
+        "(`training.export_jsonl_shards`); custom Python DataSource with "
+        "pushdown partition pruning + streaming tail (`sources/pyds.py`)."
     )
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "COVERAGE.md"), "w") as fh:
