@@ -774,7 +774,120 @@ ORDER BY e.label
 """
 
 
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space evaluation: classify every vector by its
+    nearest label centroid (cosine) and report the confusion matrix
+    (true label × predicted label × count) — the quality probe run
+    after every embedding or clustering change in a training
+    pipeline ("did the labels still separate?").
+
+    Exactness discipline: centroids are EXACT integer sums of
+    micro-quantized components (order-free), and each vector/centroid
+    score is ``dot / sqrt(Σc²)`` computed from those exact integers —
+    identical bits on any engine and any partitioning, so the whole
+    matrix hash-matches the oracle despite being 'float' math.
+    The |v| norm is constant per vector and argmax-invariant, so it
+    is never computed.
+
+    Scale: component explode → one map-side-combined aggregate for
+    the 10×64 centroid table (broadcast back), per-vector scores via
+    a 10-row-per-component broadcast join, one argmax window on
+    vec_id, one tiny confusion aggregate. The embedding table
+    shuffles once (the window)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        # x is FLOAT: widen to double BEFORE scaling — float*1e6 has
+        # ~0.06 ulp at this magnitude and its round() can disagree
+        # with the oracle's double path
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x as double) * 1000000) as long))"
+        ).alias("v"),
+    )
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("v").alias("pos", "val")
+    )
+    cent = (
+        comp.groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(F.sum("val").alias("c_sum"))
+    )
+    c_norm = cent.groupBy("c_label").agg(
+        F.sum(F.col("c_sum") * F.col("c_sum")).alias("c2")
+    )
+    scored = (
+        comp.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(F.col("val") * F.col("c_sum")).alias("dot"))
+        .join(F.broadcast(c_norm), "c_label")
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            (F.col("dot") / F.sqrt(F.col("c2").cast("double"))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("score"), F.asc("c_label")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("predicted"))
+    )
+    return (
+        pred.groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "predicted")
+    )
+
+
+ORACLE_NEAREST_CENTROID = """
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), comp AS (
+  SELECT vec_id, label, i - 1 AS pos,
+         CAST(ROUND(v[i] * 1000000) AS BIGINT) AS val
+  FROM emb, UNNEST(range(1, len(v) + 1)) AS t(i)
+), cent AS (
+  SELECT label AS c_label, pos, CAST(SUM(val) AS BIGINT) AS c_sum
+  FROM comp GROUP BY label, pos
+), c_norm AS (
+  SELECT c_label, CAST(SUM(c_sum * c_sum) AS BIGINT) AS c2
+  FROM cent GROUP BY c_label
+), dots AS (
+  SELECT comp.vec_id, comp.label, cent.c_label,
+         CAST(SUM(comp.val * cent.c_sum) AS BIGINT) AS dot
+  FROM comp JOIN cent ON comp.pos = cent.pos
+  GROUP BY comp.vec_id, comp.label, cent.c_label
+), scored AS (
+  SELECT d.vec_id, d.label, d.c_label,
+         d.dot / sqrt(CAST(n.c2 AS DOUBLE)) AS score
+  FROM dots d JOIN c_norm n ON d.c_label = n.c_label
+), pred AS (
+  SELECT vec_id, label, c_label AS predicted,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, c_label ASC) AS rn
+  FROM scored
+)
+SELECT label, predicted, COUNT(*) AS n
+FROM pred WHERE rn = 1
+GROUP BY label, predicted
+ORDER BY label, predicted
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "nearest_centroid_confusion": QuerySpec(
+        nearest_centroid_confusion,
+        ORACLE_NEAREST_CENTROID,
+        ["X-sim", "A1", "§2.8"],
+    ),
     "semantic_dedup": QuerySpec(
         semantic_dedup, ORACLE_SEMANTIC_DEDUP, ["X-dedup", "X-sim", "X-curation"]
     ),
