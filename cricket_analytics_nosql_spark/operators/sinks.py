@@ -206,13 +206,28 @@ def read_new_partitions(
     semantics over an append-only partition layout without running a
     stream. Listing is directory-level metadata; the returned frame
     carries partition filters, so the scan reads only the new
-    partitions' files (PartitionFilters, not post-scan filtering)."""
+    partitions' files (PartitionFilters, not post-scan filtering).
+
+    Directory names are Hive-URL-escaped on disk (``:`` → ``%3A``);
+    they are unescaped here so both the returned manifest values and
+    the ``isin`` filter speak COLUMN values — comparing raw names
+    would silently drop (and permanently mark consumed) any
+    partition whose value contains an escaped character. NULL
+    partition values (``__HIVE_DEFAULT_PARTITION__``) are refused
+    loudly: a null-keyed incremental feed is a modeling bug."""
+    from urllib.parse import unquote
+
     prefix = f"{partition_col}="
-    on_disk = {
+    raw = {
         d[len(prefix):]
         for d in os.listdir(path)
         if d.startswith(prefix)
     }
+    if "__HIVE_DEFAULT_PARTITION__" in raw:
+        raise ValueError(
+            f"read_new_partitions: NULL {partition_col} partition present"
+        )
+    on_disk = {unquote(d) for d in raw}
     fresh = sorted(on_disk - set(processed))
     df = spark.read.parquet(path).filter(
         F.col(partition_col).isin(fresh)

@@ -75,12 +75,12 @@ class CollectionDumpReader(DataSourceReader):
         """Accept path equality/IN — partition pruning — and hand
         everything else back to Spark."""
         for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("path",):
-                self._keep = {str(f.value)} & (
-                    self._keep if self._keep is not None else {str(f.value)}
+            if isinstance(f, (EqualTo, In)) and f.attribute == ("path",):
+                vals = (
+                    {str(v) for v in f.value}
+                    if isinstance(f, In)
+                    else {str(f.value)}
                 )
-            elif isinstance(f, In) and f.attribute == ("path",):
-                vals = {str(v) for v in f.value}
                 self._keep = (
                     vals if self._keep is None else self._keep & vals
                 )
@@ -95,7 +95,12 @@ class CollectionDumpReader(DataSourceReader):
             names = [n for n in names if n in self._keep]
         return [_FilePartition(os.path.join(self.root, n)) for n in names]
 
-    def read(self, partition: _FilePartition):
+    def read(self, partition: _FilePartition | None):
+        # an empty partitions() list reaches read() as a single None
+        # partition (the worker substitutes [None] for []) — that is
+        # the zero-files / fully-pruned case: yield nothing
+        if partition is None:
+            return
         with open(partition.path, encoding="utf-8") as f:
             doc = f.read()
         yield (os.path.basename(partition.path), doc)

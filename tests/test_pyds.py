@@ -110,3 +110,11 @@ def test_stream_reader_tails_directory(spark, tmp_path):
     drain()
     rows = [r.path for r in spark.read.parquet(out).collect()]
     assert sorted(rows) == ["m0.json", "m1.json", "m2.json"]  # no re-reads
+
+
+def test_fully_pruned_scan_returns_zero_rows(spark, dump_dir):
+    """A filter matching no file must yield an empty result, not an
+    error — the worker hands read() a None partition for an empty
+    partition list."""
+    df = _read(spark, dump_dir).filter(F.col("path") == "missing.json")
+    assert df.count() == 0

@@ -177,3 +177,25 @@ def test_read_new_partitions_incremental(spark, sf_small, tmp_path):
     assert seen3 == {"R"}
     assert df3.select("l_returnflag").distinct().collect()[0][0] == "R"
     assert n1 + df3.count() == li.count()
+
+
+def test_read_new_partitions_unescapes_hive_names(spark, tmp_path):
+    """Partition values with characters Hive URL-escapes in directory
+    names (':' → '%3A') must round-trip: the manifest and the filter
+    speak column values, so the escaped partition is read once, not
+    silently lost."""
+    from cricket_analytics_nosql_spark.operators.sinks import (
+        read_new_partitions,
+    )
+
+    out = str(tmp_path / "esc")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "plain")], "id long, stamp string"
+    ).write.partitionBy("stamp").parquet(out)
+
+    df, seen = read_new_partitions(spark, out, "stamp", set())
+    assert seen == {"2024-01-01 10:00:00", "plain"}
+    assert df.count() == 2
+
+    df2, seen2 = read_new_partitions(spark, out, "stamp", seen)
+    assert seen2 == set() and df2.count() == 0
