@@ -83,7 +83,88 @@ FROM documents WHERE doc_id < 50 ORDER BY doc_id, pos
 """
 
 
+TRIM_FRAC = 10  # drop lowest and highest n//10 values per group
+
+
+def grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG ``pandas_udf`` — the remaining cell of the §2.12
+    taxonomy (scalar pandas_udf, UDTF, mapInPandas, applyInPandas,
+    applyInPandasWithState, transformWithState all have queries):
+    a rank-trimmed mean of event values per event type, an aggregate
+    Spark has no builtin for.
+
+    Exactness through Python: values quantize to integer micros
+    BEFORE the UDF; inside, the trim is RANK-based (drop the n//10
+    smallest and largest after a deterministic sort) and the sum is
+    an int64 — no float accumulation anywhere, so the pandas path
+    hash-matches the SQL oracle's window restatement bit-for-bit.
+    Plan: partial grouped-agg runs per partition? No — GROUPED_AGG
+    UDFs are NOT partial-aggregable (Spark ships whole groups), so
+    the exchange carries raw group rows: the documented cost of
+    custom aggregates vs builtins, acceptable at |event_type| ≈ 5
+    groups and the reason the rest of the engine prefers native
+    aggregates."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG type: the type-hint spelling only accepts
+    # float-ish scalar returns, and this aggregate must return long
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trimmed_sum_micro(v: pd.Series):
+        s = v.sort_values(kind="mergesort").reset_index(drop=True)
+        k = len(s) // TRIM_FRAC
+        kept = s.iloc[k: len(s) - k] if len(s) > 2 * k else s.iloc[0:0]
+        return int(kept.sum())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trimmed_n(v: pd.Series):
+        k = len(v) // TRIM_FRAC
+        return int(max(len(v) - 2 * k, 0))
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("vm"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            trimmed_sum_micro(F.col("vm")).alias("trimmed_sum_micro"),
+            trimmed_n(F.col("vm")).alias("n_kept"),
+        )
+        .withColumn(
+            "trimmed_mean_micro",
+            F.expr("trimmed_sum_micro div n_kept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TRIMMED_MEAN = f"""
+WITH vm AS (
+  SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS vm
+  FROM events
+), ranked AS (
+  SELECT event_type, vm,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vm) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM vm
+)
+SELECT event_type,
+       CAST(SUM(vm) AS BIGINT) AS trimmed_sum_micro,
+       COUNT(*) AS n_kept,
+       CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT)
+           AS trimmed_mean_micro
+FROM ranked
+WHERE r > n // {TRIM_FRAC} AND r <= n - n // {TRIM_FRAC}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "grouped_agg_trimmed_mean": QuerySpec(
+        grouped_agg_trimmed_mean, ORACLE_TRIMMED_MEAN, ["§2.12", "A1"]
+    ),
     "pandas_udf_tokens": QuerySpec(
         pandas_udf_tokens, ORACLE_PANDAS_UDF_TOKENS, ["§2.12"]
     ),
