@@ -338,16 +338,24 @@ def trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     real multi-hop work (a one-directional binding annihilates at
     depth 2 and the solver would shortcut it — see ``pagerank``).
 
-    The base edge list is materialized before the union mirrors it:
-    left lazy, both union branches would re-execute the
-    lineitem⋈orders build (measured ~0.8 s doubled work at sf0.1);
-    checkpointed, the mirror is a re-read of local blocks."""
-    e = trade_edges(spark, sf_dir).localCheckpoint()
-    c = (F.col("src") * 2).alias("src_c")
-    s = (F.col("dst") * 2 + 1).alias("dst_s")
-    fwd = e.select(c.alias("src"), s.alias("dst"))
-    rev = e.select(s.alias("src"), c.alias("dst"))
-    return fwd.unionByName(rev)
+    The mirror is a per-row EXPLODE into both directions — one pass,
+    inside the same task that produced the aggregated edge, so the
+    lineitem⋈orders build runs once with no intermediate
+    materialization (the earlier union-of-two-selects spelling
+    needed a localCheckpoint to stop the build re-executing per
+    branch — an extra full write/read of the edge list that
+    ``pagerank``'s own entry checkpoint then repeated)."""
+    e = trade_edges(spark, sf_dir)
+    c = F.col("src") * 2
+    s = F.col("dst") * 2 + 1
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(c.alias("src"), s.alias("dst")),
+                F.struct(s.alias("src"), c.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
