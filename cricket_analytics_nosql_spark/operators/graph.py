@@ -650,6 +650,119 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     return cur
 
 
+WALK_LEN = 4
+WALK_A = 48271
+WALK_B = 40503
+
+
+def deterministic_walks(edges: DataFrame, length: int = WALK_LEN) -> DataFrame:
+    """Graph random walks with a DETERMINISTIC step function — the
+    corpus-prep operator behind DeepWalk/node2vec embeddings, made
+    reproducible (and cross-engine checkable) by replacing RNG with
+    modular arithmetic: from vertex v at step k, walk to the
+    neighbor ranked ``(v·{WALK_A} + k·{WALK_B}) mod deg(v)`` in the
+    dst-sorted adjacency. Same corpus on every run, every engine,
+    every partitioning — the property embedding-training reruns
+    need.
+
+    Plan: the ranked adjacency (row_number per src, dst-sorted)
+    builds once and is re-joined ``length`` times on (vertex, rank) —
+    equi-joins on the co-partitioned adjacency, one per step, no
+    explosion (each walk row matches exactly one neighbor). Walks
+    from every vertex; dead-ends (no out-edges) stop early.
+
+    Returns (start, step, vertex) — step 0 is the start itself."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn("idx", F.row_number().over(w) - 1)
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = adj.join(deg, "src")
+
+    starts = ranked.select(F.col("src").alias("start")).distinct()
+    walks = starts.select(
+        "start", F.lit(0).alias("step"), F.col("start").alias("vertex")
+    )
+    frontier = walks
+    for k in range(length):
+        choice = F.pmod(
+            F.col("vertex") * WALK_A + F.lit(k * WALK_B), F.col("deg")
+        )
+        nxt = (
+            frontier.join(
+                ranked, frontier["vertex"] == ranked["src"], "inner"
+            )
+            .filter(F.col("idx") == choice)
+            .select(
+                "start",
+                (F.col("step") + 1).alias("step"),
+                F.col("dst").alias("vertex"),
+            )
+        )
+        walks = walks.unionByName(nxt)
+        frontier = nxt
+    return walks
+
+
+def graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: {WALK_LEN}-step deterministic walks over the
+    bidirectional trade graph, emitted as path strings for the first
+    100 start vertices — the walk corpus an embedding trainer would
+    consume."""
+    walks = deterministic_walks(trade_graph_edges(spark, sf_dir))
+    return (
+        walks.orderBy("start", "step")
+        .groupBy("start")
+        .agg(
+            F.concat_ws(
+                "->", F.transform(F.array_sort(
+                    F.collect_list(F.struct("step", "vertex"))
+                ), lambda s: s["vertex"].cast("string"))
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_steps"),
+        )
+        .orderBy("start")
+        .limit(100)
+    )
+
+
+ORACLE_GRAPH_WALKS = f"""
+WITH RECURSIVE e0 AS (
+  SELECT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+), edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM e0
+), adj AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM (SELECT DISTINCT src, dst FROM edges)
+), walk(start, step, vertex) AS (
+  SELECT DISTINCT src AS start, 0 AS step, src AS vertex FROM adj
+  UNION ALL
+  SELECT w.start, w.step + 1, a.dst
+  FROM walk w JOIN adj a
+    ON a.src = w.vertex
+   AND a.idx = (w.vertex * {WALK_A} + w.step * {WALK_B}) % a.deg
+  WHERE w.step < {WALK_LEN}
+)
+SELECT start,
+       string_agg(CAST(vertex AS VARCHAR), '->' ORDER BY step) AS path,
+       COUNT(*) AS n_steps
+FROM walk
+GROUP BY start
+ORDER BY start
+LIMIT 100
+"""
+
+
 def cypher_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded variable-length Cypher (``-[:TRADE*1..2]->``) through
     the front-end compiler: all 1- and 2-hop trade paths out of one
@@ -701,6 +814,9 @@ QUERIES: dict[str, QuerySpec] = {
         cypher_trade_reach,
         ORACLE_CYPHER_TRADE_REACH,
         ["§3.3", "G1", "A8", "J3"],
+    ),
+    "graph_walks": QuerySpec(
+        graph_walks, ORACLE_GRAPH_WALKS, ["G2", "X-sim", "X-training"]
     ),
     "cypher_trade_degree": QuerySpec(
         cypher_trade_degree, ORACLE_GRAPH_DEGREE, ["G3", "A7", "§3.3"]
