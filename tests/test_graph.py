@@ -219,3 +219,31 @@ def test_kcore_invariant_on_part_graph(spark, sf_small):
     )
     assert deg.filter(F.col("d") < k).count() == 0
     assert core.count() > 0  # the co-purchase graph has a real 4-core
+
+
+def test_deterministic_walks_dead_end_and_reproducibility(spark):
+    """Walks stop at sinks (no phantom steps) and are bit-stable
+    across repartitionings of the same edge list."""
+    from cricket_analytics_nosql_spark.operators.graph import (
+        deterministic_walks,
+    )
+
+    # 1→2→3, 3 is a sink; 1 also →4, 4→1 (cycle back)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (4, 1)], "src long, dst long"
+    )
+    w1 = {
+        (r.start, r.step, r.vertex)
+        for r in deterministic_walks(edges, 3).collect()
+    }
+    # start=2: step1 → 3 (only neighbor), step2+ nothing (sink)
+    assert (2, 1, 3) in w1
+    assert not any(s == 2 and st > 1 for (s, st, _) in w1)
+    # start=3 never appears: sinks have no adjacency row
+    assert not any(s == 3 for (s, _, _) in w1)
+
+    w2 = {
+        (r.start, r.step, r.vertex)
+        for r in deterministic_walks(edges.repartition(7), 3).collect()
+    }
+    assert w1 == w2
