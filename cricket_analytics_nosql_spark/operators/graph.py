@@ -675,13 +675,17 @@ def deterministic_walks(edges: DataFrame, length: int = WALK_LEN) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("src").orderBy("dst")
-    adj = (
+    wd = Window.partitionBy("src")
+    # rank and degree ride the SAME src-clustered pass (the count
+    # window reuses the row_number exchange) — a groupBy+join
+    # spelling would pay an extra aggregate and join over the
+    # adjacency, re-read by every walk-step join downstream
+    ranked = (
         edges.select("src", "dst")
         .distinct()
         .withColumn("idx", F.row_number().over(w) - 1)
+        .withColumn("deg", F.count(F.lit(1)).over(wd))
     )
-    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ranked = adj.join(deg, "src")
 
     starts = ranked.select(F.col("src").alias("start")).distinct()
     walks = starts.select(
@@ -715,8 +719,7 @@ def graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume."""
     walks = deterministic_walks(trade_graph_edges(spark, sf_dir))
     return (
-        walks.orderBy("start", "step")
-        .groupBy("start")
+        walks.groupBy("start")
         .agg(
             F.concat_ws(
                 "->", F.transform(F.array_sort(
