@@ -237,6 +237,83 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+MAD_K = 3  # flag hours beyond 3 robust deviations
+
+
+def rollup_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection over the hourly event rollup —
+    the alerting pass a monitoring pipeline runs on every metric
+    stream: per event type, flag hours whose count deviates from the
+    type's MEDIAN by more than {MAD_K}× the median absolute
+    deviation. Median/MAD, not mean/stddev: one genuinely anomalous
+    hour inflates a stddev enough to hide itself (masking); the
+    breakdown point of the median makes the detector stable.
+
+    Exactness: counts are integers; medians of integers are exact
+    halves (.0/.5 — exactly representable doubles with identical
+    interpolation on both engines), so the flag comparisons are
+    deterministic. Plan: one map-combined rollup shuffle, a tiny
+    per-type robust-stats aggregate (two exact percentiles),
+    broadcast back onto the rollup — the fact table is read once."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.percentile("n", 0.5).alias("med")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("n") - F.col("med")), 0.5).alias("mad"),
+        F.first("med").alias("med"),
+    )
+    return (
+        hourly.join(F.broadcast(mad), "event_type")
+        .filter(
+            F.abs(F.col("n") - F.col("med")) > MAD_K * F.col("mad")
+        )
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            F.round("med", 1).alias("med"),
+            F.round("mad", 1).alias("mad"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+ORACLE_ROLLUP_ANOMALIES = f"""
+WITH hourly AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS hr,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type, hr
+), med AS (
+  SELECT event_type, quantile_cont(n, 0.5) AS med
+  FROM hourly GROUP BY event_type
+), mad AS (
+  SELECT h.event_type,
+         quantile_cont(ABS(h.n - m.med), 0.5) AS mad,
+         ANY_VALUE(m.med) AS med
+  FROM hourly h JOIN med m ON h.event_type = m.event_type
+  GROUP BY h.event_type
+)
+SELECT h.event_type, h.hr, h.n,
+       ROUND(s.med, 1) AS med, ROUND(s.mad, 1) AS mad
+FROM hourly h JOIN mad s ON h.event_type = s.event_type
+WHERE ABS(h.n - s.med) > {MAD_K} * s.mad
+ORDER BY h.event_type, h.hr
+"""
+
+
 ORACLE_INCREMENTAL_ROLLUP = """
 SELECT event_type,
        strftime(ts, '%Y-%m-%d') AS day,
@@ -386,5 +463,10 @@ QUERIES: dict[str, QuerySpec] = {
         incremental_rollup,
         ORACLE_INCREMENTAL_ROLLUP,
         ["A1", "A9", "X-versioning", "X-ts"],
+    ),
+    "rollup_anomalies": QuerySpec(
+        rollup_anomalies,
+        ORACLE_ROLLUP_ANOMALIES,
+        ["A1", "A6", "X-ts", "X-quality"],
     ),
 }
