@@ -560,3 +560,40 @@ def test_cdc_apply_matches_python_replay(spark, snap_rows, change_rows):
         for r in cdc_apply(mk_snap, mk_chg, ["k"]).collect()
     }
     assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 120)),
+        min_size=1, max_size=15,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 120)),
+        min_size=1, max_size=15,
+    ),
+    st.integers(1, 50),
+)
+def test_interval_overlap_matches_brute_force(spark, a_rows, b_rows, bucket):
+    """Bucket-blocked overlap join vs O(n²) Python check, across
+    random intervals AND random bucket widths — blocking must never
+    change the answer, only the plan."""
+    from cricket_analytics_nosql_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    a = [(i, d0, d0 + ln) for i, (d0, ln) in enumerate(a_rows)]
+    b = [(i, d0, d0 + ln) for i, (d0, ln) in enumerate(b_rows)]
+    want = {
+        (ia, ib)
+        for ia, a0, a1 in a
+        for ib, b0, b1 in b
+        if a0 <= b1 and b0 <= a1
+    }
+    da = spark.createDataFrame(a, "id long, d0 long, d1 long")
+    db = spark.createDataFrame(b, "id long, d0 long, d1 long")
+    got = {
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(da, db, bucket).collect()
+    }
+    assert got == want
