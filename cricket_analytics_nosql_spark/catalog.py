@@ -31,13 +31,10 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 # after the window; nothing is dropped.
 #
 # ROUND 4 TODO: once CORRECTNESS_r03 lands green for this window,
-# rotate it to the round-3 additions that have never been
-# driver-checked: train_val_test_split, pack_sequences,
-# domain_mixture_resample, pii_scrub, embedding_quantize_stats,
-# knn_graph, mongo_pipeline_graph_lookup, mongo_pipeline_array_ops,
-# funnel_conversion, dataset_diff, lm_surprisal, zorder_layout,
-# heavy_hitters, graph_triangles, and any later additions
-# (+ keep a handful of r3-green canaries).
+# swap _WINDOW_PRIORITY to _ROUND4_WINDOW below — it front-loads the
+# 32 queries that will then be the only ones without a driver-green
+# row (computed against CORRECTNESS_r01/r02 + the r3 window), plus
+# r3-green canaries.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # never driver-checked (rounds 1-2)
     "map_functions",
@@ -101,6 +98,52 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # round-2-green relational canaries
     "top_revenue_customers",
     "pricing_summary",
+)
+
+# INACTIVE until round 4 (see TODO above): the queries with no
+# driver-green CORRECTNESS row after round 3, assuming r3's window
+# lands green. Order: late-r3 analytics/joins/graph first, then
+# LLM/training, versioning/quality, pipeline/front-end, streaming;
+# canaries last.
+_ROUND4_WINDOW: tuple[str, ...] = (
+    "market_share",
+    "cohort_retention",
+    "funnel_conversion",
+    "overlap_join_contracts",
+    "scd2_pointintime_join",
+    "graph_triangles",
+    "cypher_trade_reach",
+    "graph_walks",
+    "heavy_hitters",
+    "lm_surprisal",
+    "pii_scrub",
+    "domain_cap_sample",
+    "nearest_centroid_confusion",
+    "semantic_dedup",
+    "embedding_quantize_stats",
+    "knn_graph",
+    "train_val_test_split",
+    "pack_sequences",
+    "domain_mixture_resample",
+    "corpus_shuffle",
+    "dataset_diff",
+    "cdc_apply_audit",
+    "incremental_rollup",
+    "rollup_anomalies",
+    "zorder_layout",
+    "constraint_audit",
+    "table_profile",
+    "grouped_agg_trimmed_mean",
+    "mongo_pipeline_densify_fill",
+    "mongo_pipeline_array_ops",
+    "mongo_pipeline_graph_lookup",
+    "stream_hwm_monitor",
+    # r3-green canaries (one per family)
+    "top_revenue_customers",
+    "dedup_minhash_lsh",
+    "stream_tumbling_agg",
+    "mongo_pipeline_group_topk",
+    "pagerank_top",
 )
 
 
