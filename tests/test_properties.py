@@ -597,3 +597,65 @@ def test_interval_overlap_matches_brute_force(spark, a_rows, b_rows, bucket):
         for r in interval_overlap_join(da, db, bucket).collect()
     }
     assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(  # version rows: (key, valid_from, price)
+        st.tuples(st.integers(0, 5), st.integers(0, 50), st.integers(1, 99)),
+        min_size=1, max_size=12,
+    ),
+    st.lists(  # fact rows: (key, ts)
+        st.tuples(st.integers(0, 5), st.integers(0, 60)),
+        max_size=20,
+    ),
+)
+def test_pointintime_carry_matches_python(spark, versions, facts):
+    """The union-tag running-window point-in-time resolution vs a
+    Python 'latest version at ts' scan, on random histories.
+    Duplicate (key, valid_from) versions are deduped keeping the max
+    price (a deterministic rule both sides apply)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    vmap = {}
+    for k, vf, p in versions:
+        vmap[(k, vf)] = max(p, vmap.get((k, vf), 0))
+
+    def py_lookup(k, ts):
+        cands = [
+            (vf, p) for (kk, vf), p in vmap.items() if kk == k and vf <= ts
+        ]
+        return max(cands)[1] if cands else None
+
+    want = {
+        (i, k, ts, py_lookup(k, ts)) for i, (k, ts) in enumerate(facts)
+    }
+
+    hist = spark.createDataFrame(
+        [(k, vf, p) for (k, vf), p in vmap.items()],
+        "k int, ts int, price int",
+    ).select("k", "ts", F.lit(0).alias("tag"),
+             F.struct("ts", "price").alias("ver"),
+             F.lit(None).cast("int").alias("fid"))
+    fact = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(facts)] or [],
+        "fid int, k int, ts int",
+    ).select(
+        "k", "ts", F.lit(1).alias("tag"),
+        F.lit(None).cast("struct<ts:int,price:int>").alias("ver"), "fid"
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.asc("ts"), F.asc("tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        (r.fid, r.k, r.ts, r.price)
+        for r in hist.unionByName(fact)
+        .withColumn("cur", F.last("ver", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select("fid", "k", "ts", F.col("cur.price").alias("price"))
+        .collect()
+    }
+    assert got == want
