@@ -170,6 +170,43 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (``DataFrame.unpivot``/melt) — pivot_wide's inverse
+    and the feature-engineering normalizer (wide metric columns →
+    (metric, value) rows). Round-trips THROUGH the pivot: the wide
+    per-priority status counts melt back to one row per
+    (priority, status) — a narrow Expand over the wide frame, no
+    shuffle of its own."""
+    wide = pivot_wide(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ids=["o_orderpriority"],
+            values=["F", "O", "P"],
+            variableColumnName="status",
+            valueColumnName="n_orders",
+        )
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+ORACLE_UNPIVOT_LONG = """
+WITH p AS (
+  SELECT DISTINCT o_orderpriority FROM orders
+), s AS (
+  SELECT UNNEST(['F', 'O', 'P']) AS status
+), c AS (
+  SELECT o_orderpriority, o_orderstatus AS status, COUNT(*) AS n
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+)
+SELECT p.o_orderpriority, s.status,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+FROM p CROSS JOIN s
+LEFT JOIN c ON c.o_orderpriority = p.o_orderpriority
+           AND c.status = s.status
+ORDER BY p.o_orderpriority, s.status
+"""
+
+
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (SURVEY §2.4 free-extender; approximate twin
     is approx_quantiles, rows-only). l_quantity is integral so the
@@ -589,6 +626,7 @@ QUERIES: dict[str, QuerySpec] = {
     "time_rollup": QuerySpec(time_rollup, ORACLE_TIME_ROLLUP, ["X-ts"]),
     "cube_agg": QuerySpec(cube_agg, ORACLE_CUBE_AGG, []),
     "pivot_wide": QuerySpec(pivot_wide, ORACLE_PIVOT_WIDE, []),
+    "unpivot_long": QuerySpec(unpivot_long, ORACLE_UNPIVOT_LONG, ["P1"]),
     "percentile_stats": QuerySpec(percentile_stats, ORACLE_PERCENTILE_STATS, []),
     "nested_explode_roundtrip": QuerySpec(
         nested_explode_roundtrip, ORACLE_NESTED_EXPLODE_ROUNDTRIP, ["F1"], bench=True
