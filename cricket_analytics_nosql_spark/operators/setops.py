@@ -170,6 +170,54 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety surface: Spark 4 runs ANSI SQL by default,
+    where 1/0 THROWS mid-job instead of returning NULL — the
+    production idiom for fallible arithmetic is the ``try_*`` family
+    (NULL on failure, job survives). Per-user purchase/view
+    conversion where zero-view users make the denominator genuinely
+    zero: ``try_divide`` yields NULL rows instead of killing the
+    2-billion-row aggregate 97% of the way in. DuckDB's division
+    already NULLs on zero, which is exactly the oracle."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("n_views"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purchases"
+        ),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_views",
+            "n_purchases",
+            F.round(
+                F.try_divide(F.col("n_purchases"), F.col("n_views")), 6
+            ).alias("conversion"),
+        )
+        .orderBy("user_id")
+        .limit(500)
+    )
+
+
+ORACLE_TRY_ARITHMETIC = """
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS n_purchases
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_views AS BIGINT) AS n_views,
+       CAST(n_purchases AS BIGINT) AS n_purchases,
+       ROUND(CAST(n_purchases AS DOUBLE) / n_views, 6) AS conversion
+FROM per_user
+ORDER BY user_id
+LIMIT 500
+"""
+
+
 def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (``DataFrame.unpivot``/melt) — pivot_wide's inverse
     and the feature-engineering normalizer (wide metric columns →
@@ -627,6 +675,9 @@ QUERIES: dict[str, QuerySpec] = {
     "cube_agg": QuerySpec(cube_agg, ORACLE_CUBE_AGG, []),
     "pivot_wide": QuerySpec(pivot_wide, ORACLE_PIVOT_WIDE, []),
     "unpivot_long": QuerySpec(unpivot_long, ORACLE_UNPIVOT_LONG, ["P1"]),
+    "try_arithmetic": QuerySpec(
+        try_arithmetic, ORACLE_TRY_ARITHMETIC, ["P4", "P12"]
+    ),
     "percentile_stats": QuerySpec(percentile_stats, ORACLE_PERCENTILE_STATS, []),
     "nested_explode_roundtrip": QuerySpec(
         nested_explode_roundtrip, ORACLE_NESTED_EXPLODE_ROUNDTRIP, ["F1"], bench=True
