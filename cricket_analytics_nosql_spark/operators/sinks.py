@@ -249,7 +249,66 @@ def read_evolving(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange path (the format every external partner still
+    ships): write the orders flow to CSV with an explicit ISO
+    timestamp format, read it back with an EXPLICIT schema (CSV
+    inference at 100 TB is both a correctness and a
+    double-scan-latency bug), and answer a rollup from the copy —
+    equality with the oracle over the original table proves the
+    text round-trip is lossless for every carried type (bigint,
+    string, double-as-cents, timestamp)."""
+    out = os.path.join(tempfile.mkdtemp(prefix="csv_"), "orders_csv")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    (
+        orders.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampNTZFormat", fmt)
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .option("timestampNTZFormat", fmt)
+        .schema(
+            "o_orderkey bigint, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp_ntz"
+        )
+        .csv(out)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("price_c"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+                "first_day"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_CSV_ROUNDTRIP = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_c,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "csv_roundtrip": QuerySpec(
+        csv_roundtrip, ORACLE_CSV_ROUNDTRIP, ["S1", "S4", "A1"]
+    ),
     "partitioned_sink_roundtrip": QuerySpec(
         partitioned_sink_roundtrip, ORACLE_PARTITIONED_SINK, ["S4", "S5", "A1"]
     ),
