@@ -170,6 +170,50 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT — the engine's native semi-structured type
+    (binary-encoded, shredding-ready): ``parse_json`` once at the
+    scan edge, then typed ``variant_get`` path extraction instead of
+    per-query string re-parsing. At 100 TB the difference is real:
+    a VARIANT column parses each payload once at ingest and
+    extraction is a binary walk, where ``get_json_object`` re-parses
+    the JSON text in every query that touches it. Rollup of the
+    extracted value per event type, oracled against DuckDB's JSON
+    path extraction."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(F.col("v"), "$.k", "int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_total"),
+            F.max("k").alias("k_max"),
+            F.sum(F.col("k").isNull().cast("long")).alias("k_missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VARIANT_EXTRACT = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+           AS k_total,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+           AS k_max,
+       CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS k_missing
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-mode safety surface: Spark 4 runs ANSI SQL by default,
     where 1/0 THROWS mid-job instead of returning NULL — the
@@ -677,6 +721,9 @@ QUERIES: dict[str, QuerySpec] = {
     "unpivot_long": QuerySpec(unpivot_long, ORACLE_UNPIVOT_LONG, ["P1"]),
     "try_arithmetic": QuerySpec(
         try_arithmetic, ORACLE_TRY_ARITHMETIC, ["P4", "P12"]
+    ),
+    "variant_extract": QuerySpec(
+        variant_extract, ORACLE_VARIANT_EXTRACT, ["P2", "P4", "A1"]
     ),
     "percentile_stats": QuerySpec(percentile_stats, ORACLE_PERCENTILE_STATS, []),
     "nested_explode_roundtrip": QuerySpec(
