@@ -255,7 +255,12 @@ WITH per_user AS (
 SELECT user_id,
        CAST(n_views AS BIGINT) AS n_views,
        CAST(n_purchases AS BIGINT) AS n_purchases,
-       ROUND(CAST(n_purchases AS DOUBLE) / n_views, 6) AS conversion
+       -- explicit NULL guard, not bare division: DuckDB >= 1.1
+       -- defaults ieee_floating_point_ops=true, where x/0 is
+       -- inf/nan rather than the NULL try_divide produces
+       CASE WHEN n_views = 0 THEN NULL
+            ELSE ROUND(CAST(n_purchases AS DOUBLE) / n_views, 6)
+       END AS conversion
 FROM per_user
 ORDER BY user_id
 LIMIT 500
