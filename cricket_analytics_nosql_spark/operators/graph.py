@@ -123,9 +123,18 @@ def pagerank(
     tol: float | None = 1e-6,
     check_every: int = 4,
     broadcast_max_vertices: int = 1_000_000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Standard-formulation PageRank over an ``edges(src, dst)``
-    DataFrame; returns ``(id, pagerank)`` with scores summing to the
+    DataFrame — WEIGHTED when ``weight_col`` names a positive edge
+    column (gds.pageRank's relationshipWeightProperty): mass leaves
+    each vertex proportionally to edge weight, w/Σw(src), instead of
+    uniformly 1/out_deg. Either way the per-edge transition ratio is
+    PRECOMPUTED into the checkpointed link table, so the iteration
+    multiplies instead of divides and the Krylov loop below is
+    identical for both modes (row-stochastic either way — the
+    dangling-mass arithmetic needs no change).
+    Returns ``(id, pagerank)`` with scores summing to the
     vertex count (the gds.pageRank normalization).
 
     The power iteration is linear, and that linearity is the whole
@@ -211,9 +220,20 @@ def pagerank(
         small = m <= broadcast_max_vertices
         maybe_bcast = F.broadcast if small else (lambda df: df)
 
-        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-        links = edges.join(maybe_bcast(out_deg), "src").select(
-            F.col("src").alias("id"), "dst", "out_deg"
+        if weight_col is None:
+            out_mass = edges.groupBy("src").agg(
+                F.count(F.lit(1)).cast("double").alias("w_out")
+            )
+            edge_w = F.lit(1.0)
+        else:
+            out_mass = edges.groupBy("src").agg(
+                F.sum(F.col(weight_col).cast("double")).alias("w_out")
+            )
+            edge_w = F.col(weight_col).cast("double")
+        links = edges.join(maybe_bcast(out_mass), "src").select(
+            F.col("src").alias("id"),
+            "dst",
+            (edge_w / F.col("w_out")).alias("p"),
         )
         # loop_parts partitions either way: hash on the join key for
         # the co-partitioned strategy, round-robin for the broadcast
@@ -230,7 +250,7 @@ def pagerank(
             obs = Observation()
             w = (
                 links.join(maybe_bcast(x.withColumnRenamed("dst", "id")), "id")
-                .select("dst", (F.col("x") / F.col("out_deg")).alias("c"))
+                .select("dst", (F.col("x") * F.col("p")).alias("c"))
                 .observe(obs, F.sum("c").alias("s"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("x"))
@@ -238,10 +258,10 @@ def pagerank(
             )
             return w, float(obs.get["s"] or 0.0)
 
-        # w_1 = A(1): no join — Σ 1/out_deg over in-edges.
+        # w_1 = A(1): no join — Σ p over in-edges.
         obs1 = Observation()
         w1 = (
-            links.select("dst", (F.lit(1.0) / F.col("out_deg")).alias("c"))
+            links.select("dst", F.col("p").alias("c"))
             .observe(obs1, F.sum("c").alias("s"))
             .groupBy("dst")
             .agg(F.sum("c").alias("x"))

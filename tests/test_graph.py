@@ -247,3 +247,36 @@ def test_deterministic_walks_dead_end_and_reproducibility(spark):
         for r in deterministic_walks(edges.repartition(7), 3).collect()
     }
     assert w1 == w2
+
+
+def test_weighted_pagerank_matches_python_power_iteration(spark):
+    """Weighted mode vs a pure-Python power iteration on a small
+    weighted digraph, same fixed budget, agreement to 1e-9."""
+    from cricket_analytics_nosql_spark.operators.graph import pagerank
+
+    edges = [
+        (0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0),
+        (2, 0, 1.0), (2, 3, 1.0), (3, 0, 5.0),
+    ]
+    d, iters, n = 0.85, 10, 4
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    ranks = {v: 1.0 for v in range(n)}
+    for _ in range(iters):
+        dangling = sum(r for v, r in ranks.items() if v not in out_w)
+        nxt = {v: (1 - d) + d * dangling / n for v in range(n)}
+        for s, t, w in edges:
+            nxt[t] += d * ranks[s] * (w / out_w[s])
+        ranks = nxt
+
+    df = spark.createDataFrame(edges, "src long, dst long, weight double")
+    got = {
+        r.id: r.pagerank
+        for r in pagerank(
+            df, max_iter=iters, tol=None, weight_col="weight"
+        ).collect()
+    }
+    assert set(got) == set(ranks)
+    for v in ranks:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
