@@ -368,14 +368,15 @@ def trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = trade_edges(spark, sf_dir)
     c = F.col("src") * 2
     s = F.col("dst") * 2 + 1
+    w = F.col("weight").cast("double")
     return e.select(
         F.explode(
             F.array(
-                F.struct(c.alias("src"), s.alias("dst")),
-                F.struct(s.alias("src"), c.alias("dst")),
+                F.struct(c.alias("src"), s.alias("dst"), w.alias("weight")),
+                F.struct(s.alias("src"), c.alias("dst"), w.alias("weight")),
             )
         ).alias("e")
-    ).select("e.src", "e.dst")
+    ).select("e.src", "e.dst", "e.weight")
 
 
 def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,6 +396,28 @@ def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     fire)."""
     edges = trade_graph_edges(spark, sf_dir)
     pr = pagerank(edges, max_iter=12, tol=None)
+    return (
+        pr.select(
+            F.when(F.col("id") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            F.shiftright("id", 1).alias("key"),
+            F.round("pagerank", 6).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), F.asc("entity"), F.asc("key"))
+        .limit(20)
+    )
+
+
+def pagerank_top_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted twin (gds relationshipWeightProperty parity):
+    trade volume drives the transition probabilities, so a supplier
+    trading heavily with one customer pulls more of that customer's
+    mass than ten incidental partners. Same 12-round budget,
+    rows-only path, weighted-kernel correctness pinned against a
+    Python power iteration in tests/test_graph.py."""
+    edges = trade_graph_edges(spark, sf_dir)
+    pr = pagerank(edges, max_iter=12, tol=None, weight_col="weight")
     return (
         pr.select(
             F.when(F.col("id") % 2 == 0, F.lit("customer"))
@@ -848,4 +871,7 @@ QUERIES: dict[str, QuerySpec] = {
         graph_degree, ORACLE_GRAPH_DEGREE, ["G3", "A7", "T4"]
     ),
     "pagerank_top": QuerySpec(pagerank_top, None, ["G2", "T6"], bench=True),
+    "pagerank_top_weighted": QuerySpec(
+        pagerank_top_weighted, None, ["G2", "T6"]
+    ),
 }
