@@ -226,6 +226,24 @@ def pagerank(
             )
             edge_w = F.lit(1.0)
         else:
+            # fail fast on the positive-weight precondition (gds
+            # rejects non-positive relationship weights too): a src
+            # whose weights sum to 0/NULL would get p = NULL and its
+            # mass silently dropped as phantom dangling mass. One
+            # bounded probe over the already-checkpointed edges —
+            # short-circuits at the first offending row.
+            bad = (
+                edges.filter(
+                    F.col(weight_col).isNull() | (F.col(weight_col) <= 0)
+                )
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"pagerank: weight_col {weight_col!r} must be "
+                    "positive and non-null on every edge"
+                )
             out_mass = edges.groupBy("src").agg(
                 F.sum(F.col(weight_col).cast("double")).alias("w_out")
             )
@@ -245,8 +263,10 @@ def pagerank(
         links = links.localCheckpoint()
 
         def apply_a(x: DataFrame) -> tuple[DataFrame, float]:
-            """w(dst) = Σ x(src)/out_deg(src); returns (checkpointed w,
-            Σw) — Σ observed on the pre-agg rows of the same job."""
+            """w(dst) = Σ x(src)·p(src→dst) over in-edges (p is the
+            precomputed transition ratio: 1/out_deg unweighted,
+            w/Σw(src) weighted); returns (checkpointed w, Σw) — Σ
+            observed on the pre-agg rows of the same job."""
             obs = Observation()
             w = (
                 links.join(maybe_bcast(x.withColumnRenamed("dst", "id")), "id")

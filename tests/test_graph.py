@@ -280,3 +280,15 @@ def test_weighted_pagerank_matches_python_power_iteration(spark):
     assert set(got) == set(ranks)
     for v in ranks:
         assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+
+
+def test_weighted_pagerank_rejects_nonpositive_weights(spark):
+    import pytest
+
+    from cricket_analytics_nosql_spark.operators.graph import pagerank
+
+    bad = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 0, 0.0)], "src long, dst long, weight double"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        pagerank(bad, max_iter=2, tol=None, weight_col="weight")
