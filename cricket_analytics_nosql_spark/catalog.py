@@ -138,6 +138,11 @@ _ROUND4_WINDOW: tuple[str, ...] = (
     "mongo_pipeline_array_ops",
     "mongo_pipeline_graph_lookup",
     "stream_hwm_monitor",
+    "unpivot_long",
+    "try_arithmetic",
+    "variant_extract",
+    "pagerank_top_weighted",
+    "csv_roundtrip",
     # r3-green canaries (one per family)
     "top_revenue_customers",
     "dedup_minhash_lsh",
