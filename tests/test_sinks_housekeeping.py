@@ -199,3 +199,44 @@ def test_read_new_partitions_unescapes_hive_names(spark, tmp_path):
 
     df2, seen2 = read_new_partitions(spark, out, "stamp", seen)
     assert seen2 == set() and df2.count() == 0
+
+
+def test_ignore_corrupt_files_read(spark, sf_small, tmp_path):
+    """The 100 TB salvage path: with a corrupted file in the
+    dataset, the default read fails the whole job; with
+    spark.sql.files.ignoreCorruptFiles the scan yields every intact
+    row and skips the bad file — bounded data loss instead of a dead
+    pipeline, the trade an operator makes explicitly."""
+    import pytest
+
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    out = str(tmp_path / "maybe_corrupt")
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    li.repartition(4).write.parquet(out)
+
+    import os
+
+    parts = sorted(
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    victim = os.path.join(out, parts[0])
+    with open(victim, "r+b") as f:
+        f.truncate(128)  # destroy footer
+
+    schema = "l_orderkey bigint, l_quantity double"
+    with pytest.raises(Exception):
+        spark.read.schema(schema).parquet(out).count()
+
+    # explicit schema is load-bearing: inference reads every footer
+    # at PLANNING time and dies on the corrupt one before the
+    # ignore conf can help — one more reason the engine's loaders
+    # never infer
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        survivors = spark.read.schema(schema).parquet(out).count()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    assert 0 < survivors < li.count()
