@@ -165,6 +165,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pysurface,
         quality,
         relational,
+        runtime_filters,
         sampling,
         setops,
         similarity,
@@ -196,6 +197,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         multimodal,
         skew,
+        runtime_filters,
         training,
         versioning,
         layout,
