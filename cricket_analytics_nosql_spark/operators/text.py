@@ -723,7 +723,84 @@ LIMIT {LM_TOPK}
 """
 
 
+CHUNK_SIZE = 400
+CHUNK_STRIDE = 300
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Split each document into overlapping character windows —
+    the RAG / context-window packing primitive. Chunk ``i`` covers
+    1-based positions ``[i*stride + 1, i*stride + size]``; the last
+    window may run short, and windows start while ``i*stride <
+    length`` so every character lands in at least one chunk.
+
+    Pure narrow plan: ``sequence`` + ``explode`` + ``substring`` all
+    run inside whole-stage codegen with zero shuffles — at 100 TB a
+    chunking pass is scan-bound, exactly as it should be. The
+    ``stride <= size`` guard is the no-character-dropped condition.
+    """
+    if not (0 < stride <= size):
+        raise ValueError(f"need 0 < stride <= size, got {stride}, {size}")
+    n_last = F.floor((F.length("text") - 1) / stride)
+    start = F.col("chunk_index") * stride + 1
+    return (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_index"),
+        )
+        .select(
+            "doc_id",
+            "chunk_index",
+            start.cast("long").alias("char_start"),
+            F.substring("text", start, size).alias("chunk_text"),
+        )
+    )
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable chunking pass: every chunk's identity, offset,
+    length and content hash (md5 stands in for the chunk text so the
+    oracle compares exact content without shipping it)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs)
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        "char_start",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_index")
+
+
+ORACLE_DOC_CHUNKING = f"""
+WITH c AS (
+    SELECT doc_id,
+           unnest(generate_series(0, (length(text) - 1) // {CHUNK_STRIDE}))
+               AS chunk_index,
+           text
+    FROM documents
+    WHERE length(text) > 0
+)
+SELECT doc_id,
+       chunk_index,
+       CAST(chunk_index * {CHUNK_STRIDE} + 1 AS BIGINT) AS char_start,
+       CAST(length(substr(text, chunk_index * {CHUNK_STRIDE} + 1,
+                          {CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+       md5(substr(text, chunk_index * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}))
+           AS chunk_hash
+FROM c
+ORDER BY doc_id, chunk_index
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_chunking": QuerySpec(
+        doc_chunking, ORACLE_DOC_CHUNKING, ["X-text", "X-curation", "F1"]
+    ),
     "lm_surprisal": QuerySpec(
         lm_surprisal, ORACLE_LM_SURPRISAL, ["X-text", "X-curation", "A1", "J1"],
         bench=True,

@@ -282,3 +282,45 @@ def test_exact_cosine_pairs_equals_all_pairs_and_prunes(spark):
     }
     assert got == want
     assert len(want) > 100  # the clusters actually produce near-dups
+
+
+def test_chunking_reconstructs_documents(spark):
+    """Overlapping chunks lose no characters: stitching each chunk's
+    first `stride` chars (full last chunk) reproduces the document.
+    Edge lengths: 1 char, exactly stride, exactly size, size+1,
+    multibyte characters."""
+    from cricket_analytics_nosql_spark.operators.text import chunk_documents
+
+    size, stride = 10, 7
+    texts = ["x", "a" * 7, "b" * 10, "c" * 11, "héllø wörld — ünïcode" * 3, ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = (
+        chunk_documents(docs, size=size, stride=stride)
+        .orderBy("doc_id", "chunk_index")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 5 not in by_doc  # empty doc yields no chunks
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        chunks = by_doc[i]
+        # offsets are the stride grid
+        assert [c["char_start"] for c in chunks] == [
+            j * stride + 1 for j in range(len(chunks))
+        ]
+        stitched = "".join(c["chunk_text"][:stride] for c in chunks[:-1])
+        stitched += chunks[-1]["chunk_text"]
+        assert stitched == t, (i, stitched)
+
+
+def test_chunking_rejects_gapping_stride(spark):
+    from cricket_analytics_nosql_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, size=5, stride=6)
