@@ -21,7 +21,7 @@ Plan notes (validated via .explain):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.functions.scalar import dollars, revenue_cents
@@ -450,7 +450,73 @@ ORDER BY cohort_day, week_offset
 """
 
 
+def pareto_frontier(
+    df: DataFrame,
+    group: str,
+    minimize: str,
+    maximize: str,
+) -> DataFrame:
+    """Group-wise 2-D skyline: keep rows not dominated within their
+    group (dominator has ``minimize`` <=, ``maximize`` >=, at least
+    one strict; exact duplicates are mutually non-dominating and all
+    survive).
+
+    Plan, not pairwise: pre-aggregate to one row per (group, cost)
+    (shrinks the window input to distinct cost levels), running-max
+    the benefit over strictly-cheaper cost levels with a row window,
+    then join the two thresholds back. Two shuffles on (group[, cost])
+    vs the naive O(n²) self-join — at 100 TB the quadratic form is
+    not runnable while this is a pair of cheap aggregations. The
+    oracle is the literal NOT EXISTS dominance definition.
+    """
+    per_cost = df.groupBy(group, minimize).agg(
+        F.max(maximize).alias("_best_here")
+    )
+    w = (
+        Window.partitionBy(group)
+        .orderBy(minimize)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thresholds = per_cost.withColumn("_best_cheaper", F.max("_best_here").over(w))
+    return (
+        df.join(thresholds, [group, minimize])
+        .filter(
+            (F.col("_best_cheaper").isNull() | (F.col("_best_cheaper") < F.col(maximize)))
+            & (F.col("_best_here") <= F.col(maximize))
+        )
+        .drop("_best_here", "_best_cheaper")
+    )
+
+
+def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable skyline: per brand, the parts on the
+    price-size frontier (cheapest for their size class upward)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    return pareto_frontier(
+        part, "p_brand", minimize="p_retailprice", maximize="p_size"
+    ).orderBy("p_brand", "p_retailprice", "p_size", "p_partkey")
+
+
+ORACLE_PARETO_PARTS = """
+SELECT p_brand, p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_brand = p.p_brand
+      AND q.p_retailprice <= p.p_retailprice
+      AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p_brand, p_retailprice, p_size, p_partkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pareto_parts": QuerySpec(
+        pareto_parts, ORACLE_PARETO_PARTS, ["P16", "A1", "§2.8"]
+    ),
     "regional_revenue": QuerySpec(
         regional_revenue, ORACLE_REGIONAL_REVENUE, ["J1", "A1", "T1"],
         bench=True,

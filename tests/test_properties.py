@@ -659,3 +659,39 @@ def test_pointintime_carry_matches_python(spark, versions, facts):
         .collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(0, 8),   # cost (minimize)
+            st.integers(0, 8),   # benefit (maximize)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pareto_frontier_matches_brute_force(spark, rows):
+    """Window-based skyline == literal NOT EXISTS dominance scan,
+    including duplicate points (mutually non-dominating, all kept)."""
+    from cricket_analytics_nosql_spark.operators.analytics import pareto_frontier
+
+    df = spark.createDataFrame(
+        [(g, c, b, i) for i, (g, c, b) in enumerate(rows)],
+        "g string, cost long, benefit long, rid long",
+    )
+    got = sorted(
+        (r.g, r.cost, r.benefit, r.rid)
+        for r in pareto_frontier(df, "g", "cost", "benefit").collect()
+    )
+    want = sorted(
+        (g, c, b, i)
+        for i, (g, c, b) in enumerate(rows)
+        if not any(
+            g2 == g and c2 <= c and b2 >= b and (c2 < c or b2 > b)
+            for (g2, c2, b2) in rows
+        )
+    )
+    assert got == want
