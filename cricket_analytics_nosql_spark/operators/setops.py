@@ -305,9 +305,10 @@ ORDER BY p.o_orderpriority, s.status
 
 
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (SURVEY §2.4 free-extender; approximate twin
-    is approx_quantiles, rows-only). l_quantity is integral so the
-    linear-interpolated quantile is exact in both engines."""
+    """Exact percentiles (SURVEY §2.4 free-extender; the approximate
+    twin ``approx_quantiles`` below is the 100 TB path). l_quantity
+    is integral so the linear-interpolated quantile is exact in both
+    engines."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -327,6 +328,53 @@ SELECT l_returnflag,
        quantile_cont(l_quantity, 0.9) AS p90_qty,
        MIN(l_quantity) AS min_qty,
        MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` (Greenwald-Khanna sketch) next to the
+    exact quantile — the ``approx_distinct`` dual pattern: the sketch
+    has no byte-exact cross-engine oracle, so the query emits the
+    EXACT percentiles (oracled exactly) plus a boolean per quantile
+    asserting the sketch landed within a 2%-of-value envelope
+    (oracled as literal TRUE; GK rank error at accuracy 10000 is
+    1/10000 of rows — orders tighter than 2% of value on this data).
+    At 100 TB the sketch column is the one you'd ship: fixed-size
+    mergeable state, one pass, no per-group sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    within = lambda approx, exact: (  # noqa: E731
+        (F.abs(F.col(approx) - F.col(exact)) / F.col(exact)) <= F.lit(0.02)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("median_price"),
+            F.percentile("l_extendedprice", 0.99).alias("p99_price"),
+            F.expr(
+                "approx_percentile(l_extendedprice, 0.5, 10000)"
+            ).alias("a_median"),
+            F.expr(
+                "approx_percentile(l_extendedprice, 0.99, 10000)"
+            ).alias("a_p99"),
+        )
+        .select(
+            "l_returnflag",
+            "median_price",
+            "p99_price",
+            within("a_median", "median_price").alias("approx_median_ok"),
+            within("a_p99", "p99_price").alias("approx_p99_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_APPROX_QUANTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       quantile_cont(l_extendedprice, 0.99) AS p99_price,
+       TRUE AS approx_median_ok,
+       TRUE AS approx_p99_ok
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -731,6 +779,7 @@ QUERIES: dict[str, QuerySpec] = {
         variant_extract, ORACLE_VARIANT_EXTRACT, ["P2", "P4", "A1"]
     ),
     "percentile_stats": QuerySpec(percentile_stats, ORACLE_PERCENTILE_STATS, []),
+    "approx_quantiles": QuerySpec(approx_quantiles, ORACLE_APPROX_QUANTILES, []),
     "nested_explode_roundtrip": QuerySpec(
         nested_explode_roundtrip, ORACLE_NESTED_EXPLODE_ROUNDTRIP, ["F1"], bench=True
     ),

@@ -62,3 +62,15 @@ def test_approx_distinct_error_bound(spark, sf_medium):
         F.count_distinct("l_partkey").alias("p"),
     ).collect()[0]
     assert row.exact_orders == exact.o and row.exact_parts == exact.p
+
+
+def test_approx_quantiles_error_bound(spark, sf_medium):
+    """The GK sketch at accuracy 10000 must land within 2% of the
+    exact interpolated quantile on every group — pins the bound the
+    approx_quantiles *_ok output columns assert."""
+    from cricket_analytics_nosql_spark.operators.setops import approx_quantiles
+
+    rows = approx_quantiles(spark, sf_medium).collect()
+    assert rows, "no groups returned"
+    for r in rows:
+        assert r.approx_median_ok and r.approx_p99_ok, r
