@@ -292,3 +292,89 @@ def test_weighted_pagerank_rejects_nonpositive_weights(spark):
     )
     with pytest.raises(ValueError, match="positive"):
         pagerank(bad, max_iter=2, tol=None, weight_col="weight")
+
+
+def _duckdb_pagerank_sql(k_iters: int, d: float, weighted: bool) -> str:
+    """Unrolled k-iteration PageRank over the mirrored trade graph as
+    one DuckDB query — an independent-engine differential oracle for
+    the Spark Krylov loop (exact same recurrence: rank_0 = 1,
+    rank_{k+1} = (1-d) + d*dm_k/n + d*Σ_in rank_k(src)*p)."""
+    w_expr = (
+        "CAST(weight AS DOUBLE) / SUM(CAST(weight AS DOUBLE)) OVER (PARTITION BY src)"
+        if weighted
+        else "1.0 / COUNT(*) OVER (PARTITION BY src)"
+    )
+    parts = [
+        f"""
+WITH base_edges AS MATERIALIZED (
+  SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+),
+edges0 AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst, weight FROM base_edges
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst, weight FROM base_edges
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, {w_expr} AS p FROM edges0
+),
+vertices AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM edges0
+  UNION
+  SELECT DISTINCT dst AS id FROM edges0
+),
+nn AS (SELECT COUNT(*) AS n FROM vertices),
+r0 AS MATERIALIZED (SELECT id, 1.0 AS r FROM vertices)"""
+    ]
+    for i in range(1, k_iters + 1):
+        parts.append(
+            f""",
+dm{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r), 0.0) AS dm FROM r{i - 1}
+  WHERE id NOT IN (SELECT DISTINCT src FROM edges)
+),
+r{i} AS MATERIALIZED (
+  SELECT v.id,
+         (1.0 - {d}) + {d} * (SELECT dm FROM dm{i}) / (SELECT n FROM nn)
+         + {d} * COALESCE(c.contrib, 0.0) AS r
+  FROM vertices v
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.r * e.p) AS contrib
+    FROM edges e JOIN r{i - 1} p ON p.id = e.src
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+)"""
+        )
+    parts.append(f"\nSELECT id, r FROM r{k_iters}")
+    return "".join(parts)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_pagerank_matches_unrolled_duckdb(spark, sf_small, weighted):
+    """Full-vector differential: the Spark Krylov-formulated loop vs
+    12 literally-unrolled power iterations in DuckDB on the real
+    sf0.001 trade graph. Agreement to 1e-9 absolute on every vertex
+    — an independent engine, an independent formulation."""
+    from tools.parity import duckdb_connection
+
+    from cricket_analytics_nosql_spark.operators.graph import trade_graph_edges
+
+    edges = trade_graph_edges(spark, sf_small)
+    got = {
+        r.id: r.pagerank
+        for r in pagerank(
+            edges,
+            max_iter=12,
+            tol=None,
+            weight_col="weight" if weighted else None,
+        ).collect()
+    }
+    con = duckdb_connection(sf_small)
+    want = dict(
+        con.execute(_duckdb_pagerank_sql(12, 0.85, weighted)).fetchall()
+    )
+    con.close()
+    assert got.keys() == want.keys()
+    for vid, r in want.items():
+        assert got[vid] == pytest.approx(r, abs=1e-9), vid
