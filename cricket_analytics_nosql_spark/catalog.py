@@ -158,6 +158,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics,
         cricket,
         dedup,
+        entity,
         graph,
         joins,
         layout,
@@ -194,6 +195,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
         sampling,
         dedup,
+        entity,
         similarity,
         multimodal,
         skew,
