@@ -161,7 +161,62 @@ ORDER BY event_type
 """
 
 
+def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy cell of the §2.12 taxonomy:
+    the Python kernel sees raw ``pyarrow.RecordBatch``es (no pandas
+    materialization, no per-value Python objects) and answers with
+    Arrow arrays computed by vectorized C++ kernels
+    (``pyarrow.compute``). The right escape hatch when the logic is
+    expressible in Arrow compute but not in Spark SQL — here it IS
+    SQL-expressible on purpose, so the DuckDB oracle catches any
+    batch-boundary or type mangling in the Arrow round-trip.
+
+    Per-doc stats (utf8 length, space count) emitted per batch, then
+    aggregated per source natively — the Python stage is a pure
+    partition-local map, no shuffle of its own."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("source"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                ],
+                ["source", "n_chars", "n_spaces"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per_doc = docs.mapInArrow(
+        stats, "source string, n_chars long, n_spaces long"
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_spaces").alias("total_spaces"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_ARROW_DOC_STATS = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text) - length(replace(text, ' ', '')))
+            AS BIGINT) AS total_spaces
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "arrow_doc_stats": QuerySpec(
+        arrow_doc_stats, ORACLE_ARROW_DOC_STATS, ["§2.12"]
+    ),
     "grouped_agg_trimmed_mean": QuerySpec(
         grouped_agg_trimmed_mean, ORACLE_TRIMMED_MEAN, ["§2.12", "A1"]
     ),
