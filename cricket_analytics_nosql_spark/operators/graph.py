@@ -869,7 +869,79 @@ LIMIT 25
 """
 
 
+def recursive_trade_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-executed recursive CTE (Spark 4 ``WITH RECURSIVE``):
+    min-depth BFS layers from the lowest-id vertex of the STRONG
+    trade graph (edges with ≥ 3 line items — the weight filter keeps
+    the recursion's fan-out sane at every scale factor), depth ≤ 3.
+
+    Complements the graph layer's other traversals: ``pagerank`` is
+    a hand-built iterative DataFrame loop, ``cypher_trade_reach``
+    unrolls a FIXED hop count through the Cypher compiler — this one
+    hands UNBOUNDED-depth iteration to the engine itself, the same
+    dialect the DuckDB oracle runs verbatim. UNION ALL + min-depth
+    aggregation is the engine-portable BFS spelling (walk counts,
+    not frontier dedup); for open-ended 100 TB traversals prefer a
+    checkpointed DataFrame loop with per-level ``dropDuplicates``
+    (the ``dedup_clusters`` discipline) — bounded-depth on a
+    thresholded subgraph is exactly where the SQL form is the right
+    tool."""
+    edges = trade_graph_edges(spark, sf_dir).filter(F.col("weight") >= 3)
+    edges.select("src", "dst").createOrReplaceTempView("strong_trade_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(id, depth) AS (
+          SELECT (SELECT MIN(src) FROM strong_trade_edges), 0
+          UNION ALL
+          SELECT e.dst, r.depth + 1
+          FROM reach r JOIN strong_trade_edges e ON e.src = r.id
+          WHERE r.depth < 3
+        ),
+        md AS (
+          SELECT id, MIN(depth) AS min_depth FROM reach GROUP BY id
+        )
+        SELECT min_depth,
+               COUNT(CASE WHEN id % 2 = 0 THEN 1 END) AS n_customers,
+               COUNT(CASE WHEN id % 2 = 1 THEN 1 END) AS n_suppliers
+        FROM md
+        WHERE min_depth > 0
+        GROUP BY min_depth
+        ORDER BY min_depth
+        """
+    )
+
+
+ORACLE_RECURSIVE_TRADE_BFS = """
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey HAVING COUNT(*) >= 3
+), e AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM base
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM base
+), reach(id, depth) AS (
+  SELECT (SELECT MIN(src) FROM e), 0
+  UNION ALL
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN e ON e.src = r.id
+  WHERE r.depth < 3
+), md AS (
+  SELECT id, MIN(depth) AS min_depth FROM reach GROUP BY id
+)
+SELECT min_depth,
+       COUNT(*) FILTER (id % 2 = 0) AS n_customers,
+       COUNT(*) FILTER (id % 2 = 1) AS n_suppliers
+FROM md
+WHERE min_depth > 0
+GROUP BY min_depth
+ORDER BY min_depth
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "recursive_trade_bfs": QuerySpec(
+        recursive_trade_bfs, ORACLE_RECURSIVE_TRADE_BFS, ["§2.9", "G1"]
+    ),
     "graph_project": QuerySpec(
         graph_project, ORACLE_GRAPH_PROJECT, ["G1", "J1", "A8"]
     ),
