@@ -30,11 +30,17 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 # driver-verified coverage.  Queries not listed keep registry order
 # after the window; nothing is dropped.
 #
-# ROUND 4 TODO: once CORRECTNESS_r03 lands green for this window,
-# swap _WINDOW_PRIORITY to _ROUND4_WINDOW below — it front-loads the
-# 32 queries that will then be the only ones without a driver-green
-# row (computed against CORRECTNESS_r01/r02 + the r3 window), plus
-# r3-green canaries.
+# ROUND-4 STATUS: no CORRECTNESS_r03/BENCH_r03 artifacts ever landed
+# (the round-3 verify evidently did not run — the full window
+# replays green locally in ~3 min, so not a query failure), which
+# means this window's queries STILL have no driver-green row. It
+# therefore stays active for round 4 unchanged.
+#
+# ROUND 5 TODO: once a CORRECTNESS_r{N} covering this window lands
+# green, swap _WINDOW_PRIORITY to _NEXT_WINDOW below — it
+# front-loads the queries that will then be the only ones without a
+# driver-green row (late-round-3 additions plus the round-4 ones at
+# its tail), with green canaries last.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # never driver-checked (rounds 1-2)
     "map_functions",
@@ -100,12 +106,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "pricing_summary",
 )
 
-# INACTIVE until round 4 (see TODO above): the queries with no
-# driver-green CORRECTNESS row after round 3, assuming r3's window
-# lands green. Order: late-r3 analytics/joins/graph first, then
-# LLM/training, versioning/quality, pipeline/front-end, streaming;
-# canaries last.
-_ROUND4_WINDOW: tuple[str, ...] = (
+# INACTIVE until a green round lands for _WINDOW_PRIORITY (see TODO
+# above). Order: late-r3 analytics/joins/graph first, then
+# LLM/training, versioning/quality, pipeline/front-end, streaming,
+# then the round-4 additions; canaries last.
+_NEXT_WINDOW: tuple[str, ...] = (
     "market_share",
     "cohort_retention",
     "funnel_conversion",
@@ -143,6 +148,14 @@ _ROUND4_WINDOW: tuple[str, ...] = (
     "variant_extract",
     "pagerank_top_weighted",
     "csv_roundtrip",
+    # round-4 additions
+    "bloom_prefilter_join",
+    "doc_chunking",
+    "pareto_parts",
+    "approx_quantiles",
+    "entity_match_parts",
+    "arrow_doc_stats",
+    "recursive_trade_bfs",
     # r3-green canaries (one per family)
     "top_revenue_customers",
     "dedup_minhash_lsh",
