@@ -480,3 +480,39 @@ def test_regional_revenue_broadcast_fallback_same_answer(spark, sf_small):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert got == want
+
+
+def test_pareto_has_no_quadratic_join(spark, sf_medium):
+    """The skyline must be windows + an equi-join back — never a
+    dominance self-join (no cartesian/nested-loop node)."""
+    from cricket_analytics_nosql_spark.operators.analytics import pareto_parts
+
+    plan = plan_of(pareto_parts(spark, sf_medium))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_entity_match_blocks_not_crossjoins(spark, sf_medium):
+    """Fuzzy matching must pair rows through the blocking equi-join;
+    Levenshtein runs only inside blocks."""
+    from cricket_analytics_nosql_spark.operators.entity import entity_match_parts
+
+    plan = plan_of(entity_match_parts(spark, sf_medium))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_scan_prunes_to_two_columns(spark, sf_medium):
+    """doc_chunking must read only (doc_id, text) from parquet; the
+    explode/substring stage is narrow."""
+    from cricket_analytics_nosql_spark.operators.text import doc_chunking
+
+    plan = plan_of(doc_chunking(spark, sf_medium))
+    read = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "doc_id" in ln
+    ]
+    assert read, plan
+    for unneeded in ("lang", "source", "n_chars"):
+        assert unneeded not in read[0], read[0]
