@@ -291,7 +291,103 @@ FROM b ORDER BY doc_id LIMIT 500
 """
 
 
+PHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit hash
+PHASH_MAX_HAMMING = 12
+
+
+def _phash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic average-hash stand-in for a perceptual hash:
+    split the payload into 64 byte slices, bit i = slice mean above
+    the global mean. Byte-local edits flip few bits, so Hamming
+    distance tracks payload similarity — the property a real pHash
+    (DCT over decoded pixels, plugging in here) provides for images."""
+    import numpy as np
+
+    def ahash(b: bytes) -> int:
+        arr = np.frombuffer(b, dtype=np.uint8)
+        if arr.size < 64:
+            arr = np.pad(arr, (0, 64 - arr.size))
+        overall = arr.mean()
+        h = 0
+        for i, sl in enumerate(np.array_split(arr, 64)):
+            if sl.size and sl.mean() > overall:
+                h |= 1 << i
+        return h - (1 << 64) if h >= 1 << 63 else h  # signed long
+
+    return pd.DataFrame(
+        {"doc_id": batch["doc_id"], "phash": batch["payload"].map(ahash)}
+    )
+
+
+def payload_phashes(mm: DataFrame) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _phash_batch(b)
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        gen, "doc_id long, phash long"
+    )
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection on the BINARY modality — the
+    dedup_simhash discipline applied through the multimodal decode
+    plumbing: per-payload 64-bit perceptual hash (mapInPandas
+    kernel), candidates from 16-bit band collisions (bucketed
+    equi-join, never all-pairs), exact Hamming ≤ 12 verify via
+    ``bit_count(a XOR b)``. Recall is GUARANTEED for Hamming ≤ 3
+    (pigeonhole over 4 bands forces a clean band) and best-effort
+    up to the 12 threshold — the standard LSH trade; tighten by
+    adding band rotations if the miss rate matters. Hash-seeded
+    candidates → rows-only driver path; kernel determinism,
+    locality, and the ≤ 3 recall guarantee are pinned in
+    tests/test_llm_ops.py."""
+    mm = attach_binary(load_table(spark, sf_dir, "documents"))
+    hashes = payload_phashes(mm).localCheckpoint()  # two consumers
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("phash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band", "b.key")
+    a, b = [
+        bands.select(
+            F.col("doc_id").alias(f"doc_{s}"),
+            F.col("phash").alias(f"ph_{s}"),
+            "band",
+            "key",
+        )
+        for s in ("a", "b")
+    ]
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_phash_dedup": QuerySpec(
+        multimodal_phash_dedup, None, ["X-mm", "X-dedup", "§2.12"]
+    ),
     "multimodal_meta": QuerySpec(
         multimodal_meta, ORACLE_MULTIMODAL_META, ["X-mm"]
     ),

@@ -324,3 +324,53 @@ def test_chunking_rejects_gapping_stride(spark):
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(docs, size=5, stride=6)
+
+
+def test_phash_determinism_locality_and_recall(spark):
+    """The payload perceptual hash: (a) identical payloads collide at
+    Hamming 0; (b) a small byte edit stays within the verify
+    threshold; (c) any pair within Hamming 3 is guaranteed into the
+    candidate set by the 4x16 banding (pigeonhole), so it appears in
+    the output."""
+    from cricket_analytics_nosql_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING,
+        multimodal_phash_dedup,
+        payload_phashes,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog " * 40).encode()
+    edited = bytearray(base)
+    edited[100:110] = b"XXXXXXXXXX"  # local edit, most slices untouched
+    other = ("completely different content with other bytes " * 40).encode()
+    mm = spark.createDataFrame(
+        [(1, base), (2, bytes(base)), (3, bytes(edited)), (4, other)],
+        "doc_id long, payload binary",
+    )
+    h = {r.doc_id: r.phash for r in payload_phashes(mm).collect()}
+    assert h[1] == h[2]  # determinism across rows
+    ham = bin((h[1] ^ h[3]) & (2**64 - 1)).count("1")
+    assert 0 < ham <= PHASH_MAX_HAMMING, ham
+    # run the full operator on a docs-shaped frame
+    docs = spark.createDataFrame(
+        [
+            (1, base.decode(), "en", "s", len(base)),
+            (2, base.decode(), "en", "s", len(base)),
+            (3, bytes(edited).decode(), "en", "s", len(edited)),
+            (4, other.decode(), "en", "s", len(other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        # reuse the operator end-to-end via its sf_dir contract
+        from cricket_analytics_nosql_spark.operators import multimodal as mmod
+
+        pairs = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in mmod.multimodal_phash_dedup(spark, d).collect()
+        }
+    assert pairs[(1, 2)] == 0  # exact dup always found (clean bands)
+    if ham <= 3:
+        assert (1, 3) in pairs  # guaranteed recall region
