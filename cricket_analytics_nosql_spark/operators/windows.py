@@ -301,7 +301,54 @@ LIMIT 100
 """
 
 
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-rank window family (§2.8 completion):
+    ``ntile`` quartiles, ``percent_rank``, ``cume_dist`` and
+    ``nth_value`` per order-priority partition, ordered by a UNIQUE
+    key pair (price, orderkey) — uniqueness makes RANGE and ROWS
+    default frames coincide and every rank deterministic, so the
+    floats (small-integer ratios, IEEE-exact in both engines)
+    hash-match the oracle. Ranks are computed over the FULL
+    partition, then a keyed sample keeps the driver payload small."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.nth_value("o_orderkey", 3).over(w).alias("third_key_so_far"),
+        )
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+ORACLE_WINDOW_DISTRIBUTION_RANKS = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         ntile(4) OVER w AS price_quartile,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume,
+         nth_value(o_orderkey, 3) OVER w AS third_key_so_far
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+SELECT * FROM ranked
+WHERE o_orderkey % 50 = 0
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "window_distribution_ranks": QuerySpec(
+        window_distribution_ranks, ORACLE_WINDOW_DISTRIBUTION_RANKS, ["§2.8"]
+    ),
     "null_ordering_topk": QuerySpec(
         null_ordering_topk, ORACLE_NULL_ORDERING_TOPK, ["T3"]
     ),
