@@ -79,6 +79,66 @@ ORDER BY l_returnflag
 """
 
 
+FUNNEL_STAGES = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("error", "ops"),
+]
+
+
+def dpp_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 at its 100 TB best — Dynamic Partition Pruning: the event
+    log is laid out one directory per ``event_type``; joining it to
+    a stage dimension filtered to one stage makes Catalyst plant a
+    ``dynamicpruning`` subquery on the fact SCAN, so the untouched
+    partitions are never opened (plan test pins the
+    PartitionFilters entry). The partition count is the number of
+    event types at every scale factor, so the layout itself is
+    scale-invariant; results equal the plain join over the live
+    table (the oracle) — pruning is a physical effect only."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="dpp_"), "events_by_type")
+    write_partitioned(ev, out, "event_type")
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        FUNNEL_STAGES, "event_type string, stage string"
+    ).filter(F.col("stage") == "engagement")
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v_c"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("v_c").cast("double") / 100).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DPP_PARTITIONED_EVENTS = """
+WITH dim(event_type, stage) AS (
+  VALUES ('click', 'engagement'), ('view', 'engagement'),
+         ('purchase', 'conversion'), ('signup', 'conversion'),
+         ('error', 'ops')
+)
+SELECT e.event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100
+           AS total_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+WHERE d.stage = 'engagement'
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 def write_bucketed(
     df: DataFrame, table: str, n_buckets: int, key: str
 ) -> None:
@@ -314,5 +374,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "graph_sink_roundtrip": QuerySpec(
         graph_sink_roundtrip, ORACLE_GRAPH_SINK, ["S8", "G1", "G3"]
+    ),
+    "dpp_partitioned_events": QuerySpec(
+        dpp_partitioned_events, ORACLE_DPP_PARTITIONED_EVENTS, ["S5", "J1"]
     ),
 }

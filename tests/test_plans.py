@@ -516,3 +516,15 @@ def test_chunking_scan_prunes_to_two_columns(spark, sf_medium):
     assert read, plan
     for unneeded in ("lang", "source", "n_chars"):
         assert unneeded not in read[0], read[0]
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_medium):
+    """The partitioned-layout join must carry a dynamicpruning
+    expression in the fact scan's PartitionFilters — untouched
+    event_type directories are never opened."""
+    from cricket_analytics_nosql_spark.operators.sinks import (
+        dpp_partitioned_events,
+    )
+
+    plan = plan_of(dpp_partitioned_events(spark, sf_medium))
+    assert "dynamicpruning" in plan, plan
