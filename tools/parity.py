@@ -95,7 +95,13 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark("parity")
     qs = all_queries()
-    names = _sys.argv[1:] or sorted(qs)
+    args = _sys.argv[1:]
+    if args[:1] == ["--first"]:
+        # replicate the driver's window: first N entries in catalog
+        # order (the driver checks the first 50)
+        names = list(qs)[: int(args[1])]
+    else:
+        names = args or sorted(qs)
     failed = 0
     for n in names:
         spec = qs[n]
