@@ -379,6 +379,67 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def string_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL ``string_agg``/``listagg``
+    surface): the per-group value list is SORTED before joining, so
+    the concatenation is deterministic regardless of partition merge
+    order — the only safe way to emit collect_list-derived strings
+    at any scale. Distinct ship-statuses observed per priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.collect_set("o_orderstatus").alias("s"))
+        .select(
+            "o_orderpriority",
+            F.array_join(F.sort_array("s"), ",").alias("statuses"),
+            F.size("s").alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_STRING_AGG_ROLLUP = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+           AS statuses,
+       CAST(COUNT(DISTINCT o_orderstatus) AS INTEGER) AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface (stddev / variance / correlation
+    / covariance): cross-engine float drift is ~1e-15 relative (the
+    engines use different accumulation schemes), so results are
+    rounded to 6 dp — drift sits nine orders below the rounding grid,
+    which keeps the hash check deterministic while still pinning all
+    six significant digits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # +0.0: -0.0 -> 0.0  # noqa: E731
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            r6(F.stddev_samp("l_quantity")).alias("sd_qty"),
+            r6(F.var_samp("l_extendedprice")).alias("var_price"),
+            r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+            r6(F.covar_samp("l_discount", "l_tax")).alias("covar_disc_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_STATS_MOMENTS = """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 6) + 0.0 AS sd_qty,
+       ROUND(var_samp(l_extendedprice), 6) + 0.0 AS var_price,
+       ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+       ROUND(covar_samp(l_discount, l_tax), 6) + 0.0 AS covar_disc_tax
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def nested_explode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: the reference's signature 3-level flatten
     (etl_cricsheet_to_mongo.py:70-106) proven on the star schema:
@@ -780,6 +841,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "percentile_stats": QuerySpec(percentile_stats, ORACLE_PERCENTILE_STATS, []),
     "approx_quantiles": QuerySpec(approx_quantiles, ORACLE_APPROX_QUANTILES, []),
+    "string_agg_rollup": QuerySpec(string_agg_rollup, ORACLE_STRING_AGG_ROLLUP, ["§2.9", "A1"]),
+    "stats_moments": QuerySpec(stats_moments, ORACLE_STATS_MOMENTS, ["§2.9", "A1"]),
     "nested_explode_roundtrip": QuerySpec(
         nested_explode_roundtrip, ORACLE_NESTED_EXPLODE_ROUNDTRIP, ["F1"], bench=True
     ),
