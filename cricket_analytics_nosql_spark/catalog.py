@@ -156,7 +156,12 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "entity_match_parts",
     "arrow_doc_stats",
     "recursive_trade_bfs",
-    # r3-green canaries (one per family)
+    "dpp_partitioned_events",
+    "window_distribution_ranks",
+    "string_agg_rollup",
+    "stats_moments",
+    "multimodal_phash_dedup",
+    # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",
     "stream_tumbling_agg",
