@@ -160,6 +160,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "window_distribution_ranks",
     "string_agg_rollup",
     "stats_moments",
+    "ann_recall_audit",
     "multimodal_phash_dedup",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
