@@ -422,7 +422,9 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             r6(F.stddev_samp("l_quantity")).alias("sd_qty"),
-            r6(F.var_samp("l_extendedprice")).alias("var_price"),
+            # var of ~1e9-magnitude values: round at 2 dp, not 6 — keeps
+            # the grid 1e7x above worst-case cross-engine drift
+            (F.round(F.var_samp("l_extendedprice"), 2) + F.lit(0.0)).alias("var_price"),
             r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
             r6(F.covar_samp("l_discount", "l_tax")).alias("covar_disc_tax"),
         )
@@ -433,7 +435,7 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STATS_MOMENTS = """
 SELECT l_returnflag,
        ROUND(stddev_samp(l_quantity), 6) + 0.0 AS sd_qty,
-       ROUND(var_samp(l_extendedprice), 6) + 0.0 AS var_price,
+       ROUND(var_samp(l_extendedprice), 2) + 0.0 AS var_price,
        ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
        ROUND(covar_samp(l_discount, l_tax), 6) + 0.0 AS covar_disc_tax
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
