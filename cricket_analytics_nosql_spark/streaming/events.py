@@ -120,19 +120,40 @@ def read_events_stream(
 
 def run_available_now(sdf: DataFrame, output_mode: str = "append") -> DataFrame:
     """Drain a streaming frame deterministically (availableNow) into
-    a memory sink; return the result as a batch DataFrame."""
+    a memory sink; return the result as a batch DataFrame.
+
+    LOCAL masters only: the state store is sized down to ≤ 8
+    partitions for the drain. Stateful operators instantiate one
+    state store per shuffle partition per micro-batch, so a local
+    replay of KB-sized chunks at 32 partitions pays 32× store
+    setup/commit per batch for no parallelism gain (the per-query
+    checkpoint is fresh, so the narrower sizing never conflicts with
+    an existing state layout; results are partitioning-invariant).
+    Cluster sessions keep their configured parallelism — there the
+    state genuinely needs it."""
+    spark = sdf.sparkSession
     name = "s" + uuid.uuid4().hex[:12]
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", os.path.join(ckpt, "cp"))
-            .trigger(availableNow=True)
-            .start()
+    local = spark.sparkContext.master.startswith("local")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if local:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(prev), 8))
         )
-        q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    try:
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", os.path.join(ckpt, "cp"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if local:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def foreach_batch_upsert(
@@ -165,15 +186,27 @@ def foreach_batch_upsert(
         # atomic-ish swap: rewrite target from the merged view
         spark.read.parquet(path + "_next").write.mode("overwrite").parquet(path)
 
-    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        q = (
-            sdf.writeStream.foreachBatch(upsert)
-            .outputMode(output_mode)
-            .option("checkpointLocation", os.path.join(ckpt, "cp"))
-            .trigger(availableNow=True)
-            .start()
+    # same local-master state-store sizing as run_available_now
+    spark = sdf.sparkSession
+    local = spark.sparkContext.master.startswith("local")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if local:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(int(prev), 8))
         )
-        q.awaitTermination()
+    try:
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            q = (
+                sdf.writeStream.foreachBatch(upsert)
+                .outputMode(output_mode)
+                .option("checkpointLocation", os.path.join(ckpt, "cp"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if local:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 # ---------------------------------------------------------------------------
