@@ -331,9 +331,38 @@ def connected_components(
     the same job that materializes the new labels (the probe-join
     alternative re-shuffles both label frames every round)."""
     edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
-    sym = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    e_obs = Observation()
+    sym = (
+        edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .observe(e_obs, F.count(F.lit(1)).alias("m"))
+        .localCheckpoint()
+    )
+    # Size the loop's shuffles from the measured edge count and turn
+    # AQE off inside it — the same fixed-plan discipline as the
+    # PageRank loop (graph.py): at local/test scale per-round cost is
+    # task-launch-bound (32 partitions on KB frames = pure overhead),
+    # at cluster scale the same formula keeps partitions in-memory.
+    spark = pairs.sparkSession
+    m = int(e_obs.get["m"])
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(2, m // 150_000))
+    )
+    try:
+        labels = _cc_loop(sym, max_iter)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return labels.select(
+        F.col("a").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _cc_loop(sym: DataFrame, max_iter: int) -> DataFrame:
     labels = (
         sym.select("a").distinct().withColumn("label", F.col("a"))
         .localCheckpoint()
@@ -370,9 +399,7 @@ def connected_components(
         )
         if int(obs.get["changed"] or 0) == 0:
             break
-    return labels.select(
-        F.col("a").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    return labels
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
