@@ -32,7 +32,8 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 #
 # ROUND-4 STATUS: no CORRECTNESS_r03/BENCH_r03 artifacts ever landed
 # (the round-3 verify evidently did not run — the full window
-# replays green locally in ~3 min, so not a query failure), which
+# replays green locally in ~95 s after round 4's state-store and
+# CC-loop sizing, so not a query failure), which
 # means this window's queries STILL have no driver-green row. It
 # therefore stays active for round 4 unchanged.
 #
