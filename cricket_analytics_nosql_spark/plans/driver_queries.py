@@ -466,7 +466,61 @@ ORDER BY g.event_type, g.hour
 """
 
 
+
+# Deterministic demo query vector for $vectorSearch: 64 values in
+# [-0.9, 0.9] from a fixed integer pattern — identical literals are
+# embedded in the Spark plan and the SQL oracle text.
+VS_QUERY_VECTOR = [((i * 37) % 19 - 9) / 10 for i in range(64)]
+_VS_QNORM = __import__("math").sqrt(sum(x * x for x in VS_QUERY_VECTOR))
+
+
+def mongo_pipeline_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atlas-dialect ``$vectorSearch`` as the pipeline's first stage
+    (exact mode), with the score surfaced through
+    ``{"$meta": "vectorSearchScore"}`` — the pipeline front-end
+    reaching the ANN family. Top-10 vectors for a fixed demo query
+    vector; the oracle recomputes the identical Atlas score
+    (1 + cosine) / 2 in SQL."""
+    pipeline = [
+        {
+            "$vectorSearch": {
+                "queryVector": VS_QUERY_VECTOR,
+                "path": "embedding",
+                "numCandidates": 200,
+                "limit": 10,
+                "index": "emb_idx",
+            }
+        },
+        {"$addFields": {"score": {"$round": [{"$meta": "vectorSearchScore"}, 6]}}},
+        {"$project": {"vec_id": 1, "label": 1, "score": 1}},
+    ]
+    return compile_pipeline(load_table(spark, sf_dir, "embeddings"), pipeline)
+
+
+_VS_Q_SQL = "[" + ", ".join(repr(x) for x in VS_QUERY_VECTOR) + "]::DOUBLE[]"
+
+ORACLE_MONGO_VECTOR_SEARCH = f"""
+WITH scored AS (
+  SELECT vec_id, label,
+         (1.0 + list_inner_product(CAST(embedding AS DOUBLE[]), {_VS_Q_SQL})
+                / ({_VS_QNORM!r} *
+                   sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))))
+           / 2.0 AS raw_score
+  FROM embeddings
+), topk AS (
+  SELECT vec_id, label, raw_score FROM scored
+  ORDER BY raw_score DESC, vec_id ASC LIMIT 10
+)
+SELECT vec_id, label, ROUND(raw_score, 6) AS score FROM topk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mongo_pipeline_vector_search": QuerySpec(
+        mongo_pipeline_vector_search, ORACLE_MONGO_VECTOR_SEARCH,
+        ["X-sim", "§2.9"],
+    ),
     "mongo_pipeline_densify_fill": QuerySpec(
         mongo_pipeline_densify_fill, ORACLE_MONGO_DENSIFY_FILL,
         ["§2.8", "P12"],

@@ -48,6 +48,8 @@ Semantics notes (Mongo → Spark):
 
 from __future__ import annotations
 
+import math
+
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -187,6 +189,10 @@ def compile_expr(e: Any, env: dict[str, Column] | None = None) -> Column:
             ):
                 fmt = fmt.replace(mongo, java)
             return F.date_format(ce(arg["date"]), fmt)
+        if op == "$meta":
+            if arg != "vectorSearchScore":
+                raise ValueError(f"$meta: unsupported metadata {arg!r}")
+            return F.col("__vs_score")
         if op == "$dateTrunc":
             # {"$dateTrunc": {"date": expr, "unit": "day"|"hour"|...}}
             return F.date_trunc(arg["unit"], ce(arg["date"]))
@@ -1200,6 +1206,39 @@ def _apply_merge_sink(
     return spark.read.parquet(path)
 
 
+def _compile_vector_search(df: DataFrame, spec: dict) -> DataFrame:
+    """``$vectorSearch`` (Atlas dialect, exact mode): score every row
+    against the literal query vector and keep the top ``limit`` —
+    compiled to the ANN family's native-expression cosine
+    (operators/similarity.py), so the pipeline dialect reaches the
+    vector-search surface. The score is exposed to later stages as
+    Mongo does, via ``{"$meta": "vectorSearchScore"}``, using the
+    Atlas normalization score = (1 + cosine) / 2.
+
+    Exact (ENN) rather than candidate-pruned: ``numCandidates`` is
+    accepted and ignored, like Atlas's ``exact: true`` path; the IVF
+    probe (ivf_topk) is the engine's approximate alternative when
+    recall/latency trade-offs matter. Ordering ties on the score are
+    broken by the collection's first column for determinism."""
+    from cricket_analytics_nosql_spark.operators.similarity import dot
+
+    qv = [float(x) for x in spec["queryVector"]]
+    path = spec["path"]
+    k = int(spec["limit"])
+    # math.sqrt, not **0.5: correctly-rounded sqrt matches the SQL
+    # oracle's sqrt() for every input, pow(x, 0.5) only usually
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    q = F.array(*[F.lit(x) for x in qv])
+    v = F.col(path).cast("array<double>")
+    cos = dot(q, v) / (F.lit(qnorm) * F.sqrt(dot(v, v)))
+    tiebreak = F.col(df.columns[0])
+    return (
+        df.withColumn("__vs_score", (F.lit(1.0) + cos) / F.lit(2.0))
+        .orderBy(F.desc("__vs_score"), F.asc(tiebreak))
+        .limit(k)
+    )
+
+
 def compile_pipeline(
     df: DataFrame,
     pipeline: list[dict],
@@ -1220,7 +1259,7 @@ def compile_pipeline(
     on row order surviving the shuffle."""
     pending_sort: dict | None = None
     sort_poison: str | None = None
-    for stage in pipeline:
+    for stage_idx, stage in enumerate(pipeline):
         if len(stage) != 1:
             raise ValueError(f"pipeline stage must have one key: {stage}")
         (op, spec), = stage.items()
@@ -1230,7 +1269,13 @@ def compile_pipeline(
             # the ORIGINAL values, which no longer exist as columns —
             # refuse rather than silently order by the new ones
             raise ValueError(sort_poison)
-        if op == "$match":
+        if op == "$vectorSearch":
+            if stage_idx != 0:
+                raise ValueError(
+                    "$vectorSearch must be the first pipeline stage"
+                )
+            df = _compile_vector_search(df, spec)
+        elif op == "$match":
             df = df.filter(compile_match(spec))
         elif op == "$project":
             df = _compile_project(df, spec)
@@ -1406,6 +1451,10 @@ def compile_pipeline(
         elif op not in ("$match", "$limit", "$skip", "$addFields", "$project"):
             # $group consumed it; other stages don't preserve row order
             pending_sort = None
+    if "__vs_score" in df.columns:
+        # internal $vectorSearch score column: visible to stages via
+        # {"$meta": "vectorSearchScore"} only, never in the output
+        df = df.drop("__vs_score")
     return df
 
 
