@@ -162,6 +162,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "string_agg_rollup",
     "stats_moments",
     "ann_recall_audit",
+    "mongo_pipeline_vector_search",
     "multimodal_phash_dedup",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",

@@ -1319,3 +1319,21 @@ def test_regex_match_expression(spark):
             [{"$addFields": {"x": {"$regexMatch": {
                 "input": "$s", "regex": "a", "options": "ix"}}}}],
         )
+
+
+def test_vector_search_must_be_first_stage(spark):
+    import pytest
+
+    from cricket_analytics_nosql_spark.plans.mongo_pipeline import (
+        compile_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 4)], "vec_id long, embedding array<double>"
+    )
+    spec = {"queryVector": [0.1] * 4, "path": "embedding", "limit": 1}
+    with pytest.raises(ValueError, match="first pipeline stage"):
+        compile_pipeline(df, [{"$match": {}}, {"$vectorSearch": spec}])
+    # and the meta score never leaks into the output columns
+    out = compile_pipeline(df, [{"$vectorSearch": spec}])
+    assert "__vs_score" not in out.columns
