@@ -695,3 +695,29 @@ def test_pareto_frontier_matches_brute_force(spark, rows):
         )
     )
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=50, unique=True),
+    st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=50, unique=True),
+)
+def test_bloom_never_drops_present_keys(spark, build, probe):
+    """Random key sets: the bloom pre-filter must pass EVERY probe key
+    that exists in the build set (no false negatives, the property
+    the exact-verify step relies on)."""
+    from cricket_analytics_nosql_spark.operators.runtime_filters import (
+        bloom_bitmap,
+        bloom_prefilter,
+    )
+
+    keys = spark.createDataFrame([(k,) for k in build], "key long")
+    probe_df = spark.createDataFrame([(k,) for k in probe], "k long")
+    bitmap = bloom_bitmap(keys, "key", m_bits=1 << 12, k=3)
+    survivors = {
+        r.k
+        for r in bloom_prefilter(
+            probe_df, "k", bitmap, m_bits=1 << 12, k=3
+        ).collect()
+    }
+    assert set(build) & set(probe) <= survivors
