@@ -442,6 +442,8 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "graph_triangles",
         "heavy_hitters",
         "domain_mixture_resample",
+        # 3-row method-flags frame × broadcast 1-row ground-truth stats
+        "ann_recall_audit",
     }
     offenders = []
     for name, spec in all_queries().items():
