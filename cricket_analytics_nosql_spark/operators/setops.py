@@ -380,11 +380,20 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 def string_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered string aggregation (SQL ``string_agg``/``listagg``
-    surface): the per-group value list is SORTED before joining, so
-    the concatenation is deterministic regardless of partition merge
-    order — the only safe way to emit collect_list-derived strings
-    at any scale. Distinct ship-statuses observed per priority."""
+    """Ordered string aggregation — Spark 4's native ``listagg``
+    with ``WITHIN GROUP (ORDER BY ...)``: the explicit order clause
+    is what makes the concatenation deterministic under parallel
+    merge (an unordered listagg/collect_list string is partition-
+    order-dependent and can never be oracled, or trusted, at scale).
+    Distinct ship-statuses observed per priority.
+
+    Spelled as ``array_join(sort_array(collect_set(..)))`` rather
+    than Spark 4's native ``listagg``: ``listagg(DISTINCT ..) WITHIN
+    GROUP (ORDER BY ..)`` over a real grouped table dies in Catalyst
+    on this build (AttributeReference→SortOrder ClassCastException;
+    the same text over a VALUES literal works). The composition is
+    semantically identical and plans as an ordinary partial-merged
+    aggregate."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderpriority")
