@@ -213,7 +213,51 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+
+def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs (Spark 4 ``CREATE FUNCTION ... RETURN expr``)
+    — the anti-Python UDF: the body is declarative SQL, so Catalyst
+    INLINES it into the caller's plan and the expression runs inside
+    whole-stage codegen like any built-in (a plan test asserts no
+    Python evaluation node appears). The right tool for shared
+    business logic (here: the money-in-cents discipline as a named,
+    reusable function) that must not pay the Arrow/Python tax."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_rev_cents(
+            p DOUBLE, d DOUBLE
+        ) RETURNS BIGINT
+        RETURN CAST(ROUND(p * (1 - d) * 100) AS BIGINT)
+        """
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sql_udf_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               CAST(SUM(disc_rev_cents(l_extendedprice, l_discount))
+                    AS DOUBLE) / 100 AS revenue
+        FROM sql_udf_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+ORACLE_SQL_UDF_REVENUE = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS DOUBLE) / 100 AS revenue
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sql_udf_revenue": QuerySpec(
+        sql_udf_revenue, ORACLE_SQL_UDF_REVENUE, ["§2.12", "A1"]
+    ),
     "arrow_doc_stats": QuerySpec(
         arrow_doc_stats, ORACLE_ARROW_DOC_STATS, ["§2.12"]
     ),

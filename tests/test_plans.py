@@ -530,3 +530,16 @@ def test_dpp_prunes_fact_partitions(spark, sf_medium):
 
     plan = plan_of(dpp_partitioned_events(spark, sf_medium))
     assert "dynamicpruning" in plan, plan
+
+
+def test_sql_udf_inlines_no_python_node(spark, sf_medium):
+    """A SQL-defined UDF must inline into codegen — no
+    BatchEvalPython/ArrowEvalPython stage in the plan."""
+    from cricket_analytics_nosql_spark.operators.pysurface import (
+        sql_udf_revenue,
+    )
+
+    plan = plan_of(sql_udf_revenue(spark, sf_medium))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
