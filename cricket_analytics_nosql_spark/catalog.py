@@ -163,6 +163,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "stats_moments",
     "ann_recall_audit",
     "mongo_pipeline_vector_search",
+    "sql_udf_revenue",
     "multimodal_phash_dedup",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
