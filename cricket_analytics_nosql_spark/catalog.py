@@ -165,6 +165,11 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "mongo_pipeline_vector_search",
     "sql_udf_revenue",
     "multimodal_phash_dedup",
+    "activity_streaks",
+    "interval_merge_coverage",
+    "market_basket_lift",
+    "value_histogram",
+    "ab_conversion_wilson",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",
@@ -190,6 +195,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         runtime_filters,
         sampling,
+        sequences,
         setops,
         similarity,
         sinks,
@@ -212,6 +218,7 @@ def all_queries() -> dict[str, QuerySpec]:
         joins,
         windows,
         setops,
+        sequences,
         graph,
         sketches,
         text,

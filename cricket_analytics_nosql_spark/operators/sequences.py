@@ -1,0 +1,432 @@
+"""Ordered-sequence and distribution analytics — gaps-and-islands,
+interval coalescing, market-basket co-occurrence lift, data-bounded
+histograms, and proportion confidence intervals.
+
+These extend the reference's aggregate surface (SURVEY.md §2.4's
+group-by family, §2.8 windows) with the classic ordered-window
+shapes a warehouse user reaches for next: run-length analysis over
+event streams (streaks), merging overlapping validity windows, and
+lift-style affinity scoring (the set-similarity cousin of the
+co-occurrence count the reference computes for dismissal pairs,
+`cypher_queries.cypher` degree/duel shapes).
+
+Scale notes (validated via .explain, see tests/test_plans.py):
+- Streaks/intervals partition their windows by the entity key, so
+  per-partition state is bounded by one entity's history — the
+  skewed `events.user_id` key costs a sort, never a pair blowup.
+- Basket pairs are generated JVM-side from a per-order item SET
+  (collect_set → sorted array → combination transform), so the
+  pair count is bounded by basket size squared — TPC-H baskets are
+  ≤7 items; for long-tail corpora cap the basket or pre-prune to
+  frequent items (FP-growth discipline) before pairing.
+- The histogram's bounds aggregate is O(1) rows broadcast back;
+  binning is integer-cents arithmetic (functions/scalar.py) so
+  bucket edges are exact and partial aggregation is safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.functions.scalar import cents, dollars
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+_EPOCH_DAY = "unix_micros(cast({c} as timestamp)) div 86400000000"
+
+
+def _day(col: str) -> F.Column:
+    return F.expr(_EPOCH_DAY.format(c=col)).alias("day")
+
+
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, runs of CONSECUTIVE active days,
+    reduced to a distribution (longest streak → user count, total
+    islands) so the output is scale-stable.
+
+    Plan: one Exchange(user_id) feeds both window passes (lag and
+    the running island-id sum share the same partitioning+sort), a
+    keyed agg per (user, island), then two tiny rollups.  Duplicate
+    same-day events need no pre-dedup: a 0-day gap neither opens an
+    island nor stretches the min/max day bounds that define streak
+    length, so the window runs straight off the scan.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", _day("ts"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    gap = F.col("day") - F.lag("day").over(w)
+    opens = F.when(gap.isNull() | (gap > 1), 1).otherwise(0)
+    islands = ev.withColumn(
+        "island",
+        F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("day") - F.min("day") + 1).alias("streak_days")
+    )
+    per_user = per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("streak_days").alias("longest_streak"),
+    )
+    return (
+        per_user.groupBy("longest_streak")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_islands").alias("total_islands"),
+        )
+        .orderBy("longest_streak")
+    )
+
+
+ORACLE_ACTIVITY_STREAKS = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day
+  FROM events
+), flagged AS (
+  SELECT user_id, day,
+         CASE WHEN day - LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+                   IS NULL
+                OR day - LAG(day) OVER (PARTITION BY user_id ORDER BY day) > 1
+              THEN 1 ELSE 0 END AS opens
+  FROM ev
+), islands AS (
+  SELECT user_id, day,
+         SUM(opens) OVER (PARTITION BY user_id ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), per_island AS (
+  SELECT user_id, island, MAX(day) - MIN(day) + 1 AS streak_days
+  FROM islands GROUP BY user_id, island
+), per_user AS (
+  SELECT user_id, COUNT(*) AS n_islands, MAX(streak_days) AS longest_streak
+  FROM per_island GROUP BY user_id
+)
+SELECT longest_streak, COUNT(*) AS n_users, SUM(n_islands) AS total_islands
+FROM per_user GROUP BY longest_streak ORDER BY longest_streak
+"""
+
+
+def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (the other half of the overlap-join pair,
+    `overlap_join_contracts`): each order opens a 30-day service
+    window [day, day+30]; per customer, merge every overlapping
+    window (start ≤ running max end) into maximal spans, then report
+    the distribution: merged-span count per customer → customers,
+    total covered days.
+
+    The merge is the running-max window form — sort each customer's
+    intervals by start, an interval starts a new span iff its start
+    exceeds the max end seen so far — which is O(n log n) per key
+    and never materializes interval pairs, unlike the quadratic
+    self-join formulation.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", _day("o_orderdate")
+    )
+    iv = orders.select(
+        "o_custkey",
+        F.col("day").alias("d0"),
+        (F.col("day") + 30).alias("d1"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d0", "d1")
+    prev_end = F.max("d1").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    opens = F.when(prev_end.isNull() | (F.col("d0") > prev_end), 1).otherwise(0)
+    spans = (
+        iv.withColumn(
+            "span",
+            F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("o_custkey", "span")
+        .agg((F.max("d1") - F.min("d0") + 1).alias("covered"))
+    )
+    per_cust = spans.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("covered").alias("covered_days"),
+    )
+    return (
+        per_cust.groupBy("n_spans")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("covered_days").alias("total_covered_days"),
+        )
+        .orderBy("n_spans")
+    )
+
+
+ORACLE_INTERVAL_MERGE = """
+WITH iv AS (
+  SELECT o_custkey,
+         CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS d0,
+         CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) + 30 AS d1
+  FROM orders
+), flagged AS (
+  SELECT o_custkey, d0, d1,
+         CASE WHEN MAX(d1) OVER (PARTITION BY o_custkey ORDER BY d0, d1
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) IS NULL
+                OR d0 > MAX(d1) OVER (PARTITION BY o_custkey ORDER BY d0, d1
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS opens
+  FROM iv
+), spans AS (
+  SELECT o_custkey, d0, d1,
+         SUM(opens) OVER (PARTITION BY o_custkey ORDER BY d0, d1
+                          ROWS UNBOUNDED PRECEDING) AS span
+  FROM flagged
+), merged AS (
+  SELECT o_custkey, span, MAX(d1) - MIN(d0) + 1 AS covered
+  FROM spans GROUP BY o_custkey, span
+), per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_spans, SUM(covered) AS covered_days
+  FROM merged GROUP BY o_custkey
+)
+SELECT n_spans, COUNT(*) AS n_customers,
+       SUM(covered_days) AS total_covered_days
+FROM per_cust GROUP BY n_spans ORDER BY n_spans
+"""
+
+
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-ordered in the same
+    order, scored by lift = P(a,b) / (P(a)·P(b)); top 20 pairs by
+    co-order count.  The reference's co-occurrence shape (A8,
+    dismissal duels) generalized to the affinity statistic used for
+    corpus mixture analysis and recommender candidate generation.
+
+    The fact is shuffled on the order key once for the heavy work:
+    groupBy(order) → sorted item set; pairs come from a JVM-side
+    combination transform over that array (never a self-join — the
+    pair stream is generated inside the same stage) and marginals
+    from exploding the same sets, with Catalyst's ReuseExchange
+    deduping the shared per-order shuffle (verified in the adaptive
+    final plan).  The global order total deliberately does NOT
+    reuse it: Catalyst prunes that branch to a single-column scan +
+    keys-only shuffle, which at 100 TB is cheaper than re-reading
+    the cached wide exchange.  The lift joins then run over
+    aggregate-sized frames (|parts|, not |lineitem|) and broadcast.
+    Lift arithmetic is exact: integer count products inside a
+    single double division.
+    """
+    dp = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs_expr = F.expr(
+        """
+        flatten(transform(parts, (x, i) ->
+          transform(slice(parts, i + 2, size(parts)),
+                    y -> struct(x AS p1, y AS p2))))
+        """
+    )
+    pair_counts = (
+        dp.select(F.explode(pairs_expr).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    marginals = (
+        dp.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_orders = dp.select(F.count(F.lit(1)).alias("n"))
+    m1 = marginals.select(F.col("part").alias("p1"), F.col("cnt").alias("c1"))
+    m2 = marginals.select(F.col("part").alias("p2"), F.col("cnt").alias("c2"))
+    return (
+        pair_counts.join(m1, "p1")
+        .join(m2, "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "pair_cnt",
+            F.round(
+                (F.col("pair_cnt") * F.col("n")).cast("double")
+                / (F.col("c1") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_cnt"), "p1", "p2")
+        .limit(20)
+    )
+
+
+ORACLE_MARKET_BASKET = """
+WITH dp AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS pair_cnt
+  FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+), marg AS (
+  SELECT l_partkey, COUNT(*) AS cnt FROM dp GROUP BY l_partkey
+), tot AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n FROM dp
+)
+SELECT p1, p2, pair_cnt,
+       ROUND(CAST(pair_cnt * n AS DOUBLE) / (m1.cnt * m2.cnt), 6) AS lift
+FROM pairs
+JOIN marg m1 ON m1.l_partkey = p1
+JOIN marg m2 ON m2.l_partkey = p2
+CROSS JOIN tot
+ORDER BY pair_cnt DESC, p1, p2
+LIMIT 20
+"""
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals with DATA-DERIVED bounds
+    — the profiling primitive behind quantile-trim curation and
+    storage-layout decisions.  Two-pass: an O(1)-row min/max
+    aggregate is broadcast back onto the fact stream, then binning
+    is pure integer-cents arithmetic (exact edges, no float
+    boundary drift) feeding one keyed agg over ≤16 groups.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        cents(F.col("o_totalprice")).alias("price_c")
+    )
+    bounds = orders.agg(
+        F.min("price_c").alias("min_c"), F.max("price_c").alias("max_c")
+    )
+    nbins = 16
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.expr(f"((price_c - min_c) * {nbins}) div (max_c - min_c + 1)"),
+            F.lit(nbins - 1).cast("long"),
+        ).alias("bin"),
+        "price_c",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dollars(F.sum("price_c")).alias("sum_price"),
+            dollars(F.min("price_c")).alias("min_price"),
+            dollars(F.max("price_c")).alias("max_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c FROM orders
+), b AS (
+  SELECT MIN(price_c) AS min_c, MAX(price_c) AS max_c FROM c
+), binned AS (
+  SELECT LEAST(((price_c - min_c) * 16) // (max_c - min_c + 1), 15) AS bin,
+         price_c
+  FROM c CROSS JOIN b
+)
+SELECT bin, COUNT(*) AS n_orders,
+       SUM(price_c) / 100.0 AS sum_price,
+       MIN(price_c) / 100.0 AS min_price,
+       MAX(price_c) / 100.0 AS max_price
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+def ab_conversion_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-style conversion readout with Wilson score intervals —
+    the experiment-analysis aggregate: users split into two variants
+    (parity of user_id — a stand-in for an assignment column), per
+    variant the exposed-user count, converters (≥1 purchase event),
+    the conversion rate and its 95% Wilson interval.
+
+    Per-user flags are one conditional aggregate over the pruned
+    (user, type) stream; the interval is closed-form arithmetic on
+    the two counts, written as the identical expression tree on
+    both engines so the 6-dp rounding sees bit-identical doubles.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    counts = (
+        per_user.groupBy(F.pmod("user_id", F.lit(2)).alias("variant"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").alias("n_converted"),
+        )
+    )
+    n = F.col("n_users").cast("double")
+    p = F.col("n_converted") / F.col("n_users")
+    z2 = F.lit(1.96 * 1.96)
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(1.96)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return counts.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        F.round(p, 6).alias("conv_rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    ).orderBy("variant")
+
+
+ORACLE_AB_WILSON = """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), counts AS (
+  SELECT user_id % 2 AS variant, COUNT(*) AS n_users,
+         SUM(converted) AS n_converted
+  FROM per_user GROUP BY user_id % 2
+)
+SELECT variant, n_users, n_converted,
+       ROUND(n_converted / CAST(n_users AS DOUBLE), 6) AS conv_rate,
+       ROUND(((n_converted / CAST(n_users AS DOUBLE))
+               + (1.96 * 1.96) / (2.0 * CAST(n_users AS DOUBLE)))
+             / (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE))
+             - 1.96 * sqrt((n_converted / CAST(n_users AS DOUBLE))
+                           * (1.0 - n_converted / CAST(n_users AS DOUBLE))
+                           / CAST(n_users AS DOUBLE)
+                           + (1.96 * 1.96)
+                             / (4.0 * CAST(n_users AS DOUBLE)
+                                    * CAST(n_users AS DOUBLE)))
+               / (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE)), 6)
+         AS wilson_lo,
+       ROUND(((n_converted / CAST(n_users AS DOUBLE))
+               + (1.96 * 1.96) / (2.0 * CAST(n_users AS DOUBLE)))
+             / (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE))
+             + 1.96 * sqrt((n_converted / CAST(n_users AS DOUBLE))
+                           * (1.0 - n_converted / CAST(n_users AS DOUBLE))
+                           / CAST(n_users AS DOUBLE)
+                           + (1.96 * 1.96)
+                             / (4.0 * CAST(n_users AS DOUBLE)
+                                    * CAST(n_users AS DOUBLE)))
+               / (1.0 + (1.96 * 1.96) / CAST(n_users AS DOUBLE)), 6)
+         AS wilson_hi
+FROM counts ORDER BY variant
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "activity_streaks": QuerySpec(
+        activity_streaks, ORACLE_ACTIVITY_STREAKS, ["§2.8", "A1", "X-ts"]
+    ),
+    "interval_merge_coverage": QuerySpec(
+        interval_merge_coverage, ORACLE_INTERVAL_MERGE, ["§2.8", "A1", "X-ts"]
+    ),
+    "market_basket_lift": QuerySpec(
+        market_basket_lift, ORACLE_MARKET_BASKET, ["A8", "A1", "J1", "T1"]
+    ),
+    "value_histogram": QuerySpec(
+        value_histogram, ORACLE_VALUE_HISTOGRAM, ["A1", "A4", "P15", "X-quality"]
+    ),
+    "ab_conversion_wilson": QuerySpec(
+        ab_conversion_wilson, ORACLE_AB_WILSON, ["A3", "A1", "P15"]
+    ),
+}

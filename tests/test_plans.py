@@ -444,6 +444,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "domain_mixture_resample",
         # 3-row method-flags frame × broadcast 1-row ground-truth stats
         "ann_recall_audit",
+        # 1-row global bounds / totals crossed back onto the fact stream
+        "value_histogram",
+        "market_basket_lift",
     }
     offenders = []
     for name, spec in all_queries().items():
