@@ -546,3 +546,78 @@ def test_sql_udf_inlines_no_python_node(spark, sf_medium):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_streaks_single_entity_exchange_no_join(spark, sf_small):
+    """Gaps-and-islands must be window-shaped: ONE exchange on the
+    entity key feeds the lag pass, the island-id running sum, and
+    (by clustering subsumption) both per-user aggregates — and there
+    is no join node anywhere."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        activity_streaks,
+    )
+
+    plan = plan_of(activity_streaks(spark, sf_small))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_interval_merge_single_key_exchange_no_join(spark, sf_small):
+    """Interval coalescing is the same running-window shape: one
+    customer-key exchange, no interval-pair join."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        interval_merge_coverage,
+    )
+
+    plan = plan_of(interval_merge_coverage(spark, sf_small))
+    assert plan.count("hashpartitioning(o_custkey") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_basket_lift_pairs_generated_not_self_joined(spark, sf_small):
+    """Pair generation must be the JVM-side combination transform
+    (Generate/explode inside the per-order stage), never a lineitem
+    self-join: every join in the plan runs over aggregate-sized
+    frames, so a sort-merge join of two raw lineitem scans would be
+    the quadratic-shape regression this test pins out."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        market_basket_lift,
+    )
+
+    plan = plan_of(market_basket_lift(spark, sf_small))
+    # pair + marginal streams are explode Generates over the
+    # per-order set aggregate, not join outputs
+    assert plan.count("Generate") >= 2, plan
+    # raw-side scans in the formatted (pre-AQE) plan: pairs,
+    # marginals ×2 (deduped by ReuseExchange at runtime), and the
+    # keys-only pruned twin for the global total — never more, i.e.
+    # no lineitem×lineitem join branch exists
+    assert plan.count("Location: InMemoryFileIndex") <= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_value_histogram_prunes_to_price_column(spark, sf_small):
+    """Both the bounds pass and the binning pass must read ONLY
+    o_totalprice — a histogram that drags the full orders schema
+    through its scans is wrong at any scale."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        value_histogram,
+    )
+
+    plan = plan_of(value_histogram(spark, sf_small))
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads, plan
+    for ln in reads:
+        assert "o_totalprice" in ln, ln
+        for unneeded in ("o_orderkey", "o_custkey", "o_orderdate"):
+            assert unneeded not in ln, ln
+
+
+def test_wilson_single_user_exchange(spark, sf_small):
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        ab_conversion_wilson,
+    )
+
+    plan = plan_of(ab_conversion_wilson(spark, sf_small))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan, plan
