@@ -170,6 +170,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "market_basket_lift",
     "value_histogram",
     "ab_conversion_wilson",
+    "lateral_topk_customers",
+    "orc_roundtrip",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

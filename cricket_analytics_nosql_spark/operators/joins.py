@@ -625,6 +625,48 @@ ORDER BY s_suppkey
 """
 
 
+def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (SQL-surface completion): per
+    nation, the top-2 customers by account balance, written as the
+    ANSI ``JOIN LATERAL (... ORDER BY ... LIMIT 2)`` form rather
+    than the window-function form (``window_topk_per_group`` covers
+    that twin).  Exercises Catalyst's DecorrelateInnerQuery /
+    RewriteCorrelatedScalarSubquery path: the planner rewrites the
+    per-row subquery into a set-based join + per-group limit, so
+    execution is one pass over customer, never nation-times-customer
+    re-executions — the property that makes the LATERAL dialect
+    usable at 100 TB.  DuckDB runs the identical statement as the
+    oracle."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "lat_nation"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lat_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM lat_nation n JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM lat_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey
+        """
+    )
+
+
+ORACLE_LATERAL_TOPK = """
+SELECT n.n_name, c.c_custkey, c.c_acctbal
+FROM nation n JOIN LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) c ON TRUE
+ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overlap_join_contracts": QuerySpec(
         overlap_join_contracts, ORACLE_OVERLAP_JOIN, ["J3", "P16", "X-ts"]
@@ -650,4 +692,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "asof_join": QuerySpec(asof_join, ORACLE_ASOF_JOIN, ["X-ts"], bench=True),
     "range_join": QuerySpec(range_join, ORACLE_RANGE_JOIN, []),
+    "lateral_topk_customers": QuerySpec(
+        lateral_topk_customers, ORACLE_LATERAL_TOPK, ["J2", "T1"]
+    ),
 }

@@ -365,6 +365,60 @@ ORDER BY o_orderstatus
 """
 
 
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange path (the other columnar format big Hadoop
+    estates still standardize on): write the lineitem flow to ORC
+    CARRYING A NESTED STRUCT column — the fidelity CSV cannot
+    express — read it back (ORC embeds its schema; no inference
+    pass), and answer a rollup from the copy.  Equality with the
+    oracle over the original parquet proves the columnar round-trip
+    is lossless for bigint, string, nested struct, and
+    double-as-cents.  The write is a narrow pass (no shuffle);
+    the readback aggregate prunes to the rollup columns, including
+    subfield pruning into the struct."""
+    out = os.path.join(tempfile.mkdtemp(prefix="orc_"), "lineitem_orc")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        F.struct("l_quantity", "l_extendedprice", "l_discount").alias(
+            "pricing"
+        ),
+    )
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.round(F.col("pricing.l_quantity") * 100, 0).cast("long")
+            ).alias("qty_c"),
+            F.sum(
+                F.round(
+                    F.col("pricing.l_extendedprice")
+                    * (1 - F.col("pricing.l_discount"))
+                    * 100,
+                    0,
+                ).cast("long")
+            ).alias("revenue_c"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_ORC_ROUNDTRIP = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "csv_roundtrip": QuerySpec(
         csv_roundtrip, ORACLE_CSV_ROUNDTRIP, ["S1", "S4", "A1"]
@@ -377,5 +431,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dpp_partitioned_events": QuerySpec(
         dpp_partitioned_events, ORACLE_DPP_PARTITIONED_EVENTS, ["S5", "J1"]
+    ),
+    "orc_roundtrip": QuerySpec(
+        orc_roundtrip, ORACLE_ORC_ROUNDTRIP, ["S1", "S4", "A1"]
     ),
 }
