@@ -172,6 +172,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "ab_conversion_wilson",
     "lateral_topk_customers",
     "orc_roundtrip",
+    "bpe_vocab_merges",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",
@@ -185,6 +186,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # local imports: keep catalog import cheap and cycle-free
     from cricket_analytics_nosql_spark.operators import (
         analytics,
+        bpe,
         cricket,
         dedup,
         entity,
@@ -224,6 +226,7 @@ def all_queries() -> dict[str, QuerySpec]:
         graph,
         sketches,
         text,
+        bpe,
         sampling,
         dedup,
         entity,

@@ -1,0 +1,170 @@
+"""BPE vocabulary induction — the tokenizer-training half of the
+LLM-data pipeline (the counting half is ``token_count_bpe`` in
+operators/text.py, which applies a FIXED BPE-ish regex; this module
+LEARNS the merge table from the corpus).
+
+Classic byte-pair-encoding training (Sennrich et al. 2016, public
+algorithm): start from characters, repeatedly merge the most
+frequent adjacent symbol pair. The Spark-first shape is the
+word-frequency trick every practical BPE trainer uses: tokenize the
+corpus ONCE into a (distinct word, frequency) table — corpus-sized
+shuffle happens exactly once — then run every merge iteration in
+distinct-word space, which is vocabulary-sized (≈10⁵-10⁷ rows at
+100 TB corpus scale, KB-MB frames locally) no matter how large the
+corpus is.  Each iteration is one explode + one keyed agg over that
+small frame, an O(1) top-1 driver read (the argmax pair becomes a
+literal in the next plan — same whitelisted scalar-read class as
+layout.py's Z-order bounds), and a JVM-side fold that re-segments
+every word, with ``localCheckpoint`` cutting lineage per round
+(the CC/PageRank loop discipline, operators/dedup.py:276).
+
+The merge fold is the standard leftmost-non-overlapping rule:
+scanning left to right, a symbol equal to the pair's right half
+merges into the accumulator's tail iff that tail equals the left
+half — so ``aaa`` under pair (a,a) becomes ``[aa, a]``, exactly the
+reference semantics (pinned against a pure-Python trainer in
+tests/test_bpe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.spec import QuerySpec
+from cricket_analytics_nosql_spark.sources.tables import load_table
+
+END = "</w>"
+
+_PAIRS = (
+    "zip_with(slice(syms, 1, size(syms) - 1),"
+    " slice(syms, 2, size(syms) - 1),"
+    " (a, b) -> struct(a AS a, b AS b))"
+)
+
+# leftmost-non-overlapping merge of pair ('{a}','{b}') into '{ab}',
+# folding over the array expression named by {col}
+_MERGE_FOLD = """
+aggregate({col}, cast(array() as array<string>),
+  (acc, x) -> case
+    when size(acc) > 0 and element_at(acc, -1) = '{a}' and x = '{b}'
+      then concat(slice(acc, 1, size(acc) - 1), array('{ab}'))
+    else concat(acc, array(x))
+  end)
+"""
+
+
+def word_frequencies(docs: DataFrame, max_word_len: int = 24) -> DataFrame:
+    """(word, freq) over lowercase a-z words — the one corpus-sized
+    pass; everything after runs in this distinct-word space."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+        )
+        .filter(
+            (F.length("w") > 0)
+            & (F.length("w") <= max_word_len)
+            & F.col("w").rlike("^[a-z]+$")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_train(
+    spark: SparkSession, docs: DataFrame, n_merges: int = 8
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    (merge_rank, left, right, merged, weighted_count) — the training
+    artifact a tokenizer ships.  Ties on count break lexicographically
+    on (left, right) so training is deterministic across engines,
+    partitionings, and runs."""
+    w_obs = Observation()
+    vocab = (
+        word_frequencies(docs)
+        .observe(w_obs, F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(
+                F.split("w", ""), F.array(F.lit(END))
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    # vocabulary-sized loop frames: size the per-iteration shuffles
+    # from the measured distinct-word count (CC-loop discipline) —
+    # 32 default partitions on KB frames is pure task-launch overhead
+    # locally, and the same formula keeps partitions in-memory at
+    # cluster vocabulary scales.
+    n_words = int(w_obs.get["n"])
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(2, n_words // 100_000))
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (
+                vocab.select(
+                    "freq", F.explode(F.expr(_PAIRS)).alias("p")
+                )
+                .groupBy("p")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("p.a"), F.asc("p.b"))
+                .limit(1)
+                .first()  # O(1): the argmax pair only, never data rows
+            )
+            if top is None:
+                break
+            a, b, cnt = top["p"]["a"], top["p"]["b"], int(top["cnt"])
+            merges.append((rank, a, b, a + b, cnt))
+            vocab = vocab.select(
+                F.expr(
+                    _MERGE_FOLD.format(col="syms", a=a, b=b, ab=a + b)
+                ).alias("syms"),
+                "freq",
+            ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string,"
+        " merged string, weighted_count bigint",
+    )
+
+
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the first 8 learned merges over the documents
+    corpus.  Non-SQL-expressible (iterative argmax); the exact merge
+    table is pinned against a pure-Python reference trainer in
+    tests/test_bpe.py instead of a DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return bpe_train(spark, docs, n_merges=8).orderBy("merge_rank")
+
+
+def bpe_segment(df: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned merge table to a ``text`` column → per-row
+    token arrays, entirely JVM-side: the merge list unrolls into a
+    fixed chain of fold expressions (no Python row path), applied in
+    rank order exactly as at training time."""
+    toks = F.expr(
+        "transform(filter(split(lower(text), '\\\\s+'),"
+        " x -> length(x) > 0 and length(x) <= 24"
+        " and x rlike '^[a-z]+$'),"
+        f" w -> concat(split(w, ''), array('{END}')))"
+    )
+    out = df.withColumn("__words", toks)
+    for a, b in merges:
+        fold = _MERGE_FOLD.format(col="w", a=a, b=b, ab=a + b)
+        out = out.withColumn(
+            "__words",
+            F.expr(f"transform(__words, w -> {fold})"),
+        )
+    return out.withColumn("tokens", F.flatten("__words")).drop("__words")
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "bpe_vocab_merges": QuerySpec(
+        bpe_vocab_merges, None, ["§2.12", "X-text", "A1", "T1"]
+    ),
+}

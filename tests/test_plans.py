@@ -228,6 +228,9 @@ def test_no_driver_side_data_paths():
         ("streaming/events.py", ".first()"),
         # O(1) min/max bounds for Z-order dimension rescaling
         ("operators/layout.py", ".first()"),
+        # O(1) argmax pair per BPE merge iteration (becomes a plan
+        # literal) — never data rows
+        ("operators/bpe.py", ".first()"),
     }
     bad = []
     for sub in ("operators", "plans", "streaming", "functions", "sources"):
