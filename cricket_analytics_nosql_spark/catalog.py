@@ -173,6 +173,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "lateral_topk_customers",
     "orc_roundtrip",
     "bpe_vocab_merges",
+    "asof_join_tolerance",
+    "chi_square_assoc",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

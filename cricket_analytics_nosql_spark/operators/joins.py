@@ -667,6 +667,83 @@ ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey
 """
 
 
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas ``merge_asof``
+    tolerance parity): like ``asof_join``, each purchase matches its
+    most recent preceding click by the same user — but a click more
+    than 1 hour stale does NOT count.  Same single-shuffle union-tag
+    plan (one Exchange(user_id), running ``last(_, ignorenulls)``
+    window, no join node, no per-hot-user pair blowup); the
+    tolerance is a post-window null-out, so adding the bound costs
+    nothing over the unbounded form."""
+    tol_us = 3_600_000_000  # 1 hour in microseconds
+    ev = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        is_purchase.cast("int").alias("tag"),
+        F.when(~is_purchase, F.struct("ts", "value")).alias("click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("tag"), F.asc("value"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fresh = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("last_click.ts").cast("timestamp"))
+    ) <= tol_us
+    return (
+        tagged.withColumn(
+            "last_click", F.last("click", ignorenulls=True).over(w)
+        )
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.when(
+                fresh,
+                F.date_format(
+                    "last_click.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                ),
+            ).alias("last_click_ts"),
+            F.when(fresh, F.col("last_click.value")).alias("click_value"),
+            F.coalesce(fresh, F.lit(False)).alias("within_tolerance"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ASOF_TOLERANCE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id AS c_user, ts AS click_ts, value AS click_value
+  FROM events WHERE event_type = 'click'
+), ranked AS (
+  SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_value,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.click_ts DESC, c.click_value DESC) AS rn
+  FROM purchases p LEFT JOIN clicks c
+    ON p.user_id = c.c_user AND c.click_ts <= p.ts
+), bounded AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) - epoch_us(click_ts) <= 3600000000 AS fresh,
+         click_ts, click_value
+  FROM ranked WHERE rn = 1
+)
+SELECT event_id, user_id,
+       CASE WHEN fresh THEN strftime(click_ts, '%Y-%m-%d %H:%M:%S.%f')
+            END AS last_click_ts,
+       CASE WHEN fresh THEN click_value END AS click_value,
+       COALESCE(fresh, FALSE) AS within_tolerance
+FROM bounded ORDER BY event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "overlap_join_contracts": QuerySpec(
         overlap_join_contracts, ORACLE_OVERLAP_JOIN, ["J3", "P16", "X-ts"]
@@ -694,5 +771,8 @@ QUERIES: dict[str, QuerySpec] = {
     "range_join": QuerySpec(range_join, ORACLE_RANGE_JOIN, []),
     "lateral_topk_customers": QuerySpec(
         lateral_topk_customers, ORACLE_LATERAL_TOPK, ["J2", "T1"]
+    ),
+    "asof_join_tolerance": QuerySpec(
+        asof_join_tolerance, ORACLE_ASOF_TOLERANCE, ["X-ts", "§2.8"]
     ),
 }

@@ -413,6 +413,76 @@ FROM counts ORDER BY variant
 """
 
 
+def chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence over the event_type × variant
+    contingency table — the categorical sibling of the Wilson
+    readout (is behavior independent of assignment?).  The fact
+    stream collapses to the O(|types| × 2)-row contingency table in
+    one keyed agg; expected counts, per-cell contributions, and the
+    global statistic are then window arithmetic over that METADATA-
+    sized frame (the unpartitioned total window is over ≤12 rows by
+    construction — never the fact).  Identical expression trees on
+    both engines; 6-dp rounding on top of exact integer marginals.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.pmod("user_id", F.lit(2)).alias("variant")
+    )
+    cells = ev.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("variant")
+    w_all = Window.partitionBy()
+    with_tot = cells.select(
+        "event_type",
+        "variant",
+        "observed",
+        F.sum("observed").over(w_row).alias("row_tot"),
+        F.sum("observed").over(w_col).alias("col_tot"),
+        F.sum("observed").over(w_all).alias("n"),
+    )
+    expected = (F.col("row_tot") * F.col("col_tot")) / F.col("n")
+    contrib = (
+        (F.col("observed") - expected)
+        * (F.col("observed") - expected)
+        / expected
+    )
+    return (
+        with_tot.select(
+            "event_type",
+            "variant",
+            "observed",
+            F.round(expected, 6).alias("expected"),
+            F.round(contrib, 6).alias("contrib"),
+            F.round(F.sum(contrib).over(w_all), 6).alias("chi2_total"),
+        )
+        .orderBy("event_type", "variant")
+    )
+
+
+ORACLE_CHI_SQUARE = """
+WITH cells AS (
+  SELECT event_type, user_id % 2 AS variant, COUNT(*) AS observed
+  FROM events GROUP BY event_type, user_id % 2
+), tot AS (
+  SELECT event_type, variant, observed,
+         SUM(observed) OVER (PARTITION BY event_type) AS row_tot,
+         SUM(observed) OVER (PARTITION BY variant) AS col_tot,
+         SUM(observed) OVER () AS n
+  FROM cells
+)
+SELECT event_type, variant, observed,
+       ROUND((row_tot * col_tot) / n, 6) AS expected,
+       ROUND((observed - (row_tot * col_tot) / n)
+             * (observed - (row_tot * col_tot) / n)
+             / ((row_tot * col_tot) / n), 6) AS contrib,
+       ROUND(SUM((observed - (row_tot * col_tot) / n)
+                 * (observed - (row_tot * col_tot) / n)
+                 / ((row_tot * col_tot) / n)) OVER (), 6) AS chi2_total
+FROM tot ORDER BY event_type, variant
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "activity_streaks": QuerySpec(
         activity_streaks, ORACLE_ACTIVITY_STREAKS, ["§2.8", "A1", "X-ts"]
@@ -428,5 +498,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ab_conversion_wilson": QuerySpec(
         ab_conversion_wilson, ORACLE_AB_WILSON, ["A3", "A1", "P15"]
+    ),
+    "chi_square_assoc": QuerySpec(
+        chi_square_assoc, ORACLE_CHI_SQUARE, ["A1", "§2.8", "P15"]
     ),
 }
