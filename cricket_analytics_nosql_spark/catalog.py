@@ -110,7 +110,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 # INACTIVE until a green round lands for _WINDOW_PRIORITY (see TODO
 # above). Order: late-r3 analytics/joins/graph first, then
 # LLM/training, versioning/quality, pipeline/front-end, streaming,
-# then the round-4 additions; canaries last.
+# then the round-4 additions; canaries last.  NOTE: this list now
+# exceeds the driver's 50-entry gate — entries past position 50
+# (late round-4 additions + canaries) simply rotate into the
+# round-AFTER-next's window; nothing is lost, coverage of
+# never-driver-checked queries just takes one extra round.
 _NEXT_WINDOW: tuple[str, ...] = (
     "market_share",
     "cohort_retention",
