@@ -179,6 +179,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "bpe_vocab_merges",
     "asof_join_tolerance",
     "chi_square_assoc",
+    "cms_user_counts",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

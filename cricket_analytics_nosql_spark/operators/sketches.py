@@ -27,7 +27,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
@@ -147,8 +147,132 @@ def misra_gries_summary(df: DataFrame, col: str, k: int) -> DataFrame:
     )
 
 
+CMS_D = 4  # hash rows
+CMS_W = 512  # buckets per row
+
+
+def _cms_bucket(key: Column, i: int, w: int = CMS_W) -> Column:
+    """Deterministic bucket for hash row ``i``: first 8 hex chars of
+    md5(key '#' i) mod W.  md5 is the one keyed hash BOTH engines
+    (and any other SQL engine) compute bit-identically, which is
+    what makes the whole sketch — not just the estimates' bounds —
+    exactly oracle-checkable."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(f"#{i}")))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % w
+    ).alias(f"b{i}")
+
+
+def cms_build(
+    df: DataFrame, key: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Count-Min sketch of a key column: a (hash_row, bucket, cnt)
+    table of AT MOST D×W rows no matter the input size.  The build
+    is one map-side explode (D rows per input row) into a keyed agg
+    — partial aggregation collapses each task's contribution to
+    ≤ D×W counters before the exchange, so the shuffle carries
+    O(tasks · D · W) rows at any corpus scale, and the finished
+    sketch broadcasts anywhere."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    _cms_bucket(F.col(key), i, w).alias("b"),
+                )
+                for i in range(d)
+            ]
+        )
+    ).alias("hb")
+    return (
+        df.select(rows)
+        .groupBy(F.col("hb.i").alias("i"), F.col("hb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: CMS estimates next to exact counts for the top
+    event users.  The estimate is min over the key's D buckets —
+    probes explode to (key, i, b), broadcast-join the D×W sketch,
+    and take the group min; the CMS guarantee (estimate never below
+    the true count) ships as an audited column and is pinned always-
+    true in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    sketch = cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket(F.col("user_id"), i).alias("b"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("hb"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(sketch),
+            (F.col("hb.i") == F.col("i")) & (F.col("hb.b") == F.col("b")),
+        )
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias(
+                "never_undercounts"
+            ),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+ORACLE_CMS_USER_COUNTS = """
+WITH ev AS (
+  SELECT user_id FROM events
+), hashed AS (
+  SELECT user_id, i.i AS i,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || i.i),
+                              1, 8)) AS BIGINT) % 512 AS b
+  FROM ev CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+), sketch AS (
+  SELECT i, b, COUNT(*) AS cnt FROM hashed GROUP BY i, b
+), exact AS (
+  SELECT user_id, COUNT(*) AS exact_cnt FROM ev GROUP BY user_id
+), probes AS (
+  SELECT e.user_id, e.exact_cnt, i.i AS i,
+         CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || '#' || i.i),
+                              1, 8)) AS BIGINT) % 512 AS b
+  FROM exact e CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+), est AS (
+  SELECT p.user_id, p.exact_cnt, MIN(s.cnt) AS cms_est
+  FROM probes p JOIN sketch s ON p.i = s.i AND p.b = s.b
+  GROUP BY p.user_id, p.exact_cnt
+)
+SELECT user_id, exact_cnt, cms_est,
+       cms_est >= exact_cnt AS never_undercounts
+FROM est
+ORDER BY exact_cnt DESC, user_id ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "heavy_hitters": QuerySpec(
         heavy_hitters, ORACLE_HEAVY_HITTERS, ["A1", "A6", "X-curation"]
+    ),
+    "cms_user_counts": QuerySpec(
+        cms_user_counts, ORACLE_CMS_USER_COUNTS, ["A1", "J1", "X-curation"]
     ),
 }

@@ -75,3 +75,86 @@ def test_snapshot_diff_null_keys(spark):
         (2, "removed"),
         (3, "added"),
     }
+
+
+def test_cms_never_undercounts_any_key(spark, sf_small):
+    """The Count-Min guarantee must hold for EVERY key, not just the
+    top-20 the driver query returns."""
+    import pyspark.sql.functions as F
+
+    from cricket_analytics_nosql_spark.operators.sketches import (
+        _cms_bucket,
+        cms_build,
+        CMS_D,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events").select("user_id")
+    sketch = cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    probes = exact.select(
+        "user_id",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket(F.col("user_id"), i).alias("b"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("hb"),
+    )
+    est = (
+        probes.join(
+            sketch,
+            (F.col("hb.i") == F.col("i")) & (F.col("hb.b") == F.col("b")),
+        )
+        .groupBy("user_id", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    assert est.filter(F.col("est") < F.col("exact")).count() == 0
+
+
+def test_cms_tiny_width_overcounts_but_never_under(spark, sf_small):
+    """Force collisions (w=2): estimates must strictly exceed exact
+    for some keys (collisions happened) yet never undercount."""
+    import pyspark.sql.functions as F
+
+    from cricket_analytics_nosql_spark.operators.sketches import (
+        _cms_bucket,
+        cms_build,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events").select("user_id")
+    sketch = cms_build(ev, "user_id", d=2, w=2)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    probes = exact.select(
+        "user_id",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_bucket(F.col("user_id"), i, 2).alias("b"),
+                    )
+                    for i in range(2)
+                ]
+            )
+        ).alias("hb"),
+    )
+    est = (
+        probes.join(
+            sketch,
+            (F.col("hb.i") == F.col("i")) & (F.col("hb.b") == F.col("b")),
+        )
+        .groupBy("user_id", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    rows = est.collect()
+    assert all(r.est >= r.exact for r in rows)
+    assert any(r.est > r.exact for r in rows)
