@@ -180,6 +180,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "asof_join_tolerance",
     "chi_square_assoc",
     "cms_user_counts",
+    "training_pipeline_e2e",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

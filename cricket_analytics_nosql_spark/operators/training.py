@@ -311,6 +311,110 @@ def export_jsonl_shards(
     )
 
 
+def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole prep pipeline as ONE declarative plan — quality
+    filter → exact dedup → train/val/test split → sequence packing →
+    per-(split, lang) audit — composed from this repo's stage
+    primitives and submitted as a single DataFrame, which is the
+    actual way a user runs corpus prep: Catalyst sees every stage at
+    once, so the text column is read exactly once, the quality
+    filter reaches the scan, and the dedup shuffle feeds packing
+    without re-materialization.  Every stage here is deterministic,
+    so the END-TO-END composition hash-matches one SQL oracle — the
+    strongest pipeline-level check available (stage-level twins:
+    ``text_quality_scores``, ``dedup_exact``,
+    ``train_val_test_split``, ``pack_sequences``)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    base = docs.withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    ).filter(
+        (F.col("n_chars") >= 50)
+        & (F.col("n_chars") <= 5000)
+        & (F.col("n_tokens") >= 10)
+    )
+    hashed = base.withColumn("h", F.md5("text"))
+    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    deduped = hashed.join(keep, ["h", "doc_id"], "leftsemi")
+    staged = deduped.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        split_column(F.col("doc_id")).alias("split"),
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+    )
+    packed = pack_sequences_assign(
+        staged, ["split", "lang", "shard"], "doc_id", "n_tokens", PACK_BUDGET
+    )
+    per_stream = packed.groupBy("split", "lang", "shard").agg(
+        (F.max("seq_no") + 1).alias("n_seqs"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_toks"),
+        F.sum("overflows").alias("n_overflow"),
+    )
+    return (
+        per_stream.groupBy("split", "lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_seqs").alias("n_sequences"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_overflow").alias("n_overflow_docs"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+ORACLE_TRAINING_PIPELINE = f"""
+WITH base AS (
+  SELECT doc_id, lang, text, n_chars,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+  WHERE n_chars >= 50 AND n_chars <= 5000
+    AND len(string_split(text, ' ')) >= 10
+), keep AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+  FROM base GROUP BY md5(text)
+), dedup AS (
+  SELECT b.doc_id, b.lang, b.n_tokens
+  FROM base b JOIN keep k
+    ON md5(b.text) = k.h AND b.doc_id = k.doc_id
+), staged AS (
+  SELECT doc_id, lang, n_tokens,
+         CASE WHEN doc_id % {SPLIT_DENOM} < {TRAIN_LT} THEN 'train'
+              WHEN doc_id % {SPLIT_DENOM} < {VAL_LT} THEN 'val'
+              ELSE 'test' END AS split,
+         doc_id % {PACK_SHARDS} AS shard
+  FROM dedup
+), cum AS (
+  SELECT split, lang, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY split, lang, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM staged
+), seqs AS (
+  SELECT split, lang, shard,
+         CAST(FLOOR(cum_before / {PACK_BUDGET}) AS BIGINT) AS seq_no,
+         n_tokens,
+         CASE WHEN cum_before + n_tokens >
+              (FLOOR(cum_before / {PACK_BUDGET}) + 1) * {PACK_BUDGET}
+          THEN 1 ELSE 0 END AS overflow
+  FROM cum
+), per_stream AS (
+  SELECT split, lang, shard, MAX(seq_no) + 1 AS n_seqs,
+         COUNT(*) AS n_docs, SUM(n_tokens) AS n_toks,
+         SUM(overflow) AS n_overflow
+  FROM seqs GROUP BY split, lang, shard
+)
+SELECT split, lang,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_seqs) AS BIGINT) AS n_sequences,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_overflow) AS BIGINT) AS n_overflow_docs
+FROM per_stream GROUP BY split, lang ORDER BY split, lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "train_val_test_split": QuerySpec(
         train_val_test_split, ORACLE_TRAIN_VAL_TEST_SPLIT, ["X-training"]
@@ -323,5 +427,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "corpus_shuffle": QuerySpec(
         corpus_shuffle, ORACLE_CORPUS_SHUFFLE, ["X-training", "T3"]
+    ),
+    "training_pipeline_e2e": QuerySpec(
+        training_pipeline_e2e,
+        ORACLE_TRAINING_PIPELINE,
+        ["X-training", "X-dedup", "X-curation", "A9", "§2.8"],
     ),
 }
