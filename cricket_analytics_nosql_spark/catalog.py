@@ -181,6 +181,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "chi_square_assoc",
     "cms_user_counts",
     "training_pipeline_e2e",
+    "rolling_median_revenue",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

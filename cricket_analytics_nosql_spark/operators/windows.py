@@ -345,7 +345,66 @@ ORDER BY o_orderpriority, o_orderkey
 """
 
 
+def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day EXACT median of daily revenue — the robust
+    trend line dashboards want where the mean is outlier-hostage.
+    Spark has no median over a window frame (analysis error), so the
+    engine composes it: ``collect_list`` over a RANGE frame on the
+    day key, ``array_sort``, and closed-form middle selection — all
+    JVM-side.  The frame is BOUNDED by construction (≤7 day-rollup
+    rows), so the per-row array never grows with data volume; and
+    the unpartitioned window runs over the DAY-level rollup, whose
+    cardinality is calendar time, not corpus size — the same
+    fact-never-enters-a-global-window rule as `chi_square_assoc`.
+    DuckDB's native windowed ``median`` (avg-of-middles on even
+    counts — the same formula) is the oracle."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            ).alias("day"),
+            cents(F.col("o_totalprice")).alias("price_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("price_c").alias("rev_c"))
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    vals = F.array_sort(F.collect_list("rev_c").over(w))
+    n = F.size(vals)
+    odd = F.element_at(vals, ((n + 1) / 2).cast("int")).cast("double")
+    even = (
+        F.element_at(vals, (n / 2).cast("int"))
+        + F.element_at(vals, (n / 2).cast("int") + 1)
+    ) / 2.0
+    med_c = F.when(n % 2 == 1, odd).otherwise(even)
+    return daily.select(
+        "day",
+        dollars(F.col("rev_c")).alias("revenue"),
+        F.round(med_c / 100.0, 6).alias("median_7d"),
+    ).orderBy("day")
+
+
+ORACLE_ROLLING_MEDIAN = """
+WITH daily AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY day
+)
+SELECT day, rev_c / 100.0 AS revenue,
+       ROUND(median(rev_c) OVER (ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 6)
+         AS median_7d
+FROM daily ORDER BY day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "rolling_median_revenue": QuerySpec(
+        rolling_median_revenue, ORACLE_ROLLING_MEDIAN, ["§2.8", "X-ts", "A1"]
+    ),
     "window_distribution_ranks": QuerySpec(
         window_distribution_ranks, ORACLE_WINDOW_DISTRIBUTION_RANKS, ["§2.8"]
     ),
