@@ -317,9 +317,12 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(split, lang) audit — composed from this repo's stage
     primitives and submitted as a single DataFrame, which is the
     actual way a user runs corpus prep: Catalyst sees every stage at
-    once, so the text column is read exactly once, the quality
-    filter reaches the scan, and the dedup shuffle feeds packing
-    without re-materialization.  Every stage here is deterministic,
+    once, so the text column is read exactly once (the dedup is a
+    window-min over the content hash, not the groupBy+semi-join
+    twin that would scan text twice — verified one FileScan in the
+    final plan), the quality filter reaches the scan, and the dedup
+    shuffle feeds packing without re-materialization.  Every stage
+    here is deterministic,
     so the END-TO-END composition hash-matches one SQL oracle — the
     strongest pipeline-level check available (stage-level twins:
     ``text_quality_scores``, ``dedup_exact``,
@@ -334,9 +337,13 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_chars") <= 5000)
         & (F.col("n_tokens") >= 10)
     )
-    hashed = base.withColumn("h", F.md5("text"))
-    keep = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    deduped = hashed.join(keep, ["h", "doc_id"], "leftsemi")
+    hashed = base.withColumn("h", F.md5("text")).drop("text")
+    w_h = Window.partitionBy("h")
+    deduped = (
+        hashed.withColumn("__keep", F.min("doc_id").over(w_h))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep", "h")
+    )
     staged = deduped.select(
         "doc_id",
         "lang",

@@ -624,3 +624,19 @@ def test_wilson_single_user_exchange(spark, sf_small):
     plan = plan_of(ab_conversion_wilson(spark, sf_small))
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_e2e_pipeline_single_document_scan(spark, sf_small):
+    """The composed prep pipeline must read documents ONCE: the
+    dedup stage is a window-min over the content hash, not a
+    groupBy+semi-join (which would scan the text column twice)."""
+    import re
+
+    from cricket_analytics_nosql_spark.operators.training import (
+        training_pipeline_e2e,
+    )
+
+    plan = plan_of(training_pipeline_e2e(spark, sf_small))
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+    assert "Join" not in plan, plan
