@@ -182,6 +182,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "cms_user_counts",
     "training_pipeline_e2e",
     "rolling_median_revenue",
+    "boilerplate_chunks",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

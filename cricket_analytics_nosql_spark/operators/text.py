@@ -797,7 +797,72 @@ ORDER BY doc_id, chunk_index
 """
 
 
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection at CHUNK granularity — the corpus-
+    hygiene pass that catches template headers/footers exact-doc
+    dedup cannot see (the documents differ, the passage repeats):
+    chunk every document (``chunk_documents`` — narrow, scan-bound),
+    hash each chunk, and surface hashes appearing in ≥2 DISTINCT
+    documents.  One wide shuffle on the chunk hash whose input is
+    the chunked stream; count-distinct over doc_id is exact (the
+    per-hash doc set is the quantity curation acts on).  Composition
+    demo: the chunking and dedup primitives are the same ones
+    `doc_chunking` / `dedup_exact` drive standalone."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = chunk_documents(docs).select(
+        "doc_id",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+    )
+    return (
+        hashed.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("chunk_len").alias("chunk_len"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "chunk_hash")
+        .limit(20)
+    )
+
+
+ORACLE_BOILERPLATE_CHUNKS = f"""
+WITH c AS (
+    SELECT doc_id,
+           unnest(generate_series(0, (length(text) - 1) // {CHUNK_STRIDE}))
+               AS chunk_index,
+           text
+    FROM documents
+    WHERE length(text) > 0
+), h AS (
+    SELECT doc_id,
+           md5(substr(text, chunk_index * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}))
+               AS chunk_hash,
+           CAST(length(substr(text, chunk_index * {CHUNK_STRIDE} + 1,
+                              {CHUNK_SIZE})) AS BIGINT) AS chunk_len
+    FROM c
+)
+SELECT chunk_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MAX(chunk_len) AS chunk_len,
+       MIN(doc_id) AS first_doc_id
+FROM h
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "boilerplate_chunks": QuerySpec(
+        boilerplate_chunks,
+        ORACLE_BOILERPLATE_CHUNKS,
+        ["X-text", "X-dedup", "X-curation", "A1", "A6"],
+    ),
     "doc_chunking": QuerySpec(
         doc_chunking, ORACLE_DOC_CHUNKING, ["X-text", "X-curation", "F1"]
     ),
