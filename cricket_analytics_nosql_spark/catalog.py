@@ -183,6 +183,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "training_pipeline_e2e",
     "rolling_median_revenue",
     "boilerplate_chunks",
+    "weighted_sample_docs",
+    "rfm_segments",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

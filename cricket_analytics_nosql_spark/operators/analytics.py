@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cricket_analytics_nosql_spark.functions.scalar import dollars, revenue_cents
+from cricket_analytics_nosql_spark.functions.scalar import cents, dollars, revenue_cents
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.sources.tables import load_table
 
@@ -513,7 +513,104 @@ ORDER BY p_brand, p_retailprice, p_size, p_partkey
 """
 
 
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles) — the canonical CRM rollup.  The textbook form is
+    three global ``ntile(5)`` windows, which is a single-partition
+    sort over every customer; this plan replaces each with an exact
+    quintile-boundary aggregate (``F.percentile`` ≙ DuckDB
+    ``quantile_cont``, one O(1)-row frame broadcast back) and pure
+    comparison binning — no global sort anywhere, the same
+    bounds-broadcast shape as `value_histogram`.  Integer metrics
+    (epoch day, count, cents) keep every comparison exact; ties
+    land in the same bin on both engines by construction rather
+    than by sort-order luck, which is also why the boundary form is
+    MORE deterministic than ntile (whose tie placement is
+    order-dependent)."""
+    qs = [0.2, 0.4, 0.6, 0.8]
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            ).alias("day"),
+            cents(F.col("o_totalprice")).alias("price_c"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max("day").alias("recency_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("price_c").alias("monetary_c"),
+        )
+    )
+    bounds = per_cust.agg(
+        F.percentile("recency_day", F.array(*[F.lit(q) for q in qs])).alias("rq"),
+        F.percentile("frequency", F.array(*[F.lit(q) for q in qs])).alias("fq"),
+        F.percentile("monetary_c", F.array(*[F.lit(q) for q in qs])).alias("mq"),
+    )
+
+    def score(col: str, arr: str):
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + (F.col(col) > F.element_at(F.col(arr), i)).cast("int")
+        return s
+
+    scored = per_cust.crossJoin(F.broadcast(bounds)).select(
+        "monetary_c",
+        (
+            score("recency_day", "rq") * 100
+            + score("frequency", "fq") * 10
+            + score("monetary_c", "mq")
+        ).alias("segment"),
+    )
+    return (
+        scored.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("monetary_c") / 100.0, 4).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+                  AS BIGINT)) AS recency_day,
+         COUNT(*) AS frequency,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_c
+  FROM orders GROUP BY o_custkey
+), q AS (
+  SELECT quantile_cont(recency_day, [0.2, 0.4, 0.6, 0.8]) AS rq,
+         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fq,
+         quantile_cont(monetary_c, [0.2, 0.4, 0.6, 0.8]) AS mq
+  FROM per_cust
+), scored AS (
+  SELECT monetary_c,
+         (1 + CAST(recency_day > rq[1] AS INT) + CAST(recency_day > rq[2] AS INT)
+            + CAST(recency_day > rq[3] AS INT) + CAST(recency_day > rq[4] AS INT))
+           * 100
+         + (1 + CAST(frequency > fq[1] AS INT) + CAST(frequency > fq[2] AS INT)
+              + CAST(frequency > fq[3] AS INT) + CAST(frequency > fq[4] AS INT))
+           * 10
+         + (1 + CAST(monetary_c > mq[1] AS INT) + CAST(monetary_c > mq[2] AS INT)
+              + CAST(monetary_c > mq[3] AS INT) + CAST(monetary_c > mq[4] AS INT))
+           AS segment
+  FROM per_cust CROSS JOIN q
+)
+SELECT segment, COUNT(*) AS n_customers,
+       ROUND(AVG(monetary_c) / 100.0, 4) AS avg_monetary
+FROM scored GROUP BY segment ORDER BY segment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "rfm_segments": QuerySpec(
+        rfm_segments, ORACLE_RFM_SEGMENTS, ["A1", "A4", "P15", "J1"]
+    ),
     "pareto_parts": QuerySpec(
         pareto_parts, ORACLE_PARETO_PARTS, ["P16", "A1", "§2.8"]
     ),

@@ -209,7 +209,62 @@ ORDER BY b.source
 """
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement (Efraimidis-
+    Spirakis A-Res), fully deterministic: each doc draws a uniform
+    u ∈ [0,1) from the md5 of its key (the one hash both engines
+    compute bit-identically), gets priority u^(1/w) with w = n_chars,
+    and the k largest priorities win — longer documents
+    proportionally more likely, yet the sample is reproducible
+    across engines, partitionings, and reruns (no RNG state).
+    Priorities are rounded at 9 dp because ``pow`` is not required
+    to be correctly rounded — JVM Math.pow (fdlibm) and C libm may
+    differ in the last ulp; 9 dp gives both engines headroom.
+
+    Plan: priority is a scan-stage expression; the top-k is a
+    TakeOrderedAndProject, so nothing ever shuffles but k rows per
+    partition.  The classic streaming/distributed weighted-reservoir
+    result, as one declarative expression."""
+    k = 50
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ws#"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    priority = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(priority, 9).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+SELECT doc_id, source, n_chars,
+       ROUND(pow(CAST(('0x' || substr(md5('ws#' || CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) / 4294967296.0,
+                 1.0 / n_chars), 9) AS priority
+FROM documents
+ORDER BY priority DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "weighted_sample_docs": QuerySpec(
+        weighted_sample_docs, ORACLE_WEIGHTED_SAMPLE, ["X-curation", "T1"]
+    ),
     "domain_cap_sample": QuerySpec(
         domain_cap_sample, ORACLE_DOMAIN_CAP, ["X-curation", "§2.8", "T4"]
     ),

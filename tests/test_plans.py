@@ -450,6 +450,7 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # 1-row global bounds / totals crossed back onto the fact stream
         "value_histogram",
         "market_basket_lift",
+        "rfm_segments",
     }
     offenders = []
     for name, spec in all_queries().items():
