@@ -185,6 +185,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "boilerplate_chunks",
     "weighted_sample_docs",
     "rfm_segments",
+    "revenue_growth_wow",
+    "topk_with_ties",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

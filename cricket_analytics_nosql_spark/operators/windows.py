@@ -401,7 +401,92 @@ FROM daily ORDER BY day
 """
 
 
+def revenue_growth_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth — the reporting staple: weekly
+    revenue rollup (Monday-aligned epoch-day week ids, the
+    `cohort_retention` convention), previous week via ``lag`` and
+    the percent change in one pass.  The lag window runs over the
+    WEEK-level rollup (calendar-bounded cardinality), never the
+    fact; growth is null for the first week rather than a
+    divide-by-zero."""
+    weekly = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (
+                F.unix_micros(
+                    F.date_trunc(
+                        "week", F.col("o_orderdate").cast("timestamp")
+                    )
+                )
+                / F.lit(86_400_000_000)
+            )
+            .cast("long")
+            .alias("week_day"),
+            cents(F.col("o_totalprice")).alias("price_c"),
+        )
+        .groupBy("week_day")
+        .agg(F.sum("price_c").alias("rev_c"))
+    )
+    w = Window.orderBy("week_day")
+    prev = F.lag("rev_c").over(w)
+    return weekly.select(
+        "week_day",
+        dollars(F.col("rev_c")).alias("revenue"),
+        F.round(
+            (F.col("rev_c") - prev) * 100.0 / prev, 6
+        ).alias("growth_pct"),
+    ).orderBy("week_day")
+
+
+ORACLE_REVENUE_GROWTH_WOW = """
+WITH weekly AS (
+  SELECT CAST(epoch_us(CAST(date_trunc('week', o_orderdate) AS TIMESTAMP))
+              // 86400000000 AS BIGINT) AS week_day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY week_day
+)
+SELECT week_day, rev_c / 100.0 AS revenue,
+       ROUND((rev_c - LAG(rev_c) OVER (ORDER BY week_day)) * 100.0
+             / LAG(rev_c) OVER (ORDER BY week_day), 6) AS growth_pct
+FROM weekly ORDER BY week_day
+"""
+
+
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (`RANK() <= k`) — the semantics LIMIT cannot
+    express: every part tied at the boundary retail price survives,
+    so the result is a function of the DATA alone, not of sort-order
+    luck.  Per brand, all parts ranked ≤ 3 by price descending.
+    WindowGroupLimit pushes the rank filter below the full sort, so
+    each partition keeps O(k + ties) rows."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice"
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        part.withColumn("price_rank", F.rank().over(w))
+        .filter(F.col("price_rank") <= 3)
+        .orderBy("p_brand", "price_rank", "p_partkey")
+    )
+
+
+ORACLE_TOPK_WITH_TIES = """
+SELECT p_brand, p_partkey, p_retailprice,
+       RANK() OVER (PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC) AS price_rank
+FROM part
+QUALIFY price_rank <= 3
+ORDER BY p_brand, price_rank, p_partkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "revenue_growth_wow": QuerySpec(
+        revenue_growth_wow, ORACLE_REVENUE_GROWTH_WOW, ["§2.8", "X-ts", "A1"]
+    ),
+    "topk_with_ties": QuerySpec(
+        topk_with_ties, ORACLE_TOPK_WITH_TIES, ["§2.8", "T1"]
+    ),
     "rolling_median_revenue": QuerySpec(
         rolling_median_revenue, ORACLE_ROLLING_MEDIAN, ["§2.8", "X-ts", "A1"]
     ),
