@@ -187,6 +187,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "rfm_segments",
     "revenue_growth_wow",
     "topk_with_ties",
+    "event_trigrams",
+    "source_drift_cosine",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

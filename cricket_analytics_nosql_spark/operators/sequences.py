@@ -483,7 +483,141 @@ FROM tot ORDER BY event_type, variant
 """
 
 
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, smallest useful form: the most
+    common 3-event behavior sequences (trigrams) across users — the
+    path-analysis primitive behind "what do users do before
+    purchasing".  Two ``lead``s over one user-key exchange build
+    each user's sliding trigram window; patterns whose windows span
+    users are impossible by construction (lead returns null past
+    the partition end, and null-completed trigrams are dropped).
+    Counting is a map-combined agg over the tiny pattern space.
+    Ties break lexicographically so top-20 is deterministic."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("pattern"),
+        F.lead("event_type", 2).over(w).alias("__third"),
+    ).filter(F.col("__third").isNotNull())
+    return (
+        tri.groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pattern")
+        .limit(20)
+    )
+
+
+ORACLE_EVENT_TRIGRAMS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS pattern,
+       COUNT(*) AS n_occurrences
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY pattern
+ORDER BY n_occurrences DESC, pattern
+LIMIT 20
+"""
+
+
+def source_drift_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift detection: pairwise cosine similarity between
+    the char-bigram count profiles of every source pair — the QA
+    readout that catches a scrape gone wrong or cross-source
+    contamination before training does.  Profiles are integer
+    bigram counts (one narrow explode + keyed agg); the pairwise
+    dot products come from an INVERTED-INDEX self-join on the
+    bigram key — cost scales with shared vocabulary, never
+    |sources|² × |vocab| — and norms join in from a per-source
+    aggregate.  |sources|-sized output."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    grams = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("g"),
+    )
+    prof = grams.groupBy("source", "g").agg(F.count(F.lit(1)).alias("c"))
+    norms = prof.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("norm")
+    )
+    a = prof.select(
+        F.col("source").alias("s1"), "g", F.col("c").alias("c1")
+    )
+    b = prof.select(
+        F.col("source").alias("s2"), "g", F.col("c").alias("c2")
+    )
+    dots = (
+        a.join(b, "g")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.sum(F.col("c1") * F.col("c2")).alias("dot"))
+    )
+    n1 = norms.select(F.col("source").alias("s1"), F.col("norm").alias("n1"))
+    n2 = norms.select(F.col("source").alias("s2"), F.col("norm").alias("n2"))
+    return (
+        dots.join(n1, "s1")
+        .join(n2, "s2")
+        .select(
+            "s1",
+            "s2",
+            F.round(F.col("dot") / (F.col("n1") * F.col("n2")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+ORACLE_SOURCE_DRIFT = """
+WITH grams AS (
+  SELECT source,
+         substr(text, CAST(i.i AS INT), 2) AS g
+  FROM documents
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, length(text) - 1)) AS i
+  ) i
+), prof AS (
+  SELECT source, g, COUNT(*) AS c FROM grams GROUP BY source, g
+), norms AS (
+  SELECT source, sqrt(SUM(c * c)) AS norm FROM prof GROUP BY source
+), dots AS (
+  SELECT a.source AS s1, b.source AS s2, SUM(a.c * b.c) AS dot
+  FROM prof a JOIN prof b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s1, s2, ROUND(dot / (x.norm * y.norm), 6) AS cosine
+FROM dots
+JOIN norms x ON x.source = s1
+JOIN norms y ON y.source = s2
+ORDER BY s1, s2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "event_trigrams": QuerySpec(
+        event_trigrams, ORACLE_EVENT_TRIGRAMS, ["§2.8", "A1", "T1", "X-ts"]
+    ),
+    "source_drift_cosine": QuerySpec(
+        source_drift_cosine,
+        ORACLE_SOURCE_DRIFT,
+        ["X-text", "X-quality", "A1", "J3"],
+    ),
     "activity_streaks": QuerySpec(
         activity_streaks, ORACLE_ACTIVITY_STREAKS, ["§2.8", "A1", "X-ts"]
     ),
