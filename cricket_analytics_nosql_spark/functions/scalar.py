@@ -20,6 +20,34 @@ def cents(col: Column | str) -> Column:
     return F.round(c * 100, 0).cast("long")
 
 
+def epoch_day(col: Column | str) -> Column:
+    """Whole days since epoch from a timestamp(_ntz) column — the
+    engine's one day-id convention, twinned with the oracle's
+    ``epoch_us(...) // 86400000000``. Every query that buckets by
+    day must use this helper so the convention has exactly one
+    Spark-side spelling."""
+    name = col if isinstance(col, str) else None
+    if name is None:
+        return (
+            F.unix_micros(col.cast("timestamp")) / F.lit(86_400_000_000)
+        ).cast("long")
+    return F.expr(
+        f"unix_micros(cast({name} as timestamp)) div 86400000000"
+    )
+
+
+def md5_u32(key: Column, salt: str = "") -> Column:
+    """Deterministic 32-bit uint from md5(salt || key) — the one
+    keyed hash Spark and DuckDB (and any SQL engine) compute
+    bit-identically, twinned with the oracle idiom
+    ``CAST(('0x' || substr(md5(...), 1, 8)) AS BIGINT)``. The basis
+    for cross-engine-reproducible sampling and sketches."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string"))) if salt else F.md5(
+        key.cast("string")
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
 def dollars(cents_col: Column | str) -> Column:
     """Exact cents total back to a double dollar amount (post-agg)."""
     c = F.col(cents_col) if isinstance(cents_col, str) else cents_col

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cricket_analytics_nosql_spark.functions.scalar import cents, dollars, revenue_cents
+from cricket_analytics_nosql_spark.functions.scalar import cents, dollars, epoch_day, revenue_cents
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.sources.tables import load_table
 
@@ -532,10 +532,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .select(
             "o_custkey",
-            F.expr(
-                "unix_micros(cast(o_orderdate as timestamp))"
-                " div 86400000000"
-            ).alias("day"),
+            epoch_day("o_orderdate").alias("day"),
             cents(F.col("o_totalprice")).alias("price_c"),
         )
         .groupBy("o_custkey")

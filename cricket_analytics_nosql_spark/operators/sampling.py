@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cricket_analytics_nosql_spark.functions.scalar import md5_u32
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.sources.tables import load_table
 
@@ -229,13 +230,8 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("ws#"), F.col("doc_id"))), 1, 8),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(4294967296.0)
+    u = md5_u32(F.col("doc_id"), salt="ws#").cast("double") / F.lit(
+        4294967296.0
     )
     priority = F.pow(u, F.lit(1.0) / F.col("n_chars"))
     return (

@@ -29,15 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cricket_analytics_nosql_spark.functions.scalar import cents, dollars
+from cricket_analytics_nosql_spark.functions.scalar import cents, dollars, epoch_day
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.sources.tables import load_table
 
-_EPOCH_DAY = "unix_micros(cast({c} as timestamp)) div 86400000000"
-
-
 def _day(col: str) -> F.Column:
-    return F.expr(_EPOCH_DAY.format(c=col)).alias("day")
+    return epoch_day(col).alias("day")
 
 
 def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,7 +539,14 @@ def source_drift_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram key — cost scales with shared vocabulary, never
     |sources|² × |vocab| — and norms join in from a per-source
     aggregate.  |sources|-sized output."""
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        # texts of length <= 1 have no bigram; Spark's sequence()
+        # would otherwise step DOWNWARD for start > stop (sequence(1,0)
+        # = [1, 0]) while the oracle's generate_series yields no rows
+        .filter(F.length("text") > 1)
+    )
     grams = docs.select(
         "source",
         F.explode(
@@ -592,6 +596,7 @@ WITH grams AS (
   CROSS JOIN LATERAL (
     SELECT unnest(generate_series(1, length(text) - 1)) AS i
   ) i
+  WHERE length(text) > 1
 ), prof AS (
   SELECT source, g, COUNT(*) AS c FROM grams GROUP BY source, g
 ), norms AS (

@@ -22,6 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cricket_analytics_nosql_spark.functions.scalar import cents
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.sources.tables import load_table
 
@@ -391,16 +392,12 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
+            F.sum(cents(F.col("pricing.l_quantity"))).alias("qty_c"),
             F.sum(
-                F.round(F.col("pricing.l_quantity") * 100, 0).cast("long")
-            ).alias("qty_c"),
-            F.sum(
-                F.round(
+                cents(
                     F.col("pricing.l_extendedprice")
                     * (1 - F.col("pricing.l_discount"))
-                    * 100,
-                    0,
-                ).cast("long")
+                )
             ).alias("revenue_c"),
         )
         .orderBy("l_returnflag", "l_linestatus")

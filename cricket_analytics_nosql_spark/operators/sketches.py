@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cricket_analytics_nosql_spark.functions.scalar import md5_u32
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.sources.tables import load_table
 
@@ -157,10 +158,34 @@ def _cms_bucket(key: Column, i: int, w: int = CMS_W) -> Column:
     (and any other SQL engine) compute bit-identically, which is
     what makes the whole sketch — not just the estimates' bounds —
     exactly oracle-checkable."""
-    h = F.md5(F.concat(key.cast("string"), F.lit(f"#{i}")))
     return (
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % w
+        md5_u32(F.concat(key.cast("string"), F.lit(f"#{i}"))) % w
     ).alias(f"b{i}")
+
+
+def _cms_hash_rows(key: Column, d: int, w: int) -> Column:
+    """The exploded (i, b) hash-row stream for one key — the ONE
+    spelling of the probe/build shape (tests exercise this same
+    expression, so they cannot drift from production)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    _cms_bucket(key, i, w).alias("b"),
+                )
+                for i in range(d)
+            ]
+        )
+    )
+
+
+def cms_probes(
+    df: DataFrame, key: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Attach the exploded hash rows to every input row (carried
+    columns survive) — probe side of the sketch."""
+    return df.select("*", _cms_hash_rows(F.col(key), d, w).alias("hb"))
 
 
 def cms_build(
@@ -173,19 +198,8 @@ def cms_build(
     ≤ D×W counters before the exchange, so the shuffle carries
     O(tasks · D · W) rows at any corpus scale, and the finished
     sketch broadcasts anywhere."""
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("i"),
-                    _cms_bucket(F.col(key), i, w).alias("b"),
-                )
-                for i in range(d)
-            ]
-        )
-    ).alias("hb")
     return (
-        df.select(rows)
+        df.select(_cms_hash_rows(F.col(key), d, w).alias("hb"))
         .groupBy(F.col("hb.i").alias("i"), F.col("hb.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -201,21 +215,7 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
     sketch = cms_build(ev, "user_id")
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    probes = exact.select(
-        "user_id",
-        "exact_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        _cms_bucket(F.col("user_id"), i).alias("b"),
-                    )
-                    for i in range(CMS_D)
-                ]
-            )
-        ).alias("hb"),
-    )
+    probes = cms_probes(exact, "user_id")
     est = (
         probes.join(
             F.broadcast(sketch),

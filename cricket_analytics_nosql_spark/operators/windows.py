@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cricket_analytics_nosql_spark.functions.scalar import cents, dollars
+from cricket_analytics_nosql_spark.functions.scalar import cents, dollars, epoch_day
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.sources.tables import load_table
 
@@ -361,10 +361,7 @@ def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         load_table(spark, sf_dir, "orders")
         .select(
-            F.expr(
-                "unix_micros(cast(o_orderdate as timestamp))"
-                " div 86400000000"
-            ).alias("day"),
+            epoch_day("o_orderdate").alias("day"),
             cents(F.col("o_totalprice")).alias("price_c"),
         )
         .groupBy("day")

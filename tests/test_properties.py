@@ -721,3 +721,56 @@ def test_bloom_never_drops_present_keys(spark, build, probe):
         ).collect()
     }
     assert set(build) & set(probe) <= survivors
+
+
+def test_source_drift_bigrams_ignore_degenerate_texts(spark, tmp_path):
+    """Texts of length <= 1 have no bigram. Spark's sequence(1, 0)
+    steps DOWNWARD (returns [1, 0]) instead of yielding an empty
+    array, so without the length guard an empty or 1-char document
+    would corrupt its source's bigram profile and diverge from the
+    oracle's generate_series (which yields no rows). Crafted data —
+    the generated corpora never contain such docs."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "", "en", "alpha", 0),
+        (2, "a", "en", "alpha", 1),
+        (3, "abab", "en", "alpha", 4),
+        (4, "abba", "en", "beta", 4),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs_dir = tmp_path / "docs"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(docs_dir))
+    pq = f"{docs_dir}/*.parquet"
+
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        ORACLE_SOURCE_DRIFT,
+        source_drift_cosine,
+    )
+    import cricket_analytics_nosql_spark.sources.tables as tables
+
+    # route load_table at the crafted frame
+    real = tables.load_table
+    try:
+        tables_load = lambda sp, d, name: sp.read.parquet(str(docs_dir))
+        import cricket_analytics_nosql_spark.operators.sequences as seq_mod
+
+        orig = seq_mod.load_table
+        seq_mod.load_table = tables_load
+        got = {
+            (r.s1, r.s2): r.cosine
+            for r in source_drift_cosine(spark, "ignored").collect()
+        }
+    finally:
+        seq_mod.load_table = orig
+        assert tables.load_table is real
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
+    want = {
+        (s1, s2): cos
+        for s1, s2, cos in con.execute(ORACLE_SOURCE_DRIFT).fetchall()
+    }
+    assert got == want
+    assert ("alpha", "beta") in got  # degenerate docs didn't poison alpha

@@ -83,30 +83,15 @@ def test_cms_never_undercounts_any_key(spark, sf_small):
     import pyspark.sql.functions as F
 
     from cricket_analytics_nosql_spark.operators.sketches import (
-        _cms_bucket,
         cms_build,
-        CMS_D,
+        cms_probes,
     )
     from cricket_analytics_nosql_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_small, "events").select("user_id")
     sketch = cms_build(ev, "user_id")
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
-    probes = exact.select(
-        "user_id",
-        "exact",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        _cms_bucket(F.col("user_id"), i).alias("b"),
-                    )
-                    for i in range(CMS_D)
-                ]
-            )
-        ).alias("hb"),
-    )
+    probes = cms_probes(exact, "user_id")
     est = (
         probes.join(
             sketch,
@@ -124,29 +109,15 @@ def test_cms_tiny_width_overcounts_but_never_under(spark, sf_small):
     import pyspark.sql.functions as F
 
     from cricket_analytics_nosql_spark.operators.sketches import (
-        _cms_bucket,
         cms_build,
+        cms_probes,
     )
     from cricket_analytics_nosql_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_small, "events").select("user_id")
     sketch = cms_build(ev, "user_id", d=2, w=2)
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
-    probes = exact.select(
-        "user_id",
-        "exact",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        _cms_bucket(F.col("user_id"), i, 2).alias("b"),
-                    )
-                    for i in range(2)
-                ]
-            )
-        ).alias("hb"),
-    )
+    probes = cms_probes(exact, "user_id", d=2, w=2)
     est = (
         probes.join(
             sketch,
