@@ -189,6 +189,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "topk_with_ties",
     "event_trigrams",
     "source_drift_cosine",
+    "hll_rollup_distinct",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -268,7 +268,64 @@ LIMIT 20
 """
 
 
+def hll_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct counts — the piece `approx_distinct`
+    (flat sketch) and `time_rollup` (exact distinct, with a
+    docstring promise) leave open: per-type HLL sketches of the
+    user population, with the GLOBAL estimate computed by
+    ``hll_union_agg`` over the finished per-type sketches — the
+    fact is never rescanned for the rollup grain.  That is the
+    continuous-aggregate contract at 100 TB: store sketches at the
+    finest grain, merge upward for every coarser one.  Estimates
+    have no cross-engine byte oracle (register layouts differ), so
+    the driver-checked surface is the exact counts plus a ±5%
+    envelope flag per row (oracled as literal TRUE — the datasketches
+    HLL at default lgConfigK=12 has ~1.6% RSE, comfortably inside).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    within = lambda est, exact: (  # noqa: E731
+        (F.abs(est - F.col(exact)) / F.col(exact)) <= F.lit(0.05)
+    )
+    typed = per_type.select(
+        "event_type",
+        "exact_users",
+        within(F.hll_sketch_estimate("sk"), "exact_users").alias(
+            "approx_ok"
+        ),
+    )
+    g_exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    g_row = (
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("g_est")
+        )
+        .crossJoin(F.broadcast(g_exact))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_users",
+            within(F.col("g_est"), "exact_users").alias("approx_ok"),
+        )
+    )
+    return typed.unionByName(g_row).orderBy("event_type")
+
+
+ORACLE_HLL_ROLLUP = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "hll_rollup_distinct": QuerySpec(
+        hll_rollup_distinct, ORACLE_HLL_ROLLUP, ["A1", "A4", "X-ts"]
+    ),
     "heavy_hitters": QuerySpec(
         heavy_hitters, ORACLE_HEAVY_HITTERS, ["A1", "A6", "X-curation"]
     ),

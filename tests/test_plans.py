@@ -451,6 +451,7 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "value_histogram",
         "market_basket_lift",
         "rfm_segments",
+        "hll_rollup_distinct",
     }
     offenders = []
     for name, spec in all_queries().items():
