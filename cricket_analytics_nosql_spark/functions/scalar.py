@@ -20,19 +20,17 @@ def cents(col: Column | str) -> Column:
     return F.round(c * 100, 0).cast("long")
 
 
-def epoch_day(col: Column | str) -> Column:
-    """Whole days since epoch from a timestamp(_ntz) column — the
-    engine's one day-id convention, twinned with the oracle's
-    ``epoch_us(...) // 86400000000``. Every query that buckets by
-    day must use this helper so the convention has exactly one
-    Spark-side spelling."""
-    name = col if isinstance(col, str) else None
-    if name is None:
-        return (
-            F.unix_micros(col.cast("timestamp")) / F.lit(86_400_000_000)
-        ).cast("long")
+def epoch_day(expr: str) -> Column:
+    """Whole days since epoch — the engine's one day-id convention,
+    twinned with the oracle's ``epoch_us(...) // 86400000000``.
+    Takes a column name OR any SQL expression producing a timestamp
+    (e.g. ``"date_trunc('week', ts)"``), and always compiles to the
+    same single spelling: ``unix_micros(cast((expr) as timestamp))
+    div 86400000000`` — true integer division, exact at any
+    magnitude.  Every query that buckets by day must use this helper
+    so a convention change has exactly one site."""
     return F.expr(
-        f"unix_micros(cast({name} as timestamp)) div 86400000000"
+        f"unix_micros(cast(({expr}) as timestamp)) div 86400000000"
     )
 
 

@@ -400,14 +400,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Monday-aligned week id in whole days since epoch: both
         # engines agree on date_trunc('week') = Monday, and the
         # integer day id sidesteps timestamp formatting entirely
-        (
-            F.unix_micros(
-                F.date_trunc("week", F.col("ts")).cast("timestamp")
-            )
-            / F.lit(86_400_000_000)
-        )
-        .cast("long")
-        .alias("week_day"),
+        epoch_day("date_trunc('week', ts)").alias("week_day"),
     )
     from pyspark.sql import Window
 

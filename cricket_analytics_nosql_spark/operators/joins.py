@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cricket_analytics_nosql_spark.functions.scalar import cents, dollars
+from cricket_analytics_nosql_spark.functions.scalar import cents, dollars, epoch_day
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.sources.tables import load_table
 
@@ -576,9 +576,7 @@ def overlap_join_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts + a pair checksum."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
-        F.expr(
-            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
-        ).alias("day"),
+        epoch_day("o_orderdate").alias("day"),
     )
     activity = orders.groupBy(F.col("o_custkey").alias("id")).agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")

@@ -409,16 +409,7 @@ def revenue_growth_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly = (
         load_table(spark, sf_dir, "orders")
         .select(
-            (
-                F.unix_micros(
-                    F.date_trunc(
-                        "week", F.col("o_orderdate").cast("timestamp")
-                    )
-                )
-                / F.lit(86_400_000_000)
-            )
-            .cast("long")
-            .alias("week_day"),
+            epoch_day("date_trunc('week', o_orderdate)").alias("week_day"),
             cents(F.col("o_totalprice")).alias("price_c"),
         )
         .groupBy("week_day")
