@@ -190,6 +190,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "event_trigrams",
     "source_drift_cosine",
     "hll_rollup_distinct",
+    "incremental_dedup_ingest",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

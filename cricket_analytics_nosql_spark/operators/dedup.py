@@ -716,7 +716,82 @@ LIMIT 100
 """
 
 
+def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-ingestion dedup — the shape a production corpus runs
+    EVERY DAY: the standing corpus is represented only by its
+    persisted content-hash INDEX (written once, here to a temp
+    parquet; bucketed by hash at scale so the probe join is
+    co-located), and a new increment deduplicates (a) within itself
+    via window-min and (b) against the index via left_anti — the
+    corpus text is NEVER rescanned for ingestion, which is the whole
+    point at 100 TB.  Split is deterministic (doc_id mod 5): 80%
+    standing corpus, 20% increment.  Audit per source: increment
+    rows, batch-unique rows, truly-novel rows."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    existing = docs.filter(F.pmod("doc_id", F.lit(5)) != 0)
+    increment = docs.filter(F.pmod("doc_id", F.lit(5)) == 0)
+    idx_path = os.path.join(tempfile.mkdtemp(prefix="hidx_"), "hash_index")
+    existing.select("h").distinct().write.mode("overwrite").parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    w = Window.partitionBy("h")
+    batch = increment.withColumn("__keep", F.min("doc_id").over(w))
+    batch_unique = batch.filter(F.col("doc_id") == F.col("__keep")).drop(
+        "__keep"
+    )
+    novel = batch_unique.join(idx, "h", "left_anti")
+    per_src = lambda df, name: df.groupBy("source").agg(  # noqa: E731
+        F.count(F.lit(1)).alias(name)
+    )
+    return (
+        per_src(increment, "n_increment")
+        .join(per_src(batch_unique, "n_batch_unique"), "source")
+        .join(per_src(novel, "n_novel"), "source", "left")
+        .na.fill({"n_novel": 0})
+        .orderBy("source")
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = """
+WITH docs AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+), existing AS (
+  SELECT DISTINCT h FROM docs WHERE doc_id % 5 != 0
+), increment AS (
+  SELECT * FROM docs WHERE doc_id % 5 = 0
+), batch_unique AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS keep FROM increment
+  ) WHERE doc_id = keep
+), novel AS (
+  SELECT b.* FROM batch_unique b
+  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.h = b.h)
+)
+SELECT i.source,
+       COUNT(*) AS n_increment,
+       (SELECT COUNT(*) FROM batch_unique u WHERE u.source = i.source)
+         AS n_batch_unique,
+       (SELECT COUNT(*) FROM novel v WHERE v.source = i.source)
+         AS n_novel
+FROM increment i
+GROUP BY i.source
+ORDER BY i.source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "incremental_dedup_ingest": QuerySpec(
+        incremental_dedup_ingest,
+        ORACLE_INCREMENTAL_DEDUP,
+        ["X-dedup", "X-versioning", "S4", "J6", "A1"],
+    ),
     "dedup_exact": QuerySpec(dedup_exact, ORACLE_DEDUP_EXACT, ["X-dedup", "A1"]),
     "decontaminate": QuerySpec(
         decontaminate, ORACLE_DECONTAMINATE, ["X-dedup", "X-curation", "J1"]
