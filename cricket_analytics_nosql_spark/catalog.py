@@ -191,6 +191,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "source_drift_cosine",
     "hll_rollup_distinct",
     "incremental_dedup_ingest",
+    "stream_ewma_monitor",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -435,7 +435,126 @@ ORDER BY t.user_id
 
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec  # noqa: E402
 
+# --------------------------------------------------------------------------
+# EWMA monitor — sequentially-recursive numeric state
+
+EWMA_ALPHA = 0.2
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma_c", T.LongType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("y", T.DoubleType()),
+    ]
+)
+
+
+def _update_ewma(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+    alpha: float,
+) -> Iterator[pd.DataFrame]:
+    """Per-key EWMA fold: y := alpha*x + (1-alpha)*y in (ts,
+    event_id) order — the genuinely SEQUENTIAL recurrence no window
+    aggregate expresses (each value's weight depends on how many
+    events FOLLOW it).  State is two scalars per user.  The explicit
+    per-row loop is fine here because per-(key, batch) row counts
+    are micro-batch-sized; swap in scipy.signal.lfilter for wide
+    keys — the recurrence is a linear filter."""
+    (n, y) = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        for x in pdf.sort_values(["ts", "event_id"])["value"]:
+            y = float(x) if n == 0 else alpha * float(x) + (1 - alpha) * y
+            n += 1
+    state.update((n, y))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "ewma_c": [round(y * 100)],
+        }
+    )
+
+
+def ewma_stream(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
+    """Streaming form: per-user EWMA of ``value`` maintained across
+    micro-batches, one update-mode emission per (user, batch)."""
+
+    def fn(key, pdfs, state):
+        return _update_ewma(key, pdfs, state, alpha)
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_ewma_monitor(spark, sf_dir: str) -> DataFrame:
+    """Driver query: replay events as a 4-chunk stream through the
+    EWMA state machine and keep each user's final emission.  Unlike
+    most stateful streaming ops this one IS exactly oracle-checkable:
+    the sequential fold has the closed form
+    ``y_n = (1-a)^(n-1) x_1 + a * sum_i (1-a)^(n-i) x_i``, which the
+    oracle restates per user with one window pass — cross-engine
+    float drift between the fold and the closed-form sum is ~1e-12
+    relative, far inside the cent rounding."""
+    from pyspark.sql import Window
+
+    from cricket_analytics_nosql_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stage_event_files,
+    )
+
+    staged = stage_event_files(spark, sf_dir)
+    out = run_available_now(
+        ewma_stream(read_events_stream(spark, staged)), "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "ewma_c")
+        .orderBy("user_id")
+    )
+
+
+ORACLE_STREAM_EWMA = f"""
+WITH ordered AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(ROUND(100 * SUM(
+         CASE WHEN rn = 1 THEN pow(1 - {EWMA_ALPHA}, n - 1) * value
+              ELSE {EWMA_ALPHA} * pow(1 - {EWMA_ALPHA}, n - rn) * value
+         END)) AS BIGINT) AS ewma_c
+FROM ordered GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_ewma_monitor": QuerySpec(
+        stream_ewma_monitor, ORACLE_STREAM_EWMA, ["§2.11", "§2.12", "X-ts"]
+    ),
     "stream_spike_monitor": QuerySpec(
         stream_spike_monitor, ORACLE_STREAM_SPIKE_MONITOR, ["§2.11", "§2.12"]
     ),

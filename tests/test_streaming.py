@@ -426,3 +426,35 @@ def test_hwm_fold_is_chunk_invariant():
         [pd.DataFrame({"value": [3.0]}), pd.DataFrame({"value": [9.0]})],
     )
     assert first == (1, 9.0, 0, 2)
+
+
+def test_ewma_stream_matches_sequential_python(spark, sf_small):
+    """Batch↔stream parity for the EWMA state machine: the streaming
+    fold across 4 replayed micro-batches must equal a pure-Python
+    sequential fold over the full (ts, event_id)-ordered history —
+    exact same recurrence, zero tolerance on the integer cents."""
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+    from cricket_analytics_nosql_spark.streaming.stateful import (
+        EWMA_ALPHA,
+        stream_ewma_monitor,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.ewma_c)
+        for r in stream_ewma_monitor(spark, sf_small).collect()
+    }
+    rows = (
+        load_table(spark, sf_small, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    hist: dict = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        hist.setdefault(r.user_id, []).append(r.value)
+    want = {}
+    for uid, xs in hist.items():
+        y = 0.0
+        for i, x in enumerate(xs):
+            y = x if i == 0 else EWMA_ALPHA * x + (1 - EWMA_ALPHA) * y
+        want[uid] = (len(xs), round(y * 100))
+    assert got == want
