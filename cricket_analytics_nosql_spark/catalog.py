@@ -192,6 +192,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "hll_rollup_distinct",
     "incremental_dedup_ingest",
     "stream_ewma_monitor",
+    "bm25_search",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

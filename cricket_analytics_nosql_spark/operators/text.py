@@ -857,7 +857,108 @@ LIMIT 20
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "stream")
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking — the full-text search scorer TF-IDF
+    graduates into (and the score behind every Lucene/Atlas $search
+    deployment): top-20 documents for a fixed 3-term query.
+
+    One tokenize pass builds per-(doc, term) frequencies and doc
+    lengths; document frequencies for the 3 query terms and the
+    global average length are O(1)-row frames broadcast back; the
+    score is the textbook formula
+    ``idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` — pure expression
+    arithmetic on exact integer counts, identical on both engines,
+    rounded at 6 dp.  Only rows containing a query term ever leave
+    the scan stage (semi-filter on the term set), so the scored
+    stream is query-sized, not corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda x: F.length(x) > 0
+            )
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    qt = list(BM25_QUERY)
+    tf = (
+        toks.filter(F.col("term").isin(qt))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (BM25_K1 + 1) / norm
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+ORACLE_BM25_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS term) t
+  WHERE length(t.term) > 0
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('spark', 'join', 'stream')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * tf * ({BM25_K1} + 1)
+         / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl))
+       ), 6) AS score,
+       COUNT(*) AS n_terms_hit
+FROM tf
+JOIN df USING (term)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bm25_search": QuerySpec(
+        bm25_search, ORACLE_BM25_SEARCH, ["X-text", "A1", "J1", "T1"]
+    ),
     "boilerplate_chunks": QuerySpec(
         boilerplate_chunks,
         ORACLE_BOILERPLATE_CHUNKS,

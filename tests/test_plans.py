@@ -452,6 +452,7 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "market_basket_lift",
         "rfm_segments",
         "hll_rollup_distinct",
+        "bm25_search",
     }
     offenders = []
     for name, spec in all_queries().items():
