@@ -193,6 +193,12 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "incremental_dedup_ingest",
     "stream_ewma_monitor",
     "bm25_search",
+    # round-5 additions
+    "sssp_weighted",
+    "lpa_communities",
+    "cep_funnel_pattern",
+    "bootstrap_order_value",
+    "feature_hashing",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

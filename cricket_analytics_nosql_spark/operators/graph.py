@@ -938,9 +938,266 @@ ORDER BY min_depth
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest path (bounded Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+def sssp(
+    edges: DataFrame,
+    source: DataFrame,
+    rounds: int,
+    cost_col: str = "cost",
+) -> DataFrame:
+    """Bounded-hop single-source shortest path by synchronous
+    Bellman-Ford relaxation: after ``rounds`` rounds the result is
+    EXACTLY min path cost over all paths of ≤ ``rounds`` edges —
+    a closed-form contract a recursive-CTE oracle can replay, unlike
+    run-to-convergence (whose round count depends on the data).
+
+    ``source`` is a 1-row (or few-row) DataFrame ``(id, cost)`` —
+    kept as a DataFrame so the seed never has to round-trip through
+    the driver. Each round is one equi-join dist⋈edges on the
+    frontier's vertex id plus one min-groupBy — two shuffles on
+    vertex id, both vertex-frame-sized, never path-enumeration-sized
+    (the frontier collapses to one row per vertex per round, which
+    is what makes this the 100 TB spelling while the oracle's
+    recursive CTE enumerates every path). Costs are integers, so
+    min() needs no float-merge tolerance.
+
+    Reference analogue: none in the reference's Cypher surface, but
+    it is the weighted twin of its multi-hop duel queries
+    (cypher_queries.cypher:18-25) and of ``recursive_trade_bfs``.
+    """
+    dist = source.select(
+        F.col("id").cast("long").alias("id"),
+        F.col(cost_col).cast("long").alias(cost_col),
+    )
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col(cost_col).cast("long").alias("__ecost"),
+    )
+    for _ in range(rounds):
+        # rename-before-join: dist re-derives from e after round 1,
+        # so frame-qualified refs (dist["id"]) turn ambiguous — the
+        # renamed frontier keeps every column name unique instead
+        relaxed = (
+            dist.withColumnRenamed("id", "__fid")
+            .withColumnRenamed(cost_col, "__fcost")
+            .join(e, F.col("__fid") == F.col("src"))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("__fcost") + F.col("__ecost")).alias(cost_col),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min(cost_col).alias(cost_col))
+        )
+    return dist
+
+
+def strong_trade_edges_costed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SSSP/LPA binding: the strong trade graph (≥ 3 line items
+    per relationship, same threshold as ``recursive_trade_bfs`` so
+    the recursive oracle's path enumeration stays sane) with an
+    integer edge cost that makes heavy trade 'close': cost =
+    max(1, 10 − weight). Bidirectional and namespace-disjoint via
+    ``trade_graph_edges``."""
+    return (
+        trade_graph_edges(spark, sf_dir)
+        .filter(F.col("weight") >= 3)
+        .select(
+            "src",
+            "dst",
+            F.greatest(
+                F.lit(1), F.lit(10) - F.col("weight").cast("long")
+            ).alias("cost"),
+        )
+    )
+
+
+def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest trade-relay paths (≤ 3 hops) from the lowest-id
+    vertex of the strong trade graph: Bellman-Ford relaxation where
+    heavy trade relationships are cheap to traverse. Top-25 nearest
+    decoded to (entity, key); deterministic ties via (cost, entity,
+    key) — integer costs, no float anywhere."""
+    edges = strong_trade_edges_costed(spark, sf_dir)
+    source = edges.agg(F.min("src").alias("id")).select(
+        "id", F.lit(0).alias("cost")
+    )
+    dist = sssp(edges, source, rounds=3)
+    return (
+        dist.select(
+            F.when(F.col("id") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            F.shiftright("id", 1).alias("key"),
+            F.col("cost"),
+        )
+        .orderBy(F.asc("cost"), F.asc("entity"), F.asc("key"))
+        .limit(25)
+    )
+
+
+ORACLE_SSSP_WEIGHTED = """
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey HAVING COUNT(*) >= 3
+), e AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst, GREATEST(1, 10 - w) AS cost FROM base
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst, GREATEST(1, 10 - w) AS cost FROM base
+), paths(id, cost, depth) AS (
+  SELECT (SELECT MIN(src) FROM e), 0, 0
+  UNION ALL
+  SELECT e.dst, p.cost + e.cost, p.depth + 1
+  FROM paths p JOIN e ON e.src = p.id
+  WHERE p.depth < 3
+), best AS (
+  SELECT id, MIN(cost) AS cost FROM paths GROUP BY id
+)
+SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+       id // 2 AS key,
+       cost
+FROM best
+ORDER BY cost ASC, entity ASC, key ASC
+LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection (synchronous, fixed rounds)
+# ---------------------------------------------------------------------------
+
+def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous label propagation: every vertex starts as its own
+    community (label = id); each round every vertex adopts the MOST
+    FREQUENT label among its in-neighbours, ties broken by the
+    smallest label. Synchronous updates + deterministic tie-break
+    make the result after a FIXED round count a pure function of the
+    edge list — which is what lets an unrolled SQL oracle replay it
+    exactly, where classic async LPA is run-order-dependent.
+
+    Plan per round: edges ⋈ labels on src (shuffle on vertex id) →
+    count per (dst, label) (partial agg combines map-side) → top-1
+    per vertex via ``min_by`` over (−count, label) — the mode with
+    min-tie-break collapses into ONE aggregation, no window sort.
+    Vertices without in-neighbours keep their label (left join +
+    coalesce). Everything is vertex- or edge-frame-sized; nothing
+    enumerates paths. GDS analogue: ``gds.labelPropagation`` with
+    ``maxIterations=rounds`` (the reference's GDS surface is the
+    same family as its PageRank call, cypher_queries.cypher:28-34).
+    """
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = verts.select("id", F.col("id").alias("lab"))
+    e = edges.select("src", "dst")
+    for _ in range(rounds):
+        counts = (
+            e.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # mode with min-label tie-break: min_by over the composite
+        # (−count, label) — smallest tuple = highest count, then
+        # smallest label
+        picked = counts.groupBy("dst").agg(
+            F.min_by(
+                F.col("lab"), F.struct((-F.col("c")).alias("nc"), F.col("lab"))
+            ).alias("new_lab")
+        )
+        labels = (
+            labels.join(picked.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id", F.coalesce("new_lab", "lab").alias("lab")
+            )
+        )
+    return labels
+
+
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities of the strong trade graph after 3 synchronous
+    LPA rounds: top-25 by (size desc, community asc), the community
+    id decoded to (entity, key) of its label vertex."""
+    edges = strong_trade_edges_costed(spark, sf_dir)
+    labels = label_propagation(edges, rounds=3)
+    return (
+        labels.groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select(
+            F.when(F.col("lab") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            F.shiftright("lab", 1).alias("key"),
+            F.col("size"),
+        )
+        .orderBy(F.desc("size"), F.asc("entity"), F.asc("key"))
+        .limit(25)
+    )
+
+
+# one unrolled LPA round in SQL: counts → deterministic mode →
+# carry-forward for vertices with no in-neighbours
+_LPA_ROUND_SQL = """
+, c{r} AS (
+  SELECT e.dst AS id, l.lab, COUNT(*) AS c
+  FROM e JOIN l{p} l ON l.id = e.src
+  GROUP BY e.dst, l.lab
+), m{r} AS (
+  SELECT id, lab FROM (
+    SELECT id, lab,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab ASC) AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+), l{r} AS (
+  SELECT l.id, COALESCE(m.lab, l.lab) AS lab
+  FROM l{p} l LEFT JOIN m{r} m ON m.id = l.id
+)
+"""
+
+ORACLE_LPA_COMMUNITIES = (
+    """
+WITH base AS MATERIALIZED (
+  SELECT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey HAVING COUNT(*) >= 3
+), e AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM base
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM base
+), l0 AS (
+  SELECT DISTINCT src AS id, src AS lab FROM e
+)
+"""
+    + "".join(_LPA_ROUND_SQL.format(r=r, p=r - 1) for r in (1, 2, 3))
+    + """
+SELECT CASE WHEN lab % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+       lab // 2 AS key,
+       COUNT(*) AS size
+FROM l3
+GROUP BY lab
+ORDER BY size DESC, entity ASC, key ASC
+LIMIT 25
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "recursive_trade_bfs": QuerySpec(
         recursive_trade_bfs, ORACLE_RECURSIVE_TRADE_BFS, ["§2.9", "G1"]
+    ),
+    "sssp_weighted": QuerySpec(
+        sssp_weighted, ORACLE_SSSP_WEIGHTED, ["G2", "J3", "T6"]
+    ),
+    "lpa_communities": QuerySpec(
+        lpa_communities, ORACLE_LPA_COMMUNITIES, ["G2", "A8", "T6"]
     ),
     "graph_project": QuerySpec(
         graph_project, ORACLE_GRAPH_PROJECT, ["G1", "J1", "A8"]

@@ -11,7 +11,9 @@ pure native expressions so they ride the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.functions.scalar import md5_u32
@@ -257,7 +259,131 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# Poisson bootstrap — resampling-with-replacement, one pass, B replicates
+# ---------------------------------------------------------------------------
+
+BOOT_B = 24  # bootstrap replicates
+
+# Poisson(1) inverse CDF as integer thresholds on the md5-u32 scale:
+# replicate weight k = #(thresholds ≤ u).  Integer thresholds mean
+# BOTH engines compare a 32-bit hash against the same literals — no
+# float compare at the CDF boundaries, so the replicate weights are
+# bit-identical by construction.  P(K > 7) ≈ 1e-5 of 2^32 ≈ the cap's
+# bias is below the hash's own granularity.
+_POISSON1_CDF_U32: list[int] = []
+_acc, _term = 0.0, math.exp(-1.0)
+for _k in range(8):
+    _acc += _term
+    _POISSON1_CDF_U32.append(min(int(_acc * 4294967296.0), 4294967295))
+    _term /= _k + 1
+
+
+def poisson_weight(u32: Column) -> Column:
+    """Poisson(1) draw from a uniform 32-bit hash via the shared
+    threshold ladder (count of CDF thresholds the hash clears)."""
+    w = F.lit(0)
+    for t in _POISSON1_CDF_U32:
+        w = w + F.when(u32 >= t, 1).otherwise(0)
+    return w
+
+
+def _poisson_weight_sql(u_expr: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {u_expr} >= {t} THEN 1 ELSE 0 END)"
+        for t in _POISSON1_CDF_U32
+    )
+
+
+def bootstrap_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean order value — the uncertainty
+    primitive for A/B readouts and data-quality drift checks at
+    corpus scale. Classic bootstrap resamples n rows WITH replacement
+    per replicate, which cannot be done in one distributed pass; the
+    Poisson(1) approximation (each row enters replicate b with an
+    independent Poisson(1) multiplicity) is the standard one-pass
+    substitute (the same trick behind Spark's own sampleBy and
+    bag-of-little-bootstraps systems).
+
+    Determinism: the multiplicity of order o in replicate b is the
+    Poisson inverse-CDF of ``md5('boot#' || o || '#' || b)`` — a pure
+    function both engines compute bit-identically (see
+    ``_POISSON1_CDF_U32``). One explode (×B) feeding one partial-agg
+    groupBy on the replicate id: the shuffle carries B rows per
+    upstream partition, the result is B rows total. Money in exact
+    cents; the replicate mean is one double division of two exact
+    longs, IEEE-identical across engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    exploded = orders.select("o_orderkey", "o_totalprice", b)
+    u = md5_u32(
+        F.concat_ws(
+            "#", F.lit("boot"), F.col("o_orderkey"), F.col("b")
+        )
+    )
+    w = poisson_weight(u)
+    return (
+        exploded.select(
+            "b",
+            w.alias("w"),
+            (
+                w.cast("long")
+                * F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("wc"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum("wc").alias("total_cents"),
+        )
+        .select(
+            F.col("b").alias("replicate"),
+            "n_eff",
+            "total_cents",
+            (
+                F.col("total_cents").cast("double")
+                / F.col("n_eff").cast("double")
+                / F.lit(100.0)
+            ).alias("mean_value"),
+        )
+        .orderBy("replicate")
+    )
+
+
+_BOOT_U = (
+    "CAST(('0x' || substr(md5('boot' || '#' || CAST(o_orderkey AS VARCHAR)"
+    " || '#' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+ORACLE_BOOTSTRAP = f"""
+WITH exploded AS (
+  SELECT o_orderkey, o_totalprice, UNNEST(RANGE(0, {BOOT_B})) AS b
+  FROM orders
+), weighted AS (
+  SELECT b,
+         ({_poisson_weight_sql(_BOOT_U)}) AS w,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM exploded
+)
+SELECT b AS replicate,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       CAST(SUM(w * c) AS BIGINT) AS total_cents,
+       CAST(SUM(w * c) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0
+         AS mean_value
+FROM weighted
+GROUP BY b
+ORDER BY replicate
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bootstrap_order_value": QuerySpec(
+        bootstrap_order_value,
+        ORACLE_BOOTSTRAP,
+        ["X-curation", "A1", "A4", "F2"],
+    ),
     "weighted_sample_docs": QuerySpec(
         weighted_sample_docs, ORACLE_WEIGHTED_SAMPLE, ["X-curation", "T1"]
     ),

@@ -614,7 +614,95 @@ ORDER BY s1, s2
 """
 
 
+# ---------------------------------------------------------------------------
+# CEP-style event-pattern matching (MATCH_RECOGNIZE / Flink-CEP shape)
+# ---------------------------------------------------------------------------
+
+def cep_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match over per-user event
+    journeys — the batch spelling of SQL MATCH_RECOGNIZE / Flink CEP:
+    each user's event history becomes an ordered symbol string
+    (one letter per event type, ordered by (ts, event_id) — the
+    unique tie-break makes the string a pure function of the data),
+    and episode patterns are regular expressions over it:
+
+    - ``S.*P``     signup eventually followed by a purchase
+    - ``S[^E]*P``  ...with NO error anywhere in between (negation —
+                   the pattern class windows/joins can't express
+                   without a quadratic anti-join per prefix)
+    - ``S.*E.*P``  error on the path, purchase anyway (recovered)
+    - ``EE``       two back-to-back errors (rage signal)
+
+    Plan: one exchange on ``user_id``, ``collect_list`` of a
+    (ts, event_id, code) struct, ``array_sort`` partition-locally
+    (struct comparison = lexicographic on the sort key), then the
+    regex matches run as native string predicates in the same
+    projection — journeys never leave the JVM and the final count is
+    a one-row global aggregate. Per-user state is bounded by that
+    user's history (the same bound every sessionize/window query in
+    this engine lives with); at 100 TB journeys above a length cap
+    should be ``slice``-truncated at collect time, a one-line guard.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return journey_pattern_counts(ev)
+
+
+def journey_pattern_counts(events: DataFrame) -> DataFrame:
+    """The CEP core over any (user_id, ts, event_id, event_type)
+    frame — see ``cep_funnel_pattern`` for semantics and plan."""
+    ev = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.upper(F.substring("event_type", 1, 1)).alias("code"),
+    )
+    journeys = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "code"))
+                ),
+                lambda s: s["code"],
+            ),
+            "",
+        ).alias("j")
+    )
+    cnt = lambda c, n: F.sum(F.when(c, 1).otherwise(0)).alias(n)  # noqa: E731
+    j = F.col("j")
+    return journeys.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt(j.rlike("S.*P"), "n_converted"),
+        cnt(j.rlike("S[^E]*P"), "n_clean_converted"),
+        cnt(j.rlike("S.*E.*P"), "n_recovered"),
+        cnt(j.rlike("EE"), "n_rage_errors"),
+        cnt(F.length(j) == 1, "n_bounced"),
+    )
+
+
+ORACLE_CEP_FUNNEL = """
+WITH journeys AS (
+  SELECT user_id,
+         STRING_AGG(UPPER(SUBSTR(event_type, 1, 1)), ''
+                    ORDER BY ts, event_id) AS j
+  FROM events
+  GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN REGEXP_MATCHES(j, 'S.*P') THEN 1 ELSE 0 END) AS n_converted,
+       SUM(CASE WHEN REGEXP_MATCHES(j, 'S[^E]*P') THEN 1 ELSE 0 END) AS n_clean_converted,
+       SUM(CASE WHEN REGEXP_MATCHES(j, 'S.*E.*P') THEN 1 ELSE 0 END) AS n_recovered,
+       SUM(CASE WHEN REGEXP_MATCHES(j, 'EE') THEN 1 ELSE 0 END) AS n_rage_errors,
+       SUM(CASE WHEN LENGTH(j) = 1 THEN 1 ELSE 0 END) AS n_bounced
+FROM journeys
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cep_funnel_pattern": QuerySpec(
+        cep_funnel_pattern,
+        ORACLE_CEP_FUNNEL,
+        ["§2.8", "A3", "A4", "X-ts"],
+    ),
     "event_trigrams": QuerySpec(
         event_trigrams, ORACLE_EVENT_TRIGRAMS, ["§2.8", "A1", "T1", "X-ts"]
     ),

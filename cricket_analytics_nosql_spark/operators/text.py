@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F
 
+from cricket_analytics_nosql_spark.functions.scalar import md5_u32
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.sources.tables import fan_out, load_table
 
@@ -955,7 +956,109 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick) — fixed-width sparse features
+# ---------------------------------------------------------------------------
+
+FEATURE_BUCKETS = 256
+
+
+def feature_hash_bucket(token: Column, buckets: int = FEATURE_BUCKETS) -> Column:
+    """Hashing-trick bucket for a token: md5-u32 mod ``buckets`` —
+    the same cross-engine-deterministic keyed hash as the Count-Min
+    sketch (operators/sketches.py), so the feature space is
+    reproducible across engines, runs, and cluster sizes (a
+    vocabulary file would need a fitted state; the hash needs
+    none — the point of the trick)."""
+    return md5_u32(token, salt="fh#") % buckets
+
+
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words featurization audit: every token maps to
+    one of ``FEATURE_BUCKETS`` feature slots with no vocabulary
+    state (Weinberger et al.'s hashing trick — the featurizer
+    VW/scikit's HashingVectorizer applies, and the only one that
+    needs zero fitted state at 100 TB). Reports the 25 heaviest
+    feature slots with their collision load: total occurrences,
+    distinct tokens sharing the slot (collisions), and the
+    dominant token's share of the slot's mass (argmax over the
+    composite (tf, token) — deterministic under count ties).
+
+    Plan: explode → two-level aggregation, (bucket, token) counts
+    first — partial agg collapses each task to its distinct pairs —
+    then per-bucket rollup via ``max_by``/sums; top-25 is a
+    TakeOrderedAndProject. Nothing is ever wider than the distinct
+    (bucket, token) set."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    pair = (
+        tok.groupBy(feature_hash_bucket(F.col("token")).alias("bucket"), "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        pair.groupBy("bucket")
+        .agg(
+            F.sum("tf").alias("total_tf"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.max_by(
+                F.col("token"),
+                F.struct(F.col("tf").alias("tf"), F.col("token").alias("t")),
+            ).alias("top_token"),
+            F.max("tf").alias("top_tf"),
+        )
+        .select(
+            "bucket",
+            "total_tf",
+            "distinct_tokens",
+            "top_token",
+            F.round(
+                F.col("top_tf").cast("double") / F.col("total_tf").cast("double"),
+                6,
+            ).alias("top_share"),
+        )
+        .orderBy(F.desc("total_tf"), F.asc("bucket"))
+        .limit(25)
+    )
+
+
+ORACLE_FEATURE_HASHING = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), pair AS (
+  SELECT CAST(('0x' || substr(md5('fh#' || token), 1, 8)) AS BIGINT)
+           % {FEATURE_BUCKETS} AS bucket,
+         token, COUNT(*) AS tf
+  FROM tok GROUP BY 1, 2
+), slot AS (
+  SELECT bucket, SUM(tf) AS total_tf, COUNT(*) AS distinct_tokens,
+         MAX(tf) AS top_tf
+  FROM pair GROUP BY bucket
+), top AS (
+  SELECT bucket, token AS top_token FROM (
+    SELECT bucket, token,
+           ROW_NUMBER() OVER (PARTITION BY bucket
+                              ORDER BY tf DESC, token DESC) AS rn
+    FROM pair
+  ) WHERE rn = 1
+)
+SELECT slot.bucket, CAST(total_tf AS BIGINT) AS total_tf,
+       distinct_tokens, top_token,
+       ROUND(CAST(top_tf AS DOUBLE) / CAST(total_tf AS DOUBLE), 6)
+         AS top_share
+FROM slot JOIN top ON slot.bucket = top.bucket
+ORDER BY total_tf DESC, slot.bucket ASC
+LIMIT 25
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "feature_hashing": QuerySpec(
+        feature_hashing,
+        ORACLE_FEATURE_HASHING,
+        ["X-text", "X-training", "A1", "T1"],
+    ),
     "bm25_search": QuerySpec(
         bm25_search, ORACLE_BM25_SEARCH, ["X-text", "A1", "J1", "T1"]
     ),

@@ -1,0 +1,261 @@
+"""Round-3-late additions: bounded Bellman-Ford SSSP, synchronous
+label propagation, CEP journey patterns, Poisson bootstrap, feature
+hashing.  The two graph algorithms are checked against tiny
+hand-checkable Python reference implementations (the same discipline
+as the PageRank goldens, SURVEY.md §5.4); the catalog bindings are
+additionally oracle-checked end-to-end by tools/parity.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cricket_analytics_nosql_spark.operators.graph import (
+    label_propagation,
+    sssp,
+)
+from cricket_analytics_nosql_spark.operators.sampling import (
+    BOOT_B,
+    _POISSON1_CDF_U32,
+    bootstrap_order_value,
+)
+from cricket_analytics_nosql_spark.operators.sequences import (
+    journey_pattern_counts,
+)
+from cricket_analytics_nosql_spark.operators.text import (
+    FEATURE_BUCKETS,
+    feature_hash_bucket,
+)
+
+
+def _edges(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, cost long")
+
+
+def _ref_sssp(edges, source, rounds):
+    """Reference bounded Bellman-Ford over a Python dict."""
+    dist = {source: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, c in edges:
+            if s in dist and dist[s] + c < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + c
+        dist = nxt
+    return dist
+
+
+def _ref_lpa(edges, rounds):
+    """Reference synchronous LPA: mode of in-neighbour labels,
+    min-label tie-break, carry-forward when no in-neighbours."""
+    verts = {v for e in edges for v in e[:2]}
+    lab = {v: v for v in verts}
+    for _ in range(rounds):
+        nxt = {}
+        for v in verts:
+            counts: dict[int, int] = {}
+            for s, d, _c in edges:
+                if d == v:
+                    counts[lab[s]] = counts.get(lab[s], 0) + 1
+            if counts:
+                best = max(counts.values())
+                nxt[v] = min(l for l, c in counts.items() if c == best)
+            else:
+                nxt[v] = lab[v]
+        lab = nxt
+    return lab
+
+
+# ---------------------------------------------------------------------------
+# SSSP
+# ---------------------------------------------------------------------------
+
+DIAMOND = [
+    (0, 1, 5),
+    (1, 2, 1),
+    (2, 3, 1),
+    (0, 3, 10),  # direct but expensive
+]
+
+
+def test_sssp_matches_reference_bounded_semantics(spark):
+    src = spark.createDataFrame([(0, 0)], "id long, cost long")
+    for rounds in (1, 2, 3):
+        got = {
+            r.id: r.cost
+            for r in sssp(_edges(spark, DIAMOND), src, rounds=rounds).collect()
+        }
+        assert got == _ref_sssp(DIAMOND, 0, rounds), f"rounds={rounds}"
+
+
+def test_sssp_bounded_round_contract(spark):
+    """The 3-edge path (cost 7) beats the direct edge (cost 10) only
+    once enough relaxation rounds have run — the bounded contract the
+    recursive-CTE oracle replays."""
+    src = spark.createDataFrame([(0, 0)], "id long, cost long")
+    e = _edges(spark, DIAMOND)
+    one = {r.id: r.cost for r in sssp(e, src, rounds=1).collect()}
+    three = {r.id: r.cost for r in sssp(e, src, rounds=3).collect()}
+    assert one[3] == 10
+    assert three[3] == 7
+
+
+def test_sssp_unreachable_absent(spark):
+    iso = DIAMOND + [(7, 8, 1)]  # component not reachable from 0
+    src = spark.createDataFrame([(0, 0)], "id long, cost long")
+    got = {r.id: r.cost for r in sssp(_edges(spark, iso), src, rounds=3).collect()}
+    assert 7 not in got and 8 not in got
+
+
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+def _undirected(pairs):
+    out = []
+    for a, b in pairs:
+        out.append((a, b, 1))
+        out.append((b, a, 1))
+    return out
+
+
+def test_lpa_matches_reference_two_triangles(spark):
+    """Two triangles bridged by one edge — the classic community
+    shape; synchronous rounds checked one by one against the
+    reference implementation."""
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = _undirected(pairs)
+    e = _edges(spark, edges)
+    for rounds in (1, 2, 3):
+        got = {
+            r.id: r.lab
+            for r in label_propagation(e, rounds=rounds).collect()
+        }
+        assert got == _ref_lpa(edges, rounds), f"rounds={rounds}"
+
+
+def test_lpa_keeps_label_without_in_neighbours(spark):
+    """Directed edge 1→2 only: vertex 1 has no in-neighbours and
+    must keep its own label (the coalesce carry-forward)."""
+    e = _edges(spark, [(1, 2, 1)])
+    got = {r.id: r.lab for r in label_propagation(e, rounds=2).collect()}
+    assert got[1] == 1
+    assert got[2] == 1  # adopts 1's label
+
+
+# ---------------------------------------------------------------------------
+# CEP journey patterns
+# ---------------------------------------------------------------------------
+
+def test_cep_journey_counts_hand_checked(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # u1: S V P  → converted + clean (no E between)
+    # u2: S E P  → converted + recovered, NOT clean
+    # u3: E E    → rage
+    # u4: V      → bounce
+    seq = {
+        1: ["signup", "view", "purchase"],
+        2: ["signup", "error", "purchase"],
+        3: ["error", "error"],
+        4: ["view"],
+    }
+    eid = 0
+    for u, types in seq.items():
+        for i, et in enumerate(types):
+            rows.append((u, t0 + dt.timedelta(minutes=i), eid, et))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = journey_pattern_counts(ev).collect()[0].asDict()
+    assert got == {
+        "n_users": 4,
+        "n_converted": 2,
+        "n_clean_converted": 1,
+        "n_recovered": 1,
+        "n_rage_errors": 1,
+        "n_bounced": 1,
+    }
+
+
+def test_cep_order_is_timestamp_not_arrival(spark):
+    """Rows arrive purchase-first; the journey must still read S→P
+    because ordering is (ts, event_id), not input order."""
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=9), 1, "purchase"),
+            (1, t0, 0, "signup"),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    got = journey_pattern_counts(ev).collect()[0]
+    assert got.n_converted == 1 and got.n_clean_converted == 1
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+def test_poisson_thresholds_are_the_poisson1_cdf():
+    import math
+
+    acc, term = 0.0, math.exp(-1.0)
+    for k, t in enumerate(_POISSON1_CDF_U32):
+        acc += term
+        assert t == min(int(acc * 4294967296.0), 4294967295)
+        term /= k + 1
+    assert len(_POISSON1_CDF_U32) == 8
+
+
+def test_bootstrap_replicates_shape_and_exactness(spark, sf_small):
+    out = bootstrap_order_value(spark, sf_small).collect()
+    assert [r.replicate for r in out] == list(range(BOOT_B))
+    import duckdb
+
+    n = (
+        duckdb.connect()
+        .execute(
+            f"SELECT COUNT(*) FROM '{sf_small}/orders.parquet'"
+        )
+        .fetchone()[0]
+    )
+    for r in out:
+        # Poisson(1) multiplicities: E[n_eff] = n, sd = sqrt(n) — a
+        # 6-sigma band is deterministic-data-safe
+        assert abs(r.n_eff - n) < 6 * n**0.5
+        # the mean is exactly total/n_eff/100 — no hidden float path
+        assert r.mean_value == r.total_cents / r.n_eff / 100.0
+
+
+def test_bootstrap_is_deterministic(spark, sf_small):
+    a = bootstrap_order_value(spark, sf_small).collect()
+    b = bootstrap_order_value(spark, sf_small).collect()
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing
+# ---------------------------------------------------------------------------
+
+def test_feature_hash_bucket_range_and_determinism(spark):
+    toks = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("alpha",)], "token string"
+    )
+    got = toks.select(
+        feature_hash_bucket(F.col("token")).alias("b")
+    ).collect()
+    assert all(0 <= r.b < FEATURE_BUCKETS for r in got)
+    by_tok = toks.distinct().select(
+        "token", feature_hash_bucket(F.col("token")).alias("b")
+    ).collect()
+    again = {
+        r.token: r.b
+        for r in toks.distinct()
+        .select("token", feature_hash_bucket(F.col("token")).alias("b"))
+        .collect()
+    }
+    for r in by_tok:
+        assert again[r.token] == r.b
