@@ -199,6 +199,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "cep_funnel_pattern",
     "bootstrap_order_value",
     "feature_hashing",
+    "dedup_jaccard_prefix",
+    "gap_fill_interpolate",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -615,6 +615,108 @@ ORDER BY s1, s2
 
 
 # ---------------------------------------------------------------------------
+# Time-series gap fill with linear interpolation ($densify + linear $fill)
+# ---------------------------------------------------------------------------
+
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify each user's daily value series to its full [first
+    active day, last active day] span and LINEARLY interpolate the
+    missing days — the repair step the pipeline dialect's ``$fill``
+    deliberately refuses (``method: "linear"`` needs both
+    neighbours; ``_compile_fill`` raises), delivered here natively.
+    Output: the interpolated rows only.
+
+    Plan: daily rollup (one exchange on (user, day) with map-side
+    combine) → per-user span aggregate → ``sequence``-explode of the
+    dense day range (generated rows ≈ span-days per user, never
+    event-sized) → left join the observed values back → ONE exchange
+    on user_id under four window passes (prev/next value and their
+    observation days via running ``last/first ignorenulls`` frames).
+    Interior gaps always have both neighbours (span endpoints are
+    observed by construction), so the interpolation has no edge
+    cases. Arithmetic is exact-cents longs until a single double
+    division shared verbatim with the oracle — bit-identical.
+
+    At 100 TB the generated grid is the thing to watch: span-days ×
+    users; a user with one event in 2019 and one in 2024 generates
+    1800 rows. Cap the span (or bucket coarser) when the grid would
+    dominate the fact table — the plan shape doesn't change."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", epoch_day("ts").alias("day")
+    ).agg(F.sum(cents(F.col("value"))).alias("c"))
+    return interpolate_missing_days(daily)
+
+
+def interpolate_missing_days(daily: DataFrame) -> DataFrame:
+    """The gap-fill core over any (user_id, day, c·cents) frame —
+    see ``gap_fill_interpolate`` for semantics and plan."""
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    dense = span.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    g = dense.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day")
+    wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_day = F.when(F.col("c").isNotNull(), F.col("day"))
+    filled = (
+        g.withColumn("pv", F.last("c", ignorenulls=True).over(wp))
+        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("c", ignorenulls=True).over(wn))
+        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(wn))
+        .filter(F.col("c").isNull())
+    )
+    value = (
+        F.col("pv")
+        + ((F.col("nv") - F.col("pv")) * (F.col("day") - F.col("pd")))
+        / (F.col("nd") - F.col("pd"))
+    ) / F.lit(100.0)
+    return filled.select(
+        "user_id", "day", value.alias("value")
+    ).orderBy("user_id", "day")
+
+
+ORACLE_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1
+), dense AS (
+  SELECT user_id, UNNEST(range(lo, hi + 1)) AS day FROM span
+), g AS (
+  SELECT d.user_id, d.day, daily.c
+  FROM dense d LEFT JOIN daily
+    ON d.user_id = daily.user_id AND d.day = daily.day
+), w AS (
+  SELECT user_id, day, c,
+    LAST_VALUE(c IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    FIRST_VALUE(c IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM g
+)
+SELECT user_id, day,
+       (pv + ((nv - pv) * (day - pd)) / (nd - pd)) / 100.0 AS value
+FROM w WHERE c IS NULL
+ORDER BY user_id, day
+"""
+
+
+# ---------------------------------------------------------------------------
 # CEP-style event-pattern matching (MATCH_RECOGNIZE / Flink-CEP shape)
 # ---------------------------------------------------------------------------
 
@@ -702,6 +804,11 @@ QUERIES: dict[str, QuerySpec] = {
         cep_funnel_pattern,
         ORACLE_CEP_FUNNEL,
         ["§2.8", "A3", "A4", "X-ts"],
+    ),
+    "gap_fill_interpolate": QuerySpec(
+        gap_fill_interpolate,
+        ORACLE_GAP_FILL,
+        ["§2.8", "A1", "F2", "X-ts"],
     ),
     "event_trigrams": QuerySpec(
         event_trigrams, ORACLE_EVENT_TRIGRAMS, ["§2.8", "A1", "T1", "X-ts"]

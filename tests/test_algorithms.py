@@ -259,3 +259,92 @@ def test_feature_hash_bucket_range_and_determinism(spark):
     }
     for r in by_tok:
         assert again[r.token] == r.b
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered Jaccard (lossless candidate generation)
+# ---------------------------------------------------------------------------
+
+def test_prefix_filter_is_lossless_vs_full_index(spark, sf_small):
+    from cricket_analytics_nosql_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    full = {
+        (r.d1, r.d2, r.jaccard) for r in jaccard_pairs(docs, 0.8).collect()
+    }
+    pref = {
+        (r.d1, r.d2, r.jaccard)
+        for r in jaccard_pairs_prefix(docs, 4, 5).collect()
+    }
+    assert full, "fixture should contain near-dup pairs"
+    assert pref == full
+
+
+def test_prefix_filter_adversarial_shared_common_shingles(spark):
+    """Docs sharing only UBIQUITOUS shingles (below τ) must not pair;
+    a true near-dup pair must survive even though its distinguishing
+    shingles are rare (i.e. exactly the ones the prefix keeps)."""
+    from cricket_analytics_nosql_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, common + " one two three four five six seven eight"),
+            (2, common + " nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+            (3, common + " one two three four five six seven nine"),
+            (4, common + " one two three four five six seven nine"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r.d1, r.d2) for r in jaccard_pairs(docs, 0.8).collect()
+    }
+    pref = {
+        (r.d1, r.d2) for r in jaccard_pairs_prefix(docs, 4, 5).collect()
+    }
+    assert pref == full
+    assert (3, 4) in pref  # the exact-dup pair survives the prefix cut
+
+
+# ---------------------------------------------------------------------------
+# Gap fill + linear interpolation
+# ---------------------------------------------------------------------------
+
+def test_interpolation_hand_checked(spark):
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        interpolate_missing_days,
+    )
+
+    daily = spark.createDataFrame(
+        # user 1: observed days 0 and 3 (10.00 → 40.00): days 1, 2
+        # interpolate to 20.00, 30.00. user 2: no gaps → no rows.
+        [(1, 0, 1000), (1, 3, 4000), (2, 5, 500), (2, 6, 700)],
+        "user_id long, day long, c long",
+    )
+    got = {
+        (r.user_id, r.day): r.value
+        for r in interpolate_missing_days(daily).collect()
+    }
+    assert got == {(1, 1): 20.0, (1, 2): 30.0}
+
+
+def test_interpolation_uneven_gap(spark):
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        interpolate_missing_days,
+    )
+
+    daily = spark.createDataFrame(
+        [(7, 10, 0), (7, 14, 1000)],  # 0.00 → 10.00 over 4 days
+        "user_id long, day long, c long",
+    )
+    got = {
+        r.day: r.value for r in interpolate_missing_days(daily).collect()
+    }
+    assert got == {11: 2.5, 12: 5.0, 13: 7.5}
