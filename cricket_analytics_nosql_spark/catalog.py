@@ -201,6 +201,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "feature_hashing",
     "dedup_jaccard_prefix",
     "gap_fill_interpolate",
+    "embedding_covariance_topk",
+    "local_clustering_topk",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -627,6 +627,115 @@ def triangle_stats(e: DataFrame) -> DataFrame:
     )
 
 
+def local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex (local) clustering coefficient of the part
+    co-purchase graph — the node-level twin of ``graph_triangles``'s
+    global audit row: c(v) = 2·T(v) / (d(v)·(d(v)−1)), top-25.
+
+    Same degree-ordered orientation (out-degree O(√E) even under hub
+    skew), but the triangle closure runs as an INNER join so each
+    triangle {x,y,z} materializes exactly once as a row; a 3-way
+    per-row explode then attributes it to each corner, and the
+    count collapses map-side before the vertex-keyed exchange —
+    triangles never shuffle as triangles, only as per-vertex partial
+    counts. Coefficient in exact integer micro-units (same
+    convention as the global query); ties broken by vertex id.
+    Vertices in no triangle are excluded (both engines agree by
+    construction — inner join against the triangle counts)."""
+    e = part_cooccur_edges(spark, sf_dir).select("va", "vb")
+    return (
+        local_clustering(e)
+        .orderBy(F.desc("clustering_micro"), F.desc("t"), F.asc("v"))
+        .limit(25)
+    )
+
+
+def local_clustering(e: DataFrame) -> DataFrame:
+    """Per-vertex clustering core over an undirected edge list with
+    columns ``va < vb`` — see ``local_clustering_topk``."""
+    deg = (
+        e.select(F.col("va").alias("v"))
+        .unionAll(e.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("va"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("vb"), F.col("d").alias("db"))
+    keyed = e.join(da, "va").join(db, "vb")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("va") < F.col("vb"))
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("va")).otherwise(F.col("vb")).alias("src"),
+        F.when(fwd, F.col("vb")).otherwise(F.col("va")).alias("dst"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    o3 = oriented.alias("o3")
+    tri = (
+        o1.join(o2, F.col("o1.dst") == F.col("o2.src"))
+        .join(
+            o3,
+            (F.col("o3.src") == F.col("o1.src"))
+            & (F.col("o3.dst") == F.col("o2.dst")),
+            "left_semi",
+        )
+        .select(
+            F.col("o1.src").alias("x"),
+            F.col("o1.dst").alias("y"),
+            F.col("o2.dst").alias("z"),
+        )
+    )
+    per_vertex = (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return per_vertex.join(deg, "v").select(
+        "v",
+        "t",
+        "d",
+        F.expr("(2 * t * 1000000) div (d * (d - 1))").alias(
+            "clustering_micro"
+        ),
+    )
+
+
+ORACLE_LOCAL_CLUSTERING = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS va, b.l_partkey AS vb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT va AS v FROM e UNION ALL SELECT vb AS v FROM e
+  ) GROUP BY v
+), tri AS (
+  SELECT e1.va AS x, e1.vb AS y, e2.vb AS z
+  FROM e e1
+  JOIN e e2 ON e1.vb = e2.va
+  JOIN e e3 ON e3.va = e1.va AND e3.vb = e2.vb
+), per_vertex AS (
+  SELECT v, COUNT(*) AS t FROM (
+    SELECT x AS v FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY v
+)
+SELECT per_vertex.v, t, d,
+       CAST((2 * t * 1000000) // (d * (d - 1)) AS BIGINT)
+         AS clustering_micro
+FROM per_vertex JOIN deg ON per_vertex.v = deg.v
+ORDER BY clustering_micro DESC, t DESC, per_vertex.v ASC
+LIMIT 25
+"""
+
+
 ORACLE_GRAPH_TRIANGLES = """
 WITH op AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -1204,6 +1313,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "graph_triangles": QuerySpec(
         graph_triangles, ORACLE_GRAPH_TRIANGLES, ["G1", "A8", "J3"]
+    ),
+    "local_clustering_topk": QuerySpec(
+        local_clustering_topk, ORACLE_LOCAL_CLUSTERING, ["G1", "A8", "J3", "T6"]
     ),
     "cypher_trade_reach": QuerySpec(
         cypher_trade_reach,

@@ -954,7 +954,128 @@ ORDER BY m.method
 """
 
 
+# ---------------------------------------------------------------------------
+# Gram matrix / covariance — the one-pass outer-product aggregation
+# ---------------------------------------------------------------------------
+
+COV_DIMS = 64
+COV_SCALE = 1_000_000  # micro-units: exact integer second moments
+
+
+def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 strongest off-diagonal covariances between embedding
+    dimensions — the Gram-matrix/covariance building block behind
+    distributed PCA, whitening, and linear probes, computed the way
+    it scales: each row expands to its 64·65/2 upper-triangle
+    products INSIDE the scan stage (``transform`` over ``sequence``,
+    pure codegen — no self-join, no shuffle of anything row-sized)
+    and partial aggregation collapses every task to ≤ 2080 cells
+    before the exchange. The shuffle carries O(tasks · d²) cells at
+    ANY corpus size — the canonical 'matrix as aggregation' pattern
+    (vs. the row-pair join a naive formulation would shuffle).
+
+    Exactness: coordinates are quantized to integer micro-units with
+    the engine-portable ``floor(x·1e6 + 0.5)`` (the int8-quantize
+    discipline at ``:615``), so second moments are exact longs and
+    the centered numerator n·S_ij − S_i·S_j is exact integer
+    arithmetic — no float-merge noise to tolerate. Long headroom:
+    |q| ≲ 1e6 ⇒ n·S_ij ≲ n²·1e12 — fine through sf 0.1 (n 5e3);
+    re-scale to milli-units around n ≈ 1e6 rows, same plan.
+    """
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * COV_SCALE + F.lit(0.5)
+        ).cast("long"),
+    )
+    # i stops at d−1: Spark's sequence(start, stop) REVERSES when
+    # start > stop (sequence(65, 64) = [65, 64]), so the inner
+    # sequence(i+1, d) must never see i = d
+    idx = F.sequence(F.lit(1), F.lit(COV_DIMS - 1))
+    pairs = emb.select(
+        q.alias("q"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.lit(COV_DIMS)),
+                        lambda j: F.struct(i.alias("i"), j.alias("j")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.i").alias("i"),
+        F.col("p.j").alias("j"),
+        (
+            F.element_at("q", F.col("p.i")) * F.element_at("q", F.col("p.j"))
+        ).alias("xy"),
+    )
+    second = pairs.groupBy("i", "j").agg(F.sum("xy").alias("s_ij"))
+    firsts = (
+        emb.select(F.posexplode(q).alias("i", "x"))
+        .withColumn("i", F.col("i") + 1)  # 1-based like element_at
+        .groupBy("i")
+        .agg(F.sum("x").alias("s_i"))
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    cov = (
+        second.join(F.broadcast(firsts.withColumnRenamed("i", "d")), F.col("i") == F.col("d"))
+        .drop("d")
+        .withColumnRenamed("s_i", "si")
+        .join(F.broadcast(firsts.withColumnRenamed("i", "d").withColumnRenamed("s_i", "sj")), F.col("j") == F.col("d"))
+        .drop("d")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("s_ij") - F.col("si") * F.col("sj")).alias(
+                "cov_num"
+            ),
+        )
+    )
+    return (
+        cov.orderBy(F.abs(F.col("cov_num")).desc(), F.asc("i"), F.asc("j"))
+        .limit(25)
+    )
+
+
+ORACLE_EMBEDDING_COV = f"""
+WITH q AS (
+  SELECT [CAST(FLOOR(CAST(x AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT)
+          FOR x IN embedding] AS q
+  FROM embeddings
+), second AS (
+  SELECT i, j, SUM(q[i] * q[j]) AS s_ij
+  FROM q, range(1, {COV_DIMS + 1}) t1(i), range(1, {COV_DIMS + 1}) t2(j)
+  WHERE j > i
+  GROUP BY i, j
+), firsts AS (
+  SELECT i, SUM(q[i]) AS s_i
+  FROM q, range(1, {COV_DIMS + 1}) t(i)
+  GROUP BY i
+), nn AS (
+  SELECT COUNT(*) AS n FROM q
+)
+SELECT CAST(second.i AS BIGINT) AS i, CAST(second.j AS BIGINT) AS j,
+       CAST(nn.n * second.s_ij - fi.s_i * fj.s_i AS BIGINT) AS cov_num
+FROM second
+JOIN firsts fi ON fi.i = second.i
+JOIN firsts fj ON fj.i = second.j
+CROSS JOIN nn
+ORDER BY ABS(nn.n * second.s_ij - fi.s_i * fj.s_i) DESC, i ASC, j ASC
+LIMIT 25
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_covariance_topk": QuerySpec(
+        embedding_covariance_topk,
+        ORACLE_EMBEDDING_COV,
+        ["X-sim", "X-training", "A1", "T1"],
+    ),
     "nearest_centroid_confusion": QuerySpec(
         nearest_centroid_confusion,
         ORACLE_NEAREST_CENTROID,

@@ -348,3 +348,68 @@ def test_interpolation_uneven_gap(spark):
         r.day: r.value for r in interpolate_missing_days(daily).collect()
     }
     assert got == {11: 2.5, 12: 5.0, 13: 7.5}
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient
+# ---------------------------------------------------------------------------
+
+def test_local_clustering_hand_checked(spark):
+    """Square 1-2-3-4 with diagonal 1-3: triangles {1,2,3}, {1,3,4}.
+    c(1)=c(3)=2·2/(3·2)=2/3; c(2)=c(4)=2·1/(2·1)=1."""
+    from cricket_analytics_nosql_spark.operators.graph import local_clustering
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], "va long, vb long"
+    )
+    got = {
+        r.v: (r.t, r.d, r.clustering_micro)
+        for r in local_clustering(e).collect()
+    }
+    assert got == {
+        1: (2, 3, 666666),
+        2: (1, 2, 1000000),
+        3: (2, 3, 666666),
+        4: (1, 2, 1000000),
+    }
+
+
+def test_local_clustering_triangle_free_graph_empty(spark):
+    from cricket_analytics_nosql_spark.operators.graph import local_clustering
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "va long, vb long")
+    assert local_clustering(e).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance (integer-exact Gram aggregation)
+# ---------------------------------------------------------------------------
+
+def test_embedding_covariance_matches_numpy(spark, sf_small):
+    """cov_num = n²·cov(i,j) on the quantized coordinates — check a
+    handful of top cells against a dense numpy computation."""
+    import numpy as np
+
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        COV_SCALE,
+        embedding_covariance_topk,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .select("embedding")
+        .collect()
+    )
+    m = np.floor(
+        np.array([r.embedding for r in rows], dtype=np.float64) * COV_SCALE
+        + 0.5
+    ).astype(np.int64)
+    n = m.shape[0]
+    got = embedding_covariance_topk(spark, sf_small).collect()
+    assert len(got) == 25
+    for r in got[:5]:
+        i, j = r.i - 1, r.j - 1
+        expected = n * int(m[:, i] @ m[:, j]) - int(m[:, i].sum()) * int(
+            m[:, j].sum()
+        )
+        assert r.cov_num == expected
