@@ -435,6 +435,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
     # aggregates crossed back onto results, the |sources| rates
     # frame, and the range join's bounds table.
     bnlj_by_design = {
+        # 1-row broadcast of the count scalar (n) onto the d² cell
+        # frame — bounded by construction, same as the recall audit
+        "embedding_covariance_topk",
         "ann_brute_force",
         "ann_ivf",
         "ann_ivf_kmeans",
@@ -643,3 +646,93 @@ def test_e2e_pipeline_single_document_scan(spark, sf_small):
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, plan
     assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: plan shapes
+# ---------------------------------------------------------------------------
+
+def test_cep_journey_single_user_exchange(spark, sf_medium):
+    """One hashpartitioning exchange on user_id for the journey
+    build; the final count is a scalar aggregate (SinglePartition),
+    not another keyed shuffle."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        cep_funnel_pattern,
+    )
+
+    plan = plan_of(cep_funnel_pattern(spark, sf_medium))
+    keyed = [
+        ln for ln in plan.splitlines() if "hashpartitioning(" in ln
+    ]
+    assert len(keyed) == 1, plan
+    assert "user_id" in keyed[0], keyed[0]
+
+
+def test_gap_fill_windows_share_one_exchange(spark, sf_medium):
+    """All four ignorenulls window passes run after a single user_id
+    exchange of the dense grid — adding window columns must not add
+    exchanges."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        gap_fill_interpolate,
+    )
+
+    plan = plan_of(gap_fill_interpolate(spark, sf_medium))
+    grid_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "user_id" in ln
+    ]
+    # daily rollup (user_id, day) + one window exchange (user_id)
+    assert len(grid_exchanges) <= 2, plan
+
+
+def test_covariance_pairs_generated_in_scan_stage(spark, sf_medium):
+    """The d²/2 pair expansion must happen BEFORE any exchange (the
+    shuffle carries ≤2080 aggregated cells per task, never row-pair
+    frames): no join node may sit under the pair aggregation, and no
+    exchange may carry the raw embedding column."""
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        embedding_covariance_topk,
+    )
+
+    plan = plan_of(embedding_covariance_topk(spark, sf_medium))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # cell-frame joins all broadcast
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "embedding" not in ln, ln
+
+
+def test_sssp_rounds_are_vertex_keyed_aggregations(spark, sf_medium):
+    """Every relaxation round ends in a min-groupBy on the vertex id
+    — the path-set never materializes (no round multiplies rows
+    through un-aggregated unions)."""
+    from cricket_analytics_nosql_spark.operators.graph import sssp_weighted
+
+    plan = plan_of(sssp_weighted(spark, sf_medium))
+    assert "CartesianProduct" not in plan
+    # 3 rounds -> at least 3 final (non-partial) min(cost) aggregations
+    aggs = [
+        ln
+        for ln in plan.splitlines()
+        if ": [min(cost" in ln
+    ]
+    assert len(aggs) >= 3, plan
+
+
+def test_prefix_jaccard_verify_has_no_full_index_join(spark, sf_medium):
+    """The quadratic stage must join PREFIX rows only: the full
+    shingle index appears in the plan solely as per-doc set
+    aggregation inputs (sort_array/collect_list), never as both
+    sides of the shingle-keyed self-join without the prefix filter.
+    Proxy assertion: the candidate self-join is followed by an exact
+    array_intersect verify, and no BroadcastNestedLoop/Cartesian
+    node exists anywhere."""
+    from cricket_analytics_nosql_spark.operators.dedup import (
+        dedup_jaccard_prefix,
+    )
+
+    plan = plan_of(dedup_jaccard_prefix(spark, sf_medium))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" in plan
