@@ -203,6 +203,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "gap_fill_interpolate",
     "embedding_covariance_topk",
     "local_clustering_topk",
+    "stream_cep_monitor",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -769,6 +769,14 @@ def journey_pattern_counts(events: DataFrame) -> DataFrame:
             "",
         ).alias("j")
     )
+    return pattern_counts_from_journeys(journeys)
+
+
+def pattern_counts_from_journeys(journeys: DataFrame) -> DataFrame:
+    """Episode-pattern flags + global counts over a (…, j) journey
+    frame — shared by the batch CEP query and the streaming journey
+    monitor (which accumulates ``j`` in per-user state instead of a
+    ``collect_list``)."""
     cnt = lambda c, n: F.sum(F.when(c, 1).otherwise(0)).alias(n)  # noqa: E731
     j = F.col("j")
     return journeys.agg(

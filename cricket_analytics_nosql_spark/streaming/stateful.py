@@ -433,6 +433,9 @@ ORDER BY t.user_id
 """
 
 
+from cricket_analytics_nosql_spark.operators.sequences import (  # noqa: E402
+    ORACLE_CEP_FUNNEL,
+)
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec  # noqa: E402
 
 # --------------------------------------------------------------------------
@@ -551,7 +554,117 @@ FROM ordered GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming CEP: per-user journey accumulation + pattern match
+# ---------------------------------------------------------------------------
+
+JOURNEY_CAP = 4096  # state-bound guard; max events/user is 99 at sf0.1
+
+JOURNEY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("j", T.StringType()),
+    ]
+)
+
+JOURNEY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("j", T.StringType()),
+    ]
+)
+
+
+def _update_journey(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user journey fold: append each micro-batch's event codes
+    in (ts, event_id) order. Correct because the replay stages
+    chunks time-ordered (every event in batch k precedes batch k+1 —
+    the same contract the EWMA fold relies on), so intra-batch sort +
+    append reconstructs the global order. State is one bounded
+    string per user (``JOURNEY_CAP`` guards pathological keys; the
+    cap truncates the TAIL, so prefix-anchored patterns stay exact
+    for any user under the cap — all of them at tested scales)."""
+    (n, j) = state.get if state.exists else (0, "")
+    for pdf in batches:
+        codes = (
+            pdf.sort_values(["ts", "event_id"])["event_type"]
+            .str[:1]
+            .str.upper()
+        )
+        j = (j + "".join(codes))[:JOURNEY_CAP]
+        n += len(pdf)
+    state.update((n, j))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "j": [j]})
+
+
+def journey_stream(events: DataFrame) -> DataFrame:
+    """Streaming CEP accumulator: per-user journey strings maintained
+    across micro-batches (update mode, one emission per user per
+    batch)."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_journey,
+            outputStructType=JOURNEY_OUTPUT_SCHEMA,
+            stateStructType=JOURNEY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_cep_monitor(spark, sf_dir: str) -> DataFrame:
+    """Streaming complex-event-processing: the Flink-CEP shape —
+    per-key pattern state maintained incrementally over an unbounded
+    stream — built from ``applyInPandasWithState`` journey
+    accumulation plus the SAME regex episode predicates as the batch
+    ``cep_funnel_pattern``. Replays the 4-chunk event stream, keeps
+    each user's final journey emission, and aggregates the pattern
+    counts — which must equal the batch answer exactly, so the
+    oracle is the batch query's SQL verbatim (the strongest
+    batch↔stream parity statement in the streaming suite: not one
+    fold value per user, the whole pattern readout).
+
+    Scale: state is one bounded string per active user; at 100 TB
+    add a state timeout for churned users and emit pattern flags
+    per batch instead of draining to a final readout — same fold,
+    same predicates."""
+    from pyspark.sql import Window
+
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        pattern_counts_from_journeys,
+    )
+    from cricket_analytics_nosql_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stage_event_files,
+    )
+
+    staged = stage_event_files(spark, sf_dir)
+    out = run_available_now(
+        journey_stream(read_events_stream(spark, staged)), "update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "j")
+    )
+    return pattern_counts_from_journeys(final)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_cep_monitor": QuerySpec(
+        stream_cep_monitor,
+        # batch↔stream parity IS the oracle: the drained stream must
+        # reproduce the batch CEP readout bit-for-bit
+        ORACLE_CEP_FUNNEL,
+        ["§2.11", "§2.12", "X-ts"],
+    ),
     "stream_ewma_monitor": QuerySpec(
         stream_ewma_monitor, ORACLE_STREAM_EWMA, ["§2.11", "§2.12", "X-ts"]
     ),

@@ -458,3 +458,49 @@ def test_ewma_stream_matches_sequential_python(spark, sf_small):
             y = x if i == 0 else EWMA_ALPHA * x + (1 - EWMA_ALPHA) * y
         want[uid] = (len(xs), round(y * 100))
     assert got == want
+
+
+def test_stream_cep_matches_batch_cep(spark, sf_small):
+    """The drained streaming journey monitor must reproduce the batch
+    CEP readout exactly — whole pattern counts, not just per-user
+    fold values."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        cep_funnel_pattern,
+    )
+    from cricket_analytics_nosql_spark.streaming.stateful import (
+        stream_cep_monitor,
+    )
+
+    batch = cep_funnel_pattern(spark, sf_small).collect()
+    stream = stream_cep_monitor(spark, sf_small).collect()
+    assert batch == stream
+
+
+def test_journey_fold_is_chunking_invariant(spark, sf_small):
+    """Same journeys whether the stream arrives as 2 or 4 chunks —
+    the fold must depend on event order only, never on micro-batch
+    boundaries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cricket_analytics_nosql_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stage_event_files,
+    )
+    from cricket_analytics_nosql_spark.streaming.stateful import journey_stream
+
+    def final_journeys(n_chunks):
+        staged = stage_event_files(spark, sf_small, n_chunks=n_chunks)
+        out = run_available_now(
+            journey_stream(read_events_stream(spark, staged)), "update"
+        )
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        return {
+            r.user_id: r.j
+            for r in out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        }
+
+    assert final_journeys(2) == final_journeys(4)
