@@ -1070,6 +1070,7 @@ def sssp(
     source: DataFrame,
     rounds: int,
     cost_col: str = "cost",
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Bounded-hop single-source shortest path by synchronous
     Bellman-Ford relaxation: after ``rounds`` rounds the result is
@@ -1087,6 +1088,14 @@ def sssp(
     recursive CTE enumerates every path). Costs are integers, so
     min() needs no float-merge tolerance.
 
+    ``checkpoint_every``: every k rounds, cut lineage with
+    ``localCheckpoint`` (the PageRank discipline — without it the
+    plan tree doubles per round and deep traversals die in the
+    optimizer long before the executors see data). Left off for the
+    bounded 3-round catalog query, where re-planning three rounds is
+    cheaper than materializing the frontier; REQUIRED for real
+    depth — results are identical either way (tested).
+
     Reference analogue: none in the reference's Cypher surface, but
     it is the weighted twin of its multi-hop duel queries
     (cypher_queries.cypher:18-25) and of ``recursive_trade_bfs``.
@@ -1100,7 +1109,7 @@ def sssp(
         F.col("dst").cast("long").alias("dst"),
         F.col(cost_col).cast("long").alias("__ecost"),
     )
-    for _ in range(rounds):
+    for r in range(rounds):
         # rename-before-join: dist re-derives from e after round 1,
         # so frame-qualified refs (dist["id"]) turn ambiguous — the
         # renamed frontier keeps every column name unique instead
@@ -1118,6 +1127,8 @@ def sssp(
             .groupBy("id")
             .agg(F.min(cost_col).alias(cost_col))
         )
+        if checkpoint_every and (r + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint()
     return dist
 
 
@@ -1196,7 +1207,9 @@ LIMIT 25
 # Label-propagation community detection (synchronous, fixed rounds)
 # ---------------------------------------------------------------------------
 
-def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int, checkpoint_every: int | None = None
+) -> DataFrame:
     """Synchronous label propagation: every vertex starts as its own
     community (label = id); each round every vertex adopts the MOST
     FREQUENT label among its in-neighbours, ties broken by the
@@ -1222,7 +1235,11 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
     )
     labels = verts.select("id", F.col("id").alias("lab"))
     e = edges.select("src", "dst")
-    for _ in range(rounds):
+    if checkpoint_every:
+        # deep loops: pin the edge list once so rounds never re-derive
+        # it from lineage (the PageRank entry-checkpoint discipline)
+        e = e.localCheckpoint()
+    for r in range(rounds):
         counts = (
             e.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy("dst", "lab")
@@ -1242,6 +1259,8 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
                 "id", F.coalesce("new_lab", "lab").alias("lab")
             )
         )
+        if checkpoint_every and (r + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint()
     return labels
 
 

@@ -717,6 +717,240 @@ ORDER BY user_id, day
 
 
 # ---------------------------------------------------------------------------
+# Multi-touch attribution (first / last / linear) in one sorted pass
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # 7-day lookback
+
+
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-attribution readout: every purchase's value credited
+    to the view/click touches in its 7-day lookback under THREE
+    models at once — first-touch, last-touch, linear — without ever
+    materializing (purchase × touch) pairs.
+
+    The naive spelling is a per-user interval join: user equi-key,
+    ts-range residual — quadratic per hot user on the documented
+    skew column. Instead, the union-tag discipline (the asof_join
+    plan) generalized to range queries: union three tagged row kinds
+    — window-START probes (purchase at ts−7d), touches, window-END
+    probes (purchase at ts) — sort once per user, and read every
+    model off running counters:
+
+    - touches-in-window (and per-type splits) = running touch count
+      at the END probe minus at the START probe (probe pairs meet by
+      purchase id in a purchase-sized equi-join);
+    - last-touch = running ``last(touch, ignorenulls)`` at the END
+      probe (in-window by construction when the window count > 0);
+    - first-touch = the (start_count + 1)-th touch, fetched by ONE
+      (user, ordinal) equi-join against the touch stream — an index
+      lookup, not a scan.
+
+    Kind ordering at equal timestamps (START < touch < END) IS the
+    closed-interval rule [ts−7d, ts], stated once and shared with
+    the oracle. Money: exact cents in, attribution in integer
+    MICRO-cents with truncating division (the linear model's
+    remainder — < n micro-cents per purchase — stays deliberately
+    unattributed; both engines truncate identically). Purchases with
+    an empty window credit 'none' in full. One exchange on user_id
+    + two purchase-sized equi-joins — nothing pair-sized anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        us.alias("t"),
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.col("event_type").alias("tt"),
+        F.lit(None).cast("long").alias("c"),
+        F.lit(None).cast("long").alias("pid"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("pt"), "event_id", cents(F.col("value")).alias("pc")
+    )
+    probe_a = purch.select(
+        "user_id",
+        F.col("pt").alias("t"),
+        "event_id",
+        F.lit(2).alias("kind"),
+        F.lit(None).cast("string").alias("tt"),
+        F.col("pc").alias("c"),
+        F.col("event_id").alias("pid"),
+    )
+    probe_b = purch.select(
+        "user_id",
+        (F.col("pt") - ATTR_WINDOW_US).alias("t"),
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("string").alias("tt"),
+        F.lit(None).cast("long").alias("c"),
+        F.col("event_id").alias("pid"),
+    )
+    tagged = touches.unionByName(probe_a).unionByName(probe_b)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("kind") == 1
+    scanned = (
+        tagged.withColumn("cum_t", F.sum(F.when(is_touch, 1).otherwise(0)).over(w))
+        .withColumn(
+            "cum_v",
+            F.sum(F.when(is_touch & (F.col("tt") == "view"), 1).otherwise(0)).over(w),
+        )
+        .withColumn(
+            "last_tt", F.last(F.when(is_touch, F.col("tt")), ignorenulls=True).over(w)
+        )
+    )
+    at_a = scanned.filter(F.col("kind") == 2).select(
+        "user_id",
+        "pid",
+        "c",
+        F.col("cum_t").alias("ta"),
+        F.col("cum_v").alias("va"),
+        "last_tt",
+    )
+    at_b = scanned.filter(F.col("kind") == 0).select(
+        F.col("pid").alias("pid_b"),
+        F.col("cum_t").alias("tb"),
+        F.col("cum_v").alias("vb"),
+    )
+    touch_idx = scanned.filter(is_touch).select(
+        F.col("user_id").alias("iu"),
+        F.col("cum_t").alias("ord"),
+        F.col("tt").alias("first_tt_raw"),
+    )
+    per_purchase = (
+        at_a.join(at_b, at_a["pid"] == at_b["pid_b"])
+        .withColumn("n_w", F.col("ta") - F.col("tb"))
+        .withColumn("nv", F.col("va") - F.col("vb"))
+        .withColumn("nc", F.col("n_w") - F.col("nv"))
+        .join(
+            touch_idx,
+            (F.col("user_id") == F.col("iu"))
+            & (F.col("ord") == F.col("tb") + 1),
+            "left",
+        )
+    )
+    has = F.col("n_w") > 0
+    micros = F.col("c") * F.lit(1_000_000)
+    contributions = per_purchase.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.when(has, F.col("first_tt_raw"))
+                    .otherwise("none")
+                    .alias("touch_type"),
+                    micros.alias("attributed_micros"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.when(has, F.col("last_tt"))
+                    .otherwise("none")
+                    .alias("touch_type"),
+                    micros.alias("attributed_micros"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("model"),
+                    F.lit("view").alias("touch_type"),
+                    F.when(
+                        has, F.expr("(c * 1000000 * nv) div n_w")
+                    ).otherwise(F.lit(0)).alias("attributed_micros"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("model"),
+                    F.lit("click").alias("touch_type"),
+                    F.when(
+                        has, F.expr("(c * 1000000 * nc) div n_w")
+                    ).otherwise(F.lit(0)).alias("attributed_micros"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("model"),
+                    F.lit("none").alias("touch_type"),
+                    F.when(has, F.lit(0)).otherwise(micros).alias(
+                        "attributed_micros"
+                    ),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    return (
+        contributions.groupBy("model", "touch_type")
+        .agg(F.sum("attributed_micros").alias("attributed_micros"))
+        .filter(F.col("attributed_micros") > 0)
+        .orderBy("model", "touch_type")
+    )
+
+
+ORACLE_MULTI_TOUCH = f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS pt, event_id AS pid,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, epoch_us(ts) AS tt_us, event_id AS teid,
+         event_type AS tt
+  FROM events WHERE event_type IN ('view', 'click')
+), pairs AS (
+  SELECT p.pid, p.c, t.tt, t.tt_us, t.teid
+  FROM p JOIN t
+    ON t.user_id = p.user_id
+   AND t.tt_us >= p.pt - {ATTR_WINDOW_US}
+   AND t.tt_us <= p.pt
+), per AS (
+  SELECT pid, ANY_VALUE(c) AS c, COUNT(*) AS n_w,
+         SUM(CASE WHEN tt = 'view' THEN 1 ELSE 0 END) AS nv,
+         SUM(CASE WHEN tt = 'click' THEN 1 ELSE 0 END) AS nc
+  FROM pairs GROUP BY pid
+), first_last AS (
+  SELECT pid,
+         MIN(CASE WHEN rn_first = 1 THEN tt END) AS first_tt,
+         MIN(CASE WHEN rn_last = 1 THEN tt END) AS last_tt
+  FROM (
+    SELECT pid, tt,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tt_us ASC, teid ASC)
+             AS rn_first,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tt_us DESC, teid DESC)
+             AS rn_last
+    FROM pairs
+  ) GROUP BY pid
+), scored AS (
+  SELECT per.pid, per.c, per.n_w, per.nv, per.nc,
+         first_last.first_tt, first_last.last_tt
+  FROM per JOIN first_last ON per.pid = first_last.pid
+), contributions AS (
+  SELECT 'first_touch' AS model, first_tt AS touch_type,
+         c * 1000000 AS attributed_micros
+  FROM scored
+  UNION ALL
+  SELECT 'last_touch', last_tt, c * 1000000 FROM scored
+  UNION ALL
+  SELECT 'linear', 'view', (c * 1000000 * nv) // n_w FROM scored
+  UNION ALL
+  SELECT 'linear', 'click', (c * 1000000 * nc) // n_w FROM scored
+  UNION ALL
+  SELECT 'first_touch', 'none', c * 1000000
+  FROM p WHERE pid NOT IN (SELECT pid FROM per)
+  UNION ALL
+  SELECT 'last_touch', 'none', c * 1000000
+  FROM p WHERE pid NOT IN (SELECT pid FROM per)
+  UNION ALL
+  SELECT 'linear', 'none', c * 1000000
+  FROM p WHERE pid NOT IN (SELECT pid FROM per)
+)
+SELECT model, touch_type,
+       CAST(SUM(attributed_micros) AS BIGINT) AS attributed_micros
+FROM contributions
+GROUP BY model, touch_type
+HAVING SUM(attributed_micros) > 0
+ORDER BY model, touch_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # CEP-style event-pattern matching (MATCH_RECOGNIZE / Flink-CEP shape)
 # ---------------------------------------------------------------------------
 
@@ -812,6 +1046,11 @@ QUERIES: dict[str, QuerySpec] = {
         cep_funnel_pattern,
         ORACLE_CEP_FUNNEL,
         ["§2.8", "A3", "A4", "X-ts"],
+    ),
+    "multi_touch_attribution": QuerySpec(
+        multi_touch_attribution,
+        ORACLE_MULTI_TOUCH,
+        ["§2.8", "J2", "A1", "X-ts"],
     ),
     "gap_fill_interpolate": QuerySpec(
         gap_fill_interpolate,

@@ -450,7 +450,113 @@ ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten cascade (GDPR/CCPA erasure audit)
+# ---------------------------------------------------------------------------
+
+FORGET_MOD = 97  # deterministic erasure cohort: custkey % 97 == 0
+
+
+def forget_users_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-request propagation: delete a customer cohort and
+    everything reachable from it through foreign keys — customers →
+    their orders → those orders' line items, plus the events keyed
+    by the same ids — and emit the audit row compliance actually
+    requires (before/deleted/after per table, with the invariant
+    after = before − deleted checkable by eye).
+
+    The deletion set is tiny relative to the fact tables (an erasure
+    batch always is), so every cascade step is an anti-join against
+    a BROADCAST key set: customers and orders never shuffle, and the
+    lineitem pass streams the fact once against the broadcast order
+    keys. The one genuinely scale-sensitive step is orders-of-
+    deleted-customers → order-key set: it's a filter + projection of
+    the orders table, aggregated to keys only before broadcast. At
+    100 TB this audit IS the delete job's dry-run plan; the write
+    path is partition-overwrite (`operators/sinks.py` backfill) or a
+    Delta/Iceberg DELETE with the same anti-join underneath.
+
+    Deterministic cohort (custkey ≡ 0 mod {FORGET_MOD}) so the audit
+    is oracle-checkable; a real request list arrives as a table and
+    binds to the same plan."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    doomed_c = cust.filter(F.col("c_custkey") % FORGET_MOD == 0)
+    doomed_o = orders.join(
+        F.broadcast(doomed_c),
+        orders["o_custkey"] == doomed_c["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey")
+    doomed_li = li.join(
+        F.broadcast(doomed_o),
+        li["l_orderkey"] == doomed_o["o_orderkey"],
+        "left_semi",
+    )
+    doomed_ev = ev.filter(F.col("user_id") % FORGET_MOD == 0)
+
+    def audit(name: str, total: DataFrame, doomed: DataFrame) -> DataFrame:
+        t = total.agg(F.count(F.lit(1)).alias("rows_before"))
+        d = doomed.agg(F.count(F.lit(1)).alias("rows_deleted"))
+        return t.crossJoin(d).select(
+            F.lit(name).alias("table_name"),
+            "rows_before",
+            "rows_deleted",
+            (F.col("rows_before") - F.col("rows_deleted")).alias(
+                "rows_after"
+            ),
+        )
+
+    rows = [
+        audit("customer", cust, doomed_c),
+        audit("orders", orders, doomed_o),
+        audit("lineitem", li, doomed_li),
+        audit("events", ev, doomed_ev),
+    ]
+    return reduce(DataFrame.unionByName, rows).orderBy("table_name")
+
+
+ORACLE_FORGET_CASCADE = f"""
+WITH doomed_c AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {FORGET_MOD} = 0
+), doomed_o AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM doomed_c)
+), audit AS (
+  SELECT 'customer' AS table_name,
+         (SELECT COUNT(*) FROM customer) AS rows_before,
+         (SELECT COUNT(*) FROM doomed_c) AS rows_deleted
+  UNION ALL
+  SELECT 'orders',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM doomed_o)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_o))
+  UNION ALL
+  SELECT 'events',
+         (SELECT COUNT(*) FROM events),
+         (SELECT COUNT(*) FROM events WHERE user_id % {FORGET_MOD} = 0)
+)
+SELECT table_name, rows_before, rows_deleted,
+       rows_before - rows_deleted AS rows_after
+FROM audit
+ORDER BY table_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "forget_users_cascade": QuerySpec(
+        forget_users_cascade,
+        ORACLE_FORGET_CASCADE,
+        ["J6", "A4", "X-curation"],
+    ),
     "dataset_diff": QuerySpec(
         dataset_diff, ORACLE_DATASET_DIFF, ["J6", "A1", "X-versioning"]
     ),
