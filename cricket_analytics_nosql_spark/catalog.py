@@ -20,102 +20,19 @@ from __future__ import annotations
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Rounds 1-2 burned that window on the relational block, so the
-# graph / text / dedup / ANN / multimodal / mongo-pipeline / streaming
-# queries never received a driver-green CORRECTNESS row even though
-# the in-repo parity gate (tools/parity.py) checks them identically.
-# This list front-loads (a) every query with no green row in either
-# round and (b) a few round-2-green relational canaries, so the
-# driver's window converts judge-verified coverage into
-# driver-verified coverage.  Queries not listed keep registry order
-# after the window; nothing is dropped.
-#
-# ROUND-4 STATUS: no CORRECTNESS_r03/BENCH_r03 artifacts ever landed
-# (the round-3 verify evidently did not run — the full window
-# replays green locally in ~95 s after round 4's state-store and
-# CC-loop sizing, so not a query failure), which
-# means this window's queries STILL have no driver-green row. It
-# therefore stays active for round 4 unchanged.
-#
-# ROUND 5 TODO: once a CORRECTNESS_r{N} covering this window lands
-# green, swap _WINDOW_PRIORITY to _NEXT_WINDOW below — it
-# front-loads the queries that will then be the only ones without a
-# driver-green row (late-round-3 additions plus the round-4 ones at
-# its tail), with green canaries last.
+# Rounds 1-2 burned that window on the relational block;
+# CORRECTNESS_r03 then landed green for the reordered window (every
+# previously-unchecked graph/text/dedup/ANN/multimodal/mongo/streaming
+# query got its driver row — 45 hash-green, 5 rows-only by design:
+# dedup_simhash, ann_ivf, ann_ivf_kmeans, ann_lsh, cricket_pipeline,
+# pagerank_top).  This round's window therefore front-loads the
+# remaining never-driver-checked set: mid/late-round-3 additions
+# first, then the newest queries; green canaries last.  NOTE: the
+# list exceeds the driver's 50-entry gate — entries past position 50
+# simply rotate into the next round's window (see _queue note at the
+# tail); nothing is dropped, queries not listed keep registry order
+# after the window.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (rounds 1-2)
-    "map_functions",
-    "token_count_bpe",
-    "dedup_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "corpus_clean",
-    "dedup_simhash",
-    "ann_brute_force",
-    "ann_ivf",
-    "ann_ivf_kmeans",
-    "ann_lsh",
-    "dedup_embedding_cosine",
-    "vector_label_stats",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_frames",
-    "multimodal_resize",
-    "skewed_event_counts",
-    "salted_join_enrich",
-    "cricket_pipeline",
-    "partitioned_sink_roundtrip",
-    "graph_sink_roundtrip",
-    "pandas_udf_tokens",
-    "udtf_tokenize",
-    "mongo_pipeline_group_topk",
-    "mongo_pipeline_match_global",
-    "mongo_pipeline_unwind_topk",
-    "mongo_pipeline_lookup",
-    "mongo_pipeline_bucket",
-    "mongo_pipeline_merge",
-    "mongo_pipeline_window",
-    "sample_stratified_docs",
-    "docs_length_trim",
-    "char_ngram_profile",
-    "cypher_trade_degree",
-    "repetition_stats",
-    "decontaminate",
-    "stream_stream_join",
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_static_join",
-    "stream_session_agg",
-    "stream_dedup",
-    "stream_time_rollup",
-    "stream_spike_monitor",
-    # checked in round 1 but never green (hash_match false / no_oracle)
-    "graph_degree",
-    "lang_source_profile",
-    "pagerank_top",
-    "approx_distinct",
-    # round-1-green, absent from round 2's window
-    "graph_project",
-    "text_quality_scores",
-    "langid_heuristic",
-    "token_frequency_topk",
-    "doc_fingerprints",
-    "tfidf_top_terms",
-    "dedup_exact",
-    # round-2-green relational canaries
-    "top_revenue_customers",
-    "pricing_summary",
-)
-
-# INACTIVE until a green round lands for _WINDOW_PRIORITY (see TODO
-# above). Order: late-r3 analytics/joins/graph first, then
-# LLM/training, versioning/quality, pipeline/front-end, streaming,
-# then the round-4 additions; canaries last.  NOTE: this list now
-# exceeds the driver's 50-entry gate — entries past position 50
-# (late round-4 additions + canaries) simply rotate into the
-# round-AFTER-next's window; nothing is lost, coverage of
-# never-driver-checked queries just takes one extra round.
-_NEXT_WINDOW: tuple[str, ...] = (
     "market_share",
     "cohort_retention",
     "funnel_conversion",
@@ -220,6 +137,7 @@ def all_queries() -> dict[str, QuerySpec]:
         bpe,
         cricket,
         dedup,
+        drift,
         entity,
         graph,
         joins,
@@ -260,6 +178,7 @@ def all_queries() -> dict[str, QuerySpec]:
         bpe,
         sampling,
         dedup,
+        drift,
         entity,
         similarity,
         multimodal,

@@ -756,7 +756,9 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     + two purchase-sized equi-joins — nothing pair-sized anywhere.
     """
     ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
+    # cast: the parquet column is TIMESTAMP_NTZ and unix_micros only
+    # accepts TIMESTAMP (same one-spelling rule as scalar.epoch_day)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     touches = ev.filter(F.col("event_type").isin("view", "click")).select(
         "user_id",
         us.alias("t"),

@@ -1053,7 +1053,142 @@ LIMIT 25
 """
 
 
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval rankings
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+
+
+def rrf_fuse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of two retrieval
+    signals for the fixed 3-term query: BM25 and plain term-density
+    (query-term occurrences per document token).  RRF is the
+    standard way to merge a lexical and a second ranking without
+    score calibration: ``Σ 1/(k + rank)`` with k=60.
+
+    One tokenize pass feeds BOTH rankers (the tf/dl/df frames are
+    shared subtrees, so the corpus is scanned once); only documents
+    containing a query term survive to ranking, so the two
+    ``row_number`` windows — necessarily unpartitioned: a ranking is
+    a global order — run over the candidate-sized frame, never the
+    corpus.  Ranks are integers, density is an integer e6 ratio, and
+    the fused score is two reciprocal terms in fixed textual order —
+    bit-identical on both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda x: F.length(x) > 0
+            )
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    qt = list(BM25_QUERY)
+    tf = (
+        toks.filter(F.col("term").isin(qt))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (BM25_K1 + 1) / norm
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.round(F.sum(term_score), 6).alias("bm25"),
+            F.sum("tf").alias("tf_total"),
+        )
+        .withColumn(
+            "dens_e6", F.expr("(tf_total * 1000000) div dl")
+        )
+    )
+    w_bm25 = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    w_dens = Window.orderBy(F.desc("dens_e6"), F.asc("doc_id"))
+    ranked = scored.select(
+        "doc_id",
+        F.row_number().over(w_bm25).alias("r_bm25"),
+        F.row_number().over(w_dens).alias("r_density"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "r_bm25",
+            "r_density",
+            F.round(
+                F.lit(1.0) / (RRF_K + F.col("r_bm25"))
+                + F.lit(1.0) / (RRF_K + F.col("r_density")),
+                9,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+ORACLE_RRF_FUSE = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS term) t
+  WHERE length(t.term) > 0
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('spark', 'join', 'stream')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, dl.dl,
+         ROUND(SUM(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * ({BM25_K1} + 1)
+           / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl))
+         ), 6) AS bm25,
+         SUM(tf) AS tf_total
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id, dl.dl
+), ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25,
+         ROW_NUMBER() OVER (
+           ORDER BY (tf_total * 1000000) // dl DESC, doc_id
+         ) AS r_density
+  FROM scored
+)
+SELECT doc_id, r_bm25, r_density,
+       ROUND(1.0 / ({RRF_K} + r_bm25) + 1.0 / ({RRF_K} + r_density), 9)
+         AS rrf_score
+FROM ranked
+ORDER BY rrf_score DESC, doc_id
+LIMIT 15
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "rrf_fuse_search": QuerySpec(
+        rrf_fuse_search, ORACLE_RRF_FUSE, ["X-text", "A1", "J1", "T1"]
+    ),
     "feature_hashing": QuerySpec(
         feature_hashing,
         ORACLE_FEATURE_HASHING,
