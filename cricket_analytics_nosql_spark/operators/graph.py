@@ -1331,7 +1331,76 @@ LIMIT 25
 )
 
 
+def harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality on the bipartite trade graph:
+    for each customer, ``Σ_{v reachable} 1/dist(v)`` cut at 2 hops —
+    suppliers bought from count 1, co-buying customers count 1/2.
+    The 2-hop cut is what makes the measure computable by plain
+    joins (full harmonic centrality needs all-pairs BFS); it is the
+    standard "local influence" readout and ranks hubs the same way
+    on graphs whose diameter-2 neighborhood dominates.
+
+    Plan: distance-1 sizes come straight off the aggregated edge
+    list; distance-2 is the supplier-keyed inverted-index self-join
+    (the A8 co-occurrence shape) deduplicated to distinct partner
+    pairs — cost scales with Σ_s buyers(s)², never |customers|².
+    A hot supplier is the skew lever: cap its buyer list (top-k by
+    weight) or salt the dedup key at scale; the plan shape holds.
+    Score arithmetic is dyadic (n + m/2) — exact in both engines."""
+    e = trade_edges(spark, sf_dir).select("src", "dst")
+    d1 = e.groupBy("src").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    a = e.select(F.col("src").alias("c1"), "dst")
+    b = e.select(F.col("src").alias("c2"), "dst")
+    partners = (
+        a.join(b, "dst")
+        .filter(F.col("c1") != F.col("c2"))
+        .select("c1", "c2")
+        .distinct()
+        .groupBy("c1")
+        .agg(F.count(F.lit(1)).alias("n_cobuyers"))
+    )
+    return (
+        d1.join(partners, d1.src == partners.c1, "left")
+        .select(
+            F.col("src").alias("custkey"),
+            "n_suppliers",
+            F.coalesce(F.col("n_cobuyers"), F.lit(0)).alias("n_cobuyers"),
+        )
+        .withColumn(
+            "harmonic",
+            F.col("n_suppliers")
+            + F.coalesce(F.col("n_cobuyers"), F.lit(0)) / 2.0,
+        )
+        .orderBy(F.desc("harmonic"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_HARMONIC_2HOP = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), d1 AS (
+  SELECT src, COUNT(*) AS n_suppliers FROM e GROUP BY src
+), partners AS (
+  SELECT c1, COUNT(*) AS n_cobuyers FROM (
+    SELECT DISTINCT a.src AS c1, b.src AS c2
+    FROM e a JOIN e b ON a.dst = b.dst AND a.src <> b.src
+  ) GROUP BY c1
+)
+SELECT d1.src AS custkey, n_suppliers,
+       COALESCE(n_cobuyers, 0) AS n_cobuyers,
+       n_suppliers + COALESCE(n_cobuyers, 0) / 2.0 AS harmonic
+FROM d1 LEFT JOIN partners ON d1.src = partners.c1
+ORDER BY harmonic DESC, custkey ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "harmonic_centrality_2hop": QuerySpec(
+        harmonic_centrality_2hop, ORACLE_HARMONIC_2HOP, ["G3", "A8", "J3", "T4"]
+    ),
     "recursive_trade_bfs": QuerySpec(
         recursive_trade_bfs, ORACLE_RECURSIVE_TRADE_BFS, ["§2.9", "G1"]
     ),

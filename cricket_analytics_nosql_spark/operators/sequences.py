@@ -1043,7 +1043,75 @@ FROM journeys
 """
 
 
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current event type), the behavioral
+    fingerprint that feeds bot detection and journey simulation
+    (event_trigrams mines specific patterns; this is the full
+    normalized one-step model).
+
+    ONE exchange on user_id feeds the lag pass (the
+    activity_streaks posture — per-key window state is one user's
+    ordered history, a sort, never a pair blowup); transitions then
+    collapse map-side to the |types|² matrix, so the second shuffle
+    moves at most that many rows per task. Counts stay integer; each
+    probability is one division rounded at 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("next_type"),
+        )
+        .withColumn("prev_type", F.lag("next_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("prev_type")
+    return (
+        trans.withColumn("row_total", F.sum("n").over(w_tot))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_total").cast("double"),
+                6,
+            ).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+ORACLE_EVENT_TRANSITION = """
+WITH seq AS (
+  SELECT event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+             6) AS p
+FROM trans
+ORDER BY prev_type, next_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "event_transition_probs": QuerySpec(
+        event_transition_probs,
+        ORACLE_EVENT_TRANSITION,
+        ["§2.8", "A1", "X-ts"],
+    ),
     "cep_funnel_pattern": QuerySpec(
         cep_funnel_pattern,
         ORACLE_CEP_FUNNEL,
