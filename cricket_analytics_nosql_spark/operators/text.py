@@ -1067,8 +1067,10 @@ def rrf_fuse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard way to merge a lexical and a second ranking without
     score calibration: ``Σ 1/(k + rank)`` with k=60.
 
-    One tokenize pass feeds BOTH rankers (the tf/dl/df frames are
-    shared subtrees, so the corpus is scanned once); only documents
+    The tf/dl/df frames are shared subtrees feeding BOTH rankers —
+    exchange-reuse collapses the duplicated aggregations at runtime,
+    leaving two pruned corpus passes (doc lengths, query-term hits —
+    BM25's own floor, since avgdl needs every document); only docs
     containing a query term survive to ranking, so the two
     ``row_number`` windows — necessarily unpartitioned: a ranking is
     a global order — run over the candidate-sized frame, never the

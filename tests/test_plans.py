@@ -736,3 +736,100 @@ def test_prefix_jaccard_verify_has_no_full_index_join(spark, sf_medium):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "array_intersect" in plan
+
+
+def test_ks_drift_window_rides_value_rollup(spark, sf_medium):
+    """The KS ECDF prefix-sum is necessarily an unpartitioned
+    window, so it must consume the dollar-grid ROLLUP, not the fact:
+    one parquet scan (the totals branch reuses the rollup exchange),
+    exactly one Window node, and the scan pruned to the two columns
+    the test touches."""
+    import re
+
+    from cricket_analytics_nosql_spark.operators.drift import ks_drift_orders
+
+    # AQE defers exchange reuse to runtime — inspect the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(ks_drift_orders(spark, sf_medium))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "o_orderdate" not in read[0], plan
+    assert "o_custkey" not in read[0], plan
+
+
+def test_entropy_kl_derives_marginals_from_pair_counts(spark, sf_medium):
+    """Corpus marginals must derive from the (source, term) pair
+    frame, never a second corpus tokenize: at most two parquet scans
+    survive in the pre-AQE plan (pair counts + one shared-subtree
+    duplicate that exchange-reuse collapses), with reuse nodes
+    present."""
+    import re
+
+    from cricket_analytics_nosql_spark.operators.drift import token_entropy_kl
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(token_entropy_kl(spark, sf_medium))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_winsorized_bounds_broadcast_back(spark, sf_medium):
+    """Percentile bounds are O(segments) rows and must broadcast
+    onto the clamp pass (never shuffle the fact a second time), and
+    the customer dim must broadcast too."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        winsorized_segment_stats,
+    )
+
+    plan = plan_of(winsorized_segment_stats(spark, sf_medium))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_transition_matrix_single_user_exchange(spark, sf_medium):
+    """The lag pass and everything after it ride ONE exchange of
+    events on user_id; the post-lag aggregation exchanges only the
+    |types|^2 matrix."""
+    import re
+
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        event_transition_probs,
+    )
+
+    plan = plan_of(event_transition_probs(spark, sf_medium))
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_harmonic_centrality_topk_and_no_nested_loop(spark, sf_medium):
+    """Top-20 must fuse to TakeOrderedAndProject and the distance-2
+    stage must be the supplier-keyed equi-join — no nested-loop or
+    cartesian anywhere."""
+    from cricket_analytics_nosql_spark.operators.graph import (
+        harmonic_centrality_2hop,
+    )
+
+    plan = plan_of(harmonic_centrality_2hop(spark, sf_medium))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rrf_ranks_over_candidate_frame(spark, sf_medium):
+    """Both row_number windows must consume the candidate-sized
+    scored frame (downstream of the query-term semi-filter), and the
+    fused top-15 must fuse to TakeOrderedAndProject."""
+    import re
+
+    from cricket_analytics_nosql_spark.operators.text import rrf_fuse_search
+
+    plan = plan_of(rrf_fuse_search(spark, sf_medium))
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
