@@ -1344,10 +1344,19 @@ def harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     list; distance-2 is the supplier-keyed inverted-index self-join
     (the A8 co-occurrence shape) deduplicated to distinct partner
     pairs — cost scales with Σ_s buyers(s)², never |customers|².
-    A hot supplier is the skew lever: cap its buyer list (top-k by
-    weight) or salt the dedup key at scale; the plan shape holds.
+    That wedge sum is the thing to bound: on the RAW graph it
+    explodes (measured: the sf0.1 dense bipartite graph OOMs the
+    distinct at ~360M pairs — the local_clustering_topk lesson), so
+    the query binds to the STRONG trade graph (pairs with ≥ 3 line
+    items, the sssp/lpa binding), whose per-supplier buyer lists are
+    short. At scale the same levers apply: raise the strength
+    threshold, or cap a hot supplier's buyer list top-k by weight.
     Score arithmetic is dyadic (n + m/2) — exact in both engines."""
-    e = trade_edges(spark, sf_dir).select("src", "dst")
+    e = (
+        trade_edges(spark, sf_dir)
+        .filter(F.col("weight") >= 3)
+        .select("src", "dst")
+    )
     d1 = e.groupBy("src").agg(F.count(F.lit(1)).alias("n_suppliers"))
     a = e.select(F.col("src").alias("c1"), "dst")
     b = e.select(F.col("src").alias("c2"), "dst")
@@ -1378,8 +1387,9 @@ def harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_HARMONIC_2HOP = """
 WITH e AS (
-  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+  SELECT o_custkey AS src, l_suppkey AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey HAVING COUNT(*) >= 3
 ), d1 AS (
   SELECT src, COUNT(*) AS n_suppliers FROM e GROUP BY src
 ), partners AS (
