@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cricket_analytics_nosql_spark.functions.scalar import cents, flag
+from cricket_analytics_nosql_spark.functions.scalar import cents, epoch_day, flag
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.operators.text import tokens_col
 from cricket_analytics_nosql_spark.sources.tables import load_table
@@ -422,7 +422,307 @@ ORDER BY segment
 """
 
 
+# ---------------------------------------------------------------------------
+# Population stability index (binned drift between two eras)
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+PSI_SPLIT_YEAR = 1998  # era A: orders before 1998; era B: 1998+
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the order-value
+    distributions of two eras (pre/post-{PSI_SPLIT_YEAR}) — the
+    scorecard-monitoring standard: PSI < 0.1 stable, > 0.25 shifted.
+
+    Equal-width dollar bins over the GLOBAL [min, max] (an O(1)-row
+    bounds aggregate broadcast back — the value_histogram pattern);
+    all {PSI_BINS} bins are generated from a range frame so empty
+    bins still contribute through Laplace(+1) smoothing, which also
+    makes every log finite. The per-bin term is the cross-multiplied
+    integer ``(ca'·nb' − cb'·na') · ROUND(ln(ratio)·1e6)`` — bigint
+    all the way; two final divisions mirror the oracle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        flag(F.year("o_orderdate") < PSI_SPLIT_YEAR).alias("is_a"),
+        F.expr("cast(round(o_totalprice * 100) as bigint) div 100").alias(
+            "v"
+        ),
+    )
+    bounds = o.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        "is_a",
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.expr(f"((v - lo) * {PSI_BINS}) div (hi - lo + 1)"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(1 - F.col("is_a")).alias("cb"),
+    )
+    all_bins = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    filled = (
+        all_bins.join(counts, "bin", "left")
+        .select(
+            "bin",
+            (F.coalesce("ca", F.lit(0)) + 1).alias("ca1"),
+            (F.coalesce("cb", F.lit(0)) + 1).alias("cb1"),
+        )
+    )
+    tot = filled.agg(
+        F.sum("ca1").alias("na1"), F.sum("cb1").alias("nb1")
+    )
+    j = filled.crossJoin(F.broadcast(tot))
+    ln_e6 = F.round(
+        F.log(
+            (F.col("ca1") * F.col("nb1")).cast("double")
+            / (F.col("cb1") * F.col("na1")).cast("double")
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    term = (
+        F.col("ca1") * F.col("nb1") - F.col("cb1") * F.col("na1")
+    ) * ln_e6
+    return (
+        j.groupBy("na1", "nb1")
+        .agg(F.sum(term).alias("s"), F.count(F.lit(1)).alias("n_bins"))
+        .select(
+            "n_bins",
+            (F.col("na1") - PSI_BINS).alias("n_era_a"),
+            (F.col("nb1") - PSI_BINS).alias("n_era_b"),
+            F.round(
+                F.col("s").cast("double")
+                / (F.col("na1") * F.col("nb1")).cast("double") / 1e6,
+                6,
+            ).alias("psi"),
+        )
+    )
+
+
+ORACLE_PSI_VALUE_DRIFT = f"""
+WITH o AS (
+  SELECT CASE WHEN year(o_orderdate) < {PSI_SPLIT_YEAR} THEN 1 ELSE 0 END
+           AS is_a,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS v
+  FROM orders
+), bounds AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi FROM o
+), binned AS (
+  SELECT is_a,
+         LEAST({PSI_BINS} - 1, ((v - lo) * {PSI_BINS}) // (hi - lo + 1))
+           AS bin
+  FROM o CROSS JOIN bounds
+), counts AS (
+  SELECT bin, SUM(is_a) AS ca, SUM(1 - is_a) AS cb
+  FROM binned GROUP BY bin
+), filled AS (
+  SELECT r.range AS bin,
+         COALESCE(ca, 0) + 1 AS ca1,
+         COALESCE(cb, 0) + 1 AS cb1
+  FROM range({PSI_BINS}) r LEFT JOIN counts ON counts.bin = r.range
+), tot AS (
+  SELECT SUM(ca1) AS na1, SUM(cb1) AS nb1 FROM filled
+)
+SELECT COUNT(*) AS n_bins,
+       CAST(na1 - {PSI_BINS} AS BIGINT) AS n_era_a,
+       CAST(nb1 - {PSI_BINS} AS BIGINT) AS n_era_b,
+       ROUND(CAST(SUM((ca1 * nb1 - cb1 * na1)
+                      * CAST(ROUND(ln(CAST(ca1 * nb1 AS DOUBLE)
+                                      / CAST(cb1 * na1 AS DOUBLE)) * 1000000.0)
+                             AS BIGINT)) AS DOUBLE)
+             / CAST(na1 * nb1 AS DOUBLE) / 1000000.0, 6) AS psi
+FROM filled CROSS JOIN tot
+GROUP BY na1, nb1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit anomaly screen
+# ---------------------------------------------------------------------------
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order values — the classic
+    fabricated-numbers screen: the leading digit of naturally-grown
+    amounts follows ``P(d) = log10(1 + 1/d)``; a synthetic or capped
+    feed shows up as a fat tail on high digits.  Per-digit observed
+    share vs expected, plus each digit's chi-square contribution and
+    the running total (a 9-row frame — the unpartitioned window is
+    free).  Counts are integers; each double term is rounded to an
+    integer e6 scale before the 9-term sum, so engines agree."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.substring(
+                F.expr(
+                    "cast(cast(round(o_totalprice * 100) as bigint)"
+                    " div 100 as string)"
+                ),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = d.agg(F.sum("n_obs").alias("n"))
+    j = d.crossJoin(F.broadcast(tot))
+    expected = F.log10(1 + 1.0 / F.col("digit"))
+    chi_e6 = F.round(
+        (F.col("n_obs").cast("double") - F.col("n") * expected)
+        * (F.col("n_obs").cast("double") - F.col("n") * expected)
+        / (F.col("n") * expected)
+        * 1e6,
+        0,
+    ).cast("long")
+    w = Window.orderBy("digit").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        j.select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias(
+                "obs_share"
+            ),
+            F.round(expected, 6).alias("benford_share"),
+            chi_e6.alias("chi_e6"),
+        )
+        .withColumn(
+            "chi_square_total",
+            F.round(F.sum("chi_e6").over(w).cast("double") / 1e6, 4),
+        )
+        .orderBy("digit")
+    )
+
+
+ORACLE_BENFORD = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100
+                          AS VARCHAR), 1, 1) AS INT) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders GROUP BY digit
+), tot AS (
+  SELECT SUM(n_obs) AS n FROM d
+), terms AS (
+  SELECT digit, n_obs,
+         ROUND(CAST(n_obs AS DOUBLE) / n, 6) AS obs_share,
+         ROUND(log10(1 + 1.0 / digit), 6) AS benford_share,
+         CAST(ROUND((CAST(n_obs AS DOUBLE) - n * log10(1 + 1.0 / digit))
+                    * (CAST(n_obs AS DOUBLE) - n * log10(1 + 1.0 / digit))
+                    / (n * log10(1 + 1.0 / digit)) * 1000000.0)
+              AS BIGINT) AS chi_e6
+  FROM d CROSS JOIN tot
+)
+SELECT digit, n_obs, obs_share, benford_share, chi_e6,
+       ROUND(CAST(SUM(chi_e6) OVER () AS DOUBLE) / 1000000.0, 4)
+         AS chi_square_total
+FROM terms
+ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of daily revenue
+# ---------------------------------------------------------------------------
+
+def revenue_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Pearson autocorrelation of the daily order-revenue
+    series — the one-number seasonality/trend screen that decides
+    whether a forecast baseline needs differencing.
+
+    The fact stream collapses to the ~calendar-sized daily rollup
+    (one exchange with map-side combine); the lag pass and the five
+    moment sums run over that frame.  Daily revenue is kept in WHOLE
+    DOLLARS so Σx² stays inside bigint at sf0.1 (measured 6e17 of
+    9.2e18) — at larger scales coarsen the unit (kilodollars), same
+    plan.  The Pearson formula is evaluated once at the end in
+    doubles from the exact integer sums, textually identical to the
+    oracle."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(epoch_day("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint) div 100")
+            ).alias("rev")
+        )
+    )
+    w = Window.orderBy("day")
+    pairs = daily.select(
+        "day", "rev", F.lag("rev").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("sx"),
+        F.sum("prev").alias("sy"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sxx"),
+        F.sum(F.col("prev") * F.col("prev")).alias("syy"),
+        F.sum(F.col("rev") * F.col("prev")).alias("sxy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast(
+        "double"
+    ) - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            F.col("n").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return m.select(
+        (F.col("n") + 1).alias("n_days"),
+        F.round(num / den, 6).alias("autocorr_lag1"),
+    )
+
+
+ORACLE_REVENUE_AUTOCORR = """
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100) AS rev
+  FROM orders GROUP BY day
+), pairs AS (
+  SELECT rev, LAG(rev) OVER (ORDER BY day) AS prev FROM daily
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rev) AS BIGINT) AS sx,
+         CAST(SUM(prev) AS BIGINT) AS sy,
+         CAST(SUM(rev * rev) AS BIGINT) AS sxx,
+         CAST(SUM(prev * prev) AS BIGINT) AS syy,
+         CAST(SUM(rev * prev) AS BIGINT) AS sxy
+  FROM pairs WHERE prev IS NOT NULL
+)
+SELECT n + 1 AS n_days,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS autocorr_lag1
+FROM m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "psi_value_drift": QuerySpec(
+        psi_value_drift, ORACLE_PSI_VALUE_DRIFT, ["A1", "A4", "X-curation"]
+    ),
+    "benford_first_digit": QuerySpec(
+        benford_first_digit, ORACLE_BENFORD, ["A1", "A4", "X-curation"]
+    ),
+    "revenue_autocorr_lag1": QuerySpec(
+        revenue_autocorr_lag1,
+        ORACLE_REVENUE_AUTOCORR,
+        ["A4", "§2.8", "X-ts"],
+    ),
     "ks_drift_orders": QuerySpec(
         ks_drift_orders, ORACLE_KS_DRIFT, ["A1", "A4", "X-curation"]
     ),

@@ -1407,7 +1407,103 @@ LIMIT 20
 """
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def kcore_trade_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peeling on the strong trade graph: after
+    {KCORE_ROUNDS} synchronous peels of degree-<{KCORE_K} vertices,
+    report the top-25 surviving vertices by remaining degree.  The
+    FIXED round count (vs ``kcore``'s run-to-fixpoint, which this
+    catalog query complements as the oracled face of the same
+    operator family) makes the result a pure function of the edge
+    list that an unrolled SQL oracle replays exactly — the LPA
+    contract.  Each round is one degree aggregate plus two semi-join
+    filters of the shrinking edge list — vertex/edge-frame-sized
+    shuffles only; for real depth, checkpoint per round exactly as
+    ``kcore`` does."""
+    e = (
+        trade_edges(spark, sf_dir)
+        .filter(F.col("weight") >= 3)
+        .select(
+            (F.col("src") * 2).alias("va"),
+            (F.col("dst") * 2 + 1).alias("vb"),
+        )
+    )
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("va").alias("v"))
+            .unionAll(e.select(F.col("vb").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("v")
+        e = e.join(
+            keep.select(F.col("v").alias("va")), "va", "left_semi"
+        ).join(keep.select(F.col("v").alias("vb")), "vb", "left_semi")
+    deg = (
+        e.select(F.col("va").alias("v"))
+        .unionAll(e.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.select(
+            F.when(F.col("v") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            F.shiftright("v", 1).alias("key"),
+            "degree",
+        )
+        .orderBy(F.desc("degree"), F.asc("entity"), F.asc("key"))
+        .limit(25)
+    )
+
+
+_KCORE_ROUND_SQL = """
+, d{r} AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT va AS v FROM e{p} UNION ALL SELECT vb FROM e{p}
+  ) GROUP BY v
+), k{r} AS (
+  SELECT v FROM d{r} WHERE d >= {k}
+), e{r} AS (
+  SELECT va, vb FROM e{p}
+  WHERE va IN (SELECT v FROM k{r}) AND vb IN (SELECT v FROM k{r})
+)
+"""
+
+ORACLE_KCORE_SURVIVORS = (
+    """
+WITH base AS MATERIALIZED (
+  SELECT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey HAVING COUNT(*) >= 3
+), e0 AS (
+  SELECT c * 2 AS va, s * 2 + 1 AS vb FROM base
+)
+"""
+    + "".join(
+        _KCORE_ROUND_SQL.format(r=r, p=r - 1, k=KCORE_K)
+        for r in (1, 2, 3)
+    )
+    + """
+SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+       v // 2 AS key,
+       COUNT(*) AS degree
+FROM (SELECT va AS v FROM e3 UNION ALL SELECT vb FROM e3)
+GROUP BY v
+ORDER BY degree DESC, entity ASC, key ASC
+LIMIT 25
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "kcore_trade_survivors": QuerySpec(
+        kcore_trade_survivors, ORACLE_KCORE_SURVIVORS, ["G1", "A7", "J3", "T6"]
+    ),
     "harmonic_centrality_2hop": QuerySpec(
         harmonic_centrality_2hop, ORACLE_HARMONIC_2HOP, ["G3", "A8", "J3", "T4"]
     ),
