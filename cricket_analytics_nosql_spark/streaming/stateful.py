@@ -435,6 +435,7 @@ ORDER BY t.user_id
 
 from cricket_analytics_nosql_spark.operators.sequences import (  # noqa: E402
     ORACLE_CEP_FUNNEL,
+    ORACLE_EVENT_TRANSITION,
 )
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec  # noqa: E402
 
@@ -657,7 +658,122 @@ def stream_cep_monitor(spark, sf_dir: str) -> DataFrame:
     return pattern_counts_from_journeys(final)
 
 
+# ---------------------------------------------------------------------------
+# Streaming Markov transition monitor (per-user last-event state)
+# ---------------------------------------------------------------------------
+
+TRANSITION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("prev_type", T.StringType()),
+        T.StructField("next_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+TRANSITION_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_type", T.StringType())]
+)
+
+
+def _update_transitions(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user transition fold: carry the LAST event type across
+    micro-batches, count (prev → next) pairs inside each batch in
+    (ts, event_id) order, and emit the batch's count DELTAS (the
+    final readout sums them). Same ordering contract as the journey
+    fold: chunks replay time-ordered, so intra-batch sort + the
+    carried boundary event reconstructs the global sequence. State
+    is ONE string per user — the smallest possible keyed state."""
+    (last,) = state.get if state.exists else (None,)
+    frames = []
+    for pdf in batches:
+        seq = pdf.sort_values(["ts", "event_id"])["event_type"].tolist()
+        if not seq:
+            continue
+        chain = ([last] if last is not None else []) + seq
+        last = chain[-1]
+        pairs = pd.DataFrame(
+            {"prev_type": chain[:-1], "next_type": chain[1:]}
+        )
+        if len(pairs):
+            frames.append(
+                pairs.groupby(["prev_type", "next_type"], as_index=False)
+                .size()
+                .rename(columns={"size": "n"})
+            )
+    state.update((last,))
+    if frames:
+        out = (
+            pd.concat(frames)
+            .groupby(["prev_type", "next_type"], as_index=False)
+            .agg({"n": "sum"})
+        )
+        yield out
+
+
+def stream_transition_monitor(spark, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch ``event_transition_probs``: the
+    Markov transition matrix maintained incrementally — per-user
+    boundary state carries the last event type across micro-batches
+    so batch-edge transitions are never lost. Drains the 4-chunk
+    replay, sums the per-batch count deltas, and normalizes exactly
+    like the batch query; the oracle is the batch SQL verbatim
+    (full-matrix batch↔stream parity, the stream_cep_monitor
+    contract).
+
+    Scale: emissions are |types|²-sized deltas per user-batch and
+    the final rollup is matrix-sized; add a state timeout for
+    churned users at real depth — the fold is unchanged."""
+    from pyspark.sql import Window
+
+    from cricket_analytics_nosql_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stage_event_files,
+    )
+
+    staged = stage_event_files(spark, sf_dir)
+    deltas = run_available_now(
+        read_events_stream(spark, staged)
+        .select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions,
+            outputStructType=TRANSITION_OUTPUT_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        ),
+        "update",
+    )
+    trans = deltas.groupBy("prev_type", "next_type").agg(
+        F.sum("n").alias("n")
+    )
+    w_tot = Window.partitionBy("prev_type")
+    return (
+        trans.withColumn("row_total", F.sum("n").over(w_tot))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_total").cast("double"),
+                6,
+            ).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_transition_monitor": QuerySpec(
+        stream_transition_monitor,
+        # batch↔stream parity IS the oracle: summed streaming deltas
+        # must rebuild the batch transition matrix bit-for-bit
+        ORACLE_EVENT_TRANSITION,
+        ["§2.11", "§2.12", "X-ts"],
+    ),
     "stream_cep_monitor": QuerySpec(
         stream_cep_monitor,
         # batch↔stream parity IS the oracle: the drained stream must
