@@ -711,7 +711,158 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Revenue concentration: Gini coefficient + Lorenz decile shares
+# ---------------------------------------------------------------------------
+
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime revenue — the
+    concentration number behind "whale risk" dashboards (0 = every
+    customer equal, →1 = one customer is the business).
+
+    The fact stream reduces to the per-customer rollup first; the
+    rank assignment (``G = (2Σi·xᵢ − (n+1)Σx)/(nΣx)`` needs each
+    value's ascending rank) is an unpartitioned row_number over that
+    CUSTOMER-sized frame — the KS/rolling-median posture: global
+    order over an aggregate, never the fact. Ties in x are
+    rank-permutation-invariant in Σi·xᵢ, so the tie-break is purely
+    cosmetic. Revenue is whole dollars: Σi·x stays ~1e14 of bigint
+    range at sf0.1; coarsen the unit at larger scales."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint) div 100")
+            ).alias("x")
+        )
+    )
+    w = Window.orderBy("x", "o_custkey")
+    ranked = per_cust.select(
+        "x", F.row_number().over(w).alias("i")
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_dollars"),
+        F.round(
+            (
+                2 * F.col("six").cast("double")
+                - (F.col("n") + 1).cast("double") * F.col("sx").cast("double")
+            )
+            / (F.col("n").cast("double") * F.col("sx").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+ORACLE_GINI = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100) AS x
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM per_cust
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(i * x) AS BIGINT) AS six
+  FROM ranked
+)
+SELECT n AS n_customers, sx AS total_dollars,
+       ROUND((2 * CAST(six AS DOUBLE)
+              - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+FROM m
+"""
+
+
+def lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve readout: customers split into revenue deciles
+    (ascending), each decile's share of total revenue and the
+    cumulative share — the "bottom 50% hold 9%" statement auditors
+    actually quote.  Same aggregate-frame-then-rank posture as the
+    Gini; shares are integer sums with one rounded division each;
+    the 10-row cumulative window is free."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint) div 100")
+            ).alias("x")
+        )
+    )
+    w = Window.orderBy("x", "o_custkey")
+    deciled = per_cust.select(
+        "x", F.ntile(10).over(w).alias("decile")
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("x").alias("revenue_dollars"),
+    )
+    tot = agg.agg(F.sum("revenue_dollars").alias("t"))
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_dollars",
+            F.round(
+                F.col("revenue_dollars").cast("double")
+                / F.col("t").cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.sum("revenue_dollars").over(w_cum).cast("double")
+                / F.col("t").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_LORENZ = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100) AS x
+  FROM orders GROUP BY o_custkey
+), deciled AS (
+  SELECT x, NTILE(10) OVER (ORDER BY x, o_custkey) AS decile FROM per_cust
+), agg AS (
+  SELECT decile, COUNT(*) AS n_customers,
+         CAST(SUM(x) AS BIGINT) AS revenue_dollars
+  FROM deciled GROUP BY decile
+), tot AS (
+  SELECT SUM(revenue_dollars) AS t FROM agg
+)
+SELECT decile, n_customers, revenue_dollars,
+       ROUND(CAST(revenue_dollars AS DOUBLE) / CAST(t AS DOUBLE), 6)
+         AS share,
+       ROUND(CAST(SUM(revenue_dollars)
+                    OVER (ORDER BY decile
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share
+FROM agg CROSS JOIN tot
+ORDER BY decile
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "gini_customer_revenue": QuerySpec(
+        gini_customer_revenue, ORACLE_GINI, ["A1", "A4", "§2.8", "X-curation"]
+    ),
+    "lorenz_deciles": QuerySpec(
+        lorenz_deciles, ORACLE_LORENZ, ["A1", "§2.8", "X-curation"]
+    ),
     "psi_value_drift": QuerySpec(
         psi_value_drift, ORACLE_PSI_VALUE_DRIFT, ["A1", "A4", "X-curation"]
     ),
