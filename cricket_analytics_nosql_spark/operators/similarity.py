@@ -1070,7 +1070,104 @@ LIMIT 25
 """
 
 
+HIST_BINS = 20  # cosine ∈ [-1, 1] in 0.1-wide bins
+
+
+def embedding_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health check: the distribution of cosine
+    similarity over the deterministic chain of id-adjacent pairs
+    (vec_id, vec_id+1) — a fixed unbiased pair sample that needs ONE
+    narrow equi-join, never an all-pairs product. A healthy space
+    puts random-pair cosine near 0 with spread; anisotropic collapse
+    (every vector pointing the same way — the classic failure after
+    a bad contrastive run) shows as mass piled in the top bins and a
+    mean near 1.
+
+    Per-bin counts are integers; the mean comes from per-pair
+    ``ROUND(cos·1e6)`` integers summed as bigint (merge-order-proof)
+    and divided once — the engine's standard float-determinism
+    discipline. Same dot/cosine operand order as ann_brute_force, so
+    the oracle's ``list_inner_product`` loop matches bit-for-bit."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "v"
+    )
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("w")
+    )
+    pairs = emb.join(nxt, "vec_id").select(
+        F.round(cosine(F.col("v"), F.col("w")), 6).alias("cos")
+    )
+    binned = pairs.select(
+        "cos",
+        F.least(
+            F.lit(HIST_BINS - 1),
+            F.floor((F.col("cos") + 1.0) * (HIST_BINS / 2)).cast("long"),
+        ).alias("bin"),
+        F.round(F.col("cos") * 1e6, 0).cast("long").alias("c_e6"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c_e6").alias("s_e6")
+    )
+    tot = agg.agg(
+        F.sum("n").alias("n_pairs"), F.sum("s_e6").alias("t_e6")
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.round(F.col("bin").cast("double") / (HIST_BINS / 2) - 1.0, 1)
+            .alias("bin_lo"),
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                F.col("t_e6").cast("double")
+                / F.col("n_pairs").cast("double") / 1e6,
+                6,
+            ).alias("mean_cos_global"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_EMBEDDING_COLLAPSE = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pairs AS (
+  SELECT ROUND(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+  FROM emb a JOIN emb b ON b.vec_id = a.vec_id + 1
+), binned AS (
+  SELECT cos,
+         LEAST({HIST_BINS} - 1,
+               CAST(FLOOR((cos + 1.0) * {HIST_BINS // 2}) AS BIGINT)) AS bin,
+         CAST(ROUND(cos * 1000000.0) AS BIGINT) AS c_e6
+  FROM pairs
+), agg AS (
+  SELECT bin, COUNT(*) AS n, SUM(c_e6) AS s_e6 FROM binned GROUP BY bin
+), tot AS (
+  SELECT SUM(n) AS n_pairs, CAST(SUM(s_e6) AS BIGINT) AS t_e6 FROM agg
+)
+SELECT bin,
+       ROUND(CAST(bin AS DOUBLE) / {HIST_BINS // 2} - 1.0, 1) AS bin_lo,
+       n,
+       ROUND(CAST(n AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS share,
+       ROUND(CAST(t_e6 AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1000000.0, 6)
+         AS mean_cos_global
+FROM agg CROSS JOIN tot
+ORDER BY bin
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_collapse_audit": QuerySpec(
+        embedding_collapse_audit,
+        ORACLE_EMBEDDING_COLLAPSE,
+        ["X-sim", "X-curation", "A1"],
+    ),
     "embedding_covariance_topk": QuerySpec(
         embedding_covariance_topk,
         ORACLE_EMBEDDING_COV,
