@@ -1106,7 +1106,96 @@ ORDER BY prev_type, next_type
 """
 
 
+def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per user, seconds from FIRST view to the
+    first purchase after it; report converter count, conversion
+    rate, and the median / p90 latency — the numbers a growth team
+    actually tracks (cep/funnel count WHO converts; this measures
+    HOW LONG conversion takes).
+
+    One keyed aggregate finds each user's first view; purchases
+    equi-join that user frame and reduce to the first qualifying
+    purchase — user-sized frames throughout, no window over the raw
+    stream. Deltas are integer seconds; the two exact percentiles
+    interpolate identically on both engines; rate is one rounded
+    division."""
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", us.alias("t")
+    )
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("fv"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("t") > F.col("fv"))
+        .groupBy("user_id", "fv")
+        .agg(F.min("t").alias("fp"))
+        .select(
+            F.expr("(fp - fv) div 1000000").alias("delta_s")
+        )
+    )
+    viewers = first_view.agg(F.count(F.lit(1)).alias("n_viewers"))
+    return (
+        conv.agg(
+            F.count(F.lit(1)).alias("n_converters"),
+            F.round(F.expr("percentile(delta_s, 0.5)"), 1).alias(
+                "median_seconds"
+            ),
+            F.round(F.expr("percentile(delta_s, 0.9)"), 1).alias(
+                "p90_seconds"
+            ),
+        )
+        .crossJoin(F.broadcast(viewers))
+        .select(
+            "n_viewers",
+            "n_converters",
+            F.round(
+                F.col("n_converters").cast("double")
+                / F.col("n_viewers").cast("double"),
+                6,
+            ).alias("conversion_rate"),
+            "median_seconds",
+            "p90_seconds",
+        )
+    )
+
+
+ORACLE_TIME_TO_CONVERT = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+), first_view AS (
+  SELECT user_id, MIN(t) AS fv FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+), conv AS (
+  SELECT (MIN(fp) - fv) // 1000000 AS delta_s FROM (
+    SELECT e.user_id, fv, e.t AS fp
+    FROM ev e JOIN first_view USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.t > fv
+  ) GROUP BY user_id, fv
+), viewers AS (
+  SELECT COUNT(*) AS n_viewers FROM first_view
+)
+SELECT n_viewers,
+       COUNT(*) AS n_converters,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n_viewers AS DOUBLE), 6)
+         AS conversion_rate,
+       ROUND(median(delta_s), 1) AS median_seconds,
+       ROUND(quantile_cont(delta_s, 0.9), 1) AS p90_seconds
+FROM conv CROSS JOIN viewers
+GROUP BY n_viewers
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "time_to_convert_stats": QuerySpec(
+        time_to_convert_stats,
+        ORACLE_TIME_TO_CONVERT,
+        ["A1", "A4", "J1", "X-ts"],
+    ),
     "event_transition_probs": QuerySpec(
         event_transition_probs,
         ORACLE_EVENT_TRANSITION,
