@@ -456,6 +456,12 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "rfm_segments",
         "hll_rollup_distinct",
         "bm25_search",
+        # drift/ranking family: 1-row totals (n_a·n_b, digit total,
+        # BM25 corpus stats, viewer count) crossed onto bounded frames
+        "ks_drift_orders",
+        "benford_first_digit",
+        "rrf_fuse_search",
+        "time_to_convert_stats",
     }
     offenders = []
     for name, spec in all_queries().items():
