@@ -457,11 +457,20 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "hll_rollup_distinct",
         "bm25_search",
         # drift/ranking family: 1-row totals (n_a·n_b, digit total,
-        # BM25 corpus stats, viewer count) crossed onto bounded frames
+        # BM25 corpus stats, viewer count, corpus token mass, global
+        # bin totals) crossed onto bounded frames
         "ks_drift_orders",
         "benford_first_digit",
         "rrf_fuse_search",
         "time_to_convert_stats",
+        "psi_value_drift",
+        "token_entropy_kl",
+        "lorenz_deciles",
+        "embedding_collapse_audit",
+        "mad_outlier_orders",
+        # per-table 1-row (before, deleted) count pairs crossed into
+        # the 4-row audit
+        "forget_users_cascade",
     }
     offenders = []
     for name, spec in all_queries().items():
