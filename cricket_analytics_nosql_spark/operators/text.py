@@ -1187,7 +1187,80 @@ LIMIT 15
 """
 
 
+# ---------------------------------------------------------------------------
+# N-gram-index-accelerated substring search (index ≡ scan, proven)
+# ---------------------------------------------------------------------------
+
+NGRAM_SEARCH_PATTERN = "batch stream"  # ~30 hits/5k docs: selective, non-empty at every sf
+NGRAM_W = 3  # posting-list gram width
+
+
+def ngram_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search through a character-trigram inverted index —
+    the engine-side analogue of the reference's secondary indexes
+    (etl_cricsheet_to_mongo.py:121-126): instead of scanning every
+    document for ``%{NGRAM_SEARCH_PATTERN}%``, build trigram→doc
+    postings once, intersect the posting lists of the pattern's
+    trigrams (docs missing ANY pattern trigram cannot match), then
+    verify the few candidates exactly.  The oracle is the
+    brute-force LIKE scan itself, so the test IS the index-equals-
+    scan theorem on real data.
+
+    Plan: one tokenize-free explode builds distinct (gram, doc)
+    postings; the pattern's trigrams are a literal ~10-row frame, so
+    the intersection is a broadcast semi-join + a count-matches
+    HAVING (the A8 containment shape); only candidates reach the
+    `contains` verify, re-reading just their rows (id-keyed semi-
+    join).  At 100 TB the postings table is the persisted index —
+    build once, prune per query to the pattern's grams (posting-list
+    pushdown), never rescan the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pat = NGRAM_SEARCH_PATTERN
+    pat_grams = [pat[i : i + NGRAM_W] for i in range(len(pat) - NGRAM_W + 1)]
+    n_pat = len(set(pat_grams))
+    postings = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(text) - {NGRAM_W - 1}),"
+                        f" i -> substring(text, i, {NGRAM_W}))"
+                    )
+                )
+            ).alias("g"),
+        )
+        .filter(F.col("g").isin(list(set(pat_grams))))
+    )
+    candidates = (
+        postings.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == n_pat)
+        .select("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(candidates), "doc_id", "left_semi")
+        .filter(F.col("text").contains(pat))
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_NGRAM_INDEX_SEARCH = f"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE text LIKE '%{NGRAM_SEARCH_PATTERN}%'
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ngram_index_search": QuerySpec(
+        ngram_index_search,
+        ORACLE_NGRAM_INDEX_SEARCH,
+        ["S5", "X-text", "A8", "J6"],
+    ),
     "rrf_fuse_search": QuerySpec(
         rrf_fuse_search, ORACLE_RRF_FUSE, ["X-text", "A1", "J1", "T1"]
     ),
