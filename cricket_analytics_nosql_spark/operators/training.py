@@ -422,7 +422,106 @@ FROM per_stream GROUP BY split, lang ORDER BY split, lang
 """
 
 
+DECAY_LAMBDA_E4 = 20  # per-day decay rate λ = 0.0020
+
+
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user value — the feature-store staple
+    ``Σ value·exp(−λ·age_days)`` (a 500-day-old purchase counts
+    ~1/e of today's): top-20 users plus each one's raw total so the
+    decay's effect is visible side by side.
+
+    Age anchors to the corpus max timestamp (an O(1) bounds
+    aggregate broadcast back — no wall-clock in the result, so runs
+    are reproducible). Each event's decayed contribution is computed
+    as integer micro-cents — ``cents · ROUND(exp(−λ·age)·1e6)`` —
+    before the per-user sum, the engine's standard discipline so
+    partial-agg order can't move a bit; one division converts back
+    to dollars at the end."""
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr(
+                "cast(round(value * 100) as bigint)"
+            ).alias("c"),
+            us.alias("t"),
+        )
+    )
+    hi = ev.agg(F.max("t").alias("t_max"))
+    lam = DECAY_LAMBDA_E4 / 1e4
+    decayed = ev.crossJoin(F.broadcast(hi)).select(
+        "user_id",
+        "c",
+        (
+            F.col("c")
+            * F.round(
+                F.exp(
+                    -F.lit(lam)
+                    * F.expr("cast((t_max - t) div 86400000000 as double)")
+                )
+                * 1e6,
+                0,
+            ).cast("long")
+        ).alias("dc_e6"),
+    )
+    return (
+        decayed.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("raw_cents"),
+            F.sum("dc_e6").alias("s_e6"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+        .select(
+            "user_id",
+            "n_purchases",
+            F.round(F.col("raw_cents").cast("double") / 100.0, 2).alias(
+                "raw_dollars"
+            ),
+            F.round(
+                F.col("s_e6").cast("double") / 1e6 / 100.0, 4
+            ).alias("decayed_dollars"),
+        )
+        .orderBy(F.desc("decayed_dollars"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+ORACLE_DECAYED_USER_VALUE = f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         epoch_us(ts) AS t
+  FROM events WHERE event_type = 'purchase'
+), hi AS (
+  SELECT MAX(t) AS t_max FROM ev
+), decayed AS (
+  SELECT user_id, c,
+         c * CAST(ROUND(exp(-{DECAY_LAMBDA_E4 / 1e4}
+                            * CAST((t_max - t) // 86400000000 AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS dc_e6
+  FROM ev CROSS JOIN hi
+)
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       ROUND(CAST(SUM(c) AS DOUBLE) / 100.0, 2) AS raw_dollars,
+       ROUND(CAST(SUM(dc_e6) AS DOUBLE) / 1000000.0 / 100.0, 4)
+         AS decayed_dollars
+FROM decayed
+GROUP BY user_id
+ORDER BY decayed_dollars DESC, user_id ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "decayed_user_value": QuerySpec(
+        decayed_user_value,
+        ORACLE_DECAYED_USER_VALUE,
+        ["X-training", "X-ts", "A1", "T1"],
+    ),
     "train_val_test_split": QuerySpec(
         train_val_test_split, ORACLE_TRAIN_VAL_TEST_SPLIT, ["X-training"]
     ),
