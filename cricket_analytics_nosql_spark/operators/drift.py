@@ -856,7 +856,113 @@ ORDER BY decile
 """
 
 
+# ---------------------------------------------------------------------------
+# OLS trend slope per market segment
+# ---------------------------------------------------------------------------
+
+def trend_slope_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment revenue trend: the OLS slope (dollars/day) of
+    each market segment's daily revenue series, plus the Pearson r
+    that says whether the trend is real — the forecasting baseline
+    every "is this segment growing?" dashboard runs.
+
+    The fact stream collapses to (segment, day) rollups (one keyed
+    exchange with map-side combine — the calendar bounds the frame);
+    the five closed-form moment sums are exact integers (days
+    re-anchored to each segment's first day to keep Σt·y small), and
+    slope/r are evaluated once per segment in doubles mirroring the
+    oracle textually."""
+    seg = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(seg), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            epoch_day("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint) div 100")
+            ).alias("y")
+        )
+    )
+    anchored = daily.withColumn(
+        "t",
+        F.col("day")
+        - F.min("day").over(Window.partitionBy("segment")),
+    )
+    m = anchored.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    num = F.col("n").cast("double") * F.col("sty").cast(
+        "double"
+    ) - F.col("st").cast("double") * F.col("sy").cast("double")
+    den_t = F.col("n").cast("double") * F.col("stt").cast(
+        "double"
+    ) - F.col("st").cast("double") * F.col("st").cast("double")
+    den_y = F.col("n").cast("double") * F.col("syy").cast(
+        "double"
+    ) - F.col("sy").cast("double") * F.col("sy").cast("double")
+    return m.select(
+        "segment",
+        F.col("n").alias("n_days"),
+        F.round(num / den_t, 6).alias("slope_dollars_per_day"),
+        F.round(num / F.sqrt(den_t * den_y), 6).alias("pearson_r"),
+    ).orderBy("segment")
+
+
+ORACLE_TREND_SLOPE = """
+WITH daily AS (
+  SELECT c_mktsegment AS segment,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY segment, day
+), anchored AS (
+  SELECT segment, y,
+         day - MIN(day) OVER (PARTITION BY segment) AS t
+  FROM daily
+), m AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM anchored GROUP BY segment
+)
+SELECT segment, n AS n_days,
+       ROUND((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 6)
+         AS slope_dollars_per_day,
+       ROUND((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS pearson_r
+FROM m
+ORDER BY segment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "trend_slope_by_segment": QuerySpec(
+        trend_slope_by_segment,
+        ORACLE_TREND_SLOPE,
+        ["A1", "J1", "§2.8", "X-ts"],
+    ),
     "gini_customer_revenue": QuerySpec(
         gini_customer_revenue, ORACLE_GINI, ["A1", "A4", "§2.8", "X-curation"]
     ),
