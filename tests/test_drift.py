@@ -103,3 +103,44 @@ def test_transition_rows_normalize(spark, sf_small):
         by_prev[r.prev_type] += r.p
     for prev, s in by_prev.items():
         assert abs(s - 1.0) < 1e-3, (prev, s)
+
+
+def test_trend_pearson_bounds(spark, sf_small):
+    from cricket_analytics_nosql_spark.operators.drift import (
+        trend_slope_by_segment,
+    )
+
+    rows = trend_slope_by_segment(spark, sf_small).collect()
+    assert len(rows) == 5  # the five TPC-H market segments
+    for r in rows:
+        assert -1.0 <= r.pearson_r <= 1.0
+
+
+def test_decayed_value_never_exceeds_raw(spark, sf_small):
+    from cricket_analytics_nosql_spark.operators.training import (
+        decayed_user_value,
+    )
+
+    for r in decayed_user_value(spark, sf_small).collect():
+        # exp(-λ·age) ≤ 1 with age ≥ 0, so decay can only shrink
+        assert r.decayed_dollars <= r.raw_dollars + 1e-6
+
+
+def test_ngram_search_nonempty_and_exact(spark, sf_small):
+    """The index path must be non-vacuous (pattern occurs) and every
+    returned doc must truly contain the pattern."""
+    from cricket_analytics_nosql_spark.operators.text import (
+        NGRAM_SEARCH_PATTERN,
+        ngram_index_search,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    got = {r.doc_id for r in ngram_index_search(spark, sf_small).collect()}
+    assert got, "pattern must occur in the corpus or the test is vacuous"
+    texts = dict(
+        load_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    for d in got:
+        assert NGRAM_SEARCH_PATTERN in texts[d]

@@ -848,3 +848,74 @@ def test_rrf_ranks_over_candidate_frame(spark, sf_medium):
     plan = plan_of(rrf_fuse_search(spark, sf_medium))
     assert "TakeOrderedAndProject" in plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+
+
+def test_psi_zero_shuffle_bins(spark, sf_medium):
+    """PSI's bin counts must collapse map-side: no exchange wider
+    than the 10-bin frame — assert no rangepartitioning / no sort
+    aggregate over the fact, and both global frames broadcast."""
+    from cricket_analytics_nosql_spark.operators.drift import psi_value_drift
+
+    plan = plan_of(psi_value_drift(spark, sf_medium))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "o_custkey" not in read[0], plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gini_ranks_aggregate_frame_not_fact(spark, sf_medium):
+    """The global rank window must consume the per-customer rollup:
+    exactly one parquet scan and the window input is the aggregated
+    frame (HashAggregate upstream of Window in the tree)."""
+    import re
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        gini_customer_revenue,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(gini_customer_revenue(spark, sf_medium))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_ngram_search_candidates_broadcast(spark, sf_medium):
+    """The verify pass must semi-join the BROADCAST candidate set
+    (posting intersection output), never shuffle the corpus."""
+    from cricket_analytics_nosql_spark.operators.text import (
+        ngram_index_search,
+    )
+
+    plan = plan_of(ngram_index_search(spark, sf_medium))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_decayed_value_single_event_scan(spark, sf_medium):
+    """The max-timestamp anchor must broadcast back onto the same
+    single events scan pipeline (one scan pre-AQE + reuse)."""
+    import re
+
+    from cricket_analytics_nosql_spark.operators.training import (
+        decayed_user_value,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(decayed_user_value(spark, sf_medium))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_trend_slope_broadcasts_dim(spark, sf_medium):
+    from cricket_analytics_nosql_spark.operators.drift import (
+        trend_slope_by_segment,
+    )
+
+    plan = plan_of(trend_slope_by_segment(spark, sf_medium))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
