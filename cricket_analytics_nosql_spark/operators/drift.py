@@ -957,7 +957,188 @@ ORDER BY segment
 """
 
 
+# ---------------------------------------------------------------------------
+# CUSUM changepoint locator on daily revenue
+# ---------------------------------------------------------------------------
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily-revenue series: the
+    day where the cumulative deviation from the global daily mean
+    peaks is the single most likely level-shift point (the classic
+    offline CUSUM estimator).  Emits that day, the peak |CUSUM|, and
+    the mean daily revenue on each side — the before/after readout a
+    human checks first.
+
+    Everything rides the calendar-sized day rollup: the cumulative
+    window is the KS posture (global prefix over an aggregate frame,
+    never the fact).  Deviations are exact integer dollars scaled by
+    n (cusum_k = n·Σy_i − k·Σy, all bigint — no mean rounding
+    anywhere); the two side means divide once each at the end."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(epoch_day("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint) div 100")
+            ).alias("y")
+        )
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "y",
+        "n",
+        "sy",
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+        (F.sum("y").over(w)).alias("cy"),
+    )
+    scored = cum.select(
+        "day",
+        "n",
+        "sy",
+        "k",
+        "cy",
+        F.abs(
+            F.col("n") * F.col("cy") - F.col("k") * F.col("sy")
+        ).alias("dev"),
+    )
+    best = scored.agg(
+        F.max(F.struct(F.col("dev"), (-F.col("day")).alias("nd"))).alias(
+            "m"
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .filter(
+            (F.col("dev") == F.col("m.dev"))
+            & (F.col("day") == -F.col("m.nd"))
+        )
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.col("k").alias("days_before"),
+            (F.col("n") - F.col("k")).alias("days_after"),
+            F.round(
+                F.col("cy").cast("double") / F.col("k").cast("double"),
+                2,
+            ).alias("mean_before"),
+            F.round(
+                (F.col("sy") - F.col("cy")).cast("double")
+                / (F.col("n") - F.col("k")).cast("double"),
+                2,
+            ).alias("mean_after"),
+        )
+    )
+
+
+ORACLE_CUSUM_CHANGEPOINT = """
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100) AS y
+  FROM orders GROUP BY day
+), tot AS (
+  SELECT COUNT(*) AS n, SUM(y) AS sy FROM daily
+), cum AS (
+  SELECT day, y, n, sy,
+         ROW_NUMBER() OVER (ORDER BY day) AS k,
+         SUM(y) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cy
+  FROM daily CROSS JOIN tot
+), scored AS (
+  SELECT day, n, sy, k, cy, ABS(n * cy - k * sy) AS dev FROM cum
+), best AS (
+  SELECT dev, day FROM scored ORDER BY dev DESC, day ASC LIMIT 1
+)
+SELECT s.day AS changepoint_day,
+       s.k AS days_before,
+       s.n - s.k AS days_after,
+       ROUND(CAST(s.cy AS DOUBLE) / CAST(s.k AS DOUBLE), 2) AS mean_before,
+       ROUND(CAST(s.sy - s.cy AS DOUBLE) / CAST(s.n - s.k AS DOUBLE), 2)
+         AS mean_after
+FROM scored s JOIN best b ON s.dev = b.dev AND s.day = b.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral entropy (event-type diversity)
+# ---------------------------------------------------------------------------
+
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity feature: Shannon entropy of each user's
+    event-type distribution — near-zero entropy with high volume is
+    the classic single-action-bot signature; the readout is the
+    20 highest-volume users ranked with their entropy so the
+    anomalous flat profiles stand out.
+
+    (user, type) counts collapse map-side to ≤|types| rows per user;
+    entropy per user uses the integer micro-nat discipline (term
+    counts × rounded logs summed as bigint, one division at the
+    end). Top-20 by volume is a TakeOrderedAndProject."""
+    c_ut = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_u = c_ut.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    j = c_ut.join(n_u, "user_id")
+    h_term = F.col("c") * F.round(
+        F.log(F.col("c").cast("double") / F.col("n_events").cast("double"))
+        * 1e6,
+        0,
+    ).cast("long")
+    return (
+        j.groupBy("user_id", "n_events", "n_types")
+        .agg(F.sum(h_term).alias("h_e6"))
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.round(
+                -F.col("h_e6").cast("double")
+                / F.col("n_events").cast("double") / 1e6,
+                6,
+            ).alias("entropy_nats"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+ORACLE_USER_BEHAVIOR_ENTROPY = """
+WITH c_ut AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+), n_u AS (
+  SELECT user_id, SUM(c) AS n_events, COUNT(*) AS n_types
+  FROM c_ut GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       ROUND(-CAST(SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)
+                                        / CAST(n_events AS DOUBLE))
+                                      * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / CAST(n_events AS DOUBLE) / 1000000.0, 6) AS entropy_nats
+FROM c_ut JOIN n_u USING (user_id)
+GROUP BY user_id, n_events, n_types
+ORDER BY n_events DESC, user_id ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cusum_changepoint": QuerySpec(
+        cusum_changepoint, ORACLE_CUSUM_CHANGEPOINT, ["A4", "§2.8", "X-ts"]
+    ),
+    "user_behavior_entropy": QuerySpec(
+        user_behavior_entropy,
+        ORACLE_USER_BEHAVIOR_ENTROPY,
+        ["A1", "T1", "X-curation"],
+    ),
     "trend_slope_by_segment": QuerySpec(
         trend_slope_by_segment,
         ORACLE_TREND_SLOPE,
