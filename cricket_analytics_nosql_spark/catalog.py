@@ -32,6 +32,13 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 # simply rotate into the next round's window (see _queue note at the
 # tail); nothing is dropped, queries not listed keep registry order
 # after the window.
+# ROUND-5 TODO: once CORRECTNESS_r04 lands green for this window's
+# first 50, swap _WINDOW_PRIORITY to _NEXT_WINDOW below — it holds
+# (a) the 36 queries that overflowed this round's 50-entry gate,
+# (b) multi_touch_attribution (never windowed; its TIMESTAMP_NTZ
+# fix landed this round), (c) the 21 round-4 additions
+# (drift/inequality/graph/search/streaming-twin), canaries last.
+# Entries past 50 rotate once more; nothing is dropped.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     "market_share",
     "cohort_retention",
@@ -122,6 +129,77 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "local_clustering_topk",
     "stream_cep_monitor",
     # green canaries (only reached if the window has room)
+    "top_revenue_customers",
+    "dedup_minhash_lsh",
+    "stream_tumbling_agg",
+    "mongo_pipeline_group_topk",
+    "pagerank_top",
+)
+
+
+# INACTIVE until CORRECTNESS_r04 lands green (see ROUND-5 TODO above).
+_NEXT_WINDOW: tuple[str, ...] = (
+    # held over from round 4's gate overflow
+    "sql_udf_revenue",
+    "multimodal_phash_dedup",
+    "activity_streaks",
+    "interval_merge_coverage",
+    "market_basket_lift",
+    "value_histogram",
+    "ab_conversion_wilson",
+    "lateral_topk_customers",
+    "orc_roundtrip",
+    "bpe_vocab_merges",
+    "asof_join_tolerance",
+    "chi_square_assoc",
+    "cms_user_counts",
+    "training_pipeline_e2e",
+    "rolling_median_revenue",
+    "boilerplate_chunks",
+    "weighted_sample_docs",
+    "rfm_segments",
+    "revenue_growth_wow",
+    "topk_with_ties",
+    "event_trigrams",
+    "source_drift_cosine",
+    "hll_rollup_distinct",
+    "incremental_dedup_ingest",
+    "stream_ewma_monitor",
+    "bm25_search",
+    "sssp_weighted",
+    "lpa_communities",
+    "cep_funnel_pattern",
+    "bootstrap_order_value",
+    "feature_hashing",
+    "dedup_jaccard_prefix",
+    "gap_fill_interpolate",
+    "embedding_covariance_topk",
+    "local_clustering_topk",
+    "stream_cep_monitor",
+    # never driver-checked: NTZ-fixed attribution + round-4 additions
+    "multi_touch_attribution",
+    "ks_drift_orders",
+    "token_entropy_kl",
+    "mad_outlier_orders",
+    "winsorized_segment_stats",
+    "psi_value_drift",
+    "benford_first_digit",
+    "revenue_autocorr_lag1",
+    "gini_customer_revenue",
+    "lorenz_deciles",
+    "trend_slope_by_segment",
+    "cusum_changepoint",
+    "user_behavior_entropy",
+    "event_transition_probs",
+    "time_to_convert_stats",
+    "harmonic_centrality_2hop",
+    "kcore_trade_survivors",
+    "rrf_fuse_search",
+    "ngram_index_search",
+    "embedding_collapse_audit",
+    "decayed_user_value",
+    "stream_transition_monitor",
+    # green canaries
     "top_revenue_customers",
     "dedup_minhash_lsh",
     "stream_tumbling_agg",
