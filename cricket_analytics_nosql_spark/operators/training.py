@@ -516,7 +516,63 @@ LIMIT 20
 """
 
 
+JSONL_SHARDS = 4
+
+
+def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer-facing export path proven lossless end to end:
+    write the documents table through ``export_jsonl_shards`` (the
+    hash-sharded newline-JSON layout data loaders actually consume),
+    read the shards back with an EXPLICIT schema, and answer a
+    per-shard audit — rows, char mass, and an order-free md5 sum
+    over the text column — that must equal the oracle's direct read
+    of the original parquet. A green row means the JSON codec
+    round-tripped every byte of text (quotes, unicode) and the
+    deterministic pmod sharding matches the oracle's arithmetic."""
+    import os
+    import tempfile
+
+    from cricket_analytics_nosql_spark.functions.scalar import md5_u32
+
+    out = os.path.join(tempfile.mkdtemp(prefix="jsonl_"), "docs")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    export_jsonl_shards(docs, out, "doc_id", JSONL_SHARDS)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, shard int"
+    ).json(out)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.sum(md5_u32(F.col("text"))).alias("text_hash_sum"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_JSONL_ROUNDTRIP = f"""
+SELECT CAST(doc_id % {JSONL_SHARDS} AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS text_hash_sum,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "jsonl_export_roundtrip": QuerySpec(
+        jsonl_export_roundtrip,
+        ORACLE_JSONL_ROUNDTRIP,
+        ["S4", "S5", "X-training"],
+    ),
     "decayed_user_value": QuerySpec(
         decayed_user_value,
         ORACLE_DECAYED_USER_VALUE,
