@@ -468,6 +468,8 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "lorenz_deciles",
         "embedding_collapse_audit",
         "mad_outlier_orders",
+        "cusum_changepoint",
+        "decayed_user_value",
         # per-table 1-row (before, deleted) count pairs crossed into
         # the 4-row audit
         "forget_users_cascade",
