@@ -150,6 +150,81 @@ def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+CONTAIN_T = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED near-dup detection: shingle containment
+    ``c(a→b) = |A∩B| / |A|`` ≥ {CONTAIN_T} — the measure that
+    catches a short document quoted inside a long one, which
+    symmetric Jaccard misses by construction (J ≈ |A|/|B| → 0 as
+    the host grows).  The quote/boilerplate-absorption case is the
+    contamination mode Jaccard-only dedup pipelines ship to
+    training.
+
+    Same inverted-index self-join as ``jaccard_pairs`` (shared-
+    shingle cost, never all-pairs), emitting BOTH directions of
+    each colliding pair; reports containment alongside Jaccard so
+    the asymmetric hits (high c, low J) are visible. Integer
+    intersection counts; one rounded division per measure."""
+    sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("d1") != F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(F.col("i").cast("double") / F.col("n1"), 6).alias(
+                "containment"
+            ),
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+        .orderBy(F.desc("containment"), F.asc("d1"), F.asc("d2"))
+        .limit(200)
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY d1, d2
+)
+SELECT d1, d2,
+       ROUND(CAST(i AS DOUBLE) / sa.n, 6) AS containment,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE CAST(i AS DOUBLE) / sa.n >= {CONTAIN_T}
+ORDER BY containment DESC, d1 ASC, d2 ASC
+LIMIT 200
+"""
+
+
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at Jaccard ≥ 0.8 (the corpus plants ~0.99
     near-dup pairs), strongest first."""
@@ -910,6 +985,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, ORACLE_DEDUP_EXACT, ["X-dedup", "A1"]),
     "decontaminate": QuerySpec(
         decontaminate, ORACLE_DECONTAMINATE, ["X-dedup", "X-curation", "J1"]
+    ),
+    "dedup_containment": QuerySpec(
+        dedup_containment, ORACLE_DEDUP_CONTAINMENT, ["X-dedup", "J3"]
     ),
     "dedup_jaccard": QuerySpec(
         dedup_jaccard, ORACLE_DEDUP_JACCARD, ["X-dedup", "J3"], bench=True
