@@ -378,7 +378,74 @@ ORDER BY replicate
 """
 
 
+DP_EPSILON_E2 = 50  # ε = 0.5 per released count
+DP_U32 = 4294967296.0
+
+
+def dp_noisy_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release mechanism, made auditable: per
+    market segment, the true customer count next to its
+    Laplace(1/ε)-noised release — counting queries have sensitivity
+    1, so noise b = 1/ε gives ε-DP per release. The RNG is the
+    repo's md5-uniform (seeded by the segment name), so the
+    "noise" is reproducible across engines and runs — exactly what
+    a privacy AUDIT needs (verify the mechanism's arithmetic), and
+    one salt-swap away from a production draw.
+
+    Laplace inverse-CDF from u ∈ [0,1): noise = −b·sign(u−.5)·
+    ln(1−2|u−.5|). One ln per released row (segments-sized frame);
+    the fact stream only ever feeds the exact count aggregate."""
+    eps = DP_EPSILON_E2 / 1e2
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    u = md5_u32(F.col("segment"), salt="dp#").cast("double") / F.lit(DP_U32)
+    centered = u - 0.5
+    noise = (
+        -F.lit(1.0 / eps)
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    return seg.select(
+        "segment",
+        "true_count",
+        F.round(noise, 4).alias("laplace_noise"),
+        F.round(F.col("true_count") + F.round(noise, 4), 4).alias(
+            "released_count"
+        ),
+    ).orderBy("segment")
+
+
+ORACLE_DP_NOISY_COUNTS = f"""
+WITH seg AS (
+  SELECT c_mktsegment AS segment, COUNT(*) AS true_count
+  FROM customer GROUP BY segment
+), drawn AS (
+  SELECT segment, true_count,
+         CAST(('0x' || substr(md5('dp#' || segment), 1, 8)) AS BIGINT)
+           / {DP_U32} - 0.5 AS centered
+  FROM seg
+)
+SELECT segment, true_count,
+       ROUND(-(1.0 / {DP_EPSILON_E2 / 1e2}) * sign(centered)
+             * ln(1.0 - 2.0 * abs(centered)), 4) AS laplace_noise,
+       ROUND(true_count
+             + ROUND(-(1.0 / {DP_EPSILON_E2 / 1e2}) * sign(centered)
+                     * ln(1.0 - 2.0 * abs(centered)), 4), 4)
+         AS released_count
+FROM drawn
+ORDER BY segment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dp_noisy_segment_counts": QuerySpec(
+        dp_noisy_segment_counts,
+        ORACLE_DP_NOISY_COUNTS,
+        ["A1", "X-curation"],
+    ),
     "bootstrap_order_value": QuerySpec(
         bootstrap_order_value,
         ORACLE_BOOTSTRAP,
