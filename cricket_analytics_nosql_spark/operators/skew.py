@@ -23,7 +23,7 @@ AQE doesn't, and clusters where AQE is off.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
@@ -143,7 +143,88 @@ ORDER BY c_mktsegment
 """
 
 
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "should I salt this key?" advisory, as a query: for the
+    shuffle key a join/agg would hash on (``events.user_id``, the
+    documented hot key), report the skew numbers an engineer
+    actually decides with — hottest-key share, top-10 share, the
+    p99/median key-size ratio, and the key count.  Rule of thumb
+    printed by every Spark tuning guide: max/median over ~50× or a
+    single key over ~1/shufflePartitions of the rows means AQE
+    skew-split or salting; this query turns that from folklore into
+    a measured, oracle-checked readout.
+
+    One map-combined count by key, then O(1)-row statistics over the
+    key-size frame (exact percentiles on the aggregate, never the
+    fact); integer counts; four rounded divisions."""
+    sizes = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = sizes.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        F.expr("percentile(n, 0.5)").alias("med"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    top10 = (
+        sizes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 10)
+        .agg(F.sum("n").alias("top10_rows"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(top10))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_n",
+            F.round(
+                F.col("max_n").cast("double") / F.col("n_rows").cast("double"),
+                6,
+            ).alias("hottest_share"),
+            F.round(
+                F.col("top10_rows").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("top10_share"),
+            F.round(F.col("p99") / F.col("med"), 4).alias("p99_over_median"),
+            F.round(
+                F.col("max_n").cast("double") / F.col("med"), 4
+            ).alias("max_over_median"),
+        )
+    )
+
+
+ORACLE_KEY_SKEW_PROFILE = """
+WITH sizes AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+), stats AS (
+  SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_n,
+         median(n) AS med, quantile_cont(n, 0.99) AS p99
+  FROM sizes
+), top10 AS (
+  SELECT SUM(n) AS top10_rows FROM (
+    SELECT n FROM sizes ORDER BY n DESC, user_id ASC LIMIT 10
+  )
+)
+SELECT n_keys, n_rows, max_n,
+       ROUND(CAST(max_n AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         AS hottest_share,
+       ROUND(CAST(top10_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         AS top10_share,
+       ROUND(p99 / med, 4) AS p99_over_median,
+       ROUND(CAST(max_n AS DOUBLE) / med, 4) AS max_over_median
+FROM stats CROSS JOIN top10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "key_skew_profile": QuerySpec(
+        key_skew_profile, ORACLE_KEY_SKEW_PROFILE, ["§7.8-skew", "A1", "A4"]
+    ),
     "skewed_event_counts": QuerySpec(
         skewed_event_counts, ORACLE_SKEWED_EVENT_COUNTS, ["§7.8-skew", "A1"]
     ),
