@@ -150,6 +150,55 @@ def jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many EXACT-duplicate content hashes they share and how many
+    documents that implicates — the readout that catches one scrape
+    re-crawling another's pages before both copies reach training
+    (``decontaminate`` guards train-vs-benchmark; this guards
+    source-vs-source).
+
+    Texts never move: the join runs on 16-byte md5 keys of the
+    per-(hash, source) rollup — |distinct hashes| rows a side, the
+    exact-dedup posture. Symmetric pairs halved by source ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    hs = (
+        docs.select(F.md5(F.col("text")).alias("h"), "source")
+        .groupBy("h", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = hs.select(
+        "h", F.col("source").alias("s1"), F.col("n").alias("n1")
+    )
+    b = hs.select(
+        "h", F.col("source").alias("s2"), F.col("n").alias("n2")
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("shared_hashes"),
+            F.sum(F.col("n1") + F.col("n2")).alias("docs_implicated"),
+        )
+        .orderBy(F.desc("shared_hashes"), F.asc("s1"), F.asc("s2"))
+    )
+
+
+ORACLE_SOURCE_OVERLAP = """
+WITH hs AS (
+  SELECT md5(text) AS h, source, COUNT(*) AS n
+  FROM documents GROUP BY h, source
+)
+SELECT a.source AS s1, b.source AS s2,
+       COUNT(*) AS shared_hashes,
+       CAST(SUM(a.n + b.n) AS BIGINT) AS docs_implicated
+FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+GROUP BY s1, s2
+ORDER BY shared_hashes DESC, s1 ASC, s2 ASC
+"""
+
+
 CONTAIN_T = 0.8
 
 
@@ -985,6 +1034,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, ORACLE_DEDUP_EXACT, ["X-dedup", "A1"]),
     "decontaminate": QuerySpec(
         decontaminate, ORACLE_DECONTAMINATE, ["X-dedup", "X-curation", "J1"]
+    ),
+    "source_overlap_matrix": QuerySpec(
+        source_overlap_matrix, ORACLE_SOURCE_OVERLAP, ["X-dedup", "X-curation", "A8"]
     ),
     "dedup_containment": QuerySpec(
         dedup_containment, ORACLE_DEDUP_CONTAINMENT, ["X-dedup", "J3"]
