@@ -199,6 +199,11 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "embedding_collapse_audit",
     "decayed_user_value",
     "stream_transition_monitor",
+    "jsonl_export_roundtrip",
+    "dedup_containment",
+    "dp_noisy_segment_counts",
+    "key_skew_profile",
+    "source_overlap_matrix",
     # green canaries
     "top_revenue_customers",
     "dedup_minhash_lsh",
