@@ -597,7 +597,166 @@ FROM scored GROUP BY segment ORDER BY segment
 """
 
 
+def funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sequential view→click→purchase funnel BROKEN OUT by
+    customer market segment — the cut product analytics actually
+    ships (the global funnel says conversion moved; the segmented
+    one says where).  Same strict ordering semantics as
+    ``funnel_conversion`` (each stage's first event must follow the
+    previous stage's first), same ONE-exchange-on-user_id physical
+    floor; the segment dimension broadcasts onto the user-level
+    funnel frame, never the fact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    w = Window.partitionBy("user_id")
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("t"))).over(w)
+    per_ev = ev.withColumn("fv", fv)
+    fc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("t") > F.col("fv")),
+            F.col("t"),
+        )
+    ).over(w)
+    per_ev = per_ev.withColumn("fc", fc)
+    fp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("t") > F.col("fc")),
+            F.col("t"),
+        )
+    ).over(w)
+    users = (
+        per_ev.withColumn("fp", fp)
+        .select("user_id", "fv", "fc", "fp")
+        .dropDuplicates(["user_id"])
+    )
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        users.join(F.broadcast(seg), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("fv").isNotNull().cast("long")).alias("n_view"),
+            F.sum(F.col("fc").isNotNull().cast("long")).alias("n_click"),
+            F.sum(F.col("fp").isNotNull().cast("long")).alias("n_purchase"),
+        )
+        .select(
+            "segment",
+            "n_users",
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(
+                F.col("n_purchase").cast("double")
+                / F.col("n_view").cast("double"),
+                6,
+            ).alias("view_to_purchase"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_FUNNEL_BY_SEGMENT = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+), u1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN t END) AS fv
+  FROM ev GROUP BY user_id
+), u2 AS (
+  SELECT e.user_id, MIN(e.t) AS fc
+  FROM ev e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.t > u1.fv
+  GROUP BY e.user_id
+), u3 AS (
+  SELECT e.user_id, MIN(e.t) AS fp
+  FROM ev e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.t > u2.fc
+  GROUP BY e.user_id
+), users AS (
+  SELECT u1.user_id, fv, fc, fp
+  FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
+          LEFT JOIN u3 ON u1.user_id = u3.user_id
+)
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_users,
+       SUM(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS n_purchase,
+       ROUND(CAST(SUM(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE), 6) AS view_to_purchase
+FROM users JOIN customer ON user_id = c_custkey
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekday × hour activity matrix (the ops-dashboard
+    heatmap): event counts and exact cents value per cell, plus each
+    cell's share of total traffic.  Pure map-side rollup to a ≤168-
+    row frame; weekday is ISO Monday=0 on both engines (Spark
+    ``weekday`` ≙ DuckDB ``isodow − 1`` — day-function conventions
+    differ engine to engine, so the twin spelling is pinned here)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.expr("weekday(cast(ts as timestamp))").alias("dow"),
+        F.hour(F.col("ts").cast("timestamp")).alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents(F.col("value"))).alias("value_cents"),
+    )
+    tot = cells.agg(F.sum("n_events").alias("n_total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hod",
+            "n_events",
+            "value_cents",
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+ORACLE_ACTIVITY_HEATMAP = """
+WITH cells AS (
+  SELECT isodow(ts) - 1 AS dow, hour(ts) AS hod,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY dow, hod
+), tot AS (
+  SELECT SUM(n_events) AS n_total FROM cells
+)
+SELECT CAST(dow AS INT) AS dow, CAST(hod AS INT) AS hod,
+       n_events, value_cents,
+       ROUND(CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
+FROM cells CROSS JOIN tot
+ORDER BY dow, hod
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "funnel_by_segment": QuerySpec(
+        funnel_by_segment,
+        ORACLE_FUNNEL_BY_SEGMENT,
+        ["A1", "A3", "J1", "§2.8", "X-ts"],
+    ),
+    "activity_heatmap": QuerySpec(
+        activity_heatmap, ORACLE_ACTIVITY_HEATMAP, ["A1", "X-ts"]
+    ),
     "rfm_segments": QuerySpec(
         rfm_segments, ORACLE_RFM_SEGMENTS, ["A1", "A4", "P15", "J1"]
     ),
