@@ -204,6 +204,10 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "dp_noisy_segment_counts",
     "key_skew_profile",
     "source_overlap_matrix",
+    "funnel_by_segment",
+    "activity_heatmap",
+    "user_saturation_curve",
+    "repeat_purchase_interval",
     # green canaries
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cricket_analytics_nosql_spark.functions.scalar import cents, dollars, epoch_day, revenue_cents
+from cricket_analytics_nosql_spark.functions.scalar import cents, dollars, epoch_day, flag, revenue_cents
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.sources.tables import load_table
 
@@ -748,7 +748,106 @@ ORDER BY dow, hod
 """
 
 
+def user_saturation_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience saturation: per week, first-time users (acquisition)
+    and the cumulative distinct-user count (the S-curve whose
+    flattening means the channel is saturating).  Each user reduces
+    to a first-seen week (one keyed aggregate); the week rollup and
+    its running sum ride the ≤|weeks|-row frame — cumulative
+    COUNT(DISTINCT) without ever holding a distinct-set state."""
+    ev = load_table(spark, sf_dir, "events")
+    first_week = ev.groupBy("user_id").agg(
+        F.min(
+            epoch_day("date_trunc('week', cast(ts as timestamp))")
+        ).alias("week")
+    )
+    weekly = first_week.groupBy("week").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    return weekly.select(
+        "week",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    ).orderBy("week")
+
+
+ORACLE_USER_SATURATION = """
+WITH first_week AS (
+  SELECT user_id,
+         MIN(epoch_us(date_trunc('week', ts)) // 86400000000) AS week
+  FROM events GROUP BY user_id
+), weekly AS (
+  SELECT week, COUNT(*) AS new_users FROM first_week GROUP BY week
+)
+SELECT week, new_users,
+       SUM(new_users) OVER (ORDER BY week
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_users
+FROM weekly
+ORDER BY week
+"""
+
+
+def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of day gaps between
+    a user's consecutive purchases — the number behind replenishment
+    reminders and churn windows ("median re-order is 11 days; no
+    order for 30 → at-risk").  One user-key exchange under the lag,
+    gaps as integer days, exact percentiles over the gap rollup."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            epoch_day("ts").alias("day"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("day", "event_id")
+    gaps = (
+        p.withColumn("prev", F.lag("day").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select((F.col("day") - F.col("prev")).alias("gap"))
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap, 0.5)"), 1).alias("median_days"),
+        F.round(F.expr("percentile(gap, 0.9)"), 1).alias("p90_days"),
+        F.max("gap").alias("max_days"),
+        F.sum(flag(F.col("gap") == 0)).alias("same_day_repeats"),
+    )
+
+
+ORACLE_REPEAT_PURCHASE = """
+WITH p AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         event_id
+  FROM events WHERE event_type = 'purchase'
+), gaps AS (
+  SELECT day - LAG(day) OVER (PARTITION BY user_id
+                              ORDER BY day, event_id) AS gap
+  FROM p
+)
+SELECT COUNT(*) AS n_gaps,
+       ROUND(median(gap), 1) AS median_days,
+       ROUND(quantile_cont(gap, 0.9), 1) AS p90_days,
+       CAST(MAX(gap) AS BIGINT) AS max_days,
+       SUM(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS same_day_repeats
+FROM gaps WHERE gap IS NOT NULL
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "user_saturation_curve": QuerySpec(
+        user_saturation_curve, ORACLE_USER_SATURATION, ["A1", "§2.8", "X-ts"]
+    ),
+    "repeat_purchase_interval": QuerySpec(
+        repeat_purchase_interval,
+        ORACLE_REPEAT_PURCHASE,
+        ["A4", "§2.8", "X-ts"],
+    ),
     "funnel_by_segment": QuerySpec(
         funnel_by_segment,
         ORACLE_FUNNEL_BY_SEGMENT,
