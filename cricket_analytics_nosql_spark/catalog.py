@@ -208,6 +208,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "activity_heatmap",
     "user_saturation_curve",
     "repeat_purchase_interval",
+    "embedding_norm_stats",
+    "degree_distribution",
     # green canaries
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -1500,7 +1500,93 @@ LIMIT 25
 )
 
 
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the trade graph (customer side):
+    P(degree = k) on a log2-bucketed axis plus the heavy-tail ratio
+    (share of edges incident to the top-decile vertices) — the
+    first chart anyone draws of a new graph, and the one that
+    decides every later join strategy (a power-law tail means skew
+    handling; a tight band means plain hash joins are fine).
+
+    Two aggregates over the aggregated edge list (degrees, then
+    bucket counts) — the fact never reappears after the G1
+    projection; the decile threshold is an exact percentile over
+    the degree frame broadcast back."""
+    deg = (
+        trade_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    thr = deg.agg(
+        F.expr("percentile(d, 0.9)").alias("p90"),
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum("d").alias("n_edges"),
+    )
+    with_thr = deg.crossJoin(F.broadcast(thr))
+    buckets = with_thr.groupBy(
+        F.floor(F.log2("d")).cast("long").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_in_bucket"),
+        F.max("n_vertices").alias("n_vertices"),
+        F.max("n_edges").alias("n_edges"),
+        F.sum(
+            F.when(F.col("d") > F.col("p90"), F.col("d")).otherwise(0)
+        ).alias("tail_edges"),
+    )
+    tail = buckets.agg(F.sum("tail_edges").alias("t"))
+    return (
+        buckets.crossJoin(F.broadcast(tail))
+        .select(
+            "log2_bucket",
+            "n_in_bucket",
+            F.round(
+                F.col("n_in_bucket").cast("double")
+                / F.col("n_vertices").cast("double"),
+                6,
+            ).alias("p_bucket"),
+            F.round(
+                F.col("t").cast("double") / F.col("n_edges").cast("double"),
+                6,
+            ).alias("top_decile_edge_share"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+ORACLE_DEGREE_DISTRIBUTION = """
+WITH deg AS (
+  SELECT o_custkey AS src, COUNT(*) AS d FROM (
+    SELECT o_custkey, l_suppkey FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey, l_suppkey
+  ) GROUP BY src
+), thr AS (
+  SELECT quantile_cont(d, 0.9) AS p90, COUNT(*) AS n_vertices,
+         SUM(d) AS n_edges
+  FROM deg
+), buckets AS (
+  SELECT CAST(FLOOR(log2(d)) AS BIGINT) AS log2_bucket,
+         COUNT(*) AS n_in_bucket,
+         MAX(n_vertices) AS n_vertices, MAX(n_edges) AS n_edges,
+         SUM(CASE WHEN d > p90 THEN d ELSE 0 END) AS tail_edges
+  FROM deg CROSS JOIN thr GROUP BY log2_bucket
+), tail AS (
+  SELECT SUM(tail_edges) AS t FROM buckets
+)
+SELECT log2_bucket, n_in_bucket,
+       ROUND(CAST(n_in_bucket AS DOUBLE) / CAST(n_vertices AS DOUBLE), 6)
+         AS p_bucket,
+       ROUND(CAST(t AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+         AS top_decile_edge_share
+FROM buckets CROSS JOIN tail
+ORDER BY log2_bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "degree_distribution": QuerySpec(
+        degree_distribution, ORACLE_DEGREE_DISTRIBUTION, ["G1", "G3", "A1"]
+    ),
     "kcore_trade_survivors": QuerySpec(
         kcore_trade_survivors, ORACLE_KCORE_SURVIVORS, ["G1", "A7", "J3", "T6"]
     ),

@@ -1162,7 +1162,84 @@ ORDER BY bin
 """
 
 
+NORM_BIN_W_E3 = 500  # histogram bin width: 0.5 in L2-norm units
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm distribution — the other collapse axis
+    (``embedding_collapse_audit`` watches direction; this watches
+    magnitude): a healthy encoder emits a tight norm band, while
+    norm explosion/shrink after a bad checkpoint shows up here
+    before any downstream metric moves.  Histogram over 0.5-wide
+    bins plus count/min/max/mean per bin.
+
+    One narrow pass: norms are per-row expressions (same
+    left-to-right ``dot`` accumulation as the ANN family, so the
+    oracle's loop matches bit-for-bit), integer-e3 quantized for
+    binning and integer-e6 summed for the exact mean."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings"))
+    norm = F.sqrt(dot(F.col("v"), F.col("v")))
+    rows = emb.select(
+        F.round(norm * 1e3, 0).cast("long").alias("n_e3"),
+        F.round(norm * 1e6, 0).cast("long").alias("n_e6"),
+    )
+    binned = rows.groupBy(
+        F.expr(f"n_e3 div {NORM_BIN_W_E3}").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("n_e3").alias("min_e3"),
+        F.max("n_e3").alias("max_e3"),
+        F.sum("n_e6").alias("s_e6"),
+    )
+    return binned.select(
+        "bin",
+        F.round(
+            F.col("bin").cast("double") * NORM_BIN_W_E3 / 1e3, 1
+        ).alias("bin_lo"),
+        "n_vecs",
+        F.round(F.col("min_e3").cast("double") / 1e3, 3).alias("min_norm"),
+        F.round(F.col("max_e3").cast("double") / 1e3, 3).alias("max_norm"),
+        F.round(
+            F.col("s_e6").cast("double") / F.col("n_vecs").cast("double")
+            / 1e6,
+            6,
+        ).alias("mean_norm"),
+    ).orderBy("bin")
+
+
+ORACLE_EMBEDDING_NORM_STATS = f"""
+WITH rows_ AS (
+  SELECT CAST(ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))
+                    * 1000.0) AS BIGINT) AS n_e3,
+         CAST(ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))
+                    * 1000000.0) AS BIGINT) AS n_e6
+  FROM embeddings
+), binned AS (
+  SELECT n_e3 // {NORM_BIN_W_E3} AS bin,
+         COUNT(*) AS n_vecs, MIN(n_e3) AS min_e3, MAX(n_e3) AS max_e3,
+         SUM(n_e6) AS s_e6
+  FROM rows_ GROUP BY bin
+)
+SELECT bin,
+       ROUND(CAST(bin AS DOUBLE) * {NORM_BIN_W_E3} / 1000.0, 1) AS bin_lo,
+       n_vecs,
+       ROUND(CAST(min_e3 AS DOUBLE) / 1000.0, 3) AS min_norm,
+       ROUND(CAST(max_e3 AS DOUBLE) / 1000.0, 3) AS max_norm,
+       ROUND(CAST(s_e6 AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000.0, 6)
+         AS mean_norm
+FROM binned
+ORDER BY bin
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_norm_stats": QuerySpec(
+        embedding_norm_stats,
+        ORACLE_EMBEDDING_NORM_STATS,
+        ["X-sim", "X-curation", "A1"],
+    ),
     "embedding_collapse_audit": QuerySpec(
         embedding_collapse_audit,
         ORACLE_EMBEDDING_COLLAPSE,
