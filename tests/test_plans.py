@@ -470,6 +470,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "mad_outlier_orders",
         "cusum_changepoint",
         "decayed_user_value",
+        "activity_heatmap",
+        "degree_distribution",
+        "key_skew_profile",
         # per-table 1-row (before, deleted) count pairs crossed into
         # the 4-row audit
         "forget_users_cascade",
