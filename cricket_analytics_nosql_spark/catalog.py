@@ -210,6 +210,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "repeat_purchase_interval",
     "embedding_norm_stats",
     "degree_distribution",
+    "mongo_pipeline_search",
     # green canaries
     "top_revenue_customers",
     "dedup_minhash_lsh",

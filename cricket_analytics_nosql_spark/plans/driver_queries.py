@@ -516,7 +516,66 @@ SELECT vec_id, label, ROUND(raw_score, 6) AS score FROM topk
 """
 
 
+def mongo_pipeline_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atlas-dialect ``$search`` (text operator) as the pipeline's
+    first stage, scored with the engine's BM25 and surfaced through
+    ``{"$meta": "searchScore"}`` — the pipeline front-end reaching
+    full-text search. Top-20 for the fixed 3-term query; the oracle
+    recomputes the identical BM25 formula in SQL."""
+    pipeline = [
+        {
+            "$search": {
+                "text": {"query": "spark join stream", "path": "text"}
+            }
+        },
+        {"$addFields": {"score": {"$meta": "searchScore"}}},
+        {"$project": {"doc_id": 1, "lang": 1, "score": 1}},
+        {"$sort": {"score": -1, "doc_id": 1}},
+        {"$limit": 20},
+    ]
+    return compile_pipeline(load_table(spark, sf_dir, "documents"), pipeline)
+
+
+ORACLE_MONGO_SEARCH = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS term) t
+  WHERE length(t.term) > 0
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('spark', 'join', 'stream')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * (1.2 + 1)
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id, d.lang, s.score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.score DESC, d.doc_id ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mongo_pipeline_search": QuerySpec(
+        mongo_pipeline_search, ORACLE_MONGO_SEARCH, ["X-text", "§2.9", "T1"]
+    ),
     "mongo_pipeline_vector_search": QuerySpec(
         mongo_pipeline_vector_search, ORACLE_MONGO_VECTOR_SEARCH,
         ["X-sim", "§2.9"],

@@ -190,9 +190,11 @@ def compile_expr(e: Any, env: dict[str, Column] | None = None) -> Column:
                 fmt = fmt.replace(mongo, java)
             return F.date_format(ce(arg["date"]), fmt)
         if op == "$meta":
-            if arg != "vectorSearchScore":
-                raise ValueError(f"$meta: unsupported metadata {arg!r}")
-            return F.col("__vs_score")
+            if arg == "vectorSearchScore":
+                return F.col("__vs_score")
+            if arg == "searchScore":
+                return F.col("__search_score")
+            raise ValueError(f"$meta: unsupported metadata {arg!r}")
         if op == "$dateTrunc":
             # {"$dateTrunc": {"date": expr, "unit": "day"|"hour"|...}}
             return F.date_trunc(arg["unit"], ce(arg["date"]))
@@ -1239,6 +1241,67 @@ def _compile_vector_search(df: DataFrame, spec: dict) -> DataFrame:
     )
 
 
+def _compile_search(df: DataFrame, spec: dict) -> DataFrame:
+    """``$search`` (Atlas Search dialect, the ``text`` operator):
+    BM25-score every document whose ``path`` column contains at
+    least one query term and expose the score to later stages via
+    ``{"$meta": "searchScore"}`` — the pipeline front-end reaching
+    the engine's full-text scorer (operators/text.py bm25_search;
+    identical tokenization, k1/b constants, and idf formula, so a
+    pipeline-submitted search scores exactly like the native one).
+
+    Non-matching documents are dropped, as Atlas does. The corpus
+    statistics (doc lengths, avgdl, df) derive from ``df`` itself —
+    the collection IS the index; at scale the tf/dl frames are the
+    thing a real deployment materializes. Scores are rounded at 6dp
+    so downstream sorts are reproducible cross-engine."""
+    from cricket_analytics_nosql_spark.operators.text import BM25_B, BM25_K1
+
+    text_op = spec.get("text")
+    if not text_op:
+        raise ValueError("$search: only the 'text' operator is supported")
+    path = text_op["path"]
+    qt = [t for t in str(text_op["query"]).lower().split() if t]
+    if not qt:
+        raise ValueError("$search: empty query")
+    id_col = df.columns[0]
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(path)), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("__term"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    stats = dl.agg(
+        F.avg("__dl").alias("__avgdl"), F.count(F.lit(1)).alias("__n_docs")
+    )
+    tf = (
+        toks.filter(F.col("__term").isin(qt))
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    df_ = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    norm = F.col("__tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("__dl") / F.col("__avgdl")
+    )
+    term_score = idf * F.col("__tf") * (BM25_K1 + 1) / norm
+    scored = (
+        tf.join(F.broadcast(df_), "__term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(term_score), 6).alias("__search_score"))
+    )
+    return df.join(scored, id_col)
+
+
 def compile_pipeline(
     df: DataFrame,
     pipeline: list[dict],
@@ -1275,6 +1338,10 @@ def compile_pipeline(
                     "$vectorSearch must be the first pipeline stage"
                 )
             df = _compile_vector_search(df, spec)
+        elif op == "$search":
+            if stage_idx != 0:
+                raise ValueError("$search must be the first pipeline stage")
+            df = _compile_search(df, spec)
         elif op == "$match":
             df = df.filter(compile_match(spec))
         elif op == "$project":
