@@ -1522,6 +1522,9 @@ def compile_pipeline(
         # internal $vectorSearch score column: visible to stages via
         # {"$meta": "vectorSearchScore"} only, never in the output
         df = df.drop("__vs_score")
+    if "__search_score" in df.columns:
+        # same contract for $search's {"$meta": "searchScore"}
+        df = df.drop("__search_score")
     return df
 
 

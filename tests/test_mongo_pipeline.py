@@ -1337,3 +1337,31 @@ def test_vector_search_must_be_first_stage(spark):
     # and the meta score never leaks into the output columns
     out = compile_pipeline(df, [{"$vectorSearch": spec}])
     assert "__vs_score" not in out.columns
+
+
+def test_search_must_be_first_stage_and_score_hidden(spark):
+    import pytest
+
+    from cricket_analytics_nosql_spark.plans.mongo_pipeline import (
+        compile_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark join"), (2, "nothing here")], "doc_id long, text string"
+    )
+    spec = {"text": {"query": "spark", "path": "text"}}
+    with pytest.raises(ValueError, match="first pipeline stage"):
+        compile_pipeline(df, [{"$match": {}}, {"$search": spec}])
+    out = compile_pipeline(df, [{"$search": spec}])
+    # only matching docs survive; internal score never leaks
+    assert "__search_score" not in out.columns
+    assert [r.doc_id for r in out.collect()] == [1]
+    # score reachable via $meta for downstream stages
+    scored = compile_pipeline(
+        df,
+        [
+            {"$search": spec},
+            {"$addFields": {"score": {"$meta": "searchScore"}}},
+        ],
+    ).collect()
+    assert scored and scored[0].score > 0
