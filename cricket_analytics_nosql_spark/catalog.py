@@ -211,6 +211,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "embedding_norm_stats",
     "degree_distribution",
     "mongo_pipeline_search",
+    "cohort_ltv_curve",
     # green canaries
     "top_revenue_customers",
     "dedup_minhash_lsh",

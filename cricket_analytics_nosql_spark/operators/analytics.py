@@ -839,7 +839,100 @@ FROM gaps WHERE gap IS NOT NULL
 """
 
 
+LTV_MAX_WEEKS = 8
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-purchase
+    week; for each cohort and each of the first {LTV_MAX_WEEKS}+1
+    weeks since joining, cumulative revenue per cohort user — the
+    payback-period readout that tells acquisition what a week-0
+    user is worth by week 8 (``cohort_retention`` counts who comes
+    back; this prices it).
+
+    Purchases join their user's broadcastable cohort frame… at this
+    table's scale; at 100 TB the cohort frame is user-sized, so the
+    join becomes a co-partitioned shuffle with the query text
+    unchanged. Revenue stays integer cents through the (cohort,
+    week) rollup and the running window over the ≤{LTV_MAX_WEEKS}+1
+    rows per cohort; the per-user division happens once at the end."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            epoch_day("date_trunc('week', cast(ts as timestamp))").alias(
+                "week"
+            ),
+            cents(F.col("value")).alias("c"),
+        )
+    )
+    cohort = p.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rolled = (
+        p.join(cohort, "user_id")
+        .withColumn(
+            "weeks_since",
+            F.expr("(week - cohort_week) div 7"),
+        )
+        .filter(F.col("weeks_since") <= LTV_MAX_WEEKS)
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.sum("c").alias("rev_c"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("weeks_since").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rolled.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_users",
+            "rev_c",
+            F.round(
+                F.sum("rev_c").over(w).cast("double")
+                / F.col("n_users").cast("double") / 100.0,
+                4,
+            ).alias("cum_ltv_dollars"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+ORACLE_COHORT_LTV = f"""
+WITH p AS (
+  SELECT user_id,
+         epoch_us(date_trunc('week', ts)) // 86400000000 AS week,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM p GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS n_users FROM cohort GROUP BY cohort_week
+), rolled AS (
+  SELECT cohort_week, (week - cohort_week) // 7 AS weeks_since,
+         SUM(c) AS rev_c
+  FROM p JOIN cohort USING (user_id)
+  WHERE (week - cohort_week) // 7 <= {LTV_MAX_WEEKS}
+  GROUP BY cohort_week, weeks_since
+)
+SELECT cohort_week, weeks_since, n_users, rev_c,
+       ROUND(CAST(SUM(rev_c) OVER (PARTITION BY cohort_week
+                                   ORDER BY weeks_since
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS DOUBLE)
+             / CAST(n_users AS DOUBLE) / 100.0, 4) AS cum_ltv_dollars
+FROM rolled JOIN sizes USING (cohort_week)
+ORDER BY cohort_week, weeks_since
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cohort_ltv_curve": QuerySpec(
+        cohort_ltv_curve, ORACLE_COHORT_LTV, ["A1", "J1", "§2.8", "X-ts"]
+    ),
     "user_saturation_curve": QuerySpec(
         user_saturation_curve, ORACLE_USER_SATURATION, ["A1", "§2.8", "X-ts"]
     ),
