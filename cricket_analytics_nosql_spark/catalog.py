@@ -36,9 +36,11 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 # first 50, swap _WINDOW_PRIORITY to _NEXT_WINDOW below — it holds
 # (a) the 36 queries that overflowed this round's 50-entry gate,
 # (b) multi_touch_attribution (never windowed; its TIMESTAMP_NTZ
-# fix landed this round), (c) the 21 round-4 additions
-# (drift/inequality/graph/search/streaming-twin), canaries last.
-# Entries past 50 rotate once more; nothing is dropped.
+# fix landed this round), (c) the 38 round-4 additions (drift /
+# robust stats / inequality / graph / search / streaming-twin /
+# funnel / export-roundtrip / $search), canaries last.  The list is
+# ~80 entries, so entries past 50 rotate once more into round 6;
+# nothing is dropped.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     "market_share",
     "cohort_retention",
