@@ -214,6 +214,9 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "degree_distribution",
     "mongo_pipeline_search",
     "cohort_ltv_curve",
+    "forecast_backtest_naive",
+    "zipf_fit_tokens",
+    "supplier_hhi_topk",
     # green canaries
     "top_revenue_customers",
     "dedup_minhash_lsh",

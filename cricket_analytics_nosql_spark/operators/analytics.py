@@ -929,7 +929,79 @@ ORDER BY cohort_week, weeks_since
 """
 
 
+HHI_MIN_SUPPLIERS = 3
+
+
+def supplier_hhi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration risk: the Herfindahl-Hirschman
+    index of supplier quantity share per part — the antitrust
+    measure repurposed as the single-supplier-failure screen. Top-20
+    most concentrated parts among those with ≥ {HHI_MIN_SUPPLIERS}
+    suppliers (one supplier is trivially HHI = 1; the interesting
+    risk is high concentration despite apparent diversification).
+
+    Quantities roll up to (part, supplier) — fact-sized shuffle
+    once — then the HHI is a per-part sum of e6-integer share
+    squares (exact bigint; the PSI/micro-nat discipline applied to
+    shares), divided back once."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.expr("cast(round(l_quantity * 100) as bigint)")
+            ).alias("q")
+        )
+    )
+    tot = ps.groupBy("l_partkey").agg(
+        F.sum("q").alias("qt"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share_e6 = F.round(
+        F.col("q").cast("double") * 1e6 / F.col("qt").cast("double"), 0
+    ).cast("long")
+    return (
+        ps.join(tot, "l_partkey")
+        .filter(F.col("n_suppliers") >= HHI_MIN_SUPPLIERS)
+        .groupBy("l_partkey", "n_suppliers")
+        .agg(F.sum(share_e6 * share_e6).alias("hhi_e12"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "n_suppliers",
+            F.round(F.col("hhi_e12").cast("double") / 1e12, 6).alias("hhi"),
+        )
+        .orderBy(F.desc("hhi"), F.asc("partkey"))
+        .limit(20)
+    )
+
+
+ORACLE_SUPPLIER_HHI = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey, SUM(q) AS qt, COUNT(*) AS n_suppliers
+  FROM ps GROUP BY l_partkey
+), terms AS (
+  SELECT ps.l_partkey, n_suppliers,
+         CAST(ROUND(CAST(q AS DOUBLE) * 1000000.0 / CAST(qt AS DOUBLE))
+              AS BIGINT) AS s_e6
+  FROM ps JOIN tot USING (l_partkey)
+  WHERE n_suppliers >= {HHI_MIN_SUPPLIERS}
+)
+SELECT l_partkey AS partkey, n_suppliers,
+       ROUND(CAST(SUM(s_e6 * s_e6) AS DOUBLE) / 1e12, 6) AS hhi
+FROM terms
+GROUP BY partkey, n_suppliers
+ORDER BY hhi DESC, partkey ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "supplier_hhi_topk": QuerySpec(
+        supplier_hhi_topk, ORACLE_SUPPLIER_HHI, ["A1", "A6", "T1"]
+    ),
     "cohort_ltv_curve": QuerySpec(
         cohort_ltv_curve, ORACLE_COHORT_LTV, ["A1", "J1", "§2.8", "X-ts"]
     ),

@@ -1130,7 +1130,199 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+def forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (ŷ_t = y_{t−7}) on
+    daily revenue — the baseline every real forecasting effort must
+    beat, and the one to publish when a fancy model can't: MAE,
+    MAPE, and bias over the overlap window.
+
+    The lag rides the calendar-sized day rollup under one window
+    pass; errors are exact integer dollars, MAPE terms are per-row
+    e6-rounded ratios summed as bigint (the micro-nat discipline,
+    applied to percentages), and the three readouts divide once
+    each."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(epoch_day("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint) div 100")
+            ).alias("y")
+        )
+    )
+    w = Window.orderBy("day")
+    pairs = (
+        daily.withColumn("yhat", F.lag("y", 7).over(w))
+        .filter(F.col("yhat").isNotNull())
+        .select(
+            (F.col("y") - F.col("yhat")).alias("e"),
+            "y",
+        )
+    )
+    ape_e6 = F.round(
+        F.abs(F.col("e")).cast("double") * 1e6 / F.col("y").cast("double"),
+        0,
+    ).cast("long")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("e"))).alias("abs_err_sum"),
+        F.sum("e").alias("err_sum"),
+        F.sum(ape_e6).alias("ape_e6_sum"),
+    ).select(
+        "n_days",
+        F.round(
+            F.col("abs_err_sum").cast("double")
+            / F.col("n_days").cast("double"),
+            2,
+        ).alias("mae_dollars"),
+        F.round(
+            F.col("err_sum").cast("double") / F.col("n_days").cast("double"),
+            2,
+        ).alias("bias_dollars"),
+        F.round(
+            F.col("ape_e6_sum").cast("double")
+            / F.col("n_days").cast("double") / 1e4,
+            4,
+        ).alias("mape_pct"),
+    )
+
+
+ORACLE_FORECAST_BACKTEST = """
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100) AS y
+  FROM orders GROUP BY day
+), pairs AS (
+  SELECT y - LAG(y, 7) OVER (ORDER BY day) AS e, y,
+         LAG(y, 7) OVER (ORDER BY day) AS yhat
+  FROM daily
+), terms AS (
+  SELECT e, y,
+         CAST(ROUND(CAST(ABS(e) AS DOUBLE) * 1000000.0
+                    / CAST(y AS DOUBLE)) AS BIGINT) AS ape_e6
+  FROM pairs WHERE yhat IS NOT NULL
+)
+SELECT COUNT(*) AS n_days,
+       ROUND(CAST(SUM(ABS(e)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2)
+         AS mae_dollars,
+       ROUND(CAST(SUM(e) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2)
+         AS bias_dollars,
+       ROUND(CAST(SUM(ape_e6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 10000.0, 4) AS mape_pct
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit of the token rank-frequency curve
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_K = 1000
+
+
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token distribution: OLS slope of
+    ln(frequency) on ln(rank) over the top-{ZIPF_TOP_K} tokens —
+    natural text sits near −1; templated or synthetic corpora bend
+    the curve and move the slope, making this a one-number corpus-
+    authenticity screen.
+
+    Ranks come from one TakeOrderedAndProject over the vocabulary
+    counts; both logs are e6-rounded integers so the five OLS moment
+    sums are exact bigint (the trend_slope discipline applied in
+    log-log space); slope and r divide once at the end."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col(F.col("text"))).alias("t"))
+        .filter(F.length("t") > 0)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("t"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ZIPF_TOP_K)
+    )
+    lx = F.round(F.log(F.col("rank").cast("double")) * 1e6, 0).cast("long")
+    ly = F.round(F.log(F.col("n").cast("double")) * 1e6, 0).cast("long")
+    pts = top.select(lx.alias("x"), ly.alias("y"))
+    m = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("k").cast("double") * F.col("sxy").cast(
+        "double"
+    ) - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den_x = F.col("k").cast("double") * F.col("sxx").cast(
+        "double"
+    ) - F.col("sx").cast("double") * F.col("sx").cast("double")
+    den_y = F.col("k").cast("double") * F.col("syy").cast(
+        "double"
+    ) - F.col("sy").cast("double") * F.col("sy").cast("double")
+    return m.select(
+        F.col("k").alias("n_tokens_fit"),
+        F.round(num / den_x, 6).alias("zipf_slope"),
+        F.round(num / F.sqrt(den_x * den_y), 6).alias("fit_r"),
+    )
+
+
+ORACLE_ZIPF_FIT = f"""
+WITH counts AS (
+  SELECT t.t, COUNT(*) AS n
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS t) t
+  WHERE length(t.t) > 0
+  GROUP BY t.t
+), top AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, t ASC) AS rank
+  FROM counts
+  QUALIFY rank <= {ZIPF_TOP_K}
+), pts AS (
+  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+         CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+  FROM top
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT k AS n_tokens_fit,
+       ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS zipf_slope,
+       ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS fit_r
+FROM m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "forecast_backtest_naive": QuerySpec(
+        forecast_backtest_naive,
+        ORACLE_FORECAST_BACKTEST,
+        ["A4", "§2.8", "X-ts"],
+    ),
+    "zipf_fit_tokens": QuerySpec(
+        zipf_fit_tokens, ORACLE_ZIPF_FIT, ["A1", "T1", "X-curation"]
+    ),
     "cusum_changepoint": QuerySpec(
         cusum_changepoint, ORACLE_CUSUM_CHANGEPOINT, ["A4", "§2.8", "X-ts"]
     ),
