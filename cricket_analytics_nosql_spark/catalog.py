@@ -217,6 +217,8 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "forecast_backtest_naive",
     "zipf_fit_tokens",
     "supplier_hhi_topk",
+    "ship_latency_stats",
+    "return_rate_by_brand",
     # green canaries
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -998,7 +998,126 @@ LIMIT 20
 """
 
 
+def ship_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per order priority: median / p90 / max
+    days from order date to line-item ship date — the operational
+    SLA readout, cut by the priority the customer paid for (urgent
+    orders shipping slower than low-priority ones is the breach this
+    catches).
+
+    One broadcast of the order header onto the lineitem stream,
+    integer day deltas, exact percentiles per priority over the
+    latency rollup."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lat = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            epoch_day("l_shipdate") - epoch_day("o_orderdate")
+        ).alias("days"),
+    )
+    return (
+        lat.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.expr("percentile(days, 0.5)"), 1).alias(
+                "median_days"
+            ),
+            F.round(F.expr("percentile(days, 0.9)"), 1).alias("p90_days"),
+            F.max("days").alias("max_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORACLE_SHIP_LATENCY = """
+WITH lat AS (
+  SELECT o_orderpriority AS priority,
+         epoch_us(l_shipdate) // 86400000000
+           - epoch_us(o_orderdate) // 86400000000 AS days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT priority, COUNT(*) AS n_lines,
+       ROUND(median(days), 1) AS median_days,
+       ROUND(quantile_cont(days, 0.9), 1) AS p90_days,
+       CAST(MAX(days) AS BIGINT) AS max_days
+FROM lat GROUP BY priority
+ORDER BY priority
+"""
+
+
+def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate league table by part brand: share of line items
+    flagged 'R', with the revenue at stake — the product-quality
+    screen a merchandiser reads weekly. Brand dim broadcasts onto
+    the fact; rates are one rounded division over exact integer
+    counts/cents. Brands under 100 lines are suppressed (rate noise,
+    the A6 HAVING shape)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", revenue_cents().alias("rc")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(flag(F.col("l_returnflag") == "R")).alias("n_returned"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.col("rc")).otherwise(
+                    0
+                )
+            ).alias("returned_cents"),
+        )
+        .filter(F.col("n_lines") >= 100)
+        .select(
+            "brand",
+            "n_lines",
+            "n_returned",
+            F.round(
+                F.col("n_returned").cast("double")
+                / F.col("n_lines").cast("double"),
+                6,
+            ).alias("return_rate"),
+            "returned_cents",
+        )
+        .orderBy(F.desc("return_rate"), F.asc("brand"))
+        .limit(25)
+    )
+
+
+ORACLE_RETURN_RATE = """
+WITH j AS (
+  SELECT p_brand AS brand, l_returnflag,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT brand, COUNT(*) AS n_lines,
+       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+       ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS return_rate,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN rc ELSE 0 END) AS BIGINT)
+         AS returned_cents
+FROM j
+GROUP BY brand
+HAVING COUNT(*) >= 100
+ORDER BY return_rate DESC, brand ASC
+LIMIT 25
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ship_latency_stats": QuerySpec(
+        ship_latency_stats, ORACLE_SHIP_LATENCY, ["A1", "J1", "X-ts"]
+    ),
+    "return_rate_by_brand": QuerySpec(
+        return_rate_by_brand, ORACLE_RETURN_RATE, ["A1", "A3", "A6", "J1", "T1"]
+    ),
     "supplier_hhi_topk": QuerySpec(
         supplier_hhi_topk, ORACLE_SUPPLIER_HHI, ["A1", "A6", "T1"]
     ),
