@@ -219,6 +219,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "supplier_hhi_topk",
     "ship_latency_stats",
     "return_rate_by_brand",
+    "customer_churn_matrix",
     # green canaries
     "top_revenue_customers",
     "dedup_minhash_lsh",

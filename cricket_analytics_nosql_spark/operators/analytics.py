@@ -1111,7 +1111,101 @@ LIMIT 25
 """
 
 
+def customer_churn_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer movement: for each consecutive year
+    pair, how many active customers were retained, churned, or are
+    new — the churn ledger finance reconciles growth against
+    (``cohort_retention`` follows one cohort forward; this balances
+    every adjacent year).
+
+    Customers reduce to distinct (customer, year) activity rows —
+    one map-combined aggregate — and the year-pair ledger is a
+    self-join of that frame shifted by one year, all on the
+    customer-sized rollup. Retention rate is one rounded division;
+    the invariant retained + churned = active(y) is checkable by
+    eye (and asserted in tests)."""
+    cy = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", F.year("o_orderdate").alias("yr")
+        )
+        .distinct()
+    )
+    a = cy.select(F.col("o_custkey").alias("c"), F.col("yr").alias("y1"))
+    b = cy.select(
+        F.col("o_custkey").alias("c"), (F.col("yr") - 1).alias("y1")
+    )
+    years = cy.select(F.col("yr").alias("y1")).distinct()
+    # retained: active in y and y+1; churned: y only; new: y+1 only
+    retained = (
+        a.join(b, ["c", "y1"], "inner")
+        .groupBy("y1")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    active = a.groupBy("y1").agg(F.count(F.lit(1)).alias("n_active"))
+    new_next = (
+        b.join(a, ["c", "y1"], "left_anti")
+        .groupBy("y1")
+        .agg(F.count(F.lit(1)).alias("n_new_next"))
+    )
+    return (
+        active.join(retained, "y1", "left")
+        .join(new_next, "y1", "left")
+        .join(
+            years.select((F.col("y1") - 1).alias("y1")).distinct(),
+            "y1",
+            "left_semi",
+        )  # keep only years with a following year in the data
+        .select(
+            F.col("y1").alias("year"),
+            "n_active",
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            (
+                F.col("n_active") - F.coalesce("n_retained", F.lit(0))
+            ).alias("n_churned"),
+            F.coalesce("n_new_next", F.lit(0)).alias("n_new_next_year"),
+            F.round(
+                F.coalesce("n_retained", F.lit(0)).cast("double")
+                / F.col("n_active").cast("double"),
+                6,
+            ).alias("retention_rate"),
+        )
+        .orderBy("year")
+    )
+
+
+ORACLE_CHURN_MATRIX = """
+WITH cy AS (
+  SELECT DISTINCT o_custkey AS c, year(o_orderdate) AS yr FROM orders
+), active AS (
+  SELECT yr AS y1, COUNT(*) AS n_active FROM cy GROUP BY yr
+), retained AS (
+  SELECT a.yr AS y1, COUNT(*) AS n_retained
+  FROM cy a JOIN cy b ON a.c = b.c AND b.yr = a.yr + 1
+  GROUP BY a.yr
+), new_next AS (
+  SELECT b.yr - 1 AS y1, COUNT(*) AS n_new_next
+  FROM cy b ANTI JOIN cy a ON a.c = b.c AND a.yr = b.yr - 1
+  GROUP BY y1
+)
+SELECT y1 AS year, n_active,
+       COALESCE(n_retained, 0) AS n_retained,
+       n_active - COALESCE(n_retained, 0) AS n_churned,
+       COALESCE(n_new_next, 0) AS n_new_next_year,
+       ROUND(CAST(COALESCE(n_retained, 0) AS DOUBLE)
+             / CAST(n_active AS DOUBLE), 6) AS retention_rate
+FROM active
+LEFT JOIN retained USING (y1)
+LEFT JOIN new_next USING (y1)
+WHERE y1 + 1 IN (SELECT DISTINCT yr FROM cy)
+ORDER BY year
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "customer_churn_matrix": QuerySpec(
+        customer_churn_matrix, ORACLE_CHURN_MATRIX, ["A1", "J3", "J6", "X-ts"]
+    ),
     "ship_latency_stats": QuerySpec(
         ship_latency_stats, ORACLE_SHIP_LATENCY, ["A1", "J1", "X-ts"]
     ),
