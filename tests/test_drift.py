@@ -144,3 +144,67 @@ def test_ngram_search_nonempty_and_exact(spark, sf_small):
     )
     for d in got:
         assert NGRAM_SEARCH_PATTERN in texts[d]
+
+
+def test_forecast_backtest_sane(spark, sf_small):
+    from cricket_analytics_nosql_spark.operators.drift import (
+        forecast_backtest_naive,
+    )
+
+    r = forecast_backtest_naive(spark, sf_small).collect()[0]
+    assert r.n_days > 100
+    assert r.mae_dollars >= abs(r.bias_dollars)  # MAE bounds |bias|
+    assert r.mape_pct > 0
+
+
+def test_zipf_slope_negative_and_fit_strong(spark, sf_small):
+    from cricket_analytics_nosql_spark.operators.drift import zipf_fit_tokens
+
+    r = zipf_fit_tokens(spark, sf_small).collect()[0]
+    assert r.zipf_slope < 0  # frequency falls with rank, always
+    assert -1.0 <= r.fit_r < 0  # correlation matches the slope sign
+
+
+def test_hhi_bounds(spark, sf_small):
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        HHI_MIN_SUPPLIERS,
+        supplier_hhi_topk,
+    )
+
+    for r in supplier_hhi_topk(spark, sf_small).collect():
+        assert r.n_suppliers >= HHI_MIN_SUPPLIERS
+        # HHI of n equal shares is 1/n; of one dominant share → 1
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-6
+
+
+def test_churn_ledger_balances(spark, sf_small):
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        customer_churn_matrix,
+    )
+
+    rows = customer_churn_matrix(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.n_retained + r.n_churned == r.n_active
+        assert 0.0 <= r.retention_rate <= 1.0
+
+
+def test_latency_percentiles_ordered(spark, sf_small):
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        ship_latency_stats,
+    )
+
+    rows = ship_latency_stats(spark, sf_small).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.median_days <= r.p90_days <= r.max_days
+
+
+def test_return_rate_bounds(spark, sf_small):
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        return_rate_by_brand,
+    )
+
+    for r in return_rate_by_brand(spark, sf_small).collect():
+        assert 0.0 <= r.return_rate <= 1.0
+        assert r.n_returned <= r.n_lines
