@@ -220,6 +220,9 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "ship_latency_stats",
     "return_rate_by_brand",
     "customer_churn_matrix",
+    "discount_band_elasticity",
+    "basket_lines_histogram",
+    "nation_trade_balance",
     # green canaries
     "top_revenue_customers",
     "dedup_minhash_lsh",

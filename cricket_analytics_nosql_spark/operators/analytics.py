@@ -1202,7 +1202,183 @@ ORDER BY year
 """
 
 
+def discount_band_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand response to discounting: average quantity and total
+    revenue per 1%-discount band — the raw curve a pricing team
+    fits elasticity to (rising mean quantity with deeper bands =
+    the discount is moving volume; flat = margin given away).
+    Pure map-side rollup to ≤11 band rows; exact integer quantities
+    and cents; means divide once."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("band"),
+        F.expr("cast(round(l_quantity * 100) as bigint)").alias("qc"),
+        revenue_cents().alias("rc"),
+    )
+    return (
+        li.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("qc").alias("qty_c"),
+            F.sum("rc").alias("rev_c"),
+        )
+        .select(
+            "band",
+            "n_lines",
+            F.round(
+                F.col("qty_c").cast("double")
+                / F.col("n_lines").cast("double") / 100.0,
+                4,
+            ).alias("avg_quantity"),
+            "rev_c",
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_DISCOUNT_BAND = """
+SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS band,
+       COUNT(*) AS n_lines,
+       ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 100.0, 4) AS avg_quantity,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS rev_c
+FROM lineitem
+GROUP BY band
+ORDER BY band
+"""
+
+
+def basket_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: how many orders carry k line items,
+    with each k's share — the shape parameter behind fulfillment
+    cost models (and the sanity check that the order generator isn't
+    degenerate). Double rollup: order-key count, then count-of-
+    counts — both map-combined; the second frame is ≤ max-lines
+    rows."""
+    k = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    hist = k.groupBy("k").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = hist.agg(F.sum("n_orders").alias("t"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("k")
+    )
+
+
+ORACLE_BASKET_HISTOGRAM = """
+WITH k AS (
+  SELECT l_orderkey, COUNT(*) AS k FROM lineitem GROUP BY l_orderkey
+), hist AS (
+  SELECT k, COUNT(*) AS n_orders FROM k GROUP BY k
+), tot AS (
+  SELECT SUM(n_orders) AS t FROM hist
+)
+SELECT k, n_orders,
+       ROUND(CAST(n_orders AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM hist CROSS JOIN tot
+ORDER BY k
+"""
+
+
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance inside the star schema: revenue its
+    suppliers earn vs what its customers spend, and the net — the
+    Q7-family two-role join (nation participates as supplier's and
+    customer's home separately, so the fact flows through two
+    independent dim resolutions that must NOT be conflated).
+    Both sides reduce before the final small join of two
+    25-row frames; exact cents throughout."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", revenue_cents().alias("rc")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    earned = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(F.sum("rc").alias("earned_c"))
+    )
+    spent = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.sum("rc").alias("spent_c"))
+    )
+    return (
+        F.broadcast(nation)
+        .join(earned, F.col("n_nationkey") == F.col("s_nationkey"), "left")
+        .join(spent, F.col("n_nationkey") == F.col("c_nationkey"), "left")
+        .select(
+            "n_name",
+            F.coalesce("earned_c", F.lit(0)).alias("earned_c"),
+            F.coalesce("spent_c", F.lit(0)).alias("spent_c"),
+            (
+                F.coalesce("earned_c", F.lit(0))
+                - F.coalesce("spent_c", F.lit(0))
+            ).alias("balance_c"),
+        )
+        .orderBy(F.desc("balance_c"), F.asc("n_name"))
+    )
+
+
+ORACLE_NATION_BALANCE = """
+WITH earned AS (
+  SELECT s_nationkey AS nk,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS earned_c
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY nk
+), spent AS (
+  SELECT c_nationkey AS nk,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS spent_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY nk
+)
+SELECT n_name,
+       COALESCE(earned_c, 0) AS earned_c,
+       COALESCE(spent_c, 0) AS spent_c,
+       COALESCE(earned_c, 0) - COALESCE(spent_c, 0) AS balance_c
+FROM nation
+LEFT JOIN earned ON n_nationkey = earned.nk
+LEFT JOIN spent ON n_nationkey = spent.nk
+ORDER BY balance_c DESC, n_name ASC
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "discount_band_elasticity": QuerySpec(
+        discount_band_elasticity, ORACLE_DISCOUNT_BAND, ["A1", "P15"]
+    ),
+    "basket_lines_histogram": QuerySpec(
+        basket_lines_histogram, ORACLE_BASKET_HISTOGRAM, ["A1", "A4"]
+    ),
+    "nation_trade_balance": QuerySpec(
+        nation_trade_balance, ORACLE_NATION_BALANCE, ["J1", "A1", "T3"]
+    ),
     "customer_churn_matrix": QuerySpec(
         customer_churn_matrix, ORACLE_CHURN_MATRIX, ["A1", "J3", "J6", "X-ts"]
     ),
