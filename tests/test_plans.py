@@ -475,6 +475,8 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "key_skew_profile",
         # $search's broadcast of the 1-row BM25 corpus stats frame
         "mongo_pipeline_search",
+        # 1-row order-count total onto the <=max-lines histogram
+        "basket_lines_histogram",
         # per-table 1-row (before, deleted) count pairs crossed into
         # the 4-row audit
         "forget_users_cascade",
