@@ -223,6 +223,7 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "discount_band_elasticity",
     "basket_lines_histogram",
     "nation_trade_balance",
+    "anova_weekday_revenue",
     # green canaries
     "top_revenue_customers",
     "dedup_minhash_lsh",

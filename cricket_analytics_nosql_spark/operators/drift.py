@@ -1314,7 +1314,119 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# One-way ANOVA: does order value differ by weekday?
+# ---------------------------------------------------------------------------
+
+def anova_weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic for order value across weekdays —
+    the continuous-outcome sibling of ``chi_square_assoc``: is the
+    between-weekday variation in order size real or noise? Emits the
+    F statistic with its degrees of freedom and the between/within
+    sums of squares, all derived from exact integer (n, Σx, Σx²)
+    triples per group — the sufficient statistics, so the fact
+    stream reduces to 7 rows before any variance arithmetic; the
+    final doubles mirror the oracle textually. Values are quantized
+    to whole KILOdollars: that keeps every moment inside bigint AND
+    keeps the 7 per-group double terms small enough (~5e9) that
+    partial-sum order noise (≤1e-5) can never cross the 2dp output
+    rounding — at dollar units the s² terms reach 1e16 where one ULP
+    is 2 and order noise could flip the rounded result."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("weekday(cast(o_orderdate as timestamp))").alias("dow"),
+        F.expr(
+            "cast(round(o_totalprice * 100) as bigint) div 100000"
+        ).alias("v"),
+    )
+    g = o.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    # SSB = Σ_g s²/n − st²/nn ; SSW = Σ_g (ss − s²/n); exact-integer
+    # numerators with one division per group term
+    ssb_term = F.col("s").cast("double") * F.col("s").cast(
+        "double"
+    ) / F.col("n").cast("double")
+    return (
+        j.groupBy("k", "nn", "st", "sst")
+        .agg(F.sum(F.round(ssb_term, 4)).alias("sum_sq_over_n"))
+        .select(
+            (F.col("k")).alias("n_groups"),
+            (F.col("nn")).alias("n_orders"),
+            F.round(
+                F.col("sum_sq_over_n")
+                - F.col("st").cast("double") * F.col("st").cast("double")
+                / F.col("nn").cast("double"),
+                2,
+            ).alias("ss_between"),
+            F.round(
+                F.col("sst").cast("double") - F.col("sum_sq_over_n"),
+                2,
+            ).alias("ss_within"),
+            F.round(
+                (
+                    (
+                        F.col("sum_sq_over_n")
+                        - F.col("st").cast("double")
+                        * F.col("st").cast("double")
+                        / F.col("nn").cast("double")
+                    )
+                    / (F.col("k") - 1).cast("double")
+                )
+                / (
+                    (F.col("sst").cast("double") - F.col("sum_sq_over_n"))
+                    / (F.col("nn") - F.col("k")).cast("double")
+                ),
+                6,
+            ).alias("f_stat"),
+        )
+    )
+
+
+ORACLE_ANOVA_WEEKDAY = """
+WITH o AS (
+  SELECT isodow(o_orderdate) - 1 AS dow,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000 AS v
+  FROM orders
+), g AS (
+  SELECT dow, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+  FROM o GROUP BY dow
+), tot AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s) AS st, SUM(ss) AS sst FROM g
+), acc AS (
+  SELECT k, nn, st, sst,
+         SUM(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE), 4)) AS sum_sq_over_n
+  FROM g CROSS JOIN tot
+  GROUP BY k, nn, st, sst
+)
+SELECT CAST(k AS BIGINT) AS n_groups,
+       CAST(nn AS BIGINT) AS n_orders,
+       ROUND(sum_sq_over_n
+             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+               / CAST(nn AS DOUBLE), 2) AS ss_between,
+       ROUND(CAST(sst AS DOUBLE) - sum_sq_over_n, 2) AS ss_within,
+       ROUND(((sum_sq_over_n
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                 / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / ((CAST(sst AS DOUBLE) - sum_sq_over_n)
+                / CAST(nn - k AS DOUBLE)), 6) AS f_stat
+FROM acc
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "anova_weekday_revenue": QuerySpec(
+        anova_weekday_revenue, ORACLE_ANOVA_WEEKDAY, ["A1", "A4", "X-curation"]
+    ),
     "forecast_backtest_naive": QuerySpec(
         forecast_backtest_naive,
         ORACLE_FORECAST_BACKTEST,
