@@ -477,6 +477,7 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "mongo_pipeline_search",
         # 1-row order-count total onto the <=max-lines histogram
         "basket_lines_histogram",
+        "anova_weekday_revenue",
         # per-table 1-row (before, deleted) count pairs crossed into
         # the 4-row audit
         "forget_users_cascade",
