@@ -163,10 +163,63 @@ def cricket_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cricket_pipeline_oracle() -> str:
+    """DuckDB re-runs the WHOLE pipeline from the same source bytes:
+    the fixture files ride in as VALUES literals (the exact content
+    ``write_demo_dir`` stages), TRY_CAST-to-JSON replays the S2
+    quarantine split (corrupt file → NULL → counted, never dropped
+    silently), three unnest levels replay the F1 flatten, the
+    batter/striker COALESCE and runs.batter default replay the
+    P7/P8-adjacent drift fixes, and the final aggregate is
+    runs_by_batter verbatim (mongo_analytics_examples.py:18-29).
+    Independent engine, independent JSON parser, independent flatten
+    — a hash match pins the ETL semantics, not just the arithmetic.
+    Float columns are plain (runs/balls)*100 IEEE double ops in both
+    engines — bit-identical, no rounding grid needed."""
+    from cricket_analytics_nosql_spark.sources.cricket_fixtures import (
+        demo_files_values_sql,
+    )
+
+    return f"""
+WITH files(name, raw) AS (VALUES {demo_files_values_sql()}),
+parsed AS (SELECT name, TRY_CAST(raw AS JSON) AS j FROM files),
+quarantine AS (
+  SELECT COUNT(*) AS n_quarantined FROM parsed WHERE j IS NULL
+),
+inn AS (
+  SELECT unnest(CAST(j->'$.innings' AS JSON[])) AS inning
+  FROM parsed WHERE j IS NOT NULL
+),
+ov AS (SELECT unnest(CAST(inning->'$.overs' AS JSON[])) AS ov FROM inn),
+del AS (SELECT unnest(CAST(ov->'$.deliveries' AS JSON[])) AS d FROM ov),
+balls AS (
+  SELECT COALESCE(d->>'$.batter', d->>'$.striker') AS batter,
+         CAST(COALESCE(d->'$.runs'->>'$.batter', '0') AS BIGINT)
+             AS runs_batter
+  FROM del
+),
+agg AS (
+  SELECT batter,
+         CAST(SUM(runs_batter) AS BIGINT) AS runs,
+         COUNT(*) AS balls,
+         CAST(SUM(CASE WHEN runs_batter IN (4, 6) THEN 1 ELSE 0 END)
+              AS BIGINT) AS boundaries
+  FROM balls GROUP BY batter
+)
+SELECT batter, runs, balls, boundaries,
+       CAST(runs AS DOUBLE) / balls * 100 AS strikeRate,
+       CAST(boundaries AS DOUBLE) / balls * 100 AS boundaryPct,
+       (SELECT n_quarantined FROM quarantine) AS n_quarantined
+FROM agg
+ORDER BY runs DESC, batter ASC
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cricket_pipeline": QuerySpec(
         cricket_pipeline,
-        None,
+        _cricket_pipeline_oracle(),
         ["S1", "S2", "F1", "P7", "P8", "P11", "P12", "T1", "T2", "T5"],
     ),
 }

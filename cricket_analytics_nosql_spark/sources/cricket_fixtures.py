@@ -139,6 +139,23 @@ DEMO_MATCHES: dict[str, dict] = {
 CORRUPT_FILE = ("corrupt.json", "{ this is not json")
 
 
+def demo_files_values_sql() -> str:
+    """The fixture dump as a SQL ``VALUES`` list of
+    ``(name, raw_json_text)`` pairs — the exact bytes
+    ``write_demo_dir`` writes, so a DuckDB oracle can re-run the
+    whole ETL (parse → quarantine → 3-level flatten → aggregate)
+    from the same source without touching the staged directory.
+    Single quotes are SQL-escaped; the corrupt file rides along so
+    the oracle's TRY_CAST-to-JSON replays the S2 quarantine split."""
+    rows = []
+    for name in sorted(DEMO_MATCHES):
+        txt = json.dumps(DEMO_MATCHES[name]).replace("'", "''")
+        rows.append(f"('{name}', '{txt}')")
+    cname, payload = CORRUPT_FILE
+    rows.append(f"('{cname}', '{payload.replace(chr(39), chr(39) * 2)}')")
+    return ", ".join(rows)
+
+
 def write_demo_dir(include_corrupt: bool = True) -> str:
     """Materialize the fixture dump in a temp dir; file names are
     written in sorted order (T5 — the reference sorts its input
