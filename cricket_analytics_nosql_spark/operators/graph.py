@@ -452,6 +452,94 @@ def pagerank_top_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+def _pagerank_oracle_sql(
+    weighted: bool, rounds: int = 12, d: float = 0.85
+) -> str:
+    """The 12-round power iteration UNROLLED as chained DuckDB CTEs —
+    PageRank is a linear recurrence with a fixed round budget, so its
+    oracle is mechanical SQL, exactly like the LPA unrolled rounds
+    and the SSSP recursive CTE: per round, contrib = Σ_in rank·p and
+    rank = (1−d) + d·(dm/n + contrib) with dm = n − Σ contrib.
+
+    Float-match argument (the gate compares exact double reprs after
+    ROUND(·, 6)): the transition ratios p are EXACT — out-mass is a
+    sum of integer-valued doubles (< 2^53, associative-safe), so both
+    engines divide identical numerators by identical denominators.
+    The per-round in-mass sums then drift only by summation order,
+    ~1e-15 relative per round and ~1e-12 after 12 rounds against
+    Spark's Krylov evaluation of the same recurrence — nine orders
+    below the 1e-6 rounding grid (the stats_moments discipline).
+    Scalar arithmetic mirrors the driver's Python association:
+    ``(1-d) + d * dm / n``.
+
+    Every CTE is ``AS MATERIALIZED``: DuckDB inlines CTEs by
+    default, and with the links/vertices frames referenced by all 12
+    rounds an inlined plan re-expands the whole upstream join per
+    round — 24+ parquet re-scans that blow the process fd budget
+    (observed: "Too many open files" at sf0.01 alongside a live
+    JVM). Materialized, each frame is computed once, exactly like
+    the Spark side's localCheckpoints."""
+    p = (
+        "CAST(weight AS DOUBLE)"
+        " / SUM(CAST(weight AS DOUBLE)) OVER (PARTITION BY src)"
+        if weighted
+        else "1.0 / COUNT(*) OVER (PARTITION BY src)"
+    )
+    one_minus_d = repr(1.0 - d)
+    ctes = [
+        f"""
+WITH base_edges AS MATERIALIZED (
+  SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst, weight FROM base_edges
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst, weight FROM base_edges
+),
+links AS MATERIALIZED (SELECT src AS id, dst, {p} AS p FROM edges),
+vertices AS MATERIALIZED (
+  SELECT DISTINCT id
+  FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices),
+r0 AS MATERIALIZED (SELECT id, 1.0 AS rank FROM vertices)"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT l.dst AS id, SUM(r.rank * l.p) AS contrib
+  FROM links l JOIN r{k - 1} r ON r.id = l.id
+  GROUP BY l.dst
+),
+r{k} AS MATERIALIZED (
+  SELECT v.id,
+         ({one_minus_d}
+          + {d} * ((SELECT n FROM nn) - (SELECT SUM(contrib) FROM c{k}))
+              / (SELECT n FROM nn))
+         + {d} * COALESCE(c.contrib, 0.0) AS rank
+  FROM vertices v LEFT JOIN c{k} c ON v.id = c.id
+)"""
+        )
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+       id // 2 AS key,
+       ROUND(rank, 6) AS pagerank
+FROM r{rounds}
+ORDER BY pagerank DESC, entity ASC, key ASC
+LIMIT 20
+"""
+    )
+
+
+ORACLE_PAGERANK_TOP = _pagerank_oracle_sql(weighted=False)
+ORACLE_PAGERANK_TOP_WEIGHTED = _pagerank_oracle_sql(weighted=True)
+
+
+# ---------------------------------------------------------------------------
 # Cricket binding — the reference's actual graph (player duel graph)
 # ---------------------------------------------------------------------------
 
@@ -1625,8 +1713,10 @@ QUERIES: dict[str, QuerySpec] = {
     "graph_degree": QuerySpec(
         graph_degree, ORACLE_GRAPH_DEGREE, ["G3", "A7", "T4"]
     ),
-    "pagerank_top": QuerySpec(pagerank_top, None, ["G2", "T6"], bench=True),
+    "pagerank_top": QuerySpec(
+        pagerank_top, ORACLE_PAGERANK_TOP, ["G2", "T6"], bench=True
+    ),
     "pagerank_top_weighted": QuerySpec(
-        pagerank_top_weighted, None, ["G2", "T6"]
+        pagerank_top_weighted, ORACLE_PAGERANK_TOP_WEIGHTED, ["G2", "T6"]
     ),
 }
