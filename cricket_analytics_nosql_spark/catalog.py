@@ -20,128 +20,27 @@ from __future__ import annotations
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Rounds 1-2 burned that window on the relational block;
-# CORRECTNESS_r03 then landed green for the reordered window (every
-# previously-unchecked graph/text/dedup/ANN/multimodal/mongo/streaming
-# query got its driver row — 45 hash-green, 5 rows-only by design:
-# dedup_simhash, ann_ivf, ann_ivf_kmeans, ann_lsh, cricket_pipeline,
-# pagerank_top).  This round's window therefore front-loads the
-# remaining never-driver-checked set: mid/late-round-3 additions
-# first, then the newest queries; green canaries last.  NOTE: the
-# list exceeds the driver's 50-entry gate — entries past position 50
-# simply rotate into the next round's window (see _queue note at the
-# tail); nothing is dropped, queries not listed keep registry order
-# after the window.
-# ROUND-5 TODO: once CORRECTNESS_r04 lands green for this window's
-# first 50, swap _WINDOW_PRIORITY to _NEXT_WINDOW below — it holds
-# (a) the 36 queries that overflowed this round's 50-entry gate,
-# (b) multi_touch_attribution (never windowed; its TIMESTAMP_NTZ
-# fix landed this round), (c) the 38 round-4 additions (drift /
-# robust stats / inequality / graph / search / streaming-twin /
-# funnel / export-roundtrip / $search), canaries last.  The list is
-# ~80 entries, so entries past 50 rotate once more into round 6;
-# nothing is dropped.
+# Rounds 1-4 rotated the relational block, then the graph/text/dedup/
+# ANN/multimodal/mongo/streaming block, through that window — every
+# windowed query landed hash-green (CORRECTNESS_r02-r04).  This
+# round's window:
+# (a) the 7 queries that FLIPPED from rows-only/no_oracle to oracled
+#     this round (cricket_pipeline's DuckDB ETL replay, the unrolled
+#     PageRank recurrence x2, the ANN/SimHash recall audits) — they
+#     already have driver rows, but the point of the flip is a HASH
+#     row, so they go first;
+# (b) the never-driver-checked set in round-4 priority order (the 36
+#     round-4 gate-overflow queries, then the round-4/5 additions).
+# Entries past position 50 rotate into round 6's window; nothing is
+# dropped — queries not listed keep registry order after the window.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    "market_share",
-    "cohort_retention",
-    "funnel_conversion",
-    "overlap_join_contracts",
-    "scd2_pointintime_join",
-    "graph_triangles",
-    "cypher_trade_reach",
-    "graph_walks",
-    "heavy_hitters",
-    "lm_surprisal",
-    "pii_scrub",
-    "domain_cap_sample",
-    "nearest_centroid_confusion",
-    "semantic_dedup",
-    "embedding_quantize_stats",
-    "knn_graph",
-    "train_val_test_split",
-    "pack_sequences",
-    "domain_mixture_resample",
-    "corpus_shuffle",
-    "dataset_diff",
-    "cdc_apply_audit",
-    "incremental_rollup",
-    "rollup_anomalies",
-    "zorder_layout",
-    "constraint_audit",
-    "table_profile",
-    "grouped_agg_trimmed_mean",
-    "mongo_pipeline_densify_fill",
-    "mongo_pipeline_array_ops",
-    "mongo_pipeline_graph_lookup",
-    "stream_hwm_monitor",
-    "unpivot_long",
-    "try_arithmetic",
-    "variant_extract",
-    "pagerank_top_weighted",
-    "csv_roundtrip",
-    # round-4 additions
-    "bloom_prefilter_join",
-    "doc_chunking",
-    "pareto_parts",
-    "approx_quantiles",
-    "entity_match_parts",
-    "arrow_doc_stats",
-    "recursive_trade_bfs",
-    "dpp_partitioned_events",
-    "window_distribution_ranks",
-    "string_agg_rollup",
-    "stats_moments",
-    "ann_recall_audit",
-    "mongo_pipeline_vector_search",
-    "sql_udf_revenue",
-    "multimodal_phash_dedup",
-    "activity_streaks",
-    "interval_merge_coverage",
-    "market_basket_lift",
-    "value_histogram",
-    "ab_conversion_wilson",
-    "lateral_topk_customers",
-    "orc_roundtrip",
-    "bpe_vocab_merges",
-    "asof_join_tolerance",
-    "chi_square_assoc",
-    "cms_user_counts",
-    "training_pipeline_e2e",
-    "rolling_median_revenue",
-    "boilerplate_chunks",
-    "weighted_sample_docs",
-    "rfm_segments",
-    "revenue_growth_wow",
-    "topk_with_ties",
-    "event_trigrams",
-    "source_drift_cosine",
-    "hll_rollup_distinct",
-    "incremental_dedup_ingest",
-    "stream_ewma_monitor",
-    "bm25_search",
-    # round-5 additions
-    "sssp_weighted",
-    "lpa_communities",
-    "cep_funnel_pattern",
-    "bootstrap_order_value",
-    "feature_hashing",
-    "dedup_jaccard_prefix",
-    "gap_fill_interpolate",
-    "embedding_covariance_topk",
-    "local_clustering_topk",
-    "stream_cep_monitor",
-    # green canaries (only reached if the window has room)
-    "top_revenue_customers",
-    "dedup_minhash_lsh",
-    "stream_tumbling_agg",
-    "mongo_pipeline_group_topk",
+    "cricket_pipeline",
     "pagerank_top",
-)
-
-
-# INACTIVE until CORRECTNESS_r04 lands green (see ROUND-5 TODO above).
-_NEXT_WINDOW: tuple[str, ...] = (
-    # held over from round 4's gate overflow
+    "pagerank_top_weighted",
+    "ann_ivf",
+    "ann_ivf_kmeans",
+    "ann_lsh",
+    "dedup_simhash",
     "sql_udf_revenue",
     "multimodal_phash_dedup",
     "activity_streaks",
@@ -178,7 +77,6 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "embedding_covariance_topk",
     "local_clustering_topk",
     "stream_cep_monitor",
-    # never driver-checked: NTZ-fixed attribution + round-4 additions
     "multi_touch_attribution",
     "ks_drift_orders",
     "token_entropy_kl",
@@ -224,12 +122,10 @@ _NEXT_WINDOW: tuple[str, ...] = (
     "basket_lines_histogram",
     "nation_trade_balance",
     "anova_weekday_revenue",
-    # green canaries
     "top_revenue_customers",
     "dedup_minhash_lsh",
     "stream_tumbling_agg",
     "mongo_pipeline_group_topk",
-    "pagerank_top",
 )
 
 

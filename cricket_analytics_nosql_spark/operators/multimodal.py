@@ -329,7 +329,7 @@ def payload_phashes(mm: DataFrame) -> DataFrame:
     )
 
 
-def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def phash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection on the BINARY modality — the
     dedup_simhash discipline applied through the multimodal decode
     plumbing: per-payload 64-bit perceptual hash (mapInPandas
@@ -339,9 +339,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole over 4 bands forces a clean band) and best-effort
     up to the 12 threshold — the standard LSH trade; tighten by
     adding band rotations if the miss rate matters. Hash-seeded
-    candidates → rows-only driver path; kernel determinism,
-    locality, and the ≤ 3 recall guarantee are pinned in
-    tests/test_llm_ops.py."""
+    pair rows (no cross-engine oracle); the catalog query
+    ``multimodal_phash_dedup`` audits this path's guaranteed-recall
+    tier instead. Kernel determinism, locality, and the ≤ 3 recall
+    guarantee are pinned in tests/test_llm_ops.py."""
     mm = attach_binary(load_table(spark, sf_dir, "documents"))
     hashes = payload_phashes(mm).localCheckpoint()  # two consumers
     bands = hashes.select(
@@ -384,9 +385,59 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-oracleable audit of the pHash path (the dedup_simhash
+    audit pattern): payloads are the UTF-8 text bytes, so two docs
+    with identical text have identical payloads, identical pHashes,
+    and Hamming 0 — inside the pigeonhole-GUARANTEED recall tier.
+    The exact-duplicate truth set is recomputable in DuckDB (text
+    equality), and the pHash pipeline catching ALL of it is a hard
+    guarantee, not a statistical floor: any miss means the kernel,
+    banding, or verify broke, and the driver hash goes red. Emits
+    one row: (n_docs, n_exact_dup_pairs, all_exact_dups_caught).
+    Pair rows: ``phash_near_dup_pairs``."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", F.md5("text").alias("h"))
+    truth = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .localCheckpoint()
+    )
+    n_docs = docs.count()
+    n_truth = truth.count()
+    caught = truth.join(
+        phash_near_dup_pairs(spark, sf_dir), ["doc_a", "doc_b"], "left_semi"
+    ).count()
+    return spark.createDataFrame(
+        [(n_docs, n_truth, caught == n_truth)],
+        "n_docs long, n_exact_dup_pairs long, all_exact_dups_caught boolean",
+    )
+
+
+ORACLE_MULTIMODAL_PHASH_DEDUP = """
+WITH pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM documents a
+  JOIN documents b ON md5(a.text) = md5(b.text) AND a.text = b.text
+  WHERE a.doc_id < b.doc_id
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       COUNT(*) AS n_exact_dup_pairs,
+       TRUE AS all_exact_dups_caught
+FROM pairs
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_phash_dedup": QuerySpec(
-        multimodal_phash_dedup, None, ["X-mm", "X-dedup", "§2.12"]
+        multimodal_phash_dedup,
+        ORACLE_MULTIMODAL_PHASH_DEDUP,
+        ["X-mm", "X-dedup", "§2.12", "A1"],
     ),
     "multimodal_meta": QuerySpec(
         multimodal_meta, ORACLE_MULTIMODAL_META, ["X-mm"]

@@ -383,14 +383,19 @@ DP_U32 = 4294967296.0
 
 
 def dp_noisy_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differential-privacy release mechanism, made auditable: per
-    market segment, the true customer count next to its
-    Laplace(1/ε)-noised release — counting queries have sensitivity
-    1, so noise b = 1/ε gives ε-DP per release. The RNG is the
-    repo's md5-uniform (seeded by the segment name), so the
-    "noise" is reproducible across engines and runs — exactly what
-    a privacy AUDIT needs (verify the mechanism's arithmetic), and
-    one salt-swap away from a production draw.
+    """Laplace-mechanism ARITHMETIC AUDIT — NOT a privacy
+    mechanism, and it provides NO differential-privacy guarantee:
+    the "noise" here is a deterministic md5 of the public segment
+    name, so anyone can recompute it and invert the release exactly
+    (and the query co-emits true_count anyway, by design, so the
+    two engines can cross-check the mechanism's arithmetic). What
+    this fixture pins is the release FORMULA — counting queries
+    have sensitivity 1, so a real deployment draws
+    Laplace(b = 1/ε) — computed identically by both engines via
+    the inverse-CDF. A production mechanism additionally needs
+    fresh, SECRET randomness per release (not a keyed hash of any
+    public value — a salt swap does not fix this) and must never
+    emit the true counts alongside.
 
     Laplace inverse-CDF from u ∈ [0,1): noise = −b·sign(u−.5)·
     ln(1−2|u−.5|). One ln per released row (segments-sized frame);

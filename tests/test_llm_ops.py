@@ -26,9 +26,9 @@ from cricket_analytics_nosql_spark.operators.multimodal import (
 )
 from cricket_analytics_nosql_spark.operators.similarity import (
     ann_brute_force,
-    ann_ivf,
-    ann_ivf_kmeans,
-    ann_lsh,
+    ann_ivf_neighbors,
+    ann_ivf_kmeans_neighbors,
+    ann_lsh_neighbors,
 )
 from cricket_analytics_nosql_spark.operators.text import shingles_col, tokens_col
 from cricket_analytics_nosql_spark.sources.tables import load_table
@@ -154,19 +154,19 @@ def _recall(approx_rows, exact_rows):
 
 def test_ann_ivf_recall(spark, sf_small):
     exact = ann_brute_force(spark, sf_small).collect()
-    approx = ann_ivf(spark, sf_small).collect()
+    approx = ann_ivf_neighbors(spark, sf_small).collect()
     assert len(approx) == 8 * 5
     # nprobe=3 of 10 cells on weakly-clustered synthetic data: sane floor
     assert _recall(approx, exact) >= 0.3
 
 
 def test_ann_ivf_kmeans_recall_and_determinism(spark, sf_small):
-    approx = ann_ivf_kmeans(spark, sf_small).collect()
+    approx = ann_ivf_kmeans_neighbors(spark, sf_small).collect()
     assert len(approx) == 8 * 5
     exact = ann_brute_force(spark, sf_small).collect()
     assert _recall(approx, exact) >= 0.3
     # deterministic seeds + tie-broken assignment ⇒ repeat runs agree
-    again = ann_ivf_kmeans(spark, sf_small).collect()
+    again = ann_ivf_kmeans_neighbors(spark, sf_small).collect()
     assert [tuple(r) for r in approx] == [tuple(r) for r in again]
 
 
@@ -186,7 +186,7 @@ def test_kmeans_centroids_shape(spark, sf_small):
 
 def test_ann_lsh_recall(spark, sf_small):
     exact = ann_brute_force(spark, sf_small).collect()
-    approx = ann_lsh(spark, sf_small).collect()
+    approx = ann_lsh_neighbors(spark, sf_small).collect()
     assert len(approx) == 8 * 5
     assert _recall(approx, exact) >= 0.3
 
@@ -334,7 +334,6 @@ def test_phash_determinism_locality_and_recall(spark):
     the output."""
     from cricket_analytics_nosql_spark.operators.multimodal import (
         PHASH_MAX_HAMMING,
-        multimodal_phash_dedup,
         payload_phashes,
     )
 
@@ -369,8 +368,13 @@ def test_phash_determinism_locality_and_recall(spark):
 
         pairs = {
             (r.doc_a, r.doc_b): r.hamming
-            for r in mmod.multimodal_phash_dedup(spark, d).collect()
+            for r in mmod.phash_near_dup_pairs(spark, d).collect()
         }
+        audit = mmod.multimodal_phash_dedup(spark, d).collect()[0]
     assert pairs[(1, 2)] == 0  # exact dup always found (clean bands)
     if ham <= 3:
         assert (1, 3) in pairs  # guaranteed recall region
+    # the catalog audit sees the same guarantee
+    assert audit.n_docs == 4
+    assert audit.n_exact_dup_pairs == 1
+    assert audit.all_exact_dups_caught

@@ -441,6 +441,10 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "ann_brute_force",
         "ann_ivf",
         "ann_ivf_kmeans",
+        # recall audits: brute-force query-set broadcast + 1-row
+        # flags×stats cross — both metadata-sized by construction
+        "ann_lsh",
+        "dedup_simhash",
         "knn_graph",
         "dedup_embedding_cosine",
         "tfidf_top_terms",
