@@ -26,6 +26,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    load_start = os.getloadavg()
     spark = get_spark("bench")
     # Local-mode bench config: AQE's per-exchange re-planning
     # round-trips cost 20-40% at sf0.1 on local[32] (measured
@@ -67,6 +68,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # host-noise context: the bench host carries bursty
+                # external load (observed load-avg 2-14); readers
+                # should weigh run-to-run deltas against this stamp
+                "load_avg_1m_5m_15m": [round(x, 2) for x in load_start],
+                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -500,6 +500,29 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         if "BroadcastNestedLoopJoin" in plan and name not in bnlj_by_design:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+    # the allowlist must not rot: every exempted name must still be a
+    # catalog entry — a renamed/deleted query would otherwise leave a
+    # stale exemption that silently re-admits a future BNLJ under
+    # the old name
+    stale = bnlj_by_design - set(all_queries())
+    assert not stale, f"stale BNLJ allowlist entries: {stale}"
+
+
+def test_bnlj_gate_detects_offender(spark):
+    """Negative control for the gate above — default-deny must
+    actually fire: a join with no equi-condition plans a
+    BroadcastNestedLoopJoin/CartesianProduct, and the same string
+    match the catalog sweep uses must see it. If Spark ever renames
+    the physical node, this fails first and the sweep gets fixed
+    with it."""
+    a = spark.range(100).withColumnRenamed("id", "x")
+    b = spark.range(50).withColumnRenamed("id", "y")
+    import pyspark.sql.functions as F
+
+    plan = plan_of(a.join(b, F.col("x") % 7 > F.col("y") % 5))
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan, (
+        plan
+    )
 
 
 def test_regional_revenue_broadcast_fallback_same_answer(spark, sf_small):
