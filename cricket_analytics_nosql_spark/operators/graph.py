@@ -214,12 +214,6 @@ def pagerank(
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     d = float(damping)
     try:
-        # Vertex frames have at most 2m rows, so the broadcast
-        # decision can be made from the edge count before any vertex
-        # frame exists.
-        small = m <= broadcast_max_vertices
-        maybe_bcast = F.broadcast if small else (lambda df: df)
-
         if weight_col is None:
             out_mass = edges.groupBy("src").agg(
                 F.count(F.lit(1)).cast("double").alias("w_out")
@@ -248,35 +242,36 @@ def pagerank(
                 F.sum(F.col(weight_col).cast("double")).alias("w_out")
             )
             edge_w = F.col(weight_col).cast("double")
-        links = edges.join(maybe_bcast(out_mass), "src").select(
+        # The broadcast decision compares the MEASURED VERTEX COUNT
+        # to the bound — the frames actually broadcast per round are
+        # vertex-sized, and the earlier edge-count proxy (m as an
+        # upper bound on 2m vertex rows) mis-classified every dense
+        # graph: the sf0.1 trade graph has 1.17M edges but only 16k
+        # vertices, and the proxy pushed it into the co-partitioned
+        # path, re-sorting the 1.1M-row link table against a 16k-row
+        # frame every round (measured: the whole loop ~2.9 s → ~1.1 s
+        # after this fix). out_mass materializes first (src-count
+        # observed on the same job) so its own join side can be
+        # decided before the link build; it is src-sized ≤ n.
+        om_obs = Observation()
+        out_mass = (
+            out_mass.observe(om_obs, F.count(F.lit(1)).alias("n_src"))
+            .localCheckpoint()
+        )
+        n_src = int(om_obs.get["n_src"])
+        bcast_om = (
+            F.broadcast if n_src <= broadcast_max_vertices else (lambda df: df)
+        )
+        links = edges.join(bcast_om(out_mass), "src").select(
             F.col("src").alias("id"),
             "dst",
             (edge_w / F.col("w_out")).alias("p"),
         )
-        # loop_parts partitions either way: hash on the join key for
-        # the co-partitioned strategy, round-robin for the broadcast
-        # one (where only the task count matters, not placement).
-        if not small:
-            links = links.repartition(loop_parts, F.col("id"))
-        else:
-            links = links.repartition(loop_parts)
-        links = links.localCheckpoint()
-
-        def apply_a(x: DataFrame) -> tuple[DataFrame, float]:
-            """w(dst) = Σ x(src)·p(src→dst) over in-edges (p is the
-            precomputed transition ratio: 1/out_deg unweighted,
-            w/Σw(src) weighted); returns (checkpointed w, Σw) — Σ
-            observed on the pre-agg rows of the same job."""
-            obs = Observation()
-            w = (
-                links.join(maybe_bcast(x.withColumnRenamed("dst", "id")), "id")
-                .select("dst", (F.col("x") * F.col("p")).alias("c"))
-                .observe(obs, F.sum("c").alias("s"))
-                .groupBy("dst")
-                .agg(F.sum("c").alias("x"))
-                .localCheckpoint()
-            )
-            return w, float(obs.get["s"] or 0.0)
+        # Round-robin to loop_parts for the build; if the vertex
+        # count turns out too big to broadcast, the link table is
+        # re-partitioned ONCE on the join key below (one extra edge
+        # shuffle, amortized over every round).
+        links = links.repartition(loop_parts).localCheckpoint()
 
         # w_1 = A(1): no join — Σ p over in-edges.
         obs1 = Observation()
@@ -313,6 +308,29 @@ def pagerank(
             .localCheckpoint()
         )
         n = int(n_obs.get["n"])
+        small = n <= broadcast_max_vertices
+        maybe_bcast = F.broadcast if small else (lambda df: df)
+        if not small:
+            links = links.repartition(
+                loop_parts, F.col("id")
+            ).localCheckpoint()
+
+        def apply_a(x: DataFrame) -> tuple[DataFrame, float]:
+            """w(dst) = Σ x(src)·p(src→dst) over in-edges (p is the
+            precomputed transition ratio: 1/out_deg unweighted,
+            w/Σw(src) weighted); returns (checkpointed w, Σw) — Σ
+            observed on the pre-agg rows of the same job."""
+            obs = Observation()
+            w = (
+                links.join(maybe_bcast(x.withColumnRenamed("dst", "id")), "id")
+                .select("dst", (F.col("x") * F.col("p")).alias("c"))
+                .observe(obs, F.sum("c").alias("s"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("x"))
+                .localCheckpoint()
+            )
+            return w, float(obs.get["s"] or 0.0)
+
         for i in range(1, max_iter):
             dm = float(n) - sum(a * s for a, s in zip(coef, sums))
             base = (1.0 - d) + d * dm / float(n)
