@@ -421,9 +421,10 @@ def pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2+T6: PageRank over the bidirectional trade graph, top-20 by
     score (cypher_queries.cypher:31-34), decoded back to
     (entity, key). Deterministic (fixed iterations on deterministic
-    data) but not SQL-expressible — rows-only oracle path. Scores
-    rounded so float noise across partition merge orders can't flap
-    the ranking.
+    data) and hash-ORACLED: the 12-round power iteration is a linear
+    recurrence, so DuckDB replays it as unrolled CTEs
+    (``_pagerank_oracle_sql``). Scores rounded so float noise across
+    partition merge orders can't flap the ranking.
 
     Fixed 12-round budget, tol off: the semantics are the 12-round
     power ranks (the reference's gds.pageRank call is likewise
@@ -451,9 +452,10 @@ def pagerank_top_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The weighted twin (gds relationshipWeightProperty parity):
     trade volume drives the transition probabilities, so a supplier
     trading heavily with one customer pulls more of that customer's
-    mass than ten incidental partners. Same 12-round budget,
-    rows-only path, weighted-kernel correctness pinned against a
-    Python power iteration in tests/test_graph.py."""
+    mass than ten incidental partners. Same 12-round budget, same
+    unrolled-CTE oracle (weighted transition ratios); the weighted
+    kernel is additionally pinned against a Python power iteration
+    in tests/test_graph.py."""
     edges = trade_graph_edges(spark, sf_dir)
     pr = pagerank(edges, max_iter=12, tol=None, weight_col="weight")
     return (
@@ -555,6 +557,167 @@ LIMIT 20
 
 ORACLE_PAGERANK_TOP = _pagerank_oracle_sql(weighted=False)
 ORACLE_PAGERANK_TOP_WEIGHTED = _pagerank_oracle_sql(weighted=True)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank — seeded random walk with restart
+# ---------------------------------------------------------------------------
+
+PPR_SEED_CUSTOMER = 1  # custkey 1 exists at every sf; vertex id 2*1
+PPR_ROUNDS = 8
+PPR_DAMPING = 0.85
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed_id: int,
+    damping: float = PPR_DAMPING,
+    rounds: int = PPR_ROUNDS,
+) -> DataFrame:
+    """Personalized PageRank: a random walk that restarts at ONE
+    seed vertex — the similar-entity/recommendation scorer (the
+    gds.pageRank ``sourceNodes`` variant). rank_0 = e_seed;
+    rank_{k+1} = (1−d + d·dm_k)·e_seed + d·A(rank_k), with dangling
+    mass dm_k teleporting back to the seed; Σrank = 1 throughout.
+
+    Unlike global PageRank, rank frames start SPARSE (one row) and
+    grow with the seed's reach, so per-round frames are
+    reach-bounded, not vertex-bounded — the property that makes PPR
+    tractable per-seed at 100 TB. Per round: ONE job (links ⋈
+    broadcast(rank) → project → partial/final sum), identical plan
+    every round — the per-round teleport scalar rides in as a 1-ROW
+    DATAFRAME unioned into the aggregation (data, not a literal), so
+    whole-stage codegen caches across rounds (the pagerank
+    discipline). Σcontrib is observed on the same job; the teleport
+    base is driver float arithmetic. Returns (id, ppr), nonzero rows
+    only."""
+    spark = edges.sparkSession
+    out_mass = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("w_out")
+    )
+    links = (
+        edges.join(F.broadcast(out_mass), "src")
+        .select(
+            F.col("src").alias("id"),
+            "dst",
+            (F.lit(1.0) / F.col("w_out")).alias("p"),
+        )
+        .localCheckpoint()
+    )
+    d = float(damping)
+    rank = spark.createDataFrame([(seed_id, 1.0)], "id long, x double")
+    rank = rank.localCheckpoint()
+    for _ in range(rounds):
+        obs = Observation()
+        contrib = (
+            links.join(F.broadcast(rank), "id")
+            .select(
+                F.col("dst").alias("id"), (F.col("x") * F.col("p")).alias("c")
+            )
+            .observe(obs, F.sum("c").alias("s"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint()
+        )
+        s = float(obs.get["s"] or 0.0)
+        # dm = walk mass that fell off dangling vertices; it restarts
+        # at the seed together with the 1−d teleport share
+        base = (1.0 - d) + d * (1.0 - s)
+        teleport = spark.createDataFrame(
+            [(int(seed_id), base)], "id long, c double"
+        )
+        rank = (
+            contrib.select("id", (F.lit(d) * F.col("c")).alias("c"))
+            .unionByName(teleport)
+            .groupBy("id")
+            .agg(F.sum("c").alias("x"))
+            .localCheckpoint()
+        )
+    return rank.select("id", F.col("x").alias("ppr"))
+
+
+def ppr_supplier_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation readout: suppliers most relevant to customer
+    ``PPR_SEED_CUSTOMER`` by personalized PageRank over the
+    bidirectional trade graph — multi-hop affinity (suppliers of the
+    customers who buy from MY suppliers score too), not just direct
+    edge weight. Top-15, scores rounded; hash-oracled by the same
+    unrolled-CTE technique as global PageRank."""
+    edges = trade_graph_edges(spark, sf_dir)
+    pr = personalized_pagerank(edges, seed_id=2 * PPR_SEED_CUSTOMER)
+    return (
+        pr.filter(F.col("id") % 2 == 1)
+        .select(
+            F.shiftright("id", 1).alias("supplier_key"),
+            (F.round("ppr", 9) + F.lit(0.0)).alias("ppr"),
+        )
+        .orderBy(F.desc("ppr"), F.asc("supplier_key"))
+        .limit(15)
+    )
+
+
+def _ppr_oracle_sql(
+    rounds: int = PPR_ROUNDS, d: float = PPR_DAMPING
+) -> str:
+    """Unrolled personalized-PageRank recurrence (the
+    ``_pagerank_oracle_sql`` technique with a seed restart vector).
+    DuckDB keeps rank rows sparse exactly like the Spark loop (the
+    teleport row unions into the per-round aggregation), and the
+    scalar association mirrors the driver floats:
+    ``(1-d) + d*(1 - Σcontrib)``. Rounded at 1e-9: PPR mass after 8
+    rounds spreads to ~1e-5-scale scores, and cross-engine
+    sum-order drift sits ~1e-17 — eight orders below the grid."""
+    seed = 2 * PPR_SEED_CUSTOMER
+    one_minus_d = repr(1.0 - d)
+    ctes = [
+        f"""
+WITH base_edges AS MATERIALIZED (
+  SELECT o_custkey AS c, l_suppkey AS s, COUNT(*) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+),
+edges AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM base_edges
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM base_edges
+),
+links AS MATERIALIZED (
+  SELECT src AS id, dst, 1.0 / COUNT(*) OVER (PARTITION BY src) AS p
+  FROM edges
+),
+r0 AS MATERIALIZED (SELECT CAST({seed} AS BIGINT) AS id, 1.0 AS x)"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT l.dst AS id, SUM(r.x * l.p) AS c
+  FROM links l JOIN r{k - 1} r ON r.id = l.id
+  GROUP BY l.dst
+),
+r{k} AS MATERIALIZED (
+  SELECT id, SUM(c) AS x FROM (
+    SELECT id, {d} * c AS c FROM c{k}
+    UNION ALL
+    SELECT CAST({seed} AS BIGINT) AS id,
+           {one_minus_d}
+           + {d} * (1.0 - (SELECT COALESCE(SUM(c), 0.0) FROM c{k})) AS c
+  ) GROUP BY id
+)"""
+        )
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT id // 2 AS supplier_key,
+       ROUND(x, 9) + 0.0 AS ppr
+FROM r{rounds}
+WHERE id % 2 = 1
+ORDER BY ppr DESC, supplier_key ASC
+LIMIT 15
+"""
+    )
+
+
+ORACLE_PPR_SUPPLIER_RECS = _ppr_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1733,6 +1896,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "pagerank_top": QuerySpec(
         pagerank_top, ORACLE_PAGERANK_TOP, ["G2", "T6"], bench=True
+    ),
+    "ppr_supplier_recs": QuerySpec(
+        ppr_supplier_recs, ORACLE_PPR_SUPPLIER_RECS, ["G2", "T6", "X-sim"]
     ),
     "pagerank_top_weighted": QuerySpec(
         pagerank_top_weighted, ORACLE_PAGERANK_TOP_WEIGHTED, ["G2", "T6"]

@@ -90,6 +90,42 @@ def test_pagerank_copartitioned_branch_matches_broadcast(spark, sf_small):
         assert small[k] == pytest.approx(big[k], abs=1e-9), k
 
 
+def test_personalized_pagerank_python_reference(spark):
+    """The PPR kernel vs a dense Python power iteration of the same
+    recurrence on a small directed graph with a dangling vertex —
+    pins teleport arithmetic, dangling restart, and sparse-frame
+    bookkeeping against an independent dense implementation."""
+    from cricket_analytics_nosql_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 0), (1, 3), (3, 4)]  # 4→ nothing
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r.id: r.ppr
+        for r in personalized_pagerank(edges, seed_id=0, rounds=6).collect()
+    }
+
+    d, n, seed = 0.85, 5, 0
+    out = {0: [1], 1: [2, 3], 2: [0], 3: [4], 4: []}
+    rank = [1.0 if v == seed else 0.0 for v in range(n)]
+    for _ in range(6):
+        contrib = [0.0] * n
+        for u, vs in out.items():
+            for v in vs:
+                contrib[v] += rank[u] / len(vs)
+        s = sum(contrib)
+        base = (1.0 - d) + d * (1.0 - s)
+        rank = [d * c for c in contrib]
+        rank[seed] += base
+    want = {v: rank[v] for v in range(n) if rank[v] != 0.0}
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert max(got, key=got.get) == 0  # restart keeps the seed on top
+
+
 @pytest.fixture(scope="module")
 def deliveries(spark):
     rows = [
