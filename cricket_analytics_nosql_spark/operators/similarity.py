@@ -452,6 +452,150 @@ FROM topk
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding-training data ops: contrastive mining + semantic leakage
+# ---------------------------------------------------------------------------
+
+HARD_NEG_K = 3
+DECON_TAU = 0.30  # max corpus cosine is ~0.32-0.49 on the testdata
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training: for each
+    anchor (the 8-query demo set), the top-k SAME-label neighbors
+    (positives) and the top-k highest-cosine WRONG-label vectors —
+    the hard negatives that make contrastive losses work (random
+    negatives are trivially far; the ones near the margin carry the
+    gradient). One broadcast of the anchor set against the corpus
+    scan (the ann_brute_force posture: no shuffle until the per-
+    anchor top-k window), exact cosine, fully SQL-expressible →
+    exact oracle."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "vn", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    anchors = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q"),
+        F.col("vn").alias("qn"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.when(F.col("label") == F.col("q_label"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("role"),
+            F.round(
+                dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id", "role").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .orderBy("q_id", "role", "rank")
+    )
+
+
+ORACLE_HARD_NEGATIVE_MINING = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, label AS q_label FROM emb
+  WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, e.vec_id,
+         CASE WHEN e.label = q_label THEN 'pos' ELSE 'neg' END AS role,
+         ROUND(list_inner_product(qv, v)
+               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6)
+           AS cos
+  FROM q, emb e
+  WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, role, cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id, role ORDER BY cos DESC, vec_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, role, cos, rank FROM ranked
+WHERE rank <= {HARD_NEG_K}
+ORDER BY q_id, role, rank
+"""
+
+
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-leakage scan — the semantic dual of the
+    n-gram ``decontaminate``: per held-out benchmark vector (the
+    8-query demo set), how many CORPUS vectors sit within cosine ≥ τ
+    (paraphrase-level leakage the shingle scan can't see), the
+    closest contaminant and its similarity. Benchmark side
+    broadcasts by construction; corpus side is one scan — the
+    decontaminate posture on the vector modality."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "vn", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    bench = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q"),
+        F.col("vn").alias("qn"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+        ).alias("cos"),
+    )
+    return (
+        scored.groupBy("q_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cos") >= DECON_TAU, 1).otherwise(0)
+            ).alias("n_contaminants"),
+            (F.round(F.max("cos"), 6) + F.lit(0.0)).alias("max_cos"),
+            F.min_by(
+                "vec_id",
+                F.struct(
+                    (-F.col("cos")).alias("nc"), F.col("vec_id").alias("v")
+                ),
+            ).alias("closest_vec_id"),
+        )
+        .orderBy("q_id")
+    )
+
+
+ORACLE_SEMANTIC_DECONTAMINATE = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bench AS (
+  SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, e.vec_id,
+         ROUND(list_inner_product(qv, v)
+               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6)
+           AS cos
+  FROM bench, emb e
+  WHERE e.vec_id >= {N_QUERIES}
+)
+SELECT q_id,
+       CAST(SUM(CASE WHEN cos >= {DECON_TAU} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminants,
+       ROUND(MAX(cos), 6) + 0.0 AS max_cos,
+       FIRST(vec_id ORDER BY cos DESC, vec_id ASC) AS closest_vec_id
+FROM scored
+GROUP BY q_id
+ORDER BY q_id
+"""
+
+
 def _clamped_angle(c: Column) -> Column:
     """acos with the argument clamped to [-1, 1] — float rounding can
     push a cosine a few ulp outside the domain and acos would NaN."""
@@ -1364,4 +1508,14 @@ QUERIES: dict[str, QuerySpec] = {
         embedding_quantize_stats, ORACLE_EMBEDDING_QUANTIZE, ["X-sim", "X-training"]
     ),
     "knn_graph": QuerySpec(knn_graph, ORACLE_KNN_GRAPH, ["X-sim", "X-dedup"]),
+    "hard_negative_mining": QuerySpec(
+        hard_negative_mining,
+        ORACLE_HARD_NEGATIVE_MINING,
+        ["X-sim", "X-training", "§2.8"],
+    ),
+    "semantic_decontaminate": QuerySpec(
+        semantic_decontaminate,
+        ORACLE_SEMANTIC_DECONTAMINATE,
+        ["X-sim", "X-curation", "A1"],
+    ),
 }

@@ -445,6 +445,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # flags×stats cross — both metadata-sized by construction
         "ann_lsh",
         "dedup_simhash",
+        # anchor/benchmark-set broadcasts (8 rows by construction)
+        "hard_negative_mining",
+        "semantic_decontaminate",
         "knn_graph",
         "dedup_embedding_cosine",
         "tfidf_top_terms",
