@@ -516,6 +516,113 @@ LIMIT 20
 """
 
 
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction — the quality-staged feed order some
+    training recipes want (easy/clean first, noisy tail later):
+    band documents by composite-quality QUARTILE, then order
+    deterministically WITHIN each band by a keyed hash (so each
+    stage is itself well-shuffled, not source-clumped). Readout:
+    each band's size and mean quality plus its first 10 documents in
+    feed order.
+
+    Scale posture: no global ranking window — the quartile cutoffs
+    are THREE SCALARS from one exact-percentile aggregate
+    (cross-engine-identical interpolation, the time_to_convert
+    pattern), banding is then a narrow comparison, and the only
+    window is per-band for the top-10 sample. At 100 TB the cutoffs
+    come off the same one-pass agg (or approx_percentile at a
+    chosen error) and the feed order is (band, md5-hash) — a sort
+    key, never a materialized global rank."""
+    from cricket_analytics_nosql_spark.functions.scalar import md5_u32
+    from cricket_analytics_nosql_spark.operators.text import quality_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_col(F.col("text")), 6).alias("q"),
+        md5_u32(F.col("doc_id"), salt="curr#").alias("h"),
+    )
+    cuts = scored.agg(
+        F.expr("percentile(q, array(0.25, 0.5, 0.75))").alias("c")
+    )
+    banded = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "q",
+        "h",
+        # band 1 = top quartile (fed first), 4 = noisiest tail
+        (
+            F.lit(1)
+            + F.when(F.col("q") < F.col("c")[2], 1).otherwise(0)
+            + F.when(F.col("q") < F.col("c")[1], 1).otherwise(0)
+            + F.when(F.col("q") < F.col("c")[0], 1).otherwise(0)
+        ).alias("band"),
+    )
+    w = Window.partitionBy("band").orderBy(F.asc("h"), F.asc("doc_id"))
+    stats = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.avg("q"), 6) + F.lit(0.0)).alias("avg_q"),
+    )
+    head = (
+        banded.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 10)
+        .select("band", "pos", "doc_id", "q")
+    )
+    return (
+        head.join(F.broadcast(stats), "band")
+        .select("band", "n_docs", "avg_q", "pos", "doc_id", "q")
+        .orderBy("band", "pos")
+    )
+
+
+_CURRICULUM_QUALITY_SQL = """
+ROUND(0.4 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+  + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')))
+  + 0.3 * (1.0 - LEAST(CAST(len(list_filter(string_split(text, ' '),
+                 t -> t IN ('{stops}'))) AS DOUBLE)
+           / len(string_split(text, ' ')) * 5, 1.0)), 6)
+"""
+
+
+def _curriculum_oracle() -> str:
+    from cricket_analytics_nosql_spark.operators.dedup import _STOPS_SQL
+
+    q = _CURRICULUM_QUALITY_SQL.format(stops=_STOPS_SQL).strip()
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         {q} AS q,
+         CAST(('0x' || substr(md5('curr#' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM documents
+), cuts AS (
+  SELECT quantile_cont(q, 0.25) AS c25,
+         quantile_cont(q, 0.5) AS c50,
+         quantile_cont(q, 0.75) AS c75
+  FROM scored
+), banded AS (
+  SELECT doc_id, q, h,
+         1 + (CASE WHEN q < c75 THEN 1 ELSE 0 END)
+           + (CASE WHEN q < c50 THEN 1 ELSE 0 END)
+           + (CASE WHEN q < c25 THEN 1 ELSE 0 END) AS band
+  FROM scored CROSS JOIN cuts
+), stats AS (
+  SELECT band, COUNT(*) AS n_docs, ROUND(AVG(q), 6) + 0.0 AS avg_q
+  FROM banded GROUP BY band
+), head AS (
+  SELECT band, doc_id, q,
+         ROW_NUMBER() OVER (
+           PARTITION BY band ORDER BY h ASC, doc_id ASC
+         ) AS pos
+  FROM banded
+)
+SELECT h.band, s.n_docs, s.avg_q, h.pos, h.doc_id, h.q
+FROM head h JOIN stats s ON h.band = s.band
+WHERE h.pos <= 10
+ORDER BY h.band, h.pos
+"""
+
+
 JSONL_SHARDS = 4
 
 # Memoized export dirs per (sf_dir, n_shards) — the export is
@@ -599,6 +706,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "corpus_shuffle": QuerySpec(
         corpus_shuffle, ORACLE_CORPUS_SHUFFLE, ["X-training", "T3"]
+    ),
+    "curriculum_order": QuerySpec(
+        curriculum_order,
+        _curriculum_oracle(),
+        ["X-training", "X-curation", "§2.8"],
     ),
     "training_pipeline_e2e": QuerySpec(
         training_pipeline_e2e,

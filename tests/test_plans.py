@@ -448,6 +448,8 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # anchor/benchmark-set broadcasts (8 rows by construction)
         "hard_negative_mining",
         "semantic_decontaminate",
+        # 1-row quartile-cutoffs frame crossed onto the doc stream
+        "curriculum_order",
         "knn_graph",
         "dedup_embedding_cosine",
         "tfidf_top_terms",
