@@ -135,11 +135,101 @@ def bpe_train(
 
 def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: the first 8 learned merges over the documents
-    corpus.  Non-SQL-expressible (iterative argmax); the exact merge
-    table is pinned against a pure-Python reference trainer in
-    tests/test_bpe.py instead of a DuckDB oracle."""
+    corpus — hash-ORACLED: the greedy loop unrolls into DuckDB CTEs
+    (``_bpe_oracle_sql``), and the merge table is additionally
+    pinned against a pure-Python reference trainer in
+    tests/test_bpe.py."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     return bpe_train(spark, docs, n_merges=8).orderBy("merge_rank")
+
+
+def _bpe_oracle_sql(n_merges: int = 8, max_word_len: int = 24) -> str:
+    """The BPE training loop UNROLLED as DuckDB CTEs — greedy
+    iterative argmax is replayable the same way the PageRank
+    recurrence is, because each round is deterministic given the
+    previous vocabulary: count pairs, take the (cnt DESC, a, b)
+    argmax, re-segment. The only non-trivial piece is the
+    leftmost-non-overlapping merge without fold expressions (DuckDB's
+    list_reduce can't build list accumulators): adjacent merge
+    candidates can only chain when left == right (if a ≠ b, a match
+    at i forbids one at i+1), so candidate positions form runs of
+    equal symbols and the leftmost-greedy rule selects exactly the
+    EVEN OFFSETS within each run — a window parity, not a fold. Each
+    selected position rewrites to the merged symbol and its right
+    neighbor drops via LAG. Integer counts throughout → exact hash
+    equality; verified identical to the Spark trainer (and the pure-
+    Python reference pinned in tests/test_bpe.py) at sf0.001-0.1."""
+    ctes = [
+        f"""
+WITH wf AS MATERIALIZED (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+  ) WHERE len(w) > 0 AND len(w) <= {max_word_len}
+        AND regexp_matches(w, '^[a-z]+$')
+  GROUP BY w
+),
+v1 AS MATERIALIZED (
+  SELECT w AS wid, freq,
+         list_append(string_split(w, ''), '{END}') AS syms
+  FROM wf
+)"""
+    ]
+    outs = []
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i+1] AS b, SUM(freq) AS cnt
+  FROM v{r}, UNNEST(range(1, len(syms))) AS t(i)
+  GROUP BY a, b
+),
+top{r} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+e{r} AS MATERIALIZED (
+  SELECT wid, freq, i, syms[i] AS sym,
+         (i < len(syms)
+          AND syms[i] = (SELECT a FROM top{r})
+          AND syms[i+1] = (SELECT b FROM top{r})) AS c
+  FROM v{r}, UNNEST(range(1, len(syms) + 1)) AS t(i)
+),
+g{r} AS MATERIALIZED (
+  SELECT wid, freq, i, sym, c,
+         CASE WHEN c THEN i - ROW_NUMBER() OVER (
+           PARTITION BY wid, c ORDER BY i) END AS grp
+  FROM e{r}
+),
+s{r} AS MATERIALIZED (
+  SELECT wid, freq, i, sym, c,
+         c AND ((i - MIN(i) OVER (PARTITION BY wid, grp)) % 2 = 0) AS sel
+  FROM g{r}
+),
+m{r} AS MATERIALIZED (
+  SELECT wid, freq, i,
+         CASE WHEN sel THEN (SELECT a || b FROM top{r}) ELSE sym END AS sym,
+         COALESCE(LAG(sel) OVER (PARTITION BY wid ORDER BY i), FALSE)
+           AS drop_me
+  FROM s{r}
+),
+v{r + 1} AS MATERIALIZED (
+  SELECT wid, ANY_VALUE(freq) AS freq,
+         list(sym ORDER BY i) FILTER (NOT drop_me) AS syms
+  FROM m{r} GROUP BY wid
+)"""
+        )
+        outs.append(
+            f'SELECT {r} AS merge_rank, a AS "left", b AS "right",'
+            f" a || b AS merged, CAST(cnt AS BIGINT) AS weighted_count"
+            f" FROM top{r}"
+        )
+    return (
+        ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(outs)
+        + "\nORDER BY merge_rank"
+    )
+
+
+ORACLE_BPE_VOCAB_MERGES = _bpe_oracle_sql()
 
 
 def bpe_segment(df: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
@@ -165,6 +255,8 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
 
 QUERIES: dict[str, QuerySpec] = {
     "bpe_vocab_merges": QuerySpec(
-        bpe_vocab_merges, None, ["§2.12", "X-text", "A1", "T1"]
+        bpe_vocab_merges,
+        ORACLE_BPE_VOCAB_MERGES,
+        ["§2.12", "X-text", "A1", "T1"],
     ),
 }
