@@ -596,6 +596,100 @@ ORDER BY q_id
 """
 
 
+TOPIC_TOP_TERMS = 3
+
+
+def cluster_topic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal cluster readout — the report a curation team pulls
+    after clustering a corpus by embedding: per embedding LABEL
+    (cluster), its size, mean text quality, and the top-3
+    most-frequent non-stopword terms with counts. Joins the TEXT
+    modality onto the VECTOR modality on the shared id (doc_id =
+    vec_id — the pipeline invariant that embeddings are 1:1 with
+    documents), which no single-modality query exercises.
+
+    Scale posture: the label column (metadata-sized) joins onto the
+    documents scan co-keyed; term counting is one explode +
+    map-combined (label, term) agg; top-3 is a label-partitioned
+    window over the already-aggregated term frame. The doc⋈embedding
+    join is id-keyed — bucket both tables by id at ingest and it is
+    exchange-free."""
+    from cricket_analytics_nosql_spark.operators.text import (
+        STOPWORDS,
+        quality_col,
+        tokens_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    joined = docs.join(labels, "doc_id").select(
+        "label",
+        F.round(quality_col(F.col("text")), 6).alias("q"),
+        tokens_col(F.col("text")).alias("w"),
+    )
+    stats = joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.avg("q"), 6) + F.lit(0.0)).alias("avg_quality"),
+    )
+    terms = (
+        joined.select("label", F.explode("w").alias("term"))
+        .filter(~F.col("term").isin(*STOPWORDS))
+        .groupBy("label", "term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("term_count"), F.asc("term")
+    )
+    top = terms.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPIC_TOP_TERMS
+    )
+    return (
+        top.join(F.broadcast(stats), "label")
+        .select(
+            "label", "n_docs", "avg_quality", "rank", "term", "term_count"
+        )
+        .orderBy("label", "rank")
+    )
+
+
+def _cluster_topic_oracle() -> str:
+    from cricket_analytics_nosql_spark.operators.dedup import _STOPS_SQL
+
+    return f"""
+WITH joined AS (
+  SELECT e.label,
+         ROUND(0.4 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           + 0.3 * (1.0 - LEAST(CAST(len(list_filter(string_split(text, ' '),
+                          t -> t IN ('{_STOPS_SQL}'))) AS DOUBLE)
+                    / len(string_split(text, ' ')) * 5, 1.0)), 6) AS q,
+         string_split(text, ' ') AS w
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), stats AS (
+  SELECT label, COUNT(*) AS n_docs, ROUND(AVG(q), 6) + 0.0 AS avg_quality
+  FROM joined GROUP BY label
+), terms AS (
+  SELECT label, t.term, COUNT(*) AS term_count
+  FROM joined, UNNEST(w) AS t(term)
+  WHERE t.term NOT IN ('{_STOPS_SQL}')
+  GROUP BY label, t.term
+), top AS (
+  SELECT label, term, term_count,
+         ROW_NUMBER() OVER (
+           PARTITION BY label ORDER BY term_count DESC, term ASC
+         ) AS rank
+  FROM terms
+)
+SELECT t.label, s.n_docs, s.avg_quality, t.rank, t.term, t.term_count
+FROM top t JOIN stats s ON t.label = s.label
+WHERE t.rank <= {TOPIC_TOP_TERMS}
+ORDER BY t.label, t.rank
+"""
+
+
 def _clamped_angle(c: Column) -> Column:
     """acos with the argument clamped to [-1, 1] — float rounding can
     push a cosine a few ulp outside the domain and acos would NaN."""
@@ -1517,5 +1611,10 @@ QUERIES: dict[str, QuerySpec] = {
         semantic_decontaminate,
         ORACLE_SEMANTIC_DECONTAMINATE,
         ["X-sim", "X-curation", "A1"],
+    ),
+    "cluster_topic_profile": QuerySpec(
+        cluster_topic_profile,
+        _cluster_topic_oracle(),
+        ["X-sim", "X-text", "X-curation", "J1", "§2.8"],
     ),
 }
