@@ -122,6 +122,13 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "basket_lines_histogram",
     "nation_trade_balance",
     "anova_weekday_revenue",
+    # round-5 additions (never driver-checked; rotate in at round 6)
+    "ppr_supplier_recs",
+    "hard_negative_mining",
+    "semantic_decontaminate",
+    "curriculum_order",
+    "cluster_topic_profile",
+    # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",
     "stream_tumbling_agg",
