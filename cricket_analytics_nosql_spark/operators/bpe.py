@@ -79,6 +79,19 @@ def bpe_train(
     artifact a tokenizer ships.  Ties on count break lexicographically
     on (left, right) so training is deterministic across engines,
     partitionings, and runs."""
+    return spark.createDataFrame(
+        _train_merges(spark, docs, n_merges),
+        "merge_rank int, left string, right string,"
+        " merged string, weighted_count bigint",
+    )
+
+
+def _train_merges(
+    spark: SparkSession, docs: DataFrame, n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The training loop itself; returns the driver-side merge list
+    (O(n_merges) scalars — the same whitelisted class as the per-
+    round argmax reads it is built from)."""
     w_obs = Observation()
     vocab = (
         word_frequencies(docs)
@@ -126,11 +139,7 @@ def bpe_train(
             ).localCheckpoint()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left string, right string,"
-        " merged string, weighted_count bigint",
-    )
+    return merges
 
 
 def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,10 +262,102 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     return out.withColumn("tokens", F.flatten("__words")).drop("__words")
 
 
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer loop CLOSED end-to-end: train the 8-merge table
+    on the corpus, then APPLY it back to every document (the
+    ``bpe_segment`` fold chain — pure JVM expressions) and report
+    per-source compression: documents, word instances, BPE tokens,
+    and tokens-per-word. This is the readout a tokenizer team
+    actually ships (did the merges reduce sequence length, and
+    uniformly across sources?). Oracled by replaying training AND
+    segmentation in DuckDB: the final unrolled vocabulary maps every
+    distinct word to its token length, and per-source totals are the
+    freq-weighted join of that map onto the word instances."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    merges = [
+        (left, right)
+        for _, left, right, _, _ in _train_merges(spark, docs, 8)
+    ]
+    seg = bpe_segment(docs, merges)
+    words = F.expr(
+        "filter(split(lower(text), '\\\\s+'),"
+        " x -> length(x) > 0 and length(x) <= 24"
+        " and x rlike '^[a-z]+$')"
+    )
+    return (
+        seg.select(
+            "source",
+            F.size(words).alias("n_words"),
+            F.size("tokens").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .filter(F.col("total_words") > 0)  # oracle inner-join parity
+        .withColumn(
+            "tokens_per_word",
+            F.round(
+                F.col("total_tokens").cast("double")
+                / F.col("total_words").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_tokenize_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
+    """Training replay (the ``_bpe_oracle_sql`` CTE chain) + a
+    segmentation replay: v{n+1} already holds every distinct word's
+    post-merge symbol list, so per-source totals are one join of
+    len(syms) onto the word-instance stream — no per-document merge
+    replay needed (segmentation is word-local, the same invariant
+    the Spark trainer exploits)."""
+    prefix = _bpe_oracle_sql(n_merges, max_word_len)
+    # reuse everything up to the final SELECT of the merge table
+    prefix = prefix[: prefix.index("\nSELECT 1 AS merge_rank")]
+    return (
+        prefix
+        + f""",
+wtok AS MATERIALIZED (
+  SELECT wid, len(syms) AS n_tok FROM v{n_merges + 1}
+),
+inst AS MATERIALIZED (
+  SELECT source, w FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+  ) WHERE len(w) > 0 AND len(w) <= {max_word_len}
+        AND regexp_matches(w, '^[a-z]+$')
+),
+per_doc AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT p.source, p.n_docs,
+       COUNT(*) AS total_words,
+       CAST(SUM(t.n_tok) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(t.n_tok) AS DOUBLE) / COUNT(*), 6)
+         AS tokens_per_word
+FROM inst i
+JOIN wtok t ON i.w = t.wid
+JOIN per_doc p ON i.source = p.source
+GROUP BY p.source, p.n_docs
+ORDER BY p.source
+"""
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "bpe_vocab_merges": QuerySpec(
         bpe_vocab_merges,
         ORACLE_BPE_VOCAB_MERGES,
         ["§2.12", "X-text", "A1", "T1"],
+    ),
+    "bpe_tokenize_stats": QuerySpec(
+        bpe_tokenize_stats,
+        _bpe_tokenize_oracle(),
+        ["§2.12", "X-text", "X-training", "A1", "J1"],
     ),
 }
