@@ -249,8 +249,11 @@ def pagerank(
         # graph: the sf0.1 trade graph has 1.17M edges but only 16k
         # vertices, and the proxy pushed it into the co-partitioned
         # path, re-sorting the 1.1M-row link table against a 16k-row
-        # frame every round (measured: the whole loop ~2.9 s → ~1.1 s
-        # after this fix). out_mass materializes first (src-count
+        # frame every round. Local wall is within noise either way
+        # (the loop is task-launch-bound at sf0.1 — ~0.23 s/round on
+        # both paths), but at cluster scale sorting the full edge
+        # list per round is the real bug the proxy hid (PERF.md,
+        # Iterative graph). out_mass materializes first (src-count
         # observed on the same job) so its own join side can be
         # decided before the link build; it is src-sized ≤ n.
         om_obs = Observation()
