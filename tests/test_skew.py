@@ -111,3 +111,51 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_medium):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """The 100 TB skew story has two halves: the salted helpers
+    (above) for aggregations and AQE-off clusters, and AQE's runtime
+    skew-join split for sort-merge joins. This proves the second
+    half actually FIRES on this engine: a worst-case skewed join
+    (99% of the left side on one hot key, incompressible payload so
+    the partition's shuffle BYTES are honest) with the skew
+    thresholds scaled to local data sizes must rewrite the
+    SortMergeJoin to its skew=true form. Note the payload matters:
+    the same shape over a low-cardinality parquet column lz4-shrinks
+    below any sane threshold and the rule correctly declines — size
+    is measured on shuffle bytes, not rows."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "10000",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10000",
+        # force sort-merge: broadcast would bypass the skew path
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "16",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        a = spark.range(200_000).select(
+            F.when(F.col("id") % 100 != 0, 1)
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.rand(1).alias("x"),
+        )
+        b = spark.range(20_000).select(
+            F.col("id").alias("k"), F.rand(2).alias("y")
+        )
+        j = a.join(b, "k")
+        n = len(j.collect())
+        assert n == 198_200  # hot key matches k=1, plus the multiples
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
