@@ -124,6 +124,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "anova_weekday_revenue",
     # round-5 additions (never driver-checked; rotate in at round 6)
     "ppr_supplier_recs",
+    "ppr_supplier_recs_weighted",
     "hard_negative_mining",
     "semantic_decontaminate",
     "curriculum_order",

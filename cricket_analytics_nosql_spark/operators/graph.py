@@ -576,6 +576,7 @@ def personalized_pagerank(
     seed_id: int,
     damping: float = PPR_DAMPING,
     rounds: int = PPR_ROUNDS,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Personalized PageRank: a random walk that restarts at ONE
     seed vertex — the similar-entity/recommendation scorer (the
@@ -595,15 +596,25 @@ def personalized_pagerank(
     base is driver float arithmetic. Returns (id, ppr), nonzero rows
     only."""
     spark = edges.sparkSession
-    out_mass = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("double").alias("w_out")
-    )
+    if weight_col is None:
+        out_mass = edges.groupBy("src").agg(
+            F.count(F.lit(1)).cast("double").alias("w_out")
+        )
+        edge_w = F.lit(1.0)
+    else:
+        # same positive-weight contract as ``pagerank``: transition
+        # ratios are w/Σw(src), exact because trade weights are
+        # integer-valued doubles (order-exact sums)
+        out_mass = edges.groupBy("src").agg(
+            F.sum(F.col(weight_col).cast("double")).alias("w_out")
+        )
+        edge_w = F.col(weight_col).cast("double")
     links = (
         edges.join(F.broadcast(out_mass), "src")
         .select(
             F.col("src").alias("id"),
             "dst",
-            (F.lit(1.0) / F.col("w_out")).alias("p"),
+            (edge_w / F.col("w_out")).alias("p"),
         )
         .localCheckpoint()
     )
@@ -659,8 +670,32 @@ def ppr_supplier_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ppr_supplier_recs_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The weighted twin of ``ppr_supplier_recs`` (gds
+    relationshipWeightProperty on the personalized variant): trade
+    VOLUME drives the walk, so the seed's heavy trading partners —
+    and their heavy partners — pull proportionally more restart
+    mass. Same 8-round budget, same unrolled-CTE oracle with
+    weighted transition ratios."""
+    edges = trade_graph_edges(spark, sf_dir)
+    pr = personalized_pagerank(
+        edges, seed_id=2 * PPR_SEED_CUSTOMER, weight_col="weight"
+    )
+    return (
+        pr.filter(F.col("id") % 2 == 1)
+        .select(
+            F.shiftright("id", 1).alias("supplier_key"),
+            (F.round("ppr", 9) + F.lit(0.0)).alias("ppr"),
+        )
+        .orderBy(F.desc("ppr"), F.asc("supplier_key"))
+        .limit(15)
+    )
+
+
 def _ppr_oracle_sql(
-    rounds: int = PPR_ROUNDS, d: float = PPR_DAMPING
+    rounds: int = PPR_ROUNDS, d: float = PPR_DAMPING, weighted: bool = False
 ) -> str:
     """Unrolled personalized-PageRank recurrence (the
     ``_pagerank_oracle_sql`` technique with a seed restart vector).
@@ -672,6 +707,12 @@ def _ppr_oracle_sql(
     sum-order drift sits ~1e-17 — eight orders below the grid."""
     seed = 2 * PPR_SEED_CUSTOMER
     one_minus_d = repr(1.0 - d)
+    p = (
+        "CAST(weight AS DOUBLE)"
+        " / SUM(CAST(weight AS DOUBLE)) OVER (PARTITION BY src)"
+        if weighted
+        else "1.0 / COUNT(*) OVER (PARTITION BY src)"
+    )
     ctes = [
         f"""
 WITH base_edges AS MATERIALIZED (
@@ -680,12 +721,12 @@ WITH base_edges AS MATERIALIZED (
   GROUP BY o_custkey, l_suppkey
 ),
 edges AS MATERIALIZED (
-  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM base_edges
+  SELECT c * 2 AS src, s * 2 + 1 AS dst, weight FROM base_edges
   UNION ALL
-  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM base_edges
+  SELECT s * 2 + 1 AS src, c * 2 AS dst, weight FROM base_edges
 ),
 links AS MATERIALIZED (
-  SELECT src AS id, dst, 1.0 / COUNT(*) OVER (PARTITION BY src) AS p
+  SELECT src AS id, dst, {p} AS p
   FROM edges
 ),
 r0 AS MATERIALIZED (SELECT CAST({seed} AS BIGINT) AS id, 1.0 AS x)"""
@@ -721,6 +762,7 @@ LIMIT 15
 
 
 ORACLE_PPR_SUPPLIER_RECS = _ppr_oracle_sql()
+ORACLE_PPR_SUPPLIER_RECS_WEIGHTED = _ppr_oracle_sql(weighted=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1902,6 +1944,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ppr_supplier_recs": QuerySpec(
         ppr_supplier_recs, ORACLE_PPR_SUPPLIER_RECS, ["G2", "T6", "X-sim"]
+    ),
+    "ppr_supplier_recs_weighted": QuerySpec(
+        ppr_supplier_recs_weighted,
+        ORACLE_PPR_SUPPLIER_RECS_WEIGHTED,
+        ["G2", "T6", "X-sim"],
     ),
     "pagerank_top_weighted": QuerySpec(
         pagerank_top_weighted, ORACLE_PAGERANK_TOP_WEIGHTED, ["G2", "T6"]
