@@ -125,6 +125,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # round-5 additions (never driver-checked; rotate in at round 6)
     "ppr_supplier_recs",
     "ppr_supplier_recs_weighted",
+    "ann_pq",
     "hard_negative_mining",
     "semantic_decontaminate",
     "curriculum_order",

@@ -366,7 +366,9 @@ def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 0.325-0.425 (ivf), 0.8-0.975 (kmeans), 0.525-0.7 (lsh) across
 # sf0.001-0.1 on the deterministic testdata — every bound sits well
 # under the measured band so the flags are stable at any driver sf.
-RECALL_FLOORS = {"ivf": 0.25, "ivf_kmeans": 0.6, "lsh": 0.4}
+# pq measured 0.60-0.80 recall@5 (50-candidate ADC pool, exact
+# re-rank) across sf0.001-0.1; 0.45 sits under the band
+RECALL_FLOORS = {"ivf": 0.25, "ivf_kmeans": 0.6, "lsh": 0.4, "pq": 0.45}
 
 
 def _ann_method_audit(
@@ -594,6 +596,148 @@ FROM scored
 GROUP BY q_id
 ORDER BY q_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization — the compression half of IVF-PQ
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8  # 64-d → 8 subvectors of 8 dims
+PQ_CODES = 16  # 4-bit codes per subspace → 8 bytes per vector
+PQ_CAND = 50  # ADC candidate pool before exact re-rank
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+    iters: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-subspace k-means codebooks → (subspace, cell, centroid).
+    Each subspace trains on its 8-dim slice via the shared
+    ``kmeans_fit`` (deterministic lowest-id seeds); m tiny loops over
+    vocabulary... vector-sized frames. The full codebook is
+    m·k·(dim/m) floats — KB-scale metadata that broadcasts
+    everywhere downstream, which is the entire point of PQ: the
+    corpus compresses to m small codes per vector while search math
+    runs against this table."""
+    sub_dim = dim // m
+    books = []
+    for j in range(m):
+        sub = emb.select(
+            "vec_id",
+            F.slice(F.col("v"), j * sub_dim + 1, sub_dim).alias("v"),
+        )
+        books.append(
+            kmeans_fit(sub, k=k, max_iter=iters, dim=sub_dim).select(
+                F.lit(j).alias("subspace"), "cell", "centroid"
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), books)
+
+
+def pq_encode(emb: DataFrame, books: DataFrame, dim: int = 64) -> DataFrame:
+    """(vec_id, subspace, code): nearest codebook cell per subvector
+    — one broadcast-assign per subspace, narrow over the scan."""
+    m = PQ_SUBSPACES
+    sub_dim = dim // m
+    parts = []
+    for j in range(m):
+        sub = emb.select(
+            "vec_id",
+            F.slice(F.col("v"), j * sub_dim + 1, sub_dim).alias("v"),
+        )
+        cents = books.filter(F.col("subspace") == j).select(
+            "cell", "centroid"
+        )
+        parts.append(
+            assign_cells(sub, cents).select(
+                "vec_id", F.lit(j).alias("subspace"), F.col("cell").alias("code")
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-oracled audit of the PQ-ADC search path — the
+    asymmetric-distance search at the heart of IVF-PQ (Jégou et al.,
+    public method), audited the ann_ivf way since codebooks are
+    float-kmeans artifacts with no SQL twin. Pipeline: train m=8
+    16-cell codebooks, encode the corpus to 8 codes/vector, build
+    each query's (subspace, code) → partial-distance LOOKUP TABLE
+    (m·k rows per query — broadcast metadata), score every vector in
+    the COMPRESSED domain as the sum of m table lookups, keep the
+    top-50 ADC candidates per query, exact-re-rank those to top-k.
+    Recall vs the exact brute-force truth must clear the measured
+    floor. At 100 TB the ADC scan reads 8 BYTES per vector instead
+    of 256 — the 32× scan-compression is why this path exists."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings"))
+    books = pq_codebooks(emb).localCheckpoint()
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q")
+    )
+    sub_dim = 64 // PQ_SUBSPACES
+    # LUT: partial squared distance from each query's j-th subvector
+    # to every cell centroid of subspace j (8 q × 8 m × 16 k = 1024
+    # rows — broadcast metadata)
+    lut = (
+        queries.crossJoin(F.broadcast(books))
+        .select(
+            "q_id",
+            "subspace",
+            F.col("cell").alias("code"),
+            dist2(
+                F.expr(
+                    f"slice(q, subspace * {sub_dim} + 1, {sub_dim})"
+                ),
+                F.col("centroid"),
+            ).alias("pd"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("pd").alias("adc_d2"))
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_d2"), F.asc("vec_id")
+    )
+    cand = (
+        adc.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= PQ_CAND)
+        .select("q_id", "vec_id")
+    )
+    # exact re-rank of the candidate pool
+    qv = queries.withColumnRenamed("q", "qv")
+    vv = emb.select("vec_id", F.col("v").alias("vv"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    approx = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(vv, "vec_id")
+        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("vv")).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+    exact = ann_brute_force(spark, sf_dir).localCheckpoint()
+    n_exact = exact.count()
+    stats = exact.agg(
+        (F.round(F.avg("cos"), 6) + F.lit(0.0)).alias("avg_topk_cos")
+    )
+    hits = approx.join(exact, ["q_id", "vec_id"], "left_semi").count()
+    flags = spark.createDataFrame(
+        [(N_QUERIES, hits / n_exact >= RECALL_FLOORS["pq"])],
+        "n_queries long, recall_ok boolean",
+    )
+    return flags.crossJoin(F.broadcast(stats)).select(
+        "n_queries",
+        F.lit(n_exact).cast("long").alias("n_exact_pairs"),
+        "avg_topk_cos",
+        "recall_ok",
+    )
 
 
 TOPIC_TOP_TERMS = 3
@@ -1592,6 +1736,7 @@ QUERIES: dict[str, QuerySpec] = {
         ann_ivf_kmeans, ORACLE_ANN_METHOD_AUDIT, ["X-sim", "A1"]
     ),
     "ann_lsh": QuerySpec(ann_lsh, ORACLE_ANN_METHOD_AUDIT, ["X-sim", "A1"]),
+    "ann_pq": QuerySpec(ann_pq, ORACLE_ANN_METHOD_AUDIT, ["X-sim", "A1"]),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, ORACLE_DEDUP_EMBEDDING, ["X-dedup", "X-sim"]
     ),

@@ -448,6 +448,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # anchor/benchmark-set broadcasts (8 rows by construction)
         "hard_negative_mining",
         "semantic_decontaminate",
+        # PQ: query-LUT (1024-row) + codebook broadcasts + the
+        # brute-force truth arm of the audit
+        "ann_pq",
         # 1-row quartile-cutoffs frame crossed onto the doc stream
         "curriculum_order",
         "knn_graph",
