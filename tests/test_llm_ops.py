@@ -378,3 +378,46 @@ def test_phash_determinism_locality_and_recall(spark):
     assert audit.n_docs == 4
     assert audit.n_exact_dup_pairs == 1
     assert audit.all_exact_dups_caught
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_small):
+    """PQ codes: one code per (vector, subspace), codes within the
+    codebook range, and byte-identical across runs (deterministic
+    k-means seeds)."""
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_SUBSPACES,
+        _doubles,
+        pq_codebooks,
+        pq_encode,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    emb = _doubles(load_table(spark, sf_small, "embeddings"))
+    n = emb.count()
+    books = pq_codebooks(emb).localCheckpoint()
+    codes = pq_encode(emb, books).collect()
+    assert len(codes) == n * PQ_SUBSPACES
+    assert all(1 <= r.code <= PQ_CODES for r in codes)
+    again = pq_encode(emb, books).collect()
+    assert sorted(map(tuple, codes)) == sorted(map(tuple, again))
+
+
+def test_hard_negative_roles_match_labels(spark, sf_small):
+    """Every 'pos' row shares the anchor's label; every 'neg' row
+    differs — the contract that makes the pairs usable as
+    contrastive training data."""
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_small, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    for r in hard_negative_mining(spark, sf_small).collect():
+        same = labels[r.vec_id] == labels[r.q_id]
+        assert same == (r.role == "pos"), r
