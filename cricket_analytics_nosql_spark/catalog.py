@@ -126,6 +126,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ppr_supplier_recs",
     "ppr_supplier_recs_weighted",
     "ann_pq",
+    "pipeline_stage_retention",
     "hard_negative_mining",
     "semantic_decontaminate",
     "curriculum_order",

@@ -810,6 +810,76 @@ ORDER BY lang, source
 """
 
 
+def pipeline_stage_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage provenance funnel — corpus_clean reports WHO
+    survives; this reports WHICH STAGE removed the rest, per source,
+    with the predicates CUMULATING in the pipeline's fixed order:
+    raw → quality floor → exact-dedup survivor → near-dup-cluster
+    survivor. The readout a curation team uses to see that (say)
+    one scrape loses 30% to near-dups while another loses to
+    quality — the per-stage attribution no combined keep-rate shows.
+    Same one-pass plan shape as corpus_clean: narrow quality map,
+    one md5 window, broadcast loser-set join, one rollup."""
+    from pyspark.sql import Window
+
+    from cricket_analytics_nosql_spark.operators.text import quality_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    losers = (
+        connected_components(jaccard_pairs(docs, 0.8).select("d1", "d2"))
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit(True).alias("is_dup_loser"))
+    )
+    flagged = (
+        docs.withColumn(
+            "keep_hash",
+            F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+            == F.col("doc_id"),
+        )
+        .join(F.broadcast(losers), "doc_id", "left")
+        .withColumn("q_ok", F.round(quality_col(F.col("text")), 6) >= 0.45)
+    )
+    s2 = F.col("q_ok") & F.col("keep_hash")
+    s3 = s2 & F.col("is_dup_loser").isNull()
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_if(F.col("q_ok")).alias("n_quality"),
+            F.count_if(s2).alias("n_exact_unique"),
+            F.count_if(s3).alias("n_final"),
+            F.round(
+                F.count_if(s3).cast("double") / F.count(F.lit(1)), 4
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )
+
+
+def _stage_retention_oracle() -> str:
+    """Reuses corpus_clean's recursive-CTE machinery verbatim (same
+    flags, same quality expression) with a per-stage FILTER rollup —
+    one source of truth for the predicates keeps the two audits from
+    drifting apart."""
+    prefix = ORACLE_CORPUS_CLEAN[: ORACLE_CORPUS_CLEAN.index("\nSELECT lang")]
+    return (
+        prefix
+        + """
+SELECT source, COUNT(*) AS n_raw,
+       COUNT(*) FILTER (q >= 0.45) AS n_quality,
+       COUNT(*) FILTER (q >= 0.45 AND keep_hash) AS n_exact_unique,
+       COUNT(*) FILTER (q >= 0.45 AND keep_hash AND NOT is_dup_loser)
+         AS n_final,
+       ROUND(CAST(COUNT(*) FILTER (q >= 0.45 AND keep_hash
+                                   AND NOT is_dup_loser) AS DOUBLE)
+             / COUNT(*), 4) AS retention
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. SimHash
 # ---------------------------------------------------------------------------
@@ -1123,5 +1193,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_simhash": QuerySpec(
         dedup_simhash, ORACLE_DEDUP_SIMHASH, ["X-dedup", "A1"]
+    ),
+    "pipeline_stage_retention": QuerySpec(
+        pipeline_stage_retention,
+        _stage_retention_oracle(),
+        ["X-dedup", "X-curation", "A1", "A3"],
     ),
 }
