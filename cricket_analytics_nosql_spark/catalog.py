@@ -127,6 +127,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ppr_supplier_recs_weighted",
     "ann_pq",
     "pipeline_stage_retention",
+    "multimodal_pipeline_e2e",
     "hard_negative_mining",
     "semantic_decontaminate",
     "curriculum_order",

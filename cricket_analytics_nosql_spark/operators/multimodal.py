@@ -19,7 +19,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -419,6 +419,75 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary-modality twin of ``training_pipeline_e2e``: attach
+    payloads → Arrow-batched decode (``decode_features``, the REAL
+    mapInPandas plumbing — so the Python batch path itself sits
+    inside the hash-checked dataflow) → keep decodable payloads
+    (≥ 1 frame) → exact payload dedup (min doc_id per content hash,
+    cumulating on the decodable set) → per-source audit of bytes,
+    frames, and the decoder's head checksum. Payloads are the UTF-8
+    text bytes and the corpus is pure printable ASCII (verified at
+    every sf), so DuckDB replays the decoder arithmetic exactly:
+    n_bytes = length, frame_count = length // 256, head_sum = Σ of
+    the first 64 character codes."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_features(attach_binary(docs))
+    joined = feats.join(
+        docs.select("doc_id", "source", F.md5("text").alias("h")), "doc_id"
+    )
+    decodable = joined.filter(F.col("frame_count") >= 1)
+    w = Window.partitionBy("h")
+    unique = decodable.withColumn(
+        "__keep", F.min("doc_id").over(w)
+    ).filter(F.col("doc_id") == F.col("__keep"))
+    per_src = lambda df, name: df.groupBy("source").agg(  # noqa: E731
+        F.count(F.lit(1)).alias(name)
+    )
+    audit = unique.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("frame_count").alias("total_frames"),
+        F.sum("head_sum").alias("head_sum_total"),
+    )
+    return (
+        per_src(joined, "n_raw")
+        .join(per_src(decodable, "n_decodable"), "source")
+        .join(audit, "source")
+        .orderBy("source")
+    )
+
+
+ORACLE_MULTIMODAL_PIPELINE = """
+WITH flagged AS (
+  SELECT source, doc_id, text,
+         length(text) AS n_bytes,
+         length(text) // 256 AS frame_count,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM documents
+)
+SELECT f.source,
+       COUNT(*) AS n_raw,
+       COUNT(*) FILTER (f.frame_count >= 1) AS n_decodable,
+       COUNT(*) FILTER (f.frame_count >= 1 AND f.doc_id = f.keeper)
+         AS n_unique,
+       CAST(SUM(f.n_bytes)
+            FILTER (f.frame_count >= 1 AND f.doc_id = f.keeper) AS BIGINT)
+         AS total_bytes,
+       CAST(SUM(f.frame_count)
+            FILTER (f.frame_count >= 1 AND f.doc_id = f.keeper) AS BIGINT)
+         AS total_frames,
+       CAST(SUM(list_aggregate(
+              list_transform(string_split(substr(f.text, 1, 64), ''),
+                             c -> ascii(c)), 'sum'))
+            FILTER (f.frame_count >= 1 AND f.doc_id = f.keeper) AS BIGINT)
+         AS head_sum_total
+FROM flagged f
+GROUP BY f.source
+ORDER BY f.source
+"""
+
+
 ORACLE_MULTIMODAL_PHASH_DEDUP = """
 WITH pairs AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2
@@ -441,6 +510,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_meta": QuerySpec(
         multimodal_meta, ORACLE_MULTIMODAL_META, ["X-mm"]
+    ),
+    "multimodal_pipeline_e2e": QuerySpec(
+        multimodal_pipeline_e2e,
+        ORACLE_MULTIMODAL_PIPELINE,
+        ["X-mm", "X-dedup", "§2.12", "A1", "A9"],
     ),
     "multimodal_decode": QuerySpec(
         multimodal_decode, ORACLE_MULTIMODAL_DECODE, ["X-mm", "§2.12"]
