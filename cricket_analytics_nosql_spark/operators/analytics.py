@@ -685,9 +685,9 @@ WITH ev AS (
 )
 SELECT c_mktsegment AS segment,
        COUNT(*) AS n_users,
-       SUM(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS n_purchase,
+       CAST(SUM(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
        ROUND(CAST(SUM(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(SUM(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END)
                     AS DOUBLE), 6) AS view_to_purchase
@@ -781,9 +781,9 @@ WITH first_week AS (
   SELECT week, COUNT(*) AS new_users FROM first_week GROUP BY week
 )
 SELECT week, new_users,
-       SUM(new_users) OVER (ORDER BY week
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW) AS cum_users
+       CAST(SUM(new_users) OVER (ORDER BY week
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_users
 FROM weekly
 ORDER BY week
 """
@@ -834,7 +834,8 @@ SELECT COUNT(*) AS n_gaps,
        ROUND(median(gap), 1) AS median_days,
        ROUND(quantile_cont(gap, 0.9), 1) AS p90_days,
        CAST(MAX(gap) AS BIGINT) AS max_days,
-       SUM(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS same_day_repeats
+       CAST(SUM(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS same_day_repeats
 FROM gaps WHERE gap IS NOT NULL
 """
 
@@ -913,7 +914,7 @@ WITH p AS (
   SELECT cohort_week, COUNT(*) AS n_users FROM cohort GROUP BY cohort_week
 ), rolled AS (
   SELECT cohort_week, (week - cohort_week) // 7 AS weeks_since,
-         SUM(c) AS rev_c
+         CAST(SUM(c) AS BIGINT) AS rev_c
   FROM p JOIN cohort USING (user_id)
   WHERE (week - cohort_week) // 7 <= {LTV_MAX_WEEKS}
   GROUP BY cohort_week, weeks_since
@@ -1098,7 +1099,8 @@ WITH j AS (
   FROM lineitem JOIN part ON l_partkey = p_partkey
 )
 SELECT brand, COUNT(*) AS n_lines,
-       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
        ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS return_rate,
        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN rc ELSE 0 END) AS BIGINT)
@@ -1345,14 +1347,14 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NATION_BALANCE = """
 WITH earned AS (
   SELECT s_nationkey AS nk,
-         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
-                  AS BIGINT)) AS earned_c
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS earned_c
   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
   GROUP BY nk
 ), spent AS (
   SELECT c_nationkey AS nk,
-         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
-                  AS BIGINT)) AS spent_c
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS spent_c
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey

@@ -118,10 +118,11 @@ WITH o AS (
          SUM(cb) OVER (ORDER BY v) AS cum_b
   FROM counts
 ), tot AS (
-  SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM counts
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM counts
 )
 SELECT n_a, n_b,
-       MAX(ABS(cum_a * n_b - cum_b * n_a)) AS d_num,
+       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
        ROUND(CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
              / CAST(n_a * n_b AS DOUBLE), 6) AS ks_stat,
        MIN(at_v) AS at_value
@@ -216,7 +217,7 @@ WITH toks AS (
 ), c_st AS (
   SELECT source, term, COUNT(*) AS c FROM toks GROUP BY source, term
 ), n_s AS (
-  SELECT source, SUM(c) AS n_tok, COUNT(*) AS n_terms
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS n_terms
   FROM c_st GROUP BY source
 ), c_t AS (
   SELECT term, SUM(c) AS ct FROM c_st GROUP BY term
@@ -319,9 +320,9 @@ WITH c AS (
 SELECT n_orders,
        ROUND(CAST(m2 AS DOUBLE) / 200.0, 4) AS median_dollars,
        ROUND(CAST(mad4 AS DOUBLE) / 400.0, 4) AS mad_dollars,
-       SUM(CASE WHEN CAST(d2 * 2 * 10000 AS DOUBLE)
+       CAST(SUM(CASE WHEN CAST(d2 * 2 * 10000 AS DOUBLE)
                      > CAST({MAD_K_E4} AS DOUBLE) * CAST(mad4 AS DOUBLE)
-                THEN 1 ELSE 0 END) AS n_outliers,
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        ROUND(CAST(SUM(CASE WHEN CAST(d2 * 2 * 10000 AS DOUBLE)
                      > CAST({MAD_K_E4} AS DOUBLE) * CAST(mad4 AS DOUBLE)
                 THEN 1 ELSE 0 END) AS DOUBLE)
@@ -1115,7 +1116,7 @@ WITH c_ut AS (
   SELECT user_id, event_type, COUNT(*) AS c
   FROM events GROUP BY user_id, event_type
 ), n_u AS (
-  SELECT user_id, SUM(c) AS n_events, COUNT(*) AS n_types
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events, COUNT(*) AS n_types
   FROM c_ut GROUP BY user_id
 )
 SELECT user_id, n_events, n_types,

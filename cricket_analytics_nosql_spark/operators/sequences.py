@@ -98,7 +98,8 @@ WITH ev AS (
   SELECT user_id, COUNT(*) AS n_islands, MAX(streak_days) AS longest_streak
   FROM per_island GROUP BY user_id
 )
-SELECT longest_streak, COUNT(*) AS n_users, SUM(n_islands) AS total_islands
+SELECT longest_streak, COUNT(*) AS n_users,
+       CAST(SUM(n_islands) AS BIGINT) AS total_islands
 FROM per_user GROUP BY longest_streak ORDER BY longest_streak
 """
 
@@ -181,7 +182,7 @@ WITH iv AS (
   FROM merged GROUP BY o_custkey
 )
 SELECT n_spans, COUNT(*) AS n_customers,
-       SUM(covered_days) AS total_covered_days
+       CAST(SUM(covered_days) AS BIGINT) AS total_covered_days
 FROM per_cust GROUP BY n_spans ORDER BY n_spans
 """
 
@@ -379,7 +380,7 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 ), counts AS (
   SELECT user_id % 2 AS variant, COUNT(*) AS n_users,
-         SUM(converted) AS n_converted
+         CAST(SUM(converted) AS BIGINT) AS n_converted
   FROM per_user GROUP BY user_id % 2
 )
 SELECT variant, n_users, n_converted,
@@ -1034,11 +1035,11 @@ WITH journeys AS (
   GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN REGEXP_MATCHES(j, 'S.*P') THEN 1 ELSE 0 END) AS n_converted,
-       SUM(CASE WHEN REGEXP_MATCHES(j, 'S[^E]*P') THEN 1 ELSE 0 END) AS n_clean_converted,
-       SUM(CASE WHEN REGEXP_MATCHES(j, 'S.*E.*P') THEN 1 ELSE 0 END) AS n_recovered,
-       SUM(CASE WHEN REGEXP_MATCHES(j, 'EE') THEN 1 ELSE 0 END) AS n_rage_errors,
-       SUM(CASE WHEN LENGTH(j) = 1 THEN 1 ELSE 0 END) AS n_bounced
+       CAST(SUM(CASE WHEN REGEXP_MATCHES(j, 'S.*P') THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN REGEXP_MATCHES(j, 'S[^E]*P') THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_converted,
+       CAST(SUM(CASE WHEN REGEXP_MATCHES(j, 'S.*E.*P') THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+       CAST(SUM(CASE WHEN REGEXP_MATCHES(j, 'EE') THEN 1 ELSE 0 END) AS BIGINT) AS n_rage_errors,
+       CAST(SUM(CASE WHEN LENGTH(j) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounced
 FROM journeys
 """
 

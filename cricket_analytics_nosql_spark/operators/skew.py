@@ -202,7 +202,7 @@ ORACLE_KEY_SKEW_PROFILE = """
 WITH sizes AS (
   SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
 ), stats AS (
-  SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_n,
+  SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows, MAX(n) AS max_n,
          median(n) AS med, quantile_cont(n, 0.99) AS p99
   FROM sizes
 ), top10 AS (

@@ -175,11 +175,11 @@ def mongo_pipeline_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MONGO_BUCKET = """
 WITH b AS (
-  SELECT CASE WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 0.0
+  SELECT CAST(CASE WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 0.0
               WHEN o_totalprice >= 50000 AND o_totalprice < 100000 THEN 50000.0
               WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 100000.0
               WHEN o_totalprice >= 200000 AND o_totalprice < 400000 THEN 200000.0
-              ELSE -1.0 END AS _id,
+              ELSE -1.0 END AS DOUBLE) AS _id,
          o_totalprice
   FROM orders
 )

@@ -59,6 +59,16 @@ def compare(spark_df, oracle: str, sf_dir: str, name: str = "?") -> None:
     s_rows = [tuple(r) for r in spark_df.collect()]
 
     con = duckdb_connection(sf_dir)
+    # Type gate FIRST: the driver's hash is type-sensitive (round-5
+    # lesson — DuckDB HUGEINT vs Spark BIGINT reds with bit-identical
+    # values, invisible to the str() canonicalization below).
+    from tools.oracle_types import bad_columns
+
+    bad = bad_columns(con, oracle)
+    assert not bad, (
+        f"[{name}] oracle result types Spark cannot emit "
+        f"(driver hash would mismatch): {bad}"
+    )
     res = con.execute(oracle)
     o_cols = [d[0] for d in res.description]
     o_rows = res.fetchall()
