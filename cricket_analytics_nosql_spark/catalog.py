@@ -20,76 +20,62 @@ from __future__ import annotations
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Rounds 1-4 rotated the relational block, then the graph/text/dedup/
-# ANN/multimodal/mongo/streaming block, through that window — every
-# windowed query landed hash-green (CORRECTNESS_r02-r04).  This
-# round's window:
-# (a) the 7 queries that FLIPPED from rows-only/no_oracle to oracled
-#     this round (cricket_pipeline's DuckDB ETL replay, the unrolled
-#     PageRank recurrence x2, the ANN/SimHash recall audits) — they
-#     already have driver rows, but the point of the flip is a HASH
-#     row, so they go first;
-# (b) the never-driver-checked set in round-4 priority order (the 36
-#     round-4 gate-overflow queries, then the round-4/5 additions).
-# Entries past position 50 rotate into round 6's window; nothing is
-# dropped — queries not listed keep registry order after the window.
+# Rounds 1-5 rotated 198 of the 247 queries through that window; 190
+# are green at latest status.  Round-6 window (VERDICT.md r5 items
+# 1+3):
+# (a) the 8 queries red in CORRECTNESS_r05 — all diagnosed as
+#     oracle-typing (DuckDB HUGEINT vs Spark BIGINT; values were
+#     bit-identical), now fixed with CAST(... AS BIGINT) and gated
+#     by tests/test_oracle_types.py — re-windowed FIRST to prove the
+#     fix with green driver rows;
+# (b) the 9 round-5 operator queries (PPR x2, product quantization,
+#     stage-retention funnel, multimodal e2e, hard-negative mining,
+#     semantic decontamination, curriculum ordering, cluster topic
+#     profiles) so every SURVEY-extension family has a driver row;
+# (c) 33 of the remaining 40 never-driver-checked queries.  The 7
+#     deferred to round 7 (after the window, below) are all plain
+#     groupBy/agg shapes from the A1 family, which already has ~100
+#     green coverers — lowest information value per slot.
+# Entries past position 50 rotate into round 7; nothing is dropped —
+# queries not listed keep registry order after the window.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    "cricket_pipeline",
-    "pagerank_top",
-    "pagerank_top_weighted",
-    "ann_ivf",
-    "ann_ivf_kmeans",
-    "ann_lsh",
-    "dedup_simhash",
-    "sql_udf_revenue",
-    "multimodal_phash_dedup",
+    # (a) round-5 reds, oracle typing fixed — prove green
     "activity_streaks",
     "interval_merge_coverage",
-    "market_basket_lift",
-    "value_histogram",
     "ab_conversion_wilson",
-    "lateral_topk_customers",
-    "orc_roundtrip",
-    "bpe_vocab_merges",
-    "asof_join_tolerance",
-    "chi_square_assoc",
-    "cms_user_counts",
-    "training_pipeline_e2e",
-    "rolling_median_revenue",
-    "boilerplate_chunks",
-    "weighted_sample_docs",
-    "rfm_segments",
-    "revenue_growth_wow",
-    "topk_with_ties",
-    "event_trigrams",
-    "source_drift_cosine",
-    "hll_rollup_distinct",
-    "incremental_dedup_ingest",
-    "stream_ewma_monitor",
-    "bm25_search",
-    "sssp_weighted",
-    "lpa_communities",
     "cep_funnel_pattern",
-    "bootstrap_order_value",
-    "feature_hashing",
-    "dedup_jaccard_prefix",
-    "gap_fill_interpolate",
-    "embedding_covariance_topk",
-    "local_clustering_topk",
     "stream_cep_monitor",
-    "multi_touch_attribution",
     "ks_drift_orders",
     "token_entropy_kl",
     "mad_outlier_orders",
-    "winsorized_segment_stats",
-    "psi_value_drift",
-    "benford_first_digit",
+    # (b) round-5 operator additions, never driver-checked
+    "ppr_supplier_recs",
+    "ppr_supplier_recs_weighted",
+    "ann_pq",
+    "pipeline_stage_retention",
+    "multimodal_pipeline_e2e",
+    "hard_negative_mining",
+    "semantic_decontaminate",
+    "curriculum_order",
+    "cluster_topic_profile",
+    # (c) never-driver-checked backlog; the 8 former HUGEINT-queued
+    # oracles (user_behavior_entropy, key_skew_profile,
+    # funnel_by_segment, user_saturation_curve,
+    # repeat_purchase_interval, cohort_ltv_curve,
+    # return_rate_by_brand, nation_trade_balance) enter pre-fixed
+    "user_behavior_entropy",
+    "key_skew_profile",
+    "funnel_by_segment",
+    "user_saturation_curve",
+    "repeat_purchase_interval",
+    "cohort_ltv_curve",
+    "return_rate_by_brand",
+    "nation_trade_balance",
     "revenue_autocorr_lag1",
     "gini_customer_revenue",
     "lorenz_deciles",
     "trend_slope_by_segment",
     "cusum_changepoint",
-    "user_behavior_entropy",
     "event_transition_probs",
     "time_to_convert_stats",
     "harmonic_centrality_2hop",
@@ -102,36 +88,22 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "jsonl_export_roundtrip",
     "dedup_containment",
     "dp_noisy_segment_counts",
-    "key_skew_profile",
     "source_overlap_matrix",
-    "funnel_by_segment",
-    "activity_heatmap",
-    "user_saturation_curve",
-    "repeat_purchase_interval",
-    "embedding_norm_stats",
-    "degree_distribution",
     "mongo_pipeline_search",
-    "cohort_ltv_curve",
     "forecast_backtest_naive",
     "zipf_fit_tokens",
+    "customer_churn_matrix",
+    "anova_weekday_revenue",
+    "bpe_tokenize_stats",
+    "forget_users_cascade",
+    # ---- position 50 boundary; below rotates into round 7 ----
+    "activity_heatmap",
+    "embedding_norm_stats",
+    "degree_distribution",
     "supplier_hhi_topk",
     "ship_latency_stats",
-    "return_rate_by_brand",
-    "customer_churn_matrix",
     "discount_band_elasticity",
     "basket_lines_histogram",
-    "nation_trade_balance",
-    "anova_weekday_revenue",
-    # round-5 additions (never driver-checked; rotate in at round 6)
-    "ppr_supplier_recs",
-    "ppr_supplier_recs_weighted",
-    "ann_pq",
-    "pipeline_stage_retention",
-    "multimodal_pipeline_e2e",
-    "hard_negative_mining",
-    "semantic_decontaminate",
-    "curriculum_order",
-    "cluster_topic_profile",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -577,6 +577,8 @@ def personalized_pagerank(
     damping: float = PPR_DAMPING,
     rounds: int = PPR_ROUNDS,
     weight_col: str | None = None,
+    broadcast_max_vertices: int = 1_000_000,
+    _strategy_trace: list[str] | None = None,
 ) -> DataFrame:
     """Personalized PageRank: a random walk that restarts at ONE
     seed vertex — the similar-entity/recommendation scorer (the
@@ -587,14 +589,26 @@ def personalized_pagerank(
     Unlike global PageRank, rank frames start SPARSE (one row) and
     grow with the seed's reach, so per-round frames are
     reach-bounded, not vertex-bounded — the property that makes PPR
-    tractable per-seed at 100 TB. Per round: ONE job (links ⋈
-    broadcast(rank) → project → partial/final sum), identical plan
-    every round — the per-round teleport scalar rides in as a 1-ROW
-    DATAFRAME unioned into the aggregation (data, not a literal), so
-    whole-stage codegen caches across rounds (the pagerank
-    discipline). Σcontrib is observed on the same job; the teleport
-    base is driver float arithmetic. Returns (id, ppr), nonzero rows
-    only."""
+    tractable per-seed at 100 TB. Per round: ONE job (links ⋈ rank →
+    project → partial/final sum), identical plan every round — the
+    per-round teleport scalar rides in as a 1-ROW DATAFRAME unioned
+    into the aggregation (data, not a literal), so whole-stage
+    codegen caches across rounds (the pagerank discipline). Σcontrib
+    is observed on the same job; the teleport base is driver float
+    arithmetic. Returns (id, ppr), nonzero rows only.
+
+    The rank side of the per-round join is broadcast only while its
+    MEASURED row count (observed for free on the previous round's
+    rank-build job) stays ≤ ``broadcast_max_vertices`` — the same
+    measured gate as global ``pagerank``. Reach-bounded is an
+    argument about growth, not a bound: on a hub-rich graph the
+    reach after 8 rounds is effectively the vertex set, and an
+    unconditional broadcast would ship a vertex-sized frame to every
+    executor per round. Above the gate, the link table is
+    re-partitioned ONCE on the join key (amortized over remaining
+    rounds) and rank shuffles co-partitioned — vertex-sized, never
+    edge-sized. ``_strategy_trace`` (tests) records the per-round
+    decision."""
     spark = edges.sparkSession
     if weight_col is None:
         out_mass = edges.groupBy("src").agg(
@@ -618,13 +632,24 @@ def personalized_pagerank(
         )
         .localCheckpoint()
     )
+    links_parted: DataFrame | None = None  # built on first fallback
     d = float(damping)
     rank = spark.createDataFrame([(seed_id, 1.0)], "id long, x double")
     rank = rank.localCheckpoint()
+    rank_rows = 1
     for _ in range(rounds):
+        small = rank_rows <= broadcast_max_vertices
+        if _strategy_trace is not None:
+            _strategy_trace.append("broadcast" if small else "copartition")
+        if small:
+            join_links, join_rank = links, F.broadcast(rank)
+        else:
+            if links_parted is None:
+                links_parted = links.repartition(F.col("id")).localCheckpoint()
+            join_links, join_rank = links_parted, rank
         obs = Observation()
         contrib = (
-            links.join(F.broadcast(rank), "id")
+            join_links.join(join_rank, "id")
             .select(
                 F.col("dst").alias("id"), (F.col("x") * F.col("p")).alias("c")
             )
@@ -640,13 +665,16 @@ def personalized_pagerank(
         teleport = spark.createDataFrame(
             [(int(seed_id), base)], "id long, c double"
         )
+        robs = Observation()
         rank = (
             contrib.select("id", (F.lit(d) * F.col("c")).alias("c"))
             .unionByName(teleport)
             .groupBy("id")
             .agg(F.sum("c").alias("x"))
+            .observe(robs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
+        rank_rows = int(robs.get["n"] or 0)
     return rank.select("id", F.col("x").alias("ppr"))
 
 
