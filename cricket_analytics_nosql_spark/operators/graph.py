@@ -1451,6 +1451,14 @@ def sssp(
         F.col("dst").cast("long").alias("dst"),
         F.col(cost_col).cast("long").alias("__ecost"),
     )
+    if checkpoint_every:
+        # deep loops: pin the edge list once so rounds never re-derive
+        # it (and its upstream build join) from lineage — without
+        # this, round k's plan replays the edge build k times and the
+        # shuffle audit shows read ≈ depth × write (PERF.md,
+        # Iterative graph). Same discipline as label_propagation /
+        # pagerank's entry checkpoint.
+        e = e.localCheckpoint()
     for r in range(rounds):
         # rename-before-join: dist re-derives from e after round 1,
         # so frame-qualified refs (dist["id"]) turn ambiguous — the
@@ -1494,17 +1502,29 @@ def strong_trade_edges_costed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cheapest trade-relay paths (≤ 3 hops) from the lowest-id
-    vertex of the strong trade graph: Bellman-Ford relaxation where
-    heavy trade relationships are cheap to traverse. Top-25 nearest
-    decoded to (entity, key); deterministic ties via (cost, entity,
-    key) — integer costs, no float anywhere."""
+def sssp_weighted(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = 3,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Cheapest trade-relay paths (≤ ``rounds`` hops) from the
+    lowest-id vertex of the strong trade graph: Bellman-Ford
+    relaxation where heavy trade relationships are cheap to
+    traverse. Top-25 nearest decoded to (entity, key);
+    deterministic ties via (cost, entity, key) — integer costs, no
+    float anywhere.
+
+    ``checkpoint_every`` (default off — re-planning 3 bounded rounds
+    is cheaper than materializing the frontier) is the real-depth
+    lever: at rounds ≥ 6 lineage re-derivation makes shuffle read ≈
+    depth × write, and a periodic localCheckpoint restores
+    read ≈ write (tools/shuffle_audit measurement in PERF.md)."""
     edges = strong_trade_edges_costed(spark, sf_dir)
     source = edges.agg(F.min("src").alias("id")).select(
         "id", F.lit(0).alias("cost")
     )
-    dist = sssp(edges, source, rounds=3)
+    dist = sssp(edges, source, rounds=rounds, checkpoint_every=checkpoint_every)
     return (
         dist.select(
             F.when(F.col("id") % 2 == 0, F.lit("customer"))
@@ -1579,7 +1599,14 @@ def label_propagation(
     e = edges.select("src", "dst")
     if checkpoint_every:
         # deep loops: pin the edge list once so rounds never re-derive
-        # it from lineage (the PageRank entry-checkpoint discipline)
+        # it from lineage (the PageRank entry-checkpoint discipline).
+        # Measured at sf0.1 depth 6: plain read/write grows with
+        # depth (4.94 at depth 4); checkpointed it is flat at ~2.5
+        # regardless of cadence (ckpt=1 ≙ ckpt=2), the residual being
+        # one exchange read by two consumers per round (labels feeds
+        # both the e-join and the carry-forward left join) — exchange
+        # REUSE, not re-derivation, so pre-partitioning e buys
+        # nothing (measured: unchanged 2.48)
         e = e.localCheckpoint()
     for r in range(rounds):
         counts = (
@@ -1606,12 +1633,21 @@ def label_propagation(
     return labels
 
 
-def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Communities of the strong trade graph after 3 synchronous
-    LPA rounds: top-25 by (size desc, community asc), the community
-    id decoded to (entity, key) of its label vertex."""
+def lpa_communities(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = 3,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Communities of the strong trade graph after ``rounds``
+    synchronous LPA rounds: top-25 by (size desc, community asc),
+    the community id decoded to (entity, key) of its label vertex.
+    ``checkpoint_every`` as in ``sssp_weighted`` — off for the
+    bounded catalog query, required at real depth."""
     edges = strong_trade_edges_costed(spark, sf_dir)
-    labels = label_propagation(edges, rounds=3)
+    labels = label_propagation(
+        edges, rounds=rounds, checkpoint_every=checkpoint_every
+    )
     return (
         labels.groupBy("lab")
         .agg(F.count(F.lit(1)).alias("size"))
@@ -1753,9 +1789,14 @@ KCORE_K = 2
 KCORE_ROUNDS = 3
 
 
-def kcore_trade_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kcore_trade_survivors(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = KCORE_ROUNDS,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
     """Fixed-round k-core peeling on the strong trade graph: after
-    {KCORE_ROUNDS} synchronous peels of degree-<{KCORE_K} vertices,
+    ``rounds`` synchronous peels of degree-<{KCORE_K} vertices,
     report the top-25 surviving vertices by remaining degree.  The
     FIXED round count (vs ``kcore``'s run-to-fixpoint, which this
     catalog query complements as the oracled face of the same
@@ -1763,8 +1804,10 @@ def kcore_trade_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     list that an unrolled SQL oracle replays exactly — the LPA
     contract.  Each round is one degree aggregate plus two semi-join
     filters of the shrinking edge list — vertex/edge-frame-sized
-    shuffles only; for real depth, checkpoint per round exactly as
-    ``kcore`` does."""
+    shuffles only.  ``checkpoint_every`` (default off for the
+    bounded catalog query) cuts lineage every k rounds exactly as
+    run-to-fixpoint ``kcore`` does per round — required at real
+    depth, where re-derivation makes shuffle read ≈ depth × write."""
     e = (
         trade_edges(spark, sf_dir)
         .filter(F.col("weight") >= 3)
@@ -1773,7 +1816,9 @@ def kcore_trade_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dst") * 2 + 1).alias("vb"),
         )
     )
-    for _ in range(KCORE_ROUNDS):
+    if checkpoint_every:
+        e = e.localCheckpoint()
+    for r in range(rounds):
         deg = (
             e.select(F.col("va").alias("v"))
             .unionAll(e.select(F.col("vb").alias("v")))
@@ -1784,6 +1829,8 @@ def kcore_trade_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = e.join(
             keep.select(F.col("v").alias("va")), "va", "left_semi"
         ).join(keep.select(F.col("v").alias("vb")), "vb", "left_semi")
+        if checkpoint_every and (r + 1) % checkpoint_every == 0:
+            e = e.localCheckpoint()
     deg = (
         e.select(F.col("va").alias("v"))
         .unionAll(e.select(F.col("vb").alias("v")))

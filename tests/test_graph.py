@@ -166,6 +166,41 @@ def test_personalized_pagerank_broadcast_gate(spark, sf_small):
         assert small[k] == pytest.approx(big[k], abs=1e-12), k
 
 
+def test_checkpoint_discipline_depth6_identical(spark, sf_small):
+    """checkpoint_every is a pure physical-execution lever: at depth
+    6-8 (where lineage re-derivation makes shuffle read ≈ depth ×
+    write without it — PERF.md, Iterative graph) the checkpointed
+    run of each deep-loop operator must return exactly the rows of
+    the lineage run. Covers sssp_weighted / lpa_communities /
+    kcore_trade_survivors, the three VERDICT-r5 item-7 targets."""
+    from cricket_analytics_nosql_spark.operators.graph import (
+        kcore_trade_survivors,
+        lpa_communities,
+        sssp_weighted,
+    )
+
+    # Plain-side depths are bounded by the pathology itself: kcore's
+    # un-checkpointed plan TRIPLES per round (two semi-joins + agg),
+    # so plain depth 4 already takes ~60 s pure planning at sf0.001 —
+    # the checkpointed run at the same depth is ~2 s. sssp (plan
+    # doubles) sustains depth 8 plain; equality at these depths plus
+    # ckpt-vs-ckpt at depth 6+ pins the lever as execution-only.
+    for fn, depth in (
+        (sssp_weighted, 8),
+        (lpa_communities, 5),
+        (kcore_trade_survivors, 3),
+    ):
+        plain = fn(spark, sf_small, rounds=depth).collect()
+        ckpt = fn(spark, sf_small, rounds=depth, checkpoint_every=2).collect()
+        assert sorted(map(tuple, plain)) == sorted(map(tuple, ckpt)), fn.__name__
+    # at real depth (≥6) only checkpointed runs are tractable: the
+    # materialization schedule must not change the fixpoint either
+    for fn in (lpa_communities, kcore_trade_survivors):
+        a = fn(spark, sf_small, rounds=6, checkpoint_every=1).collect()
+        b = fn(spark, sf_small, rounds=6, checkpoint_every=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b)), fn.__name__
+
+
 @pytest.fixture(scope="module")
 def deliveries(spark):
     rows = [

@@ -91,7 +91,11 @@ def _driver_telemetry(root: str) -> tuple[list[str], dict[str, int]]:
     return out, counts
 
 
-def main() -> None:
+def render(root: str) -> str:
+    """Render COVERAGE.md's full content (pure — no file writes), so
+    tests can assert the committed file is not stale vs the catalog
+    and the CORRECTNESS_r*.json artifacts (VERDICT r5 item 8: red
+    driver rows must be visible the day they land)."""
     by_op = defaultdict(list)
     for name, spec in sorted(all_queries().items()):
         for op in spec.ops:
@@ -148,14 +152,20 @@ def main() -> None:
         "(`training.export_jsonl_shards`); custom Python DataSource with "
         "pushdown partition pruning + streaming tail (`sources/pyds.py`)."
     )
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     telemetry, counts = _driver_telemetry(root)
     out.extend(telemetry)
+    render.counts = counts  # for main()'s summary line
+    return "\n".join(out) + "\n"
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    content = render(root)
     with open(os.path.join(root, "COVERAGE.md"), "w") as fh:
-        fh.write("\n".join(out) + "\n")
+        fh.write(content)
     print(
         "wrote COVERAGE.md — driver telemetry:",
-        ", ".join(f"{k}={v}" for k, v in counts.items()),
+        ", ".join(f"{k}={v}" for k, v in render.counts.items()),
     )
 
 
