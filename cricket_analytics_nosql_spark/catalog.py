@@ -104,6 +104,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ship_latency_stats",
     "discount_band_elasticity",
     "basket_lines_histogram",
+    # round-6 additions (never driver-checked; rotate in at round 7)
+    "wcc_components",
+    "mann_whitney_drift",
+    "spearman_price_qty",
+    "dsir_importance_weights",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -1424,6 +1424,222 @@ FROM acc
 """
 
 
+# ---------------------------------------------------------------------------
+# Mann-Whitney U — rank-based two-sample drift test
+# ---------------------------------------------------------------------------
+
+def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the same two
+    order-priority cohorts as ``ks_drift_orders`` — the rank-based
+    member of the drift family: where KS asks "did the distribution
+    SHAPE move", U asks "did one cohort stochastically dominate",
+    and being rank-based it is immune to the monetary outliers MAD
+    flags.
+
+    Exactness discipline: ranks stay integer end-to-end by working
+    in DOUBLED ranks — for a tie group of n values with c values
+    below it, the average rank is (2c + n + 1)/2, so rank2 =
+    2c + n + 1 is always an odd integer and ΣA rank2 = 2·R_A is an
+    exact BIGINT. U then derives as U2 = 2U = ΣA rank2 − n_a(n_a+1).
+    The tie-corrected normal approximation's z is the only float,
+    evaluated once in oracle-identical textual order.
+
+    Plan shape = the KS posture: roll up to the distinct-value grid
+    first (cents → whole dollars, same grid as KS), so the only
+    unpartitioned window runs over the grid frame, never the fact
+    table; everything upstream is one map-side-combined aggregation
+    of the pruned (priority, price) projection."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(KS_GROUP_A, KS_GROUP_B))
+        .select(
+            flag(F.col("o_orderpriority") == KS_GROUP_A).alias("is_a"),
+            (cents("o_totalprice") / 100).cast("long").alias("v"),
+        )
+    )
+    counts = o.groupBy("v").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(1 - F.col("is_a")).alias("cb"),
+    )
+    w = Window.orderBy("v")
+    g = counts.select(
+        "v",
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("n"),
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("below"),
+    )
+    agg = g.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(F.col("ca") * (2 * F.col("below") + F.col("n") + 1)).alias("ra2"),
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n")).alias("ties3"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = na + nb
+    u2 = F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)
+    mu2 = na * nb  # 2·μ_U = n_a·n_b
+    var = (
+        na * nb / 12.0
+        * ((nn + 1.0) - F.col("ties3").cast("double") / (nn * (nn - 1.0)))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        (u2.cast("double") / 2.0).alias("u_stat"),
+        F.round((u2.cast("double") - mu2) / (2.0 * F.sqrt(var)), 6).alias(
+            "z_score"
+        ),
+    )
+
+
+ORACLE_MANN_WHITNEY = f"""
+WITH o AS (
+  SELECT CASE WHEN o_orderpriority = '{KS_GROUP_A}' THEN 1 ELSE 0 END AS is_a,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS v
+  FROM orders
+  WHERE o_orderpriority IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+), counts AS (
+  SELECT v, SUM(is_a) AS ca, SUM(1 - is_a) AS cb FROM o GROUP BY v
+), g AS (
+  SELECT v, ca, cb, ca + cb AS n,
+         COALESCE(SUM(ca + cb) OVER (ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS below
+  FROM counts
+), agg AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(SUM(ca * (2 * below + n + 1)) AS BIGINT) AS ra2,
+         CAST(SUM(n * n * n - n) AS BIGINT) AS ties3
+  FROM g
+)
+SELECT n_a, n_b,
+       CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_stat,
+       ROUND((CAST(ra2 - n_a * (n_a + 1) AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                           * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                              - CAST(ties3 AS DOUBLE)
+                                / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                                   * (CAST(n_a AS DOUBLE)
+                                      + CAST(n_b AS DOUBLE) - 1.0))))),
+             6) AS z_score
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — monotone-association screen
+# ---------------------------------------------------------------------------
+
+def spearman_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman ρ between line-item extended price and quantity —
+    the monotone-association screen (Pearson on ranks): robust to
+    the price scale and to outliers, the standard first question
+    about any pair of numeric columns in a profiling pass.
+
+    Exactness: tie-averaged DOUBLED ranks per distinct value (the
+    ``mann_whitney_drift`` idiom, rank2 = 2·below + n + 1), joined
+    back to the fact by value, then five integer moment sums; ρ is
+    one double expression over the five moments, textually mirrored
+    in the oracle. Integer headroom: Σ rank2_x·rank2_y ≤ 4N³ —
+    exact through sf0.2 (~1.2M rows, 2⁶² headroom); past that,
+    segment the moments (per-partition rollup of the same integer
+    terms) before the final combine.
+
+    Plan: two value rollups (price grid ~N distinct, quantity grid
+    ~50 rows → its rank table broadcasts), two joins back to the
+    pruned 2-column fact projection, one scalar agg. The
+    unpartitioned windows run over the value grids only (KS
+    posture)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        cents("l_extendedprice").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+
+    def rank2(col: str) -> DataFrame:
+        cnt = li.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        w = Window.orderBy(col)
+        return cnt.select(
+            col,
+            (
+                2
+                * F.coalesce(
+                    F.sum("n").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                + F.col("n")
+                + 1
+            ).alias(f"r_{col}"),
+        )
+
+    ranked = li.join(rank2("x"), "x").join(F.broadcast(rank2("y")), "y")
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_x").alias("sx"),
+        F.sum("r_y").alias("sy"),
+        F.sum(F.col("r_x") * F.col("r_x")).alias("sxx"),
+        F.sum(F.col("r_y") * F.col("r_y")).alias("syy"),
+        F.sum(F.col("r_x") * F.col("r_y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+ORACLE_SPEARMAN = """
+WITH li AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+), rx AS (
+  SELECT x, 2 * COALESCE(SUM(n) OVER (ORDER BY x
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) + n + 1 AS r_x
+  FROM (SELECT x, COUNT(*) AS n FROM li GROUP BY x)
+), ry AS (
+  SELECT y, 2 * COALESCE(SUM(n) OVER (ORDER BY y
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) + n + 1 AS r_y
+  FROM (SELECT y, COUNT(*) AS n FROM li GROUP BY y)
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(r_x) AS BIGINT) AS sx,
+         CAST(SUM(r_y) AS BIGINT) AS sy,
+         CAST(SUM(r_x * r_x) AS BIGINT) AS sxx,
+         CAST(SUM(r_y * r_y) AS BIGINT) AS syy,
+         CAST(SUM(r_x * r_y) AS BIGINT) AS sxy
+  FROM li JOIN rx USING (x) JOIN ry USING (y)
+)
+SELECT n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS spearman_rho
+FROM m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "anova_weekday_revenue": QuerySpec(
         anova_weekday_revenue, ORACLE_ANOVA_WEEKDAY, ["A1", "A4", "X-curation"]
@@ -1468,6 +1684,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ks_drift_orders": QuerySpec(
         ks_drift_orders, ORACLE_KS_DRIFT, ["A1", "A4", "X-curation"]
+    ),
+    "mann_whitney_drift": QuerySpec(
+        mann_whitney_drift, ORACLE_MANN_WHITNEY, ["A1", "A4", "X-curation"]
+    ),
+    "spearman_price_qty": QuerySpec(
+        spearman_price_qty, ORACLE_SPEARMAN, ["A1", "A4", "J1", "X-curation"]
     ),
     "token_entropy_kl": QuerySpec(
         token_entropy_kl, ORACLE_TOKEN_ENTROPY_KL, ["A1", "J1", "X-curation"]

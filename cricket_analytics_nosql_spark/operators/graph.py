@@ -1709,6 +1709,136 @@ LIMIT 25
 )
 
 
+# ---------------------------------------------------------------------------
+# Weakly connected components — fixed-round min-label propagation
+# ---------------------------------------------------------------------------
+
+WCC_ROUNDS = 4
+
+
+def min_label_propagation(
+    edges: DataFrame, rounds: int, checkpoint_every: int | None = None
+) -> DataFrame:
+    """Bounded-radius weakly-connected components by synchronous
+    min-label propagation: label(v) starts as v; each round every
+    vertex takes the min of its own label and its in-neighbours'
+    labels. After ``rounds`` rounds two vertices share a label iff
+    the smaller-id end of their component lies within ``rounds``
+    hops of both — on real graphs (small diameter) this IS the
+    component id, and the fixed round count makes the result a pure
+    function of the edge list that an unrolled SQL oracle replays
+    exactly (the LPA contract; run-to-fixpoint CC is the
+    ``connected_components`` library op, this is its oracled face —
+    the gds.wcc analogue of the reference's GDS surface,
+    cypher_queries.cypher:28-34).
+
+    Plan per round: edges ⋈ labels on src (vertex-keyed exchange) →
+    min per dst (partial agg collapses map-side — min, not a mode
+    window, so cheaper than LPA's round) → carry-forward left join
+    for vertices with no in-neighbours. Edge- or vertex-sized
+    frames only. Pass both edge directions for the undirected
+    reading. ``checkpoint_every`` as in ``label_propagation``."""
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = verts.select("id", F.col("id").alias("lab"))
+    e = edges.select("src", "dst")
+    if checkpoint_every:
+        e = e.localCheckpoint()
+    for r in range(rounds):
+        nbr_min = (
+            e.join(
+                labels.select(
+                    F.col("id").alias("src"), F.col("lab").alias("slab")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("slab").alias("nl"))
+        )
+        labels = labels.join(
+            nbr_min.withColumnRenamed("dst", "id"), "id", "left"
+        ).select(
+            "id",
+            F.least(F.col("lab"), F.coalesce("nl", "lab")).alias("lab"),
+        )
+        if checkpoint_every and (r + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint()
+    return labels
+
+
+def wcc_components(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = WCC_ROUNDS,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Component census of the strong trade graph after
+    ``rounds`` min-label rounds: top-25 components by (size desc,
+    component asc), the component id decoded to (entity, key) of its
+    minimum-label vertex — the readout that tells a corpus-graph
+    curator whether the graph is one hairball or has separable
+    islands worth partitioning by."""
+    edges = strong_trade_edges_costed(spark, sf_dir)
+    labels = min_label_propagation(
+        edges, rounds=rounds, checkpoint_every=checkpoint_every
+    )
+    return (
+        labels.groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .select(
+            F.when(F.col("lab") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            F.shiftright("lab", 1).alias("key"),
+            F.col("size"),
+        )
+        .orderBy(F.desc("size"), F.asc("entity"), F.asc("key"))
+        .limit(25)
+    )
+
+
+# one unrolled min-label round: neighbour minimum → carry-forward
+_WCC_ROUND_SQL = """
+, m{r} AS (
+  SELECT e.dst AS id, MIN(l.lab) AS nl
+  FROM e JOIN l{p} l ON l.id = e.src
+  GROUP BY e.dst
+), l{r} AS (
+  SELECT l.id, LEAST(l.lab, COALESCE(m.nl, l.lab)) AS lab
+  FROM l{p} l LEFT JOIN m{r} m ON m.id = l.id
+)
+"""
+
+ORACLE_WCC_COMPONENTS = (
+    """
+WITH base AS MATERIALIZED (
+  SELECT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey HAVING COUNT(*) >= 3
+), e AS MATERIALIZED (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM base
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM base
+), l0 AS (
+  SELECT DISTINCT src AS id, src AS lab FROM e
+)
+"""
+    + "".join(_WCC_ROUND_SQL.format(r=r, p=r - 1) for r in (1, 2, 3, 4))
+    + """
+SELECT CASE WHEN lab % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+       lab // 2 AS key,
+       COUNT(*) AS size
+FROM l4
+GROUP BY lab
+ORDER BY size DESC, entity ASC, key ASC
+LIMIT 25
+"""
+)
+
+
 def harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated harmonic centrality on the bipartite trade graph:
     for each customer, ``Σ_{v reachable} 1/dist(v)`` cut at 2 hops —
@@ -1990,6 +2120,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "lpa_communities": QuerySpec(
         lpa_communities, ORACLE_LPA_COMMUNITIES, ["G2", "A8", "T6"]
+    ),
+    "wcc_components": QuerySpec(
+        wcc_components, ORACLE_WCC_COMPONENTS, ["G2", "A8", "T6"]
     ),
     "graph_project": QuerySpec(
         graph_project, ORACLE_GRAPH_PROJECT, ["G1", "J1", "A8"]

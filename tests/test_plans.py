@@ -487,6 +487,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "key_skew_profile",
         # $search's broadcast of the 1-row BM25 corpus stats frame
         "mongo_pipeline_search",
+        # 1-row (Nt, Nr) token-mass totals crossed onto the
+        # ≤256-row bucket-stats frame before the broadcast join
+        "dsir_importance_weights",
         # 1-row order-count total onto the <=max-lines histogram
         "basket_lines_histogram",
         "anova_weekday_revenue",
