@@ -109,6 +109,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "mann_whitney_drift",
     "spearman_price_qty",
     "dsir_importance_weights",
+    "temporal_reach_2hop",
+    "mixture_budget_waterfill",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

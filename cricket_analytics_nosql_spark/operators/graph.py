@@ -1839,6 +1839,99 @@ LIMIT 25
 )
 
 
+# ---------------------------------------------------------------------------
+# Temporal (time-respecting) reachability — influence with causality
+# ---------------------------------------------------------------------------
+
+def temporal_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RESPECTING 2-hop reach on the strong trade graph: c1
+    influences c2 iff c1 first traded with a supplier s on day d1
+    and c2 first traded with the SAME s on a strictly later day —
+    the temporal-graph semantics (Holme & Saramäki) that static
+    reach queries (``harmonic_centrality_2hop``, ``cypher_trade_
+    reach``) cannot express: an edge only transmits forward in
+    time, so A→s→B and B→s→A are no longer symmetric.  Top-20
+    earliest adopters by (influenced count desc, custkey asc), with
+    their median relay latency in days — the "who leads the market"
+    readout.
+
+    Plan: one (c, s)-grained rollup to FIRST-trade days (strong
+    pairs, ≥ 3 line items — the sssp/lpa/harmonic binding that
+    bounds the wedge stream), then ONE supplier-keyed self-join
+    with the d2 > d1 predicate as a post-join filter on the
+    equi-join (never a theta-only join), deduplicated to distinct
+    (c1, c2) pairs keeping the MIN latency, then a c1 rollup.
+    Cost scales with Σ_s buyers(s)² exactly like harmonic — the
+    timestamp filter only shrinks it."""
+    from cricket_analytics_nosql_spark.functions.scalar import epoch_day
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    first = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("weight"),
+            F.min(epoch_day("o_orderdate")).alias("first_day"),
+        )
+        .filter(F.col("weight") >= 3)
+        .select("src", "dst", "first_day")
+    )
+    a = first.select(
+        F.col("src").alias("c1"), "dst", F.col("first_day").alias("d1")
+    )
+    b = first.select(
+        F.col("src").alias("c2"), "dst", F.col("first_day").alias("d2")
+    )
+    pairs = (
+        a.join(b, "dst")
+        .filter(F.col("d2") > F.col("d1"))
+        .groupBy("c1", "c2")
+        .agg(F.min(F.col("d2") - F.col("d1")).alias("lat"))
+    )
+    return (
+        pairs.groupBy("c1")
+        .agg(
+            F.count(F.lit(1)).alias("n_influenced"),
+            F.expr("percentile(lat, 0.5)").alias("p50"),
+        )
+        .select(
+            F.col("c1").alias("custkey"),
+            "n_influenced",
+            F.round(F.col("p50"), 1).alias("median_relay_days"),
+        )
+        .orderBy(F.desc("n_influenced"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_TEMPORAL_REACH = """
+WITH first AS (
+  SELECT o_custkey AS c, l_suppkey AS s,
+         MIN(CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                  // 86400000000 AS BIGINT)) AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey HAVING COUNT(*) >= 3
+), pairs AS (
+  SELECT a.c AS c1, b.c AS c2, MIN(b.d - a.d) AS lat
+  FROM first a JOIN first b ON a.s = b.s AND b.d > a.d
+  GROUP BY a.c, b.c
+)
+SELECT c1 AS custkey, COUNT(*) AS n_influenced,
+       ROUND(median(lat), 1) AS median_relay_days
+FROM pairs
+GROUP BY c1
+ORDER BY n_influenced DESC, custkey ASC
+LIMIT 20
+"""
+
+
 def harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated harmonic centrality on the bipartite trade graph:
     for each customer, ``Σ_{v reachable} 1/dist(v)`` cut at 2 hops —
@@ -2111,6 +2204,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "harmonic_centrality_2hop": QuerySpec(
         harmonic_centrality_2hop, ORACLE_HARMONIC_2HOP, ["G3", "A8", "J3", "T4"]
+    ),
+    "temporal_reach_2hop": QuerySpec(
+        temporal_reach_2hop, ORACLE_TEMPORAL_REACH, ["A8", "J3", "T1", "X-ts"]
     ),
     "recursive_trade_bfs": QuerySpec(
         recursive_trade_bfs, ORACLE_RECURSIVE_TRADE_BFS, ["§2.9", "G1"]

@@ -1294,8 +1294,18 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         feature_hash_bucket(F.col("token")).alias("bucket"),
     )
-    doc_bucket = tok.groupBy("doc_id", "source", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
+    # Materialize (doc, bucket) counts ONCE: the frame feeds three
+    # consumers (bucket stats, token-mass totals, the scoring join),
+    # and without the checkpoint each consumer replays the full
+    # tokenize+explode scan — explain showed 3 parquet scans (the
+    # fan_out round-robin exchange is not reuse-eligible). One write
+    # + three reads of the ≤ docs×256-row frame beats three corpus
+    # tokenizations at any scale (the pagerank entry-checkpoint
+    # discipline; plan gate: test_plans.py dsir test).
+    doc_bucket = (
+        tok.groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     is_t = (F.col("source") == DSIR_TARGET_SOURCE).cast("long")
     bucket_stats = doc_bucket.groupBy("bucket").agg(

@@ -684,6 +684,128 @@ ORDER BY shard
 """
 
 
+# --------------------------------------------------------------------------
+# token-budget water-filling — the capped-mixture allocator
+# --------------------------------------------------------------------------
+
+WATERFILL_BUDGET_NUM = 1  # budget = total_tokens * NUM // DEN
+WATERFILL_BUDGET_DEN = 2
+
+
+def mixture_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget water-filling across sources: given a training
+    budget B = half the corpus's tokens, allocate each source
+    a_i = min(n_i, cap) with ONE shared cap chosen so Σa_i fills B —
+    the classic capped-uniform mixture (small sources keep
+    everything, big sources are clipped to the water line). This is
+    the allocator behind "cap any single domain at X% of the mix"
+    pretraining recipes, and unlike ``domain_mixture_resample``
+    (fixed uniform target) the cap is SOLVED from the budget.
+
+    Closed form, no iteration: sort sources by token count
+    ascending; the first position k where the remaining budget
+    cannot lift every remaining source to n_k — i.e.
+    B − cum_{k−1} < n_k·(S−k+1), an all-integer comparison — marks
+    the water line, cap = (B − cum_{k−1}) // (S−k+1). Everything
+    stays exact BIGINT arithmetic (the floor makes Σa_i ≤ B with
+    bounded slack < S).
+
+    Plan: one tokenize-count rollup to the |sources|-row frame;
+    the solve is three unpartitioned windows over that ≤20-row
+    frame — metadata-sized, the fact table is scanned once."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("t")
+    )
+    src = docs.groupBy("source").agg(F.sum("t").alias("n"))
+    whole = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ordered = Window.partitionBy(F.lit(1)).orderBy("n", "source")
+    cum_before = Window.partitionBy(F.lit(1)).orderBy("n", "source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g = src.select(
+        "source",
+        "n",
+        F.sum("n").over(whole).alias("total"),
+        F.count(F.lit(1)).over(whole).alias("s"),
+        F.row_number().over(ordered).alias("k"),
+        F.coalesce(F.sum("n").over(cum_before), F.lit(0)).alias("cum"),
+    ).withColumn(
+        "budget",
+        F.expr(
+            f"(total * {WATERFILL_BUDGET_NUM}) div {WATERFILL_BUDGET_DEN}"
+        ),
+    )
+    # the water line sits at the FIRST position (ascending n) whose
+    # remaining budget cannot lift all remaining sources to n_k
+    g = g.withColumn(
+        "cap_k",
+        F.when(
+            (F.col("budget") - F.col("cum"))
+            < F.col("n") * (F.col("s") - F.col("k") + 1),
+            F.expr("(budget - cum) div (s - k + 1)"),
+        ),
+    )
+    k_first = F.min(F.when(F.col("cap_k").isNotNull(), F.col("k"))).over(whole)
+    g = g.withColumn("k_first", k_first)
+    cap = F.max(
+        F.when(F.col("k") == F.col("k_first"), F.col("cap_k"))
+    ).over(whole)
+    g = g.withColumn("cap", F.coalesce(cap, F.max("n").over(whole)))
+    return (
+        g.select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            F.least(F.col("n"), F.col("cap")).alias("alloc_tokens"),
+            (F.col("n") > F.col("cap")).alias("clipped"),
+            "budget",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_WATERFILL = f"""
+WITH src AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n
+  FROM documents GROUP BY source
+), g AS (
+  SELECT source, n,
+         CAST(SUM(n) OVER () AS BIGINT) AS total,
+         COUNT(*) OVER () AS s,
+         ROW_NUMBER() OVER (ORDER BY n, source) AS k,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY n, source
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS cum
+  FROM src
+), b AS (
+  SELECT g.*,
+         total * {WATERFILL_BUDGET_NUM} // {WATERFILL_BUDGET_DEN} AS budget
+  FROM g
+), c AS (
+  SELECT b.*,
+         CASE WHEN budget - cum < n * (s - k + 1)
+              THEN (budget - cum) // (s - k + 1) END AS cap_k
+  FROM b
+), kf AS (
+  SELECT c.*,
+         MIN(CASE WHEN cap_k IS NOT NULL THEN k END) OVER () AS k_first
+  FROM c
+), solved AS (
+  SELECT kf.*,
+         COALESCE(MAX(CASE WHEN k = k_first THEN cap_k END) OVER (),
+                  MAX(n) OVER ()) AS cap
+  FROM kf
+)
+SELECT source, n AS n_tokens,
+       CAST(LEAST(n, cap) AS BIGINT) AS alloc_tokens,
+       n > cap AS clipped,
+       CAST(budget AS BIGINT) AS budget
+FROM solved
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "jsonl_export_roundtrip": QuerySpec(
         jsonl_export_roundtrip,
@@ -703,6 +825,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "domain_mixture_resample": QuerySpec(
         domain_mixture_resample, ORACLE_DOMAIN_MIXTURE, ["X-training", "J1"]
+    ),
+    "mixture_budget_waterfill": QuerySpec(
+        mixture_budget_waterfill,
+        ORACLE_WATERFILL,
+        ["X-training", "X-curation", "A1", "§2.8"],
     ),
     "corpus_shuffle": QuerySpec(
         corpus_shuffle, ORACLE_CORPUS_SHUFFLE, ["X-training", "T3"]

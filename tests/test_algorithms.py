@@ -567,3 +567,81 @@ def test_dsir_target_tokens_score_positive(spark, monkeypatch):
     # target-vocab doc 3 (mixed) must beat pure-off-target doc 2,
     # and the pure target-vocab docs must rank above both
     assert got[0] > got[3] > got[2]
+
+
+def test_waterfill_hand_checked(spark, monkeypatch):
+    """Water line on a hand-solvable instance: n=[10,20,100],
+    B=65 → small sources keep all, the big one clips to 35 and the
+    budget is filled exactly."""
+    from cricket_analytics_nosql_spark.operators import training as tr
+
+    def fake_load(spark_, sf_dir, name):
+        assert name == "documents"
+        rows = []
+        did = 0
+        for src, n in (("a", 10), ("b", 20), ("c", 100)):
+            rows.append((did, " ".join(["t"] * n), "en", src, n))
+            did += 1
+        return spark_.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    monkeypatch.setattr(tr, "load_table", fake_load)
+    got = {r.source: r for r in tr.mixture_budget_waterfill(spark, "x").collect()}
+    assert got["a"].alloc_tokens == 10 and not got["a"].clipped
+    assert got["b"].alloc_tokens == 20 and not got["b"].clipped
+    assert got["c"].alloc_tokens == 35 and got["c"].clipped
+    assert got["a"].budget == 65
+
+
+def test_waterfill_budget_never_exceeded(spark, sf_small):
+    """Σalloc ≤ B with slack < |sources| (floor residue), and no
+    un-clipped source may exceed a clipped one's cap."""
+    from cricket_analytics_nosql_spark.operators.training import (
+        mixture_budget_waterfill,
+    )
+
+    rows = mixture_budget_waterfill(spark, sf_small).collect()
+    total_alloc = sum(r.alloc_tokens for r in rows)
+    budget = rows[0].budget
+    assert total_alloc <= budget
+    assert budget - total_alloc < len(rows)
+    caps = [r.alloc_tokens for r in rows if r.clipped]
+    if caps:
+        cap = caps[0]
+        assert all(c == cap for c in caps)  # ONE shared water line
+        assert all(r.alloc_tokens <= cap for r in rows)
+
+
+def test_temporal_reach_respects_time(spark, monkeypatch):
+    """Edges only transmit forward in time: on a 3-customer /
+    1-supplier toy, the earliest adopter influences both later ones,
+    the middle one influences one, the last none."""
+    from cricket_analytics_nosql_spark.operators import graph as g
+
+    # first-trade days: c3 @ 5, c1 @ 10, c2 @ 20 — all via supplier 5
+    import datetime as dt
+
+    orders, lineitem = [], []
+    ok = 0
+    for cust, day in ((1, 10), (2, 20), (3, 5)):
+        for rep in range(3):  # >= 3 line items → strong pair
+            orders.append((ok, cust, dt.date(1970, 1, 1 + day)))
+            lineitem.append((ok, 5))
+            ok += 1
+
+    def fake_load(spark_, sf_dir, name):
+        if name == "orders":
+            return spark_.createDataFrame(
+                orders, "o_orderkey long, o_custkey long, o_orderdate date"
+            )
+        assert name == "lineitem"
+        return spark_.createDataFrame(lineitem, "l_orderkey long, l_suppkey long")
+
+    monkeypatch.setattr(g, "load_table", fake_load)
+    got = {r.custkey: r for r in g.temporal_reach_2hop(spark, "x").collect()}
+    assert set(got) == {1, 3}
+    assert got[3].n_influenced == 2
+    assert got[3].median_relay_days == 10.0  # gaps 5 and 15
+    assert got[1].n_influenced == 1
+    assert got[1].median_relay_days == 10.0

@@ -967,3 +967,53 @@ def test_trend_slope_broadcasts_dim(spark, sf_medium):
     plan = plan_of(trend_slope_by_segment(spark, sf_medium))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_mann_whitney_window_over_grid_not_fact(spark, sf_small):
+    """The rank window must run over the distinct-value grid (one
+    aggregation BELOW the Window node), never the raw order rows —
+    the KS/ECDF posture that bounds the single-partition sort."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        mann_whitney_drift,
+    )
+
+    plan = plan_of(mann_whitney_drift(spark, sf_small))
+    # exactly one Window node (formatted explain lists each node in
+    # the tree AND the detail section, hence one node == two matches)
+    assert plan.count("Window") == 2, plan
+    # grid rollup (groupBy v) sits BELOW the window: the node chain
+    # in the tree section reads Scan → ... → HashAggregate →
+    # Exchange → Sort → Window, and no Join exists at all
+    assert "Join" not in plan, plan
+    tree = plan[: plan.index("(1) Scan")]
+    assert "HashAggregate" in tree[tree.index("Window") :], tree
+
+
+def test_spearman_quantity_ranks_broadcast(spark, sf_small):
+    """The ~50-row quantity rank table must broadcast; only the
+    price-rank join may shuffle both sides."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        spearman_price_qty,
+    )
+
+    plan = plan_of(spearman_price_qty(spark, sf_small))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_model_broadcasts_single_corpus_scan(spark, sf_small):
+    """The 256-row log-ratio model must broadcast into the scoring
+    join, and the documents parquet must be scanned exactly once —
+    the (doc, bucket) frame feeds both the model build and the
+    scoring (self-reuse, not a second scan)."""
+    from cricket_analytics_nosql_spark.operators.text import (
+        dsir_importance_weights,
+    )
+
+    plan = plan_of(dsir_importance_weights(spark, sf_small))
+    assert "BroadcastHashJoin" in plan, plan
+    # the (doc, bucket) frame is checkpointed, so the final plan
+    # reads the materialized RDD — zero parquet re-scans downstream
+    # (before the checkpoint, explain showed THREE full
+    # tokenize+explode corpus scans, one per consumer)
+    assert "Scan parquet" not in plan, plan
