@@ -111,6 +111,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "dsir_importance_weights",
     "temporal_reach_2hop",
     "mixture_budget_waterfill",
+    "quantile_treatment_effect",
+    "sax_revenue_motifs",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

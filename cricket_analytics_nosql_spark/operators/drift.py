@@ -1640,6 +1640,209 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Quantile treatment effect — the decile uplift profile
+# ---------------------------------------------------------------------------
+
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-by-decile quantile difference between the two
+    order-priority cohorts — the uplift PROFILE that a mean
+    difference (or even Mann-Whitney) flattens: "treatment lifts the
+    median but caps the top decile" is invisible to scalar tests.
+    Per decile k ∈ 1..9: the type-1 (discrete) k/10-quantile of each
+    cohort and their difference, in whole dollars.
+
+    Type-1 quantiles keep everything integer-exact: q_k = min value
+    whose cumulative count reaches ceil(k·n/10) — no interpolation,
+    no floats anywhere. The grid/cross shape: both cohort ECDFs ride
+    one dollar-grid rollup (the KS posture); the 9-row decile frame
+    cross-joins onto the grid (bounded: 9 × |grid|) and collapses
+    back to 9 rows via min-over-qualifying."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(KS_GROUP_A, KS_GROUP_B))
+        .select(
+            flag(F.col("o_orderpriority") == KS_GROUP_A).alias("is_a"),
+            (cents("o_totalprice") / 100).cast("long").alias("v"),
+        )
+    )
+    counts = o.groupBy("v").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(1 - F.col("is_a")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    whole = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    grid = counts.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(whole).alias("n_a"),
+        F.sum("cb").over(whole).alias("n_b"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("k"))
+    j = grid.crossJoin(F.broadcast(deciles))
+    # ceil(k*n/10) without floats: (k*n + 9) div 10
+    t_a = F.expr("(k * n_a + 9) div 10")
+    t_b = F.expr("(k * n_b + 9) div 10")
+    return (
+        j.groupBy("k")
+        .agg(
+            F.min(F.when(F.col("cum_a") >= t_a, F.col("v"))).alias("q_a"),
+            F.min(F.when(F.col("cum_b") >= t_b, F.col("v"))).alias("q_b"),
+        )
+        .select(
+            F.col("k").alias("decile"),
+            "q_a",
+            "q_b",
+            (F.col("q_a") - F.col("q_b")).alias("uplift_dollars"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_QTE = f"""
+WITH o AS (
+  SELECT CASE WHEN o_orderpriority = '{KS_GROUP_A}' THEN 1 ELSE 0 END AS is_a,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS v
+  FROM orders
+  WHERE o_orderpriority IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+), counts AS (
+  SELECT v, SUM(is_a) AS ca, SUM(1 - is_a) AS cb FROM o GROUP BY v
+), grid AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+         SUM(ca) OVER () AS n_a,
+         SUM(cb) OVER () AS n_b
+  FROM counts
+)
+SELECT k AS decile,
+       MIN(CASE WHEN cum_a >= (k * n_a + 9) // 10 THEN v END) AS q_a,
+       MIN(CASE WHEN cum_b >= (k * n_b + 9) // 10 THEN v END) AS q_b,
+       MIN(CASE WHEN cum_a >= (k * n_a + 9) // 10 THEN v END)
+         - MIN(CASE WHEN cum_b >= (k * n_b + 9) // 10 THEN v END)
+         AS uplift_dollars
+FROM grid CROSS JOIN (SELECT unnest(range(1, 10)) AS k)
+GROUP BY k
+ORDER BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# SAX-style motif discovery over the daily revenue series
+# ---------------------------------------------------------------------------
+
+def sax_revenue_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbolic time-series motif discovery (SAX, Lin et al. — with
+    empirical-QUARTILE breakpoints instead of Gaussian ones, which
+    keeps every step integer-exact): discretize daily revenue into
+    symbols a<b<c<d by the series' own quartiles, slide a 3-day
+    window, count each 3-symbol word. Top-10 motifs = the dominant
+    local shapes ("dip-recover", "ramp") that drive alerting and
+    similarity search over 100 TB of series far too long to compare
+    point-wise.
+
+    Exactness: daily revenue is exact cents; quartile breakpoints
+    are type-1 discrete quantiles (min value reaching ceil(k·n/4) —
+    integers end-to-end); the symbol is two/three integer
+    comparisons; motif words concat under one day-ordered window.
+    Plan: calendar-sized day rollup → quartiles via the decile
+    cross shape (bounded) → ONE unpartitioned lag window over the
+    ~2500-row day frame → word counts."""
+    day_rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(epoch_day("o_orderdate").alias("day"))
+        .agg(F.sum(cents("o_totalprice")).alias("c"))
+    )
+    w = Window.orderBy("day")
+    whole = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = day_rev.select(
+        "day",
+        "c",
+        F.row_number().over(Window.orderBy("c", "day")).alias("r"),
+        F.count(F.lit(1)).over(whole).alias("n"),
+    )
+    qs = ranked.groupBy().agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("r") >= F.expr(f"({k} * n + 3) div 4"), F.col("c")
+                )
+            ).alias(f"q{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    sym = (
+        day_rev.crossJoin(F.broadcast(qs))
+        .select(
+            "day",
+            (
+                (F.col("c") > F.col("q1")).cast("int")
+                + (F.col("c") > F.col("q2")).cast("int")
+                + (F.col("c") > F.col("q3")).cast("int")
+            ).alias("s"),
+        )
+        .select(
+            "day",
+            F.element_at(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")),
+                F.col("s") + 1,
+            ).alias("sym"),
+        )
+    )
+    words = sym.select(
+        F.concat(
+            F.lag("sym", 2).over(w), F.lag("sym", 1).over(w), F.col("sym")
+        ).alias("motif")
+    ).filter(F.col("motif").isNotNull())
+    return (
+        words.groupBy("motif")
+        .agg(F.count(F.lit(1)).alias("n_windows"))
+        .orderBy(F.desc("n_windows"), F.asc("motif"))
+        .limit(10)
+    )
+
+
+ORACLE_SAX_MOTIFS = """
+WITH day_rev AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY day
+), ranked AS (
+  SELECT day, c,
+         ROW_NUMBER() OVER (ORDER BY c, day) AS r,
+         COUNT(*) OVER () AS n
+  FROM day_rev
+), qs AS (
+  SELECT MIN(CASE WHEN r >= (1 * n + 3) // 4 THEN c END) AS q1,
+         MIN(CASE WHEN r >= (2 * n + 3) // 4 THEN c END) AS q2,
+         MIN(CASE WHEN r >= (3 * n + 3) // 4 THEN c END) AS q3
+  FROM ranked
+), sym AS (
+  SELECT day,
+         ['a', 'b', 'c', 'd'][
+           CAST(c > q1 AS INT) + CAST(c > q2 AS INT) + CAST(c > q3 AS INT) + 1
+         ] AS sym
+  FROM day_rev CROSS JOIN qs
+), words AS (
+  SELECT LAG(sym, 2) OVER (ORDER BY day)
+         || LAG(sym, 1) OVER (ORDER BY day)
+         || sym AS motif
+  FROM sym
+)
+SELECT motif, COUNT(*) AS n_windows
+FROM words WHERE motif IS NOT NULL
+GROUP BY motif
+ORDER BY n_windows DESC, motif ASC
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "anova_weekday_revenue": QuerySpec(
         anova_weekday_revenue, ORACLE_ANOVA_WEEKDAY, ["A1", "A4", "X-curation"]
@@ -1687,6 +1890,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "mann_whitney_drift": QuerySpec(
         mann_whitney_drift, ORACLE_MANN_WHITNEY, ["A1", "A4", "X-curation"]
+    ),
+    "quantile_treatment_effect": QuerySpec(
+        quantile_treatment_effect, ORACLE_QTE, ["A1", "§2.8", "X-curation"]
+    ),
+    "sax_revenue_motifs": QuerySpec(
+        sax_revenue_motifs, ORACLE_SAX_MOTIFS, ["A1", "§2.8", "T1", "X-ts"]
     ),
     "spearman_price_qty": QuerySpec(
         spearman_price_qty, ORACLE_SPEARMAN, ["A1", "A4", "J1", "X-curation"]

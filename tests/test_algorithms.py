@@ -645,3 +645,54 @@ def test_temporal_reach_respects_time(spark, monkeypatch):
     assert got[3].median_relay_days == 10.0  # gaps 5 and 15
     assert got[1].n_influenced == 1
     assert got[1].median_relay_days == 10.0
+
+
+def test_qte_deciles_monotone_and_median_exact(spark, sf_small):
+    """Each cohort's decile curve must be nondecreasing, and decile
+    5 must equal the type-1 median computed in pure Python."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        KS_GROUP_A,
+        quantile_treatment_effect,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = quantile_treatment_effect(spark, sf_small).collect()
+    assert [r.decile for r in rows] == list(range(1, 10))
+    for col in ("q_a", "q_b"):
+        vals = [getattr(r, col) for r in rows]
+        assert vals == sorted(vals), col
+
+    a = sorted(
+        int(round(r.o_totalprice * 100)) // 100
+        for r in load_table(spark, sf_small, "orders").collect()
+        if r.o_orderpriority == KS_GROUP_A
+    )
+    n = len(a)
+    want_median = a[-(-5 * n // 10) - 1]  # value at rank ceil(n/2), 1-based
+    assert rows[4].q_a == want_median
+
+
+def test_sax_motifs_hand_checked(spark, monkeypatch):
+    """Quartile symbols and 3-day words on a handmade series: 8 days
+    of revenue 1..8 → symbols aabbccdd → words aab abb bbc bcc ccd
+    cdd (6 = n−2 windows, all distinct)."""
+    import datetime as dt
+
+    from cricket_analytics_nosql_spark.operators import drift as dr
+
+    def fake_load(spark_, sf_dir, name):
+        assert name == "orders"
+        rows = [
+            (i, float(i + 1), dt.date(1970, 1, 1 + i), "x")
+            for i in range(8)
+        ]
+        return spark_.createDataFrame(
+            rows,
+            "o_orderkey long, o_totalprice double, o_orderdate date, o_orderpriority string",
+        )
+
+    monkeypatch.setattr(dr, "load_table", fake_load)
+    got = {r.motif: r.n_windows for r in dr.sax_revenue_motifs(spark, "x").collect()}
+    # revenue 1..8, quartile breakpoints (type-1, ceil(k*8/4)=2k):
+    # q1=2, q2=4, q3=6 → symbols: 1,2→a 3,4→b 5,6→c 7,8→d
+    assert got == {m: 1 for m in ("aab", "abb", "bbc", "bcc", "ccd", "cdd")}
