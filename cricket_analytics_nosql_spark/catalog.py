@@ -113,6 +113,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "mixture_budget_waterfill",
     "quantile_treatment_effect",
     "sax_revenue_motifs",
+    "vocab_coverage_curve",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

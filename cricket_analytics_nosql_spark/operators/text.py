@@ -1389,6 +1389,116 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve — the tokenizer-sizing readout
+# ---------------------------------------------------------------------------
+
+VOCAB_COVERAGE_TARGETS = (50, 90, 99, 999)  # percent; 999 = 99.9‰·10
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many vocabulary entries cover X% of the corpus's token
+    mass — the number that sizes a tokenizer (or an embedding
+    table): per coverage target (50 / 90 / 99 / 99.9%), the minimal
+    top-k vocabulary whose frequency-ranked cumulative mass reaches
+    ceil(target·total), plus that vocabulary's own mass share. On a
+    Zipfian corpus the curve's elbow IS the vocab-size decision.
+
+    Integer-exact end to end (the type-1 quantile idiom): term
+    counts are BIGINTs, the rank is a ROW_NUMBER over (count desc,
+    term asc), targets are ceil'd integer thresholds, and k = min
+    rank whose cumulative mass qualifies. Plan: one tokenize pass →
+    term counts (map-side combined) → ONE unpartitioned window over
+    the vocabulary-sized frame (the grid posture — the corpus is
+    never globally sorted, its distinct-term rollup is) → a 4-row
+    broadcast of targets collapsed via min-over-qualifying."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("term"))
+    whole = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = counts.select(
+        F.row_number().over(w).alias("rank"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("c").over(whole).alias("total"),
+        F.count(F.lit(1)).over(whole).alias("n_terms"),
+    )
+    targets = spark.createDataFrame(
+        [(t,) for t in VOCAB_COVERAGE_TARGETS], "pm long"
+    )
+    j = ranked.crossJoin(F.broadcast(targets))
+    # threshold = ceil(total * pm / 1000), all-integer
+    thr = F.expr("(total * pm + 999) div 1000")
+    # targets are per-mille when > 100 (999 = 99.9%), else percent
+    thr_pct = F.expr("(total * pm + 99) div 100")
+    qualifies = F.when(
+        F.col("pm") > 100, F.col("cum") >= thr
+    ).otherwise(F.col("cum") >= thr_pct)
+    return (
+        j.groupBy("pm")
+        .agg(
+            F.min(F.when(qualifies, F.col("rank"))).alias("vocab_size"),
+            F.max("n_terms").alias("n_terms"),
+            F.max("total").alias("total_tokens"),
+        )
+        .select(
+            F.when(F.col("pm") > 100, F.col("pm").cast("double") / 10.0)
+            .otherwise(F.col("pm").cast("double"))
+            .alias("coverage_pct"),
+            "vocab_size",
+            "n_terms",
+            "total_tokens",
+            F.round(
+                F.col("vocab_size").cast("double")
+                / F.col("n_terms").cast("double"),
+                6,
+            ).alias("vocab_fraction"),
+        )
+        .orderBy("coverage_pct")
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH toks AS (
+  SELECT t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE length(t.term) > 0
+), counts AS (
+  SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rank,
+         SUM(c) OVER (ORDER BY c DESC, term ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS total,
+         COUNT(*) OVER () AS n_terms
+  FROM counts
+)
+SELECT CASE WHEN pm > 100 THEN CAST(pm AS DOUBLE) / 10.0
+       ELSE CAST(pm AS DOUBLE) END AS coverage_pct,
+       MIN(CASE WHEN (pm > 100 AND cum >= (total * pm + 999) // 1000)
+                  OR (pm <= 100 AND cum >= (total * pm + 99) // 100)
+                THEN rank END) AS vocab_size,
+       CAST(MAX(n_terms) AS BIGINT) AS n_terms,
+       CAST(MAX(total) AS BIGINT) AS total_tokens,
+       ROUND(CAST(MIN(CASE WHEN (pm > 100 AND cum >= (total * pm + 999) // 1000)
+                             OR (pm <= 100 AND cum >= (total * pm + 99) // 100)
+                           THEN rank END) AS DOUBLE)
+             / CAST(MAX(n_terms) AS DOUBLE), 6) AS vocab_fraction
+FROM ranked
+CROSS JOIN (SELECT unnest([{", ".join(str(t) for t in VOCAB_COVERAGE_TARGETS)}]) AS pm)
+GROUP BY pm
+ORDER BY coverage_pct
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ngram_index_search": QuerySpec(
         ngram_index_search,
@@ -1407,6 +1517,11 @@ QUERIES: dict[str, QuerySpec] = {
         dsir_importance_weights,
         ORACLE_DSIR,
         ["X-text", "X-curation", "A1", "J1", "T1"],
+    ),
+    "vocab_coverage_curve": QuerySpec(
+        vocab_coverage_curve,
+        ORACLE_VOCAB_COVERAGE,
+        ["X-text", "X-training", "A1", "§2.8"],
     ),
     "bm25_search": QuerySpec(
         bm25_search, ORACLE_BM25_SEARCH, ["X-text", "A1", "J1", "T1"]

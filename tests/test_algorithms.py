@@ -696,3 +696,24 @@ def test_sax_motifs_hand_checked(spark, monkeypatch):
     # revenue 1..8, quartile breakpoints (type-1, ceil(k*8/4)=2k):
     # q1=2, q2=4, q3=6 → symbols: 1,2→a 3,4→b 5,6→c 7,8→d
     assert got == {m: 1 for m in ("aab", "abb", "bbc", "bcc", "ccd", "cdd")}
+
+
+def test_vocab_coverage_hand_checked(spark, monkeypatch):
+    """Hand-solved curve: counts 6,3,1 (total 10) → 50% needs 1
+    term, 90% needs 2, 99%/99.9% need all 3."""
+    from cricket_analytics_nosql_spark.operators import text as tx
+
+    def fake_load(spark_, sf_dir, name):
+        assert name == "documents"
+        text = " ".join(["x"] * 6 + ["y"] * 3 + ["z"])
+        return spark_.createDataFrame(
+            [(0, text, "en", "s", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    monkeypatch.setattr(tx, "load_table", fake_load)
+    got = {
+        r.coverage_pct: r.vocab_size
+        for r in tx.vocab_coverage_curve(spark, "x").collect()
+    }
+    assert got == {50.0: 1, 90.0: 2, 99.0: 3, 99.9: 3}
