@@ -114,6 +114,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "quantile_treatment_effect",
     "sax_revenue_motifs",
     "vocab_coverage_curve",
+    "theil_sen_trend",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

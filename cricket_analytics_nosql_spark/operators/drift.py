@@ -1843,6 +1843,90 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Theil-Sen trend — the robust slope estimator
+# ---------------------------------------------------------------------------
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator of the daily-revenue trend: the MEDIAN of
+    all pairwise slopes (c_j − c_i)/(d_j − d_i) — the robust
+    complement to ``trend_slope_by_segment``'s OLS (one fat-finger
+    day moves an OLS slope arbitrarily; Theil-Sen tolerates 29%
+    contamination). Reports the median plus the interquartile slope
+    band (p25/p75) and the pair count.
+
+    Scale argument — why an O(n²) pair join is FINE here: n is the
+    CALENDAR, not the data. The fact table rolls up to one row per
+    day first (exact cents), so the pair space is days² (~2.9M at
+    7 years), invariant in the data volume — at 100 TB it is the
+    same 2.9M pairs. The day⨯day join is a bounded
+    broadcast-nested-loop by construction (the
+    ``test_no_cartesian_products_across_catalog`` exemption class).
+
+    Exactness: every slope is ONE IEEE division of two exact BIGINTs
+    — bit-identical in any engine — and the median/quartiles are
+    type-1 discrete picks (ROW_NUMBER against ceil'd integer
+    thresholds), so no interpolation ever mixes floats."""
+    day_rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(epoch_day("o_orderdate").alias("d"))
+        .agg(F.sum(cents("o_totalprice")).alias("c"))
+    )
+    a = day_rev.select(F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = day_rev.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .select(
+            (
+                (F.col("c2") - F.col("c1")).cast("double")
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("s")
+        )
+    )
+    w = Window.orderBy("s")
+    whole = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = slopes.select(
+        "s",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(whole).alias("n"),
+    )
+    pick = lambda k, q: F.min(  # noqa: E731 — type-1 quantile pick
+        F.when(F.col("r") >= F.expr(f"({k} * n + {q - 1}) div {q}"), F.col("s"))
+    )
+    return ranked.groupBy().agg(
+        F.max("n").alias("n_pairs"),
+        F.round(pick(2, 4) + F.lit(0.0), 6).alias("slope_cents_per_day"),
+        F.round(pick(1, 4) + F.lit(0.0), 6).alias("p25_slope"),
+        F.round(pick(3, 4) + F.lit(0.0), 6).alias("p75_slope"),
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH day_rev AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY d
+), slopes AS (
+  SELECT CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s
+  FROM day_rev a JOIN day_rev b ON a.d < b.d
+), ranked AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS r, COUNT(*) OVER () AS n
+  FROM slopes
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+       ROUND(MIN(CASE WHEN r >= (2 * n + 3) // 4 THEN s END) + 0.0, 6)
+         AS slope_cents_per_day,
+       ROUND(MIN(CASE WHEN r >= (1 * n + 3) // 4 THEN s END) + 0.0, 6)
+         AS p25_slope,
+       ROUND(MIN(CASE WHEN r >= (3 * n + 3) // 4 THEN s END) + 0.0, 6)
+         AS p75_slope
+FROM ranked
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "anova_weekday_revenue": QuerySpec(
         anova_weekday_revenue, ORACLE_ANOVA_WEEKDAY, ["A1", "A4", "X-curation"]
@@ -1896,6 +1980,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sax_revenue_motifs": QuerySpec(
         sax_revenue_motifs, ORACLE_SAX_MOTIFS, ["A1", "§2.8", "T1", "X-ts"]
+    ),
+    "theil_sen_trend": QuerySpec(
+        theil_sen_trend, ORACLE_THEIL_SEN, ["A4", "J3", "§2.8", "X-ts"]
     ),
     "spearman_price_qty": QuerySpec(
         spearman_price_qty, ORACLE_SPEARMAN, ["A1", "A4", "J1", "X-curation"]

@@ -717,3 +717,27 @@ def test_vocab_coverage_hand_checked(spark, monkeypatch):
         for r in tx.vocab_coverage_curve(spark, "x").collect()
     }
     assert got == {50.0: 1, 90.0: 2, 99.0: 3, 99.9: 3}
+
+
+def test_theil_sen_hand_checked_and_robust(spark, monkeypatch):
+    """On y = 10x with one wild outlier day, the median pairwise
+    slope stays exactly 10 (OLS would not)."""
+    import datetime as dt
+
+    from cricket_analytics_nosql_spark.operators import drift as dr
+
+    def fake_load(spark_, sf_dir, name):
+        assert name == "orders"
+        rows = []
+        for i in range(9):
+            v = 10.0 * i if i != 4 else 10_000.0  # day 4 is corrupted
+            rows.append((i, v, dt.date(1970, 1, 1 + i), "x"))
+        return spark_.createDataFrame(
+            rows,
+            "o_orderkey long, o_totalprice double, o_orderdate date, o_orderpriority string",
+        )
+
+    monkeypatch.setattr(dr, "load_table", fake_load)
+    row = dr.theil_sen_trend(spark, "x").collect()[0]
+    assert row.n_pairs == 36
+    assert row.slope_cents_per_day == 1000.0  # 10 dollars = 1000 cents/day

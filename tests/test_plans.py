@@ -490,6 +490,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # 1-row (Nt, Nr) token-mass totals crossed onto the
         # ≤256-row bucket-stats frame before the broadcast join
         "dsir_importance_weights",
+        # calendar² pair join: the day frame is bounded by the
+        # CALENDAR (≈2.4k rows at any SF), so days² is scale-free
+        "theil_sen_trend",
         # 1-row order-count total onto the <=max-lines histogram
         "basket_lines_histogram",
         "anova_weekday_revenue",
