@@ -493,6 +493,11 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # calendar² pair join: the day frame is bounded by the
         # CALENDAR (≈2.4k rows at any SF), so days² is scale-free
         "theil_sen_trend",
+        # 9-row decile / 1-row quartile / 4-row coverage-target
+        # frames crossed onto grid-sized rollups
+        "quantile_treatment_effect",
+        "sax_revenue_motifs",
+        "vocab_coverage_curve",
         # 1-row order-count total onto the <=max-lines histogram
         "basket_lines_histogram",
         "anova_weekday_revenue",
