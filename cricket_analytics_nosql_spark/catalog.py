@@ -115,6 +115,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "sax_revenue_motifs",
     "vocab_coverage_curve",
     "theil_sen_trend",
+    "conformal_forecast_interval",
+    "pmi_top_pairs",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

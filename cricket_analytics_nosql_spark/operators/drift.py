@@ -1844,6 +1844,129 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Conformal forecast intervals — distribution-free calibration
+# ---------------------------------------------------------------------------
+
+CONFORMAL_ALPHA_PCT = 10  # 90% target coverage
+
+
+def conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive
+    forecast (``forecast_backtest_naive``'s model): calibrate the
+    interval half-width q̂ on the FIRST half of the series as the
+    ceil((n+1)(1−α))-th smallest absolute residual, then report the
+    realized coverage of ŷ ± q̂ on the held-out second half — the
+    distribution-free guarantee (Vovk; Angelopoulos & Bates) that
+    ships with any production forecaster regardless of how naive
+    the point model is.
+
+    Exactness: residuals are integer dollars; the calibration rank
+    is the type-1 pick against an all-integer ceil'd threshold
+    ((n+1)·(100−α) + 99) div 100; realized coverage is one count
+    ratio. Plan: the calendar-sized day rollup under one lag
+    window; split by day rank (deterministic, no randomness);
+    the 1-row q̂ frame broadcasts onto the eval half."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(epoch_day("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint) div 100")
+            ).alias("y")
+        )
+    )
+    w = Window.orderBy("day")
+    whole = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    resid = (
+        daily.withColumn("yhat", F.lag("y", 7).over(w))
+        .filter(F.col("yhat").isNotNull())
+        .select(
+            "day",
+            F.abs(F.col("y") - F.col("yhat")).alias("r"),
+            F.row_number().over(w).alias("t"),
+            F.count(F.lit(1)).over(whole).alias("n"),
+        )
+    )
+    cal = resid.filter(F.col("t") * 2 <= F.col("n"))
+    ev = resid.filter(F.col("t") * 2 > F.col("n"))
+    wr = Window.orderBy("r", "day")
+    cal_ranked = cal.select(
+        "r",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(whole).alias("n_cal"),
+    )
+    qhat = cal_ranked.groupBy().agg(
+        F.max("n_cal").alias("n_cal"),
+        F.min(
+            F.when(
+                F.col("rk")
+                >= F.expr(
+                    f"((n_cal + 1) * (100 - {CONFORMAL_ALPHA_PCT}) + 99) div 100"
+                ),
+                F.col("r"),
+            )
+        ).alias("q_hat"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(qhat))
+        .groupBy("n_cal", "q_hat")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(flag(F.col("r") <= F.col("q_hat"))).alias("n_covered"),
+        )
+        .select(
+            "n_cal",
+            F.col("q_hat").alias("q_hat_dollars"),
+            "n_eval",
+            F.col("n_covered").cast("long").alias("n_covered"),
+            F.round(
+                F.col("n_covered").cast("double")
+                / F.col("n_eval").cast("double"),
+                6,
+            ).alias("realized_coverage"),
+        )
+    )
+
+
+ORACLE_CONFORMAL = f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100)
+              AS BIGINT) AS y
+  FROM orders GROUP BY day
+), resid AS (
+  SELECT day, ABS(y - LAG(y, 7) OVER (ORDER BY day)) AS r,
+         ROW_NUMBER() OVER (ORDER BY day) - 7 AS t,
+         COUNT(*) OVER () - 7 AS n
+  FROM daily
+  QUALIFY LAG(y, 7) OVER (ORDER BY day) IS NOT NULL
+), cal_ranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, day) AS rk,
+         COUNT(*) OVER () AS n_cal
+  FROM resid WHERE t * 2 <= n
+), qhat AS (
+  SELECT CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+         MIN(CASE WHEN rk >= ((n_cal + 1) * (100 - {CONFORMAL_ALPHA_PCT})
+                              + 99) // 100
+                  THEN r END) AS q_hat
+  FROM cal_ranked
+)
+SELECT n_cal, q_hat AS q_hat_dollars,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN r <= q_hat THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_covered,
+       ROUND(CAST(SUM(CASE WHEN r <= q_hat THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS realized_coverage
+FROM resid CROSS JOIN qhat
+WHERE t * 2 > n
+GROUP BY n_cal, q_hat
+"""
+
+
+# ---------------------------------------------------------------------------
 # Theil-Sen trend — the robust slope estimator
 # ---------------------------------------------------------------------------
 
@@ -1983,6 +2106,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "theil_sen_trend": QuerySpec(
         theil_sen_trend, ORACLE_THEIL_SEN, ["A4", "J3", "§2.8", "X-ts"]
+    ),
+    "conformal_forecast_interval": QuerySpec(
+        conformal_forecast_interval,
+        ORACLE_CONFORMAL,
+        ["A4", "§2.8", "X-ts", "X-curation"],
     ),
     "spearman_price_qty": QuerySpec(
         spearman_price_qty, ORACLE_SPEARMAN, ["A1", "A4", "J1", "X-curation"]

@@ -1390,6 +1390,107 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# PMI collocations — word-association mining
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+
+
+def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-word collocations by pointwise mutual
+    information, PMI(w1,w2) = ln(c₁₂·T / (c₁·c₂)) — the classic
+    association score (Church & Hanks) behind phrase detection and
+    multi-word tokenizer merges; bigram frequency alone ranks
+    stopword pairs first, PMI ranks the pairs that co-occur far
+    above chance. Pairs below {PMI_MIN_COUNT} occurrences are cut
+    (PMI's known low-count instability).
+
+    Cross-engine determinism: one ln of an integer-exact ratio
+    (c₁₂·T and c₁·c₂ both ≪ 2⁵³), rounded to integer micro-nats —
+    the lm_surprisal discipline — so ordering and the displayed
+    score carry no float-merge wobble. Plan: the bigram stream
+    shuffles once per count table (all map-side-combined,
+    vocabulary²-bounded outputs); two token-key joins bring the
+    unigram masses back; top-20 via TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ").alias("w")
+    )
+    bi = docs.select(
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("w"), i + 1).alias("w1"),
+                        F.element_at(F.col("w"), i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    total = bi.agg(F.count(F.lit(1)).alias("t"))
+    pmi_e6 = F.round(
+        F.log(
+            (F.col("c12") * F.col("t")).cast("double")
+            / (F.col("c1") * F.col("c2")).cast("double")
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    return (
+        c12.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (pmi_e6.cast("double") / 1e6).alias("pmi_nats"),
+        )
+        .orderBy(
+            F.desc(F.round(F.col("pmi_nats") * 1e6, 0).cast("long")),
+            F.asc("w1"),
+            F.asc("w2"),
+        )
+        .limit(20)
+    )
+
+
+ORACLE_PMI = f"""
+WITH docs AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+), bi AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM docs, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+  WHERE len(w) >= 2
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1
+), c2 AS (
+  SELECT w2, COUNT(*) AS c2 FROM bi GROUP BY w2
+), total AS (
+  SELECT COUNT(*) AS t FROM bi
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       CAST(ROUND(ln(CAST(c12 * t AS DOUBLE)
+                     / CAST(c1 * c2 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+         / 1000000.0 AS pmi_nats
+FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN total
+WHERE c12 >= {PMI_MIN_COUNT}
+ORDER BY CAST(ROUND(ln(CAST(c12 * t AS DOUBLE)
+                       / CAST(c1 * c2 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+         DESC, w1 ASC, w2 ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary coverage curve — the tokenizer-sizing readout
 # ---------------------------------------------------------------------------
 
@@ -1522,6 +1623,9 @@ QUERIES: dict[str, QuerySpec] = {
         vocab_coverage_curve,
         ORACLE_VOCAB_COVERAGE,
         ["X-text", "X-training", "A1", "§2.8"],
+    ),
+    "pmi_top_pairs": QuerySpec(
+        pmi_top_pairs, ORACLE_PMI, ["X-text", "A1", "J1", "T1"]
     ),
     "bm25_search": QuerySpec(
         bm25_search, ORACLE_BM25_SEARCH, ["X-text", "A1", "J1", "T1"]

