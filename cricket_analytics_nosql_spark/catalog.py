@@ -117,6 +117,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "theil_sen_trend",
     "conformal_forecast_interval",
     "pmi_top_pairs",
+    "mmr_diverse_topk",
+    "roc_auc_langid",
+    "calibration_bins_langid",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -1701,7 +1701,174 @@ ORDER BY bin
 """
 
 
+# ---------------------------------------------------------------------------
+# MMR — maximal-marginal-relevance diverse top-k (Carbonell & Goldstein '98)
+# ---------------------------------------------------------------------------
+
+MMR_QUERY_ID = 0  # the demo query vector
+MMR_POOL = 12  # relevance-ranked candidate pool fed to the greedy pass
+MMR_K = 5  # diverse results returned
+MMR_LAMBDA = 0.7  # relevance weight
+# the diversity weight is pinned as its OWN literal, not computed as
+# 1-λ: double(1.0-0.7) = 0.30000000000000004 is one ulp above the
+# double the oracle's literal 0.3 parses to, which flips round-at-6
+# digits on half-way marginals
+MMR_MU = 0.3
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval — the re-rank step RAG/context
+    selectors run after ANN: greedy MMR over a relevance-ranked
+    candidate pool, picking at each step argmax λ·cos(q,d) −
+    (1−λ)·max_{s∈picked} cos(d,s) (ties by vec_id). Returns the K
+    picks with their relevance and the marginal score each won on.
+
+    Scale posture: the corpus is touched ONCE — the relevance scan
+    against the broadcast 1-row query (the ann_brute_force plan) —
+    and TakeOrderedAndProject bounds it to the MMR_POOL-row
+    candidate frame. Everything after (pairwise cosines, K greedy
+    rounds of score/argmax/anti-join) runs on that ≤12-row frame:
+    pool² pairs and K chained one-row limits are metadata-sized by
+    construction, the same contract as the IVF centroid table. The
+    greedy loop is inherently sequential (each pick changes the
+    penalty term) — pushing it onto the bounded pool is exactly how
+    production rerankers keep MMR out of the corpus-sized path.
+
+    Oracle: the greedy recurrence unrolled to K chained CTEs (the
+    curriculum_order / pagerank oracle technique) over the same
+    rounded-at-6 cosines, so the whole greedy trajectory — not just
+    the final set — is hash-checked against DuckDB."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "vn", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("v").alias("q"), F.col("vn").alias("qn")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    cand = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            "vn",
+            F.round(dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6).alias(
+                "rel"
+            ),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("av"), F.col("vn").alias("an")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("bv"), F.col("vn").alias("bn")
+    )
+    # pool² off-diagonal pairs (≤132 rows) — symmetric so each greedy
+    # round's penalty lookup is one equi-join on the candidate id
+    pairs = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6
+            ).alias("pcos"),
+        )
+    )
+    slim = cand.select("vec_id", "rel")
+    lam, mu = F.lit(MMR_LAMBDA), F.lit(MMR_MU)
+    sel = (
+        slim.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).alias("pos"),
+            "vec_id",
+            "rel",
+            (F.round(lam * F.col("rel"), 6) + F.lit(0.0)).alias("mmr"),
+        )
+    )
+    rem = slim.join(sel.select("vec_id"), "vec_id", "left_anti")
+    for pos in range(2, MMR_K + 1):
+        scored = (
+            rem.join(pairs, rem["vec_id"] == pairs["a"])
+            .join(
+                sel.select(F.col("vec_id").alias("s_id")),
+                F.col("b") == F.col("s_id"),
+            )
+            .groupBy("vec_id", "rel")
+            .agg(F.max("pcos").alias("maxsim"))
+            .select(
+                "vec_id",
+                "rel",
+                (
+                    F.round(lam * F.col("rel") - mu * F.col("maxsim"), 6)
+                    + F.lit(0.0)
+                ).alias("mmr"),
+            )
+        )
+        win = (
+            scored.orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .select(F.lit(pos).alias("pos"), "vec_id", "rel", "mmr")
+        )
+        sel = sel.unionByName(win)
+        rem = rem.join(win.select("vec_id"), "vec_id", "left_anti")
+    return sel.orderBy("pos")
+
+
+def _mmr_oracle() -> str:
+    lam, mu = MMR_LAMBDA, MMR_MU
+    steps = []
+    picked = "SELECT vec_id FROM s1"
+    for pos in range(2, MMR_K + 1):
+        steps.append(
+            f"""r{pos} AS (
+  SELECT c.vec_id, c.rel,
+         ROUND({lam} * c.rel - {mu} * MAX(p.pcos), 6) + 0.0 AS mmr
+  FROM cand c JOIN pair p ON p.a = c.vec_id
+  WHERE p.b IN ({picked}) AND c.vec_id NOT IN ({picked})
+  GROUP BY c.vec_id, c.rel
+), s{pos} AS (
+  SELECT {pos} AS pos, vec_id, rel, mmr FROM r{pos}
+  ORDER BY mmr DESC, vec_id ASC LIMIT 1
+)"""
+        )
+        picked += f" UNION ALL SELECT vec_id FROM s{pos}"
+    union = "\nUNION ALL\n".join(f"SELECT * FROM s{i}" for i in range(1, MMR_K + 1))
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS vn
+  FROM embeddings
+), q AS (
+  SELECT v AS qv, vn AS qn FROM emb WHERE vec_id = {MMR_QUERY_ID}
+), cand AS (
+  SELECT vec_id, v, vn,
+         ROUND(list_inner_product(qv, v) / (qn * vn), 6) AS rel
+  FROM emb, q
+  WHERE vec_id >= {N_QUERIES}
+  ORDER BY rel DESC, vec_id ASC LIMIT {MMR_POOL}
+), pair AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         ROUND(list_inner_product(x.v, y.v) / (x.vn * y.vn), 6) AS pcos
+  FROM cand x JOIN cand y ON x.vec_id <> y.vec_id
+), s1 AS (
+  SELECT 1 AS pos, vec_id, rel, ROUND({lam} * rel, 6) + 0.0 AS mmr
+  FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+), {", ".join(steps)}
+SELECT pos, vec_id, rel, mmr FROM ({union})
+ORDER BY pos
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mmr_diverse_topk": QuerySpec(
+        mmr_diverse_topk,
+        _mmr_oracle(),
+        ["X-sim", "X-curation", "T1"],
+    ),
     "embedding_norm_stats": QuerySpec(
         embedding_norm_stats,
         ORACLE_EMBEDDING_NORM_STATS,

@@ -1600,7 +1600,195 @@ ORDER BY coverage_pct
 """
 
 
+# ---------------------------------------------------------------------------
+# Classifier-eval readouts: ROC-AUC + calibration of the langid scorer
+# ---------------------------------------------------------------------------
+
+# Stopword hit-rate in integer MICRO-UNITS — the langid heuristic's
+# underlying continuous score, used below as a binary classifier for
+# lang='en'. Micro-units keep every grouping key and cumulative sum
+# exact BIGINT arithmetic; floats appear only in final one-shot
+# divisions (identical expression trees on both engines).
+def _langid_score_u() -> Column:
+    w = tokens_col(F.col("text"))
+    ratio = (
+        F.size(F.filter(w, lambda t: t.isin(STOPWORDS))).cast("double")
+        / F.size(w)
+    )
+    return F.round(ratio * 1e6).cast("long")
+
+
+_LANGID_SCORE_U_SQL = f"""CAST(ROUND(CAST(len(list_filter(string_split(text, ' '),
+        t -> t IN ('{_STOP_SQL}'))) AS DOUBLE)
+      / len(string_split(text, ' ')) * 1e6) AS BIGINT)"""
+
+
+def roc_auc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC of the stopword-density language
+    scorer against the labeled lang='en' — the Mann-Whitney identity
+    AUC = P(s⁺>s⁻) + ½P(s⁺=s⁻), evaluated WITHOUT a global per-row
+    rank: group rows to the distinct-score rollup (score_u →
+    n_pos/n_neg), then one ordered window over that rollup
+    accumulates the negatives seen below each score. The numerator
+    is kept ×2 so it stays pure BIGINT (ties contribute half-pairs);
+    the single double division at the end is the only float op.
+
+    Scale posture: one corpus scan → map-combined groupBy on the
+    bounded score key (≤1e6 distinct micro-unit values, data-
+    independent); the window and the 1-row totals cross run on that
+    rollup, never on rows. The distributed-AUC shape production eval
+    harnesses use, with exact rather than binned ties."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per_score = (
+        docs.select(
+            _langid_score_u().alias("score_u"),
+            (F.col("lang") == "en").cast("long").alias("is_pos"),
+        )
+        .groupBy("score_u")
+        .agg(
+            F.sum("is_pos").alias("np"),
+            F.sum(F.lit(1) - F.col("is_pos")).alias("nn"),
+        )
+    )
+    w = Window.orderBy("score_u").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    contrib = per_score.select(
+        "np",
+        "nn",
+        (F.sum("nn").over(w) - F.col("nn")).alias("nn_below"),
+    ).select(
+        "np",
+        "nn",
+        (
+            F.lit(2) * F.col("np") * F.col("nn_below")
+            + F.col("np") * F.col("nn")
+        ).alias("num2"),
+    )
+    return contrib.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+        (
+            F.round(
+                F.sum("num2").cast("double")
+                / (F.lit(2.0) * F.sum("np") * F.sum("nn")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("auc"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        "auc",
+        (F.round(F.lit(2.0) * F.col("auc") - F.lit(1.0), 6) + F.lit(0.0)).alias(
+            "gini"
+        ),
+    )
+
+
+ORACLE_ROC_AUC_LANGID = f"""
+WITH scored AS (
+  SELECT {_LANGID_SCORE_U_SQL} AS score_u,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+  FROM documents
+), per_score AS (
+  SELECT score_u,
+         CAST(SUM(is_pos) AS BIGINT) AS np,
+         CAST(SUM(1 - is_pos) AS BIGINT) AS nn
+  FROM scored GROUP BY score_u
+), contrib AS (
+  SELECT np, nn,
+         SUM(nn) OVER (ORDER BY score_u
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - nn AS nn_below
+  FROM per_score
+), agg AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(nn) AS BIGINT) AS n_neg,
+         COUNT(*) AS n_scores,
+         ROUND(CAST(SUM(2 * np * nn_below + np * nn) AS DOUBLE)
+               / (2.0 * SUM(np) * SUM(nn)), 6) + 0.0 AS auc
+  FROM contrib
+)
+SELECT n_pos, n_neg, n_scores, auc,
+       ROUND(2.0 * auc - 1.0, 6) + 0.0 AS gini
+FROM agg
+"""
+
+CALIB_BIN_U = 20_000  # 0.02-wide score bins in micro-units
+
+
+def calibration_bins_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the same scorer: fixed-width score
+    bins → observed positive rate vs mean score per bin (the
+    calibration readout next to roc_auc_langid's discrimination
+    readout). Integer micro-unit bin keys and sums; two exact double
+    divisions at the end. One scan, one bounded-key groupBy —
+    nothing beyond the AUC plan's posture."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per_bin = (
+        docs.select(
+            _langid_score_u().alias("score_u"),
+            (F.col("lang") == "en").cast("long").alias("is_pos"),
+        )
+        .groupBy(
+            (F.floor(F.col("score_u") / CALIB_BIN_U)).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_pos").alias("n_pos"),
+            F.sum("score_u").alias("sum_u"),
+        )
+    )
+    return per_bin.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        (
+            F.round(F.col("n_pos").cast("double") / F.col("n_docs"), 6)
+            + F.lit(0.0)
+        ).alias("pos_rate"),
+        (
+            F.round(
+                F.col("sum_u").cast("double") / (F.col("n_docs") * F.lit(1e6)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("avg_score"),
+    ).orderBy("bin")
+
+
+ORACLE_CALIBRATION_BINS = f"""
+WITH scored AS (
+  SELECT {_LANGID_SCORE_U_SQL} AS score_u,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+  FROM documents
+), per_bin AS (
+  SELECT CAST(FLOOR(score_u / {CALIB_BIN_U}) AS BIGINT) AS bin,
+         COUNT(*) AS n_docs,
+         CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+         CAST(SUM(score_u) AS BIGINT) AS sum_u
+  FROM scored GROUP BY 1
+)
+SELECT bin, n_docs, n_pos,
+       ROUND(CAST(n_pos AS DOUBLE) / n_docs, 6) + 0.0 AS pos_rate,
+       ROUND(CAST(sum_u AS DOUBLE) / (n_docs * 1e6), 6) + 0.0 AS avg_score
+FROM per_bin
+ORDER BY bin
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "roc_auc_langid": QuerySpec(
+        roc_auc_langid, ORACLE_ROC_AUC_LANGID, ["X-text", "X-curation", "A4"]
+    ),
+    "calibration_bins_langid": QuerySpec(
+        calibration_bins_langid,
+        ORACLE_CALIBRATION_BINS,
+        ["X-text", "X-curation", "A1"],
+    ),
     "ngram_index_search": QuerySpec(
         ngram_index_search,
         ORACLE_NGRAM_INDEX_SEARCH,

@@ -421,3 +421,126 @@ def test_hard_negative_roles_match_labels(spark, sf_small):
     for r in hard_negative_mining(spark, sf_small).collect():
         same = labels[r.vec_id] == labels[r.q_id]
         assert same == (r.role == "pos"), r
+
+
+def test_mmr_diversifies_and_respects_pool(spark, sf_small):
+    """MMR contract: (a) the K picks come from the relevance-ranked
+    pool, (b) pick 1 IS the top-relevance candidate, (c) from pick 2
+    on, the marginal score is λ·rel − (1−λ)·max-sim-to-picked, so a
+    later pick may out-rank a higher-relevance candidate — the
+    diversity trade the operator exists to make."""
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        mmr_diverse_topk,
+    )
+
+    import numpy as np
+
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        MMR_MU,
+        MMR_POOL,
+        MMR_QUERY_ID,
+        N_QUERIES,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = mmr_diverse_topk(spark, sf_small).collect()
+    assert [r.pos for r in rows] == list(range(1, MMR_K + 1))
+    assert len({r.vec_id for r in rows}) == MMR_K
+    # pick 1 is pure relevance: its marginal is λ·rel exactly
+    assert abs(rows[0].mmr - round(MMR_LAMBDA * rows[0].rel, 6)) < 1e-9
+
+    # replay the whole greedy trajectory in numpy from raw vectors
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_small, "embeddings").collect()
+    }
+    q = vecs[MMR_QUERY_ID]
+
+    def dot_ltr(a, b):
+        # left-to-right fold — the accumulation order BOTH engines
+        # use (Spark F.aggregate, DuckDB list_inner_product); numpy's
+        # pairwise summation differs in the last ulp, which flips
+        # round-at-6 digits
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    import math
+
+    def cos(a, b):
+        return round(
+            dot_ltr(a, b) / (math.sqrt(dot_ltr(a, a)) * math.sqrt(dot_ltr(b, b))),
+            6,
+        )
+
+    rel = {
+        i: cos(q, v) for i, v in vecs.items() if i >= N_QUERIES
+    }
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_POOL]
+    picked, expect = [], []
+    for pos in range(1, MMR_K + 1):
+        best = None
+        for c in pool:
+            if c in picked:
+                continue
+            if picked:
+                pen = max(cos(vecs[c], vecs[s]) for s in picked)
+                m = round(MMR_LAMBDA * rel[c] - MMR_MU * pen, 6)
+            else:
+                m = round(MMR_LAMBDA * rel[c], 6)
+            if best is None or (-m, c) < (-best[1], best[0]):
+                best = (c, m)
+        picked.append(best[0])
+        expect.append((pos, best[0], rel[best[0]], best[1]))
+    got = [(r.pos, r.vec_id, r.rel, r.mmr) for r in rows]
+    # picks and relevances exact; the marginal may differ by one
+    # 6th-decimal digit on half-way doubles (Python round() is
+    # correct-rounding half-even, Spark/DuckDB ROUND is
+    # shortest-repr HALF_UP — the ENGINES agree with each other,
+    # which is what the parity suite pins)
+    assert [g[:3] for g in got] == [e[:3] for e in expect], (got, expect)
+    for g, e in zip(got, expect):
+        assert abs(g[3] - e[3]) <= 1.5e-6, (g, e)
+
+
+def test_roc_auc_bounds_and_hand_check(spark, sf_small):
+    """AUC ∈ [0,1], gini = 2·AUC−1, and the rollup-based rank-sum
+    formula agrees with a direct O(P·N) pair count recomputed in
+    Python from the same micro-unit scores."""
+    from cricket_analytics_nosql_spark.operators.text import roc_auc_langid
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    row = roc_auc_langid(spark, sf_small).collect()[0]
+    assert 0.0 <= row.auc <= 1.0
+    assert abs(row.gini - round(2 * row.auc - 1, 6)) < 1e-9
+
+    docs = load_table(spark, sf_small, "documents").select(
+        F.round(
+            F.size(
+                F.filter(
+                    F.split("text", " "),
+                    lambda t: t.isin(
+                        "the a of and to in is on for it".split()
+                    ),
+                )
+            ).cast("double")
+            / F.size(F.split("text", " "))
+            * 1e6
+        )
+        .cast("long")
+        .alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    pts = [(r.s, r.y) for r in docs.collect()]
+    pos = [s for s, y in pts if y == 1]
+    neg = [s for s, y in pts if y == 0]
+    num2 = sum(
+        2 * (p > n) + (p == n) for p in pos for n in neg
+    )
+    expect = round(num2 / (2.0 * len(pos) * len(neg)), 6)
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert abs(row.auc - expect) < 1e-9

@@ -508,6 +508,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # per-table 1-row (before, deleted) count pairs crossed into
         # the 4-row audit
         "forget_users_cascade",
+        # 1-row query broadcast onto the relevance scan + pool²
+        # candidate pairs (≤12 rows by construction)
+        "mmr_diverse_topk",
     }
     offenders = []
     for name, spec in all_queries().items():
