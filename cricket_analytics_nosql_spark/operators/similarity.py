@@ -1757,6 +1757,12 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(MMR_POOL)
+        # the pool is referenced by every greedy round (pairs, sel,
+        # rem all derive from it) — without this cut each round's
+        # limit/anti-join re-derives the CORPUS relevance scan from
+        # lineage (measured: 42 stages, read 5× write at sf0.1).
+        # One corpus scan total; 12 rows pinned.
+        .localCheckpoint()
     )
     a = cand.select(
         F.col("vec_id").alias("a"), F.col("v").alias("av"), F.col("vn").alias("an")
