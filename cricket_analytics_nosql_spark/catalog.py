@@ -120,6 +120,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "mmr_diverse_topk",
     "roc_auc_langid",
     "calibration_bins_langid",
+    "pca_top_component",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

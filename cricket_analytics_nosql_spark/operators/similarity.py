@@ -1702,6 +1702,234 @@ ORDER BY bin
 
 
 # ---------------------------------------------------------------------------
+# Distributed PCA — top principal component by power iteration
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 12  # fixed rounds ⇒ the result is a pure function of the matrix
+
+
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud — the spectral
+    step distributed PCA/whitening pipelines run on top of the
+    covariance aggregation: power iteration v ← normalize(C·v),
+    ``PCA_ITERS`` fixed rounds, reporting each dimension's loading
+    and the component's explained-variance ratio (Rayleigh quotient
+    over the trace). The anisotropy readout next to
+    ``embedding_collapse_audit``: evr → 1 means the space collapsed
+    onto one axis.
+
+    Scale posture: the DATA is touched exactly once — the same
+    in-scan upper-triangle expansion as ``embedding_covariance_topk``
+    (pure codegen, partial agg collapses every task to ≤ d² cells
+    before the exchange). The full d×d matrix (4096 doubles, exact
+    integer numerators n·S_ij − S_i·S_j) then assembles into ONE ROW
+    of array columns, and all 12 iterations run as per-row fold
+    expressions inside that row — no distributed float sum anywhere,
+    so there is no accumulation-order wobble to tolerate: every
+    mat-vec is the fixed left-to-right ``dot`` fold both engines
+    share. At 100 TB the iteration cost is invariant; only the one
+    scan grows.
+
+    Oracle: the recurrence unrolled to 12 materialized CTE pairs
+    (mat-vec, then normalize), list_inner_product mirroring the
+    fold; sign canonicalized on both sides by flipping when
+    Σ loadings < 0."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * COV_SCALE + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    idx = F.sequence(F.lit(1), F.lit(COV_DIMS))
+    # upper triangle INCLUDING the diagonal (trace lives there)
+    pairs = emb.select(
+        q.alias("q"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(COV_DIMS)),
+                        lambda j: F.struct(i.alias("i"), j.alias("j")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.i").alias("i"),
+        F.col("p.j").alias("j"),
+        (
+            F.element_at("q", F.col("p.i")) * F.element_at("q", F.col("p.j"))
+        ).alias("xy"),
+    )
+    second = pairs.groupBy("i", "j").agg(F.sum("xy").alias("s_ij"))
+    firsts = (
+        emb.select(F.posexplode(q).alias("i", "x"))
+        .withColumn("i", F.col("i") + 1)
+        .groupBy("i")
+        .agg(F.sum("x").alias("s_i"))
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    upper = (
+        second.join(
+            F.broadcast(firsts.withColumnRenamed("i", "d")),
+            F.col("i") == F.col("d"),
+        )
+        .drop("d")
+        .withColumnRenamed("s_i", "si")
+        .join(
+            F.broadcast(
+                firsts.withColumnRenamed("i", "d").withColumnRenamed(
+                    "s_i", "sj"
+                )
+            ),
+            F.col("j") == F.col("d"),
+        )
+        .drop("d")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("s_ij") - F.col("si") * F.col("sj"))
+            .cast("double")
+            .alias("c"),
+        )
+    )
+    cells = upper.unionByName(
+        upper.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    )
+    rows = cells.groupBy("i").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "c"))),
+            lambda x: x["c"],
+        ).alias("row")
+    )
+    base = rows.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "row"))),
+            lambda x: x["row"],
+        ).alias("m")
+    )
+    ones = F.array(*[F.lit(1.0)] * COV_DIMS)
+
+    def matvec(vv: Column) -> Column:
+        return F.transform(F.col("m"), lambda r: dot(r, vv))
+
+    # the 12 rounds as ONE array fold: a Python loop of chained
+    # Column expressions grows the tree ~4× per round (the norm
+    # references the mat-vec twice) — 4¹² nodes OOM'd the driver at
+    # plan build. The fold body is written ONCE; re-evaluating the
+    # mat-vec 3× per round at runtime is ~10⁶ multiplies on the
+    # 1-row frame
+    v_fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(PCA_ITERS)),
+        ones,
+        lambda acc, _: F.transform(
+            matvec(acc),
+            lambda x: x / F.sqrt(dot(matvec(acc), matvec(acc))),
+        ),
+    )
+    # materialize the fold ONCE: higher-order functions evaluate
+    # interpreted, and every downstream per-element lambda that
+    # closed over the raw fold expression re-ran all 12 rounds per
+    # element (64×) — minutes of interpreter time on one row
+    iterated = base.select("m", v_fold.alias("v")).localCheckpoint()
+    # canonical sign: Σ loadings ≥ 0 (same flip in the oracle)
+    vc = F.when(
+        dot(F.col("v"), ones) < 0,
+        F.transform(F.col("v"), lambda x: -x),
+    ).otherwise(F.col("v"))
+    canon = iterated.select("m", vc.alias("v")).localCheckpoint()
+    v = F.col("v")
+    mv_f = F.transform(F.col("m"), lambda r: dot(r, v))
+    lam = dot(v, mv_f)
+    diag = F.transform(idx, lambda i: F.element_at(F.element_at("m", i), i))
+    final = canon.select(
+        F.posexplode(v).alias("dim0", "ld"),
+        (F.round(lam / dot(diag, ones), 6) + F.lit(0.0)).alias("evr"),
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        (F.round(F.col("ld"), 6) + F.lit(0.0)).alias("loading"),
+        "evr",
+    )
+    return final.orderBy("dim")
+
+
+def _pca_oracle() -> str:
+    its = []
+    vprev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        its.append(
+            f"""it{k} AS MATERIALIZED (
+  SELECT m, list_transform(m, r -> list_inner_product(r, {vprev})) AS mv
+  FROM {"base" if k == 1 else f"n{k - 1}"}
+), n{k} AS MATERIALIZED (
+  SELECT m,
+         list_transform(mv, x -> x / sqrt(list_inner_product(mv, mv))) AS v{k}
+  FROM it{k}
+)"""
+        )
+        vprev = f"v{k}"
+    d = COV_DIMS
+    ones = "[" + ", ".join(["1.0"] * d) + "]"
+    return f"""
+WITH q AS (
+  SELECT [CAST(FLOOR(CAST(x AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT)
+          FOR x IN embedding] AS q
+  FROM embeddings
+), second AS (
+  SELECT i, j, SUM(q[i] * q[j]) AS s_ij
+  FROM q, range(1, {d + 1}) t1(i), range(1, {d + 1}) t2(j)
+  WHERE j >= i
+  GROUP BY i, j
+), firsts AS (
+  SELECT i, SUM(q[i]) AS s_i
+  FROM q, range(1, {d + 1}) t(i)
+  GROUP BY i
+), nn AS (
+  SELECT COUNT(*) AS n FROM q
+), upper_c AS (
+  SELECT second.i AS i, second.j AS j,
+         CAST(nn.n * second.s_ij - fi.s_i * fj.s_i AS DOUBLE) AS c
+  FROM second
+  JOIN firsts fi ON fi.i = second.i
+  JOIN firsts fj ON fj.i = second.j
+  CROSS JOIN nn
+), cells AS (
+  SELECT i, j, c FROM upper_c
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM upper_c WHERE i < j
+), mat_rows AS (
+  SELECT i, list(c ORDER BY j) AS r FROM cells GROUP BY i
+), base AS MATERIALIZED (
+  SELECT list(r ORDER BY i) AS m, {ones} AS v0 FROM mat_rows
+), {", ".join(its)},
+canon AS (
+  SELECT m,
+         CASE WHEN list_inner_product(v{PCA_ITERS}, {ones}) < 0
+              THEN list_transform(v{PCA_ITERS}, x -> -x)
+              ELSE v{PCA_ITERS} END AS v
+  FROM n{PCA_ITERS}
+), scored AS (
+  SELECT v,
+         list_inner_product(
+           v, list_transform(m, r -> list_inner_product(r, v))) AS lam,
+         list_inner_product(
+           list_transform(range(1, {d + 1}), i -> m[i][i]), {ones}) AS tr
+  FROM canon
+)
+SELECT CAST(t.i AS BIGINT) AS dim,
+       ROUND(v[t.i], 6) + 0.0 AS loading,
+       ROUND(lam / tr, 6) + 0.0 AS evr
+FROM scored, range(1, {d + 1}) t(i)
+ORDER BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
 # MMR — maximal-marginal-relevance diverse top-k (Carbonell & Goldstein '98)
 # ---------------------------------------------------------------------------
 
@@ -1874,6 +2102,11 @@ QUERIES: dict[str, QuerySpec] = {
         mmr_diverse_topk,
         _mmr_oracle(),
         ["X-sim", "X-curation", "T1"],
+    ),
+    "pca_top_component": QuerySpec(
+        pca_top_component,
+        _pca_oracle(),
+        ["X-sim", "X-training", "A1"],
     ),
     "embedding_norm_stats": QuerySpec(
         embedding_norm_stats,

@@ -544,3 +544,48 @@ def test_roc_auc_bounds_and_hand_check(spark, sf_small):
     expect = round(num2 / (2.0 * len(pos) * len(neg)), 6)
     assert row.n_pos == len(pos) and row.n_neg == len(neg)
     assert abs(row.auc - expect) < 1e-9
+
+
+def test_pca_replays_power_iteration_and_bounds(spark, sf_small):
+    """Independent replay: rebuild the integer covariance matrix in
+    numpy from the same micro-unit quantization, run the same 12
+    normalized power-iteration rounds, and require the loadings to
+    agree to ~1e-5 (numpy matvecs use pairwise summation, so exact
+    bit equality is the ORACLE's job, not this replay's). Also: the
+    loading vector is unit-norm and evr ∈ (0, 1] and is bounded by
+    numpy's true top eigenvalue share."""
+    import numpy as np
+
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        COV_SCALE,
+        PCA_ITERS,
+        pca_top_component,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = pca_top_component(spark, sf_small).collect()
+    assert [r.dim for r in rows] == list(range(1, 65))
+    v_got = np.array([r.loading for r in rows])
+    evr = rows[0].evr
+    assert abs(np.linalg.norm(v_got) - 1.0) < 1e-4
+    assert 0.0 < evr <= 1.0
+
+    emb = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, sf_small, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    q = np.floor(emb * COV_SCALE + 0.5)
+    n = q.shape[0]
+    c = n * (q.T @ q) - np.outer(q.sum(axis=0), q.sum(axis=0))
+    v = np.ones(64)
+    for _ in range(PCA_ITERS):
+        mv = c @ v
+        v = mv / np.linalg.norm(mv)
+    if v.sum() < 0:
+        v = -v
+    assert np.abs(v - v_got).max() < 1e-5, np.abs(v - v_got).max()
+    top_share = np.linalg.eigvalsh(c)[-1] / np.trace(c)
+    assert evr <= top_share + 1e-6

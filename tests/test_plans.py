@@ -511,6 +511,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # 1-row query broadcast onto the relevance scan + pool²
         # candidate pairs (≤12 rows by construction)
         "mmr_diverse_topk",
+        # 1-row count crossed onto the d² covariance cell frame
+        # (the embedding_covariance_topk shape)
+        "pca_top_component",
     }
     offenders = []
     for name, spec in all_queries().items():
