@@ -121,6 +121,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "roc_auc_langid",
     "calibration_bins_langid",
     "pca_top_component",
+    "ann_ndcg_audit",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

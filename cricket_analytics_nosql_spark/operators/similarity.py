@@ -26,6 +26,7 @@ against brute force).
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 
@@ -1421,6 +1422,108 @@ ORDER BY m.method
 """
 
 
+# NDCG floors: measured bands at sf0.001/0.01/0.1 sit well above
+# (see tests/test_llm_ops.py probe); same comfortable-margin
+# discipline as RECALL_FLOORS
+NDCG_FLOORS = {"ivf": 0.25, "ivf_kmeans": 0.55, "lsh": 0.35}
+
+# IDCG@k is a mathematical constant of k alone: Σᵢ (k+1−i)/log₂(i+1),
+# i = 1..k. Computed ONCE in Python and inlined as the same literal
+# into the Spark plan and the oracle — a row-aggregated recompute
+# would hang cross-engine equality on float accumulation order and
+# libm log2 ulps for zero verification value.
+_IDCG_K = sum(
+    (TOP_K + 1 - i) / math.log2(i + 1) for i in range(1, TOP_K + 1)
+)
+
+
+def ann_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of each approximate-ANN path against the exact
+    brute-force ranking — the POSITION-aware quality readout next to
+    ``ann_recall_audit``'s set-overlap recall: recall treats rank 1
+    and rank k the same, NDCG discounts by log₂(position), so a
+    method that returns the right set in the wrong order scores
+    lower. Graded relevance of a retrieved item = k+1 − its exact
+    rank (0 if outside the exact top-k); IDCG is the closed-form
+    constant Σᵢ (k+1−i)/log₂(i+1).
+
+    Oracle pattern: the recall-audit dual — the approximate sides
+    are hash-seeded (no DuckDB twin), so the driver-checked columns
+    are the exact-side stats (n_exact_pairs, the IDCG constant
+    recomputed by DuckDB) and a per-method mean-NDCG-above-floor
+    flag. Every frame is (queries × k)-sized; the exact arm is the
+    one corpus scan."""
+    exact = ann_brute_force(spark, sf_dir).select(
+        "q_id", "vec_id", (F.lit(TOP_K + 1) - F.col("rank")).alias("rel")
+    )
+    exact = exact.localCheckpoint()  # four consumers below
+    idcg = _IDCG_K
+    flag_frames = []
+    for method, fn in (
+        ("ivf", ann_ivf_neighbors),
+        ("ivf_kmeans", ann_ivf_kmeans_neighbors),
+        ("lsh", ann_lsh_neighbors),
+    ):
+        approx = fn(spark, sf_dir).select("q_id", "vec_id", "rank")
+        gains = approx.join(exact, ["q_id", "vec_id"], "left").select(
+            "q_id",
+            (
+                F.coalesce(F.col("rel"), F.lit(0)).cast("double")
+                / F.log2(F.col("rank") + 1)
+            ).alias("g"),
+        )
+        per_q = gains.groupBy("q_id").agg((F.sum("g") / idcg).alias("ndcg"))
+        flag_frames.append(
+            per_q.agg(
+                (F.avg("ndcg") >= F.lit(NDCG_FLOORS[method])).alias("ndcg_ok")
+            ).select(F.lit(method).alias("method"), "ndcg_ok")
+        )
+    flags = functools.reduce(lambda a, b: a.unionByName(b), flag_frames)
+    n_exact = exact.groupBy().agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    return (
+        flags.crossJoin(F.broadcast(n_exact))
+        .select(
+            "method",
+            "n_exact_pairs",
+            # same pre-rounded Python literal the oracle inlines —
+            # F.round on the raw double is HALF_UP on the shortest
+            # repr, Python round() is correct half-even: round ONCE,
+            # in one place
+            (F.lit(round(idcg, 6)) + F.lit(0.0)).alias("idcg_k"),
+            "ndcg_ok",
+        )
+        .orderBy("method")
+    )
+
+
+ORACLE_ANN_NDCG_AUDIT = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, e.vec_id,
+         ROUND(list_inner_product(qv, v)
+               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6)
+           AS cos
+  FROM q, emb e
+  WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+), topk AS (
+  SELECT * FROM ranked WHERE rank <= {TOP_K}
+), stats AS (
+  SELECT COUNT(*) AS n_exact_pairs FROM topk
+)
+SELECT m.method, s.n_exact_pairs,
+       CAST({{idcg}} AS DOUBLE) AS idcg_k, TRUE AS ndcg_ok
+FROM (VALUES ('ivf'), ('ivf_kmeans'), ('lsh')) AS m(method), stats s
+ORDER BY m.method
+""".format(idcg=round(_IDCG_K, 6))
+
+
 # ---------------------------------------------------------------------------
 # Gram matrix / covariance — the one-pass outer-product aggregation
 # ---------------------------------------------------------------------------
@@ -2143,6 +2246,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_lsh": QuerySpec(ann_lsh, ORACLE_ANN_METHOD_AUDIT, ["X-sim", "A1"]),
     "ann_pq": QuerySpec(ann_pq, ORACLE_ANN_METHOD_AUDIT, ["X-sim", "A1"]),
+    "ann_ndcg_audit": QuerySpec(
+        ann_ndcg_audit, ORACLE_ANN_NDCG_AUDIT, ["X-sim", "A1"]
+    ),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, ORACLE_DEDUP_EMBEDDING, ["X-dedup", "X-sim"]
     ),

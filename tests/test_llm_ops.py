@@ -589,3 +589,59 @@ def test_pca_replays_power_iteration_and_bounds(spark, sf_small):
     assert np.abs(v - v_got).max() < 1e-5, np.abs(v - v_got).max()
     top_share = np.linalg.eigvalsh(c)[-1] / np.trace(c)
     assert evr <= top_share + 1e-6
+
+
+def test_ndcg_audit_position_sensitivity(spark, sf_small):
+    """NDCG must be position-aware: a replay that reverses each
+    method's returned order scores strictly lower whenever the
+    method's ranking carries any exact-order information — and the
+    audit's own floors hold with margin (the floors are the driver
+    contract; this pins the measured band above them)."""
+    import pyspark.sql.functions as F
+
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        _IDCG_K,
+        NDCG_FLOORS,
+        TOP_K,
+        ann_brute_force,
+        ann_ivf_kmeans_neighbors,
+        ann_ndcg_audit,
+    )
+
+    rows = ann_ndcg_audit(spark, sf_small).collect()
+    assert [r.method for r in rows] == ["ivf", "ivf_kmeans", "lsh"]
+    assert all(r.ndcg_ok for r in rows)
+    assert rows[0].idcg_k == round(_IDCG_K, 6)
+
+    exact = (
+        ann_brute_force(spark, sf_small)
+        .select(
+            "q_id", "vec_id", (F.lit(TOP_K + 1) - F.col("rank")).alias("rel")
+        )
+        .localCheckpoint()
+    )
+
+    def mean_ndcg(approx):
+        g = approx.join(exact, ["q_id", "vec_id"], "left").select(
+            "q_id",
+            (
+                F.coalesce(F.col("rel"), F.lit(0)).cast("double")
+                / F.log2(F.col("rank") + 1)
+            ).alias("g"),
+        )
+        return (
+            g.groupBy("q_id")
+            .agg((F.sum("g") / _IDCG_K).alias("n"))
+            .agg(F.avg("n"))
+            .collect()[0][0]
+        )
+
+    best = ann_ivf_kmeans_neighbors(spark, sf_small).select(
+        "q_id", "vec_id", "rank"
+    )
+    fwd = mean_ndcg(best)
+    rev = mean_ndcg(
+        best.withColumn("rank", F.lit(TOP_K + 1) - F.col("rank"))
+    )
+    assert fwd > rev, (fwd, rev)  # right set, wrong order → lower score
+    assert fwd >= NDCG_FLOORS["ivf_kmeans"] + 0.1  # margin over the floor

@@ -514,6 +514,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # 1-row count crossed onto the d² covariance cell frame
         # (the embedding_covariance_topk shape)
         "pca_top_component",
+        # recall-audit shape: brute-force query-set broadcast + the
+        # 3-row flags × 1-row exact-stats cross
+        "ann_ndcg_audit",
     }
     offenders = []
     for name, spec in all_queries().items():
