@@ -122,6 +122,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "calibration_bins_langid",
     "pca_top_component",
     "ann_ndcg_audit",
+    "cov_state_merge_audit",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

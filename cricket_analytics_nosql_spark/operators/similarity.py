@@ -1805,6 +1805,155 @@ ORDER BY bin
 
 
 # ---------------------------------------------------------------------------
+# Mergeable covariance state — the continuous-aggregate contract for
+# second-order feature statistics
+# ---------------------------------------------------------------------------
+
+
+def cov_state_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance from MERGED partial states: the corpus splits into
+    two ingest batches (vec_id parity — stand-in for daily deltas),
+    each batch reduces to its own (n, Σxᵢ, Σxᵢxⱼ) sufficient
+    statistics, and the top-10 covariance cells are computed from
+    the SUM of those states — the batches are never rescanned
+    together. This is the ``incremental_rollup``/``hll_rollup``
+    contract lifted to second-order statistics: running feature-
+    covariance (whitening stats, drift baselines) over a growing
+    corpus must come from state merge, not full-history rescans.
+
+    Exactness is the point: micro-unit quantization makes every
+    sufficient statistic a BIGINT, so state merge is exact integer
+    addition and the merged result is BIT-IDENTICAL to a from-
+    scratch computation — proven cross-engine, because the DuckDB
+    oracle computes the covariance DIRECTLY from one full scan and
+    never sees the partial states. Plan: one scan, per-batch partial
+    agg collapses each task to ≤ 2·d² cells, merge is a d²-key
+    groupBy on the state frame."""
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * COV_SCALE + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    part = (F.col("vec_id") % 2).alias("part")
+    idx = F.sequence(F.lit(1), F.lit(COV_DIMS - 1))
+    pairs = emb.select(
+        part,
+        q.alias("q"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.lit(COV_DIMS)),
+                        lambda j: F.struct(i.alias("i"), j.alias("j")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select(
+        "part",
+        F.col("p.i").alias("i"),
+        F.col("p.j").alias("j"),
+        (
+            F.element_at("q", F.col("p.i")) * F.element_at("q", F.col("p.j"))
+        ).alias("xy"),
+    )
+    # per-batch sufficient statistics — what a real pipeline persists
+    second_st = pairs.groupBy("part", "i", "j").agg(F.sum("xy").alias("s_ij"))
+    firsts_st = (
+        emb.select(part, F.posexplode(q).alias("i", "x"))
+        .withColumn("i", F.col("i") + 1)
+        .groupBy("part", "i")
+        .agg(F.sum("x").alias("s_i"))
+    )
+    n_st = emb.groupBy(part).agg(F.count(F.lit(1)).alias("n"))
+    # merge: exact integer addition over the state frames only
+    second = second_st.groupBy("i", "j").agg(F.sum("s_ij").alias("s_ij"))
+    firsts = firsts_st.groupBy("i").agg(F.sum("s_i").alias("s_i"))
+    n_parts = n_st.agg(
+        F.sum("n").alias("n"),
+        F.count(F.lit(1)).alias("n_batches"),
+        F.min("n").alias("n_min_batch"),
+    )
+    merged = (
+        second.join(
+            F.broadcast(firsts.withColumnRenamed("i", "d")),
+            F.col("i") == F.col("d"),
+        )
+        .drop("d")
+        .withColumnRenamed("s_i", "si")
+        .join(
+            F.broadcast(
+                firsts.withColumnRenamed("i", "d").withColumnRenamed(
+                    "s_i", "sj"
+                )
+            ),
+            F.col("j") == F.col("d"),
+        )
+        .drop("d")
+        .crossJoin(F.broadcast(n_parts))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("s_ij") - F.col("si") * F.col("sj")).alias(
+                "cov_num"
+            ),
+            "n_batches",
+            "n_min_batch",
+        )
+    )
+    return (
+        merged.orderBy(
+            F.abs(F.col("cov_num")).desc(), F.asc("i"), F.asc("j")
+        )
+        .limit(10)
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "cov_num",
+            "n_batches",
+            "n_min_batch",
+        )
+    )
+
+
+ORACLE_COV_STATE_MERGE = f"""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(FLOOR(CAST(x AS DOUBLE) * {COV_SCALE} + 0.5) AS BIGINT)
+          FOR x IN embedding] AS q
+  FROM embeddings
+), second AS (
+  SELECT i, j, SUM(q[i] * q[j]) AS s_ij
+  FROM q, range(1, {COV_DIMS + 1}) t1(i), range(1, {COV_DIMS + 1}) t2(j)
+  WHERE j > i
+  GROUP BY i, j
+), firsts AS (
+  SELECT i, SUM(q[i]) AS s_i
+  FROM q, range(1, {COV_DIMS + 1}) t(i)
+  GROUP BY i
+), nn AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         COUNT(*) AS n_batches,
+         MIN(cnt) AS n_min_batch
+  FROM (SELECT vec_id % 2 AS p, COUNT(*) AS cnt FROM q GROUP BY 1) b
+)
+SELECT CAST(second.i AS BIGINT) AS i, CAST(second.j AS BIGINT) AS j,
+       CAST(nn.n * second.s_ij - fi.s_i * fj.s_i AS BIGINT) AS cov_num,
+       CAST(nn.n_batches AS BIGINT) AS n_batches,
+       CAST(nn.n_min_batch AS BIGINT) AS n_min_batch
+FROM second
+JOIN firsts fi ON fi.i = second.i
+JOIN firsts fj ON fj.i = second.j
+CROSS JOIN nn
+ORDER BY ABS(nn.n * second.s_ij - fi.s_i * fj.s_i) DESC, i ASC, j ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed PCA — top principal component by power iteration
 # ---------------------------------------------------------------------------
 
@@ -2248,6 +2397,11 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_pq": QuerySpec(ann_pq, ORACLE_ANN_METHOD_AUDIT, ["X-sim", "A1"]),
     "ann_ndcg_audit": QuerySpec(
         ann_ndcg_audit, ORACLE_ANN_NDCG_AUDIT, ["X-sim", "A1"]
+    ),
+    "cov_state_merge_audit": QuerySpec(
+        cov_state_merge_audit,
+        ORACLE_COV_STATE_MERGE,
+        ["X-sim", "X-training", "A1"],
     ),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, ORACLE_DEDUP_EMBEDDING, ["X-dedup", "X-sim"]

@@ -645,3 +645,28 @@ def test_ndcg_audit_position_sensitivity(spark, sf_small):
     )
     assert fwd > rev, (fwd, rev)  # right set, wrong order → lower score
     assert fwd >= NDCG_FLOORS["ivf_kmeans"] + 0.1  # margin over the floor
+
+
+def test_cov_state_merge_equals_direct(spark, sf_small):
+    """The mergeability contract, asserted in-engine: covariance
+    cells computed from the two per-batch sufficient-statistic
+    states must be BIT-identical to embedding_covariance_topk's
+    direct single-pass computation (same integer numerators), and
+    the audit columns must report the real batch split."""
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        cov_state_merge_audit,
+        embedding_covariance_topk,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    merged = cov_state_merge_audit(spark, sf_small).collect()
+    direct = {
+        (r.i, r.j): r.cov_num
+        for r in embedding_covariance_topk(spark, sf_small).collect()
+    }
+    assert len(merged) == 10
+    for r in merged:
+        assert direct[(r.i, r.j)] == r.cov_num, (r, direct[(r.i, r.j)])
+    n = load_table(spark, sf_small, "embeddings").count()
+    assert merged[0].n_batches == 2
+    assert merged[0].n_min_batch == n // 2

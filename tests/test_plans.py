@@ -517,6 +517,8 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # recall-audit shape: brute-force query-set broadcast + the
         # 3-row flags × 1-row exact-stats cross
         "ann_ndcg_audit",
+        # 1-row merged-totals frame crossed onto the d² state cells
+        "cov_state_merge_audit",
     }
     offenders = []
     for name, spec in all_queries().items():
