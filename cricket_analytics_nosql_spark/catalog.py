@@ -123,6 +123,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "pca_top_component",
     "ann_ndcg_audit",
     "cov_state_merge_audit",
+    "dedup_substring_spans",
+    "leakage_safe_split",
+    "logreg_quality_train",
+    "k_anonymity_audit",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

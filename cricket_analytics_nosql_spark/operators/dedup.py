@@ -1160,7 +1160,100 @@ ORDER BY i.source
 """
 
 
+# ---------------------------------------------------------------------------
+# 9. Exact duplicated-substring spans (suffix-array dedup, Spark-shaped)
+# ---------------------------------------------------------------------------
+
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") removes exact substrings of >= 50 tokens that appear more
+# than once in the corpus, found with a single-node suffix array.  A
+# suffix array does not distribute; the Spark-native reformulation is
+# fixed-width shingle hashing: every W-token window becomes one hash,
+# a duplicated substring of length >= W is exactly a run of duplicated
+# W-shingles, and "which spans repeat" reduces to a hash groupBy with
+# map-side combine.  The shuffle carries (hash, counts) only — never
+# text — so the exchange is vocabulary-of-shingles sized, not corpus
+# sized, and each reducer key is independent (no global suffix order).
+SUBSTR_SPAN_W = 8  # tokens per shingle (the paper's 50 at real scale)
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-span audit: of all distinct W-token
+    spans a source's documents contain, how many also occur in at
+    least one OTHER document (any source)?  ``occ`` is distinct
+    (doc_id, span-hash); nd_src = docs of this source containing the
+    span, nd = docs anywhere — a span is "duplicated" when nd >= 2.
+    md5 keeps the hash oracle-matching; production would swap in
+    ``xxhash64`` (8-byte keys, same plan)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    occ = (
+        docs.filter(F.size("w") >= SUBSTR_SPAN_W)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {SUBSTR_SPAN_W - 1}),"
+                    f" i -> md5(array_join(slice(w, i, {SUBSTR_SPAN_W}), ' ')))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    per_hs = occ.groupBy("h", "source").agg(F.count(F.lit(1)).alias("nd_src"))
+    # doc_id is unique across sources, so global doc count per span is
+    # the sum of the per-source counts — no second pass over ``occ``.
+    per_h = per_hs.groupBy("h").agg(F.sum("nd_src").alias("nd"))
+    return (
+        per_hs.join(per_h, "h")
+        .groupBy("source")
+        .agg(
+            F.sum("nd_src").alias("n_spans"),
+            F.sum(
+                F.when(F.col("nd") >= 2, F.col("nd_src")).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SUBSTRING_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), occ AS (
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(w[i:i + {SUBSTR_SPAN_W - 1}], ' ')) AS h
+  FROM toks, UNNEST(range(1, len(w) - {SUBSTR_SPAN_W - 2})) AS t(i)
+  WHERE len(w) >= {SUBSTR_SPAN_W}
+), per_hs AS (
+  SELECT h, source, COUNT(*) AS nd_src FROM occ GROUP BY h, source
+), per_h AS (
+  SELECT h, SUM(nd_src) AS nd FROM per_hs GROUP BY h
+)
+SELECT s.source,
+       CAST(SUM(s.nd_src) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN p.nd >= 2 THEN s.nd_src ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       ROUND(CAST(SUM(CASE WHEN p.nd >= 2 THEN s.nd_src ELSE 0 END) AS DOUBLE)
+             / SUM(s.nd_src), 6) AS dup_ratio
+FROM per_hs s JOIN per_h p USING (h)
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_substring_spans": QuerySpec(
+        dedup_substring_spans,
+        ORACLE_SUBSTRING_SPANS,
+        ["X-dedup", "A1", "F2"],
+    ),
     "incremental_dedup_ingest": QuerySpec(
         incremental_dedup_ingest,
         ORACLE_INCREMENTAL_DEDUP,

@@ -445,7 +445,75 @@ ORDER BY segment
 """
 
 
+# --------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+
+K_ANON_K = 5
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release gate: treating (nationkey, mktsegment,
+    acctbal-band) as the quasi-identifier tuple, report per segment
+    how many QI groups fall below k=5 members and what fraction of
+    rows would need suppression before the table is k-anonymous.
+    Two rollups — QI-group sized then segment sized — so the only
+    exchange carries group keys and counts; the companion release
+    path is ``dp_noisy_segment_counts`` (suppress, then add noise)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bal_band"),
+    )
+    groups = cust.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        groups.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("n") < K_ANON_K).cast("long")).alias("n_unsafe_groups"),
+            F.sum("n").alias("n_rows"),
+            F.sum(F.when(F.col("n") < K_ANON_K, F.col("n")).otherwise(F.lit(0)))
+            .alias("n_rows_at_risk"),
+        )
+        .withColumn(
+            "suppression_rate",
+            F.round(F.col("n_rows_at_risk") / F.col("n_rows"), 6),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_K_ANONYMITY = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         COUNT(*) AS n
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n < {K_ANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unsafe_groups,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n < {K_ANON_K} THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       ROUND(CAST(SUM(CASE WHEN n < {K_ANON_K} THEN n ELSE 0 END) AS DOUBLE)
+             / SUM(n), 6) AS suppression_rate
+FROM g
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "k_anonymity_audit": QuerySpec(
+        k_anonymity_audit,
+        ORACLE_K_ANONYMITY,
+        ["A1", "A3", "X-curation"],
+    ),
     "dp_noisy_segment_counts": QuerySpec(
         dp_noisy_segment_counts,
         ORACLE_DP_NOISY_COUNTS,

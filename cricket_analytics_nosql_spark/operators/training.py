@@ -806,7 +806,188 @@ ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Leakage-safe split: duplicate clusters route to ONE split as a unit
+# --------------------------------------------------------------------------
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment keyed off the DUPLICATE CLUSTER, not the
+    document: all copies of the same content (md5 cluster) land in
+    the same train/val/test bucket, so an eval example can never be
+    a byte-copy of a training example.  The audit column
+    ``n_leaky_naive`` counts, per split, the clusters that a naive
+    per-doc_id routing would have smeared across >1 split — the
+    contamination this operator exists to prevent.  One (h) shuffle
+    builds the clusters; the split rollup is 3 rows.  At 100 TB the
+    same plan keys off near-dup cluster ids (dedup_clusters) instead
+    of exact hashes — identical shape, one extra join."""
+    from cricket_analytics_nosql_spark.functions.scalar import md5_u32
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.pmod(md5_u32(F.col("doc_id"), salt="split#"), F.lit(10)).alias("nb"),
+    )
+    clusters = docs.groupBy("h").agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("nb").alias("n_naive"),
+    )
+    b = F.pmod(md5_u32(F.col("rep"), salt="split#"), F.lit(10))
+    split = (
+        F.when(b < 8, F.lit("train")).when(b < 9, F.lit("val")).otherwise(
+            F.lit("test")
+        )
+    )
+    return (
+        clusters.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("n_docs").alias("n_docs"),
+            (F.sum("n_docs") - F.count(F.lit(1))).alias("n_dup_docs"),
+            F.sum((F.col("n_naive") > 1).cast("long")).alias("n_leaky_naive"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_LEAKAGE_SAFE_SPLIT = """
+WITH d AS (
+  SELECT doc_id, md5(text) AS h,
+         CAST(('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10 AS nb
+  FROM documents
+), c AS (
+  SELECT h, MIN(doc_id) AS rep, COUNT(*) AS n_docs,
+         COUNT(DISTINCT nb) AS n_naive
+  FROM d GROUP BY h
+), s AS (
+  SELECT c.*,
+         CAST(('0x' || substr(md5('split#' || CAST(rep AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10 AS b
+  FROM c
+)
+SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaky_naive
+FROM s
+GROUP BY 1
+ORDER BY split
+"""
+
+
+# --------------------------------------------------------------------------
+# Distributed full-batch logistic regression (quality classifier)
+# --------------------------------------------------------------------------
+
+LOGREG_ITERS = 3
+LOGREG_LR = 1.0
+
+
+def logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a tiny quality/language classifier (is this doc English?)
+    by FULL-BATCH gradient descent executed as Spark aggregates: each
+    iteration is ONE map-combined pass computing the 3-component
+    gradient (intercept + 2 features); only O(d) scalars ever reach
+    the driver, so the pattern scales to any corpus size — this is
+    the allreduce step of distributed training expressed as a
+    DataFrame agg (same piggyback discipline as pagerank's dangling
+    mass, operators/graph.py).  Deterministic: fixed zero init, fixed
+    LR, fixed iteration count; features are pure column arithmetic.
+    Returns per-iteration rows: pre-update loss + post-update
+    weights, rounded for cross-engine FP stability."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / 500.0).alias("x1"),
+        (F.size(F.split("text", " ")) / 100.0).alias("x2"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+    b = w1 = w2 = 0.0
+    rows = []
+    for it in range(1, LOGREG_ITERS + 1):
+        z = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = docs.agg(
+            F.avg(p - F.col("y")).alias("gb"),
+            F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
+            F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
+            F.avg(
+                -F.col("y") * F.log(p)
+                - (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+            ).alias("loss"),
+        ).collect()[0]
+        rows.append((it, float(r["loss"]), b, w1, w2))
+        b -= LOGREG_LR * r["gb"]
+        w1 -= LOGREG_LR * r["g1"]
+        w2 -= LOGREG_LR * r["g2"]
+        b, w1, w2 = float(b), float(w1), float(w2)
+    out = spark.createDataFrame(
+        rows, "iter int, loss double, b double, w1 double, w2 double"
+    )
+    return out.select(
+        "iter",
+        F.round("loss", 6).alias("loss"),
+        F.round("b", 6).alias("b"),
+        F.round("w1", 6).alias("w1"),
+        F.round("w2", 6).alias("w2"),
+    ).orderBy("iter")
+
+
+def _logreg_oracle() -> str:
+    """Unroll the GD recurrence as CTEs: weights are 1-row relations
+    cross-joined into the next gradient pass — the same unrolling
+    idiom as the PageRank oracle (operators/graph.py)."""
+    feats = """
+f AS (
+  SELECT CAST(n_chars AS DOUBLE) / 500.0 AS x1,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+)"""
+    ctes = [feats.strip(), "it0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)"]
+    for i in range(1, LOGREG_ITERS + 1):
+        ctes.append(
+            f"""g{i} AS (
+  SELECT AVG(p - y) AS gb, AVG((p - y) * x1) AS g1,
+         AVG((p - y) * x2) AS g2,
+         AVG(-y * ln(p) - (1.0 - y) * ln(1.0 - p)) AS loss,
+         ANY_VALUE(b) AS b, ANY_VALUE(w1) AS w1, ANY_VALUE(w2) AS w2
+  FROM (SELECT f.*, w.b, w.w1, w.w2,
+               1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2))) AS p
+        FROM f CROSS JOIN it{i - 1} w)
+)""".strip()
+        )
+        ctes.append(
+            f"it{i} AS (SELECT b - {LOGREG_LR} * gb AS b,"
+            f" w1 - {LOGREG_LR} * g1 AS w1,"
+            f" w2 - {LOGREG_LR} * g2 AS w2 FROM g{i})"
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS iter, ROUND(loss, 6) AS loss, ROUND(b, 6) AS b,"
+        f" ROUND(w1, 6) AS w1, ROUND(w2, 6) AS w2 FROM g{i}"
+        for i in range(1, LOGREG_ITERS + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n" + selects
+        + "\n) ORDER BY iter"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "leakage_safe_split": QuerySpec(
+        leakage_safe_split,
+        ORACLE_LEAKAGE_SAFE_SPLIT,
+        ["X-training", "X-dedup", "A9"],
+    ),
+    "logreg_quality_train": QuerySpec(
+        logreg_quality_train,
+        _logreg_oracle(),
+        ["X-training", "X-curation", "A4"],
+    ),
     "jsonl_export_roundtrip": QuerySpec(
         jsonl_export_roundtrip,
         ORACLE_JSONL_ROUNDTRIP,

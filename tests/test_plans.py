@@ -231,6 +231,10 @@ def test_no_driver_side_data_paths():
         # O(1) argmax pair per BPE merge iteration (becomes a plan
         # literal) — never data rows
         ("operators/bpe.py", ".first()"),
+        # O(d)-scalar gradient vector per logreg GD iteration (3
+        # doubles, becomes next iteration's plan literals) — the
+        # allreduce step of distributed training, never data rows
+        ("operators/training.py", ".collect()"),
     }
     bad = []
     for sub in ("operators", "plans", "streaming", "functions", "sources"):
