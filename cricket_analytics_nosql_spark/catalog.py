@@ -127,6 +127,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "leakage_safe_split",
     "logreg_quality_train",
     "k_anonymity_audit",
+    "ols_price_model",
+    "skipgram_pairs",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -1371,7 +1371,152 @@ ORDER BY balance_c DESC, n_name ASC
 """
 
 
+# --------------------------------------------------------------------------
+# Distributed OLS via exact integer normal equations (one pass + solve)
+# --------------------------------------------------------------------------
+
+def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary least squares (price ~ quantity + discount) the way
+    it must run at 100 TB: ONE map-combined aggregate collects the
+    nine sufficient statistics of the normal equations, the 3×3
+    solve is pure scalar arithmetic on that single row (Cramer's
+    rule) — the data is touched once and no per-row residual pass
+    exists.  Every moment is an EXACT integer (cents / milli-units;
+    the y·y and x·y moments ride decimal(38,0) so no scale factor
+    can overflow or wobble), so Spark and DuckDB hand the solve
+    bit-identical inputs and the double arithmetic agrees to the
+    last ulp — same exactness discipline as ``cov_state_merge_audit``
+    (operators/similarity.py).  Output: coefficients (cents),
+    R², n."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 1000, 0).cast("long").alias("d"),
+        cents("l_extendedprice").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("y") * dec("q")).alias("sqy"),
+        F.sum(dec("y") * dec("d")).alias("sdy"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    # scalar solve on the 1-row aggregate: cast exact moments to
+    # double, Cramer's rule written ONCE (texts must match the
+    # oracle so both engines run the same IEEE ops in order)
+    n, sq, sd = "CAST(n AS DOUBLE)", "CAST(sq AS DOUBLE)", "CAST(sd AS DOUBLE)"
+    sqq, sqd, sdd = (
+        "CAST(sqq AS DOUBLE)",
+        "CAST(sqd AS DOUBLE)",
+        "CAST(sdd AS DOUBLE)",
+    )
+    sy, sqy, sdy, syy = (
+        "CAST(sy AS DOUBLE)",
+        "CAST(sqy AS DOUBLE)",
+        "CAST(sdy AS DOUBLE)",
+        "CAST(syy AS DOUBLE)",
+    )
+    det = (
+        f"({n} * ({sqq} * {sdd} - {sqd} * {sqd})"
+        f" - {sq} * ({sq} * {sdd} - {sqd} * {sd})"
+        f" + {sd} * ({sq} * {sqd} - {sqq} * {sd}))"
+    )
+    b0 = (
+        f"(({sy} * ({sqq} * {sdd} - {sqd} * {sqd})"
+        f" - {sq} * ({sqy} * {sdd} - {sqd} * {sdy})"
+        f" + {sd} * ({sqy} * {sqd} - {sqq} * {sdy})) / {det})"
+    )
+    b1 = (
+        f"(({n} * ({sqy} * {sdd} - {sdy} * {sqd})"
+        f" - {sy} * ({sq} * {sdd} - {sqd} * {sd})"
+        f" + {sd} * ({sq} * {sdy} - {sqy} * {sd})) / {det})"
+    )
+    b2 = (
+        f"(({n} * ({sqq} * {sdy} - {sqd} * {sqy})"
+        f" - {sq} * ({sq} * {sdy} - {sqy} * {sd})"
+        f" + {sy} * ({sq} * {sqd} - {sqq} * {sd})) / {det})"
+    )
+    sse = f"({syy} - ({b0} * {sy} + {b1} * {sqy} + {b2} * {sdy}))"
+    sst = f"({syy} - {sy} * {sy} / {n})"
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        f"ROUND({b0}, 6) AS b0_cents",
+        f"ROUND({b1}, 6) AS b1_cents",
+        f"ROUND({b2}, 6) AS b2_cents",
+        f"ROUND(1.0 - {sse} / {sst}, 6) AS r2",
+    )
+
+
+def _ols_oracle() -> str:
+    """Same moment pass (HUGEINT ≙ decimal(38,0): both exact) and the
+    TEXT-IDENTICAL Cramer solve, so the double ops agree per-ulp."""
+    n, sq, sd = "CAST(n AS DOUBLE)", "CAST(sq AS DOUBLE)", "CAST(sd AS DOUBLE)"
+    sqq, sqd, sdd = (
+        "CAST(sqq AS DOUBLE)",
+        "CAST(sqd AS DOUBLE)",
+        "CAST(sdd AS DOUBLE)",
+    )
+    sy, sqy, sdy, syy = (
+        "CAST(sy AS DOUBLE)",
+        "CAST(sqy AS DOUBLE)",
+        "CAST(sdy AS DOUBLE)",
+        "CAST(syy AS DOUBLE)",
+    )
+    det = (
+        f"({n} * ({sqq} * {sdd} - {sqd} * {sqd})"
+        f" - {sq} * ({sq} * {sdd} - {sqd} * {sd})"
+        f" + {sd} * ({sq} * {sqd} - {sqq} * {sd}))"
+    )
+    b0 = (
+        f"(({sy} * ({sqq} * {sdd} - {sqd} * {sqd})"
+        f" - {sq} * ({sqy} * {sdd} - {sqd} * {sdy})"
+        f" + {sd} * ({sqy} * {sqd} - {sqq} * {sdy})) / {det})"
+    )
+    b1 = (
+        f"(({n} * ({sqy} * {sdd} - {sdy} * {sqd})"
+        f" - {sy} * ({sq} * {sdd} - {sqd} * {sd})"
+        f" + {sd} * ({sq} * {sdy} - {sqy} * {sd})) / {det})"
+    )
+    b2 = (
+        f"(({n} * ({sqq} * {sdy} - {sqd} * {sqy})"
+        f" - {sq} * ({sq} * {sdy} - {sqy} * {sd})"
+        f" + {sy} * ({sq} * {sqd} - {sqq} * {sd})) / {det})"
+    )
+    sse = f"({syy} - ({b0} * {sy} + {b1} * {sqy} + {b2} * {sdy}))"
+    sst = f"({syy} - {sy} * {sy} / {n})"
+    return f"""
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(ROUND(l_discount * 1000, 0) AS BIGINT) AS d,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT COUNT(*) AS n, SUM(q) AS sq, SUM(d) AS sd,
+         SUM(q * q) AS sqq, SUM(q * d) AS sqd, SUM(d * d) AS sdd,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(y AS HUGEINT) * q) AS sqy,
+         SUM(CAST(y AS HUGEINT) * d) AS sdy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM li
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND({b0}, 6) AS b0_cents,
+       ROUND({b1}, 6) AS b1_cents,
+       ROUND({b2}, 6) AS b2_cents,
+       ROUND(1.0 - {sse} / {sst}, 6) AS r2
+FROM m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ols_price_model": QuerySpec(
+        ols_price_model, _ols_oracle(), ["A4", "P15", "X-curation"]
+    ),
     "discount_band_elasticity": QuerySpec(
         discount_band_elasticity, ORACLE_DISCOUNT_BAND, ["A1", "P15"]
     ),

@@ -1780,7 +1780,105 @@ ORDER BY bin
 """
 
 
+# --------------------------------------------------------------------------
+# Skip-gram training pairs with word2vec frequency subsampling
+# --------------------------------------------------------------------------
+
+SKIPGRAM_T = 0.001  # word2vec subsample threshold
+SKIPGRAM_TOPK = 30
+
+
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(center, context) skip-gram pair extraction — the word2vec /
+    fastText training-data prep — with Mikolov frequency
+    subsampling: each token occurrence survives iff
+    u < sqrt(t / f(w)), u a deterministic md5-u32 of (doc, pos), so
+    reruns and engines agree occurrence-for-occurrence.  Context
+    windows are taken over the SUBSAMPLED sequence (the word2vec
+    semantics: deletion brings distant words into range), as a
+    per-doc position window — one doc-key exchange, no self-join.
+    The frequency join carries (token → threshold) only; Catalyst
+    broadcasts it at test scale and hash-joins at corpus scale.
+    Output: top pairs by count (forward offsets +1, +2)."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w"),
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("tot"))
+    thresh = freq.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.sqrt(
+            F.lit(SKIPGRAM_T) / (F.col("cnt").cast("double") / F.col("tot"))
+        ).alias("p_keep"),
+    )
+    u = md5_u32(
+        F.concat_ws("#", F.col("doc_id"), F.col("pos")), salt="sg#"
+    ).cast("double") / F.lit(4294967296.0)
+    kept = (
+        toks.join(thresh, "w")
+        .filter(u < F.col("p_keep"))
+        .select("doc_id", "pos", "w")
+    )
+    seq = Window.partitionBy("doc_id").orderBy("pos")
+    ctx = kept.select(
+        F.col("w").alias("w1"),
+        F.lead("w", 1).over(seq).alias("c1"),
+        F.lead("w", 2).over(seq).alias("c2"),
+    )
+    pairs = ctx.select("w1", F.col("c1").alias("w2")).where(
+        F.col("c1").isNotNull()
+    ).unionAll(
+        ctx.select("w1", F.col("c2").alias("w2")).where(F.col("c2").isNotNull())
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "w1", "w2")
+        .limit(SKIPGRAM_TOPK)
+    )
+
+
+ORACLE_SKIPGRAM_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS w
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       UNNEST(range(1, len(w) + 1)) AS t(i)
+), freq AS (
+  SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM freq
+), thresh AS (
+  SELECT w, sqrt({SKIPGRAM_T} / (CAST(cnt AS DOUBLE) / tot)) AS p_keep
+  FROM freq CROSS JOIN tot
+), kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM toks t JOIN thresh h USING (w)
+  WHERE CAST(('0x' || substr(md5('sg#' || CAST(t.doc_id AS VARCHAR) || '#'
+                                 || CAST(t.pos AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 < h.p_keep
+), ctx AS (
+  SELECT w AS w1,
+         LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS c1,
+         LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS c2
+  FROM kept
+), pairs AS (
+  SELECT w1, c1 AS w2 FROM ctx WHERE c1 IS NOT NULL
+  UNION ALL
+  SELECT w1, c2 AS w2 FROM ctx WHERE c2 IS NOT NULL
+)
+SELECT w1, w2, COUNT(*) AS n_pairs
+FROM pairs
+GROUP BY w1, w2
+ORDER BY n_pairs DESC, w1, w2
+LIMIT {SKIPGRAM_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "skipgram_pairs": QuerySpec(
+        skipgram_pairs, ORACLE_SKIPGRAM_PAIRS, ["X-text", "X-training", "F2"]
+    ),
     "roc_auc_langid": QuerySpec(
         roc_auc_langid, ORACLE_ROC_AUC_LANGID, ["X-text", "X-curation", "A4"]
     ),

