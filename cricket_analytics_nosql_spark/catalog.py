@@ -129,6 +129,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "k_anonymity_audit",
     "ols_price_model",
     "skipgram_pairs",
+    "adamic_adar_linkpred",
+    "doremi_mixture_weights",
+    "range_partition_planner",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

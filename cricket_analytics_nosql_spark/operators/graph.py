@@ -2195,7 +2195,75 @@ ORDER BY log2_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over the bipartite trade graph
+# ---------------------------------------------------------------------------
+
+AA_MAX_DEG = 10_000  # hub cut: suppliers above this degree are skipped
+AA_TOPK = 20
+
+
+def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction: which customer pairs SHOULD trade alike?
+    Adamic-Adar score over the bipartite customer-supplier graph —
+    for each candidate pair, Σ 1/ln(deg(s)) over shared suppliers s.
+    Wedges are generated per supplier from the COLLAPSED edge list
+    (trade_edges pre-agg), so a supplier of degree d contributes
+    d(d-1)/2 pairs; the ``AA_MAX_DEG`` hub cut bounds that quadratic
+    at corpus scale (a hub's 1/ln(deg) contribution is asymptotically
+    negligible — the standard mining compromise, applied identically
+    in the oracle so parity is exact).  Ranking sorts the ROUNDED
+    score so cross-engine float ulps cannot reorder the top-k."""
+    e = trade_edges(spark, sf_dir).select(
+        F.col("src").alias("cust"), F.col("dst").alias("supp")
+    )
+    deg = e.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    keyed = e.join(
+        deg.filter((F.col("d") >= 2) & (F.col("d") <= AA_MAX_DEG)), "supp"
+    )
+    a = keyed.select("supp", F.col("cust").alias("c1"), "d")
+    b = keyed.select("supp", F.col("cust").alias("c2"), "d").drop("d")
+    pairs = a.join(b, "supp").filter(F.col("c1") < F.col("c2"))
+    return (
+        pairs.groupBy("c1", "c2")
+        .agg(
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))), 6)
+            .alias("aa_score"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+        .orderBy(F.desc("aa_score"), "c1", "c2")
+        .limit(AA_TOPK)
+    )
+
+
+ORACLE_ADAMIC_ADAR = f"""
+WITH e AS (
+  SELECT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), deg AS (
+  SELECT supp, COUNT(*) AS d FROM e GROUP BY supp
+), keyed AS (
+  SELECT e.supp, e.cust, deg.d
+  FROM e JOIN deg USING (supp)
+  WHERE deg.d BETWEEN 2 AND {AA_MAX_DEG}
+)
+SELECT a.cust AS c1, b.cust AS c2,
+       ROUND(SUM(1.0 / ln(CAST(a.d AS DOUBLE))), 6) AS aa_score,
+       COUNT(*) AS n_shared
+FROM keyed a JOIN keyed b ON a.supp = b.supp AND a.cust < b.cust
+GROUP BY a.cust, b.cust
+ORDER BY aa_score DESC, c1, c2
+LIMIT {AA_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "adamic_adar_linkpred": QuerySpec(
+        adamic_adar_linkpred,
+        ORACLE_ADAMIC_ADAR,
+        ["G1", "G3", "A8", "J3", "T1"],
+    ),
     "degree_distribution": QuerySpec(
         degree_distribution, ORACLE_DEGREE_DISTRIBUTION, ["G1", "G3", "A1"]
     ),

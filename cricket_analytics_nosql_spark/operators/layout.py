@@ -21,7 +21,7 @@ column-store equivalent a Spark user owns explicitly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
@@ -174,8 +174,113 @@ ORDER BY z_block
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact range-partition planner (what RangePartitioner samples for)
+# ---------------------------------------------------------------------------
+
+RANGE_PLAN_PARTS = 32
+RANGE_PLAN_BUCKETS = 4096
+
+
+def range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced range-partition boundaries for writing orders sorted
+    by o_custkey — computed EXACTLY from a fixed-width key histogram
+    instead of the driver-side reservoir sample Spark's
+    RangePartitioner takes.  Key space → ≤4096 equal-width buckets
+    (width from an O(1) min/max probe, same bounded ``.first()``
+    discipline as the Z-order rescale above), so the exchange
+    carries (bucket, count) pairs and the cumulative window runs
+    over a CONSTANT-size frame regardless of corpus size — never
+    over raw keys (a global ordered window on 1e9 distinct keys
+    would serialize in one task).  Each output row is one planned
+    partition: upper-bound key (bucket edge), row count, and skew
+    vs the ideal n/k — the pre-write advisory companion to
+    ``key_skew_profile``."""
+    k = RANGE_PLAN_PARTS
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    lo, hi = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey")
+    ).first()
+    width = max(1, (int(hi) - int(lo) + RANGE_PLAN_BUCKETS) // RANGE_PLAN_BUCKETS)
+    buckets = orders.groupBy(
+        F.expr(f"div(o_custkey - {int(lo)}, {width})").alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("b")
+    cum = buckets.select(
+        "b",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(F.lit(0))).alias("n"),
+    )
+    # partition of the bucket's LAST row: floor((cum*k - 1) / n),
+    # exact integer arithmetic end-to-end
+    pid = F.expr(f"div(cum * {k} - 1, n)")
+    return (
+        cum.withColumn("pid", pid)
+        .groupBy("pid")
+        .agg(
+            (F.max("b") * width + F.lit(int(lo) + width - 1)).alias(
+                "upper_key"
+            ),
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .withColumn(
+            "skew",
+            F.round(
+                F.col("n_rows")
+                / (
+                    F.sum("n_rows").over(Window.partitionBy(F.lit(0)))
+                    / F.lit(float(k))
+                ),
+                6,
+            ),
+        )
+        .orderBy("pid")
+    )
+
+
+def _range_planner_oracle() -> str:
+    k, nb = RANGE_PLAN_PARTS, RANGE_PLAN_BUCKETS
+    return f"""
+WITH bounds AS (
+  SELECT MIN(o_custkey) AS lo,
+         GREATEST(1, (MAX(o_custkey) - MIN(o_custkey) + {nb}) // {nb}) AS w
+  FROM orders
+), buckets AS (
+  SELECT (o_custkey - lo) // w AS b, COUNT(*) AS cnt,
+         ANY_VALUE(lo) AS lo, ANY_VALUE(w) AS w
+  FROM orders CROSS JOIN bounds
+  GROUP BY 1
+), cum AS (
+  SELECT b, cnt, lo, w,
+         SUM(cnt) OVER (ORDER BY b) AS c,
+         SUM(cnt) OVER () AS n
+  FROM buckets
+), pids AS (
+  SELECT b, cnt, lo, w, (c * {k} - 1) // n AS pid FROM cum
+), parts AS (
+  SELECT pid,
+         CAST(MAX(b) * ANY_VALUE(w) + ANY_VALUE(lo) + ANY_VALUE(w) - 1
+              AS BIGINT) AS upper_key,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         COUNT(*) AS n_buckets
+  FROM pids GROUP BY pid
+)
+SELECT CAST(pid AS BIGINT) AS pid, upper_key, n_rows, n_buckets,
+       ROUND(n_rows / (SUM(n_rows) OVER () / {float(k)}), 6) AS skew
+FROM parts
+ORDER BY pid
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "zorder_layout": QuerySpec(
         zorder_layout, ORACLE_ZORDER_LAYOUT, ["S5", "A1", "X-layout"]
+    ),
+    "range_partition_planner": QuerySpec(
+        range_partition_planner,
+        _range_planner_oracle(),
+        ["S5", "A1", "§2.8", "X-layout"],
     ),
 }

@@ -882,6 +882,108 @@ ORDER BY split
 
 
 # --------------------------------------------------------------------------
+# DoReMi-style mixture reweighting (multiplicative weights on rollup)
+# --------------------------------------------------------------------------
+
+DOREMI_ROUNDS = 5
+DOREMI_ETA = 0.5
+
+
+def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting à la DoReMi: upweight sources whose
+    EXCESS loss (per-source surprisal minus the current-mixture mean)
+    is high, via multiplicative weights.  The corpus is touched once
+    to build the per-(source, token) count rollup; the per-source
+    loss is the closed form ln(T) − Σ c_sw·ln(c_w) / n_s over that
+    rollup, ROUNDED to 6 so both engines iterate from identical
+    inputs; all five MW rounds then run on the ≤|sources|-row frame
+    (single-partition window — bounded by the number of corpus
+    domains, not by data volume).  Output: per-source loss, uniform
+    weight, and the converged mixture weight the next training round
+    would sample by (the ``domain_mixture_resample`` input)."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    csw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    cw = csw.groupBy("w").agg(F.sum("c").alias("cw"))
+    tot = cw.agg(F.sum("cw").cast("double").alias("t"))
+    loss = (
+        csw.join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "t")
+        .agg(
+            F.round(
+                F.log("t")
+                - F.sum(F.col("c") * F.log(F.col("cw").cast("double")))
+                / F.sum("c"),
+                6,
+            ).alias("loss6")
+        )
+        .select("source", "loss6")
+    )
+    wall = Window.partitionBy(F.lit(0))
+    cur = loss.withColumn(
+        "wt", F.lit(1.0) / F.count(F.lit(1)).over(wall)
+    ).withColumn("w_uniform", F.round("wt", 6))
+    for _ in range(DOREMI_ROUNDS):
+        mean_loss = F.sum(F.col("wt") * F.col("loss6")).over(wall)
+        cur = (
+            cur.withColumn(
+                "wu",
+                F.col("wt")
+                * F.exp(F.lit(DOREMI_ETA) * (F.col("loss6") - mean_loss)),
+            )
+            .withColumn("wt", F.col("wu") / F.sum("wu").over(wall))
+            .drop("wu")
+        )
+    return cur.select(
+        "source",
+        F.col("loss6").alias("loss"),
+        "w_uniform",
+        F.round("wt", 6).alias("w_final"),
+    ).orderBy("source")
+
+
+def _doremi_oracle() -> str:
+    ctes = [
+        """toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents
+)""",
+        "csw AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2)",
+        "cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM csw GROUP BY w)",
+        "tot AS (SELECT CAST(SUM(cw) AS DOUBLE) AS t FROM cw)",
+        """loss AS (
+  SELECT source,
+         ROUND(ln(t) - SUM(c * ln(CAST(cw AS DOUBLE))) / SUM(c), 6) AS loss6
+  FROM csw JOIN cw USING (w) CROSS JOIN tot GROUP BY source, t
+)""",
+        """r0 AS (
+  SELECT source, loss6,
+         1.0 / (SELECT COUNT(*) FROM loss) AS wt,
+         ROUND(1.0 / (SELECT COUNT(*) FROM loss), 6) AS w_uniform
+  FROM loss
+)""",
+    ]
+    for i in range(1, DOREMI_ROUNDS + 1):
+        ctes.append(
+            f"""u{i} AS (
+  SELECT source, loss6, w_uniform,
+         wt * exp({DOREMI_ETA} * (loss6 - SUM(wt * loss6) OVER ())) AS wu
+  FROM r{i - 1}
+)""".strip()
+        )
+        ctes.append(
+            f"r{i} AS (SELECT source, loss6, w_uniform,"
+            f" wu / SUM(wu) OVER () AS wt FROM u{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT source, loss6 AS loss, w_uniform,"
+        f" ROUND(wt, 6) AS w_final FROM r{DOREMI_ROUNDS} ORDER BY source"
+    )
+
+
+# --------------------------------------------------------------------------
 # Distributed full-batch logistic regression (quality classifier)
 # --------------------------------------------------------------------------
 
@@ -987,6 +1089,11 @@ QUERIES: dict[str, QuerySpec] = {
         logreg_quality_train,
         _logreg_oracle(),
         ["X-training", "X-curation", "A4"],
+    ),
+    "doremi_mixture_weights": QuerySpec(
+        doremi_mixture_weights,
+        _doremi_oracle(),
+        ["X-training", "X-curation", "A1", "§2.8"],
     ),
     "jsonl_export_roundtrip": QuerySpec(
         jsonl_export_roundtrip,

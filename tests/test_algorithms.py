@@ -839,3 +839,66 @@ def test_skipgram_subsample_and_windows(spark, sf_small):
     assert all(r.n_pairs >= 1 for r in a)
     counts = [r.n_pairs for r in a]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_adamic_adar_hand_check(spark, sf_small):
+    """Top pair's AA score must equal the hand-recomputed sum of
+    1/ln(deg) over its shared suppliers."""
+    import math
+
+    from cricket_analytics_nosql_spark.operators.graph import (
+        adamic_adar_linkpred,
+        trade_edges,
+    )
+
+    rows = adamic_adar_linkpred(spark, sf_small).collect()
+    assert rows and all(r.c1 < r.c2 for r in rows)
+    scores = [r.aa_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    e = trade_edges(spark, sf_small).select("src", "dst").collect()
+    nbrs = {}
+    for r in e:
+        nbrs.setdefault(r.dst, set()).add(r.src)
+    top = rows[0]
+    shared = [
+        s
+        for s, custs in nbrs.items()
+        if top.c1 in custs and top.c2 in custs and len(custs) >= 2
+    ]
+    want = sum(1.0 / math.log(len(nbrs[s])) for s in shared)
+    assert top.n_shared == len(shared)
+    assert abs(top.aa_score - round(want, 6)) < 1e-9
+
+
+def test_doremi_upweights_lossiest_source(spark, sf_small):
+    """Multiplicative weights must move mass toward the highest-loss
+    source and keep a valid distribution (sums to 1)."""
+    from cricket_analytics_nosql_spark.operators.training import (
+        doremi_mixture_weights,
+    )
+
+    rows = doremi_mixture_weights(spark, sf_small).collect()
+    assert abs(sum(r.w_final for r in rows) - 1.0) < 1e-4
+    top_loss = max(rows, key=lambda r: r.loss)
+    assert top_loss.w_final > top_loss.w_uniform
+    lo_loss = min(rows, key=lambda r: r.loss)
+    assert lo_loss.w_final < lo_loss.w_uniform
+
+
+def test_range_planner_balances_and_covers(spark, sf_small):
+    """Planned partitions cover every row exactly once, are ordered
+    by key, and no partition exceeds ~2x the ideal share (orders'
+    custkey distribution is near-uniform)."""
+    from cricket_analytics_nosql_spark.operators.layout import (
+        RANGE_PLAN_PARTS,
+        range_partition_planner,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = range_partition_planner(spark, sf_small).collect()
+    n = load_table(spark, sf_small, "orders").count()
+    assert sum(r.n_rows for r in rows) == n
+    assert len(rows) <= RANGE_PLAN_PARTS
+    uppers = [r.upper_key for r in rows]
+    assert uppers == sorted(uppers)
+    assert max(r.skew for r in rows) < 2.0
