@@ -132,6 +132,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "adamic_adar_linkpred",
     "doremi_mixture_weights",
     "range_partition_planner",
+    "quantile_sketch_merge_audit",
+    "lsh_threshold_sweep",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

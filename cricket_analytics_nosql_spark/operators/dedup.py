@@ -548,6 +548,99 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 3a-bis. LSH band-configuration sweep (the recall/cost tuning readout)
+# ---------------------------------------------------------------------------
+
+# (bands, rows) factorizations of the 48-hash signature, steepest to
+# shallowest S-curve, with the empirical recall floor each must clear
+# on this corpus at J >= 0.8 (theory: P(hit) = 1 - (1 - s^r)^b).
+LSH_SWEEP_CONFIGS: tuple[tuple[int, int, float], ...] = (
+    (48, 1, 0.95),
+    (24, 2, 0.95),
+    (16, 3, 0.90),
+    (12, 4, 0.80),
+    (8, 6, 0.60),
+)
+
+
+def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which band/row factorization should a corpus run?  The sweep
+    every LSH deployment does before committing: for each (b, r)
+    split of the 48-hash signature, measure candidate recall against
+    the EXACT Jaccard≥0.8 pair set.  Signatures are computed once and
+    pinned (localCheckpoint) — each config re-bands the cached
+    48-long vectors; candidate generation stays a bucket equi-join
+    throughout (never pair space).  MinHash seeds are xxhash64
+    (Spark-side), so the oracle is the recall-audit dual: it
+    recomputes the exact pair count and asserts the recall flags —
+    the hash goes red iff any config drops below its floor
+    (tests/test_llm_ops.py pins the raw recalls)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = (
+        jaccard_pairs(docs, 0.8).select("d1", "d2").localCheckpoint(eager=False)
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
+    per_config = []
+    for b, r, floor in LSH_SWEEP_CONFIGS:
+        hits = (
+            truth.join(
+                lsh_candidates(sigs, bands=b, rows=r),
+                ["d1", "d2"],
+                "left_semi",
+            ).agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        per_config.append(
+            hits.crossJoin(F.broadcast(n_true)).select(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows"),
+                "n_true_pairs",
+                F.lit(floor).cast("double").alias("recall_floor"),
+                (
+                    F.col("n_hit")
+                    >= F.col("n_true_pairs").cast("double") * F.lit(floor)
+                ).alias("recall_ok"),
+            )
+        )
+    out = per_config[0]
+    for df in per_config[1:]:
+        out = out.unionAll(df)
+    return out.orderBy(F.desc("bands"))
+
+
+def _lsh_sweep_oracle() -> str:
+    rows = ", ".join(
+        f"({b}, {r}, {floor})" for b, r, floor in LSH_SWEEP_CONFIGS
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), truth AS (
+  SELECT d1, d2
+  FROM inter
+  JOIN sizes sa ON d1 = sa.doc_id
+  JOIN sizes sb ON d2 = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+)
+SELECT CAST(bands AS BIGINT) AS bands, CAST(rows AS BIGINT) AS rows,
+       (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+       CAST(recall_floor AS DOUBLE) AS recall_floor,
+       TRUE AS recall_ok
+FROM (VALUES {rows}) AS cfg(bands, rows, recall_floor)
+ORDER BY bands DESC
+"""
+
+
+# ---------------------------------------------------------------------------
 # 3b. Duplicate-cluster resolution (connected components over pairs)
 # ---------------------------------------------------------------------------
 
@@ -1260,6 +1353,9 @@ QUERIES: dict[str, QuerySpec] = {
         ["X-dedup", "X-versioning", "S4", "J6", "A1"],
     ),
     "dedup_exact": QuerySpec(dedup_exact, ORACLE_DEDUP_EXACT, ["X-dedup", "A1"]),
+    "lsh_threshold_sweep": QuerySpec(
+        lsh_threshold_sweep, _lsh_sweep_oracle(), ["X-dedup", "J3", "A3"]
+    ),
     "decontaminate": QuerySpec(
         decontaminate, ORACLE_DECONTAMINATE, ["X-dedup", "X-curation", "J1"]
     ),

@@ -322,7 +322,169 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Mergeable quantile-sketch state (fixed-width histogram, exact merge)
+# ---------------------------------------------------------------------------
+
+QSKETCH_BIN_CENTS = 10_000  # $100-wide bins over order totals
+QSKETCH_BATCHES = 4
+QSKETCH_QS = (0.5, 0.9, 0.99)
+
+
+def quantile_sketch_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate contract for QUANTILES: each ingest
+    batch (orderkey mod 4 — stand-in for daily deltas) reduces to a
+    fixed-width histogram state (bin → count, integer cents), states
+    merge by exact integer addition, and approximate quantiles read
+    off the MERGED histogram — batches are never rescanned together
+    (the ``cov_state_merge_audit`` discipline, first-order edition;
+    a t-digest buys finer tails, a fixed grid buys exact mergeability
+    and cross-engine reproducibility).  Per target quantile: the
+    sketch answer (bin upper edge), the TRUE type-1 quantile
+    recomputed from a full scan, and the relative error — plus a
+    ``merge_matches_direct`` flag proving the merged state is
+    bit-identical to the single-pass histogram.  All windows run
+    over the ≤ value-domain/width bin rollup, never over rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+        (F.col("o_orderkey") % QSKETCH_BATCHES).alias("batch"),
+    )
+    states = o.groupBy(
+        "batch", F.expr(f"div(y, {QSKETCH_BIN_CENTS})").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    merged = states.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    direct = o.groupBy(F.expr(f"div(y, {QSKETCH_BIN_CENTS})").alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt_d")
+    )
+    audit = (
+        merged.join(direct, "bin", "full")
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.coalesce("cnt", F.lit(-1))
+                        != F.coalesce("cnt_d", F.lit(-2))
+                    ).cast("long")
+                )
+                == 0
+            ).alias("merge_matches_direct"),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
+    )
+    wbin = Window.orderBy("bin")
+    cum = merged.select(
+        "bin",
+        F.sum("cnt").over(wbin).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(F.lit(0))).alias("n"),
+    )
+    wval = Window.orderBy("y")
+    vals = (
+        o.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "y",
+            F.sum("c").over(wval).alias("cum"),
+            F.sum("c").over(Window.partitionBy(F.lit(0))).alias("n"),
+        )
+    )
+    qf = spark.createDataFrame([(q,) for q in QSKETCH_QS], "q double")
+    approx = (
+        qf.join(
+            F.broadcast(cum),
+            F.col("cum") >= F.ceil(F.col("q") * F.col("n")),
+        )
+        .groupBy("q")
+        .agg(
+            ((F.min("bin") + 1) * QSKETCH_BIN_CENTS).alias("approx_cents"),
+            F.max("n").alias("n"),
+        )
+    )
+    exact = (
+        qf.join(
+            F.broadcast(vals),
+            F.col("cum") >= F.ceil(F.col("q") * F.col("n")),
+        )
+        .groupBy("q")
+        .agg(F.min("y").alias("exact_cents"))
+    )
+    return (
+        approx.join(exact, "q")
+        .crossJoin(F.broadcast(audit))
+        .select(
+            "q",
+            "n",
+            "exact_cents",
+            "approx_cents",
+            F.round(
+                (F.col("approx_cents") - F.col("exact_cents"))
+                / F.col("exact_cents"),
+                6,
+            ).alias("rel_err"),
+            "n_bins",
+            "merge_matches_direct",
+        )
+        .orderBy("q")
+    )
+
+
+def _qsketch_oracle() -> str:
+    qs = ", ".join(f"({q})" for q in QSKETCH_QS)
+    return f"""
+WITH o AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS y,
+         o_orderkey % {QSKETCH_BATCHES} AS batch
+  FROM orders
+), states AS (
+  SELECT batch, y // {QSKETCH_BIN_CENTS} AS bin, COUNT(*) AS cnt
+  FROM o GROUP BY 1, 2
+), merged AS (
+  SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM states GROUP BY bin
+), direct AS (
+  SELECT y // {QSKETCH_BIN_CENTS} AS bin, COUNT(*) AS cnt_d
+  FROM o GROUP BY 1
+), audit AS (
+  SELECT SUM(CASE WHEN COALESCE(cnt, -1) != COALESCE(cnt_d, -2)
+                  THEN 1 ELSE 0 END) = 0 AS merge_matches_direct,
+         COUNT(*) AS n_bins
+  FROM merged FULL JOIN direct USING (bin)
+), cum AS (
+  SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+  FROM merged
+), vals AS (
+  SELECT y, CAST(SUM(c) OVER (ORDER BY y) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM (SELECT y, COUNT(*) AS c FROM o GROUP BY y)
+), qf AS (
+  SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {qs}) AS t(q)
+), approx AS (
+  SELECT q, CAST((MIN(bin) + 1) * {QSKETCH_BIN_CENTS} AS BIGINT)
+              AS approx_cents,
+         MAX(n) AS n
+  FROM qf JOIN cum ON cum >= CEIL(q * n)
+  GROUP BY q
+), exact AS (
+  SELECT q, MIN(y) AS exact_cents
+  FROM qf JOIN vals ON cum >= CEIL(q * n)
+  GROUP BY q
+)
+SELECT q, n, exact_cents, approx_cents,
+       ROUND(CAST(approx_cents - exact_cents AS DOUBLE) / exact_cents, 6)
+         AS rel_err,
+       n_bins, merge_matches_direct
+FROM approx JOIN exact USING (q) CROSS JOIN audit
+ORDER BY q
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "quantile_sketch_merge_audit": QuerySpec(
+        quantile_sketch_merge_audit,
+        _qsketch_oracle(),
+        ["A1", "A4", "§2.8", "X-versioning"],
+    ),
     "hll_rollup_distinct": QuerySpec(
         hll_rollup_distinct, ORACLE_HLL_ROLLUP, ["A1", "A4", "X-ts"]
     ),

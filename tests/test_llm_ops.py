@@ -736,3 +736,56 @@ def test_k_anonymity_audit_consistency(spark, sf_small):
     direct_u = {r.c_mktsegment: r.u for r in direct}
     for r in res:
         assert r.n_unsafe_groups == direct_u.get(r.c_mktsegment, 0)
+
+
+def test_lsh_sweep_recalls_and_monotonicity(spark, sf_small):
+    """Raw recalls per band config: steeper curves (more bands,
+    fewer rows) must never recall less than shallower ones, and the
+    flag columns must reflect the measured recalls."""
+    from cricket_analytics_nosql_spark.operators.dedup import (
+        LSH_SWEEP_CONFIGS,
+        jaccard_pairs,
+        lsh_candidates,
+        lsh_threshold_sweep,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    truth = {
+        (r.d1, r.d2) for r in jaccard_pairs(docs, 0.8).select("d1", "d2").collect()
+    }
+    assert truth
+    sigs = minhash_signatures(docs)
+    recalls = {}
+    for b, r, _floor in LSH_SWEEP_CONFIGS:
+        cands = {
+            (x.d1, x.d2) for x in lsh_candidates(sigs, bands=b, rows=r).collect()
+        }
+        recalls[(b, r)] = len(truth & cands) / len(truth)
+    rs = [recalls[(b, r)] for b, r, _ in LSH_SWEEP_CONFIGS]
+    assert all(a >= b - 1e-9 for a, b in zip(rs, rs[1:]))  # non-increasing r
+    rows = lsh_threshold_sweep(spark, sf_small).collect()
+    assert len(rows) == len(LSH_SWEEP_CONFIGS)
+    for row in rows:
+        got = recalls[(row.bands, row.rows)]
+        assert row.recall_ok == (
+            got >= row.recall_floor - 1e-12
+        ), (row, got)
+        assert row.n_true_pairs == len(truth)
+
+
+def test_quantile_sketch_merge_is_exact_and_bounded(spark, sf_small):
+    """Merged state must match the direct histogram bit-for-bit, and
+    the sketch answer can overshoot the true quantile by at most one
+    bin width."""
+    from cricket_analytics_nosql_spark.operators.sketches import (
+        QSKETCH_BIN_CENTS,
+        quantile_sketch_merge_audit,
+    )
+
+    rows = quantile_sketch_merge_audit(spark, sf_small).collect()
+    assert [r.q for r in rows] == [0.5, 0.9, 0.99]
+    for r in rows:
+        assert r.merge_matches_direct
+        assert r.exact_cents <= r.approx_cents
+        assert r.approx_cents - r.exact_cents <= QSKETCH_BIN_CENTS

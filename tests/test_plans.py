@@ -518,6 +518,14 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # 1-row count crossed onto the d² covariance cell frame
         # (the embedding_covariance_topk shape)
         "pca_top_component",
+        # 1-row token-mass total crossed onto the vocabulary frame
+        # (subsample thresholds / per-source loss rollup)
+        "skipgram_pairs",
+        "doremi_mixture_weights",
+        # 3-row quantile-target frame × bin/value rollups + 1-row
+        # merge-audit cross; 1-row truth-count cross per band config
+        "quantile_sketch_merge_audit",
+        "lsh_threshold_sweep",
         # recall-audit shape: brute-force query-set broadcast + the
         # 3-row flags × 1-row exact-stats cross
         "ann_ndcg_audit",
