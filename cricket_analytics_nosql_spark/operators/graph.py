@@ -2200,6 +2200,7 @@ ORDER BY log2_bucket
 # ---------------------------------------------------------------------------
 
 AA_MAX_DEG = 10_000  # hub cut: suppliers above this degree are skipped
+AA_MIN_WEIGHT = 3  # strong-graph threshold (the harmonic/sssp binding)
 AA_TOPK = 20
 
 
@@ -2208,15 +2209,19 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adamic-Adar score over the bipartite customer-supplier graph —
     for each candidate pair, Σ 1/ln(deg(s)) over shared suppliers s.
     Wedges are generated per supplier from the COLLAPSED edge list
-    (trade_edges pre-agg), so a supplier of degree d contributes
-    d(d-1)/2 pairs; the ``AA_MAX_DEG`` hub cut bounds that quadratic
-    at corpus scale (a hub's 1/ln(deg) contribution is asymptotically
-    negligible — the standard mining compromise, applied identically
-    in the oracle so parity is exact).  Ranking sorts the ROUNDED
-    score so cross-engine float ulps cannot reorder the top-k."""
-    e = trade_edges(spark, sf_dir).select(
-        F.col("src").alias("cust"), F.col("dst").alias("supp")
-    )
+    (trade_edges pre-agg) restricted to the STRONG graph (≥3 line
+    items per relationship — the same signal-vs-noise threshold as
+    ``harmonic_centrality_2hop``, whose raw-graph wedge stream
+    measured 1.4 GB of shuffle at sf0.1 here before thresholding
+    and OOM'd there); on top of that the ``AA_MAX_DEG`` hub cut
+    hard-bounds the per-supplier d(d−1)/2 quadratic at corpus scale
+    (a hub's 1/ln(deg) contribution is asymptotically negligible —
+    the standard mining compromise, applied identically in the
+    oracle so parity is exact).  Ranking sorts the ROUNDED score so
+    cross-engine float ulps cannot reorder the top-k."""
+    e = trade_edges(spark, sf_dir).filter(
+        F.col("weight") >= AA_MIN_WEIGHT
+    ).select(F.col("src").alias("cust"), F.col("dst").alias("supp"))
     deg = e.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
     keyed = e.join(
         deg.filter((F.col("d") >= 2) & (F.col("d") <= AA_MAX_DEG)), "supp"
@@ -2241,6 +2246,7 @@ WITH e AS (
   SELECT o_custkey AS cust, l_suppkey AS supp
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1, 2
+  HAVING COUNT(*) >= {AA_MIN_WEIGHT}
 ), deg AS (
   SELECT supp, COUNT(*) AS d FROM e GROUP BY supp
 ), keyed AS (

@@ -847,6 +847,7 @@ def test_adamic_adar_hand_check(spark, sf_small):
     import math
 
     from cricket_analytics_nosql_spark.operators.graph import (
+        AA_MIN_WEIGHT,
         adamic_adar_linkpred,
         trade_edges,
     )
@@ -855,7 +856,12 @@ def test_adamic_adar_hand_check(spark, sf_small):
     assert rows and all(r.c1 < r.c2 for r in rows)
     scores = [r.aa_score for r in rows]
     assert scores == sorted(scores, reverse=True)
-    e = trade_edges(spark, sf_small).select("src", "dst").collect()
+    e = (
+        trade_edges(spark, sf_small)
+        .filter(F.col("weight") >= AA_MIN_WEIGHT)
+        .select("src", "dst")
+        .collect()
+    )
     nbrs = {}
     for r in e:
         nbrs.setdefault(r.dst, set()).add(r.src)

@@ -39,9 +39,14 @@ def main() -> None:
 
     # the audit needs the UI's REST API; get_spark disables it, so
     # build the session first with UI on (all other engine defaults
-    # still come from get_spark's builder path)
+    # still come from get_spark's builder path). driver.memory must
+    # ride THIS builder too: it only applies at JVM launch, and this
+    # getOrCreate is the launch — without it the audit JVM runs the
+    # 1g default and heavier queries OOM at sf0.1.
     SparkSession.builder.config("spark.ui.enabled", "true").config(
         "spark.ui.port", "4049"
+    ).config(
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g")
     ).getOrCreate()
     spark = get_spark("shuffle-audit")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
