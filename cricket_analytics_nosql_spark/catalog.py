@@ -134,6 +134,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "range_partition_planner",
     "quantile_sketch_merge_audit",
     "lsh_threshold_sweep",
+    "matryoshka_truncation_audit",
+    "negative_sampling_table",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -125,6 +125,126 @@ ORDER BY q_id, rank
 
 
 # ---------------------------------------------------------------------------
+# Matryoshka truncation audit (MRL prefix-dim retrieval quality)
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32, 64)
+MRL_K = 10
+
+
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much retrieval quality survives truncating embeddings to
+    their prefix dims (the Matryoshka-representation deployment
+    question — shorter prefixes mean proportionally less scan IO and
+    ANN memory)?  ONE corpus pass scores every (query, vector) pair
+    at ALL prefix lengths simultaneously (the per-dim cosines are
+    prefix sums of the same zip_with product — no extra scans), then
+    per-dim top-k windows and a recall@k join against the full-dim
+    truth.  Scores are ROUNDED before ranking (vec_id tie-break), so
+    the ranking — and therefore recall — is cross-engine exact.
+    Output: per prefix dim, hits and recall@10 over the 8 queries."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    per_dim = pairs.select(
+        "q_id",
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("dim"),
+                        F.round(
+                            dot(
+                                F.slice(F.col("q"), 1, d),
+                                F.slice(F.col("v"), 1, d),
+                            )
+                            / (
+                                F.sqrt(
+                                    dot(
+                                        F.slice(F.col("q"), 1, d),
+                                        F.slice(F.col("q"), 1, d),
+                                    )
+                                )
+                                * F.sqrt(
+                                    dot(
+                                        F.slice(F.col("v"), 1, d),
+                                        F.slice(F.col("v"), 1, d),
+                                    )
+                                )
+                            ),
+                            6,
+                        ).alias("cos"),
+                    )
+                    for d in MRL_DIMS
+                ]
+            )
+        ).alias("s"),
+    ).select("q_id", "vec_id", F.col("s.dim").alias("dim"), F.col("s.cos").alias("cos"))
+    w = Window.partitionBy("dim", "q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    topk = (
+        per_dim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MRL_K)
+        .select("dim", "q_id", "vec_id")
+    )
+    truth = topk.filter(F.col("dim") == MRL_DIMS[-1]).select("q_id", "vec_id")
+    return (
+        topk.join(truth, ["q_id", "vec_id"], "left_semi")
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .withColumn(
+            "recall_at_k",
+            F.round(F.col("n_hits") / F.lit(float(N_QUERIES * MRL_K)), 6),
+        )
+        .orderBy("dim")
+    )
+
+
+def _mrl_oracle() -> str:
+    dim_rows = ", ".join(f"({d})" for d in MRL_DIMS)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+), dims AS (
+  SELECT CAST(dim AS BIGINT) AS dim FROM (VALUES {dim_rows}) AS t(dim)
+), scored AS (
+  SELECT d.dim, q.q_id, e.vec_id,
+         ROUND(list_inner_product(qv[1:d.dim], v[1:d.dim])
+               / (sqrt(list_inner_product(qv[1:d.dim], qv[1:d.dim]))
+                  * sqrt(list_inner_product(v[1:d.dim], v[1:d.dim]))), 6)
+           AS cos
+  FROM q, emb e, dims d
+  WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT dim, q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY dim, q_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+), topk AS (
+  SELECT dim, q_id, vec_id FROM ranked WHERE rank <= {MRL_K}
+), truth AS (
+  SELECT q_id, vec_id FROM topk WHERE dim = {MRL_DIMS[-1]}
+)
+SELECT t.dim, COUNT(*) AS n_hits,
+       ROUND(COUNT(*) / {float(N_QUERIES * MRL_K)}, 6) AS recall_at_k
+FROM topk t
+WHERE EXISTS (SELECT 1 FROM truth u
+              WHERE u.q_id = t.q_id AND u.vec_id = t.vec_id)
+GROUP BY t.dim
+ORDER BY t.dim
+"""
+
+
+ORACLE_MATRYOSHKA = _mrl_oracle()
+
+
+# ---------------------------------------------------------------------------
 # IVF scale path
 # ---------------------------------------------------------------------------
 
@@ -2385,6 +2505,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_brute_force": QuerySpec(
         ann_brute_force, ORACLE_ANN_BRUTE_FORCE, ["X-sim"], bench=True
+    ),
+    "matryoshka_truncation_audit": QuerySpec(
+        matryoshka_truncation_audit,
+        ORACLE_MATRYOSHKA,
+        ["X-sim", "A1", "§2.8"],
     ),
     "ann_recall_audit": QuerySpec(
         ann_recall_audit, ORACLE_ANN_RECALL_AUDIT, ["X-sim", "A1"]

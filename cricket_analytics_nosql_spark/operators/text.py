@@ -1875,7 +1875,83 @@ LIMIT {SKIPGRAM_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# word2vec negative-sampling table (unigram^0.75 inverse-CDF ranges)
+# --------------------------------------------------------------------------
+
+NEG_TABLE_POW_NUM = 3  # the 0.75 smoothing exponent as an exact ratio
+NEG_TABLE_POW_DEN = 4
+NEG_TABLE_TOPK = 50
+
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec noise distribution as data: each vocabulary word
+    gets probability ∝ count^0.75, materialized as contiguous
+    integer ranges so a sampler maps any uniform u32 to a word by
+    range lookup (inverse CDF — the array word2vec builds in RAM,
+    here a table a 100 TB job range-joins against).  Per-word weight
+    is ROUNDED to integer micro-units BEFORE the cumulative sum (the
+    lm_surprisal idiom: one pow per word, integers after), so the
+    running ranges are exact cross-engine.  The cumulative window
+    runs over the vocabulary-sized count rollup, never the corpus.
+    Output: top words by weight with their [cum_lo, cum_hi) range."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    weighted = freq.select(
+        "w",
+        "cnt",
+        F.round(
+            F.pow(
+                F.col("cnt").cast("double"),
+                F.lit(NEG_TABLE_POW_NUM / NEG_TABLE_POW_DEN),
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("wt_micro"),
+    )
+    cw = Window.orderBy(F.desc("cnt"), "w")
+    ranged = weighted.select(
+        "w",
+        "cnt",
+        "wt_micro",
+        (F.sum("wt_micro").over(cw) - F.col("wt_micro")).alias("cum_lo"),
+        F.sum("wt_micro").over(cw).alias("cum_hi"),
+    )
+    return ranged.orderBy(F.desc("cnt"), "w").limit(NEG_TABLE_TOPK)
+
+
+ORACLE_NEG_TABLE = f"""
+WITH freq AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  GROUP BY w
+), weighted AS (
+  SELECT w, cnt,
+         CAST(ROUND(pow(CAST(cnt AS DOUBLE),
+                        {NEG_TABLE_POW_NUM / NEG_TABLE_POW_DEN}) * 1e6, 0)
+              AS BIGINT) AS wt_micro
+  FROM freq
+)
+SELECT w, cnt, wt_micro,
+       CAST(SUM(wt_micro) OVER (ORDER BY cnt DESC, w) - wt_micro AS BIGINT)
+         AS cum_lo,
+       CAST(SUM(wt_micro) OVER (ORDER BY cnt DESC, w) AS BIGINT) AS cum_hi
+FROM weighted
+ORDER BY cnt DESC, w
+LIMIT {NEG_TABLE_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "negative_sampling_table": QuerySpec(
+        negative_sampling_table,
+        ORACLE_NEG_TABLE,
+        ["X-text", "X-training", "§2.8", "T1"],
+    ),
     "skipgram_pairs": QuerySpec(
         skipgram_pairs, ORACLE_SKIPGRAM_PAIRS, ["X-text", "X-training", "F2"]
     ),

@@ -789,3 +789,39 @@ def test_quantile_sketch_merge_is_exact_and_bounded(spark, sf_small):
         assert r.merge_matches_direct
         assert r.exact_cents <= r.approx_cents
         assert r.approx_cents - r.exact_cents <= QSKETCH_BIN_CENTS
+
+
+def test_matryoshka_recall_increases_with_dim(spark, sf_small):
+    """Recall@k must be monotone non-decreasing in prefix dim and
+    exactly 1.0 at the full dimension (truth vs itself)."""
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        MRL_DIMS,
+        matryoshka_truncation_audit,
+    )
+
+    rows = matryoshka_truncation_audit(spark, sf_small).collect()
+    assert [r.dim for r in rows] == list(MRL_DIMS)
+    recs = [r.recall_at_k for r in rows]
+    assert recs[-1] == 1.0
+    assert all(a <= b + 1e-9 for a, b in zip(recs, recs[1:]))
+    assert recs[0] < 1.0  # 8 of 64 dims must lose something
+
+
+def test_negative_sampling_table_ranges(spark, sf_small):
+    """Ranges are contiguous, disjoint, ordered by weight rank, and
+    each width equals the word's own micro-weight (inverse-CDF
+    contract); the 0.75 exponent flattens: heavy words get LESS than
+    proportional share."""
+    from cricket_analytics_nosql_spark.operators.text import (
+        negative_sampling_table,
+    )
+
+    rows = negative_sampling_table(spark, sf_small).collect()
+    assert rows[0].cum_lo == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.cum_lo == prev.cum_hi
+    for r in rows:
+        assert r.cum_hi - r.cum_lo == r.wt_micro
+    a, b = rows[0], rows[-1]
+    assert a.cnt > b.cnt
+    assert a.wt_micro / b.wt_micro < a.cnt / b.cnt  # smoothing flattens

@@ -526,6 +526,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # merge-audit cross; 1-row truth-count cross per band config
         "quantile_sketch_merge_audit",
         "lsh_threshold_sweep",
+        # 8-row query-set broadcast against the vector scan (the
+        # ann_brute_force shape, scored at 4 prefix dims at once)
+        "matryoshka_truncation_audit",
         # recall-audit shape: brute-force query-set broadcast + the
         # 3-row flags × 1-row exact-stats cross
         "ann_ndcg_audit",
