@@ -136,6 +136,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "lsh_threshold_sweep",
     "matryoshka_truncation_audit",
     "negative_sampling_table",
+    "ann_filtered_search",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -186,10 +186,15 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     ).select("q_id", "vec_id", F.col("s.dim").alias("dim"), F.col("s.cos").alias("cos"))
     w = Window.partitionBy("dim", "q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    # pinned: the (dims×queries×k)-row top-k frame feeds BOTH sides
+    # of the recall semi-join — without the checkpoint each side
+    # re-derives the whole scoring scan from lineage (the MMR-pool
+    # lesson: measured 4 parquet scans → 1)
     topk = (
         per_dim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= MRL_K)
         .select("dim", "q_id", "vec_id")
+        .localCheckpoint()
     )
     truth = topk.filter(F.col("dim") == MRL_DIMS[-1]).select("q_id", "vec_id")
     return (
@@ -242,6 +247,148 @@ ORDER BY t.dim
 
 
 ORACLE_MATRYOSHKA = _mrl_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search: pre-filter truth vs post-filter recall
+# ---------------------------------------------------------------------------
+
+FILTER_OVERFETCH = 3  # post-filter takes k' = 3k global candidates
+
+
+def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtered-vector-search strategy question every vector
+    store faces: with a metadata predicate (here label = q_id mod 10),
+    PRE-filtering scores only qualifying vectors (exact, and cheaper
+    when the predicate is pushed to the scan — the Spark answer,
+    since the filter prunes before the zip_with math), while
+    POST-filtering takes the global top-k'=3k then filters (the
+    index-friendly answer when the predicate can't reach the index)
+    and measurably loses recall on selective predicates.  ONE scored
+    pass feeds both strategies via two windows; scores are ROUNDED
+    before ranking (vec_id tie-break) so both engines agree
+    per-row.  Output per query: predicate selectivity, post-filter
+    survivors, and post-vs-pre recall@5."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "vn", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q"),
+        F.col("vn").alias("qn"),
+        (F.col("vec_id") % 10).alias("target"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "target",
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+            ).alias("cos"),
+        )
+    )
+    wg = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    wf = Window.partitionBy("q_id", (F.col("label") == F.col("target"))).orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "q_id",
+        "target",
+        "vec_id",
+        "label",
+        F.row_number().over(wg).alias("g_rank"),
+        F.row_number().over(wf).alias("f_rank"),
+    )
+    truth = ranked.filter(
+        (F.col("label") == F.col("target")) & (F.col("f_rank") <= TOP_K)
+    ).select("q_id", "vec_id")
+    post = ranked.filter(
+        (F.col("g_rank") <= TOP_K * FILTER_OVERFETCH)
+        & (F.col("label") == F.col("target"))
+        & (F.col("f_rank") <= TOP_K)
+    ).select("q_id", "vec_id")
+    sel = scored.groupBy("q_id").agg(
+        F.round(
+            F.sum((F.col("label") == F.col("target")).cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("selectivity")
+    )
+    hits = (
+        post.join(truth, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_post = post.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_post"))
+    return (
+        sel.join(n_post, "q_id", "left")
+        .join(hits, "q_id", "left")
+        .na.fill({"n_post": 0, "n_hits": 0})
+        .select(
+            "q_id",
+            "selectivity",
+            "n_post",
+            F.round(F.col("n_hits") / F.lit(float(TOP_K)), 6).alias(
+                "recall_post"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
+ORACLE_ANN_FILTERED = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, vec_id % 10 AS target
+  FROM emb WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, target, e.vec_id, e.label,
+         ROUND(list_inner_product(qv, v)
+               / (sqrt(list_inner_product(qv, qv))
+                  * sqrt(list_inner_product(v, v))), 6) AS cos
+  FROM q, emb e
+  WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, target, vec_id, label,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, vec_id ASC) AS g_rank,
+         ROW_NUMBER() OVER (PARTITION BY q_id, label = target
+                            ORDER BY cos DESC, vec_id ASC) AS f_rank
+  FROM scored
+), truth AS (
+  SELECT q_id, vec_id FROM ranked
+  WHERE label = target AND f_rank <= {TOP_K}
+), post AS (
+  SELECT q_id, vec_id FROM ranked
+  WHERE g_rank <= {TOP_K * FILTER_OVERFETCH} AND label = target
+        AND f_rank <= {TOP_K}
+), sel AS (
+  SELECT q_id,
+         ROUND(SUM(CASE WHEN label = target THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS selectivity
+  FROM scored GROUP BY q_id
+), hits AS (
+  SELECT p.q_id, COUNT(*) AS n_hits
+  FROM post p
+  WHERE EXISTS (SELECT 1 FROM truth t
+                WHERE t.q_id = p.q_id AND t.vec_id = p.vec_id)
+  GROUP BY p.q_id
+), n_post AS (
+  SELECT q_id, COUNT(*) AS n_post FROM post GROUP BY q_id
+)
+SELECT s.q_id, s.selectivity,
+       COALESCE(n_post.n_post, 0) AS n_post,
+       ROUND(COALESCE(hits.n_hits, 0) / {float(TOP_K)}, 6) AS recall_post
+FROM sel s
+LEFT JOIN n_post USING (q_id)
+LEFT JOIN hits USING (q_id)
+ORDER BY s.q_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2510,6 +2657,11 @@ QUERIES: dict[str, QuerySpec] = {
         matryoshka_truncation_audit,
         ORACLE_MATRYOSHKA,
         ["X-sim", "A1", "§2.8"],
+    ),
+    "ann_filtered_search": QuerySpec(
+        ann_filtered_search,
+        ORACLE_ANN_FILTERED,
+        ["X-sim", "P10", "§2.8"],
     ),
     "ann_recall_audit": QuerySpec(
         ann_recall_audit, ORACLE_ANN_RECALL_AUDIT, ["X-sim", "A1"]

@@ -825,3 +825,24 @@ def test_negative_sampling_table_ranges(spark, sf_small):
     a, b = rows[0], rows[-1]
     assert a.cnt > b.cnt
     assert a.wt_micro / b.wt_micro < a.cnt / b.cnt  # smoothing flattens
+
+
+def test_filtered_search_post_never_beats_pre(spark, sf_small):
+    """Post-filtering a global top-k' list can only lose recall vs
+    the pre-filtered truth: recall_post <= 1, n_post <= k, and at
+    ~10% selectivity at least one query must show recall loss
+    (3x overfetch cannot cover a 10x-selective predicate in
+    general)."""
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        TOP_K,
+        ann_filtered_search,
+    )
+
+    rows = ann_filtered_search(spark, sf_small).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r.n_post <= TOP_K
+        assert 0.0 <= r.recall_post <= 1.0
+        assert r.n_post >= r.recall_post * TOP_K - 1e-9  # hits ⊆ post
+        assert 0.0 < r.selectivity < 0.3
+    assert any(r.recall_post < 1.0 for r in rows)

@@ -527,8 +527,10 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "quantile_sketch_merge_audit",
         "lsh_threshold_sweep",
         # 8-row query-set broadcast against the vector scan (the
-        # ann_brute_force shape, scored at 4 prefix dims at once)
+        # ann_brute_force shape, scored at 4 prefix dims at once /
+        # ranked under two windows for pre-vs-post filter)
         "matryoshka_truncation_audit",
+        "ann_filtered_search",
         # recall-audit shape: brute-force query-set broadcast + the
         # 3-row flags × 1-row exact-stats cross
         "ann_ndcg_audit",
@@ -1055,3 +1057,49 @@ def test_dsir_model_broadcasts_single_corpus_scan(spark, sf_small):
     # (before the checkpoint, explain showed THREE full
     # tokenize+explode corpus scans, one per consumer)
     assert "Scan parquet" not in plan, plan
+
+
+def test_ols_moment_pass_has_no_repartition(spark, sf_medium):
+    """OLS is one map-combined moment pass: the only Exchange is the
+    SinglePartition collapse of the 1-row aggregate — no
+    hash-partitioned shuffle may appear."""
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        ols_price_model,
+    )
+
+    plan = plan_of(ols_price_model(spark, sf_medium))
+    assert "hashpartitioning" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_substring_spans_shuffles_hashes_not_text(spark, sf_medium):
+    """The substring-dedup exchange carries span hashes and counts —
+    the text column must be pruned before the first Exchange (scan
+    reads doc_id/source/text, every Exchange keys on h/source)."""
+    import re
+
+    from cricket_analytics_nosql_spark.operators.dedup import (
+        dedup_substring_spans,
+    )
+
+    plan = plan_of(dedup_substring_spans(spark, sf_medium))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "text" not in keys, plan
+    assert "Exchange rangepartitioning" in plan or "Sort" in plan
+
+
+def test_matryoshka_single_vector_scan(spark, sf_medium):
+    """All four prefix dims ride ONE scan of the embeddings table:
+    the scored top-k frame is pinned (localCheckpoint) before it
+    fans into the recall semi-join, so the final plan reads the
+    pinned RDD on both sides and NEVER rescans parquet (the un-pinned
+    first cut measured 4 parquet scans — both join sides re-derived
+    the full scoring pipeline from lineage)."""
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        matryoshka_truncation_audit,
+    )
+
+    plan = plan_of(matryoshka_truncation_audit(spark, sf_medium))
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
