@@ -137,6 +137,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "matryoshka_truncation_audit",
     "negative_sampling_table",
     "ann_filtered_search",
+    "bitmap_distinct_users",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

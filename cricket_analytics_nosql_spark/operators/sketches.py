@@ -479,7 +479,79 @@ ORDER BY q
 """
 
 
+# ---------------------------------------------------------------------------
+# Bitmap-block exact distinct (the roaring-bitmap discipline, natively)
+# ---------------------------------------------------------------------------
+
+
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type without a countDistinct
+    Expand and without shuffling user ids: each 63-user block of the
+    id space reduces map-side to one BIGINT bitmask (63 so the sign
+    bit is never set — engines disagree on signed-shift overflow) (bit_or), the
+    exchange carries (type, block, mask) rollup rows, and popcounts
+    sum to the exact distinct — the roaring-bitmap idea as plain
+    integer aggregates.  The masks are MERGEABLE state (bit_or is
+    idempotent + commutative), so the same frame is a continuous-
+    aggregate input: tomorrow's events OR into today's blocks
+    without rescanning history (``quantile_sketch_merge_audit``'s
+    contract, membership edition).  ``matches_count_distinct``
+    cross-checks against the Expand-based plan in-query."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    blocks = ev.groupBy(
+        "event_type", F.expr("div(user_id, 63)").alias("blk")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(1L, cast(pmod(user_id, 63) as int)))"
+        ).alias("mask")
+    )
+    via_bitmap = blocks.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+    via_expand = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_cd")
+    )
+    return (
+        via_bitmap.join(via_expand, "event_type")
+        .select(
+            "event_type",
+            "n_distinct",
+            "n_blocks",
+            (F.col("n_distinct") == F.col("n_cd")).alias(
+                "matches_count_distinct"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_BITMAP_DISTINCT = """
+WITH blocks AS (
+  SELECT event_type, user_id // 63 AS blk,
+         BIT_OR(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS mask
+  FROM events
+  GROUP BY 1, 2
+), via_bitmap AS (
+  SELECT event_type, CAST(SUM(bit_count(mask)) AS BIGINT) AS n_distinct,
+         COUNT(*) AS n_blocks
+  FROM blocks GROUP BY event_type
+), via_expand AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_cd FROM events GROUP BY 1
+)
+SELECT b.event_type, b.n_distinct, b.n_blocks,
+       b.n_distinct = e.n_cd AS matches_count_distinct
+FROM via_bitmap b JOIN via_expand e USING (event_type)
+ORDER BY b.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bitmap_distinct_users": QuerySpec(
+        bitmap_distinct_users,
+        ORACLE_BITMAP_DISTINCT,
+        ["A1", "A4", "X-curation"],
+    ),
     "quantile_sketch_merge_audit": QuerySpec(
         quantile_sketch_merge_audit,
         _qsketch_oracle(),

@@ -846,3 +846,25 @@ def test_filtered_search_post_never_beats_pre(spark, sf_small):
         assert r.n_post >= r.recall_post * TOP_K - 1e-9  # hits ⊆ post
         assert 0.0 < r.selectivity < 0.3
     assert any(r.recall_post < 1.0 for r in rows)
+
+
+def test_bitmap_distinct_is_exact(spark, sf_small):
+    """Bitmap popcount totals must equal countDistinct for every
+    event type, and the in-plan cross-check flag must agree."""
+    from cricket_analytics_nosql_spark.operators.sketches import (
+        bitmap_distinct_users,
+    )
+
+    rows = bitmap_distinct_users(spark, sf_small).collect()
+    assert rows
+    ev = load_table(spark, sf_small, "events")
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.matches_count_distinct
+        assert r.n_distinct == want[r.event_type]
+        assert r.n_blocks <= r.n_distinct
