@@ -138,6 +138,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "negative_sampling_table",
     "ann_filtered_search",
     "bitmap_distinct_users",
+    "stream_histogram_monitor",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

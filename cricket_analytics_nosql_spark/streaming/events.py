@@ -628,7 +628,56 @@ LIMIT 50
 """
 
 
+HIST_BIN_CENTS = 2_000  # $20-wide value bins for the live histogram
+
+
+def histogram_state(events: DataFrame) -> DataFrame:
+    """1-day tumbling window × fixed-width value bin — the streaming
+    twin of ``quantile_sketch_merge_audit``: each micro-batch's
+    partial bin counts MERGE into the state store by integer
+    addition (the state IS the mergeable histogram; quantiles read
+    off it downstream).  The grid is fixed, not data-derived —
+    a stream can't two-pass for min/max, which is exactly why the
+    mergeable-sketch contract wants constant bin edges."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.expr(
+                f"div(cast(round(value * 100, 0) as bigint), {HIST_BIN_CENTS})"
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "bin", "n_events")
+    )
+
+
+def stream_histogram_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the live histogram over the 4 staged chunks (one
+    micro-batch each) so state-store merges actually happen, then
+    return the finalized per-window histograms."""
+    staged = stage_event_files(spark, sf_dir)
+    out = run_available_now(
+        histogram_state(read_events_stream(spark, staged)), "complete"
+    )
+    return out.orderBy("win_start", "bin")
+
+
+ORACLE_STREAM_HISTOGRAM = f"""
+SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+       CAST(ROUND(value * 100, 0) AS BIGINT) // {HIST_BIN_CENTS} AS bin,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start, bin
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_histogram_monitor": QuerySpec(
+        stream_histogram_monitor,
+        ORACLE_STREAM_HISTOGRAM,
+        ["§2.11", "A1", "X-ts"],
+    ),
     "stream_stream_join": QuerySpec(
         stream_stream_join, ORACLE_STREAM_STREAM_JOIN, ["§2.11", "J1"]
     ),

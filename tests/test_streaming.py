@@ -504,3 +504,19 @@ def test_journey_fold_is_chunking_invariant(spark, sf_small):
         }
 
     assert final_journeys(2) == final_journeys(4)
+
+
+def test_batch_stream_parity_histogram(spark, staged, events_batch):
+    """The mergeable-histogram state drained from the stream must
+    equal the one-shot batch histogram row-for-row — micro-batch
+    state merges are exact integer addition."""
+    from cricket_analytics_nosql_spark.streaming.events import (
+        histogram_state,
+    )
+
+    stream_out = run_available_now(
+        histogram_state(read_events_stream(spark, staged)), "complete"
+    )
+    batch_out = histogram_state(events_batch)
+    cols = ["win_start", "bin", "n_events"]
+    assert _rows(stream_out, *cols) == _rows(batch_out, *cols)
