@@ -774,3 +774,40 @@ def test_source_drift_bigrams_ignore_degenerate_texts(spark, tmp_path):
     }
     assert got == want
     assert ("alpha", "beta") in got  # degenerate docs didn't poison alpha
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]), st.integers(0, 200)
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_bitmap_block_distinct_property(spark, rows):
+    """The 63-bit block/bit_or/popcount identity used by
+    ``bitmap_distinct_users`` must equal countDistinct for arbitrary
+    id multisets, including ids straddling block boundaries (0, 62,
+    63, 126, ...)."""
+    df = spark.createDataFrame(rows, "t string, user_id long")
+    via_bitmap = {
+        r.t: r.n
+        for r in df.groupBy("t", F.expr("div(user_id, 63)").alias("blk"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, cast(pmod(user_id, 63) as int)))"
+            ).alias("m")
+        )
+        .groupBy("t")
+        .agg(F.sum(F.bit_count("m")).alias("n"))
+        .collect()
+    }
+    plain = {
+        r.t: r.n
+        for r in df.groupBy("t")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert via_bitmap == plain
