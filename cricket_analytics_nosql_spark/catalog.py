@@ -144,6 +144,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_filtered_search",
     "bitmap_distinct_users",
     "stream_histogram_monitor",
+    "rbo_rank_stability",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -1513,7 +1513,123 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# Rank-biased overlap: how stable is the top-k between two periods?
+# --------------------------------------------------------------------------
+
+RBO_P = 0.9
+RBO_DEPTH = 50
+RBO_SPLIT = "1998-01-01"
+
+
+def rbo_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the revenue top-50 the same list it was last period?
+    Rank-biased overlap (Webber et al.) between the part-revenue
+    rankings of the two halves of the order history — top-weighted
+    (p=0.9), so a reshuffle at rank 3 moves the score far more than
+    one at rank 45; the truncated form (no extrapolation) keeps the
+    metric a finite exact sum.  Revenue ranks come from one
+    (part, period) cents rollup — part is a DIMENSION, so the
+    per-period ranking window is catalog-bounded, never fact-sized;
+    the depth grid (50 rows) and the ≤50-row common-item frame meet
+    in a bounded theta join.  Output: common items, overlap@10, RBO."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", revenue_cents().alias("rev_c")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderdate") >= F.lit(RBO_SPLIT).cast("timestamp_ntz"))
+        .cast("int")
+        .alias("period"),
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("period", "l_partkey")
+        .agg(F.sum("rev_c").alias("rev"))
+    )
+    w = Window.partitionBy("period").orderBy(F.desc("rev"), "l_partkey")
+    ranked = (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RBO_DEPTH)
+        .select("period", "l_partkey", "rk")
+    )
+    a = ranked.filter(F.col("period") == 0).select(
+        "l_partkey", F.col("rk").alias("ra")
+    )
+    b = ranked.filter(F.col("period") == 1).select(
+        "l_partkey", F.col("rk").alias("rb")
+    )
+    common = a.join(b, "l_partkey").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    depths = spark.range(1, RBO_DEPTH + 1).select(F.col("id").alias("d"))
+    xd = (
+        depths.join(F.broadcast(common), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.sum(F.col("m").isNotNull().cast("long")).alias("x"))
+    )
+    return (
+        xd.agg(
+            F.sum(
+                F.lit(1.0 - RBO_P)
+                * F.pow(F.lit(RBO_P), F.col("d") - 1)
+                * F.col("x")
+                / F.col("d")
+            ).alias("rbo_raw"),
+            F.sum(
+                F.when(F.col("d") == 10, F.col("x")).otherwise(F.lit(0))
+            ).alias("overlap_at_10"),
+            F.max("x").alias("n_common"),
+        )
+        .select(
+            "n_common",
+            "overlap_at_10",
+            F.round("rbo_raw", 6).alias("rbo"),
+        )
+    )
+
+
+ORACLE_RBO = f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+           AS rev_c
+  FROM lineitem
+), rev AS (
+  SELECT CASE WHEN o_orderdate >= TIMESTAMP '{RBO_SPLIT}'
+              THEN 1 ELSE 0 END AS period,
+         l_partkey, CAST(SUM(rev_c) AS BIGINT) AS rev
+  FROM li JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT period, l_partkey,
+         ROW_NUMBER() OVER (PARTITION BY period
+                            ORDER BY rev DESC, l_partkey) AS rk
+  FROM rev
+), top AS (
+  SELECT * FROM ranked WHERE rk <= {RBO_DEPTH}
+), common AS (
+  SELECT GREATEST(a.rk, b.rk) AS m
+  FROM top a JOIN top b ON a.l_partkey = b.l_partkey
+  WHERE a.period = 0 AND b.period = 1
+), xd AS (
+  SELECT d, COUNT(m) AS x
+  FROM (SELECT UNNEST(range(1, {RBO_DEPTH + 1})) AS d)
+  LEFT JOIN common ON m <= d
+  GROUP BY d
+)
+SELECT CAST(MAX(x) AS BIGINT) AS n_common,
+       CAST(SUM(CASE WHEN d = 10 THEN x ELSE 0 END) AS BIGINT)
+         AS overlap_at_10,
+       ROUND(SUM({1.0 - RBO_P} * pow({RBO_P}, d - 1) * x / d), 6) AS rbo
+FROM xd
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "rbo_rank_stability": QuerySpec(
+        rbo_rank_stability, ORACLE_RBO, ["A1", "T1", "§2.8", "X-ts"]
+    ),
     "ols_price_model": QuerySpec(
         ols_price_model, _ols_oracle(), ["A4", "P15", "X-curation"]
     ),

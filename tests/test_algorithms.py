@@ -908,3 +908,54 @@ def test_range_planner_balances_and_covers(spark, sf_small):
     uppers = [r.upper_key for r in rows]
     assert uppers == sorted(uppers)
     assert max(r.skew for r in rows) < 2.0
+
+
+def test_rbo_hand_recompute(spark, sf_small):
+    """RBO must equal a pure-Python recompute from the two ranked
+    lists, and sit in [0, 1]."""
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        RBO_DEPTH,
+        RBO_P,
+        RBO_SPLIT,
+        rbo_rank_stability,
+    )
+    from cricket_analytics_nosql_spark.functions.scalar import revenue_cents
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    row = rbo_rank_stability(spark, sf_small).collect()[0]
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_partkey", revenue_cents().alias("r")
+    )
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderdate") >= F.lit(RBO_SPLIT).cast("timestamp_ntz"))
+        .cast("int")
+        .alias("p"),
+    )
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("p", "l_partkey")
+        .agg(F.sum("r").alias("rev"))
+        .collect()
+    )
+    tops = {}
+    for p in (0, 1):
+        items = sorted(
+            [(r.rev, r.l_partkey) for r in rev if r.p == p],
+            key=lambda t: (-t[0], t[1]),
+        )[:RBO_DEPTH]
+        tops[p] = {pk: i + 1 for i, (_, pk) in enumerate(items)}
+    ms = sorted(
+        max(ra, tops[1][pk])
+        for pk, ra in tops[0].items()
+        if pk in tops[1]
+    )
+    import bisect
+
+    want = sum(
+        (1 - RBO_P) * RBO_P ** (d - 1) * bisect.bisect_right(ms, d) / d
+        for d in range(1, RBO_DEPTH + 1)
+    )
+    assert 0.0 <= row.rbo <= 1.0
+    assert abs(row.rbo - round(want, 6)) < 1e-9
+    assert row.n_common == len(ms)

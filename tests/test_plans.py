@@ -531,6 +531,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # ranked under two windows for pre-vs-post filter)
         "matryoshka_truncation_audit",
         "ann_filtered_search",
+        # 50-row depth grid theta-joined to the <=50-row common-item
+        # frame (both bounded by RBO_DEPTH by construction)
+        "rbo_rank_stability",
         # recall-audit shape: brute-force query-set broadcast + the
         # 3-row flags × 1-row exact-stats cross
         "ann_ndcg_audit",
