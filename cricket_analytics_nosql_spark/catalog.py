@@ -145,6 +145,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "bitmap_distinct_users",
     "stream_histogram_monitor",
     "rbo_rank_stability",
+    "stream_distinct_monitor",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -672,7 +672,62 @@ ORDER BY win_start, bin
 """
 
 
+def bitmap_state(events: DataFrame) -> DataFrame:
+    """Per-(event_type, 63-user id block) bitmask — bit_or is
+    idempotent AND commutative, so the streaming state is an EXACT
+    distinct-membership index that replays and re-deliveries cannot
+    corrupt (stronger than counts, which double on replay).  The
+    twin of the batch ``bitmap_distinct_users``."""
+    return events.groupBy(
+        "event_type", F.expr("div(user_id, 63)").alias("blk")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(1L, cast(pmod(user_id, 63) as int)))"
+        ).alias("mask")
+    )
+
+
+def stream_distinct_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact live distinct-users per event type: drain the bitmap
+    state (one streaming agg — Structured Streaming allows a single
+    stateful aggregation per query, which is exactly what the
+    two-phase bitmap needs), then popcount-sum the drained masks as
+    a batch finish."""
+    staged = stage_event_files(spark, sf_dir)
+    masks = run_available_now(
+        bitmap_state(read_events_stream(spark, staged)), "complete"
+    )
+    return (
+        masks.groupBy("event_type")
+        .agg(
+            F.sum(F.bit_count("mask")).alias("n_distinct"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_DISTINCT = """
+WITH blocks AS (
+  SELECT event_type, user_id // 63 AS blk,
+         BIT_OR(1::BIGINT << CAST(user_id % 63 AS INTEGER)) AS mask
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(SUM(bit_count(mask)) AS BIGINT) AS n_distinct,
+       COUNT(*) AS n_blocks
+FROM blocks
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_distinct_monitor": QuerySpec(
+        stream_distinct_monitor,
+        ORACLE_STREAM_DISTINCT,
+        ["§2.11", "A1", "X-curation"],
+    ),
     "stream_histogram_monitor": QuerySpec(
         stream_histogram_monitor,
         ORACLE_STREAM_HISTOGRAM,

@@ -520,3 +520,37 @@ def test_batch_stream_parity_histogram(spark, staged, events_batch):
     batch_out = histogram_state(events_batch)
     cols = ["win_start", "bin", "n_events"]
     assert _rows(stream_out, *cols) == _rows(batch_out, *cols)
+
+
+def test_batch_stream_parity_bitmap_distinct(spark, staged, events_batch):
+    """Drained bitmap masks must popcount to countDistinct exactly —
+    and doubling the stream (replay) must NOT change the result
+    (idempotent bit_or state, where a count would double)."""
+    from cricket_analytics_nosql_spark.streaming.events import bitmap_state
+
+    masks = run_available_now(
+        bitmap_state(read_events_stream(spark, staged)), "complete"
+    )
+    got = {
+        r.event_type: r.n
+        for r in masks.groupBy("event_type")
+        .agg(F.sum(F.bit_count("mask")).alias("n"))
+        .collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in events_batch.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+    doubled = read_events_stream(spark, staged)
+    doubled = doubled.unionByName(doubled)
+    masks2 = run_available_now(bitmap_state(doubled), "complete")
+    got2 = {
+        r.event_type: r.n
+        for r in masks2.groupBy("event_type")
+        .agg(F.sum(F.bit_count("mask")).alias("n"))
+        .collect()
+    }
+    assert got2 == want
