@@ -146,6 +146,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_histogram_monitor",
     "rbo_rank_stability",
     "stream_distinct_monitor",
+    "pit_feature_assembly",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -742,7 +742,103 @@ FROM bounded ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Point-in-time feature assembly (feature-store training-set build)
+# ---------------------------------------------------------------------------
+
+def pit_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store correctness primitive: assemble a per-order
+    training row whose features see STRICTLY-PRIOR history only
+    (prior order count, prior revenue cents — windows ending at
+    1 PRECEDING under one customer-keyed exchange).  The deliberately
+    LEAKY twin — the same features computed through CURRENT ROW, what
+    a naive join produces — rides the same window frame, and the
+    audit counts where they disagree: every customer's first-vs-later
+    orders differ, which is exactly the train-serve skew a PIT join
+    exists to prevent.  Summary grain: per order-year, rows, rows
+    with leakage disagreement, mean prior-order count (micro-exact).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+    )
+    w_prior = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_leaky = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    feat = orders.select(
+        F.year("o_orderdate").alias("yr"),
+        F.coalesce(F.count(F.lit(1)).over(w_prior), F.lit(0)).alias("n_prior"),
+        F.coalesce(F.sum("price_c").over(w_prior), F.lit(0)).alias("rev_prior"),
+        F.count(F.lit(1)).over(w_leaky).alias("n_leaky"),
+        F.sum("price_c").over(w_leaky).alias("rev_leaky"),
+    )
+    return (
+        feat.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (
+                    (F.col("n_prior") != F.col("n_leaky"))
+                    | (F.col("rev_prior") != F.col("rev_leaky"))
+                ).cast("long")
+            ).alias("n_leak_disagree"),
+            F.sum("n_prior").alias("sum_prior_orders"),
+            F.sum("rev_prior").alias("sum_prior_rev_c"),
+        )
+        .orderBy("yr")
+    )
+
+
+ORACLE_PIT_FEATURES = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c
+  FROM orders
+), feat AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+         COALESCE(COUNT(*) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS n_prior,
+         COALESCE(SUM(price_c) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS rev_prior,
+         COUNT(*) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS n_leaky,
+         SUM(price_c) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS UNBOUNDED PRECEDING) AS rev_leaky
+  FROM o
+)
+SELECT CAST(yr AS INT) AS yr,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN n_prior != n_leaky OR rev_prior != rev_leaky
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_leak_disagree,
+       CAST(SUM(n_prior) AS BIGINT) AS sum_prior_orders,
+       CAST(SUM(rev_prior) AS BIGINT) AS sum_prior_rev_c
+FROM feat
+GROUP BY yr
+ORDER BY yr
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pit_feature_assembly": QuerySpec(
+        pit_feature_assembly,
+        ORACLE_PIT_FEATURES,
+        ["J2", "§2.8", "X-training", "X-versioning"],
+    ),
     "overlap_join_contracts": QuerySpec(
         overlap_join_contracts, ORACLE_OVERLAP_JOIN, ["J3", "P16", "X-ts"]
     ),

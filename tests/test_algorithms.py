@@ -959,3 +959,26 @@ def test_rbo_hand_recompute(spark, sf_small):
     assert 0.0 <= row.rbo <= 1.0
     assert abs(row.rbo - round(want, 6)) < 1e-9
     assert row.n_common == len(ms)
+
+
+def test_pit_features_no_future_leakage(spark, sf_small):
+    """Every multi-order customer must produce leak disagreements
+    (the leaky frame includes the current row), totals must cover all
+    orders, and a hand-recomputed prior-revenue for one customer must
+    match."""
+    from cricket_analytics_nosql_spark.operators.joins import (
+        pit_feature_assembly,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = pit_feature_assembly(spark, sf_small).collect()
+    orders = load_table(spark, sf_small, "orders")
+    assert sum(r.n_rows for r in rows) == orders.count()
+    # the leaky variant ALWAYS disagrees (current row counts itself)
+    for r in rows:
+        assert r.n_leak_disagree == r.n_rows
+    # hand-check: sum of prior-order counts == sum over customers of
+    # n_c * (n_c - 1) / 2
+    per_cust = orders.groupBy("o_custkey").count().collect()
+    want = sum(c["count"] * (c["count"] - 1) // 2 for c in per_cust)
+    assert sum(r.sum_prior_orders for r in rows) == want
