@@ -147,6 +147,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "rbo_rank_stability",
     "stream_distinct_monitor",
     "pit_feature_assembly",
+    "kaplan_meier_repeat",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -1626,7 +1626,179 @@ FROM xd
 """
 
 
+# --------------------------------------------------------------------------
+# Kaplan-Meier: time-to-repeat-purchase survival with right-censoring
+# --------------------------------------------------------------------------
+
+KM_HORIZONS = (30, 60, 90, 180, 365)
+
+
+def kaplan_meier_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis done honestly on censored data: P(no repeat
+    purchase by day h) via the Kaplan-Meier product-limit estimator —
+    customers with only one order are RIGHT-CENSORED at the end of
+    history, not dropped (dropping them is the classic churn-metric
+    bias).  Per customer: gap from first to second order, or censor
+    time.  Everything beyond the one customer-keyed rollup runs at
+    DAY grain (≤ calendar-span rows): risk sets from cumulative
+    sums, each factor ln(1 − d/n) rounded to integer MICRO-NATS
+    before the cumulative sum (the lm_surprisal idiom — float only
+    at the exp readout), horizons via a 5-row broadcast.  Output per
+    horizon: survival, events and censored so far, starting n."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    per_cust = (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min("d").alias("t1"),
+            F.max(F.when(F.col("rk") == 2, F.col("d"))).alias("t2"),
+        )
+    )
+    horizon_end = orders.agg(F.max("d").alias("dmax"))
+    subj = per_cust.crossJoin(F.broadcast(horizon_end)).select(
+        F.coalesce(
+            F.datediff("t2", "t1"), F.datediff("dmax", "t1")
+        ).alias("t"),
+        F.col("t2").isNotNull().cast("long").alias("ev"),
+    )
+    day = subj.groupBy("t").agg(
+        F.sum("ev").alias("d_t"),
+        F.sum(F.lit(1) - F.col("ev")).alias("c_t"),
+    )
+    wt = Window.orderBy("t")
+    total = Window.partitionBy(F.lit(0))
+    km = (
+        day.select(
+            "t",
+            "d_t",
+            "c_t",
+            (
+                F.sum("d_t").over(total)
+                + F.sum("c_t").over(total)
+                - F.coalesce(
+                    F.sum(F.col("d_t") + F.col("c_t")).over(
+                        wt.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            ).alias("n_t"),
+        )
+        .withColumn(
+            "lnf_micro",
+            F.when(
+                (F.col("d_t") > 0) & (F.col("d_t") < F.col("n_t")),
+                F.round(
+                    F.log(
+                        F.lit(1.0)
+                        - F.col("d_t") / F.col("n_t").cast("double")
+                    )
+                    * 1e6,
+                    0,
+                ).cast("long"),
+            )
+            # risk set exhausted by events: S drops to exactly 0 —
+            # encode as a -1e11 micro-nat sentinel (exp -> 0 at
+            # readout, exact under integer summation)
+            .when(
+                (F.col("d_t") > 0) & (F.col("d_t") >= F.col("n_t")),
+                F.lit(-100_000_000_000),
+            )
+            .otherwise(F.lit(0)),
+        )
+        .withColumn("cum_micro", F.sum("lnf_micro").over(wt))
+        .withColumn("cum_d", F.sum("d_t").over(wt))
+        .withColumn("cum_c", F.sum("c_t").over(wt))
+    )
+    horizons = spark.createDataFrame(
+        [(h,) for h in KM_HORIZONS], "horizon_days long"
+    )
+    return (
+        horizons.join(
+            F.broadcast(km), F.col("t") <= F.col("horizon_days"), "left"
+        )
+        .groupBy("horizon_days")
+        .agg(
+            F.round(
+                F.exp(F.max(F.struct("t", "cum_micro")).getField("cum_micro")
+                      / F.lit(1e6)),
+                6,
+            ).alias("s_no_repeat"),
+            F.max(F.struct("t", "cum_d")).getField("cum_d").alias("n_repeats_by"),
+            F.max(F.struct("t", "cum_c")).getField("cum_c").alias("n_censored_by"),
+        )
+        .orderBy("horizon_days")
+    )
+
+
+ORACLE_KAPLAN_MEIER = f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+), rk AS (
+  SELECT o_custkey, d,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d) AS rk
+  FROM o
+), per_cust AS (
+  SELECT o_custkey, MIN(d) AS t1,
+         MAX(CASE WHEN rk = 2 THEN d END) AS t2
+  FROM rk WHERE rk <= 2 GROUP BY o_custkey
+), dmax AS (
+  SELECT MAX(d) AS dmax FROM o
+), subj AS (
+  SELECT COALESCE(t2 - t1, dmax - t1) AS t,
+         CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per_cust CROSS JOIN dmax
+), day AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d_t,
+         CAST(SUM(1 - ev) AS BIGINT) AS c_t
+  FROM subj GROUP BY t
+), km AS (
+  SELECT t, d_t, c_t,
+         CAST(SUM(d_t + c_t) OVER () AS BIGINT)
+           - CAST(COALESCE(SUM(d_t + c_t) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS n_t
+  FROM day
+), factored AS (
+  SELECT t, d_t, c_t, n_t,
+         CASE WHEN d_t > 0 AND d_t < n_t
+              THEN CAST(ROUND(ln(1.0 - d_t / CAST(n_t AS DOUBLE)) * 1e6, 0)
+                        AS BIGINT)
+              WHEN d_t > 0 AND d_t >= n_t THEN -100000000000
+              ELSE 0 END AS lnf_micro
+  FROM km
+), cum AS (
+  SELECT t,
+         CAST(SUM(lnf_micro) OVER (ORDER BY t) AS BIGINT) AS cum_micro,
+         CAST(SUM(d_t) OVER (ORDER BY t) AS BIGINT) AS cum_d,
+         CAST(SUM(c_t) OVER (ORDER BY t) AS BIGINT) AS cum_c
+  FROM factored
+), h AS (
+  SELECT CAST(horizon_days AS BIGINT) AS horizon_days
+  FROM (VALUES {", ".join(f"({h})" for h in KM_HORIZONS)}) AS t(horizon_days)
+), best AS (
+  SELECT horizon_days, MAX(t) AS tm
+  FROM h LEFT JOIN cum ON t <= horizon_days
+  GROUP BY horizon_days
+)
+SELECT b.horizon_days,
+       ROUND(exp(c.cum_micro / 1e6), 6) AS s_no_repeat,
+       c.cum_d AS n_repeats_by,
+       c.cum_c AS n_censored_by
+FROM best b JOIN cum c ON c.t = b.tm
+ORDER BY b.horizon_days
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "kaplan_meier_repeat": QuerySpec(
+        kaplan_meier_repeat,
+        ORACLE_KAPLAN_MEIER,
+        ["A1", "§2.8", "X-ts", "X-curation"],
+    ),
     "rbo_rank_stability": QuerySpec(
         rbo_rank_stability, ORACLE_RBO, ["A1", "T1", "§2.8", "X-ts"]
     ),

@@ -982,3 +982,65 @@ def test_pit_features_no_future_leakage(spark, sf_small):
     per_cust = orders.groupBy("o_custkey").count().collect()
     want = sum(c["count"] * (c["count"] - 1) // 2 for c in per_cust)
     assert sum(r.sum_prior_orders for r in rows) == want
+
+
+def test_kaplan_meier_against_lifelines_style_recompute(spark, sf_small):
+    """KM survival must match a pure-Python product-limit recompute
+    on the same (time, event) subjects, be monotone non-increasing in
+    the horizon, and stay in [0, 1]."""
+    import math
+
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        KM_HORIZONS,
+        kaplan_meier_repeat,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = kaplan_meier_repeat(spark, sf_small).collect()
+    assert [r.horizon_days for r in rows] == list(KM_HORIZONS)
+    ss = [r.s_no_repeat for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in ss)
+    assert all(a >= b - 1e-9 for a, b in zip(ss, ss[1:]))
+    # recompute subjects
+    orders = (
+        load_table(spark, sf_small, "orders")
+        .select("o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+        .collect()
+    )
+    by_c = {}
+    for r in orders:
+        by_c.setdefault(r.o_custkey, []).append(r.d)
+    dmax = max(r.d for r in orders)
+    subjects = []
+    for ds in by_c.values():
+        ds = sorted(ds)
+        if len(ds) >= 2:
+            subjects.append(((ds[1] - ds[0]).days, 1))
+        else:
+            subjects.append(((dmax - ds[0]).days, 0))
+    times = sorted({t for t, _ in subjects})
+    n = len(subjects)
+    surv, out = 1.0, {}
+    for t in times:
+        d_t = sum(1 for tt, ev in subjects if tt == t and ev)
+        c_t = sum(1 for tt, ev in subjects if tt == t and not ev)
+        if d_t:
+            # micro-nat rounding mirrors the engine (exact parity)
+            surv *= math.exp(round(math.log(1 - d_t / n) * 1e6) / 1e6) if d_t < n else 0.0
+        n -= d_t + c_t
+    # replay cumulatively per horizon
+    n = len(subjects)
+    cum_micro = 0
+    km = {}
+    for t in times:
+        d_t = sum(1 for tt, ev in subjects if tt == t and ev)
+        c_t = sum(1 for tt, ev in subjects if tt == t and not ev)
+        if d_t and d_t < n:
+            cum_micro += round(math.log(1 - d_t / n) * 1e6)
+        elif d_t:
+            cum_micro += -100_000_000_000
+        km[t] = cum_micro
+        n -= d_t + c_t
+    for r in rows:
+        want_t = max(t for t in times if t <= r.horizon_days)
+        assert abs(r.s_no_repeat - round(math.exp(km[want_t] / 1e6), 6)) < 1e-9

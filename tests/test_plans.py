@@ -532,8 +532,10 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "matryoshka_truncation_audit",
         "ann_filtered_search",
         # 50-row depth grid theta-joined to the <=50-row common-item
-        # frame (both bounded by RBO_DEPTH by construction)
+        # frame (both bounded by RBO_DEPTH by construction); 5-row
+        # horizon grid against the day-grain KM rollup
         "rbo_rank_stability",
+        "kaplan_meier_repeat",
         # recall-audit shape: brute-force query-set broadcast + the
         # 3-row flags × 1-row exact-stats cross
         "ann_ndcg_audit",
