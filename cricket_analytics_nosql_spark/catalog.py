@@ -148,6 +148,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_distinct_monitor",
     "pit_feature_assembly",
     "kaplan_meier_repeat",
+    "sprt_ab_monitor",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -1197,7 +1197,107 @@ GROUP BY n_viewers
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequential A/B testing: the SPRT boundary walk, day by day
+# ---------------------------------------------------------------------------
+
+# Wald SPRT for conversion rate, H0: p=0.25 vs H1: p=0.30, α=β=0.05.
+# Per-trial log-likelihood increments and boundaries as INTEGER
+# micro-nats, precomputed once — both engines accumulate identical
+# integers, so the whole walk is exact (float only at the readout).
+SPRT_L1_MICRO = 182_322  # round(ln(0.30/0.25) · 1e6)  — per conversion
+SPRT_L0_MICRO = -68_993  # round(ln(0.70/0.75) · 1e6)  — per non-conversion
+SPRT_UPPER_MICRO = 2_944_439  # ln((1-β)/α) · 1e6 → accept H1
+SPRT_LOWER_MICRO = -2_944_439  # ln(β/(1-α)) · 1e6 → accept H0
+
+
+def sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peeking WITHOUT the peeking problem: Wald's sequential
+    probability-ratio test walked day by day over the experiment —
+    the anytime-valid companion to ``ab_conversion_wilson``'s
+    fixed-horizon interval.  A trial is a (user, day) active pair,
+    converted if that user purchased that day; per (variant, day)
+    the counts roll up map-side and the LLR is an exact integer
+    cumulative sum of the precomputed micro-nat increments under one
+    per-variant day window (≤ days × 2 rows).  Decision column says
+    what a daily-peeking experimenter would have concluded each day."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", epoch_day("ts").alias("day"), "event_type"
+    )
+    trials = ev.groupBy("user_id", "day").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    daily = trials.groupBy(
+        F.pmod("user_id", F.lit(2)).alias("variant"), "day"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").alias("k"),
+    )
+    w = Window.partitionBy("variant").orderBy("day")
+    cum = daily.select(
+        "variant",
+        "day",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("k").over(w).alias("cum_k"),
+    ).withColumn(
+        "llr_micro",
+        F.col("cum_k") * F.lit(SPRT_L1_MICRO)
+        + (F.col("cum_n") - F.col("cum_k")) * F.lit(SPRT_L0_MICRO),
+    )
+    return cum.select(
+        "variant",
+        "day",
+        "cum_n",
+        "cum_k",
+        F.round(F.col("llr_micro") / 1e6, 6).alias("llr"),
+        F.when(F.col("llr_micro") >= SPRT_UPPER_MICRO, F.lit("accept_h1"))
+        .when(F.col("llr_micro") <= SPRT_LOWER_MICRO, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("variant", "day")
+
+
+ORACLE_SPRT = f"""
+WITH trials AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events
+  GROUP BY 1, 2
+), daily AS (
+  SELECT user_id % 2 AS variant, day, COUNT(*) AS n,
+         CAST(SUM(conv) AS BIGINT) AS k
+  FROM trials GROUP BY 1, 2
+), cum AS (
+  SELECT variant, day,
+         CAST(SUM(n) OVER (PARTITION BY variant ORDER BY day) AS BIGINT)
+           AS cum_n,
+         CAST(SUM(k) OVER (PARTITION BY variant ORDER BY day) AS BIGINT)
+           AS cum_k
+  FROM daily
+), llr AS (
+  SELECT variant, day, cum_n, cum_k,
+         cum_k * {SPRT_L1_MICRO} + (cum_n - cum_k) * {SPRT_L0_MICRO}
+           AS llr_micro
+  FROM cum
+)
+SELECT variant, day, cum_n, cum_k,
+       ROUND(llr_micro / 1e6, 6) AS llr,
+       CASE WHEN llr_micro >= {SPRT_UPPER_MICRO} THEN 'accept_h1'
+            WHEN llr_micro <= {SPRT_LOWER_MICRO} THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM llr
+ORDER BY variant, day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sprt_ab_monitor": QuerySpec(
+        sprt_ab_monitor,
+        ORACLE_SPRT,
+        ["A1", "§2.8", "X-ts", "X-curation"],
+    ),
     "time_to_convert_stats": QuerySpec(
         time_to_convert_stats,
         ORACLE_TIME_TO_CONVERT,

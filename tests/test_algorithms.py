@@ -1044,3 +1044,33 @@ def test_kaplan_meier_against_lifelines_style_recompute(spark, sf_small):
     for r in rows:
         want_t = max(t for t in times if t <= r.horizon_days)
         assert abs(r.s_no_repeat - round(math.exp(km[want_t] / 1e6), 6)) < 1e-9
+
+
+def test_sprt_walk_is_exact_and_consistent(spark, sf_small):
+    """The LLR walk must equal the closed form from the cumulative
+    counts, decisions must match the boundaries, and the walk is
+    per-variant monotone in trials (cum_n strictly increasing)."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        SPRT_L0_MICRO,
+        SPRT_L1_MICRO,
+        SPRT_LOWER_MICRO,
+        SPRT_UPPER_MICRO,
+        sprt_ab_monitor,
+    )
+
+    rows = sprt_ab_monitor(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        micro = r.cum_k * SPRT_L1_MICRO + (r.cum_n - r.cum_k) * SPRT_L0_MICRO
+        assert abs(r.llr - round(micro / 1e6, 6)) < 1e-9
+        want = (
+            "accept_h1"
+            if micro >= SPRT_UPPER_MICRO
+            else "accept_h0"
+            if micro <= SPRT_LOWER_MICRO
+            else "continue"
+        )
+        assert r.decision == want
+    for v in (0, 1):
+        ns = [r.cum_n for r in rows if r.variant == v]
+        assert ns == sorted(ns) and len(set(ns)) == len(ns)
