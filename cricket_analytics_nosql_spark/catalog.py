@@ -22,8 +22,8 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 # The driver's correctness gate checks the FIRST 50 catalog entries.
 # Rounds 1-5 rotated 198 queries through that window; 190 are green
 # at latest status (8 red on the since-fixed oracle-typing bug, all
-# re-windowed first below).  The catalog grew to 281 in round 6 (34
-# new operators across two sessions), so 83 entries have no driver
+# re-windowed first below).  The catalog grew to 286 in round 6 (39
+# new operators across two sessions), so 88 entries have no driver
 # row yet — they queue in the post-boundary section for rounds 7-8
 # rotation, every one already hash-green in the in-repo parity
 # sweep at sf0.001/0.01/0.1.  Round-6 window (VERDICT.md r5 items

@@ -1722,13 +1722,28 @@ def kaplan_meier_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("horizon_days")
         .agg(
+            # a horizon BEFORE the first event/censor day has an empty
+            # match set: survival is exactly 1.0 with zero counts (the
+            # coalesces keep Spark and the oracle structurally
+            # identical in that edge case instead of NULL-vs-dropped)
             F.round(
-                F.exp(F.max(F.struct("t", "cum_micro")).getField("cum_micro")
-                      / F.lit(1e6)),
+                F.exp(
+                    F.coalesce(
+                        F.max(F.struct("t", "cum_micro")).getField(
+                            "cum_micro"
+                        ),
+                        F.lit(0),
+                    )
+                    / F.lit(1e6)
+                ),
                 6,
             ).alias("s_no_repeat"),
-            F.max(F.struct("t", "cum_d")).getField("cum_d").alias("n_repeats_by"),
-            F.max(F.struct("t", "cum_c")).getField("cum_c").alias("n_censored_by"),
+            F.coalesce(
+                F.max(F.struct("t", "cum_d")).getField("cum_d"), F.lit(0)
+            ).alias("n_repeats_by"),
+            F.coalesce(
+                F.max(F.struct("t", "cum_c")).getField("cum_c"), F.lit(0)
+            ).alias("n_censored_by"),
         )
         .orderBy("horizon_days")
     )
@@ -1785,10 +1800,10 @@ WITH o AS (
   GROUP BY horizon_days
 )
 SELECT b.horizon_days,
-       ROUND(exp(c.cum_micro / 1e6), 6) AS s_no_repeat,
-       c.cum_d AS n_repeats_by,
-       c.cum_c AS n_censored_by
-FROM best b JOIN cum c ON c.t = b.tm
+       ROUND(exp(COALESCE(c.cum_micro, 0) / 1e6), 6) AS s_no_repeat,
+       COALESCE(c.cum_d, 0) AS n_repeats_by,
+       COALESCE(c.cum_c, 0) AS n_censored_by
+FROM best b LEFT JOIN cum c ON c.t = b.tm
 ORDER BY b.horizon_days
 """
 

@@ -748,38 +748,43 @@ FROM bounded ORDER BY event_id
 
 def pit_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The feature-store correctness primitive: assemble a per-order
-    training row whose features see STRICTLY-PRIOR history only
-    (prior order count, prior revenue cents — windows ending at
-    1 PRECEDING under one customer-keyed exchange).  The deliberately
-    LEAKY twin — the same features computed through CURRENT ROW, what
-    a naive join produces — rides the same window frame, and the
-    audit counts where they disagree: every customer's first-vs-later
-    orders differ, which is exactly the train-serve skew a PIT join
-    exists to prevent.  Summary grain: per order-year, rows, rows
-    with leakage disagreement, mean prior-order count (micro-exact).
-    """
+    training row whose features see STRICTLY-PRIOR-DAY history only
+    (prior order count, prior revenue cents — a RANGE frame over the
+    integer day key ending at 1 PRECEDING, under one customer-keyed
+    exchange): nothing from the label's own day can contaminate the
+    features, because at feature-serving time the day is not closed
+    yet.  The LEAKY twin is what a naive sorted-scan assembly
+    produces — a ROWS frame over (date, orderkey) that silently
+    includes SAME-DAY sibling orders that happen to sort earlier —
+    and the audit counts where the two disagree: exactly the rows
+    with a same-day sibling, i.e. the train-serve skew a
+    point-in-time join exists to prevent, measured (non-zero and
+    data-dependent at every SF).  Summary grain: per order-year."""
+    from cricket_analytics_nosql_spark.functions.scalar import epoch_day
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
+        epoch_day("o_orderdate").alias("day"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
     )
     w_prior = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy("day")
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     w_leaky = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .orderBy("day", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     feat = orders.select(
         F.year("o_orderdate").alias("yr"),
         F.coalesce(F.count(F.lit(1)).over(w_prior), F.lit(0)).alias("n_prior"),
         F.coalesce(F.sum("price_c").over(w_prior), F.lit(0)).alias("rev_prior"),
-        F.count(F.lit(1)).over(w_leaky).alias("n_leaky"),
-        F.sum("price_c").over(w_leaky).alias("rev_leaky"),
+        F.coalesce(F.count(F.lit(1)).over(w_leaky), F.lit(0)).alias("n_leaky"),
+        F.coalesce(F.sum("price_c").over(w_leaky), F.lit(0)).alias("rev_leaky"),
     )
     return (
         feat.groupBy("yr")
@@ -801,24 +806,25 @@ def pit_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PIT_FEATURES = """
 WITH o AS (
   SELECT o_custkey, o_orderkey, o_orderdate,
+         epoch_us(o_orderdate) // 86400000000 AS day,
          CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c
   FROM orders
 ), feat AS (
   SELECT EXTRACT(year FROM o_orderdate) AS yr,
-         COALESCE(COUNT(*) OVER (PARTITION BY o_custkey
-                                 ORDER BY o_orderdate, o_orderkey
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
+         COALESCE(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+                                 RANGE BETWEEN UNBOUNDED PRECEDING
                                  AND 1 PRECEDING), 0) AS n_prior,
-         COALESCE(SUM(price_c) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
+         COALESCE(SUM(price_c) OVER (PARTITION BY o_custkey ORDER BY day
+                                     RANGE BETWEEN UNBOUNDED PRECEDING
                                      AND 1 PRECEDING), 0) AS rev_prior,
-         COUNT(*) OVER (PARTITION BY o_custkey
-                        ORDER BY o_orderdate, o_orderkey
-                        ROWS UNBOUNDED PRECEDING) AS n_leaky,
-         SUM(price_c) OVER (PARTITION BY o_custkey
-                            ORDER BY o_orderdate, o_orderkey
-                            ROWS UNBOUNDED PRECEDING) AS rev_leaky
+         COALESCE(COUNT(*) OVER (PARTITION BY o_custkey
+                                 ORDER BY day, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS n_leaky,
+         COALESCE(SUM(price_c) OVER (PARTITION BY o_custkey
+                                     ORDER BY day, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS rev_leaky
   FROM o
 )
 SELECT CAST(yr AS INT) AS yr,

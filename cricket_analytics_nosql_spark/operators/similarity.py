@@ -137,10 +137,14 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     their prefix dims (the Matryoshka-representation deployment
     question — shorter prefixes mean proportionally less scan IO and
     ANN memory)?  ONE corpus pass scores every (query, vector) pair
-    at ALL prefix lengths simultaneously (the per-dim cosines are
-    prefix sums of the same zip_with product — no extra scans), then
-    per-dim top-k windows and a recall@k join against the full-dim
-    truth.  Scores are ROUNDED before ranking (vec_id tie-break), so
+    at ALL prefix lengths simultaneously: each element is folded
+    ONCE per product into per-SEGMENT partial sums (segments =
+    gaps between consecutive prefix dims, materialized as columns),
+    and dim-d values are left-to-right sums of those segments —
+    ~3× less array math than re-slicing per dim, with the oracle
+    building its numerators the same way so rounding stays exact.
+    Then per-dim top-k windows and a recall@k join against the
+    full-dim truth.  Scores are ROUNDED before ranking (vec_id tie-break), so
     the ranking — and therefore recall — is cross-engine exact.
     Output: per prefix dim, hits and recall@10 over the 8 queries."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings")).select("vec_id", "v")
@@ -150,7 +154,33 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = emb.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("q_id")
     )
-    per_dim = pairs.select(
+    # each element is visited ONCE per product: fold each SEGMENT
+    # between consecutive prefix dims into its own partial sum
+    # (materialized columns, so later dims reuse earlier work), then
+    # assemble dim-d values as left-to-right sums of the segments —
+    # the oracle builds the numerators/denominators with the same
+    # textual additions, so the rounded cosines stay bit-identical
+    segs = list(zip((0,) + MRL_DIMS[:-1], MRL_DIMS))  # (prev, dim)
+    seg_cols = {}
+    for i, (a, b) in enumerate(segs):
+        for name, e1, e2 in (
+            ("qv", "q", "v"),
+            ("qq", "q", "q"),
+            ("vv", "v", "v"),
+        ):
+            seg_cols[f"{name}{i}"] = dot(
+                F.slice(F.col(e1), a + 1, b - a),
+                F.slice(F.col(e2), a + 1, b - a),
+            ).alias(f"{name}{i}")
+    seg = pairs.select("q_id", "vec_id", *seg_cols.values())
+
+    def _cum(name: str, upto: int):
+        expr = F.col(f"{name}0")
+        for i in range(1, upto + 1):
+            expr = expr + F.col(f"{name}{i}")
+        return expr
+
+    per_dim = seg.select(
         "q_id",
         "vec_id",
         F.explode(
@@ -159,28 +189,15 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(d).cast("long").alias("dim"),
                         F.round(
-                            dot(
-                                F.slice(F.col("q"), 1, d),
-                                F.slice(F.col("v"), 1, d),
-                            )
+                            _cum("qv", i)
                             / (
-                                F.sqrt(
-                                    dot(
-                                        F.slice(F.col("q"), 1, d),
-                                        F.slice(F.col("q"), 1, d),
-                                    )
-                                )
-                                * F.sqrt(
-                                    dot(
-                                        F.slice(F.col("v"), 1, d),
-                                        F.slice(F.col("v"), 1, d),
-                                    )
-                                )
+                                F.sqrt(_cum("qq", i))
+                                * F.sqrt(_cum("vv", i))
                             ),
                             6,
                         ).alias("cos"),
                     )
-                    for d in MRL_DIMS
+                    for i, d in enumerate(MRL_DIMS)
                 ]
             )
         ).alias("s"),
@@ -210,22 +227,41 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mrl_oracle() -> str:
-    dim_rows = ", ".join(f"({d})" for d in MRL_DIMS)
+    # segment partial sums, then LEFT-TO-RIGHT cumulative additions —
+    # textually the same arithmetic as the Spark side, so the rounded
+    # cosines are bit-identical (a sequential fold over 1..16 is NOT
+    # the same float as seg(1..8)+seg(9..16); both engines must pick
+    # the same association, and they pick the segmented one)
+    segs = list(zip((0,) + MRL_DIMS[:-1], MRL_DIMS))
+    seg_cols = ",\n         ".join(
+        f"list_inner_product({e1}[{a + 1}:{b}], {e2}[{a + 1}:{b}])"
+        f" AS {name}{i}"
+        for i, (a, b) in enumerate(segs)
+        for name, e1, e2 in (("qv", "qv", "v"), ("qq", "qv", "qv"),
+                             ("vv", "v", "v"))
+    )
+    arms = "\n  UNION ALL\n".join(
+        "  SELECT CAST({d} AS BIGINT) AS dim, q_id, vec_id,"
+        " ROUND(({qv}) / (sqrt({qq}) * sqrt({vv})), 6) AS cos FROM seg".format(
+            d=d,
+            qv=" + ".join(f"qv{j}" for j in range(i + 1)),
+            qq=" + ".join(f"qq{j}" for j in range(i + 1)),
+            vv=" + ".join(f"vv{j}" for j in range(i + 1)),
+        )
+        for i, d in enumerate(MRL_DIMS)
+    )
     return f"""
 WITH emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), q AS (
   SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
-), dims AS (
-  SELECT CAST(dim AS BIGINT) AS dim FROM (VALUES {dim_rows}) AS t(dim)
-), scored AS (
-  SELECT d.dim, q.q_id, e.vec_id,
-         ROUND(list_inner_product(qv[1:d.dim], v[1:d.dim])
-               / (sqrt(list_inner_product(qv[1:d.dim], qv[1:d.dim]))
-                  * sqrt(list_inner_product(v[1:d.dim], v[1:d.dim]))), 6)
-           AS cos
-  FROM q, emb e, dims d
+), seg AS (
+  SELECT q.q_id, e.vec_id,
+         {seg_cols}
+  FROM q, emb e
   WHERE e.vec_id <> q.q_id
+), scored AS (
+{arms}
 ), ranked AS (
   SELECT dim, q_id, vec_id,
          ROW_NUMBER() OVER (PARTITION BY dim, q_id
@@ -303,9 +339,6 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wg).alias("g_rank"),
         F.row_number().over(wf).alias("f_rank"),
     )
-    truth = ranked.filter(
-        (F.col("label") == F.col("target")) & (F.col("f_rank") <= TOP_K)
-    ).select("q_id", "vec_id")
     post = ranked.filter(
         (F.col("g_rank") <= TOP_K * FILTER_OVERFETCH)
         & (F.col("label") == F.col("target"))
@@ -318,21 +351,19 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("selectivity")
     )
-    hits = (
-        post.join(truth, ["q_id", "vec_id"], "left_semi")
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+    # post ⊆ truth by construction (post's predicate strictly implies
+    # truth's on the same ranked rows), so every post-filter survivor
+    # IS a true top-k hit and recall_post = n_post / k — no recall
+    # join needed, which also keeps this a two-consumer plan
     n_post = post.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_post"))
     return (
         sel.join(n_post, "q_id", "left")
-        .join(hits, "q_id", "left")
-        .na.fill({"n_post": 0, "n_hits": 0})
+        .na.fill({"n_post": 0})
         .select(
             "q_id",
             "selectivity",
             "n_post",
-            F.round(F.col("n_hits") / F.lit(float(TOP_K)), 6).alias(
+            F.round(F.col("n_post") / F.lit(float(TOP_K)), 6).alias(
                 "recall_post"
             ),
         )
@@ -360,9 +391,6 @@ WITH emb AS (
          ROW_NUMBER() OVER (PARTITION BY q_id, label = target
                             ORDER BY cos DESC, vec_id ASC) AS f_rank
   FROM scored
-), truth AS (
-  SELECT q_id, vec_id FROM ranked
-  WHERE label = target AND f_rank <= {TOP_K}
 ), post AS (
   SELECT q_id, vec_id FROM ranked
   WHERE g_rank <= {TOP_K * FILTER_OVERFETCH} AND label = target
@@ -372,21 +400,14 @@ WITH emb AS (
          ROUND(SUM(CASE WHEN label = target THEN 1 ELSE 0 END)
                / CAST(COUNT(*) AS DOUBLE), 6) AS selectivity
   FROM scored GROUP BY q_id
-), hits AS (
-  SELECT p.q_id, COUNT(*) AS n_hits
-  FROM post p
-  WHERE EXISTS (SELECT 1 FROM truth t
-                WHERE t.q_id = p.q_id AND t.vec_id = p.vec_id)
-  GROUP BY p.q_id
 ), n_post AS (
   SELECT q_id, COUNT(*) AS n_post FROM post GROUP BY q_id
 )
 SELECT s.q_id, s.selectivity,
        COALESCE(n_post.n_post, 0) AS n_post,
-       ROUND(COALESCE(hits.n_hits, 0) / {float(TOP_K)}, 6) AS recall_post
+       ROUND(COALESCE(n_post.n_post, 0) / {float(TOP_K)}, 6) AS recall_post
 FROM sel s
 LEFT JOIN n_post USING (q_id)
-LEFT JOIN hits USING (q_id)
 ORDER BY s.q_id
 """
 

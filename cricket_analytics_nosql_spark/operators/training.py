@@ -1001,8 +1001,12 @@ def logreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame agg (same piggyback discipline as pagerank's dangling
     mass, operators/graph.py).  Deterministic: fixed zero init, fixed
     LR, fixed iteration count; features are pure column arithmetic.
-    Returns per-iteration rows: pre-update loss + post-update
-    weights, rounded for cross-engine FP stability."""
+    Returns one row per iteration with the state at its START:
+    the weights the gradient was evaluated at and the loss AT those
+    weights (so iteration 1 shows the zero init; the post-step
+    weights of iteration i appear as iteration i+1's row — the
+    final step's weights are deliberately not a row, matching the
+    oracle's g_i CTEs).  Rounded for cross-engine FP stability."""
     docs = load_table(spark, sf_dir, "documents").select(
         (F.col("n_chars") / 500.0).alias("x1"),
         (F.size(F.split("text", " ")) / 100.0).alias("x2"),

@@ -974,14 +974,27 @@ def test_pit_features_no_future_leakage(spark, sf_small):
     rows = pit_feature_assembly(spark, sf_small).collect()
     orders = load_table(spark, sf_small, "orders")
     assert sum(r.n_rows for r in rows) == orders.count()
-    # the leaky variant ALWAYS disagrees (current row counts itself)
-    for r in rows:
-        assert r.n_leak_disagree == r.n_rows
-    # hand-check: sum of prior-order counts == sum over customers of
-    # n_c * (n_c - 1) / 2
-    per_cust = orders.groupBy("o_custkey").count().collect()
-    want = sum(c["count"] * (c["count"] - 1) // 2 for c in per_cust)
-    assert sum(r.sum_prior_orders for r in rows) == want
+    # disagreements == rows with a same-day sibling sorting earlier,
+    # recomputed independently
+    days = orders.select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("d")
+    ).collect()
+    by_cust = {}
+    for r in days:
+        by_cust.setdefault(r.o_custkey, []).append((r.d, r.o_orderkey))
+    want_disagree = 0
+    want_prior = 0
+    for lst in by_cust.values():
+        lst.sort()
+        for i, (d, _) in enumerate(lst):
+            strictly_prior_days = sum(1 for dd, _ in lst if dd < d)
+            rows_prior = i  # earlier (day, orderkey) pairs
+            want_prior += strictly_prior_days
+            if rows_prior != strictly_prior_days:
+                want_disagree += 1
+    assert sum(r.n_leak_disagree for r in rows) == want_disagree
+    assert 0 < want_disagree < orders.count()
+    assert sum(r.sum_prior_orders for r in rows) == want_prior
 
 
 def test_kaplan_meier_against_lifelines_style_recompute(spark, sf_small):
