@@ -1108,3 +1108,47 @@ def test_matryoshka_single_vector_scan(spark, sf_medium):
     plan = plan_of(matryoshka_truncation_audit(spark, sf_medium))
     assert "Scan parquet" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_bitmap_distinct_single_expand(spark, sf_medium):
+    """The bitmap path must not plan an Expand — the only Expand
+    allowed is the countDistinct CROSS-CHECK arm (exactly one)."""
+    from cricket_analytics_nosql_spark.operators.sketches import (
+        bitmap_distinct_users,
+    )
+    import re
+
+    plan = plan_of(bitmap_distinct_users(spark, sf_medium))
+    expands = re.findall(r"\(\d+\) Expand\b", plan)
+    assert len(expands) <= 1, plan
+
+
+def test_sprt_single_day_walk_exchange(spark, sf_medium):
+    """SPRT: the trial rollup and the per-variant day walk must not
+    exchange the raw event stream more than the (user, day) and
+    (variant) keys require — no Exchange may carry event_type."""
+    import re
+
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        sprt_ab_monitor,
+    )
+
+    plan = plan_of(sprt_ab_monitor(spark, sf_medium))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "event_type" not in m.group(1), plan
+
+
+def test_pit_assembly_one_customer_exchange(spark, sf_medium):
+    """All four PIT window frames must ride ONE customer-keyed
+    exchange (same partition key, shared sort)."""
+    import re
+
+    from cricket_analytics_nosql_spark.operators.joins import (
+        pit_feature_assembly,
+    )
+
+    plan = plan_of(pit_feature_assembly(spark, sf_medium))
+    cust_exchanges = re.findall(r"hashpartitioning\(o_custkey", plan)
+    assert len(cust_exchanges) == 1, plan
+    # exactly 3 exchanges total: customer walk, year rollup, sort
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 3, plan
