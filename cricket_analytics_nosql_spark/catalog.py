@@ -149,6 +149,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "pit_feature_assembly",
     "kaplan_meier_repeat",
     "sprt_ab_monitor",
+    "embedding_outlier_topk",
     # green canaries (only reached if the window has room)
     "top_revenue_customers",
     "dedup_minhash_lsh",

@@ -286,6 +286,90 @@ ORACLE_MATRYOSHKA = _mrl_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Embedding-space outlier audit: farthest-from-centroid per cluster
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOPK = 3
+
+
+def embedding_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-QA lens on embedding space: which vectors sit farthest
+    from their own cluster's centroid?  (Mislabeled, corrupted, or
+    genuinely novel points — the triage list a curation pass reads.)
+    Micro-unit quantization first (the ``cov_state`` discipline), so
+    per-(label, dim) centroid numerators are EXACT integer sums; the
+    squared distance is then one (label, dim)-keyed join and a
+    per-vector sum — exploded arithmetic, never a d×d matrix, and
+    ranking sorts the ROUNDED distance (vec_id tie-break) so the
+    top-k is cross-engine exact.  Rank-based rather than z-scored:
+    no float std enters any comparison."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("v"),
+                lambda x: F.round(x * 1e6, 0).cast("long"),
+            )
+        ).alias("i", "xm"),
+    )
+    cent = emb.groupBy("label", "i").agg(
+        F.sum("xm").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dist = (
+        emb.join(cent, ["label", "i"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.pow(
+                        F.col("xm") / F.lit(1e6)
+                        - F.col("s") / F.lit(1e6) / F.col("n"),
+                        F.lit(2.0),
+                    )
+                ),
+                6,
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), "vec_id")
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= OUTLIER_TOPK)
+        .select("label", "rk", "vec_id", "dist2")
+        .orderBy("label", "rk")
+    )
+
+
+ORACLE_EMBEDDING_OUTLIER = f"""
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), expl AS (
+  SELECT vec_id, label, i,
+         CAST(ROUND(v[i + 1] * 1e6, 0) AS BIGINT) AS xm
+  FROM emb, UNNEST(range(0, len(v))) AS t(i)
+), cent AS (
+  SELECT label, i, CAST(SUM(xm) AS BIGINT) AS s, COUNT(*) AS n
+  FROM expl GROUP BY 1, 2
+), dist AS (
+  SELECT e.label, e.vec_id,
+         ROUND(SUM(pow(e.xm / 1e6 - c.s / 1e6 / c.n, 2.0)), 6) AS dist2
+  FROM expl e JOIN cent c ON e.label = c.label AND e.i = c.i
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT label, vec_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dist2 DESC, vec_id) AS rk
+  FROM dist
+)
+SELECT label, CAST(rk AS INT) AS rk, vec_id, dist2
+FROM ranked
+WHERE rk <= {OUTLIER_TOPK}
+ORDER BY label, rk
+"""
+
+
+# ---------------------------------------------------------------------------
 # Filtered vector search: pre-filter truth vs post-filter recall
 # ---------------------------------------------------------------------------
 
@@ -2678,6 +2762,11 @@ QUERIES: dict[str, QuerySpec] = {
         matryoshka_truncation_audit,
         ORACLE_MATRYOSHKA,
         ["X-sim", "A1", "§2.8"],
+    ),
+    "embedding_outlier_topk": QuerySpec(
+        embedding_outlier_topk,
+        ORACLE_EMBEDDING_OUTLIER,
+        ["X-sim", "X-curation", "A1", "§2.8"],
     ),
     "ann_filtered_search": QuerySpec(
         ann_filtered_search,

@@ -868,3 +868,33 @@ def test_bitmap_distinct_is_exact(spark, sf_small):
         assert r.matches_count_distinct
         assert r.n_distinct == want[r.event_type]
         assert r.n_blocks <= r.n_distinct
+
+
+def test_embedding_outlier_topk_matches_numpy(spark, sf_small):
+    """Top-3 per cluster must match a numpy recompute of
+    distance-to-centroid (same micro-quantization), with ranks
+    ordered by descending distance."""
+    import numpy as np
+
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        OUTLIER_TOPK,
+        embedding_outlier_topk,
+    )
+
+    rows = embedding_outlier_topk(spark, sf_small).collect()
+    emb = load_table(spark, sf_small, "embeddings").collect()
+    by_label = {}
+    for r in emb:
+        q = np.round(np.array(r.embedding, dtype=np.float64) * 1e6)
+        by_label.setdefault(r.label, []).append((r.vec_id, q))
+    for label, vecs in by_label.items():
+        M = np.stack([q for _, q in vecs])
+        cent = M.sum(axis=0) / 1e6 / len(vecs)
+        d2 = (((M / 1e6) - cent) ** 2).sum(axis=1)
+        order = sorted(
+            zip((round(x, 6) for x in d2), (vid for vid, _ in vecs)),
+            key=lambda t: (-t[0], t[1]),
+        )[:OUTLIER_TOPK]
+        got = [(r.dist2, r.vec_id) for r in rows if r.label == label]
+        for (wd, wv), (gd, gv) in zip(order, got):
+            assert gv == wv and abs(gd - wd) < 1e-6, (label, order, got)
