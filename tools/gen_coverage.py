@@ -44,17 +44,32 @@ EXT = [
 ]
 
 
-def _driver_telemetry(root: str) -> tuple[list[str], dict[str, int]]:
+def _driver_telemetry(
+    root: str, artifacts: list[str] | None = None
+) -> tuple[list[str], dict[str, int]]:
     """Per-query driver-check status from the committed
     CORRECTNESS_r*.json artifacts: each catalog entry → the latest
     round that checked it and the result. Makes the remaining
-    validation debt (never-windowed queries) visible at a glance."""
+    validation debt (never-windowed queries) visible at a glance.
+
+    ``artifacts`` pins the exact artifact basenames consumed (the
+    manifest embedded in COVERAGE.md); ``None`` globs everything
+    currently on disk. The pinning is what makes the freshness gate
+    race-proof: the driver writes CORRECTNESS_r{N}.json *after* the
+    round's closing commit, so a gate that globs would go red through
+    no fault of the committed file (VERDICT r6 item 2).
+    """
     import glob
     import json
     import re
 
+    if artifacts is None:
+        paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    else:
+        paths = [os.path.join(root, name) for name in artifacts]
+
     latest: dict[str, tuple[int, str]] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    for path in paths:
         rnd = int(re.search(r"_r(\d+)", path).group(1))
         for name, row in json.load(open(path)).items():
             if row.get("err") == "no_oracle":
@@ -65,7 +80,9 @@ def _driver_telemetry(root: str) -> tuple[list[str], dict[str, int]]:
                 status = f"MISMATCH ({row.get('err') or 'hash'})"
             latest[name] = (rnd, status)
 
+    consumed = [os.path.basename(p) for p in paths]
     out = ["\n## Driver correctness telemetry\n"]
+    out.append(f"<!-- artifacts: {' '.join(consumed)} -->\n")
     out.append(
         "Latest driver `CORRECTNESS_r*.json` row per catalog entry "
         "(catalog order = driver window order; the driver checks the "
@@ -91,11 +108,14 @@ def _driver_telemetry(root: str) -> tuple[list[str], dict[str, int]]:
     return out, counts
 
 
-def render(root: str) -> str:
+def render(root: str, artifacts: list[str] | None = None) -> str:
     """Render COVERAGE.md's full content (pure — no file writes), so
     tests can assert the committed file is not stale vs the catalog
     and the CORRECTNESS_r*.json artifacts (VERDICT r5 item 8: red
-    driver rows must be visible the day they land)."""
+    driver rows must be visible the day they land).
+
+    ``artifacts``: exact artifact basenames to consume (see
+    ``_driver_telemetry``); ``None`` = everything on disk."""
     by_op = defaultdict(list)
     for name, spec in sorted(all_queries().items()):
         for op in spec.ops:
@@ -152,7 +172,7 @@ def render(root: str) -> str:
         "(`training.export_jsonl_shards`); custom Python DataSource with "
         "pushdown partition pruning + streaming tail (`sources/pyds.py`)."
     )
-    telemetry, counts = _driver_telemetry(root)
+    telemetry, counts = _driver_telemetry(root, artifacts)
     out.extend(telemetry)
     render.counts = counts  # for main()'s summary line
     return "\n".join(out) + "\n"
