@@ -217,7 +217,9 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     flow = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # no broadcast hint on part (scales with SF even after the
+        # PROMO filter) — AQE decides from runtime size
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
@@ -637,7 +639,10 @@ def funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     return (
-        users.join(F.broadcast(seg), "user_id")
+        # no broadcast hint: customer scales with SF — AQE picks the
+        # join strategy from runtime size (broadcast at test scale,
+        # shuffled-hash/sort-merge at 100 TB)
+        users.join(seg, "user_id")
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
@@ -1057,13 +1062,15 @@ def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen a merchandiser reads weekly. Brand dim broadcasts onto
     the fact; rates are one rounded division over exact integer
     counts/cents. Brands under 100 lines are suppressed (rate noise,
-    the A6 HAVING shape)."""
+    the A6 HAVING shape). The brand dim joins without a broadcast
+    hint — part scales with SF, so AQE picks the strategy."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_returnflag", revenue_cents().alias("rc")
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        # no broadcast hint: part scales with SF — AQE decides
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -1317,20 +1324,24 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     earned = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # no broadcast hints on supplier/customer: both scale with
+        # SF — AQE decides (broadcast at test scale, shuffle at 100 TB)
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_nationkey")
         .agg(F.sum("rc").alias("earned_c"))
     )
     spent = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_nationkey")
         .agg(F.sum("rc").alias("spent_c"))
     )
     return (
-        F.broadcast(nation)
-        .join(earned, F.col("n_nationkey") == F.col("s_nationkey"), "left")
-        .join(spent, F.col("n_nationkey") == F.col("c_nationkey"), "left")
+        # broadcast the 25-row aggregate sides (hinting the LEFT side
+        # of a left join is unsupported and was silently ignored)
+        nation
+        .join(F.broadcast(earned), F.col("n_nationkey") == F.col("s_nationkey"), "left")
+        .join(F.broadcast(spent), F.col("n_nationkey") == F.col("c_nationkey"), "left")
         .select(
             "n_name",
             F.coalesce("earned_c", F.lit(0)).alias("earned_c"),

@@ -826,7 +826,9 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").over(Window.partitionBy(F.md5("text")))
             == F.col("doc_id"),
         )
-        .join(F.broadcast(losers), "doc_id", "left")
+        # no broadcast hint: the dup-loser set scales with the
+        # corpus — AQE broadcasts only when runtime stats allow
+        .join(losers, "doc_id", "left")
         .withColumn("q", F.round(quality_col(F.col("text")), 6))
         .withColumn(
             "keep",
@@ -929,7 +931,9 @@ def pipeline_stage_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").over(Window.partitionBy(F.md5("text")))
             == F.col("doc_id"),
         )
-        .join(F.broadcast(losers), "doc_id", "left")
+        # no broadcast hint: the dup-loser set scales with the
+        # corpus — AQE broadcasts only when runtime stats allow
+        .join(losers, "doc_id", "left")
         .withColumn("q_ok", F.round(quality_col(F.col("text")), 6) >= 0.45)
     )
     s2 = F.col("q_ok") & F.col("keep_hash")

@@ -357,7 +357,8 @@ def winsorized_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         load_table(spark, sf_dir, "orders")
         .select("o_custkey", cents(F.col("o_totalprice")).alias("c"))
-        .join(F.broadcast(seg), F.col("o_custkey") == F.col("c_custkey"))
+        # no broadcast hint: customer scales with SF — AQE decides
+        .join(seg, F.col("o_custkey") == F.col("c_custkey"))
         .select(F.col("c_mktsegment").alias("segment"), "c")
     )
     bounds = o.groupBy("segment").agg(
@@ -878,7 +879,8 @@ def trend_slope_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = (
         load_table(spark, sf_dir, "orders")
-        .join(F.broadcast(seg), F.col("o_custkey") == F.col("c_custkey"))
+        # no broadcast hint: customer scales with SF — AQE decides
+        .join(seg, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             epoch_day("o_orderdate").alias("day"),

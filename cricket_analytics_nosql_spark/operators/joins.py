@@ -151,7 +151,10 @@ def explode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
     )
     return (
-        li.join(F.broadcast(words), li.l_partkey == words.p_partkey)
+        # no broadcast hint: words is ~5x part rows and scales with
+        # SF — the planner picks broadcast from size stats at small
+        # SF, shuffle at 100 TB
+        li.join(words, li.l_partkey == words.p_partkey)
         .groupBy("word")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

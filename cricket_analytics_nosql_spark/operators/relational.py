@@ -56,7 +56,10 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        # no broadcast hint: customer scales with SF — the planner
+        # broadcasts from file-size stats at small SF (the plan gate
+        # still sees BroadcastHashJoin), shuffles at 100 TB
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -436,7 +439,9 @@ def topk_multi_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     per_brand = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # no broadcast hint: part scales with SF — the planner picks
+        # broadcast from file-size stats at small SF, shuffle at 100 TB
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(cents("l_quantity")).alias("qty_c"),

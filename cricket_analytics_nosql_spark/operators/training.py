@@ -625,11 +625,40 @@ ORDER BY h.band, h.pos
 
 JSONL_SHARDS = 4
 
-# Memoized export dirs per (sf_dir, n_shards) — the export is
-# deterministic, and without the cache every bench repeat and
-# correctness sweep re-writes a full corpus copy into a fresh
-# tempfile.mkdtemp (the stage_event_files discipline).
-_EXPORT_CACHE: dict[tuple[str, int], str] = {}
+# Memoized export dirs keyed on (sf_dir, n_shards, source
+# fingerprint) — the export is deterministic, and without the cache
+# every bench repeat and correctness sweep re-writes a full corpus
+# copy into a fresh temp dir (the stage_event_files discipline).
+# The fingerprint (parquet file names + sizes + mtimes) invalidates
+# the cache when the underlying table is regenerated in place, and
+# every created dir is removed at interpreter exit.
+_EXPORT_CACHE: dict[tuple[str, int, str], str] = {}
+_EXPORT_CLEANUP_REGISTERED = False
+
+
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def _cleanup_export_cache() -> None:
+    import os
+    import shutil
+
+    for out in _EXPORT_CACHE.values():
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    _EXPORT_CACHE.clear()
 
 
 def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,20 +671,33 @@ def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the original parquet. A green row means the JSON codec
     round-tripped every byte of text (quotes, unicode) and the
     deterministic pmod sharding matches the oracle's arithmetic."""
+    import atexit
     import os
     import tempfile
 
     from cricket_analytics_nosql_spark.functions.scalar import md5_u32
 
-    key = (os.path.abspath(sf_dir), JSONL_SHARDS)
+    global _EXPORT_CLEANUP_REGISTERED
+    fp = _source_fingerprint(sf_dir, "documents")
+    key = (os.path.abspath(sf_dir), JSONL_SHARDS, fp)
     out = _EXPORT_CACHE.get(key)
     if out is None or not os.path.isdir(out):
+        # stale entries for this (sf_dir, shards) under an older
+        # fingerprint are dead — drop them so a regenerated parquet
+        # can never serve an old export
+        import shutil
+
+        for old_key in [k for k in _EXPORT_CACHE if k[:2] == key[:2]]:
+            shutil.rmtree(os.path.dirname(_EXPORT_CACHE.pop(old_key)), ignore_errors=True)
         out = os.path.join(tempfile.mkdtemp(prefix="jsonl_"), "docs")
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "source"
         )
         export_jsonl_shards(docs, out, "doc_id", JSONL_SHARDS)
         _EXPORT_CACHE[key] = out
+        if not _EXPORT_CLEANUP_REGISTERED:
+            atexit.register(_cleanup_export_cache)
+            _EXPORT_CLEANUP_REGISTERED = True
     back = spark.read.schema(
         "doc_id bigint, text string, lang string, source string, shard int"
     ).json(out)

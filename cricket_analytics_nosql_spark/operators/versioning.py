@@ -465,13 +465,15 @@ def forget_users_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires (before/deleted/after per table, with the invariant
     after = before − deleted checkable by eye).
 
-    The deletion set is tiny relative to the fact tables (an erasure
-    batch always is), so every cascade step is an anti-join against
-    a BROADCAST key set: customers and orders never shuffle, and the
-    lineitem pass streams the fact once against the broadcast order
-    keys. The one genuinely scale-sensitive step is orders-of-
+    The deletion set is small relative to the fact tables (an
+    erasure batch usually is), so every cascade step is a keys-only
+    semi/anti-join; join strategy is left to AQE — it broadcasts the
+    key sets while they fit and falls back to shuffled semi-joins
+    when the cohort scales with the tables (here it's a fixed
+    fraction of customers, so a forced broadcast would OOM at
+    100 TB). The one genuinely scale-sensitive step is orders-of-
     deleted-customers → order-key set: it's a filter + projection of
-    the orders table, aggregated to keys only before broadcast. At
+    the orders table, reduced to keys only before the join. At
     100 TB this audit IS the delete job's dry-run plan; the write
     path is partition-overwrite (`operators/sinks.py` backfill) or a
     Delta/Iceberg DELETE with the same anti-join underneath.
@@ -487,13 +489,18 @@ def forget_users_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
 
     doomed_c = cust.filter(F.col("c_custkey") % FORGET_MOD == 0)
+    # no broadcast hints: the doomed cohort is a fixed fraction of
+    # customers/orders, so it scales with SF — AQE broadcasts the key
+    # sets while they fit and falls back to shuffled semi-joins at
+    # 100 TB; the audit's plan shape (keys-only semi-joins) holds
+    # either way
     doomed_o = orders.join(
-        F.broadcast(doomed_c),
+        doomed_c,
         orders["o_custkey"] == doomed_c["c_custkey"],
         "left_semi",
     ).select("o_orderkey")
     doomed_li = li.join(
-        F.broadcast(doomed_o),
+        doomed_o,
         li["l_orderkey"] == doomed_o["o_orderkey"],
         "left_semi",
     )
