@@ -42,6 +42,44 @@ def test_injected_uncast_sum_is_flagged(con):
     assert bad_columns(con, "SELECT CAST(SUM(o_custkey) AS BIGINT) AS s FROM orders") == []
 
 
+def test_time_interval_narrow_ints_flagged(con):
+    """Negative controls for the round-7 gate extension (VERDICT r6
+    item 5): TIME / INTERVAL / TINYINT / SMALLINT result columns are
+    hazards; TIMESTAMP is not."""
+    bad = bad_columns(con, "SELECT TIME '12:34:56' AS t")
+    assert bad and bad[0][0] == "t" and "TIME" in bad[0][1]
+    bad = bad_columns(con, "SELECT INTERVAL 1 DAY AS i")
+    assert bad and bad[0][0] == "i" and "INTERVAL" in bad[0][1]
+    bad = bad_columns(con, "SELECT CAST(1 AS TINYINT) AS x")
+    assert bad and bad[0][1] == "TINYINT"
+    bad = bad_columns(con, "SELECT CAST(1 AS SMALLINT) AS x")
+    assert bad and bad[0][1] == "SMALLINT"
+    # TIMESTAMP must NOT be flagged (the TIME match is word-scrubbed)
+    assert bad_columns(con, "SELECT TIMESTAMP '2020-01-01 00:00:00' AS ts") == []
+    # nested list of a hazard type is still a hazard
+    bad = bad_columns(con, "SELECT [CAST(1 AS SMALLINT)] AS xs")
+    assert bad and "SMALLINT" in bad[0][1]
+
+
+def test_nan_null_inf_zero_canonicalize_distinctly():
+    """Value-level negative controls: the parity comparator (the
+    in-repo replica of the driver's hash) must distinguish every
+    float edge class, so a Spark-NULL vs oracle-NaN divergence can
+    never ship as a false green."""
+    from tools.parity import _canon, canonical_rows
+
+    nan, null = _canon(float("nan")), _canon(None)
+    pinf, ninf = _canon(float("inf")), _canon(float("-inf"))
+    zero, nzero = _canon(0.0), _canon(-0.0)
+    distinct = {nan, null, pinf, ninf, zero}
+    assert len(distinct) == 5, distinct
+    assert zero != nzero  # -0.0 is a real IEEE divergence class
+    # end-to-end: rows differing only NaN-vs-NULL must not compare equal
+    assert canonical_rows(["x"], [(float("nan"),)]) != canonical_rows(
+        ["x"], [(None,)]
+    )
+
+
 def test_all_catalog_oracles_type_clean(con):
     """Every oracle's result schema must be Spark-emittable."""
     hits = {}

@@ -16,8 +16,23 @@ on any *result column type* Spark cannot emit:
   every fractional column; a DECIMAL oracle column canonicalizes as
   ``Decimal('1.50')`` vs ``1.5``.  Fix: ``CAST(... AS DOUBLE)``.
 - unsigned ints       — no Spark equivalent.
+- TIME / INTERVAL     — Spark has no TIME type, and DuckDB INTERVAL
+  canonicalizes as ``timedelta`` vs Spark's interval types.  Fix:
+  emit epoch seconds / day counts as BIGINT instead.
+- TINYINT / SMALLINT  — this repo's Spark results only emit
+  INT/BIGINT integers; a narrower oracle column is a hash hazard.
+  Fix: ``CAST(... AS INT)`` or BIGINT.
 
-Lists are recursed into (``BIGINT[]`` is fine, ``HUGEINT[]`` is not).
+(``TIMESTAMP`` is fine and is explicitly excluded from the TIME
+match.)  Lists are recursed into (``BIGINT[]`` is fine,
+``HUGEINT[]`` is not).
+
+Value-level NaN-vs-NULL divergence is the other driver-hash hazard
+class; it can't be caught by schema binding, so it's pre-killed at
+the comparator level instead: tools/parity.py canonicalizes NaN,
+NULL, ±Inf, and -0.0 distinctly (negative controls in
+tests/test_oracle_types.py), and the full-catalog parity sweeps run
+through that comparator.
 
 Run:  python -m tools.oracle_types          # audit all, exit 1 on hit
 Used by tests/test_oracle_types.py as the permanent regression gate.
@@ -27,18 +42,26 @@ from __future__ import annotations
 
 import re
 
-_BAD = re.compile(r"\b(HUGEINT|UHUGEINT|UBIGINT|UINTEGER|USMALLINT|UTINYINT|DECIMAL)\b")
+_BAD = re.compile(
+    r"\b(HUGEINT|UHUGEINT|UBIGINT|UINTEGER|USMALLINT|UTINYINT|DECIMAL"
+    r"|TIME|INTERVAL|TINYINT|SMALLINT)\b"
+)
 
 
 def bad_columns(con, oracle: str) -> list[tuple[str, str]]:
     """Return [(column, type)] for every result column whose DuckDB
-    type Spark cannot emit.  Binds the query (cheap) without running
-    it to completion."""
+    type Spark cannot emit (or this repo never emits).  Binds the
+    query (cheap) without running it to completion."""
     rel = con.sql(oracle)
     out = []
     for name, typ in zip(rel.columns, rel.types):
         t = str(typ)
-        if _BAD.search(t):
+        # TIMESTAMP (incl. "WITH TIME ZONE") is fine; don't let the
+        # bare-TIME hazard match inside it
+        scrubbed = t.replace("TIMESTAMP WITH TIME ZONE", "TS").replace(
+            "TIMESTAMP", "TS"
+        )
+        if _BAD.search(scrubbed):
             out.append((name, t))
     return out
 
