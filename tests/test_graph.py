@@ -489,3 +489,50 @@ def test_pagerank_matches_unrolled_duckdb(spark, sf_small, weighted):
     assert got.keys() == want.keys()
     for vid, r in want.items():
         assert got[vid] == pytest.approx(r, abs=1e-9), vid
+
+
+def test_sssp_deep_with_checkpointing_is_wall_bounded(spark):
+    """VERDICT r6 item 7: exercise ``checkpoint_every`` at REAL depth.
+    The catalog query pins only 3 bounded rounds; PERF.md documents a
+    60s-vs-2s planning cliff at depth 4+ without lineage cuts. This
+    runs depth 8 WITH checkpointing and asserts (a) exact distances
+    vs a driver-side Bellman-Ford reference on the same graph, and
+    (b) the whole run — 8 join+groupBy rounds plus planning — stays
+    wall-bounded, which is only possible if the lineage cuts actually
+    cut (an uncheckpointed depth-8 plan tree blows the optimizer)."""
+    import time
+
+    from cricket_analytics_nosql_spark.operators.graph import sssp
+
+    # chain 0->1->...->19 (cost 3 each) plus shortcut edges i -> i+3
+    # (cost 5): optimal paths mix the two, so a wrong relaxation
+    # order or a lost frontier row changes real answers
+    chain = [(i, i + 1, 3) for i in range(19)]
+    shortcuts = [(i, i + 3, 5) for i in range(17)]
+    rows = chain + shortcuts
+    edges = spark.createDataFrame(rows, "src long, dst long, cost long")
+    source = spark.createDataFrame([(0, 0)], "id long, cost long")
+
+    rounds = 8
+    t0 = time.perf_counter()
+    got = {
+        r.id: r.cost
+        for r in sssp(edges, source, rounds=rounds, checkpoint_every=2).collect()
+    }
+    elapsed = time.perf_counter() - t0
+
+    # driver-side reference: Bellman-Ford truncated at `rounds` edges
+    INF = float("inf")
+    dist = {0: 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, c in rows:
+            if dist.get(s, INF) + c < nxt.get(d, INF):
+                nxt[d] = dist[s] + c
+        dist = nxt
+    assert got == dist
+
+    # wall bound: generous vs the ~2s checkpointed / 60s+ blown-plan
+    # readings in PERF.md — a re-planning regression trips this long
+    # before it reaches the old cliff
+    assert elapsed < 60, f"depth-{rounds} sssp took {elapsed:.1f}s — lineage cuts regressed?"
