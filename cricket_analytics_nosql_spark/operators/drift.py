@@ -1704,6 +1704,143 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUPED_PRE_YEAR = 1996
+CUPED_EXP_YEAR = 1997
+
+
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout — the industry-standard
+    pre-experiment covariate adjustment (Deng et al., WSDM'13):
+    Y_adj = Y − θ·(X − X̄) with θ = cov(X,Y)/var(X) fitted on the
+    POOLED units, where X is each customer's pre-period
+    ({CUPED_PRE_YEAR}) spend and Y the experiment-period
+    ({CUPED_EXP_YEAR}) spend, arms assigned by custkey parity.
+    Output: per arm, the raw and adjusted mean plus the shared θ and
+    the variance-reduction factor ρ² the adjustment buys.
+
+    Exactness: one groupBy(custkey) builds integer-dollar (X, Y)
+    pairs; arm-level Σx, Σy, Σxy, Σx², Σy² are exact BIGINT sums
+    (dollars bound the products within int64 far past sf100); θ, ρ²
+    and the adjusted means are then pure double arithmetic on those
+    exact integers — identical expression order in the oracle, so
+    IEEE rounding matches bit for bit. Scale: the only corpus-scale
+    exchange is the per-customer groupBy; everything after is a
+    2-row frame plus a 1-row broadcast (the allreduce shape)."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate").isin(CUPED_PRE_YEAR, CUPED_EXP_YEAR))
+        .select(
+            "o_custkey",
+            F.year("o_orderdate").alias("yr"),
+            (cents("o_totalprice") / 100).cast("long").alias("v"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("yr") == CUPED_PRE_YEAR, F.col("v")).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("yr") == CUPED_EXP_YEAR, F.col("v")).otherwise(0)
+            ).alias("y"),
+        )
+        .select(
+            F.pmod(F.col("o_custkey"), F.lit(2)).cast("int").alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    arm_stats = per_cust.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    pooled = arm_stats.agg(
+        F.sum("n").alias("nt"),
+        F.sum("sx").alias("sxt"),
+        F.sum("sy").alias("syt"),
+        F.sum("sxy").alias("sxyt"),
+        F.sum("sxx").alias("sxxt"),
+        F.sum("syy").alias("syyt"),
+    )
+    nd = F.col("nt").cast("double")
+    cov_num = nd * F.col("sxyt") - F.col("sxt").cast("double") * F.col("syt")
+    var_x = nd * F.col("sxxt") - F.col("sxt").cast("double") * F.col("sxt")
+    var_y = nd * F.col("syyt") - F.col("syt").cast("double") * F.col("syt")
+    return (
+        arm_stats.crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            F.col("n").alias("n_units"),
+            F.round(F.col("sy").cast("double") / F.col("n"), 6).alias("mean_y"),
+            F.round(
+                F.col("sy").cast("double") / F.col("n")
+                - (cov_num / var_x)
+                * (
+                    F.col("sx").cast("double") / F.col("n")
+                    - F.col("sxt").cast("double") / F.col("nt")
+                ),
+                6,
+            ).alias("mean_y_adj"),
+            F.round(cov_num / var_x, 6).alias("theta"),
+            F.round(cov_num * cov_num / (var_x * var_y), 6).alias(
+                "var_reduction"
+            ),
+        )
+        .orderBy("arm")
+    )
+
+
+ORACLE_CUPED = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN year(o_orderdate) = {CUPED_PRE_YEAR}
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN year(o_orderdate) = {CUPED_EXP_YEAR}
+                  THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM orders
+  WHERE year(o_orderdate) IN ({CUPED_PRE_YEAR}, {CUPED_EXP_YEAR})
+  GROUP BY o_custkey
+), armed AS (
+  SELECT CAST(o_custkey % 2 AS INT) AS arm, x, y FROM per_cust
+), arm_stats AS (
+  SELECT arm, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM armed GROUP BY arm
+), pooled AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(SUM(sx) AS BIGINT) AS sxt, CAST(SUM(sy) AS BIGINT) AS syt,
+         CAST(SUM(sxy) AS BIGINT) AS sxyt, CAST(SUM(sxx) AS BIGINT) AS sxxt,
+         CAST(SUM(syy) AS BIGINT) AS syyt
+  FROM arm_stats
+)
+SELECT arm, n AS n_units,
+       ROUND(CAST(sy AS DOUBLE) / n, 6) AS mean_y,
+       ROUND(CAST(sy AS DOUBLE) / n
+             - ((CAST(nt AS DOUBLE) * sxyt - CAST(sxt AS DOUBLE) * syt)
+                / (CAST(nt AS DOUBLE) * sxxt - CAST(sxt AS DOUBLE) * sxt))
+               * (CAST(sx AS DOUBLE) / n - CAST(sxt AS DOUBLE) / nt), 6)
+         AS mean_y_adj,
+       ROUND((CAST(nt AS DOUBLE) * sxyt - CAST(sxt AS DOUBLE) * syt)
+             / (CAST(nt AS DOUBLE) * sxxt - CAST(sxt AS DOUBLE) * sxt), 6)
+         AS theta,
+       ROUND((CAST(nt AS DOUBLE) * sxyt - CAST(sxt AS DOUBLE) * syt)
+             * (CAST(nt AS DOUBLE) * sxyt - CAST(sxt AS DOUBLE) * syt)
+             / ((CAST(nt AS DOUBLE) * sxxt - CAST(sxt AS DOUBLE) * sxt)
+                * (CAST(nt AS DOUBLE) * syyt - CAST(syt AS DOUBLE) * syt)), 6)
+         AS var_reduction
+FROM arm_stats CROSS JOIN pooled
+ORDER BY arm
+"""
+
+
 ORACLE_QTE = f"""
 WITH o AS (
   SELECT CASE WHEN o_orderpriority = '{KS_GROUP_A}' THEN 1 ELSE 0 END AS is_a,
@@ -2102,6 +2239,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "quantile_treatment_effect": QuerySpec(
         quantile_treatment_effect, ORACLE_QTE, ["A1", "§2.8", "X-curation"]
+    ),
+    "cuped_adjusted_ab": QuerySpec(
+        cuped_adjusted_ab, ORACLE_CUPED, ["A1", "A4", "A5", "X-curation"]
     ),
     "sax_revenue_motifs": QuerySpec(
         sax_revenue_motifs, ORACLE_SAX_MOTIFS, ["A1", "§2.8", "T1", "X-ts"]

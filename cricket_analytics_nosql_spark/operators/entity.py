@@ -118,10 +118,261 @@ ORDER BY block, name_a, name_b
 """
 
 
+def blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate blocking schemes BEFORE running the linkage — the
+    decision a 100 TB entity-resolution job must make up front, since
+    the wrong key either explodes the candidate count or loses true
+    matches. For each scheme (block on the head noun / on the
+    adjective / on the name's first character) over the DISTINCT
+    name space: block count, candidate-pair count, reduction ratio
+    vs all-pairs, and pair completeness against a fixed truth set
+    (same head noun + adjective edit distance ≤ 2, the misspelled-
+    modifier twin of ``entity_match_parts``).
+
+    The scale posture is the whole point: candidate pairs are
+    COUNTED arithmetically from block sizes (Σ n·(n−1)/2) — no
+    scheme's candidates are ever enumerated, so auditing a bad
+    scheme costs the same as a good one. The only pairwise work is
+    the (bounded) truth set, generated by an equi-join on the noun
+    in distinct-name space."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            "p_name",
+            F.split("p_name", " ").getItem(0).alias("adj"),
+            F.element_at(F.split("p_name", " "), -1).alias("noun"),
+            F.substring("p_name", 1, 1).alias("c1"),
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("adj").alias("adj_a"),
+        F.col("noun").alias("noun_a"),
+        F.col("c1").alias("c1_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("adj").alias("adj_b"),
+        F.col("noun").alias("noun_b"),
+        F.col("c1").alias("c1_b"),
+    )
+    truth = (
+        a.join(b, F.col("noun_a") == F.col("noun_b"))
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("adj_a", "adj_b") <= 2)
+    )
+    truth_stats = truth.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count(F.lit(1)).alias("cob_noun"),  # truth shares noun by def
+        F.sum((F.col("adj_a") == F.col("adj_b")).cast("long")).alias(
+            "cob_adj"
+        ),
+        F.sum((F.col("c1_a") == F.col("c1_b")).cast("long")).alias("cob_c1"),
+    )
+    n_names = names.agg(F.count(F.lit(1)).alias("n_names"))
+
+    def scheme_row(key: str, label: str, cob_col: str) -> DataFrame:
+        sizes = names.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+        return (
+            sizes.agg(
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum(
+                    (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+                ).alias("cand_pairs"),
+            )
+            .crossJoin(F.broadcast(n_names))
+            .crossJoin(F.broadcast(truth_stats))
+            .select(
+                F.lit(label).alias("scheme"),
+                "n_blocks",
+                "cand_pairs",
+                F.round(
+                    F.lit(1.0)
+                    - F.col("cand_pairs").cast("double")
+                    / (F.col("n_names") * (F.col("n_names") - 1) / 2),
+                    6,
+                ).alias("reduction_ratio"),
+                F.round(
+                    F.col(cob_col).cast("double") / F.col("n_truth"), 6
+                ).alias("pair_completeness"),
+            )
+        )
+
+    return (
+        scheme_row("noun", "block_noun", "cob_noun")
+        .unionByName(scheme_row("adj", "block_adj", "cob_adj"))
+        .unionByName(scheme_row("c1", "block_first_char", "cob_c1"))
+        .orderBy("scheme")
+    )
+
+
+ORACLE_BLOCKING_QUALITY = """
+WITH names AS (
+  SELECT p_name,
+         split_part(p_name, ' ', 1) AS adj,
+         split_part(p_name, ' ', -1) AS noun,
+         substr(p_name, 1, 1) AS c1
+  FROM part GROUP BY 1, 2, 3, 4
+), truth AS (
+  SELECT a.adj = b.adj AS same_adj, a.c1 = b.c1 AS same_c1
+  FROM names a JOIN names b
+    ON a.noun = b.noun AND a.p_name < b.p_name
+  WHERE levenshtein(a.adj, b.adj) <= 2
+), ts AS (
+  SELECT COUNT(*) AS n_truth,
+         COUNT(*) AS cob_noun,
+         CAST(SUM(CASE WHEN same_adj THEN 1 ELSE 0 END) AS BIGINT) AS cob_adj,
+         CAST(SUM(CASE WHEN same_c1 THEN 1 ELSE 0 END) AS BIGINT) AS cob_c1
+  FROM truth
+), nn AS (
+  SELECT COUNT(*) AS n_names FROM names
+), schemes AS (
+  SELECT 'block_noun' AS scheme, noun AS k FROM names
+  UNION ALL SELECT 'block_adj', adj FROM names
+  UNION ALL SELECT 'block_first_char', c1 FROM names
+), sizes AS (
+  SELECT scheme, k, COUNT(*) AS n FROM schemes GROUP BY 1, 2
+), agg AS (
+  SELECT scheme, COUNT(*) AS n_blocks,
+         CAST(SUM(CAST(n * (n - 1) / 2 AS BIGINT)) AS BIGINT) AS cand_pairs
+  FROM sizes GROUP BY scheme
+)
+SELECT scheme, n_blocks, cand_pairs,
+       ROUND(1.0 - CAST(cand_pairs AS DOUBLE)
+             / (n_names * (n_names - 1) / 2), 6) AS reduction_ratio,
+       ROUND(CAST(CASE scheme WHEN 'block_noun' THEN cob_noun
+                              WHEN 'block_adj' THEN cob_adj
+                              ELSE cob_c1 END AS DOUBLE) / n_truth, 6)
+         AS pair_completeness
+FROM agg CROSS JOIN nn CROSS JOIN ts
+ORDER BY scheme
+"""
+
+
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage weights learned from the data
+    with ZERO pair enumeration: treating parts sharing a p_name as
+    the matched class, the per-field agreement probabilities are
+
+        m_f = P(field agrees | match)      — within-name pair counts
+        u_f = P(field agrees | random pair) — global value frequencies
+
+    and both reduce to the sum-of-c·(c−1) identity over count
+    tables: Σ c²-style numerators from a (name, field) rollup for m,
+    from a (field) rollup for u. The classic log-likelihood
+    agreement/disagreement weights w = ln(m/u), w̄ = ln((1−m)/(1−u))
+    come out in integer micro-nats. At 100 TB this is three
+    keys+counts groupBys per field — the match class is never
+    materialized as pairs (which would be quadratic in block size).
+
+    Fields: p_brand, p_type, p_size — exactly the evidence columns a
+    resolver would score."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_name", "p_brand", "p_type", F.col("p_size").cast("string").alias("p_size")
+    )
+    name_sizes = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n"))
+    denom_m = name_sizes.agg(
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("pairs_m"),
+        F.sum("n").alias("N"),
+    ).select(
+        "pairs_m", (F.col("N") * (F.col("N") - 1)).alias("pairs_all")
+    )
+
+    def field_row(field: str) -> DataFrame:
+        mc = (
+            part.groupBy("p_name", field)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1)).alias("agree_m"))
+        )
+        uc = (
+            part.groupBy(field)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1)).alias("agree_u"))
+        )
+        m = F.col("agree_m").cast("double") / F.col("pairs_m")
+        u = F.col("agree_u").cast("double") / F.col("pairs_all")
+        return (
+            mc.crossJoin(F.broadcast(uc))
+            .crossJoin(F.broadcast(denom_m))
+            .select(
+                F.lit(field).alias("field"),
+                F.round(m, 6).alias("m_prob"),
+                F.round(u, 6).alias("u_prob"),
+                F.round(F.log(m / u) * 1e6, 0).cast("long").alias(
+                    "w_agree_micro"
+                ),
+                F.round(
+                    F.log((F.lit(1.0) - m) / (F.lit(1.0) - u)) * 1e6, 0
+                )
+                .cast("long")
+                .alias("w_disagree_micro"),
+            )
+        )
+
+    return (
+        field_row("p_brand")
+        .unionByName(field_row("p_type"))
+        .unionByName(field_row("p_size"))
+        .orderBy("field")
+    )
+
+
+ORACLE_FELLEGI_SUNTER = """
+WITH base AS (
+  SELECT p_name, p_brand, p_type, CAST(p_size AS VARCHAR) AS p_size FROM part
+), d AS (
+  SELECT CAST(SUM(n * (n - 1)) AS BIGINT) AS pairs_m,
+         CAST(SUM(n) * (SUM(n) - 1) AS BIGINT) AS pairs_all
+  FROM (SELECT COUNT(*) AS n FROM base GROUP BY p_name)
+), per_field AS (
+  SELECT 'p_brand' AS field,
+         (SELECT CAST(SUM(c * (c - 1)) AS BIGINT)
+          FROM (SELECT COUNT(*) AS c FROM base GROUP BY p_name, p_brand)) AS agree_m,
+         (SELECT CAST(SUM(c * (c - 1)) AS BIGINT)
+          FROM (SELECT COUNT(*) AS c FROM base GROUP BY p_brand)) AS agree_u
+  UNION ALL
+  SELECT 'p_type',
+         (SELECT CAST(SUM(c * (c - 1)) AS BIGINT)
+          FROM (SELECT COUNT(*) AS c FROM base GROUP BY p_name, p_type)),
+         (SELECT CAST(SUM(c * (c - 1)) AS BIGINT)
+          FROM (SELECT COUNT(*) AS c FROM base GROUP BY p_type))
+  UNION ALL
+  SELECT 'p_size',
+         (SELECT CAST(SUM(c * (c - 1)) AS BIGINT)
+          FROM (SELECT COUNT(*) AS c FROM base GROUP BY p_name, p_size)),
+         (SELECT CAST(SUM(c * (c - 1)) AS BIGINT)
+          FROM (SELECT COUNT(*) AS c FROM base GROUP BY p_size))
+)
+SELECT field,
+       ROUND(CAST(agree_m AS DOUBLE) / pairs_m, 6) AS m_prob,
+       ROUND(CAST(agree_u AS DOUBLE) / pairs_all, 6) AS u_prob,
+       CAST(ROUND(ln((CAST(agree_m AS DOUBLE) / pairs_m)
+                     / (CAST(agree_u AS DOUBLE) / pairs_all)) * 1000000, 0)
+            AS BIGINT) AS w_agree_micro,
+       CAST(ROUND(ln((1.0 - CAST(agree_m AS DOUBLE) / pairs_m)
+                     / (1.0 - CAST(agree_u AS DOUBLE) / pairs_all)) * 1000000, 0)
+            AS BIGINT) AS w_disagree_micro
+FROM per_field CROSS JOIN d
+ORDER BY field
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "entity_match_parts": QuerySpec(
         entity_match_parts,
         ORACLE_ENTITY_MATCH_PARTS,
         ["X-curation", "J3", "A1"],
+    ),
+    "blocking_quality_audit": QuerySpec(
+        blocking_quality_audit,
+        ORACLE_BLOCKING_QUALITY,
+        ["X-curation", "A1", "A5", "J3"],
+    ),
+    "fellegi_sunter_weights": QuerySpec(
+        fellegi_sunter_weights,
+        ORACLE_FELLEGI_SUNTER,
+        ["X-curation", "A1", "A5"],
     ),
 }

@@ -508,7 +508,89 @@ ORDER BY c_mktsegment
 """
 
 
+L_DIV_L = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The l-diversity companion to ``k_anonymity_audit``: k-anonymity
+    alone can't stop attribute disclosure when every member of a QI
+    group shares the same sensitive value. Here the quasi-identifier
+    is (nationkey, mktsegment) and the sensitive attribute is the
+    account-balance band; a group is l-diverse when it contains ≥ l
+    distinct sensitive values. Per segment: group count, groups below
+    l={L_DIV_L}, min observed diversity, and the row fraction exposed
+    to attribute disclosure.
+
+    Shape: one rollup to (QI, sensitive) pairs, one to QI groups, one
+    to segments — every exchange carries keys+counts only, the
+    smallest-possible shuffles at any scale (the k-anonymity
+    posture)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bal_band"),
+    )
+    per_value = cust.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_group = per_value.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("l_div"),
+        F.sum("n").alias("n_rows"),
+    )
+    return (
+        per_group.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("l_div") < L_DIV_L).cast("long")).alias(
+                "n_low_diversity"
+            ),
+            F.min("l_div").alias("min_l"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_div") < L_DIV_L, F.col("n_rows")).otherwise(0)
+            ).alias("n_rows_exposed"),
+        )
+        .withColumn(
+            "exposure_rate",
+            F.round(F.col("n_rows_exposed") / F.col("n_rows"), 6),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_L_DIVERSITY = f"""
+WITH pv AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         COUNT(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+), pg AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS l_div,
+         CAST(SUM(n) AS BIGINT) AS n_rows
+  FROM pv GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN l_div < {L_DIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity,
+       CAST(MIN(l_div) AS BIGINT) AS min_l,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_div < {L_DIV_L} THEN n_rows ELSE 0 END) AS BIGINT)
+         AS n_rows_exposed,
+       ROUND(CAST(SUM(CASE WHEN l_div < {L_DIV_L} THEN n_rows ELSE 0 END)
+                  AS DOUBLE) / SUM(n_rows), 6) AS exposure_rate
+FROM pg
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "l_diversity_audit": QuerySpec(
+        l_diversity_audit,
+        ORACLE_L_DIVERSITY,
+        ["A1", "A3", "X-curation"],
+    ),
     "k_anonymity_audit": QuerySpec(
         k_anonymity_audit,
         ORACLE_K_ANONYMITY,

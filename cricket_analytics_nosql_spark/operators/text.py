@@ -1946,7 +1946,239 @@ LIMIT {NEG_TABLE_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram surprisal — the KenLM-standard smoother
+# --------------------------------------------------------------------------
+
+KN_TOPK = 20
+
+
+def kneser_ney_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoother real
+    perplexity filters (KenLM / CCNet) actually ship, next to
+    ``lm_surprisal``'s raw MLE:
+
+        P_KN(w2|w1) = (max(c12 − D, 0) + D·N1+(w1,·)·P_cont(w2)) / c1
+        P_cont(w2)  = N1+(·,w2) / B
+
+    with discount D = 3/4 and B = total distinct bigram types. The
+    whole probability is an exact integer rational: multiplying
+    through by 4B gives
+
+        NUM = (4·B·c12 − 3·B) + 3·N1+(w1,·)·N1+(·,w2)
+        DEN = 4·B·c1
+
+    (c12 ≥ 1 on corpus-trained data, so the max() never binds) —
+    both BIGINT, so the only float op is one ln() of an exactly-
+    rounded IEEE quotient, rounded to integer micro-nats before the
+    per-doc sum (the ``lm_surprisal`` determinism discipline: integer
+    sums are associative, partial-agg order can't wobble the result,
+    and the DuckDB oracle lands on identical bits).
+
+    Scale: ONE corpus-scale shuffle (the map-combined bigram count;
+    output vocab²-bounded) — c1, N1+(w1,·), N1+(·,w2) and B all
+    derive from the count table itself, so unlike ``lm_surprisal``
+    the corpus never shuffles a second time for the unigram counts.
+    The stats table joins back onto the bigram stream keyed
+    (w1, w2); AQE picks broadcast while the vocab table fits.
+    Overflow headroom: NUM ≤ 4·B·c12 needs ln2(4Bc) < 63, i.e.
+    B·c12 < 2^61 — at trillions of bigram types, drop to DOUBLE
+    arithmetic (the micro-nat rounding absorbs the 2^-52 error).
+
+    Returns the {KN_TOPK} most-surprising documents (≥
+    {LM_MIN_BIGRAMS} bigrams) — the incoherent tail a curation pass
+    cuts."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    )
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " (t, i) -> struct(t AS w1, w[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("n12").alias("n1"), F.count(F.lit(1)).alias("n1p1")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p2"))
+    btot = c2.agg(F.count(F.lit(1)).alias("B"))
+    stats = (
+        c2.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.lit(4) * F.col("B") * F.col("n12")
+                - F.lit(3) * F.col("B")
+                + F.lit(3) * F.col("n1p1") * F.col("n1p2")
+            ).alias("num"),
+            (F.lit(4) * F.col("B") * F.col("n1")).alias("den"),
+        )
+    )
+    scored = pairs.join(stats, ["w1", "w2"]).select(
+        "doc_id",
+        F.round(
+            F.log(F.col("den").cast("double") / F.col("num")) * 1e6, 0
+        )
+        .cast("long")
+        .alias("kn_micro"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("kn_micro").alias("kn_micro_total"),
+    )
+    return (
+        per_doc.filter(F.col("n_bigrams") >= LM_MIN_BIGRAMS)
+        .orderBy(
+            F.desc(
+                F.col("kn_micro_total").cast("double") / F.col("n_bigrams")
+            ),
+            F.asc("doc_id"),
+        )
+        .limit(KN_TOPK)
+    )
+
+
+ORACLE_KNESER_NEY = f"""
+WITH pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(range(1, len(w))) AS t(i)
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS n12 FROM pairs GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1, COUNT(*) AS n1p1
+  FROM c2 GROUP BY w1
+), cont AS (
+  SELECT w2, COUNT(*) AS n1p2 FROM c2 GROUP BY w2
+), btot AS (
+  SELECT COUNT(*) AS B FROM c2
+), stats AS (
+  SELECT c2.w1, c2.w2,
+         4 * B * n12 - 3 * B + 3 * n1p1 * n1p2 AS num,
+         4 * B * n1 AS den
+  FROM c2 JOIN c1 ON c2.w1 = c1.w1
+          JOIN cont ON c2.w2 = cont.w2
+          CROSS JOIN btot
+), scored AS (
+  SELECT p.doc_id,
+         CAST(ROUND(ln(CAST(den AS DOUBLE) / num) * 1000000, 0) AS BIGINT)
+           AS kn_micro
+  FROM pairs p JOIN stats s ON p.w1 = s.w1 AND p.w2 = s.w2
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(kn_micro) AS BIGINT) AS kn_micro_total
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, kn_micro_total
+FROM per_doc
+WHERE n_bigrams >= {LM_MIN_BIGRAMS}
+ORDER BY CAST(kn_micro_total AS DOUBLE) / n_bigrams DESC, doc_id ASC
+LIMIT {KN_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# leave-one-out source valuation — which source moves corpus quality?
+# --------------------------------------------------------------------------
+
+
+def loo_source_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out data valuation at source granularity: for each
+    source, the corpus mean quality WITH vs WITHOUT it —
+    delta_micro > 0 means dropping the source would *raise* mean
+    quality (a cut candidate); the cheapest member of the
+    Shapley-style valuation family and the one a 100 TB pipeline can
+    afford exactly. One pass: per-source (n, Σq) in a single
+    map-combined groupBy; the global (N, S) derives from the
+    per-source frame (O(sources) rows), so LOO_mean_i =
+    (S − s_i)/(N − n_i) is pure arithmetic on the tiny aggregate —
+    the corpus is read once and never shuffles beyond the 20-key
+    groupBy. Quality is the repo's quality_col rounded to integer
+    micro-units before ANY sum, so every mean is a ratio of exact
+    integers."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", quality_col(F.col("text")).alias("q")
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.round(F.col("q") * 1e6, 0).cast("long")).alias("q_micro"),
+    )
+    glob = per_src.agg(
+        F.sum("n_docs").alias("N"), F.sum("q_micro").alias("S")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("q_micro").cast("double") / F.col("n_docs") / 1e6, 6)
+            .alias("mean_q"),
+            F.round(
+                (F.col("S") - F.col("q_micro")).cast("double")
+                / (F.col("N") - F.col("n_docs"))
+                / 1e6,
+                6,
+            ).alias("loo_mean_q"),
+            F.round(
+                (
+                    (F.col("S") - F.col("q_micro")).cast("double")
+                    / (F.col("N") - F.col("n_docs"))
+                    - F.col("S").cast("double") / F.col("N")
+                ),
+                1,
+            ).alias("delta_micro"),
+        )
+        .orderBy(F.desc("delta_micro"), F.asc("source"))
+    )
+
+
+ORACLE_LOO_SOURCE_VALUATION = f"""
+WITH scored AS (
+  SELECT source,
+         CAST(ROUND((0.4 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' ')))
+             + 0.3 * (1.0 - LEAST(CAST(len(list_filter(string_split(text, ' '),
+                                              t -> t IN ('{_STOP_SQL}'))) AS DOUBLE)
+                                  / len(string_split(text, ' ')) * 5, 1.0))
+            ) * 1000000, 0) AS BIGINT) AS q_micro
+  FROM documents
+), per_src AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(q_micro) AS BIGINT) AS q_micro_sum
+  FROM scored GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS N, CAST(SUM(q_micro_sum) AS BIGINT) AS S
+  FROM per_src
+)
+SELECT source, n_docs,
+       ROUND(CAST(q_micro_sum AS DOUBLE) / n_docs / 1000000, 6) AS mean_q,
+       ROUND(CAST(S - q_micro_sum AS DOUBLE) / (N - n_docs) / 1000000, 6)
+         AS loo_mean_q,
+       ROUND(CAST(S - q_micro_sum AS DOUBLE) / (N - n_docs)
+             - CAST(S AS DOUBLE) / N, 1) AS delta_micro
+FROM per_src CROSS JOIN tot
+ORDER BY delta_micro DESC, source ASC
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "kneser_ney_surprisal": QuerySpec(
+        kneser_ney_surprisal,
+        ORACLE_KNESER_NEY,
+        ["X-text", "X-curation", "A1", "T1"],
+    ),
+    "loo_source_valuation": QuerySpec(
+        loo_source_valuation,
+        ORACLE_LOO_SOURCE_VALUATION,
+        ["X-text", "X-curation", "A1", "A5"],
+    ),
     "negative_sampling_table": QuerySpec(
         negative_sampling_table,
         ORACLE_NEG_TABLE,

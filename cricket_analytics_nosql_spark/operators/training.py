@@ -214,6 +214,96 @@ def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_BUDGET_NUM = 1  # sampling budget = total docs * NUM // DEN
+TEMP_BUDGET_DEN = 2
+
+
+def temperature_mixture_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture allocation — the multilingual-
+    pretraining standard (mC4 / XLM-R): sample source i with
+    probability ∝ n_i^(1/T).  T = 2 gives weight √n_i, which boosts
+    small sources without flattening the mixture entirely (the
+    middle ground between ``domain_mixture_resample``'s uniform
+    target and natural proportions).  Per source: raw count, the
+    √n weight in exact micro-units, the allocated document budget
+    out of B = total/2, and the effective sampling rate — rates > 1
+    mean the source is up-sampled (epochs > 1), exactly what
+    temperature sampling does to tail languages.
+
+    Exactness: √ is IEEE-correctly-rounded (unlike pow), so
+    w_i = round(√n_i · 1e6) is bit-identical across engines; every
+    later step is integer or one double division written in the same
+    expression order.  Scale: ONE count-only groupBy over a pruned
+    1-column scan; the allocation math runs on the O(sources) frame
+    (zero further exchange)."""
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(
+            F.round(F.sqrt(F.col("n_docs").cast("double")) * 1e6, 0).cast(
+                "long"
+            )
+        ).alias("w_total"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.sqrt(F.col("n_docs").cast("double")) * 1e6, 0)
+            .cast("long")
+            .alias("w_micro"),
+            F.round(
+                (F.col("n_total") * TEMP_BUDGET_NUM / TEMP_BUDGET_DEN)
+                .cast("long")
+                .cast("double")
+                * F.round(
+                    F.sqrt(F.col("n_docs").cast("double")) * 1e6, 0
+                ).cast("long")
+                / F.col("w_total"),
+                0,
+            )
+            .cast("long")
+            .alias("alloc_docs"),
+        )
+        .withColumn(
+            "eff_rate",
+            F.round(F.col("alloc_docs").cast("double") / F.col("n_docs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TEMPERATURE_MIXTURE = f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs,
+         CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)) * 1000000, 0) AS BIGINT)
+           AS w_micro
+  FROM c
+), t AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         CAST(SUM(w_micro) AS BIGINT) AS w_total
+  FROM w
+)
+SELECT source, n_docs, w_micro,
+       CAST(ROUND(CAST(n_total * {TEMP_BUDGET_NUM} // {TEMP_BUDGET_DEN}
+                       AS DOUBLE) * w_micro / w_total, 0) AS BIGINT)
+         AS alloc_docs,
+       ROUND(CAST(CAST(ROUND(CAST(n_total * {TEMP_BUDGET_NUM} //
+                                  {TEMP_BUDGET_DEN} AS DOUBLE)
+                             * w_micro / w_total, 0) AS BIGINT) AS DOUBLE)
+             / n_docs, 6) AS eff_rate
+FROM w CROSS JOIN t
+ORDER BY source
+"""
+
+
 ORACLE_DOMAIN_MIXTURE = f"""
 WITH c AS (
   SELECT source, COUNT(*) AS n_before FROM documents GROUP BY source
@@ -1159,6 +1249,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "domain_mixture_resample": QuerySpec(
         domain_mixture_resample, ORACLE_DOMAIN_MIXTURE, ["X-training", "J1"]
+    ),
+    "temperature_mixture_alloc": QuerySpec(
+        temperature_mixture_alloc,
+        ORACLE_TEMPERATURE_MIXTURE,
+        ["X-training", "X-curation", "A1", "A5"],
     ),
     "mixture_budget_waterfill": QuerySpec(
         mixture_budget_waterfill,

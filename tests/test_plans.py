@@ -518,6 +518,22 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # 1-row count crossed onto the d² covariance cell frame
         # (the embedding_covariance_topk shape)
         "pca_top_component",
+        # round-7 additions, all the 1-row scalar-broadcast idiom:
+        # 1-row bigram-type total B onto the vocab²-bounded stats
+        # frame (never the corpus stream)
+        "kneser_ney_surprisal",
+        # 1-row (N, S) corpus totals onto the |sources| frame
+        "loo_source_valuation",
+        # 1-row (n_total, w_total) onto the |sources| frame
+        "temperature_mixture_alloc",
+        # 1-row match/all pair denominators onto 1-row per-field
+        # agreement numerators (3 rows out)
+        "fellegi_sunter_weights",
+        # 1-row pooled-moments frame onto the 2-row arm frame
+        "cuped_adjusted_ab",
+        # 1-row name-count + 1-row truth-stats frames onto 1-row
+        # per-scheme candidate counts (3 rows out)
+        "blocking_quality_audit",
         # 1-row token-mass total crossed onto the vocabulary frame
         # (subsample thresholds / per-source loss rollup)
         "skipgram_pairs",
