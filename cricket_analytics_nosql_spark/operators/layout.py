@@ -274,9 +274,138 @@ ORDER BY pid
 """
 
 
+# --------------------------------------------------------------------------
+# Hilbert-curve layout — the locality upgrade over Morton/Z-order
+# --------------------------------------------------------------------------
+
+HILBERT_BITS = MORTON_BITS  # bits per dimension → 2·bits-bit key
+
+
+def _hilbert_round_sql(s: int) -> list[str]:
+    """One round of the standard xy→d Hilbert walk at scale ``s``,
+    as engine-neutral SQL (CASE/&/arithmetic only — identical text
+    binds in Spark SQL and DuckDB, which is what makes the oracle
+    exact). Returns [d_expr, x_expr, y_expr] reading columns d,x,y.
+
+    The quadrant code (3·rx XOR ry) is spelled as a CASE over the
+    four (rx, ry) combinations — no XOR operator, whose spelling
+    differs between the engines."""
+    rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+    quad = (
+        f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+        f"WHEN {rx} = 0 THEN 1 WHEN {ry} = 1 THEN 2 ELSE 3 END)"
+    )
+    d = f"d + CAST({s} AS BIGINT) * {s} * {quad}"
+    # if ry = 0: optionally flip within the quadrant (rx = 1), then
+    # swap x/y; if ry = 1 the frame is unchanged
+    x = (
+        f"CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN {s} - 1 - y ELSE y END) ELSE x END"
+    )
+    y = (
+        f"CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN {s} - 1 - x ELSE x END) ELSE y END"
+    )
+    return [d, x, y]
+
+
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hilbert-curve twin of ``zorder_layout``: bucket events by
+    the top bits of the Hilbert distance of (user_id, hour) and
+    report each block's population and (user, hour) bounding
+    rectangle. Hilbert beats Morton on exactly the property this
+    audit measures — every curve step is unit-distance, so blocks
+    never contain the long diagonal jumps that widen Morton block
+    bounding boxes at quadrant seams (why Delta/Iceberg moved their
+    clustering default from Z-order to Hilbert).
+
+    The xy→d walk is {HILBERT_BITS} chained quadrant-rotation
+    rounds, each pure CASE/bit arithmetic — in Spark a chain of
+    selectExpr projections that whole-stage-codegens into ONE
+    operator with zero exchanges before the block rollup; the DuckDB
+    oracle binds the IDENTICAL round expressions as chained CTEs, so
+    the key is bit-for-bit checkable. The only shuffle carries
+    ~2^10 block keys + counts — metadata-sized at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {US_PER_HOUR}"
+        ).alias("hr"),
+    )
+    cur = ev.selectExpr(
+        "user_id",
+        "hr",
+        f"CAST(user_id & {(1 << HILBERT_BITS) - 1} AS BIGINT) AS x",
+        f"CAST(hr & {(1 << HILBERT_BITS) - 1} AS BIGINT) AS y",
+        "CAST(0 AS BIGINT) AS d",
+    )
+    for b in range(HILBERT_BITS - 1, -1, -1):
+        d_e, x_e, y_e = _hilbert_round_sql(1 << b)
+        cur = cur.selectExpr(
+            "user_id",
+            "hr",
+            f"({d_e}) AS d",
+            f"({x_e}) AS x",
+            f"({y_e}) AS y",
+        )
+    keyed = cur.selectExpr(
+        "user_id", "hr", f"d >> {2 * HILBERT_BITS - 10} AS h_block"
+    )
+    return (
+        keyed.groupBy("h_block")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("user_min"),
+            F.max("user_id").alias("user_max"),
+            F.min("hr").alias("hr_min"),
+            F.max("hr").alias("hr_max"),
+        )
+        .orderBy("h_block")
+    )
+
+
+def _hilbert_oracle() -> str:
+    rounds = []
+    prev = "base"
+    for idx, b in enumerate(range(HILBERT_BITS - 1, -1, -1)):
+        d_e, x_e, y_e = _hilbert_round_sql(1 << b)
+        rounds.append(
+            f"r{idx} AS (\n  SELECT user_id, hr, ({d_e}) AS d,"
+            f" ({x_e}) AS x, ({y_e}) AS y FROM {prev}\n)"
+        )
+        prev = f"r{idx}"
+    return (
+        f"""WITH base AS (
+  SELECT user_id,
+         epoch_us(ts) // {US_PER_HOUR} AS hr,
+         CAST(user_id & {(1 << HILBERT_BITS) - 1} AS BIGINT) AS x,
+         CAST((epoch_us(ts) // {US_PER_HOUR}) & {(1 << HILBERT_BITS) - 1}
+              AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM events
+), """
+        + ",\n".join(rounds)
+        + f"""
+SELECT d >> {2 * HILBERT_BITS - 10} AS h_block,
+       COUNT(*) AS n_events,
+       CAST(MIN(user_id) AS BIGINT) AS user_min,
+       CAST(MAX(user_id) AS BIGINT) AS user_max,
+       CAST(MIN(hr) AS BIGINT) AS hr_min,
+       CAST(MAX(hr) AS BIGINT) AS hr_max
+FROM {prev}
+GROUP BY h_block
+ORDER BY h_block
+"""
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "zorder_layout": QuerySpec(
         zorder_layout, ORACLE_ZORDER_LAYOUT, ["S5", "A1", "X-layout"]
+    ),
+    "hilbert_layout": QuerySpec(
+        hilbert_layout, _hilbert_oracle(), ["S5", "A1", "X-layout"]
     ),
     "range_partition_planner": QuerySpec(
         range_partition_planner,

@@ -2721,7 +2721,189 @@ ORDER BY pos
 """
 
 
+# --------------------------------------------------------------------------
+# greedy k-center coreset — farthest-point data selection
+# --------------------------------------------------------------------------
+
+KCENTER_K = 4
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point-first) coreset selection — the
+    classic 2-approximation for maximally-diverse subset picking that
+    data-curation pipelines use to seed diverse training subsets.
+    Seed = the lowest vec_id; each round adds the point farthest
+    from the selected set (max over points of min over centers),
+    ties to the smaller vec_id.  Output: one row per selected center
+    (selection step, vec_id, its distance² to the prior centers —
+    the coverage-radius sequence, which is non-increasing from step
+    2 on) plus how many corpus points each center ends up covering.
+
+    Exactness: micro-unit quantization makes every pairwise
+    distance² an exact BIGINT sum (the ``embedding_outlier_topk``
+    discipline), selection compares integers only, and the DuckDB
+    oracle replays the identical greedy recurrence unrolled as CTEs
+    (the PageRank/BPE oracle pattern for iterative operators).
+
+    Scale: each round is one join of the exploded corpus (n·d rows)
+    against the selected-centers frame (≤ k·d rows, broadcast) keyed
+    on the dimension index, then a min-groupBy per point — O(k·n·d)
+    total work, never n².  Each round's winner is a ``limit(1)``
+    frame localCheckpoint-ed so round r+1's plan doesn't re-execute
+    rounds 1..r (the iterative-graph lineage discipline)."""
+    emb = (
+        _doubles(load_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    F.col("v"), lambda x: F.round(x * 1e6, 0).cast("long")
+                )
+            ).alias("i", "xm"),
+        )
+        .localCheckpoint()
+    )
+    seed = (
+        emb.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("step"),
+            F.col("vec_id").alias("cid"),
+            F.lit(0).cast("long").alias("d2_prev"),
+        )
+        .localCheckpoint()
+    )
+    sel = seed
+    for step in range(2, KCENTER_K + 1):
+        cent_exp = emb.join(
+            F.broadcast(sel.select(F.col("cid").alias("vec_id"))), "vec_id"
+        ).select(F.col("vec_id").alias("cid"), "i", F.col("xm").alias("cm"))
+        mind = (
+            emb.join(F.broadcast(cent_exp), "i")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))
+                ).alias("d2")
+            )
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("mind2"))
+        )
+        nxt = (
+            mind.orderBy(F.desc("mind2"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                F.col("vec_id").alias("cid"),
+                F.col("mind2").alias("d2_prev"),
+            )
+            .localCheckpoint()
+        )
+        sel = sel.unionByName(nxt).localCheckpoint()
+    # final assignment: nearest of the k centers (ties → earlier step)
+    cent_exp = emb.join(
+        F.broadcast(sel.select("step", F.col("cid").alias("vec_id"))),
+        "vec_id",
+    ).select("step", F.col("vec_id").alias("cid"), "i", F.col("xm").alias("cm"))
+    assigned = (
+        emb.join(F.broadcast(cent_exp), "i")
+        .groupBy("vec_id", "step", "cid")
+        .agg(
+            F.sum(
+                (F.col("xm") - F.col("cm")) * (F.col("xm") - F.col("cm"))
+            ).alias("d2")
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "step")).alias("best"))
+        .groupBy(F.col("best.step").alias("step"))
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+    )
+    return (
+        sel.join(assigned, "step", "left")
+        .select(
+            "step",
+            F.col("cid").alias("vec_id"),
+            "d2_prev",
+            F.coalesce("n_assigned", F.lit(0)).alias("n_assigned"),
+        )
+        .orderBy("step")
+    )
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy recurrence: cN = argmax over points of min
+    distance² to centers 1..N−1 (integer micro² units, vec_id
+    tie-break), exactly the Spark loop's contract."""
+    steps = []
+    steps.append(
+        """expl AS (
+  SELECT vec_id, i, CAST(ROUND(CAST(embedding AS DOUBLE[])[i + 1] * 1e6, 0)
+                         AS BIGINT) AS xm
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)
+), c1 AS (
+  SELECT CAST(MIN(vec_id) AS BIGINT) AS cid FROM expl
+), m1 AS (
+  SELECT e.vec_id, CAST(SUM((e.xm - c.xm) * (e.xm - c.xm)) AS BIGINT) AS mind2
+  FROM expl e JOIN expl c ON e.i = c.i
+  WHERE c.vec_id = (SELECT cid FROM c1)
+  GROUP BY e.vec_id
+)"""
+    )
+    for s in range(2, KCENTER_K + 1):
+        steps.append(
+            f"""c{s} AS (
+  SELECT vec_id AS cid, mind2 AS d2 FROM m{s - 1}
+  ORDER BY mind2 DESC, vec_id ASC LIMIT 1
+), m{s} AS (
+  SELECT m.vec_id, LEAST(m.mind2,
+         CAST(SUM((e.xm - c.xm) * (e.xm - c.xm)) AS BIGINT)) AS mind2
+  FROM m{s - 1} m
+  JOIN expl e ON e.vec_id = m.vec_id
+  JOIN expl c ON e.i = c.i
+  WHERE c.vec_id = (SELECT cid FROM c{s})
+  GROUP BY m.vec_id, m.mind2
+)"""
+        )
+    centers = ["SELECT 1 AS step, cid, CAST(0 AS BIGINT) AS d2_prev FROM c1"]
+    for s in range(2, KCENTER_K + 1):
+        centers.append(f"SELECT {s}, cid, d2 FROM c{s}")
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + ",\ncenters AS (\n  "
+        + "\n  UNION ALL ".join(centers)
+        + "\n), dists AS (\n"
+        + """  SELECT e.vec_id, ct.step,
+         CAST(SUM((e.xm - c.xm) * (e.xm - c.xm)) AS BIGINT) AS d2
+  FROM expl e
+  JOIN centers ct ON TRUE
+  JOIN expl c ON c.vec_id = ct.cid AND e.i = c.i
+  GROUP BY e.vec_id, ct.step
+), best AS (
+  SELECT vec_id, MIN(d2) AS bd FROM dists GROUP BY vec_id
+), pick AS (
+  SELECT d.vec_id, MIN(d.step) AS step
+  FROM dists d JOIN best b ON d.vec_id = b.vec_id AND d.d2 = b.bd
+  GROUP BY d.vec_id
+), sizes AS (
+  SELECT step, COUNT(*) AS n_assigned FROM pick GROUP BY step
+)
+SELECT ct.step, ct.cid AS vec_id, ct.d2_prev,
+       COALESCE(s.n_assigned, 0) AS n_assigned
+FROM centers ct LEFT JOIN sizes s ON ct.step = s.step
+ORDER BY ct.step
+"""
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "kcenter_coreset": QuerySpec(
+        kcenter_coreset,
+        _kcenter_oracle(),
+        ["X-sim", "X-curation", "A4", "T1"],
+    ),
     "mmr_diverse_topk": QuerySpec(
         mmr_diverse_topk,
         _mmr_oracle(),
