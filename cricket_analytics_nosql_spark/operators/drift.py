@@ -1036,6 +1036,162 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OLS_BREAK_TOPK = 5
+
+
+def ols_break_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-break scan (the Chow-test sweep): fit separate OLS
+    trend lines to the daily-revenue series on each side of every
+    candidate breakpoint and rank candidates by how much the split
+    cuts total squared error vs the single global fit —
+    ``cusum_changepoint`` finds a LEVEL shift; this finds a SLOPE
+    regime change. Candidates are the 30-day block boundaries
+    strictly inside the observed range (a calendar-bounded grid).
+
+    Shapes/exactness: one day-grain rollup (the one fact exchange),
+    then a days×candidates cross bounded by the CALENDAR on both
+    sides (the theil_sen posture — invariant in data volume); every
+    per-side moment (n, Σt, Σy, Σtt, Σty, Σyy) is an exact BIGINT
+    conditional sum, and each side's SSE = Syy_c − Sty_c²/Stt_c is
+    double arithmetic on those exact integers, written in the same
+    order in the oracle. Sides thinner than 3 days are dropped
+    (degenerate fits). Ranking sorts the ROUNDED improvement with a
+    day tie-break."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(epoch_day("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint) div 100")
+            ).alias("y")
+        )
+    )
+    bounds = daily.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    cands = (
+        daily.select((F.col("day") - (F.col("day") % 30)).alias("c"))
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("c") > F.col("dmin")) & (F.col("c") <= F.col("dmax")))
+        .select("c")
+    )
+
+    def side_moments(pred, tag: str) -> list:
+        z = F.when(pred, F.lit(1)).otherwise(F.lit(0))
+        return [
+            F.sum(z).alias(f"n{tag}"),
+            F.sum(z * F.col("day")).alias(f"st{tag}"),
+            F.sum(z * F.col("y")).alias(f"sy{tag}"),
+            F.sum(z * F.col("day") * F.col("day")).alias(f"stt{tag}"),
+            F.sum(z * F.col("day") * F.col("y")).alias(f"sty{tag}"),
+            F.sum(z * F.col("y") * F.col("y")).alias(f"syy{tag}"),
+        ]
+
+    j = daily.crossJoin(F.broadcast(cands))
+    per_c = j.groupBy("c").agg(
+        *side_moments(F.col("day") < F.col("c"), "l"),
+        *side_moments(F.col("day") >= F.col("c"), "r"),
+    )
+
+    def sse(tag: str) -> F.Column:
+        n = F.col(f"n{tag}").cast("double")
+        st = F.col(f"st{tag}").cast("double")
+        sy = F.col(f"sy{tag}").cast("double")
+        dy = F.col(f"syy{tag}").cast("double") - sy * sy / n
+        num = F.col(f"sty{tag}").cast("double") - st * sy / n
+        den = F.col(f"stt{tag}").cast("double") - st * st / n
+        return dy - num * num / den
+
+    glob = daily.agg(*side_moments(F.lit(True), "g")).select(
+        (sse("g")).alias("sse_single")
+    )
+    return (
+        per_c.filter((F.col("nl") >= 3) & (F.col("nr") >= 3))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("c").alias("break_day"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.round(sse("l") + sse("r"), 2).alias("sse_break"),
+            F.round(F.col("sse_single"), 2).alias("sse_single"),
+            F.round(
+                F.lit(1.0) - (sse("l") + sse("r")) / F.col("sse_single"), 6
+            ).alias("improvement"),
+        )
+        .orderBy(F.desc("improvement"), F.asc("break_day"))
+        .limit(OLS_BREAK_TOPK)
+    )
+
+
+ORACLE_OLS_BREAK = f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100)
+              AS BIGINT) AS y
+  FROM orders GROUP BY day
+), bounds AS (
+  SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM daily
+), cands AS (
+  SELECT DISTINCT day - (day % 30) AS c FROM daily, bounds
+  WHERE day - (day % 30) > dmin AND day - (day % 30) <= dmax
+), per_c AS (
+  SELECT c,
+    CAST(SUM(CASE WHEN day < c THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+    CAST(SUM(CASE WHEN day < c THEN day ELSE 0 END) AS BIGINT) AS stl,
+    CAST(SUM(CASE WHEN day < c THEN y ELSE 0 END) AS BIGINT) AS syl,
+    CAST(SUM(CASE WHEN day < c THEN day * day ELSE 0 END) AS BIGINT) AS sttl,
+    CAST(SUM(CASE WHEN day < c THEN day * y ELSE 0 END) AS BIGINT) AS styl,
+    CAST(SUM(CASE WHEN day < c THEN y * y ELSE 0 END) AS BIGINT) AS syyl,
+    CAST(SUM(CASE WHEN day >= c THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+    CAST(SUM(CASE WHEN day >= c THEN day ELSE 0 END) AS BIGINT) AS str_,
+    CAST(SUM(CASE WHEN day >= c THEN y ELSE 0 END) AS BIGINT) AS syr,
+    CAST(SUM(CASE WHEN day >= c THEN day * day ELSE 0 END) AS BIGINT) AS sttr,
+    CAST(SUM(CASE WHEN day >= c THEN day * y ELSE 0 END) AS BIGINT) AS styr,
+    CAST(SUM(CASE WHEN day >= c THEN y * y ELSE 0 END) AS BIGINT) AS syyr
+  FROM daily CROSS JOIN cands
+  GROUP BY c
+), g AS (
+  SELECT (CAST(SUM(y * y) AS DOUBLE)
+            - CAST(SUM(y) AS DOUBLE) * SUM(y) / COUNT(*))
+         - (CAST(SUM(day * y) AS DOUBLE)
+              - CAST(SUM(day) AS DOUBLE) * SUM(y) / COUNT(*))
+           * (CAST(SUM(day * y) AS DOUBLE)
+              - CAST(SUM(day) AS DOUBLE) * SUM(y) / COUNT(*))
+           / (CAST(SUM(day * day) AS DOUBLE)
+              - CAST(SUM(day) AS DOUBLE) * SUM(day) / COUNT(*))
+           AS sse_single
+  FROM daily
+)
+SELECT c AS break_day, nl AS n_left, nr AS n_right,
+  ROUND(
+    ((CAST(syyl AS DOUBLE) - CAST(syl AS DOUBLE) * syl / CAST(nl AS DOUBLE))
+      - (CAST(styl AS DOUBLE) - CAST(stl AS DOUBLE) * syl / CAST(nl AS DOUBLE))
+        * (CAST(styl AS DOUBLE) - CAST(stl AS DOUBLE) * syl / CAST(nl AS DOUBLE))
+        / (CAST(sttl AS DOUBLE) - CAST(stl AS DOUBLE) * stl / CAST(nl AS DOUBLE)))
+    + ((CAST(syyr AS DOUBLE) - CAST(syr AS DOUBLE) * syr / CAST(nr AS DOUBLE))
+      - (CAST(styr AS DOUBLE) - CAST(str_ AS DOUBLE) * syr / CAST(nr AS DOUBLE))
+        * (CAST(styr AS DOUBLE) - CAST(str_ AS DOUBLE) * syr / CAST(nr AS DOUBLE))
+        / (CAST(sttr AS DOUBLE) - CAST(str_ AS DOUBLE) * str_ / CAST(nr AS DOUBLE))),
+    2) AS sse_break,
+  ROUND(sse_single, 2) AS sse_single,
+  ROUND(1.0 -
+    (((CAST(syyl AS DOUBLE) - CAST(syl AS DOUBLE) * syl / CAST(nl AS DOUBLE))
+      - (CAST(styl AS DOUBLE) - CAST(stl AS DOUBLE) * syl / CAST(nl AS DOUBLE))
+        * (CAST(styl AS DOUBLE) - CAST(stl AS DOUBLE) * syl / CAST(nl AS DOUBLE))
+        / (CAST(sttl AS DOUBLE) - CAST(stl AS DOUBLE) * stl / CAST(nl AS DOUBLE)))
+    + ((CAST(syyr AS DOUBLE) - CAST(syr AS DOUBLE) * syr / CAST(nr AS DOUBLE))
+      - (CAST(styr AS DOUBLE) - CAST(str_ AS DOUBLE) * syr / CAST(nr AS DOUBLE))
+        * (CAST(styr AS DOUBLE) - CAST(str_ AS DOUBLE) * syr / CAST(nr AS DOUBLE))
+        / (CAST(sttr AS DOUBLE) - CAST(str_ AS DOUBLE) * str_ / CAST(nr AS DOUBLE))))
+    / sse_single, 6) AS improvement
+FROM per_c CROSS JOIN g
+WHERE nl >= 3 AND nr >= 3
+ORDER BY improvement DESC, break_day ASC
+LIMIT {OLS_BREAK_TOPK}
+"""
+
+
 ORACLE_CUSUM_CHANGEPOINT = """
 WITH daily AS (
   SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
@@ -2203,6 +2359,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "cusum_changepoint": QuerySpec(
         cusum_changepoint, ORACLE_CUSUM_CHANGEPOINT, ["A4", "§2.8", "X-ts"]
+    ),
+    "ols_break_scan": QuerySpec(
+        ols_break_scan, ORACLE_OLS_BREAK, ["A1", "A5", "§2.8", "X-ts", "T1"]
     ),
     "user_behavior_entropy": QuerySpec(
         user_behavior_entropy,

@@ -2264,7 +2264,88 @@ LIMIT {AA_TOPK}
 """
 
 
+BETWEENNESS_TOPK = 15
+
+
+def betweenness_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-hop betweenness of suppliers in the bipartite
+    customer-supplier trade graph: every customer pair at distance 2
+    splits one unit of 'flow' equally across its shared suppliers,
+    so supplier v scores Σ 1/cnt(a,b) over the pairs it connects —
+    the brokerage readout (who is the irreplaceable middleman vs one
+    of many). Bipartite structure makes this the EXACT betweenness
+    restricted to 2-paths: customers are never adjacent, so every
+    shared-supplier pair has d(a,b) = 2 and cnt(a,b) counts all
+    shortest paths.
+
+    Exactness: each wedge contributes round(1e6 / cnt) — an integer
+    — so the per-supplier total is an order-free BIGINT sum (the
+    float 1/cnt never enters a distributed sum). Scale: the same
+    strong-graph (≥{AA_MIN_WEIGHT} items) + ≤{AA_MAX_DEG}-degree hub
+    cut as ``adamic_adar_linkpred``, which measured the wedge
+    exchange down from 1.4 GB to MBs at sf0.1; the pair-count
+    rollup and the wedge re-join both key on (c1, c2) — one
+    exchange each, wedge-stream-sized, never |V|²."""
+    e = trade_edges(spark, sf_dir).filter(
+        F.col("weight") >= AA_MIN_WEIGHT
+    ).select(F.col("src").alias("cust"), F.col("dst").alias("supp"))
+    deg = e.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    keyed = e.join(
+        deg.filter((F.col("d") >= 2) & (F.col("d") <= AA_MAX_DEG)), "supp"
+    ).select("supp", "cust")
+    a = keyed.select("supp", F.col("cust").alias("c1"))
+    b = keyed.select("supp", F.col("cust").alias("c2"))
+    wedges = a.join(b, "supp").filter(F.col("c1") < F.col("c2"))
+    cnt = wedges.groupBy("c1", "c2").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        wedges.join(cnt, ["c1", "c2"])
+        .groupBy("supp")
+        .agg(
+            F.sum(F.round(F.lit(1e6) / F.col("cnt"), 0).cast("long")).alias(
+                "betweenness_micro"
+            ),
+            F.count(F.lit(1)).alias("n_wedges"),
+        )
+        .orderBy(F.desc("betweenness_micro"), F.asc("supp"))
+        .limit(BETWEENNESS_TOPK)
+    )
+
+
+ORACLE_BETWEENNESS_2HOP = f"""
+WITH e AS (
+  SELECT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {AA_MIN_WEIGHT}
+), deg AS (
+  SELECT supp, COUNT(*) AS d FROM e GROUP BY supp
+), keyed AS (
+  SELECT e.supp, e.cust
+  FROM e JOIN deg USING (supp)
+  WHERE deg.d BETWEEN 2 AND {AA_MAX_DEG}
+), wedges AS (
+  SELECT a.supp, a.cust AS c1, b.cust AS c2
+  FROM keyed a JOIN keyed b ON a.supp = b.supp AND a.cust < b.cust
+), cnt AS (
+  SELECT c1, c2, COUNT(*) AS cnt FROM wedges GROUP BY c1, c2
+)
+SELECT w.supp,
+       CAST(SUM(CAST(ROUND(1e6 / cnt.cnt, 0) AS BIGINT)) AS BIGINT)
+         AS betweenness_micro,
+       COUNT(*) AS n_wedges
+FROM wedges w JOIN cnt ON w.c1 = cnt.c1 AND w.c2 = cnt.c2
+GROUP BY w.supp
+ORDER BY betweenness_micro DESC, supp ASC
+LIMIT {BETWEENNESS_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "betweenness_2hop": QuerySpec(
+        betweenness_2hop,
+        ORACLE_BETWEENNESS_2HOP,
+        ["G3", "A8", "J3", "T1"],
+    ),
     "adamic_adar_linkpred": QuerySpec(
         adamic_adar_linkpred,
         ORACLE_ADAMIC_ADAR,

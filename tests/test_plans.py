@@ -531,6 +531,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "fellegi_sunter_weights",
         # 1-row pooled-moments frame onto the 2-row arm frame
         "cuped_adjusted_ab",
+        # calendar-bounded candidate grid × day rollup (the
+        # theil_sen days² posture) + 1-row global-SSE cross
+        "ols_break_scan",
         # 1-row name-count + 1-row truth-stats frames onto 1-row
         # per-scheme candidate counts (3 rows out)
         "blocking_quality_audit",
