@@ -268,7 +268,11 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized as pairs (which would be quadratic in block size).
 
     Fields: p_brand, p_type, p_size — exactly the evidence columns a
-    resolver would score."""
+    resolver would score. (On this synthetic catalog the fields are
+    nearly independent of the entity, so m ≈ u and the weights sit
+    near zero — the audit's honest 'these fields carry no linkage
+    signal' readout; on real data the same math ranks evidence
+    fields by discriminative power.)"""
     part = load_table(spark, sf_dir, "part").select(
         "p_name", "p_brand", "p_type", F.col("p_size").cast("string").alias("p_size")
     )

@@ -502,7 +502,121 @@ FROM pairs
 """
 
 
+# --------------------------------------------------------------------------
+# byte-budgeted shard packing — the media-dataset layout step
+# --------------------------------------------------------------------------
+
+SHARD_BYTES = 8192  # per-shard byte budget (WebDataset-tar-style)
+SHARD_BUCKET = 64  # doc_ids per cumsum bucket (the two-level prefix)
+
+
+def multimodal_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack binary payloads into byte-budgeted shards in stable
+    doc_id order — the layout step every media dataset needs before
+    a dataloader can stream it (WebDataset tar shards, array-record
+    chunks): blob b lands in shard floor(prefix_bytes(b) / budget).
+    Audit rows: per shard, item count, byte mass, doc_id span, fill%.
+
+    The point at 100 TB is HOW the global running total is computed:
+    a naive unpartitioned window moves the corpus to one task. Here
+    it is the two-level prefix — (1) bucket by doc_id range (ordered
+    buckets, {SHARD_BUCKET} ids each), (2) per-bucket byte sums
+    (tiny frame) take one windowed prefix, (3) each row adds its
+    WITHIN-bucket prefix (window partitioned by bucket) to its
+    bucket's broadcast offset. Every exchange is either keys+counts
+    or partitioned-by-bucket; nothing corpus-scale ever serializes
+    through one partition. Compose with ``corpus_shuffle`` upstream
+    when load order must be random — packing is order-stable either
+    way."""
+    blobs = attach_binary(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.length("payload").cast("long").alias("nb"),
+        (F.col("doc_id") - F.col("doc_id") % SHARD_BUCKET).alias("bkt"),
+    )
+    per_bkt = blobs.groupBy("bkt").agg(F.sum("nb").alias("bkt_bytes"))
+    wb = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bkt.select(
+        "bkt", F.coalesce(F.sum("bkt_bytes").over(wb), F.lit(0)).alias("off")
+    )
+    ww = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        blobs.withColumn(
+            "local_off", F.coalesce(F.sum("nb").over(ww), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            "nb",
+            ((F.col("off") + F.col("local_off")) / SHARD_BYTES)
+            .cast("long")
+            .alias("shard"),
+        )
+    )
+    return (
+        placed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("nb").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .withColumn(
+            "fill_pct",
+            F.round(
+                F.col("shard_bytes").cast("double") / SHARD_BYTES * 100, 2
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_SHARD_PACK = f"""
+WITH blobs AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+         doc_id - doc_id % {SHARD_BUCKET} AS bkt
+  FROM documents
+), per_bkt AS (
+  SELECT bkt, CAST(SUM(nb) AS BIGINT) AS bkt_bytes FROM blobs GROUP BY bkt
+), offsets AS (
+  SELECT bkt,
+         CAST(COALESCE(SUM(bkt_bytes) OVER (
+           ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS off
+  FROM per_bkt
+), placed AS (
+  SELECT b.doc_id, b.nb,
+         -- // not CAST(x / n AS BIGINT): DuckDB's double→int CAST
+         -- ROUNDS (half-even) where Spark's truncates
+         CAST((o.off + COALESCE(SUM(b.nb) OVER (
+            PARTITION BY b.bkt ORDER BY b.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+          ), 0)) // {SHARD_BYTES} AS BIGINT) AS shard
+  FROM blobs b JOIN offsets o ON b.bkt = o.bkt
+)
+SELECT shard, COUNT(*) AS n_items,
+       CAST(SUM(nb) AS BIGINT) AS shard_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+       ROUND(CAST(SUM(nb) AS DOUBLE) / {SHARD_BYTES} * 100, 2) AS fill_pct
+FROM placed
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_shard_pack": QuerySpec(
+        multimodal_shard_pack,
+        ORACLE_SHARD_PACK,
+        ["X-mm", "X-training", "A1", "§2.8"],
+    ),
     "multimodal_phash_dedup": QuerySpec(
         multimodal_phash_dedup,
         ORACLE_MULTIMODAL_PHASH_DEDUP,
