@@ -1036,6 +1036,171 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect estimate — the
+    observational-data companion to ``cuped_adjusted_ab``: treatment
+    is not randomized here (order priority correlates with customer
+    mix), so the naive URGENT-vs-LOW value gap confounds segment
+    composition. Stratify on market segment: within each stratum the
+    treated/control means difference is unconfounded-by-stratum, and
+    the ATE pools the per-stratum gaps weighted by stratum size —
+    algebraically identical to inverse-propensity weighting when the
+    propensity is the exact within-stratum treatment share. Output:
+    one row per segment (sizes, both means, gap) plus the ATE and
+    the naive gap side by side — the difference IS the measured
+    confounding.
+
+    One fact exchange (groupBy segment×arm over the pruned join);
+    everything after runs on the 2·|segments| aggregate. Means are
+    ratios of exact integer-dollar sums; the pooled lines are the
+    same arithmetic on the tiny frame, ordered with 'ALL' rows
+    last by the is_total flag."""
+    seg = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(KS_GROUP_A, KS_GROUP_B))
+        .select(
+            "o_custkey",
+            flag(F.col("o_orderpriority") == KS_GROUP_A).alias("treat"),
+            F.expr("cast(round(o_totalprice * 100) as bigint) div 100").alias(
+                "v"
+            ),
+        )
+        .join(seg, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    cell = o.groupBy(F.col("c_mktsegment").alias("segment"), "treat").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    per_seg = (
+        cell.groupBy("segment")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum(F.when(F.col("treat") == 1, F.col("n")).otherwise(0)).alias(
+                "nt"
+            ),
+            F.sum(F.when(F.col("treat") == 1, F.col("sv")).otherwise(0)).alias(
+                "svt"
+            ),
+            F.sum(F.when(F.col("treat") == 0, F.col("n")).otherwise(0)).alias(
+                "nc"
+            ),
+            F.sum(F.when(F.col("treat") == 0, F.col("sv")).otherwise(0)).alias(
+                "svc"
+            ),
+        )
+        .filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    )
+    gap = (
+        F.col("svt").cast("double") / F.col("nt")
+        - F.col("svc").cast("double") / F.col("nc")
+    )
+    seg_rows = per_seg.select(
+        F.lit(0).alias("is_total"),
+        "segment",
+        "n_orders",
+        "nt",
+        "nc",
+        F.round(F.col("svt").cast("double") / F.col("nt"), 2).alias("mean_t"),
+        F.round(F.col("svc").cast("double") / F.col("nc"), 2).alias("mean_c"),
+        F.round(gap, 2).alias("gap"),
+    )
+    pooled = per_seg.agg(
+        F.sum("n_orders").alias("N"),
+        F.sum("nt").alias("NT"),
+        F.sum("nc").alias("NC"),
+        F.sum("svt").alias("SVT"),
+        F.sum("svc").alias("SVC"),
+        F.sum(
+            F.col("n_orders").cast("double")
+            * (
+                F.col("svt").cast("double") / F.col("nt")
+                - F.col("svc").cast("double") / F.col("nc")
+            )
+        ).alias("wgap"),
+    )
+    total_rows = pooled.select(
+        F.lit(1).alias("is_total"),
+        F.lit("ALL_stratified").alias("segment"),
+        F.col("N").alias("n_orders"),
+        F.col("NT").alias("nt"),
+        F.col("NC").alias("nc"),
+        F.lit(None).cast("double").alias("mean_t"),
+        F.lit(None).cast("double").alias("mean_c"),
+        F.round(F.col("wgap") / F.col("N"), 2).alias("gap"),
+    ).unionByName(
+        pooled.select(
+            F.lit(2).alias("is_total"),
+            F.lit("ALL_naive").alias("segment"),
+            F.col("N").alias("n_orders"),
+            F.col("NT").alias("nt"),
+            F.col("NC").alias("nc"),
+            F.round(F.col("SVT").cast("double") / F.col("NT"), 2).alias(
+                "mean_t"
+            ),
+            F.round(F.col("SVC").cast("double") / F.col("NC"), 2).alias(
+                "mean_c"
+            ),
+            F.round(
+                F.col("SVT").cast("double") / F.col("NT")
+                - F.col("SVC").cast("double") / F.col("NC"),
+                2,
+            ).alias("gap"),
+        )
+    )
+    return seg_rows.unionByName(total_rows).orderBy("is_total", "segment")
+
+
+ORACLE_STRATIFIED_ATE = f"""
+WITH o AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderpriority = '{KS_GROUP_A}' THEN 1 ELSE 0 END AS treat,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS v
+  FROM orders
+  WHERE o_orderpriority IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+), j AS (
+  SELECT c.c_mktsegment AS segment, o.treat, o.v
+  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+), per_seg AS (
+  SELECT segment,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN treat = 1 THEN v ELSE 0 END) AS BIGINT) AS svt,
+         CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN treat = 0 THEN v ELSE 0 END) AS BIGINT) AS svc
+  FROM j GROUP BY segment
+  HAVING nt > 0 AND nc > 0
+), pooled AS (
+  SELECT CAST(SUM(n_orders) AS BIGINT) AS N,
+         CAST(SUM(nt) AS BIGINT) AS NT, CAST(SUM(nc) AS BIGINT) AS NC,
+         CAST(SUM(svt) AS BIGINT) AS SVT, CAST(SUM(svc) AS BIGINT) AS SVC,
+         SUM(CAST(n_orders AS DOUBLE)
+             * (CAST(svt AS DOUBLE) / nt - CAST(svc AS DOUBLE) / nc)) AS wgap
+  FROM per_seg
+)
+SELECT is_total, segment, n_orders, nt, nc, mean_t, mean_c, gap FROM (
+  SELECT 0 AS is_total, segment, n_orders, nt, nc,
+         ROUND(CAST(svt AS DOUBLE) / nt, 2) AS mean_t,
+         ROUND(CAST(svc AS DOUBLE) / nc, 2) AS mean_c,
+         ROUND(CAST(svt AS DOUBLE) / nt - CAST(svc AS DOUBLE) / nc, 2) AS gap
+  FROM per_seg
+  UNION ALL
+  SELECT 1, 'ALL_stratified', N, NT, NC,
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         ROUND(wgap / N, 2)
+  FROM pooled
+  UNION ALL
+  SELECT 2, 'ALL_naive', N, NT, NC,
+         ROUND(CAST(SVT AS DOUBLE) / NT, 2),
+         ROUND(CAST(SVC AS DOUBLE) / NC, 2),
+         ROUND(CAST(SVT AS DOUBLE) / NT - CAST(SVC AS DOUBLE) / NC, 2)
+  FROM pooled
+)
+ORDER BY is_total, segment
+"""
+
+
 OLS_BREAK_TOPK = 5
 
 
@@ -2362,6 +2527,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ols_break_scan": QuerySpec(
         ols_break_scan, ORACLE_OLS_BREAK, ["A1", "A5", "§2.8", "X-ts", "T1"]
+    ),
+    "stratified_ate": QuerySpec(
+        stratified_ate, ORACLE_STRATIFIED_ATE, ["A1", "A5", "J1", "X-curation"]
     ),
     "user_behavior_entropy": QuerySpec(
         user_behavior_entropy,
