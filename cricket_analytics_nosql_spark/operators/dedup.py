@@ -1345,7 +1345,147 @@ ORDER BY s.source
 """
 
 
+# --------------------------------------------------------------------------
+# content-defined chunking dedup (FastCDC-style, token granularity)
+# --------------------------------------------------------------------------
+
+CDC_WINDOW = 4  # rolling-hash window (tokens)
+CDC_DIVISOR = 16  # boundary when hash % DIVISOR == 0 → ~16-token chunks
+CDC_TOPK = 15
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup — the FastCDC/rsync family at
+    token granularity: a chunk boundary falls wherever the rolling
+    hash of the last {CDC_WINDOW} tokens hits 0 mod {CDC_DIVISOR},
+    so chunk boundaries RESYNC after an insertion (fixed-shingle
+    dedup like ``dedup_substring_spans`` shifts every window after
+    an edit; CDC is what storage/backup dedup uses for exactly this
+    reason). Chunks are hashed and the most-duplicated chunks
+    reported with their doc- and source-spread — the cross-document
+    boilerplate a curation pass strips.
+
+    Exchanges: ONE doc-keyed window exchange (tokens with their 3
+    predecessors), the (doc, chunk) rollup rides the same
+    partitioning, and the final chunk-hash rollup carries
+    keys+counts. The rolling hash is the md5-based cross-engine
+    idiom, so the oracle replays boundaries bit-for-bit."""
+    from cricket_analytics_nosql_spark.functions.scalar import md5_u32
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    rolled = toks.select(
+        "doc_id",
+        "source",
+        "pos",
+        "tok",
+        md5_u32(
+            F.concat_ws(
+                " ",
+                F.lag("tok", 3).over(w),
+                F.lag("tok", 2).over(w),
+                F.lag("tok", 1).over(w),
+                F.col("tok"),
+            )
+        ).alias("h"),
+    ).withColumn(
+        "cut",
+        (
+            (F.col("pos") >= CDC_WINDOW - 1)
+            & (F.col("h") % CDC_DIVISOR == 0)
+        ).cast("long"),
+    )
+    # chunk id = # cuts strictly BEFORE this token (cut token ends
+    # its chunk), via the same per-doc window
+    chunked = rolled.withColumn(
+        "chunk",
+        F.coalesce(
+            F.sum("cut").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    chunks = chunked.groupBy("doc_id", "source", "chunk").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("n_toks").alias("n_toks"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy(F.desc("n_copies"), F.asc("chunk_hash"))
+        .limit(CDC_TOPK)
+    )
+
+
+ORACLE_CDC_CHUNK_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, source, i - 1 AS pos, w[i] AS tok
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       UNNEST(range(1, len(w) + 1)) AS t(i)
+), rolled AS (
+  SELECT doc_id, source, pos, tok,
+         CAST(('0x' || substr(md5(concat_ws(' ',
+             lag(tok, 3) OVER (PARTITION BY doc_id ORDER BY pos),
+             lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+             lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+             tok)), 1, 8)) AS BIGINT) AS h
+  FROM toks
+), cuts AS (
+  SELECT doc_id, source, pos, tok,
+         CASE WHEN pos >= {CDC_WINDOW - 1} AND h % {CDC_DIVISOR} = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM rolled
+), chunked AS (
+  SELECT doc_id, source, pos, tok,
+         COALESCE(SUM(cut) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+  FROM cuts
+), chunks AS (
+  SELECT doc_id, source, chunk, COUNT(*) AS n_toks,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+  FROM chunked GROUP BY doc_id, source, chunk
+)
+SELECT chunk_hash, COUNT(*) AS n_copies,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(n_toks) AS BIGINT) AS n_toks
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(*) >= 2
+ORDER BY n_copies DESC, chunk_hash ASC
+LIMIT {CDC_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cdc_chunk_dedup": QuerySpec(
+        cdc_chunk_dedup,
+        ORACLE_CDC_CHUNK_DEDUP,
+        ["X-dedup", "X-curation", "A1", "§2.8", "T1"],
+    ),
     "dedup_substring_spans": QuerySpec(
         dedup_substring_spans,
         ORACLE_SUBSTRING_SPANS,
