@@ -27,7 +27,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
@@ -722,7 +722,63 @@ ORDER BY event_type
 """
 
 
+STREAM_TOPK_K = 3
+
+
+def stream_topk_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live top-k heaviest users per event type: the streaming state
+    is the (event_type, user_id) count table — one stateful
+    aggregation, merged across the 4 staged micro-batches — and the
+    drained state takes a batch rank finish (count desc, user_id
+    tie-break). Exact by construction: counts are replay-commutative
+    sums and the rank runs on finalized state, so this is the
+    streaming twin of the batch ``heavy_hitters`` readout. At a
+    cardinality where per-user state can't be kept, swap the state
+    stage for the Misra-Gries summary (``sketches.misra_gries_
+    summary``, same merge algebra, bounded memory) and keep the
+    identical finish — the plumbing (one stateful agg + batch rank)
+    is what this query pins."""
+    staged = stage_event_files(spark, sf_dir)
+    counts = run_available_now(
+        read_events_stream(spark, staged)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "complete",
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("user_id")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STREAM_TOPK_K)
+        .select("event_type", "rk", "user_id", "n")
+        .orderBy("event_type", "rk")
+    )
+
+
+ORACLE_STREAM_TOPK = f"""
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, user_id, n,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY n DESC, user_id ASC
+         ) AS rk
+  FROM c
+)
+SELECT event_type, CAST(rk AS BIGINT) AS rk, user_id, n
+FROM r WHERE rk <= {STREAM_TOPK_K}
+ORDER BY event_type, rk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_topk_monitor": QuerySpec(
+        stream_topk_monitor,
+        ORACLE_STREAM_TOPK,
+        ["§2.11", "A1", "T1", "X-curation"],
+    ),
     "stream_distinct_monitor": QuerySpec(
         stream_distinct_monitor,
         ORACLE_STREAM_DISTINCT,
