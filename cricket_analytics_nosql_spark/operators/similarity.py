@@ -55,6 +55,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """``dot`` with the fold unrolled to plain element_at sums —
+    IDENTICAL left-to-right accumulation (same IEEE result, starts
+    at 0.0) but whole-stage-codegen instead of the interpreted
+    higher-order evaluator. For statically-known ``dim`` on hot
+    pair streams."""
+    out: Column = F.lit(0.0)
+    for i in range(dim):
+        out = out + F.element_at(a, i + 1) * F.element_at(b, i + 1)
+    return out
+
+
+def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
+    return dot_unrolled(a, b, dim) / (
+        F.sqrt(dot_unrolled(a, a, dim)) * F.sqrt(dot_unrolled(b, b, dim))
+    )
+
+
 def _doubles(df: DataFrame) -> DataFrame:
     """float32 → float64 once at scan; all math is then double-exact
     and engine-agnostic. Fanned out: vector math is CPU-dense and the
@@ -510,17 +528,47 @@ def dist2(a: Column, b: Column) -> Column:
     )
 
 
-def assign_cells(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+def dist2_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Σ (aᵢ-bᵢ)² as an UNROLLED left-to-right sum of element_at
+    terms — bit-identical to ``dist2``'s fold (same accumulation
+    order, same IEEE adds) but plain expressions, so it runs inside
+    whole-stage codegen instead of the interpreted higher-order
+    evaluator. Use when ``dim`` is statically known and the call
+    sits on a hot row stream (e.g. the k-means assign inner loop)."""
+    terms = [
+        (F.element_at(a, i + 1) - F.element_at(b, i + 1))
+        * (F.element_at(a, i + 1) - F.element_at(b, i + 1))
+        for i in range(dim)
+    ]
+    # match dist2's fold exactly: (((0.0 + t1) + t2) + ...)
+    out: Column = F.lit(0.0)
+    for t in terms:
+        out = out + t
+    return out
+
+
+def assign_cells(
+    emb: DataFrame, centroids: DataFrame, dim: int | None = None
+) -> DataFrame:
     """(vec_id, v, cell): each vector to its nearest centroid.
     Centroids broadcast (k rows); argmin via min_by over a
     (distance, cell) struct so ties break deterministically on the
     lower cell id. One narrow map + a vec_id-keyed partial agg — no
-    data-sized shuffle beyond the assignment rows themselves."""
+    data-sized shuffle beyond the assignment rows themselves.
+    Pass ``dim`` when statically known: the distance then runs as
+    the codegen'd unrolled sum (bit-identical to the fold) instead
+    of the interpreted higher-order evaluator — on the n×k assign
+    stream that is the k-means hot loop."""
+    d2 = (
+        dist2_unrolled(F.col("v"), F.col("centroid"), dim)
+        if dim
+        else dist2(F.col("v"), F.col("centroid"))
+    )
     scored = emb.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "v",
         "cell",
-        dist2(F.col("v"), F.col("centroid")).alias("d2"),
+        d2.alias("d2"),
     )
     return scored.groupBy("vec_id").agg(
         F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
@@ -554,7 +602,7 @@ def kmeans_fit(
     )
     centroids = seeds.localCheckpoint()
     for _ in range(max_iter):
-        assigned = assign_cells(emb, centroids)
+        assigned = assign_cells(emb, centroids, dim=dim)
         centroids = (
             assigned.groupBy("cell")
             .agg(
@@ -588,7 +636,7 @@ def ivf_topk(
         )
         emb = emb.withColumn("cell", F.col("label"))
     else:
-        emb = assign_cells(emb, centroids)
+        emb = assign_cells(emb, centroids, dim=dim)
     probe_w = Window.partitionBy("q_id").orderBy(
         F.desc("c_cos"), F.asc("cell")
     )
@@ -611,7 +659,7 @@ def ivf_topk(
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine(F.col("q"), F.col("v")), 6).alias("cos"),
+            F.round(cosine_unrolled(F.col("q"), F.col("v"), 64), 6).alias("cos"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -727,7 +775,7 @@ def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine(F.col("q"), F.col("v")), 6).alias("cos"),
+            F.round(cosine_unrolled(F.col("q"), F.col("v"), 64), 6).alias("cos"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
@@ -996,18 +1044,60 @@ def pq_codebooks(
     corpus compresses to m small codes per vector while search math
     runs against this table."""
     sub_dim = dim // m
-    books = []
-    for j in range(m):
-        sub = emb.select(
-            "vec_id",
-            F.slice(F.col("v"), j * sub_dim + 1, sub_dim).alias("v"),
+    # ALL m subspaces train in ONE subspace-keyed Lloyd loop: the
+    # per-subspace python loop ran m×iters sequential Spark jobs
+    # (each with full job-launch + shuffle latency — measured 46 s
+    # at sf0.1 for 8×3 rounds of trivial work); batching them makes
+    # it `iters` jobs over m× the rows, identical math per subspace
+    # (same lowest-id seeds, same assignment, same per-cell means).
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("v"), j * sub_dim + 1, sub_dim)
+                    for j in range(m)
+                ]
+            )
+        ).alias("subspace", "sv"),
+    ).localCheckpoint()
+    wseed = Window.partitionBy("subspace").orderBy("vec_id")
+    centroids = (
+        sub.withColumn("rn", F.row_number().over(wseed))
+        .filter(F.col("rn") <= k)
+        .select(
+            "subspace", F.col("rn").alias("cell"), F.col("sv").alias("centroid")
         )
-        books.append(
-            kmeans_fit(sub, k=k, max_iter=iters, dim=sub_dim).select(
-                F.lit(j).alias("subspace"), "cell", "centroid"
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assigned = (
+            sub.join(F.broadcast(centroids), "subspace")
+            .select(
+                "subspace",
+                "vec_id",
+                "sv",
+                "cell",
+                dist2_unrolled(
+                    F.col("sv"), F.col("centroid"), sub_dim
+                ).alias("d2"),
+            )
+            .groupBy("subspace", "vec_id")
+            .agg(
+                F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
+                F.min_by("sv", F.struct("d2", "cell")).alias("sv"),
             )
         )
-    return functools.reduce(lambda a, b: a.unionByName(b), books)
+        centroids = (
+            assigned.groupBy("subspace", "cell")
+            .agg(
+                F.array(
+                    *[F.avg(F.col("sv")[i]) for i in range(sub_dim)]
+                ).alias("centroid")
+            )
+            .localCheckpoint()
+        )
+    return centroids.select("subspace", "cell", "centroid")
 
 
 def pq_encode(emb: DataFrame, books: DataFrame, dim: int = 64) -> DataFrame:
@@ -1015,21 +1105,33 @@ def pq_encode(emb: DataFrame, books: DataFrame, dim: int = 64) -> DataFrame:
     — one broadcast-assign per subspace, narrow over the scan."""
     m = PQ_SUBSPACES
     sub_dim = dim // m
-    parts = []
-    for j in range(m):
-        sub = emb.select(
-            "vec_id",
-            F.slice(F.col("v"), j * sub_dim + 1, sub_dim).alias("v"),
-        )
-        cents = books.filter(F.col("subspace") == j).select(
-            "cell", "centroid"
-        )
-        parts.append(
-            assign_cells(sub, cents).select(
-                "vec_id", F.lit(j).alias("subspace"), F.col("cell").alias("code")
+    # one subspace-keyed assignment instead of m sequential ones
+    # (same math per subspace; the join key replaces the python loop)
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("v"), j * sub_dim + 1, sub_dim)
+                    for j in range(m)
+                ]
             )
+        ).alias("subspace", "sv"),
+    )
+    return (
+        sub.join(F.broadcast(books), "subspace")
+        .select(
+            "subspace",
+            "vec_id",
+            "cell",
+            dist2_unrolled(F.col("sv"), F.col("centroid"), sub_dim).alias(
+                "d2"
+            ),
         )
-    return functools.reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("subspace", "vec_id")
+        .agg(F.min_by("cell", F.struct("d2", "cell")).alias("code"))
+        .select("vec_id", "subspace", "code")
+    )
 
 
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1253,7 +1355,7 @@ def exact_cosine_pairs(
 
     if centroids is None:
         centroids = kmeans_fit(emb, k=k, max_iter=3, dim=dim)
-    assigned = assign_cells(emb, centroids)
+    assigned = assign_cells(emb, centroids, dim=dim)
     radii = (
         assigned.join(F.broadcast(centroids), "cell")
         .select(
@@ -1297,7 +1399,11 @@ def exact_cosine_pairs(
         .select(
             "v1",
             "v2",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            # unrolled: same IEEE result as the fold, but codegen'd —
+            # this is the candidate-pair hot stream
+            F.round(cosine_unrolled(F.col("va"), F.col("vb"), 64), 6).alias(
+                "cos"
+            ),
         )
         .filter(F.col("cos") >= tau)
     )
@@ -2042,7 +2148,7 @@ def embedding_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("w")
     )
     pairs = emb.join(nxt, "vec_id").select(
-        F.round(cosine(F.col("v"), F.col("w")), 6).alias("cos")
+        F.round(cosine_unrolled(F.col("v"), F.col("w"), 64), 6).alias("cos")
     )
     binned = pairs.select(
         "cos",
