@@ -23,16 +23,17 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 # Rounds 1-6 rotated 240 queries through that window; all 240 are
 # hash-green at latest status (CORRECTNESS_r06 flipped the 8 round-5
 # oracle-typing reds green — zero red remain).  The catalog grew to
-# 302 in round 7 (15 new operators); the newcomers register AFTER
+# 303 in round 7 (16 new operators); the newcomers register AFTER
 # the window boundary so the round-7 window below is untouched —
-# they queue for the round-8 window (15 + canaries).
+# they queue for the round-8 window (16 + canaries).
 # Round-7 window (VERDICT.md r6 item 1): the 47 queries that have
 # never had a driver row — the 39 round-6 operator additions plus 8
 # low-information A1-family shapes deferred from r6 — fit in exactly
 # one window with 3 green canaries (47 + 3 = 50).  Every one is
 # already hash-green in the in-repo DuckDB parity sweep at
 # sf0.001/0.01/0.1; a green CORRECTNESS_r07 completes driver
-# validation of the entire catalog (287/287 cumulative).
+# validation of every pre-round-7 entry (287/287 of the pre-r7
+# catalog).
 # Rotated at round START, before any driver run, and not touched
 # mid-round (the driver reads the window at round END).
 # Entries past position 50 keep their green rows from earlier

@@ -1036,6 +1036,97 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stl_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite weekly seasonal profile of daily revenue: trend =
+    centered 7-day moving average (full windows only), seasonal =
+    per-day-of-week mean of the detrended series — the
+    decomposition a capacity planner reads before trusting any
+    day-over-day comparison. Output: per dow (epoch-day mod 7, a
+    timezone-free weekday key), the seasonal component and the mean
+    absolute detrended residual in micro-dollars.
+
+    Exactness discipline: the trend is a ratio of exact integer
+    sums over a RANGE window on the calendar-bounded day rollup
+    (the KS posture — the window never sees the fact table); each
+    day's detrended value is rounded to integer micro-dollars
+    BEFORE the day-of-week aggregation, so the per-dow sums are
+    order-free BIGINT and the only doubles are final ratios written
+    identically in the oracle."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(epoch_day("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint) div 100")
+            ).alias("y")
+        )
+    )
+    wr = Window.orderBy("day").rangeBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "y",
+        F.sum("y").over(wr).alias("wy"),
+        F.count(F.lit(1)).over(wr).alias("wn"),
+    ).filter(F.col("wn") == 7)
+    detr = trended.select(
+        (F.col("day") % 7).alias("dow"),
+        F.round(
+            (
+                F.col("y").cast("double")
+                - F.col("wy").cast("double") / F.col("wn")
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("d_micro"),
+    )
+    return (
+        detr.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.sum("d_micro").cast("double") / F.count(F.lit(1)), 1
+            ).alias("seasonal_micro"),
+            F.round(
+                F.sum(F.abs(F.col("d_micro"))).cast("double")
+                / F.count(F.lit(1)),
+                1,
+            ).alias("mean_abs_resid_micro"),
+        )
+        .orderBy("dow")
+    )
+
+
+ORACLE_STL_WEEKLY = """
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100)
+              AS BIGINT) AS y
+  FROM orders GROUP BY day
+), trended AS (
+  SELECT day, y,
+         CAST(SUM(y) OVER (ORDER BY day
+              RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS wy,
+         COUNT(*) OVER (ORDER BY day
+              RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+  FROM daily
+), detr AS (
+  SELECT day % 7 AS dow,
+         CAST(ROUND((CAST(y AS DOUBLE) - CAST(wy AS DOUBLE) / wn) * 1000000,
+                    0) AS BIGINT) AS d_micro
+  FROM trended WHERE wn = 7
+)
+SELECT dow, COUNT(*) AS n_days,
+       ROUND(CAST(SUM(d_micro) AS DOUBLE) / COUNT(*), 1) AS seasonal_micro,
+       ROUND(CAST(SUM(ABS(d_micro)) AS DOUBLE) / COUNT(*), 1)
+         AS mean_abs_resid_micro
+FROM detr
+GROUP BY dow
+ORDER BY dow
+"""
+
+
 def stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified average-treatment-effect estimate — the
     observational-data companion to ``cuped_adjusted_ab``: treatment
@@ -2530,6 +2621,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "stratified_ate": QuerySpec(
         stratified_ate, ORACLE_STRATIFIED_ATE, ["A1", "A5", "J1", "X-curation"]
+    ),
+    "stl_weekly_profile": QuerySpec(
+        stl_weekly_profile, ORACLE_STL_WEEKLY, ["A1", "§2.8", "X-ts"]
     ),
     "user_behavior_entropy": QuerySpec(
         user_behavior_entropy,
