@@ -2601,6 +2601,241 @@ FROM ranked
 """
 
 
+# ---------------------------------------------------------------------------
+# Welch t-test — unequal-variance two-sample mean comparison
+# ---------------------------------------------------------------------------
+
+def welch_ttest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch unequal-variance t-test between the same two
+    order-priority cohorts as ``ks_drift_orders`` — the parametric
+    member of the drift family: where KS asks about the SHAPE and
+    Mann-Whitney about stochastic dominance, Welch asks the plain
+    "did the MEAN move", without the classical t-test's
+    equal-variance assumption (wrong for heteroskedastic cohorts).
+
+    Exactness discipline (the ``anova_weekday_revenue`` idiom):
+    values quantized to whole kilodollars so each cohort reduces to
+    an exact integer (n, Σv, Σv²) triple in ONE map-side-combined
+    global aggregate — conditional sums over the ``is_a`` flag, so
+    both cohorts ride the same pass and nothing shuffles but six
+    bigints. The t statistic and the Welch-Satterthwaite df are the
+    only doubles, evaluated once in oracle-identical textual order
+    (s² products cast to double BEFORE multiplying: at 100 TB the
+    integer square would overflow bigint; the double loses nothing
+    below 2⁵³)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(KS_GROUP_A, KS_GROUP_B))
+        .select(
+            flag(F.col("o_orderpriority") == KS_GROUP_A).alias("is_a"),
+            F.expr(
+                "cast(round(o_totalprice * 100) as bigint) div 100000"
+            ).alias("v"),
+        )
+    )
+    agg = o.agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(F.col("is_a") * F.col("v")).alias("s_a"),
+        F.sum(F.col("is_a") * F.col("v") * F.col("v")).alias("ss_a"),
+        F.sum(1 - F.col("is_a")).alias("n_b"),
+        F.sum((1 - F.col("is_a")) * F.col("v")).alias("s_b"),
+        F.sum((1 - F.col("is_a")) * F.col("v") * F.col("v")).alias("ss_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("s_a").cast("double") / na
+    mb = F.col("s_b").cast("double") / nb
+    va = (
+        F.col("ss_a").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_a").cast("double") / na
+    ) / (na - 1.0)
+    vb = (
+        F.col("ss_b").cast("double")
+        - F.col("s_b").cast("double") * F.col("s_b").cast("double") / nb
+    ) / (nb - 1.0)
+    sea, seb = va / na, vb / nb
+    se2 = sea + seb
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
+        F.round((ma - mb) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            se2 * se2
+            / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)),
+            2,
+        ).alias("df_welch"),
+    )
+
+
+ORACLE_WELCH_TTEST = f"""
+WITH o AS (
+  SELECT CASE WHEN o_orderpriority = '{KS_GROUP_A}' THEN 1 ELSE 0 END AS is_a,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000 AS v
+  FROM orders
+  WHERE o_orderpriority IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+), agg AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+         CAST(SUM(is_a * v) AS BIGINT) AS s_a,
+         CAST(SUM(is_a * v * v) AS BIGINT) AS ss_a,
+         CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+         CAST(SUM((1 - is_a) * v) AS BIGINT) AS s_b,
+         CAST(SUM((1 - is_a) * v * v) AS BIGINT) AS ss_b
+  FROM o
+), d AS (
+  SELECT n_a, n_b,
+         CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+         CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+         (CAST(ss_a AS DOUBLE)
+          - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+            / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+           / CAST(n_a AS DOUBLE) AS sea,
+         (CAST(ss_b AS DOUBLE)
+          - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+            / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)
+           / CAST(n_b AS DOUBLE) AS seb
+  FROM agg
+)
+SELECT n_a, n_b,
+       ROUND(ma, 4) AS mean_a,
+       ROUND(mb, 4) AS mean_b,
+       ROUND((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+       ROUND((sea + seb) * (sea + seb)
+             / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+                + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)), 2) AS df_welch
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mutual information — categorical×categorical association strength
+# ---------------------------------------------------------------------------
+
+def mutual_info_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order priority and order status —
+    the information-theoretic strength of the association
+    ``chi_square_assoc`` only tests the existence of, plus the
+    normalized variant (NMI = I/√(H_X·H_Y)) that makes the number
+    comparable across tables — the standard feature-redundancy
+    screen before training on categorical columns.
+
+    Exactness (the ``token_entropy_kl`` micro-nats idiom): the fact
+    stream collapses to the |X|×|Y| contingency table in one
+    map-side-combined groupBy; every ln() is rounded to integer
+    micro-nats per CELL and weighted by integer counts, so all
+    distributed sums are bigint and partial-agg order cannot perturb
+    a bit. The three unpartitioned windows run over the ≤25-row
+    cell frame (the documented KS posture), never the fact."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("x"),
+        F.col("o_orderstatus").alias("y"),
+    )
+    cells = o.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    whole = Window.partitionBy(F.lit(1))
+    g = cells.select(
+        "c",
+        F.sum("c").over(wx).alias("cx"),
+        F.sum("c").over(wy).alias("cy"),
+        F.sum("c").over(whole).alias("n"),
+    )
+    ln = lambda e: F.round(F.log(e) * 1e6, 0).cast("long")  # noqa: E731
+    mi_micro = F.sum(
+        F.col("c")
+        * ln(
+            F.col("c").cast("double") * F.col("n").cast("double")
+            / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+        )
+    )
+    agg = g.agg(
+        F.max("n").alias("n"),
+        mi_micro.alias("mi_micro_sum"),
+    )
+    # marginal entropies from rollups of the CELL frame (≤25 rows) —
+    # the fact table is scanned exactly once; same micro-nat
+    # discipline per marginal row
+    hx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("cx"))
+        .select("cx", F.sum("cx").over(whole).alias("nx"))
+        .select(
+            F.sum(
+                F.col("cx")
+                * ln(F.col("cx").cast("double") / F.col("nx").cast("double"))
+            ).alias("hx_micro_sum")
+        )
+    )
+    hy = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("cy"))
+        .select("cy", F.sum("cy").over(whole).alias("ny"))
+        .select(
+            F.sum(
+                F.col("cy")
+                * ln(F.col("cy").cast("double") / F.col("ny").cast("double"))
+            ).alias("hy_micro_sum")
+        )
+    )
+    j = agg.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    nd = F.col("n").cast("double")
+    mi = F.col("mi_micro_sum").cast("double") / (nd * 1e6)
+    hxv = -F.col("hx_micro_sum").cast("double") / (nd * 1e6)
+    hyv = -F.col("hy_micro_sum").cast("double") / (nd * 1e6)
+    return j.select(
+        F.col("n").alias("n_orders"),
+        F.round(mi, 6).alias("mi_nats"),
+        F.round(hxv, 6).alias("h_priority"),
+        F.round(hyv, 6).alias("h_status"),
+        F.round(mi / F.sqrt(hxv * hyv), 6).alias("nmi"),
+    )
+
+
+ORACLE_MUTUAL_INFO = """
+WITH o AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y FROM orders
+), cells AS (
+  SELECT x, y, COUNT(*) AS c FROM o GROUP BY x, y
+), g AS (
+  SELECT c,
+         SUM(c) OVER (PARTITION BY x) AS cx,
+         SUM(c) OVER (PARTITION BY y) AS cy,
+         SUM(c) OVER () AS n
+  FROM cells
+), agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) * 1e6, 0)
+                  AS BIGINT)) AS BIGINT) AS mi_micro_sum
+  FROM g
+), hx AS (
+  SELECT CAST(SUM(cx * CAST(ROUND(ln(CAST(cx AS DOUBLE)
+                    / CAST(nx AS DOUBLE)) * 1e6, 0)
+                  AS BIGINT)) AS BIGINT) AS hx_micro_sum
+  FROM (SELECT cx, SUM(cx) OVER () AS nx
+        FROM (SELECT x, SUM(c) AS cx FROM cells GROUP BY x))
+), hy AS (
+  SELECT CAST(SUM(cy * CAST(ROUND(ln(CAST(cy AS DOUBLE)
+                    / CAST(ny AS DOUBLE)) * 1e6, 0)
+                  AS BIGINT)) AS BIGINT) AS hy_micro_sum
+  FROM (SELECT cy, SUM(cy) OVER () AS ny
+        FROM (SELECT y, SUM(c) AS cy FROM cells GROUP BY y))
+)
+SELECT n AS n_orders,
+       ROUND(CAST(mi_micro_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6)
+         AS mi_nats,
+       ROUND(-CAST(hx_micro_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6)
+         AS h_priority,
+       ROUND(-CAST(hy_micro_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6)
+         AS h_status,
+       ROUND((CAST(mi_micro_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
+             / sqrt((-CAST(hx_micro_sum AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
+                    * (-CAST(hy_micro_sum AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * 1e6))), 6) AS nmi
+FROM agg CROSS JOIN hx CROSS JOIN hy
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "anova_weekday_revenue": QuerySpec(
         anova_weekday_revenue, ORACLE_ANOVA_WEEKDAY, ["A1", "A4", "X-curation"]
@@ -2657,6 +2892,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "mann_whitney_drift": QuerySpec(
         mann_whitney_drift, ORACLE_MANN_WHITNEY, ["A1", "A4", "X-curation"]
+    ),
+    "welch_ttest_drift": QuerySpec(
+        welch_ttest_drift, ORACLE_WELCH_TTEST, ["A1", "A4", "X-curation"]
+    ),
+    "mutual_info_assoc": QuerySpec(
+        mutual_info_assoc, ORACLE_MUTUAL_INFO, ["A1", "A4", "X-curation"]
     ),
     "quantile_treatment_effect": QuerySpec(
         quantile_treatment_effect, ORACLE_QTE, ["A1", "§2.8", "X-curation"]

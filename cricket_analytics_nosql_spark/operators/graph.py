@@ -2264,6 +2264,180 @@ LIMIT {AA_TOPK}
 """
 
 
+def jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction over the same strong
+    customer-supplier graph as ``adamic_adar_linkpred`` — the
+    normalized companion: AA rewards RARE shared suppliers, Jaccard
+    asks what FRACTION of the two customers' combined supplier
+    neighborhoods is shared, so a pair with 3-of-4 suppliers in
+    common outranks a pair sharing 3 of 40. |N(u)∩N(v)| comes from
+    the same per-supplier wedge stream (strong graph ≥{AA_MIN_WEIGHT}
+    items, ≤{AA_MAX_DEG} hub cut bounds the quadratic — identical in
+    the oracle); |N(u)∪N(v)| = d(u)+d(v)−shared with customer degrees
+    measured on the SAME filtered graph, one extra keys+counts
+    rollup and two broadcast-sized joins onto the candidate pairs.
+    Exact rational until ONE division per candidate; ranking sorts
+    the ROUNDED score (then shared, then ids) so cross-engine ulps
+    cannot reorder the top-k."""
+    e = trade_edges(spark, sf_dir).filter(
+        F.col("weight") >= AA_MIN_WEIGHT
+    ).select(F.col("src").alias("cust"), F.col("dst").alias("supp"))
+    sdeg = e.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    keyed = e.join(
+        sdeg.filter((F.col("d") >= 2) & (F.col("d") <= AA_MAX_DEG)), "supp"
+    ).select("supp", "cust")
+    cdeg = keyed.groupBy("cust").agg(F.count(F.lit(1)).alias("cd"))
+    a = keyed.select("supp", F.col("cust").alias("c1"))
+    b = keyed.select("supp", F.col("cust").alias("c2"))
+    pairs = (
+        a.join(b, "supp")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    scored = (
+        pairs.join(
+            cdeg.select(F.col("cust").alias("c1"), F.col("cd").alias("d1")),
+            "c1",
+        )
+        .join(
+            cdeg.select(F.col("cust").alias("c2"), F.col("cd").alias("d2")),
+            "c2",
+        )
+        .select(
+            "c1",
+            "c2",
+            "shared",
+            (F.col("d1") + F.col("d2") - F.col("shared")).alias("unions"),
+        )
+    )
+    return (
+        scored.select(
+            "c1",
+            "c2",
+            "shared",
+            "unions",
+            F.round(
+                F.col("shared").cast("double") / F.col("unions").cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.desc("jaccard"), F.desc("shared"), F.asc("c1"), F.asc("c2")
+        )
+        .limit(AA_TOPK)
+    )
+
+
+ORACLE_JACCARD_LINKPRED = f"""
+WITH e AS (
+  SELECT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {AA_MIN_WEIGHT}
+), sdeg AS (
+  SELECT supp, COUNT(*) AS d FROM e GROUP BY supp
+), keyed AS (
+  SELECT e.supp, e.cust
+  FROM e JOIN sdeg USING (supp)
+  WHERE sdeg.d BETWEEN 2 AND {AA_MAX_DEG}
+), cdeg AS (
+  SELECT cust, COUNT(*) AS cd FROM keyed GROUP BY cust
+), pairs AS (
+  SELECT a.cust AS c1, b.cust AS c2, COUNT(*) AS shared
+  FROM keyed a JOIN keyed b ON a.supp = b.supp AND a.cust < b.cust
+  GROUP BY 1, 2
+)
+SELECT p.c1, p.c2,
+       CAST(p.shared AS BIGINT) AS shared,
+       CAST(d1.cd + d2.cd - p.shared AS BIGINT) AS unions,
+       ROUND(CAST(p.shared AS DOUBLE)
+             / CAST(d1.cd + d2.cd - p.shared AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN cdeg d1 ON d1.cust = p.c1
+JOIN cdeg d2 ON d2.cust = p.c2
+ORDER BY jaccard DESC, shared DESC, c1 ASC, c2 ASC
+LIMIT {AA_TOPK}
+"""
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the collapsed trade graph — the
+    one-number structural readout (Newman 2002): across edges, does
+    a high-degree customer trade with high-degree suppliers (r>0,
+    hub-to-hub concentration) or with the long tail (r<0, the
+    hub-and-spoke shape typical of commerce)? Pearson correlation of
+    (deg(src), deg(dst)) over the edge list.
+
+    Exactness: degrees are integers, so ALL distributed sums — n,
+    Σx, Σy, Σxy, Σx², Σy² — are exact bigints from one global
+    map-side-combined aggregate; r is composed once from the six
+    scalars in oracle-identical textual order (products cast to
+    double first — the welch/anova overflow discipline).
+
+    Shape: two keys+counts degree rollups joined back onto the
+    collapsed edge list (both shuffles carry keys and counts only),
+    then a 1-row aggregate. Nothing scales past the edge list."""
+    e = trade_edges(spark, sf_dir).select("src", "dst")
+    dsrc = e.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
+    ddst = e.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
+    j = e.join(dsrc, "src").join(ddst, "dst")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return agg.select(
+        F.col("n").alias("n_edges"),
+        F.round(sx / nd, 4).alias("mean_cust_degree"),
+        F.round(sy / nd, 4).alias("mean_supp_degree"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+ORACLE_DEGREE_ASSORTATIVITY = """
+WITH e AS (
+  SELECT o_custkey AS src, l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), dsrc AS (
+  SELECT src, COUNT(*) AS x FROM e GROUP BY src
+), ddst AS (
+  SELECT dst, COUNT(*) AS y FROM e GROUP BY dst
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM e JOIN dsrc USING (src) JOIN ddst USING (dst)
+)
+SELECT n AS n_edges,
+       ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_cust_degree,
+       ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_supp_degree,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS assortativity
+FROM agg
+"""
+
+
 BETWEENNESS_TOPK = 15
 
 
@@ -2350,6 +2524,16 @@ QUERIES: dict[str, QuerySpec] = {
         adamic_adar_linkpred,
         ORACLE_ADAMIC_ADAR,
         ["G1", "G3", "A8", "J3", "T1"],
+    ),
+    "jaccard_linkpred": QuerySpec(
+        jaccard_linkpred,
+        ORACLE_JACCARD_LINKPRED,
+        ["G1", "G3", "A8", "J3", "T1"],
+    ),
+    "degree_assortativity": QuerySpec(
+        degree_assortativity,
+        ORACLE_DEGREE_ASSORTATIVITY,
+        ["G1", "G3", "A4", "J1"],
     ),
     "degree_distribution": QuerySpec(
         degree_distribution, ORACLE_DEGREE_DISTRIBUTION, ["G1", "G3", "A1"]

@@ -585,11 +585,175 @@ ORDER BY c_mktsegment
 """
 
 
+T_CLOSE_DEN = 5  # breach threshold t = 1/T_CLOSE_DEN = 0.2
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness — the third member of the privacy-release trio
+    (``k_anonymity_audit``, ``l_diversity_audit``): l-diversity can't
+    stop attribute disclosure when a QI group's sensitive values are
+    DISTINCT but skewed far from the table's distribution. Here the
+    quasi-identifier is (nationkey, mktsegment) and the sensitive
+    attribute the ordered acctbal band; each group's distance from
+    the global distribution is the normalized 1-D earth-mover's
+    distance EMD = Σᵢ|P̂ᵢ−Q̂ᵢ|/(m−1) over band-prefix sums. Per
+    segment: group count, worst EMD, groups breaching t=0.2, and the
+    exposed-row fraction.
+
+    Exactness: the prefix-sum difference stays an exact integer —
+    |cum_g·N − cum_all·n_g| — and the breach test multiplies through
+    by the denominator (t·n_g·N·(m−1) vs T_CLOSE_DEN·num) so no
+    float ever decides a flag; one division per group feeds the
+    ROUND(…,6) readout. (Products reach n_g·N — at extreme corpus
+    scale swap to DECIMAL or pre-scale; bigint-safe to ~10⁹ rows.)
+
+    Shape: one rollup to (QI, band) pairs, then every frame is
+    bounded — the dense grid is |QI groups|×|bands| (dims of the
+    domain, invariant in row count) built by broadcasting the
+    band frame; the per-group window partitions by QI group over m
+    rows. Nothing fact-sized crosses an exchange after the first
+    rollup (the k-anonymity posture)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("band"),
+    )
+    pv = cust.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    groups = pv.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("c").alias("n_g")
+    )
+    wb = Window.orderBy("band")
+    whole = Window.partitionBy(F.lit(1))
+    gband = (
+        pv.groupBy("band")
+        .agg(F.sum("c").alias("cb"))
+        .select(
+            "band",
+            F.sum("cb").over(wb).alias("cum_all"),
+            F.sum("cb").over(whole).alias("n_all"),
+            F.count(F.lit(1)).over(whole).alias("m"),
+        )
+    )
+    dense = groups.crossJoin(F.broadcast(gband)).join(
+        pv, ["c_nationkey", "c_mktsegment", "band"], "left"
+    )
+    wg = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("band")
+    cum = dense.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_g",
+        "n_all",
+        "m",
+        "cum_all",
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).over(wg).alias("cum_g"),
+    )
+    per_group = cum.groupBy(
+        "c_nationkey", "c_mktsegment", "n_g", "n_all", "m"
+    ).agg(
+        F.sum(
+            F.abs(
+                F.col("cum_g") * F.col("n_all")
+                - F.col("cum_all") * F.col("n_g")
+            )
+        ).alias("num")
+    )
+    breach = (
+        F.col("num") * T_CLOSE_DEN
+        > F.col("n_g") * F.col("n_all") * (F.col("m") - 1)
+    ).cast("long")
+    scored = per_group.select(
+        "c_mktsegment",
+        "n_g",
+        F.round(
+            F.col("num").cast("double")
+            / (
+                F.col("n_g") * F.col("n_all") * (F.col("m") - 1)
+            ).cast("double"),
+            6,
+        ).alias("emd"),
+        breach.alias("breach"),
+    )
+    return (
+        scored.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.max("emd").alias("max_emd"),
+            F.sum("breach").alias("n_breaching"),
+            F.round(
+                F.sum(F.col("breach") * F.col("n_g")).cast("double")
+                / F.sum("n_g").cast("double"),
+                6,
+            ).alias("exposure_rate"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_T_CLOSENESS = f"""
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+  FROM customer
+), pv AS (
+  SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS c
+  FROM cust GROUP BY 1, 2, 3
+), groups AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS n_g
+  FROM pv GROUP BY 1, 2
+), gband AS (
+  SELECT band,
+         CAST(SUM(cb) OVER (ORDER BY band) AS BIGINT) AS cum_all,
+         CAST(SUM(cb) OVER () AS BIGINT) AS n_all,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM (SELECT band, SUM(c) AS cb FROM pv GROUP BY band)
+), dense AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.band, b.cum_all,
+         b.n_all, b.m, COALESCE(pv.c, 0) AS c
+  FROM groups g CROSS JOIN gband b
+  LEFT JOIN pv ON pv.c_nationkey = g.c_nationkey
+              AND pv.c_mktsegment = g.c_mktsegment
+              AND pv.band = b.band
+), cum AS (
+  SELECT c_nationkey, c_mktsegment, n_g, n_all, m, cum_all,
+         SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+                      ORDER BY band) AS cum_g
+  FROM dense
+), per_group AS (
+  SELECT c_nationkey, c_mktsegment, n_g, n_all, m,
+         CAST(SUM(ABS(cum_g * n_all - cum_all * n_g)) AS BIGINT) AS num
+  FROM cum GROUP BY 1, 2, 3, 4, 5
+), scored AS (
+  SELECT c_mktsegment, n_g,
+         ROUND(CAST(num AS DOUBLE)
+               / CAST(n_g * n_all * (m - 1) AS DOUBLE), 6) AS emd,
+         CASE WHEN num * {T_CLOSE_DEN} > n_g * n_all * (m - 1)
+              THEN 1 ELSE 0 END AS breach
+  FROM per_group
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       MAX(emd) AS max_emd,
+       CAST(SUM(breach) AS BIGINT) AS n_breaching,
+       ROUND(CAST(SUM(breach * n_g) AS DOUBLE)
+             / CAST(SUM(n_g) AS DOUBLE), 6) AS exposure_rate
+FROM scored
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "l_diversity_audit": QuerySpec(
         l_diversity_audit,
         ORACLE_L_DIVERSITY,
         ["A1", "A3", "X-curation"],
+    ),
+    "t_closeness_audit": QuerySpec(
+        t_closeness_audit,
+        ORACLE_T_CLOSENESS,
+        ["A1", "A3", "J1", "X-curation"],
     ),
     "k_anonymity_audit": QuerySpec(
         k_anonymity_audit,

@@ -1292,6 +1292,268 @@ ORDER BY variant, day
 """
 
 
+# ---------------------------------------------------------------------------
+# Shapley-value conversion attribution — the game-theoretic model
+# ---------------------------------------------------------------------------
+
+# (channel_bit, coalition_mask_without_channel, |S|!·(2−|S|)! weight)
+# for the 3-player game — normalization divides by 3! = 6 at the end
+_SHAPLEY_CHANNELS = {"view": 1, "click": 2, "signup": 4}
+_SHAPLEY_COEFS: list[tuple[int, int, int]] = [
+    (bit, s, {0: 2, 1: 1, 2: 2}[bin(s).count("1")])
+    for bit in _SHAPLEY_CHANNELS.values()
+    for s in range(8)
+    if not s & bit and not s & ~7
+]
+
+
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value conversion attribution — the game-theoretic
+    complement to ``multi_touch_attribution``'s positional models:
+    each channel's credit is its average marginal contribution over
+    every ordering of the coalition, the only attribution scheme
+    that is efficient (credits sum to v(full)−v(∅)), symmetric, and
+    null-player-zero. Players are the three touch channels (view,
+    click, signup); a user's coalition is the set of channels
+    touched STRICTLY BEFORE their first purchase; the coalition
+    value v(S) counts converters whose touch set ⊆ S ("conversions
+    reachable with only S running").
+
+    Scale shape — the reason Shapley is tractable at 100 TB: the
+    fact stream collapses to ONE bitmask per converter (first-
+    purchase rollup + an ts<first join + bool aggregation), then to
+    the ≤8-row exact-mask histogram; the 2³ subset lattice and the
+    12-row factorial-coefficient table are literals, so everything
+    past the second rollup is metadata-sized. All arithmetic is
+    integer (weights ×6) until ONE division per channel.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fpt"))
+    )
+    touches = ev.filter(
+        F.col("event_type").isin(*_SHAPLEY_CHANNELS)
+    ).select("user_id", "event_type", "ts")
+    mask_expr = sum(
+        F.max(
+            F.when(F.col("event_type") == ch, F.lit(bit)).otherwise(0)
+        )
+        for ch, bit in _SHAPLEY_CHANNELS.items()
+    )
+    masks = (
+        touches.join(fp, "user_id")
+        .filter(F.col("ts") < F.col("fpt"))
+        .groupBy("user_id")
+        .agg(mask_expr.alias("m"))
+    )
+    conv = fp.join(masks, "user_id", "left").select(
+        F.coalesce(F.col("m"), F.lit(0)).alias("m")
+    )
+    n_t = conv.groupBy("m").agg(F.count(F.lit(1)).alias("n"))
+    lattice = spark.range(8).select(F.col("id").cast("int").alias("s"))
+    v = (
+        lattice.join(
+            F.broadcast(n_t),
+            F.expr("(m & s) = m"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("v"))
+    )
+    coefs = spark.createDataFrame(
+        _SHAPLEY_COEFS, "bit INT, s INT, w INT"
+    )
+    scored = (
+        coefs.join(
+            F.broadcast(v.select(F.col("s").alias("s_with"), F.col("v").alias("v_with"))),
+            F.expr("s_with = (s | bit)"),
+        )
+        .join(F.broadcast(v), "s")
+        .groupBy("bit")
+        .agg(F.sum(F.col("w") * (F.col("v_with") - F.col("v"))).alias("phi6"))
+    )
+    total = v.filter(F.col("s") == 7).select(
+        F.col("v").alias("n_converters")
+    )
+    channel = (
+        F.when(F.col("bit") == 1, "view")
+        .when(F.col("bit") == 2, "click")
+        .otherwise("signup")
+    )
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select(
+            channel.alias("channel"),
+            "n_converters",
+            F.round(F.col("phi6").cast("double") / 6.0, 6).alias(
+                "shapley_conversions"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+_SHAPLEY_COEF_VALUES = ", ".join(
+    f"({b}, {s}, {w})" for b, s, w in _SHAPLEY_COEFS
+)
+
+ORACLE_SHAPLEY_ATTRIBUTION = f"""
+WITH fp AS (
+  SELECT user_id, MIN(ts) AS fpt FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), masks AS (
+  SELECT e.user_id,
+         MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+         + MAX(CASE WHEN e.event_type = 'click' THEN 2 ELSE 0 END)
+         + MAX(CASE WHEN e.event_type = 'signup' THEN 4 ELSE 0 END) AS m
+  FROM events e JOIN fp ON e.user_id = fp.user_id
+  WHERE e.event_type IN ('view', 'click', 'signup') AND e.ts < fp.fpt
+  GROUP BY e.user_id
+), conv AS (
+  SELECT COALESCE(masks.m, 0) AS m
+  FROM fp LEFT JOIN masks ON fp.user_id = masks.user_id
+), n_t AS (
+  SELECT m, COUNT(*) AS n FROM conv GROUP BY m
+), lattice AS (
+  SELECT UNNEST(range(0, 8)) AS s
+), v AS (
+  SELECT s, CAST(SUM(COALESCE(n, 0)) AS BIGINT) AS v
+  FROM lattice LEFT JOIN n_t ON (m & s) = m
+  GROUP BY s
+), coefs(bit, s, w) AS (
+  VALUES {_SHAPLEY_COEF_VALUES}
+), scored AS (
+  SELECT bit, CAST(SUM(w * (vw.v - v0.v)) AS BIGINT) AS phi6
+  FROM coefs
+  JOIN v vw ON vw.s = (coefs.s | coefs.bit)
+  JOIN v v0 ON v0.s = coefs.s
+  GROUP BY bit
+)
+SELECT CASE WHEN bit = 1 THEN 'view'
+            WHEN bit = 2 THEN 'click'
+            ELSE 'signup' END AS channel,
+       (SELECT v FROM v WHERE s = 7) AS n_converters,
+       ROUND(CAST(phi6 AS DOUBLE) / 6.0, 6) AS shapley_conversions
+FROM scored
+ORDER BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequential-pattern support — A-before-B association over user streams
+# ---------------------------------------------------------------------------
+
+def sequence_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, PrefixSpan's length-2 core: for
+    every ordered event-type pair (a → b), in how many users does a
+    FIRST occurrence of ``a`` precede the first occurrence of ``b``?
+    Support (fraction of all active users), confidence (fraction of
+    a-users), and lift (confidence over b's base rate) — the
+    market-basket readouts transplanted to the time axis, feeding
+    funnel design the same way ``market_basket_lift`` feeds bundles.
+
+    Scale shape — the anti-explosion discipline: non-contiguous
+    subsequence mining is exponential on raw streams, but first-
+    occurrence semantics collapse every user to ≤|event types| rows
+    in ONE map-side-combined rollup; the within-user self-join then
+    generates at most |types|² pairs per user (25 here), and
+    everything downstream is a |types|²-row frame. Ratios are exact
+    integer quotients divided once, base rates ride a broadcast
+    1-row total.
+    """
+    fo = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("ft"))
+    )
+    a = fo.select(
+        "user_id", F.col("event_type").alias("a"), F.col("ft").alias("ta")
+    )
+    b = fo.select(
+        "user_id", F.col("event_type").alias("b"), F.col("ft").alias("tb")
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    # fo is already distinct on (user, type): plain counts, no Expand
+    per_type = fo.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type")
+    )
+    n_users = fo.agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        pairs.join(
+            F.broadcast(
+                per_type.select(
+                    F.col("event_type").alias("a"), F.col("n_type").alias("n_a")
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                per_type.select(
+                    F.col("event_type").alias("b"), F.col("n_type").alias("n_b")
+                )
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_users").cast("double"),
+                6,
+            ).alias("support"),
+            F.round(
+                F.col("n_pair").cast("double") / F.col("n_a").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n_users").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), F.asc("a"), F.asc("b"))
+    )
+
+
+ORACLE_SEQUENCE_PATTERN = """
+WITH fo AS (
+  SELECT user_id, event_type, MIN(ts) AS ft
+  FROM events GROUP BY user_id, event_type
+), pairs AS (
+  SELECT a.event_type AS a, b.event_type AS b, COUNT(*) AS n_pair
+  FROM fo a JOIN fo b ON a.user_id = b.user_id AND a.ft < b.ft
+  GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type, COUNT(*) AS n_type FROM fo GROUP BY 1
+), nu AS (
+  SELECT COUNT(DISTINCT user_id) AS n_users FROM fo
+)
+SELECT p.a, p.b, CAST(p.n_pair AS BIGINT) AS n_pair,
+       ROUND(CAST(p.n_pair AS DOUBLE) / CAST(nu.n_users AS DOUBLE), 6)
+         AS support,
+       ROUND(CAST(p.n_pair AS DOUBLE) / CAST(ta.n_type AS DOUBLE), 6)
+         AS confidence,
+       ROUND(CAST(p.n_pair AS DOUBLE) * CAST(nu.n_users AS DOUBLE)
+             / (CAST(ta.n_type AS DOUBLE) * CAST(tb.n_type AS DOUBLE)), 6)
+         AS lift
+FROM pairs p
+JOIN per_type ta ON ta.event_type = p.a
+JOIN per_type tb ON tb.event_type = p.b
+CROSS JOIN nu
+ORDER BY support DESC, a ASC, b ASC
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sprt_ab_monitor": QuerySpec(
         sprt_ab_monitor,
@@ -1317,6 +1579,16 @@ QUERIES: dict[str, QuerySpec] = {
         multi_touch_attribution,
         ORACLE_MULTI_TOUCH,
         ["§2.8", "J2", "A1", "X-ts"],
+    ),
+    "shapley_attribution": QuerySpec(
+        shapley_attribution,
+        ORACLE_SHAPLEY_ATTRIBUTION,
+        ["A1", "A5", "J1", "X-ts"],
+    ),
+    "sequence_pattern_support": QuerySpec(
+        sequence_pattern_support,
+        ORACLE_SEQUENCE_PATTERN,
+        ["A1", "A8", "J3", "T1", "X-ts"],
     ),
     "gap_fill_interpolate": QuerySpec(
         gap_fill_interpolate,

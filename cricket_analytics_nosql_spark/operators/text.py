@@ -183,6 +183,119 @@ ORDER BY labeled_lang, pred_lang
 """
 
 
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between two independent language-ID rules — the
+    inter-annotator-agreement gate every weak-supervision labeling
+    pipeline needs: raw agreement overstates consistency when both
+    rules default to the majority class, κ corrects by the agreement
+    expected from the marginals alone. Rule A is
+    ``langid_heuristic``'s stopword-hit-rate; rule B thresholds the
+    rate of the single most reliable stopword ('the'), so the two
+    share a construct but not a feature — exactly the weak-label
+    pair κ is meant to audit.
+
+    Exactness: both classifications ride ONE scan-side projection;
+    the stream collapses to the ≤9-cell confusion table map-side.
+    p_o and p_e stay integer (agree counts; Σ row_k·col_k over the
+    per-class marginal join) until three final divisions mirrored
+    textually in the oracle. Everything past the rollup is
+    metadata-sized at any corpus scale."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    w = tokens_col(F.col("text"))
+    n_tok = F.size(w).cast("double")
+    stop_ratio = (
+        F.size(F.filter(w, lambda t: t.isin(STOPWORDS))).cast("double")
+        / n_tok
+    )
+    the_ratio = (
+        F.size(F.filter(w, lambda t: t == "the")).cast("double") / n_tok
+    )
+    pred_a = (
+        F.when(stop_ratio >= 0.08, "en")
+        .when(stop_ratio >= 0.02, "en_maybe")
+        .otherwise("unk")
+    )
+    pred_b = (
+        F.when(the_ratio >= 0.04, "en")
+        .when(the_ratio >= 0.01, "en_maybe")
+        .otherwise("unk")
+    )
+    cells = (
+        docs.select(pred_a.alias("a"), pred_b.alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    marg_a = cells.groupBy("a").agg(F.sum("c").alias("ra"))
+    marg_b = cells.groupBy("b").agg(F.sum("c").alias("cb"))
+    pe_num = (
+        marg_a.join(
+            marg_b, F.col("a") == F.col("b")
+        ).agg(F.sum(F.col("ra") * F.col("cb")).alias("pe_num"))
+    )
+    base = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0)).alias(
+            "n_agree"
+        ),
+    )
+    j = base.crossJoin(F.broadcast(pe_num))
+    nd = F.col("n").cast("double")
+    po = F.col("n_agree").cast("double") / nd
+    pe = F.col("pe_num").cast("double") / (nd * nd)
+    return j.select(
+        F.col("n").alias("n_docs"),
+        "n_agree",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+ORACLE_COHENS_KAPPA = f"""
+WITH feat AS (
+  SELECT string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+  FROM documents
+), pred AS (
+  SELECT CASE
+           WHEN CAST(len(list_filter(w, t -> t IN ('{_STOP_SQL}')))
+                AS DOUBLE) / n_tok >= 0.08 THEN 'en'
+           WHEN CAST(len(list_filter(w, t -> t IN ('{_STOP_SQL}')))
+                AS DOUBLE) / n_tok >= 0.02 THEN 'en_maybe'
+           ELSE 'unk'
+         END AS a,
+         CASE
+           WHEN CAST(len(list_filter(w, t -> t = 'the'))
+                AS DOUBLE) / n_tok >= 0.04 THEN 'en'
+           WHEN CAST(len(list_filter(w, t -> t = 'the'))
+                AS DOUBLE) / n_tok >= 0.01 THEN 'en_maybe'
+           ELSE 'unk'
+         END AS b
+  FROM feat
+), cells AS (
+  SELECT a, b, COUNT(*) AS c FROM pred GROUP BY a, b
+), marg AS (
+  SELECT CAST(SUM(ma.ra * mb.cb) AS BIGINT) AS pe_num
+  FROM (SELECT a, SUM(c) AS ra FROM cells GROUP BY a) ma
+  JOIN (SELECT b, SUM(c) AS cb FROM cells GROUP BY b) mb ON ma.a = mb.b
+), base AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree
+  FROM cells
+)
+SELECT n AS n_docs, n_agree,
+       ROUND(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_observed,
+       ROUND(CAST(pe_num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_expected,
+       ROUND((CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+              - CAST(pe_num AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             / (1.0 - CAST(pe_num AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS kappa
+FROM base CROSS JOIN marg
+"""
+
+
 def token_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequencies with document frequency — the
     explode → groupBy word-count (partial agg combines map-side, so
@@ -2250,6 +2363,9 @@ QUERIES: dict[str, QuerySpec] = {
         text_quality_scores, ORACLE_TEXT_QUALITY, ["X-text"], bench=True
     ),
     "langid_heuristic": QuerySpec(langid_heuristic, ORACLE_LANGID, ["X-text"]),
+    "cohens_kappa_langid": QuerySpec(
+        cohens_kappa_langid, ORACLE_COHENS_KAPPA, ["X-text", "A1", "A4"]
+    ),
     "token_frequency_topk": QuerySpec(
         token_frequency_topk, ORACLE_TOKEN_FREQUENCY, ["X-text", "A1"]
     ),

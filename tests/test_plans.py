@@ -560,6 +560,19 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "ann_ndcg_audit",
         # 1-row merged-totals frame crossed onto the d² state cells
         "cov_state_merge_audit",
+        # round-7b additions:
+        # 1-row marginal-entropy frames crossed onto the 1-row MI agg
+        "mutual_info_assoc",
+        # |bands| global-distribution frame (bounded by the balance
+        # domain) broadcast onto the |QI groups| frame — dims × dims
+        "t_closeness_audit",
+        # 2³ subset lattice × ≤8-row mask histogram + 12-row literal
+        # coefficient table — the whole lattice is metadata-sized
+        "shapley_attribution",
+        # 1-row distinct-user total onto the |types|² pair frame
+        "sequence_pattern_support",
+        # 1-row expected-agreement numerator onto the 1-row base frame
+        "cohens_kappa_langid",
     }
     offenders = []
     for name, spec in all_queries().items():

@@ -1,0 +1,173 @@
+"""Invariant tests for the round-7 second-wave operators — the
+mathematical properties the DuckDB parity sweep can't state (parity
+only proves Spark ≡ SQL; these pin that the MATH does what each
+operator claims)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_welch_ttest_df_bounds_and_sign(spark, sf_small):
+    """Welch-Satterthwaite df must lie between min(n)-1 (the
+    conservative bound) and n_a+n_b-2 (the pooled-t df), and the t
+    statistic's sign must match the mean difference — the two
+    structural identities of the test."""
+    from cricket_analytics_nosql_spark.operators.drift import welch_ttest_drift
+
+    r = welch_ttest_drift(spark, sf_small).collect()[0]
+    assert min(r.n_a, r.n_b) - 1 <= r.df_welch <= r.n_a + r.n_b - 2
+    if r.mean_a != r.mean_b:
+        assert (r.t_stat > 0) == (r.mean_a > r.mean_b)
+
+
+def test_mutual_info_bounds(spark, sf_small):
+    """0 ≤ I(X;Y) ≤ min(H(X), H(Y)) and NMI ∈ [0, 1] — the defining
+    inequalities of mutual information (up to micro-nat quantization
+    slack)."""
+    from cricket_analytics_nosql_spark.operators.drift import mutual_info_assoc
+
+    r = mutual_info_assoc(spark, sf_small).collect()[0]
+    eps = 1e-4  # micro-nat rounding slack across ≤25 cells
+    assert -eps <= r.mi_nats <= min(r.h_priority, r.h_status) + eps
+    assert -eps <= r.nmi <= 1 + eps
+    assert r.h_priority > 0 and r.h_status > 0
+
+
+def test_t_closeness_emd_bounds(spark, sf_small):
+    """Normalized 1-D EMD is in [0, 1]; breach counts can't exceed
+    group counts; exposure is a valid fraction."""
+    from cricket_analytics_nosql_spark.operators.sampling import (
+        t_closeness_audit,
+    )
+
+    rows = t_closeness_audit(spark, sf_small).collect()
+    assert rows, "audit must produce one row per segment"
+    for r in rows:
+        assert 0.0 <= r.max_emd <= 1.0
+        assert 0 <= r.n_breaching <= r.n_groups
+        assert 0.0 <= r.exposure_rate <= 1.0
+
+
+def test_t_closeness_identical_distribution_is_zero(spark):
+    """A table where every QI group has the global sensitive
+    distribution must audit to EMD 0 everywhere — the definitional
+    zero of the metric, checked end-to-end through a synthetic
+    parquet table shaped like `customer`."""
+    import os
+    import tempfile
+
+    from cricket_analytics_nosql_spark.operators.sampling import (
+        t_closeness_audit,
+    )
+
+    rows = [
+        (i, f"cust{i}", nat, seg, float(1000 * band + 1))
+        for i, (nat, seg, band, _) in enumerate(
+            (nat, seg, band, rep)
+            for nat in range(3)
+            for seg in ("A", "B")
+            for band in range(4)
+            for rep in range(2)  # every (group, band) cell has 2 rows
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey LONG, c_name STRING, c_nationkey INT,"
+        " c_mktsegment STRING, c_acctbal DOUBLE",
+    )
+    d = tempfile.mkdtemp(prefix="tclose_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    out = t_closeness_audit(spark, d).collect()
+    assert out and all(r.max_emd == 0.0 and r.n_breaching == 0 for r in out)
+
+
+def test_jaccard_linkpred_bounds(spark, sf_small):
+    """0 < J ≤ 1, shared ≤ union, and the union identity
+    |A∪B| ≥ max-side degree implied by shared ≥ 1."""
+    from cricket_analytics_nosql_spark.operators.graph import jaccard_linkpred
+
+    rows = jaccard_linkpred(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.shared <= r.unions
+        assert 0.0 < r.jaccard <= 1.0
+    # ranked output: rounded scores non-increasing
+    scores = [r.jaccard for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_degree_assortativity_is_valid_correlation(spark, sf_small):
+    from cricket_analytics_nosql_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    r = degree_assortativity(spark, sf_small).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.mean_cust_degree >= 1.0 and r.mean_supp_degree >= 1.0
+    assert r.n_edges > 0
+
+
+def test_shapley_efficiency_axiom(spark, sf_small):
+    """THE Shapley property: credits sum to v(full) − v(∅) — the
+    grand-coalition conversions minus the no-channel baseline
+    (converters with an empty pre-purchase touch set), recomputed
+    here independently from the raw events."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        shapley_attribution,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    out = shapley_attribution(spark, sf_small).collect()
+    assert len(out) == 3
+    n_conv = out[0].n_converters
+    ev = load_table(spark, sf_small, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fpt"))
+    )
+    touched = (
+        ev.filter(F.col("event_type").isin("view", "click", "signup"))
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("fpt"))
+        .select("user_id")
+        .distinct()
+    )
+    v_empty = n_conv - touched.count()
+    # three 6dp-rounded summands → up to 1.5e-6 quantization drift
+    assert abs(sum(r.shapley_conversions for r in out) - (n_conv - v_empty)) < 1e-5
+
+
+def test_sequence_pattern_support_identities(spark, sf_small):
+    """support ≤ confidence (n_users ≥ n_a), the (a,b)+(b,a)
+    antisymmetry bound, and lift ≈ confidence / base(b)."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        sequence_pattern_support,
+    )
+
+    rows = sequence_pattern_support(spark, sf_small).collect()
+    assert rows
+    by_pair = {(r.a, r.b): r for r in rows}
+    n_users = round(rows[0].n_pair / rows[0].support)
+    for r in rows:
+        assert r.a != r.b
+        assert 0.0 < r.support <= r.confidence <= 1.0
+        rev = by_pair.get((r.b, r.a))
+        if rev is not None:
+            assert r.n_pair + rev.n_pair <= n_users
+
+
+def test_cohens_kappa_identity(spark, sf_small):
+    """κ recomputes from its own reported p_o and p_e, and agreement
+    bounds hold."""
+    from cricket_analytics_nosql_spark.operators.text import (
+        cohens_kappa_langid,
+    )
+
+    r = cohens_kappa_langid(spark, sf_small).collect()[0]
+    assert 0.0 <= r.p_observed <= 1.0
+    assert 0.0 < r.p_expected < 1.0
+    assert r.n_agree <= r.n_docs
+    expected = (r.p_observed - r.p_expected) / (1.0 - r.p_expected)
+    assert abs(r.kappa - expected) < 1e-4  # both sides 6dp-rounded
