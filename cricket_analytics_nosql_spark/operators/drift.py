@@ -2836,6 +2836,136 @@ FROM agg CROSS JOIN hx CROSS JOIN hy
 """
 
 
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the two-period causal-effect workhorse
+# ---------------------------------------------------------------------------
+
+DID_CUTOVER = "1998-05-01"  # midpoint of the testdata date domain
+
+
+def diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the order-value effect:
+    treated cohort = urgent-priority orders, control = low-priority,
+    pre/post split at the date-domain midpoint. The 2×2-cell
+    workhorse behind every "did the change move the metric beyond
+    its trend" question; the cross-sectional siblings are
+    ``cuped_adjusted_ab`` (variance reduction) and
+    ``stratified_ate`` (confounder adjustment) — DiD is the one that
+    nets out a shared time trend.
+
+    Exactness (the welch/anova discipline): kilodollar quantization,
+    then ONE global map-side-combined aggregate of twelve
+    conditional integer sums — (n, Σv, Σv²) for each of the four
+    cells — so nothing shuffles but twelve bigints at any scale.
+    The estimate, its pooled standard error (Σ s²ₕ/nₕ over the four
+    cells), and the t statistic are composed once from the twelve
+    scalars in oracle-identical textual order."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(KS_GROUP_A, KS_GROUP_B))
+        .select(
+            flag(F.col("o_orderpriority") == KS_GROUP_A).alias("t"),
+            flag(
+                F.col("o_orderdate")
+                >= F.lit(DID_CUTOVER).cast("timestamp_ntz")
+            ).alias("p"),
+            F.expr(
+                "cast(round(o_totalprice * 100) as bigint) div 100000"
+            ).alias("v"),
+        )
+    )
+
+    def cell(tv: int, pv: int, tag: str):
+        m = ((F.col("t") == tv) & (F.col("p") == pv)).cast("long")
+        return [
+            F.sum(m).alias(f"n_{tag}"),
+            F.sum(m * F.col("v")).alias(f"s_{tag}"),
+            F.sum(m * F.col("v") * F.col("v")).alias(f"ss_{tag}"),
+        ]
+
+    agg = o.agg(
+        *cell(1, 0, "t0"), *cell(1, 1, "t1"), *cell(0, 0, "c0"),
+        *cell(0, 1, "c1"),
+    )
+
+    def mean(tag: str):
+        return F.col(f"s_{tag}").cast("double") / F.col(f"n_{tag}").cast(
+            "double"
+        )
+
+    def var_over_n(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"s_{tag}").cast("double")
+        ss = F.col(f"ss_{tag}").cast("double")
+        return (ss - s * s / n) / (n - 1.0) / n
+
+    did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    se = F.sqrt(
+        var_over_n("t1") + var_over_n("t0") + var_over_n("c1")
+        + var_over_n("c0")
+    )
+    return agg.select(
+        (F.col("n_t0") + F.col("n_t1")).alias("n_treated"),
+        (F.col("n_c0") + F.col("n_c1")).alias("n_control"),
+        F.round(mean("t1") - mean("t0"), 4).alias("delta_treated"),
+        F.round(mean("c1") - mean("c0"), 4).alias("delta_control"),
+        F.round(did, 4).alias("did_estimate"),
+        F.round(se, 4).alias("std_error"),
+        F.round(did / se, 6).alias("t_stat"),
+    )
+
+
+def _did_cell_sql(t: int, p: int, tag: str) -> str:
+    m = f"CASE WHEN t = {t} AND p = {p} THEN 1 ELSE 0 END"
+    return (
+        f"CAST(SUM({m}) AS BIGINT) AS n_{tag},"
+        f" CAST(SUM({m} * v) AS BIGINT) AS s_{tag},"
+        f" CAST(SUM({m} * v * v) AS BIGINT) AS ss_{tag}"
+    )
+
+
+ORACLE_DIFF_IN_DIFF = f"""
+WITH o AS (
+  SELECT CASE WHEN o_orderpriority = '{KS_GROUP_A}' THEN 1 ELSE 0 END AS t,
+         CASE WHEN o_orderdate >= TIMESTAMP '{DID_CUTOVER}'
+              THEN 1 ELSE 0 END AS p,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000 AS v
+  FROM orders
+  WHERE o_orderpriority IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+), agg AS (
+  SELECT {_did_cell_sql(1, 0, "t0")}, {_did_cell_sql(1, 1, "t1")},
+         {_did_cell_sql(0, 0, "c0")}, {_did_cell_sql(0, 1, "c1")}
+  FROM o
+), d AS (
+  SELECT n_t0 + n_t1 AS n_treated, n_c0 + n_c1 AS n_control,
+         CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+           - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE) AS dt,
+         CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)
+           - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE) AS dc,
+         (CAST(ss_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE) * CAST(s_t1 AS DOUBLE)
+            / CAST(n_t1 AS DOUBLE)) / (CAST(n_t1 AS DOUBLE) - 1.0)
+            / CAST(n_t1 AS DOUBLE)
+         + (CAST(ss_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * CAST(s_t0 AS DOUBLE)
+            / CAST(n_t0 AS DOUBLE)) / (CAST(n_t0 AS DOUBLE) - 1.0)
+            / CAST(n_t0 AS DOUBLE)
+         + (CAST(ss_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * CAST(s_c1 AS DOUBLE)
+            / CAST(n_c1 AS DOUBLE)) / (CAST(n_c1 AS DOUBLE) - 1.0)
+            / CAST(n_c1 AS DOUBLE)
+         + (CAST(ss_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * CAST(s_c0 AS DOUBLE)
+            / CAST(n_c0 AS DOUBLE)) / (CAST(n_c0 AS DOUBLE) - 1.0)
+            / CAST(n_c0 AS DOUBLE) AS var_sum
+  FROM agg
+)
+SELECT n_treated, n_control,
+       ROUND(dt, 4) AS delta_treated,
+       ROUND(dc, 4) AS delta_control,
+       ROUND(dt - dc, 4) AS did_estimate,
+       ROUND(sqrt(var_sum), 4) AS std_error,
+       ROUND((dt - dc) / sqrt(var_sum), 6) AS t_stat
+FROM d
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "anova_weekday_revenue": QuerySpec(
         anova_weekday_revenue, ORACLE_ANOVA_WEEKDAY, ["A1", "A4", "X-curation"]
@@ -2895,6 +3025,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "welch_ttest_drift": QuerySpec(
         welch_ttest_drift, ORACLE_WELCH_TTEST, ["A1", "A4", "X-curation"]
+    ),
+    "diff_in_diff_revenue": QuerySpec(
+        diff_in_diff_revenue,
+        ORACLE_DIFF_IN_DIFF,
+        ["A1", "A4", "A5", "X-curation", "X-ts"],
     ),
     "mutual_info_assoc": QuerySpec(
         mutual_info_assoc, ORACLE_MUTUAL_INFO, ["A1", "A4", "X-curation"]

@@ -2361,6 +2361,217 @@ LIMIT {AA_TOPK}
 """
 
 
+RICH_CLUB_KS = (2, 4, 8, 16)
+
+
+def rich_club_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club profile of the trade graph — the assortativity
+    readout resolved by degree level: among customers and suppliers
+    whose degree exceeds k, what fraction of the possible
+    cross-links actually exist? A rising φ(k) curve means the
+    high-degree core is disproportionately interconnected (the
+    'rich club'); flat-or-falling means hubs spread their trade.
+
+    Shape: the k grid is a CONSTANT (4 levels), so everything is
+    conditional aggregation — one pass over the degree-annotated
+    edge list produces all four edge counts, one pass over each
+    degree rollup produces the four node counts, and the 4-row
+    profile is assembled by ``stack`` from three 1-row frames. No
+    per-k rescans, no lattice joins; the exchanges are the two
+    degree rollups and the edge-list joins onto them (keys+counts
+    only)."""
+    e = trade_edges(spark, sf_dir).select("src", "dst")
+    cdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("dc"))
+    sdeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("ds"))
+    ed = e.join(cdeg, "src").join(sdeg, "dst")
+    e_sums = ed.agg(
+        *[
+            F.sum(
+                ((F.col("dc") > k) & (F.col("ds") > k)).cast("long")
+            ).alias(f"e{k}")
+            for k in RICH_CLUB_KS
+        ]
+    )
+    c_sums = cdeg.agg(
+        *[
+            F.sum((F.col("dc") > k).cast("long")).alias(f"nc{k}")
+            for k in RICH_CLUB_KS
+        ]
+    )
+    s_sums = sdeg.agg(
+        *[
+            F.sum((F.col("ds") > k).cast("long")).alias(f"ns{k}")
+            for k in RICH_CLUB_KS
+        ]
+    )
+    j = e_sums.crossJoin(F.broadcast(c_sums)).crossJoin(F.broadcast(s_sums))
+    stack_args = ", ".join(
+        f"{k}L, e{k}, nc{k}, ns{k}" for k in RICH_CLUB_KS
+    )
+    stacked = j.select(
+        F.expr(
+            f"stack({len(RICH_CLUB_KS)}, {stack_args})"
+            " as (k, n_edges, n_rich_cust, n_rich_supp)"
+        )
+    )
+    return stacked.select(
+        "k",
+        "n_rich_cust",
+        "n_rich_supp",
+        "n_edges",
+        F.when(
+            (F.col("n_rich_cust") > 0) & (F.col("n_rich_supp") > 0),
+            F.round(
+                F.col("n_edges").cast("double")
+                / (
+                    F.col("n_rich_cust").cast("double")
+                    * F.col("n_rich_supp").cast("double")
+                ),
+                6,
+            ),
+        ).alias("phi"),
+    ).orderBy("k")
+
+
+def _rich_club_branch_sql(k: int) -> str:
+    return f"""
+  SELECT CAST({k} AS BIGINT) AS k,
+         (SELECT CAST(COUNT(*) FILTER (WHERE dc > {k}) AS BIGINT)
+          FROM cdeg) AS n_rich_cust,
+         (SELECT CAST(COUNT(*) FILTER (WHERE ds > {k}) AS BIGINT)
+          FROM sdeg) AS n_rich_supp,
+         (SELECT CAST(COUNT(*) FILTER (WHERE dc > {k} AND ds > {k})
+                 AS BIGINT) FROM ed) AS n_edges"""
+
+
+ORACLE_RICH_CLUB = f"""
+WITH e AS (
+  SELECT o_custkey AS src, l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), cdeg AS (
+  SELECT src, COUNT(*) AS dc FROM e GROUP BY src
+), sdeg AS (
+  SELECT dst, COUNT(*) AS ds FROM e GROUP BY dst
+), ed AS (
+  SELECT dc, ds FROM e JOIN cdeg USING (src) JOIN sdeg USING (dst)
+), profile AS (
+{" UNION ALL ".join(_rich_club_branch_sql(k) for k in RICH_CLUB_KS)}
+)
+SELECT k, n_rich_cust, n_rich_supp, n_edges,
+       CASE WHEN n_rich_cust > 0 AND n_rich_supp > 0
+            THEN ROUND(CAST(n_edges AS DOUBLE)
+                       / (CAST(n_rich_cust AS DOUBLE)
+                          * CAST(n_rich_supp AS DOUBLE)), 6)
+       END AS phi
+FROM profile
+ORDER BY k
+"""
+
+
+def truss_support_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-support histogram of the part co-purchase graph — the
+    k-truss decomposition's first pass: an edge's support is the
+    number of triangles through it, and the k-truss is exactly the
+    maximal subgraph where every edge has support ≥ k−2, so this
+    histogram reads off how much of the graph survives each cohesion
+    level (support 0 = bridges no triangle touches).
+
+    Counting plan: the same degree-ordered orientation as
+    ``graph_triangles`` (out-degree O(√E) under any skew, each
+    triangle materialized exactly once), but the closure join runs
+    INNER so the triangle row yields its three corner edges; corners
+    collapse map-side to per-edge counts, counts to the ≤max-support
+    histogram, and the support-0 row is total edges minus covered —
+    two 1-row frames crossed, never a second triangle pass. All
+    integers end-to-end."""
+    e = part_cooccur_edges(spark, sf_dir).select("va", "vb")
+    deg = (
+        e.select(F.col("va").alias("v"))
+        .unionAll(e.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("va"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("vb"), F.col("d").alias("db"))
+    keyed = e.join(da, "va").join(db, "vb")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("va") < F.col("vb"))
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("va")).otherwise(F.col("vb")).alias("src"),
+        F.when(fwd, F.col("vb")).otherwise(F.col("va")).alias("dst"),
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    tri = o1.join(o2, F.col("o1.dst") == F.col("o2.src")).join(
+        o3,
+        (F.col("o3.src") == F.col("o1.src"))
+        & (F.col("o3.dst") == F.col("o2.dst")),
+    )
+    corner = F.explode(
+        F.array(
+            F.struct(
+                F.col("o1.src").alias("a"), F.col("o1.dst").alias("b")
+            ),
+            F.struct(
+                F.col("o2.src").alias("a"), F.col("o2.dst").alias("b")
+            ),
+            F.struct(
+                F.col("o3.src").alias("a"), F.col("o3.dst").alias("b")
+            ),
+        )
+    ).alias("c")
+    sup = (
+        tri.select(corner)
+        .select(
+            F.least(F.col("c.a"), F.col("c.b")).alias("ea"),
+            F.greatest(F.col("c.a"), F.col("c.b")).alias("eb"),
+        )
+        .groupBy("ea", "eb")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    hist = sup.groupBy("support").agg(F.count(F.lit(1)).alias("n_edges"))
+    tot = e.agg(F.count(F.lit(1)).alias("t"))
+    cov = hist.agg(F.coalesce(F.sum("n_edges"), F.lit(0)).alias("c"))
+    zero = tot.crossJoin(F.broadcast(cov)).select(
+        F.lit(0).cast("long").alias("support"),
+        (F.col("t") - F.col("c")).alias("n_edges"),
+    )
+    return hist.unionByName(zero).orderBy("support")
+
+
+ORACLE_TRUSS_SUPPORT = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT a.l_partkey AS va, b.l_partkey AS vb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), tri AS (
+  SELECT e1.va AS x, e1.vb AS y, e2.vb AS z
+  FROM e e1
+  JOIN e e2 ON e1.vb = e2.va
+  JOIN e e3 ON e3.va = e1.va AND e3.vb = e2.vb
+), corners AS (
+  SELECT x AS ea, y AS eb FROM tri
+  UNION ALL SELECT y, z FROM tri
+  UNION ALL SELECT x, z FROM tri
+), sup AS (
+  SELECT ea, eb, COUNT(*) AS support FROM corners GROUP BY 1, 2
+), hist AS (
+  SELECT CAST(support AS BIGINT) AS support,
+         CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM sup GROUP BY support
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM e),
+cov AS (SELECT CAST(COALESCE(SUM(n_edges), 0) AS BIGINT) AS c FROM hist)
+SELECT support, n_edges FROM hist
+UNION ALL
+SELECT CAST(0 AS BIGINT), t - c FROM tot CROSS JOIN cov
+ORDER BY support
+"""
+
+
 def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the collapsed trade graph — the
     one-number structural readout (Newman 2002): across edges, does
@@ -2534,6 +2745,16 @@ QUERIES: dict[str, QuerySpec] = {
         degree_assortativity,
         ORACLE_DEGREE_ASSORTATIVITY,
         ["G1", "G3", "A4", "J1"],
+    ),
+    "rich_club_profile": QuerySpec(
+        rich_club_profile,
+        ORACLE_RICH_CLUB,
+        ["G1", "G3", "A1", "A3", "J1"],
+    ),
+    "truss_support_profile": QuerySpec(
+        truss_support_profile,
+        ORACLE_TRUSS_SUPPORT,
+        ["G1", "A8", "J3", "A1"],
     ),
     "degree_distribution": QuerySpec(
         degree_distribution, ORACLE_DEGREE_DISTRIBUTION, ["G1", "G3", "A1"]

@@ -744,6 +744,86 @@ ORDER BY c_mktsegment
 """
 
 
+def design_effect_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design effect (DEFF) of proportionate source-stratified
+    sampling over document length — the one number that says whether
+    stratifying the corpus sample by source buys variance: DEFF =
+    Σ Wₕσ²ₕ / σ² = 1 − η², where η² is the between-source share of
+    the length variance. DEFF 0.8 means a stratified corpus-metric
+    estimate needs 20% fewer sampled docs for the same CI — the
+    planning input for every audit-by-sampling pass over 100 TB.
+
+    Exactness: per-stratum (n, Σy, Σy²) integer triples in one
+    map-side-combined rollup (y = n_chars, already integer); the
+    |sources|-row frame then folds to one row, and DEFF/η² are
+    composed once from exact bigints in oracle-identical order
+    (population-variance form — ss/n − mean², cast to double before
+    the products; the welch overflow discipline)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("y")
+    )
+    strata = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    tot = strata.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("st"),
+        F.sum("ss").alias("sst"),
+        # Σₕ s²ₕ/nₕ — the within/between split's only per-stratum
+        # double; rounded to a fixed grid per term so the distributed
+        # sum is order-free (the anova ssb idiom)
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n").cast("double"),
+                4,
+            )
+        ).alias("sum_sq_over_n"),
+    )
+    nn = F.col("nn").cast("double")
+    sst = F.col("sst").cast("double")
+    st = F.col("st").cast("double")
+    ss_total = sst - st * st / nn
+    ss_within = sst - F.col("sum_sq_over_n")
+    return tot.select(
+        "n_strata",
+        F.col("nn").alias("n_docs"),
+        F.round(ss_within / ss_total, 6).alias("deff"),
+        F.round(1.0 - ss_within / ss_total, 6).alias("eta_squared"),
+    )
+
+
+ORACLE_DESIGN_EFFECT = """
+WITH strata AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(s) AS BIGINT) AS st,
+         CAST(SUM(ss) AS BIGINT) AS sst,
+         SUM(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE), 4)) AS sum_sq_over_n
+  FROM strata
+)
+SELECT n_strata, nn AS n_docs,
+       ROUND((CAST(sst AS DOUBLE) - sum_sq_over_n)
+             / (CAST(sst AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                  / CAST(nn AS DOUBLE)), 6) AS deff,
+       ROUND(1.0 - (CAST(sst AS DOUBLE) - sum_sq_over_n)
+             / (CAST(sst AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                  / CAST(nn AS DOUBLE)), 6) AS eta_squared
+FROM tot
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "l_diversity_audit": QuerySpec(
         l_diversity_audit,
@@ -754,6 +834,11 @@ QUERIES: dict[str, QuerySpec] = {
         t_closeness_audit,
         ORACLE_T_CLOSENESS,
         ["A1", "A3", "J1", "X-curation"],
+    ),
+    "design_effect_stratified": QuerySpec(
+        design_effect_stratified,
+        ORACLE_DESIGN_EFFECT,
+        ["A1", "A4", "X-curation"],
     ),
     "k_anonymity_audit": QuerySpec(
         k_anonymity_audit,

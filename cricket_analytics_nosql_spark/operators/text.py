@@ -296,6 +296,139 @@ FROM base CROSS JOIN marg
 """
 
 
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the stopword
+    language-ID score used as a probability forecast of the label
+    being 'en' — the standard probing order for any soft classifier
+    in a labeling pipeline: reliability (calibration error, want 0),
+    resolution (discrimination, want large), uncertainty (the
+    irreducible base-rate term). ``calibration_bins_langid`` plots
+    the curve; this is its scalar summary triple, and because the
+    forecast is quantized to the 21-point 1/20 grid BEFORE scoring,
+    the Murphy identity Brier = REL − RES + UNC holds exactly.
+
+    Exactness: with f = f20/20 and binary outcomes, the Brier
+    numerator Σ(n·f20² − 40·f20·o + 400·o) is an exact integer over
+    the ≤21-row bin frame; REL and RES quantize per-bin to integer
+    micro-units (the lm_surprisal idiom) so their sums are
+    order-free; one division each at the end. The fact stream
+    collapses to the bin frame in ONE map-side-combined rollup."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    w = tokens_col(F.col("text"))
+    stop_ratio = (
+        F.size(F.filter(w, lambda t: t.isin(STOPWORDS))).cast("double")
+        / F.size(w).cast("double")
+    )
+    f20 = F.least(
+        F.round(stop_ratio * 100.0, 0).cast("long"), F.lit(20).cast("long")
+    )
+    bins = (
+        docs.select(
+            f20.alias("f20"),
+            (F.col("lang") == "en").cast("long").alias("o"),
+        )
+        .groupBy("f20")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o").alias("ok"))
+    )
+    tot = bins.agg(
+        F.sum("n").alias("nn"),
+        F.sum("ok").alias("oo"),
+        F.sum(
+            F.col("n") * F.col("f20") * F.col("f20")
+            - 40 * F.col("f20") * F.col("ok")
+            + 400 * F.col("ok")
+        ).alias("brier_num"),
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    nkd = F.col("n").cast("double")
+    okd = F.col("ok").cast("double")
+    f20d = F.col("f20").cast("double")
+    nnd = F.col("nn").cast("double")
+    ood = F.col("oo").cast("double")
+    rel_term = (
+        (f20d * nkd - 20.0 * okd) * (f20d * nkd - 20.0 * okd)
+        / (400.0 * nkd)
+    )
+    res_term = (
+        (okd * nnd - ood * nkd) * (okd * nnd - ood * nkd) / (nkd * nnd * nnd)
+    )
+    micro = lambda e: F.round(e * 1e6, 0).cast("long")  # noqa: E731
+    agg = j.groupBy("nn", "oo", "brier_num").agg(
+        F.sum(micro(rel_term)).alias("rel_micro"),
+        F.sum(micro(res_term)).alias("res_micro"),
+    )
+    nnd2 = F.col("nn").cast("double")
+    ood2 = F.col("oo").cast("double")
+    return agg.select(
+        F.col("nn").alias("n_docs"),
+        F.round(ood2 / nnd2, 6).alias("base_rate"),
+        F.round(
+            F.col("brier_num").cast("double") / (400.0 * nnd2), 6
+        ).alias("brier"),
+        F.round(
+            F.col("rel_micro").cast("double") / (1e6 * nnd2), 6
+        ).alias("reliability"),
+        F.round(
+            F.col("res_micro").cast("double") / (1e6 * nnd2), 6
+        ).alias("resolution"),
+        F.round(
+            ood2 * (nnd2 - ood2) / (nnd2 * nnd2), 6
+        ).alias("uncertainty"),
+    )
+
+
+ORACLE_BRIER_DECOMPOSITION = f"""
+WITH feat AS (
+  SELECT LEAST(CAST(ROUND(
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ('{_STOP_SQL}'))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) * 100.0, 0)
+           AS BIGINT), 20) AS f20,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o
+  FROM documents
+), bins AS (
+  SELECT f20, COUNT(*) AS n, CAST(SUM(o) AS BIGINT) AS ok
+  FROM feat GROUP BY f20
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(ok) AS BIGINT) AS oo,
+         CAST(SUM(n * f20 * f20 - 40 * f20 * ok + 400 * ok) AS BIGINT)
+           AS brier_num
+  FROM bins
+), agg AS (
+  SELECT nn, oo, brier_num,
+         CAST(SUM(CAST(ROUND(
+           (CAST(f20 AS DOUBLE) * CAST(n AS DOUBLE)
+            - 20.0 * CAST(ok AS DOUBLE))
+           * (CAST(f20 AS DOUBLE) * CAST(n AS DOUBLE)
+              - 20.0 * CAST(ok AS DOUBLE))
+           / (400.0 * CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT))
+         AS BIGINT) AS rel_micro,
+         CAST(SUM(CAST(ROUND(
+           (CAST(ok AS DOUBLE) * CAST(nn AS DOUBLE)
+            - CAST(oo AS DOUBLE) * CAST(n AS DOUBLE))
+           * (CAST(ok AS DOUBLE) * CAST(nn AS DOUBLE)
+              - CAST(oo AS DOUBLE) * CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)
+              * CAST(nn AS DOUBLE)) * 1e6, 0) AS BIGINT))
+         AS BIGINT) AS res_micro
+  FROM bins CROSS JOIN tot
+  GROUP BY nn, oo, brier_num
+)
+SELECT nn AS n_docs,
+       ROUND(CAST(oo AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS base_rate,
+       ROUND(CAST(brier_num AS DOUBLE)
+             / (400.0 * CAST(nn AS DOUBLE)), 6) AS brier,
+       ROUND(CAST(rel_micro AS DOUBLE)
+             / (1e6 * CAST(nn AS DOUBLE)), 6) AS reliability,
+       ROUND(CAST(res_micro AS DOUBLE)
+             / (1e6 * CAST(nn AS DOUBLE)), 6) AS resolution,
+       ROUND(CAST(oo AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(oo AS DOUBLE))
+             / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS uncertainty
+FROM agg
+"""
+
+
 def token_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token frequencies with document frequency — the
     explode → groupBy word-count (partial agg combines map-side, so
@@ -2365,6 +2498,11 @@ QUERIES: dict[str, QuerySpec] = {
     "langid_heuristic": QuerySpec(langid_heuristic, ORACLE_LANGID, ["X-text"]),
     "cohens_kappa_langid": QuerySpec(
         cohens_kappa_langid, ORACLE_COHENS_KAPPA, ["X-text", "A1", "A4"]
+    ),
+    "brier_decomposition": QuerySpec(
+        brier_decomposition,
+        ORACLE_BRIER_DECOMPOSITION,
+        ["X-text", "A1", "A4", "A5"],
     ),
     "token_frequency_topk": QuerySpec(
         token_frequency_topk, ORACLE_TOKEN_FREQUENCY, ["X-text", "A1"]

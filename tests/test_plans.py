@@ -573,6 +573,13 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "sequence_pattern_support",
         # 1-row expected-agreement numerator onto the 1-row base frame
         "cohens_kappa_langid",
+        # three 1-row conditional-sum frames assembled into the 4-row
+        # k-grid profile
+        "rich_club_profile",
+        # 1-row total × 1-row covered-count cross for the support-0 row
+        "truss_support_profile",
+        # 1-row (N, O, brier numerator) totals onto the ≤21-row bin frame
+        "brier_decomposition",
     }
     offenders = []
     for name, spec in all_queries().items():

@@ -158,6 +158,84 @@ def test_sequence_pattern_support_identities(spark, sf_small):
             assert r.n_pair + rev.n_pair <= n_users
 
 
+def test_diff_in_diff_is_delta_of_deltas(spark, sf_small):
+    """The DiD estimate must equal delta_treated − delta_control
+    (up to 4dp rounding), and the t statistic must be the estimate
+    over its standard error."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        diff_in_diff_revenue,
+    )
+
+    r = diff_in_diff_revenue(spark, sf_small).collect()[0]
+    assert abs(r.did_estimate - (r.delta_treated - r.delta_control)) < 2e-4
+    assert r.std_error > 0
+    assert abs(r.t_stat - r.did_estimate / r.std_error) < 1e-2  # 4dp inputs
+
+
+def test_design_effect_partition_of_variance(spark, sf_small):
+    """DEFF + η² = 1 (the within/between variance partition), and
+    both lie in [0, 1]."""
+    from cricket_analytics_nosql_spark.operators.sampling import (
+        design_effect_stratified,
+    )
+
+    r = design_effect_stratified(spark, sf_small).collect()[0]
+    assert abs(r.deff + r.eta_squared - 1.0) < 1e-5
+    assert 0.0 <= r.deff <= 1.0
+    assert r.n_strata > 1
+
+
+def test_rich_club_monotone_membership(spark, sf_small):
+    """Rising k must shrink the club: node and edge counts are
+    non-increasing in k, and φ is a valid density."""
+    from cricket_analytics_nosql_spark.operators.graph import (
+        rich_club_profile,
+    )
+
+    rows = rich_club_profile(spark, sf_small).collect()
+    assert [r.k for r in rows] == sorted(r.k for r in rows)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_rich_cust <= prev.n_rich_cust
+        assert cur.n_rich_supp <= prev.n_rich_supp
+        assert cur.n_edges <= prev.n_edges
+    for r in rows:
+        if r.phi is not None:
+            assert 0.0 <= r.phi <= 1.0
+            assert r.n_edges <= r.n_rich_cust * r.n_rich_supp
+
+
+def test_truss_support_conserves_edges_and_triangles(spark, sf_small):
+    """The histogram must partition the edge set exactly, and
+    Σ support·n_edges = 3·triangles (each triangle touches three
+    edges) — cross-checked against graph_triangles."""
+    from cricket_analytics_nosql_spark.operators.graph import (
+        graph_triangles,
+        truss_support_profile,
+    )
+
+    hist = truss_support_profile(spark, sf_small).collect()
+    tri = graph_triangles(spark, sf_small).collect()[0]
+    assert sum(r.n_edges for r in hist) == tri.n_edges
+    assert sum(r.support * r.n_edges for r in hist) == 3 * tri.n_triangles
+    assert all(r.n_edges >= 0 for r in hist)
+
+
+def test_brier_murphy_identity(spark, sf_small):
+    """Brier = REL − RES + UNC must hold exactly for grid-quantized
+    forecasts (up to micro-unit quantization), with every component
+    in its valid range."""
+    from cricket_analytics_nosql_spark.operators.text import (
+        brier_decomposition,
+    )
+
+    r = brier_decomposition(spark, sf_small).collect()[0]
+    assert abs(r.brier - (r.reliability - r.resolution + r.uncertainty)) < 1e-4
+    assert 0.0 <= r.brier <= 1.0
+    assert r.reliability >= 0.0 and r.resolution >= 0.0
+    assert 0.0 <= r.uncertainty <= 0.25
+    assert r.resolution <= r.uncertainty + 1e-9  # RES ≤ UNC always
+
+
 def test_cohens_kappa_identity(spark, sf_small):
     """κ recomputes from its own reported p_o and p_e, and agreement
     bounds hold."""
