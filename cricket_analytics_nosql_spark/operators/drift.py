@@ -2966,6 +2966,84 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator — how heavy is the heavy tail?
+# ---------------------------------------------------------------------------
+
+HILL_K = 500
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index over order values —
+    the number that says HOW heavy the heavy tail is (α < 2: infinite
+    variance, mean-based monitors lie; α < 1: infinite mean), the
+    quantitative sequel to ``zipf_fit_tokens``' rank-slope and the
+    planning input for length caps and winsorization levels:
+    H = (1/k)·Σᵢ₌₁..k ln(x⁽ⁱ⁾/x⁽ᵏ⁺¹⁾) over the top-k order
+    statistics, α̂ = 1/H.
+
+    Shape: the only global operation is a TakeOrderedAndProject of
+    k+1 rows (per-partition top-(k+1), then a driver-sized merge —
+    never a full sort); ranking and the threshold both live on the
+    (k+1)-row frame. Ties at the boundary are value-ties, and the
+    estimator reads only the VALUE multiset, so any tiebreak yields
+    the same answer in both engines. Each log term rounds to integer
+    micro-nats (the lm_surprisal idiom) so the k-term sum is
+    order-free; two final divisions mirror the oracle."""
+    top = (
+        load_table(spark, sf_dir, "orders")
+        .select(cents("o_totalprice").alias("v"))
+        .orderBy(F.desc("v"))
+        .limit(HILL_K + 1)
+    )
+    w = Window.orderBy(F.desc("v"))
+    ranked = top.select("v", F.row_number().over(w).alias("rn"))
+    thr = ranked.filter(F.col("rn") == HILL_K + 1).select(
+        F.col("v").alias("xk1")
+    )
+    terms = ranked.filter(F.col("rn") <= HILL_K).crossJoin(F.broadcast(thr))
+    agg = terms.agg(
+        F.sum(
+            F.round(
+                F.log(F.col("v").cast("double") / F.col("xk1").cast("double"))
+                * 1e6,
+                0,
+            ).cast("long")
+        ).alias("hill_micro"),
+        F.max("xk1").alias("xk1"),
+    )
+    h = F.col("hill_micro").cast("double") / (HILL_K * 1e6)
+    return agg.select(
+        F.lit(HILL_K).cast("long").alias("k"),
+        F.col("xk1").alias("threshold_cents"),
+        F.round(h, 6).alias("hill_h"),
+        F.round(F.lit(1.0) / h, 6).alias("tail_alpha"),
+    )
+
+
+ORACLE_HILL_TAIL = f"""
+WITH ranked AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (ORDER BY ROUND(o_totalprice * 100) DESC) AS rn
+  FROM orders
+), thr AS (
+  SELECT v AS xk1 FROM ranked WHERE rn = {HILL_K + 1}
+), agg AS (
+  SELECT CAST(SUM(CAST(ROUND(ln(CAST(v AS DOUBLE) / CAST(xk1 AS DOUBLE))
+                             * 1e6, 0) AS BIGINT)) AS BIGINT) AS hill_micro,
+         CAST(MAX(xk1) AS BIGINT) AS xk1
+  FROM ranked CROSS JOIN thr
+  WHERE rn <= {HILL_K}
+)
+SELECT CAST({HILL_K} AS BIGINT) AS k,
+       xk1 AS threshold_cents,
+       ROUND(CAST(hill_micro AS DOUBLE) / ({HILL_K} * 1e6), 6) AS hill_h,
+       ROUND(1.0 / (CAST(hill_micro AS DOUBLE) / ({HILL_K} * 1e6)), 6)
+         AS tail_alpha
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "anova_weekday_revenue": QuerySpec(
         anova_weekday_revenue, ORACLE_ANOVA_WEEKDAY, ["A1", "A4", "X-curation"]
@@ -3025,6 +3103,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "welch_ttest_drift": QuerySpec(
         welch_ttest_drift, ORACLE_WELCH_TTEST, ["A1", "A4", "X-curation"]
+    ),
+    "hill_tail_index": QuerySpec(
+        hill_tail_index,
+        ORACLE_HILL_TAIL,
+        ["A4", "T1", "X-curation"],
     ),
     "diff_in_diff_revenue": QuerySpec(
         diff_in_diff_revenue,

@@ -1560,6 +1560,113 @@ ORDER BY vec_id, rank
 """
 
 
+def ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space — the high-dimensional
+    pathology every ANN deployment must check: in hubby spaces a few
+    points appear in EVERYONE's k-NN list (inflating their retrieval
+    share) while antihubs are never retrieved at all, and recall
+    numbers silently stop meaning what they say. Measured as the
+    skewness of the k-occurrence distribution N_k(x) = how many
+    times x appears across all ``knn_graph`` top-{KNN_K} lists
+    (Radovanović et al., JMLR 2010), plus the antihub count and the
+    worst hub's share.
+
+    Exactness: occurrences are integers, so the moment sums Σc, Σc²,
+    Σc³ are exact bigints over the per-vector frame (antihubs
+    included via a left join against the id list, coalesce 0); the
+    skewness composes once from five scalars in oracle-identical
+    textual order. Scale: consumes the knn edge list (n·k rows) —
+    the audit itself adds one keys+counts rollup and one id join,
+    nothing pair-sized; swap the knn producer for the IVF variant at
+    corpus scale, audit unchanged."""
+    occ = (
+        knn_graph(spark, sf_dir)
+        .groupBy("neighbor_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    dense = ids.join(
+        occ, ids.vec_id == occ.neighbor_id, "left"
+    ).select(F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"))
+    agg = dense.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("sc3"),
+        F.sum((F.col("c") == 0).cast("long")).alias("n_antihubs"),
+        F.max("c").alias("max_occurrence"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sc").cast("double") / nd
+    m2 = F.col("sc2").cast("double") / nd - mean * mean
+    m3 = (
+        F.col("sc3").cast("double") / nd
+        - 3.0 * mean * (F.col("sc2").cast("double") / nd)
+        + 2.0 * mean * mean * mean
+    )
+    return agg.select(
+        F.col("n").alias("n_vectors"),
+        F.lit(KNN_K).cast("long").alias("k"),
+        F.round(mean, 6).alias("mean_occurrence"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        "n_antihubs",
+        "max_occurrence",
+    )
+
+
+ORACLE_ANN_HUBNESS = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+  FROM emb a, emb b
+  WHERE a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+), occ AS (
+  SELECT neighbor_id, COUNT(*) AS c FROM ranked
+  WHERE rank <= {KNN_K} GROUP BY neighbor_id
+), dense AS (
+  SELECT COALESCE(occ.c, 0) AS c
+  FROM (SELECT vec_id FROM embeddings) ids
+  LEFT JOIN occ ON ids.vec_id = occ.neighbor_id
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS sc2,
+         CAST(SUM(c * c * c) AS BIGINT) AS sc3,
+         CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_antihubs,
+         CAST(MAX(c) AS BIGINT) AS max_occurrence
+  FROM dense
+)
+SELECT n AS n_vectors,
+       CAST({KNN_K} AS BIGINT) AS k,
+       ROUND(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_occurrence,
+       ROUND((CAST(sc3 AS DOUBLE) / CAST(n AS DOUBLE)
+              - 3.0 * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE))
+              + 2.0 * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)))
+             / ((CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)))
+                * sqrt(CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+         AS skewness,
+       n_antihubs, max_occurrence
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # int8 embedding quantization (training-data compression)
 
@@ -3073,6 +3180,9 @@ QUERIES: dict[str, QuerySpec] = {
         embedding_quantize_stats, ORACLE_EMBEDDING_QUANTIZE, ["X-sim", "X-training"]
     ),
     "knn_graph": QuerySpec(knn_graph, ORACLE_KNN_GRAPH, ["X-sim", "X-dedup"]),
+    "ann_hubness_audit": QuerySpec(
+        ann_hubness_audit, ORACLE_ANN_HUBNESS, ["X-sim", "A1", "A4"]
+    ),
     "hard_negative_mining": QuerySpec(
         hard_negative_mining,
         ORACLE_HARD_NEGATIVE_MINING,

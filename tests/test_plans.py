@@ -580,6 +580,10 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "truss_support_profile",
         # 1-row (N, O, brier numerator) totals onto the ≤21-row bin frame
         "brier_decomposition",
+        # consumes knn_graph's broadcast scoring pass (already exempt)
+        "ann_hubness_audit",
+        # 1-row threshold order-statistic onto the (k+1)-row top frame
+        "hill_tail_index",
     }
     offenders = []
     for name, spec in all_queries().items():

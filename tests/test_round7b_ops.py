@@ -236,6 +236,31 @@ def test_brier_murphy_identity(spark, sf_small):
     assert r.resolution <= r.uncertainty + 1e-9  # RES ≤ UNC always
 
 
+def test_hubness_moment_identities(spark, sf_small):
+    """Σ occurrences = n·k exactly (every vector donates k edges),
+    antihubs are consistent with the mean, and max ≥ mean."""
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        ann_hubness_audit,
+    )
+
+    r = ann_hubness_audit(spark, sf_small).collect()[0]
+    assert r.mean_occurrence == float(r.k)  # Σc = n·k ⇒ mean = k exactly
+    assert 0 <= r.n_antihubs < r.n_vectors
+    assert r.max_occurrence >= r.k
+
+
+def test_hill_tail_index_reciprocal_and_positive(spark, sf_small):
+    """H > 0 (top-k strictly above the threshold on average), α = 1/H
+    within rounding, and the threshold is a real order statistic."""
+    from cricket_analytics_nosql_spark.operators.drift import hill_tail_index
+
+    r = hill_tail_index(spark, sf_small).collect()[0]
+    assert r.hill_h > 0
+    assert abs(r.tail_alpha - 1.0 / r.hill_h) < 1e-3
+    assert r.threshold_cents > 0
+    assert r.k == 500
+
+
 def test_cohens_kappa_identity(spark, sf_small):
     """κ recomputes from its own reported p_o and p_e, and agreement
     bounds hold."""
