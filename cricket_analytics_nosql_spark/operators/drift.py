@@ -3044,6 +3044,127 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Autocorrelation-function profile — the first 7 lags at once
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+def revenue_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of daily revenue at lags 1..{ACF_MAX_LAG} in one pass —
+    the seasonality fingerprint behind ``revenue_autocorr_lag1``:
+    a lag-7 spike says weekly cycle (cross-check:
+    ``stl_weekly_profile``), slow decay says trend
+    (``theil_sen_trend``), and the profile decides differencing
+    before any forecast backtest.
+
+    Shape: the fact stream collapses to the CALENDAR-bounded day
+    frame in one rollup; the seven lag columns come from seven
+    ``lag()`` reads over ONE unpartitioned window ordered by day
+    (bounded frame — the documented KS posture), so no per-lag
+    rescans or self-joins. Exactness: each centered product rounds
+    to integer micro-units before summing (order-free bigints;
+    magnitude ≈ dollars²·10⁶·days, bigint-safe at any corpus scale
+    because the frame is calendar-bounded); one division per lag."""
+    day = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            epoch_day("o_orderdate").alias("d"),
+            (cents("o_totalprice") / 100).cast("long").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").alias("x"))
+    )
+    tot = day.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+    )
+    w = Window.orderBy("d")
+    lagged = day.crossJoin(F.broadcast(tot)).select(
+        "x",
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("m"),
+        *[
+            F.lag("x", k).over(w).alias(f"x{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    # whole-unit quantization: dollars^2-scale terms, so the ±0.5
+    # per-term rounding is ~1e-14 relative while keeping the
+    # calendar-length sum orders of magnitude inside bigint
+    micro = lambda e: F.round(e, 0).cast("long")  # noqa: E731
+    cx = F.col("x").cast("double") - F.col("m")
+    agg = lagged.agg(
+        F.sum(micro(cx * cx)).alias("den_micro"),
+        *[
+            F.sum(
+                micro(cx * (F.col(f"x{k}").cast("double") - F.col("m")))
+            ).alias(f"num_{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    cells = agg.select(
+        *[
+            F.round(
+                F.col(f"num_{k}").cast("double")
+                / F.col("den_micro").cast("double"),
+                6,
+            ).alias(f"acf_{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{k}L, acf_{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return cells.selectExpr(
+        f"stack({ACF_MAX_LAG}, {stack_args}) AS (lag, acf)"
+    ).orderBy("lag")
+
+
+_ACF_LAGS = range(1, ACF_MAX_LAG + 1)
+
+ORACLE_REVENUE_ACF = (
+    """
+WITH day AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100)
+              AS BIGINT) AS x
+  FROM orders GROUP BY d
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM day
+), lagged AS (
+  SELECT x, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m, """
+    + ", ".join(
+        f"LAG(x, {k}) OVER (ORDER BY d) AS x{k}" for k in _ACF_LAGS
+    )
+    + """
+  FROM day CROSS JOIN tot
+), agg AS (
+  SELECT CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) - m)
+                             * (CAST(x AS DOUBLE) - m), 0)
+                       AS BIGINT)) AS BIGINT) AS den_micro, """
+    + ", ".join(
+        f"CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) - m)"
+        f" * (CAST(x{k} AS DOUBLE) - m), 0) AS BIGINT)) AS BIGINT)"
+        f" AS num_{k}"
+        for k in _ACF_LAGS
+    )
+    + """
+  FROM lagged
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag,"
+        f" ROUND(CAST(num_{k} AS DOUBLE) / CAST(den_micro AS DOUBLE), 6)"
+        f" AS acf FROM agg"
+        for k in _ACF_LAGS
+    )
+    + "\nORDER BY lag"
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "anova_weekday_revenue": QuerySpec(
         anova_weekday_revenue, ORACLE_ANOVA_WEEKDAY, ["A1", "A4", "X-curation"]
@@ -3103,6 +3224,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "welch_ttest_drift": QuerySpec(
         welch_ttest_drift, ORACLE_WELCH_TTEST, ["A1", "A4", "X-curation"]
+    ),
+    "revenue_acf_profile": QuerySpec(
+        revenue_acf_profile,
+        ORACLE_REVENUE_ACF,
+        ["A1", "A4", "§2.8", "X-ts"],
     ),
     "hill_tail_index": QuerySpec(
         hill_tail_index,

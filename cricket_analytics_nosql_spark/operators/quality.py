@@ -227,6 +227,130 @@ ORACLE_TABLE_PROFILE = "\nUNION ALL\n".join(
 ) + "\nORDER BY col_name"
 
 
+# (name, integer-quantized expression) for the correlation matrix —
+# quantities are already integral; price in whole dollars, discount
+# and tax in percent points, so every moment sum is an exact bigint
+_CORR_VARS: list[tuple[str, str, str]] = [
+    ("quantity", "cast(l_quantity as bigint)", "CAST(l_quantity AS BIGINT)"),
+    (
+        "price_usd",
+        "cast(round(l_extendedprice * 100) as bigint) div 100",
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 100",
+    ),
+    (
+        "discount_pct",
+        "cast(round(l_discount * 100) as bigint)",
+        "CAST(ROUND(l_discount * 100) AS BIGINT)",
+    ),
+    (
+        "tax_pct",
+        "cast(round(l_tax * 100) as bigint)",
+        "CAST(ROUND(l_tax * 100) AS BIGINT)",
+    ),
+]
+
+
+def numeric_corr_matrix(spark, sf_dir: str):
+    """Pairwise Pearson correlations of the lineitem numeric columns
+    — the profiling pass after ``table_profile``'s null/NDV counts:
+    which measures move together (price↔quantity mechanically;
+    discount↔anything is a pricing-policy signal). All C(4,2)=6
+    pairs from ONE map-side-combined global aggregate: per variable
+    (Σx, Σx²), per pair Σxy — 15 exact-bigint scalars total, never a
+    per-pair rescan (the conditional-aggregation discipline of
+    ``rich_club_profile``); each r composes from five scalars in
+    oracle-identical textual order, assembled by ``stack`` into the
+    6-row matrix. (Moment magnitudes: dollars² × rows — bigint-safe
+    to ~10⁹ rows; swap the quantization grid a decade up for more.)
+    """
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[F.expr(e).alias(n) for n, e, _ in _CORR_VARS]
+    )
+    names = [n for n, _, _ in _CORR_VARS]
+    sums = [F.count(F.lit(1)).alias("n")]
+    for v in names:
+        sums.append(F.sum(v).alias(f"s_{v}"))
+        sums.append(F.sum(F.col(v) * F.col(v)).alias(f"ss_{v}"))
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    for a, b in pairs:
+        sums.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    agg = li.agg(*sums)
+
+    def r_expr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        return F.round(
+            (n * F.col(f"sp_{a}_{b}").cast("double") - sa * sb)
+            / F.sqrt(
+                (n * F.col(f"ss_{a}").cast("double") - sa * sa)
+                * (n * F.col(f"ss_{b}").cast("double") - sb * sb)
+            ),
+            6,
+        )
+
+    cells = agg.select(
+        "n",
+        *[r_expr(a, b).alias(f"r_{a}_{b}") for a, b in pairs],
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', r_{a}_{b}" for a, b in pairs
+    )
+    return (
+        cells.selectExpr(
+            "n",
+            f"stack({len(pairs)}, {stack_args}) AS (var_a, var_b, corr)",
+        )
+        .select("var_a", "var_b", F.col("n").alias("n_rows"), "corr")
+        .orderBy("var_a", "var_b")
+    )
+
+
+def _corr_sql(a: str, b: str) -> str:
+    n = "CAST(n AS DOUBLE)"
+    return (
+        f"ROUND(({n} * CAST(sp_{a}_{b} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        f" / sqrt(({n} * CAST(ss_{a} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        f" * ({n} * CAST(ss_{b} AS DOUBLE)"
+        f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)"
+    )
+
+
+_CORR_PAIRS = [
+    (a, b)
+    for i, (a, _, _) in enumerate(_CORR_VARS)
+    for (b, _, _) in _CORR_VARS[i + 1 :]
+]
+
+ORACLE_NUMERIC_CORR = (
+    "WITH v AS (\n  SELECT "
+    + ", ".join(f"{sql} AS {n}" for n, _, sql in _CORR_VARS)
+    + "\n  FROM lineitem\n), agg AS (\n  SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    + ", ".join(
+        f"CAST(SUM({n}) AS BIGINT) AS s_{n},"
+        f" CAST(SUM({n} * {n}) AS BIGINT) AS ss_{n}"
+        for n, _, _ in _CORR_VARS
+    )
+    + ", "
+    + ", ".join(
+        f"CAST(SUM({a} * {b}) AS BIGINT) AS sp_{a}_{b}"
+        for a, b in _CORR_PAIRS
+    )
+    + "\n  FROM v\n)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS var_a, '{b}' AS var_b, n AS n_rows,"
+        f" {_corr_sql(a, b)} AS corr FROM agg"
+        for a, b in _CORR_PAIRS
+    )
+    + "\nORDER BY var_a, var_b"
+)
+
+
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec  # noqa: E402
 
 QUERIES: dict[str, QuerySpec] = {
@@ -235,5 +359,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "table_profile": QuerySpec(
         table_profile, ORACLE_TABLE_PROFILE, ["A4", "A1", "X-quality"]
+    ),
+    "numeric_corr_matrix": QuerySpec(
+        numeric_corr_matrix, ORACLE_NUMERIC_CORR, ["A4", "A1", "X-quality"]
     ),
 }

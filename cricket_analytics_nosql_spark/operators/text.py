@@ -572,6 +572,93 @@ def lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ecological-diversity readout of the corpus mix, per language:
+    source richness (how many sources), Simpson's index 1 − Σpᵢ²
+    (the chance two random docs come from different sources — the
+    concentration dual of ``supplier_hhi_topk``), and Shannon
+    entropy with its evenness normalization H/ln(richness). The
+    one-screen answer to "is this language's data actually diverse
+    or one crawl wearing twenty names", upstream of every mixture
+    decision (``domain_mixture_resample``, ``doremi_mixture_weights``).
+
+    Exactness: one (lang, source) rollup; Simpson's numerator
+    Σnᵢ² stays an exact bigint (one division per language), Shannon
+    rides integer micro-nats per source row (the lm_surprisal
+    idiom). Everything after the rollup is |lang×source|-sized."""
+    ls = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wl = Window.partitionBy("lang")
+    g = ls.select(
+        "lang",
+        "c",
+        F.sum("c").over(wl).alias("n"),
+    )
+    per_lang = g.groupBy("lang", "n").agg(
+        F.count(F.lit(1)).alias("richness"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.sum(
+            F.col("c")
+            * F.round(
+                F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+                * 1e6,
+                0,
+            ).cast("long")
+        ).alias("h_micro_sum"),
+    )
+    h = -F.col("h_micro_sum").cast("double") / (
+        F.col("n").cast("double") * 1e6
+    )
+    return per_lang.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        "richness",
+        F.round(
+            1.0
+            - F.col("sum_c2").cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("simpson"),
+        F.round(h, 6).alias("shannon_nats"),
+        F.when(
+            F.col("richness") > 1,
+            F.round(h / F.log(F.col("richness").cast("double")), 6),
+        ).alias("evenness"),
+    ).orderBy("lang")
+
+
+ORACLE_SOURCE_DIVERSITY = """
+WITH ls AS (
+  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY lang, source
+), g AS (
+  SELECT lang, c, SUM(c) OVER (PARTITION BY lang) AS n FROM ls
+), per_lang AS (
+  SELECT lang, CAST(n AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS richness,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+         CAST(SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * 1e6, 0) AS BIGINT)) AS BIGINT)
+           AS h_micro_sum
+  FROM g GROUP BY lang, n
+)
+SELECT lang, n AS n_docs, richness,
+       ROUND(1.0 - CAST(sum_c2 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS simpson,
+       ROUND(-CAST(h_micro_sum AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1e6), 6) AS shannon_nats,
+       CASE WHEN richness > 1
+            THEN ROUND((-CAST(h_micro_sum AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * 1e6))
+                       / ln(CAST(richness AS DOUBLE)), 6)
+       END AS evenness
+FROM per_lang
+ORDER BY lang
+"""
+
+
 ORACLE_LANG_SOURCE_PROFILE = """
 SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
@@ -2503,6 +2590,11 @@ QUERIES: dict[str, QuerySpec] = {
         brier_decomposition,
         ORACLE_BRIER_DECOMPOSITION,
         ["X-text", "A1", "A4", "A5"],
+    ),
+    "source_diversity_index": QuerySpec(
+        source_diversity_index,
+        ORACLE_SOURCE_DIVERSITY,
+        ["X-text", "X-curation", "A1", "A5"],
     ),
     "token_frequency_topk": QuerySpec(
         token_frequency_topk, ORACLE_TOKEN_FREQUENCY, ["X-text", "A1"]

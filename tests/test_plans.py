@@ -584,6 +584,8 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "ann_hubness_audit",
         # 1-row threshold order-statistic onto the (k+1)-row top frame
         "hill_tail_index",
+        # 1-row (n, Σx) mean frame onto the calendar-bounded day frame
+        "revenue_acf_profile",
     }
     offenders = []
     for name, spec in all_queries().items():

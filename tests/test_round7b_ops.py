@@ -261,6 +261,62 @@ def test_hill_tail_index_reciprocal_and_positive(spark, sf_small):
     assert r.k == 500
 
 
+def test_numeric_corr_matrix_bounds_and_symmetric_pairs(spark, sf_small):
+    """All six correlations in [−1, 1]; price↔quantity strongly
+    positive by construction (extendedprice = qty · unit price);
+    pair list is the full upper triangle."""
+    from cricket_analytics_nosql_spark.operators.quality import (
+        numeric_corr_matrix,
+    )
+
+    from cricket_analytics_nosql_spark.operators.quality import _CORR_VARS
+
+    rows = numeric_corr_matrix(spark, sf_small).collect()
+    assert len(rows) == 6
+    order = [n for n, _, _ in _CORR_VARS]
+    for r in rows:
+        assert -1.0 <= r.corr <= 1.0
+        # upper triangle in declaration order, no dup pairs
+        assert order.index(r.var_a) < order.index(r.var_b)
+    # all 6 distinct upper-triangle pairs present exactly once
+    # (the synthetic testdata draws the columns independently, so no
+    # domain assertion on magnitudes — bounds + coverage only)
+    assert len({(r.var_a, r.var_b) for r in rows}) == 6
+    assert all(r.n_rows == rows[0].n_rows and r.n_rows > 0 for r in rows)
+
+
+def test_source_diversity_bounds(spark, sf_small):
+    """Simpson ∈ [0, 1−1/richness], Shannon ≤ ln(richness), evenness
+    ∈ (0, 1] — the defining inequalities of the three indices."""
+    import math
+
+    from cricket_analytics_nosql_spark.operators.text import (
+        source_diversity_index,
+    )
+
+    rows = source_diversity_index(spark, sf_small).collect()
+    assert rows
+    eps = 1e-4
+    for r in rows:
+        assert 0.0 <= r.simpson <= 1.0 - 1.0 / r.richness + eps
+        assert -eps <= r.shannon_nats <= math.log(r.richness) + eps
+        if r.evenness is not None:
+            assert 0.0 < r.evenness <= 1.0 + eps
+
+
+def test_acf_profile_bounds_and_lag_count(spark, sf_small):
+    """ACF values in [−1, 1] for all 7 lags (Cauchy-Schwarz on the
+    centered series), exactly one row per lag."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        revenue_acf_profile,
+    )
+
+    rows = revenue_acf_profile(spark, sf_small).collect()
+    assert [r.lag for r in rows] == list(range(1, 8))
+    for r in rows:
+        assert -1.0 <= r.acf <= 1.0
+
+
 def test_cohens_kappa_identity(spark, sf_small):
     """κ recomputes from its own reported p_o and p_e, and agreement
     bounds hold."""
