@@ -1554,6 +1554,88 @@ ORDER BY support DESC, a ASC, b ASC
 """
 
 
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness — is the event stream Poisson or bursty?
+# ---------------------------------------------------------------------------
+
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type burstiness of user activity (Goh & Barabási):
+    B = (σ−μ)/(σ+μ) over the per-user inter-arrival gaps — B≈0 is
+    Poisson (memoryless), B→1 is bursty sessions, B<0 is pacemaker-
+    regular. The one-number answer to "can I model this stream with
+    a rate", which decides watermark widths and session-gap
+    thresholds for the streaming operators.
+
+    Shape: ONE exchange on (user, type) for the lag window (per-
+    partition state = one user's history — the sessionize posture),
+    then a keys+moments rollup to |types| rows. Gaps quantize to
+    integer SECONDS (multi-minute scale data — 1 s granularity is
+    noise) so (n, Σg, Σg²) are exact order-free bigints; σ, μ, and
+    B compose once per type in oracle-identical textual order."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "event_id",
+    )
+    gaps = ev.select(
+        "event_type",
+        F.expr("(t - lag(t, 1) over (partition by user_id, event_type"
+               " order by t, event_id)) div 1000000").alias("g"),
+    ).filter(F.col("g").isNotNull())
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sigma = F.sqrt(F.col("ss").cast("double") / nd - mu * mu)
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.round(mu, 4).alias("mean_gap_sec"),
+        F.round(sigma / mu, 6).alias("cv"),
+        F.round((sigma - mu) / (sigma + mu), 6).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+ORACLE_INTERARRIVAL_BURSTINESS = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         (t - LAG(t, 1) OVER (PARTITION BY user_id, event_type
+                              ORDER BY t, event_id)) // 1000000 AS g
+  FROM ev
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(g) AS BIGINT) AS s,
+         CAST(SUM(g * g) AS BIGINT) AS ss
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n AS n_gaps,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4)
+         AS mean_gap_sec,
+       ROUND(sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cv,
+       ROUND((sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+              - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / (sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS burstiness
+FROM agg
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sprt_ab_monitor": QuerySpec(
         sprt_ab_monitor,
@@ -1589,6 +1671,11 @@ QUERIES: dict[str, QuerySpec] = {
         sequence_pattern_support,
         ORACLE_SEQUENCE_PATTERN,
         ["A1", "A8", "J3", "T1", "X-ts"],
+    ),
+    "interarrival_burstiness": QuerySpec(
+        interarrival_burstiness,
+        ORACLE_INTERARRIVAL_BURSTINESS,
+        ["A1", "§2.8", "X-ts"],
     ),
     "gap_fill_interpolate": QuerySpec(
         gap_fill_interpolate,

@@ -317,6 +317,22 @@ def test_acf_profile_bounds_and_lag_count(spark, sf_small):
         assert -1.0 <= r.acf <= 1.0
 
 
+def test_burstiness_bounds_and_cv_consistency(spark, sf_small):
+    """B ∈ (−1, 1), and its sign agrees with CV vs 1 — the defining
+    algebra of (σ−μ)/(σ+μ)."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        interarrival_burstiness,
+    )
+
+    rows = interarrival_burstiness(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 < r.burstiness < 1.0
+        assert r.cv > 0 and r.mean_gap_sec > 0
+        if abs(r.cv - 1.0) > 1e-3:
+            assert (r.burstiness > 0) == (r.cv > 1.0)
+
+
 def test_cohens_kappa_identity(spark, sf_small):
     """κ recomputes from its own reported p_o and p_e, and agreement
     bounds hold."""
