@@ -1667,6 +1667,88 @@ FROM agg
 """
 
 
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding space (Ethayarajh-style): the
+    mean pairwise cosine across ALL vector pairs. Anisotropic spaces
+    (mean cos ≫ 0 — every vector leaning into a common direction)
+    quietly break cosine thresholds for dedup and retrieval; this is
+    the one-number check that says whether 0.8 means "near-dup" or
+    "everything".
+
+    THE scale trick: no pair is ever formed. With unit vectors,
+    Σ_{i≠j} cos(i,j) = ‖Σᵢ v̂ᵢ‖² − n, so the audit is ONE pass —
+    normalize, quantize components to integer micro-units (so the
+    per-dimension sums are order-free exact bigints; the float
+    normalization itself is the dot()/list_inner_product fixed-order
+    contract knn relies on), explode to (dim, q) and roll up 64
+    dimension sums. O(n·d) work, d-row exchange, versus the n²/2
+    pair join the naive spelling costs — THIS is the posture that
+    survives a billion vectors. (s_d² at ~10⁹ rows outgrows bigint —
+    swap the micro grid down or the sum to DECIMAL there; exact at
+    any tested SF.)"""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings"))
+    vn = F.sqrt(dot(F.col("v"), F.col("v")))
+    q = F.transform(
+        F.col("v"), lambda x: F.round(x / vn * 1e6, 0).cast("long")
+    )
+    ex = emb.select(F.posexplode(q).alias("pos", "qv"))
+    dims = ex.groupBy("pos").agg(
+        F.sum("qv").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).alias("qq"),
+    )
+    tot = dims.agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.sum(F.col("s") * F.col("s")).alias("s2"),
+        F.sum("qq").alias("self_sq"),
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    j = tot.crossJoin(F.broadcast(n))
+    nd = F.col("n").cast("double")
+    return j.select(
+        F.col("n").alias("n_vectors"),
+        "dim",
+        F.round(
+            (F.col("s2").cast("double") - F.col("self_sq").cast("double"))
+            / (nd * (nd - 1.0) * 1e12),
+            6,
+        ).alias("mean_pairwise_cos"),
+        F.round(F.col("self_sq").cast("double") / (nd * 1e12), 6).alias(
+            "mean_self_dot"
+        ),
+    )
+
+
+ORACLE_EMBEDDING_ISOTROPY = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(ROUND(
+           x / sqrt(list_inner_product(v, v)) * 1e6, 0) AS BIGINT)) AS qv
+  FROM emb
+), ex AS (
+  SELECT r.i AS pos, qv[r.i] AS val
+  FROM q CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) r
+), dims AS (
+  SELECT pos, CAST(SUM(val) AS BIGINT) AS s,
+         CAST(SUM(val * val) AS BIGINT) AS qq
+  FROM ex GROUP BY pos
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS dim,
+         CAST(SUM(s * s) AS BIGINT) AS s2,
+         CAST(SUM(qq) AS BIGINT) AS self_sq
+  FROM dims
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM emb)
+SELECT n AS n_vectors, dim,
+       ROUND((CAST(s2 AS DOUBLE) - CAST(self_sq AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * 1e12), 6)
+         AS mean_pairwise_cos,
+       ROUND(CAST(self_sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6)
+         AS mean_self_dot
+FROM tot CROSS JOIN n
+"""
+
+
 # --------------------------------------------------------------------------
 # int8 embedding quantization (training-data compression)
 
@@ -3182,6 +3264,11 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_graph": QuerySpec(knn_graph, ORACLE_KNN_GRAPH, ["X-sim", "X-dedup"]),
     "ann_hubness_audit": QuerySpec(
         ann_hubness_audit, ORACLE_ANN_HUBNESS, ["X-sim", "A1", "A4"]
+    ),
+    "embedding_isotropy_audit": QuerySpec(
+        embedding_isotropy_audit,
+        ORACLE_EMBEDDING_ISOTROPY,
+        ["X-sim", "A4", "F2"],
     ),
     "hard_negative_mining": QuerySpec(
         hard_negative_mining,

