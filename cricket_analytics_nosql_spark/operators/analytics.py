@@ -1819,11 +1819,194 @@ ORDER BY b.horizon_days
 """
 
 
+LOGRANK_GROUP_A = "1-URGENT"
+LOGRANK_GROUP_B = "5-LOW"
+
+
+def logrank_repeat_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between the repeat-purchase survival curves of
+    customers whose FIRST order was urgent vs low priority — the
+    inference companion to ``kaplan_meier_repeat``: KM draws the two
+    curves, log-rank says whether they differ beyond censoring noise
+    (the standard churn A/B readout; a naive repeat-rate comparison
+    is biased exactly when censoring differs between arms).
+
+    Construction shares KM's subject rollup (first/second order per
+    customer, right-censored at end of history; first-order ties
+    broken by o_orderkey in BOTH engines). At each day-grain event
+    time: O₁−E₁ accumulates d_t·n₁/n and the hypergeometric variance
+    d(n₁/n)(n₂/n)(n−d)/(n−1) — each term rounded to integer
+    micro-units so the day-frame sums are order-free; z composes
+    once at the end. Everything past the one customer-keyed rollup
+    is calendar-bounded."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    rk = orders.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
+    per_cust = rk.groupBy("o_custkey").agg(
+        F.min("d").alias("t1"),
+        F.max(F.when(F.col("rk") == 2, F.col("d"))).alias("t2"),
+        F.max(F.when(F.col("rk") == 1, F.col("pri"))).alias("pri1"),
+    )
+    dmax = orders.agg(F.max("d").alias("dmax"))
+    subj = (
+        per_cust.filter(
+            F.col("pri1").isin(LOGRANK_GROUP_A, LOGRANK_GROUP_B)
+        )
+        .crossJoin(F.broadcast(dmax))
+        .select(
+            F.coalesce(
+                F.datediff("t2", "t1"), F.datediff("dmax", "t1")
+            ).alias("t"),
+            F.col("t2").isNotNull().cast("long").alias("ev"),
+            (F.col("pri1") == LOGRANK_GROUP_A).cast("long").alias("g"),
+        )
+    )
+    day = subj.groupBy("t").agg(
+        F.sum(F.col("ev") * F.col("g")).alias("d1"),
+        F.sum((1 - F.col("ev")) * F.col("g")).alias("c1"),
+        F.sum(F.col("ev") * (1 - F.col("g"))).alias("d2"),
+        F.sum((1 - F.col("ev")) * (1 - F.col("g"))).alias("c2"),
+    )
+    wt = Window.orderBy("t")
+    total = Window.partitionBy(F.lit(0))
+    before = wt.rowsBetween(Window.unboundedPreceding, -1)
+    risk = day.select(
+        "t",
+        "d1",
+        "d2",
+        (
+            F.sum(F.col("d1") + F.col("c1")).over(total)
+            - F.coalesce(
+                F.sum(F.col("d1") + F.col("c1")).over(before), F.lit(0)
+            )
+        ).alias("n1"),
+        (
+            F.sum(F.col("d2") + F.col("c2")).over(total)
+            - F.coalesce(
+                F.sum(F.col("d2") + F.col("c2")).over(before), F.lit(0)
+            )
+        ).alias("n2"),
+    )
+    nt = (F.col("n1") + F.col("n2")).cast("double")
+    dt = (F.col("d1") + F.col("d2")).cast("double")
+    e1 = dt * F.col("n1").cast("double") / nt
+    v = (
+        dt
+        * (F.col("n1").cast("double") / nt)
+        * (F.col("n2").cast("double") / nt)
+        * (nt - dt)
+        / (nt - 1.0)
+    )
+    micro = lambda e: F.round(e * 1e6, 0).cast("long")  # noqa: E731
+    terms = risk.filter(
+        (F.col("d1") + F.col("d2") > 0) & (F.col("n1") + F.col("n2") > 1)
+    )
+    agg = terms.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(micro(e1)).alias("e1_micro"),
+        F.sum(micro(v)).alias("v_micro"),
+    )
+    n_arms = subj.agg(
+        F.sum("g").alias("n_a"),
+        F.sum(1 - F.col("g")).alias("n_b"),
+    )
+    j = agg.crossJoin(F.broadcast(n_arms))
+    e1d = F.col("e1_micro").cast("double") / 1e6
+    vd = F.col("v_micro").cast("double") / 1e6
+    return j.select(
+        "n_a",
+        "n_b",
+        F.col("o1").alias("observed_a"),
+        F.round(e1d, 4).alias("expected_a"),
+        F.round(
+            (F.col("o1").cast("double") - e1d) / F.sqrt(vd), 6
+        ).alias("z_logrank"),
+    )
+
+
+ORACLE_LOGRANK = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         o_orderpriority AS pri
+  FROM orders
+), rk AS (
+  SELECT o_custkey, d, pri,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY d, o_orderkey) AS rk
+  FROM o
+), per_cust AS (
+  SELECT o_custkey, MIN(d) AS t1,
+         MAX(CASE WHEN rk = 2 THEN d END) AS t2,
+         MAX(CASE WHEN rk = 1 THEN pri END) AS pri1
+  FROM rk WHERE rk <= 2 GROUP BY o_custkey
+), dmax AS (
+  SELECT MAX(d) AS dmax FROM o
+), subj AS (
+  SELECT COALESCE(t2 - t1, dmax - t1) AS t,
+         CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS ev,
+         CASE WHEN pri1 = '{LOGRANK_GROUP_A}' THEN 1 ELSE 0 END AS g
+  FROM per_cust CROSS JOIN dmax
+  WHERE pri1 IN ('{LOGRANK_GROUP_A}', '{LOGRANK_GROUP_B}')
+), day AS (
+  SELECT t, CAST(SUM(ev * g) AS BIGINT) AS d1,
+         CAST(SUM((1 - ev) * g) AS BIGINT) AS c1,
+         CAST(SUM(ev * (1 - g)) AS BIGINT) AS d2,
+         CAST(SUM((1 - ev) * (1 - g)) AS BIGINT) AS c2
+  FROM subj GROUP BY t
+), risk AS (
+  SELECT t, d1, d2,
+         CAST(SUM(d1 + c1) OVER () AS BIGINT)
+           - CAST(COALESCE(SUM(d1 + c1) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS n1,
+         CAST(SUM(d2 + c2) OVER () AS BIGINT)
+           - CAST(COALESCE(SUM(d2 + c2) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS n2
+  FROM day
+), agg AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(CAST(ROUND(CAST(d1 + d2 AS DOUBLE)
+                  * CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+                  * 1e6, 0) AS BIGINT)) AS BIGINT) AS e1_micro,
+         CAST(SUM(CAST(ROUND(CAST(d1 + d2 AS DOUBLE)
+                  * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                  * (CAST(n1 + n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+                  / (CAST(n1 + n2 AS DOUBLE) - 1.0)
+                  * 1e6, 0) AS BIGINT)) AS BIGINT) AS v_micro
+  FROM risk
+  WHERE d1 + d2 > 0 AND n1 + n2 > 1
+), arms AS (
+  SELECT CAST(SUM(g) AS BIGINT) AS n_a,
+         CAST(SUM(1 - g) AS BIGINT) AS n_b
+  FROM subj
+)
+SELECT n_a, n_b, o1 AS observed_a,
+       ROUND(CAST(e1_micro AS DOUBLE) / 1e6, 4) AS expected_a,
+       ROUND((CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1e6)
+             / sqrt(CAST(v_micro AS DOUBLE) / 1e6), 6) AS z_logrank
+FROM agg CROSS JOIN arms
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "kaplan_meier_repeat": QuerySpec(
         kaplan_meier_repeat,
         ORACLE_KAPLAN_MEIER,
         ["A1", "§2.8", "X-ts", "X-curation"],
+    ),
+    "logrank_repeat_priority": QuerySpec(
+        logrank_repeat_priority,
+        ORACLE_LOGRANK,
+        ["A1", "A4", "§2.8", "X-ts", "X-curation"],
     ),
     "rbo_rank_stability": QuerySpec(
         rbo_rank_stability, ORACLE_RBO, ["A1", "T1", "§2.8", "X-ts"]

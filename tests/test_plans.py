@@ -588,6 +588,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "revenue_acf_profile",
         # 1-row vector count onto the d-row dimension rollup
         "embedding_isotropy_audit",
+        # KM-family 1-row crosses: dmax censor date onto the subject
+        # rollup, arm totals onto the 1-row O/E/V aggregate
+        "logrank_repeat_priority",
     }
     offenders = []
     for name, spec in all_queries().items():

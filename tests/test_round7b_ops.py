@@ -361,6 +361,22 @@ def test_isotropy_identity_vs_naive_pairwise(spark, sf_small):
     assert abs(r.mean_pairwise_cos - naive) < 1e-5
 
 
+def test_logrank_expected_between_bounds(spark, sf_small):
+    """E₁ is a convex mix of the event counts, so 0 ≤ E₁ ≤ total
+    events; arm sizes are positive; z is finite."""
+    import math
+
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        logrank_repeat_priority,
+    )
+
+    r = logrank_repeat_priority(spark, sf_small).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 <= r.observed_a <= r.n_a
+    assert 0.0 <= r.expected_a
+    assert math.isfinite(r.z_logrank)
+
+
 def test_cohens_kappa_identity(spark, sf_small):
     """κ recomputes from its own reported p_o and p_e, and agreement
     bounds hold."""
