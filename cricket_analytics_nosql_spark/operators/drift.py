@@ -3165,6 +3165,144 @@ WITH day AS (
 )
 
 
+# ---------------------------------------------------------------------------
+# Permutation test — assumption-free inference in ONE pass
+# ---------------------------------------------------------------------------
+
+PERM_B = 64  # replicates; p-value resolution 1/(B+1)
+
+
+def permutation_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test of the urgent-vs-low mean order-value gap —
+    the assumption-free member of the drift family: Welch trusts a
+    t distribution, Mann-Whitney a normal approximation; the
+    permutation test trusts nothing, comparing the observed gap to
+    its distribution under {PERM_B} random relabelings. No erf, no
+    tables — the null distribution is COMPUTED.
+
+    THE one-pass trick: each replicate's relabeling is a
+    deterministic md5 bit (the cross-engine ``md5_u32`` sampling
+    contract, functions/scalar.py), so all {PERM_B} replicate sums
+    ride the SAME map-side-combined aggregate as the observed stat —
+    2·{PERM_B}+4 integer scalars total, zero extra passes, zero
+    shuffle beyond one row. Replicate stats unstack to a {PERM_B}-row
+    frame where the tail count is exact integer comparison of
+    identically-composed doubles. At any corpus scale this is one
+    scan; the classical resample-B-times spelling is B scans."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(KS_GROUP_A, KS_GROUP_B))
+        .select(
+            "o_orderkey",
+            flag(F.col("o_orderpriority") == KS_GROUP_A).alias("is_a"),
+            F.expr(
+                "cast(round(o_totalprice * 100) as bigint) div 100000"
+            ).alias("v"),
+        )
+    )
+    from cricket_analytics_nosql_spark.functions.scalar import md5_u32
+
+    sums = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum("is_a").alias("n_obs"),
+        F.sum(F.col("is_a") * F.col("v")).alias("s_obs"),
+    ]
+    for b in range(PERM_B):
+        bit = md5_u32(F.col("o_orderkey"), salt=f"perm{b}#") % 2
+        sums.append(F.sum(bit).alias(f"n_{b}"))
+        sums.append(F.sum(bit * F.col("v")).alias(f"s_{b}"))
+    agg = o.agg(*sums)
+
+    def gap(n1, s1):
+        n1d, s1d = n1.cast("double"), s1.cast("double")
+        nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
+        return s1d / n1d - (sd - s1d) / (nd - n1d)
+
+    stack_args = ", ".join(f"{b}L, n_{b}, s_{b}" for b in range(PERM_B))
+    reps = agg.select(
+        "n",
+        "s",
+        gap(F.col("n_obs"), F.col("s_obs")).alias("t_obs"),
+        F.expr(f"stack({PERM_B}, {stack_args}) AS (b, n1, s1)"),
+    )
+    rep_t = reps.select(
+        "n",
+        "t_obs",
+        gap(F.col("n1"), F.col("s1")).alias("t_b"),
+    )
+    return rep_t.groupBy("n", "t_obs").agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.sum(
+            (F.abs(F.col("t_b")) >= F.abs(F.col("t_obs"))).cast("long")
+        ).alias("n_extreme"),
+    ).select(
+        F.col("n").alias("n_orders"),
+        F.round(F.col("t_obs"), 4).alias("observed_gap"),
+        "n_replicates",
+        "n_extreme",
+        F.round(
+            (F.col("n_extreme") + 1).cast("double")
+            / (F.col("n_replicates") + 1).cast("double"),
+            6,
+        ).alias("p_value"),
+    )
+
+
+def _perm_bit_sql(b: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('perm{b}#' || CAST(o_orderkey AS VARCHAR)),"
+        f" 1, 8)) AS BIGINT) % 2"
+    )
+
+
+ORACLE_PERMUTATION_TEST = (
+    f"""
+WITH o AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '{KS_GROUP_A}' THEN 1 ELSE 0 END AS is_a,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000 AS v
+  FROM orders
+  WHERE o_orderpriority IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(is_a) AS BIGINT) AS n_obs,
+         CAST(SUM(is_a * v) AS BIGINT) AS s_obs, """
+    + ", ".join(
+        f"CAST(SUM({_perm_bit_sql(b)}) AS BIGINT) AS n_{b},"
+        f" CAST(SUM(({_perm_bit_sql(b)}) * v) AS BIGINT) AS s_{b}"
+        for b in range(PERM_B)
+    )
+    + """
+  FROM o
+), reps AS (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT n, CAST(s_obs AS DOUBLE) / CAST(n_obs AS DOUBLE)"
+        f" - (CAST(s AS DOUBLE) - CAST(s_obs AS DOUBLE))"
+        f" / (CAST(n AS DOUBLE) - CAST(n_obs AS DOUBLE)) AS t_obs,"
+        f" CAST(s_{b} AS DOUBLE) / CAST(n_{b} AS DOUBLE)"
+        f" - (CAST(s AS DOUBLE) - CAST(s_{b} AS DOUBLE))"
+        f" / (CAST(n AS DOUBLE) - CAST(n_{b} AS DOUBLE)) AS t_b FROM agg"
+        for b in range(PERM_B)
+    )
+    + """
+)
+SELECT n AS n_orders,
+       ROUND(t_obs, 4) AS observed_gap,
+       CAST(COUNT(*) AS BIGINT) AS n_replicates,
+       CAST(SUM(CASE WHEN ABS(t_b) >= ABS(t_obs) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_extreme,
+       ROUND((CAST(SUM(CASE WHEN ABS(t_b) >= ABS(t_obs) THEN 1 ELSE 0 END)
+                   AS DOUBLE) + 1)
+             / (CAST(COUNT(*) AS DOUBLE) + 1), 6) AS p_value
+FROM reps
+GROUP BY n, t_obs
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "anova_weekday_revenue": QuerySpec(
         anova_weekday_revenue, ORACLE_ANOVA_WEEKDAY, ["A1", "A4", "X-curation"]
@@ -3224,6 +3362,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "welch_ttest_drift": QuerySpec(
         welch_ttest_drift, ORACLE_WELCH_TTEST, ["A1", "A4", "X-curation"]
+    ),
+    "permutation_test_revenue": QuerySpec(
+        permutation_test_revenue,
+        ORACLE_PERMUTATION_TEST,
+        ["A1", "A4", "X-curation"],
     ),
     "revenue_acf_profile": QuerySpec(
         revenue_acf_profile,

@@ -377,6 +377,22 @@ def test_logrank_expected_between_bounds(spark, sf_small):
     assert math.isfinite(r.z_logrank)
 
 
+def test_permutation_test_pvalue_bounds(spark, sf_small):
+    """p ∈ [1/(B+1), 1], replicate count is exactly B, and the
+    add-one p-value formula recomputes from the reported tail count."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        PERM_B,
+        permutation_test_revenue,
+    )
+
+    r = permutation_test_revenue(spark, sf_small).collect()[0]
+    assert r.n_replicates == PERM_B
+    assert 0 <= r.n_extreme <= PERM_B
+    lo = 1.0 / (PERM_B + 1)
+    assert lo - 1e-9 <= r.p_value <= 1.0
+    assert abs(r.p_value - (r.n_extreme + 1) / (PERM_B + 1)) < 1e-5
+
+
 def test_cohens_kappa_identity(spark, sf_small):
     """κ recomputes from its own reported p_o and p_e, and agreement
     bounds hold."""
