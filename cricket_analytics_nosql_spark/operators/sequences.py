@@ -1636,6 +1636,63 @@ ORDER BY event_type
 """
 
 
+def activity_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of per-user
+    event counts, per event type — the overdispersion gate that
+    pairs with ``interarrival_burstiness``: D≈1 says user activity
+    is Poisson (per-user rates interchangeable), D≫1 says a
+    heavy-tailed minority drives the volume, so per-user capping
+    and skew salting (``skewed_event_counts``) are load-bearing.
+
+    Shape: one (user, type) count rollup, one keys+moments rollup to
+    |types| rows — integer (n, Σc, Σc²) end-to-end, two divisions
+    per type at the end (population-variance form, mirrored
+    textually)."""
+    pc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = pc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    nd = F.col("n_users").cast("double")
+    mu = F.col("s").cast("double") / nd
+    var = F.col("ss").cast("double") / nd - mu * mu
+    return agg.select(
+        "event_type",
+        "n_users",
+        F.col("s").alias("n_events"),
+        F.round(mu, 4).alias("mean_per_user"),
+        F.round(var / mu, 6).alias("dispersion"),
+    ).orderBy("event_type")
+
+
+ORACLE_ACTIVITY_DISPERSION = """
+WITH pc AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM pc GROUP BY event_type
+)
+SELECT event_type, n_users, s AS n_events,
+       ROUND(CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE), 4)
+         AS mean_per_user,
+       ROUND((CAST(ss AS DOUBLE) / CAST(n_users AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE)))
+             / (CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE)), 6)
+         AS dispersion
+FROM agg
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sprt_ab_monitor": QuerySpec(
         sprt_ab_monitor,
@@ -1676,6 +1733,11 @@ QUERIES: dict[str, QuerySpec] = {
         interarrival_burstiness,
         ORACLE_INTERARRIVAL_BURSTINESS,
         ["A1", "§2.8", "X-ts"],
+    ),
+    "activity_dispersion": QuerySpec(
+        activity_dispersion,
+        ORACLE_ACTIVITY_DISPERSION,
+        ["A1", "A4", "X-ts"],
     ),
     "gap_fill_interpolate": QuerySpec(
         gap_fill_interpolate,

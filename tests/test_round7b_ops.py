@@ -412,6 +412,23 @@ def test_uplift_curve_monotone_cumulative(spark, sf_small):
         assert -1.0 <= r.uplift <= 1.0
 
 
+def test_activity_dispersion_accounting(spark, sf_small):
+    """Per-type event totals must sum to the table size, means ≥ 1
+    (a counted user has ≥1 event), dispersion ≥ 0."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        activity_dispersion,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = activity_dispersion(spark, sf_small).collect()
+    total = load_table(spark, sf_small, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    for r in rows:
+        assert r.mean_per_user >= 1.0
+        assert r.dispersion >= 0.0
+        assert r.n_users <= r.n_events
+
+
 def test_cohens_kappa_identity(spark, sf_small):
     """κ recomputes from its own reported p_o and p_e, and agreement
     bounds hold."""
