@@ -3303,6 +3303,536 @@ GROUP BY n, t_obs
 )
 
 
+# ---------------------------------------------------------------------------
+# Cramér's V — effect size of categorical association (priority × status)
+# ---------------------------------------------------------------------------
+
+def cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (plus the Bergsma bias-corrected variant) over the
+    order-priority × order-status contingency table — the EFFECT
+    SIZE companion to ``chi_square_assoc``: chi² grows linearly with
+    N so at 100 TB *everything* is "significant"; V rescales the
+    statistic to [0, 1] so drift monitors can threshold on a
+    scale-free association strength instead.
+
+    Exactness discipline: the fact stream collapses to the 15-cell
+    contingency table in one map-combined agg; marginals are window
+    sums over that metadata frame; each cell's chi² contribution is
+    quantized to integer micro-units BEFORE the global sum (the
+    micro-nat idiom) so partial-agg order can't perturb a bit; the
+    V / bias-correction formulas are scalar doubles on one row,
+    textually mirrored in the oracle."""
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    w_row = Window.partitionBy("o_orderpriority")
+    w_col = Window.partitionBy("o_orderstatus")
+    w_all = Window.partitionBy()
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    contrib_u = F.round(
+        (F.col("observed") - expected)
+        * (F.col("observed") - expected)
+        / expected
+        * F.lit(1e6)
+    ).cast("long")
+    agg = (
+        cells.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "observed",
+            F.sum("observed").over(w_row).alias("row_tot"),
+            F.sum("observed").over(w_col).alias("col_tot"),
+            F.sum("observed").over(w_all).alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "n",
+            contrib_u.alias("contrib_u"),
+        )
+        .groupBy()
+        .agg(
+            F.max("n").alias("n"),
+            F.countDistinct("o_orderpriority").alias("r_levels"),
+            F.countDistinct("o_orderstatus").alias("c_levels"),
+            F.sum("contrib_u").alias("chi2_u"),
+        )
+    )
+    chi2 = F.col("chi2_u").cast("double") / F.lit(1e6)
+    nd = F.col("n").cast("double")
+    rd = F.col("r_levels").cast("double")
+    cd = F.col("c_levels").cast("double")
+    k_min = F.least(rd - F.lit(1.0), cd - F.lit(1.0))
+    phi2 = chi2 / nd
+    phi2c = F.greatest(
+        F.lit(0.0),
+        phi2 - (rd - F.lit(1.0)) * (cd - F.lit(1.0)) / (nd - F.lit(1.0)),
+    )
+    r_adj = rd - (rd - F.lit(1.0)) * (rd - F.lit(1.0)) / (nd - F.lit(1.0))
+    c_adj = cd - (cd - F.lit(1.0)) * (cd - F.lit(1.0)) / (nd - F.lit(1.0))
+    k_min_adj = F.least(r_adj - F.lit(1.0), c_adj - F.lit(1.0))
+    return agg.select(
+        "n",
+        "r_levels",
+        "c_levels",
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("df"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(phi2 / k_min), 6).alias("cramers_v"),
+        F.round(F.sqrt(phi2c / k_min_adj), 6).alias("v_corrected"),
+    )
+
+
+ORACLE_CRAMERS_V = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS observed
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+), tot AS (
+  SELECT o_orderpriority, o_orderstatus, observed,
+         SUM(observed) OVER (PARTITION BY o_orderpriority) AS row_tot,
+         SUM(observed) OVER (PARTITION BY o_orderstatus) AS col_tot,
+         SUM(observed) OVER () AS n
+  FROM cells
+), micro AS (
+  SELECT o_orderpriority, o_orderstatus, n,
+         CAST(ROUND((observed - CAST(row_tot AS DOUBLE)
+                                * CAST(col_tot AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                    * (observed - CAST(row_tot AS DOUBLE)
+                                  * CAST(col_tot AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                    / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                       / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS contrib_u
+  FROM tot
+), agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS r_levels,
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS c_levels,
+         CAST(SUM(contrib_u) AS BIGINT) AS chi2_u
+  FROM micro
+)
+SELECT n, r_levels, c_levels,
+       (r_levels - 1) * (c_levels - 1) AS df,
+       ROUND(CAST(chi2_u AS DOUBLE) / 1e6, 6) AS chi2,
+       ROUND(sqrt(CAST(chi2_u AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                  / LEAST(CAST(r_levels AS DOUBLE) - 1.0,
+                          CAST(c_levels AS DOUBLE) - 1.0)), 6) AS cramers_v,
+       ROUND(sqrt(GREATEST(0.0,
+                    CAST(chi2_u AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                    - (CAST(r_levels AS DOUBLE) - 1.0)
+                      * (CAST(c_levels AS DOUBLE) - 1.0)
+                      / (CAST(n AS DOUBLE) - 1.0))
+                  / LEAST(CAST(r_levels AS DOUBLE)
+                            - (CAST(r_levels AS DOUBLE) - 1.0)
+                              * (CAST(r_levels AS DOUBLE) - 1.0)
+                              / (CAST(n AS DOUBLE) - 1.0) - 1.0,
+                          CAST(c_levels AS DOUBLE)
+                            - (CAST(c_levels AS DOUBLE) - 1.0)
+                              * (CAST(c_levels AS DOUBLE) - 1.0)
+                              / (CAST(n AS DOUBLE) - 1.0) - 1.0)), 6)
+         AS v_corrected
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# G-test (log-likelihood ratio) of independence — returnflag × linestatus
+# ---------------------------------------------------------------------------
+
+def g_test_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence over the lineitem returnflag ×
+    linestatus table — the likelihood-ratio sibling of the Pearson
+    chi²: G = 2·Σ O·ln(O·N / (row·col)), which is also exactly
+    2·N·I(X;Y), so the same rollup doubles as a mutual-information
+    readout between the two flags (``mi_nats`` column).
+
+    Shape: one map-combined agg to the 6-cell table, window
+    marginals over that frame, per-cell ln terms quantized to
+    integer micro-units before the sum (libm ln agreement is only
+    needed per-term at the 1e-6 boundary, the lm_surprisal
+    robustness argument), one division at the end."""
+    cells = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    w_row = Window.partitionBy("l_returnflag")
+    w_col = Window.partitionBy("l_linestatus")
+    w_all = Window.partitionBy()
+    term_u = F.round(
+        F.lit(2.0)
+        * F.col("observed")
+        * F.log(
+            F.col("observed").cast("double")
+            * F.col("n").cast("double")
+            / (F.col("row_tot").cast("double") * F.col("col_tot").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    agg = (
+        cells.select(
+            "l_returnflag",
+            "l_linestatus",
+            "observed",
+            F.sum("observed").over(w_row).alias("row_tot"),
+            F.sum("observed").over(w_col).alias("col_tot"),
+            F.sum("observed").over(w_all).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n",
+            term_u.alias("term_u"),
+        )
+        .groupBy()
+        .agg(
+            F.max("n").alias("n"),
+            F.countDistinct("l_returnflag").alias("r_levels"),
+            F.countDistinct("l_linestatus").alias("c_levels"),
+            F.sum("term_u").alias("g_u"),
+        )
+    )
+    g = F.col("g_u").cast("double") / F.lit(1e6)
+    return agg.select(
+        "n",
+        "r_levels",
+        "c_levels",
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("df"),
+        F.round(g, 6).alias("g_stat"),
+        F.round(g / (F.lit(2.0) * F.col("n").cast("double")), 9).alias(
+            "mi_nats"
+        ),
+    )
+
+
+ORACLE_G_TEST = """
+WITH cells AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS observed
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+), tot AS (
+  SELECT l_returnflag, l_linestatus, observed,
+         SUM(observed) OVER (PARTITION BY l_returnflag) AS row_tot,
+         SUM(observed) OVER (PARTITION BY l_linestatus) AS col_tot,
+         SUM(observed) OVER () AS n
+  FROM cells
+), micro AS (
+  SELECT l_returnflag, l_linestatus, n,
+         CAST(ROUND(2.0 * observed
+                    * ln(CAST(observed AS DOUBLE) * CAST(n AS DOUBLE)
+                         / (CAST(row_tot AS DOUBLE)
+                            * CAST(col_tot AS DOUBLE)))
+                    * 1e6) AS BIGINT) AS term_u
+  FROM tot
+), agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS r_levels,
+         CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS c_levels,
+         CAST(SUM(term_u) AS BIGINT) AS g_u
+  FROM micro
+)
+SELECT n, r_levels, c_levels,
+       (r_levels - 1) * (c_levels - 1) AS df,
+       ROUND(CAST(g_u AS DOUBLE) / 1e6, 6) AS g_stat,
+       ROUND(CAST(g_u AS DOUBLE) / 1e6 / (2.0 * CAST(n AS DOUBLE)), 9)
+         AS mi_nats
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-brand return-rate tests
+# ---------------------------------------------------------------------------
+
+FDR_Q_U = 100_000_000  # q = 0.10 in 1e-9 p-value micro-units
+
+
+def fdr_bh_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over one test per part
+    brand ("does this brand's return rate differ from the pooled
+    rate?") — the multiple-testing gate every wide drift dashboard
+    needs: at 25+ simultaneous monitors, per-test α guarantees
+    nothing; BH bounds the *false discovery rate* of the alarm set.
+
+    P-values are the Hoeffding tail bound p = min(1, 2·exp(−2nε²))
+    — conservative, closed-form, and free of erf (which neither
+    engine exposes). Exactness: p quantized to integer 1e-9 units;
+    every BH comparison (p_(i) ≤ i·q/m) is cross-multiplied into
+    pure BIGINT (p_u·m ≤ rank·q_u), so the step-up cutoff is
+    integer-exact. One lineitem⋈part join (AQE picks the strategy —
+    part scales with SF, no forced broadcast), one 25-row brand
+    rollup, windows only over that metadata frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", flag(F.col("l_returnflag") == "R").alias("is_ret")
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_brand = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("is_ret").alias("n_returns"),
+        )
+    )
+    w_all = Window.partitionBy()
+    with_pool = per_brand.select(
+        "p_brand",
+        "n_lines",
+        "n_returns",
+        F.sum("n_lines").over(w_all).alias("tot_n"),
+        F.sum("n_returns").over(w_all).alias("tot_r"),
+        F.count(F.lit(1)).over(w_all).alias("m_tests"),
+    )
+    eps = (
+        F.col("n_returns").cast("double") / F.col("n_lines").cast("double")
+        - F.col("tot_r").cast("double") / F.col("tot_n").cast("double")
+    )
+    p_u = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0)
+            * F.exp(F.lit(-2.0) * F.col("n_lines").cast("double") * eps * eps),
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    scored = with_pool.select(
+        "p_brand",
+        "n_lines",
+        "n_returns",
+        "m_tests",
+        F.round(
+            F.col("n_returns").cast("double") / F.col("n_lines").cast("double"),
+            6,
+        ).alias("return_rate"),
+        p_u.alias("p_u"),
+    )
+    w_rank = Window.orderBy("p_u", "p_brand")
+    ranked = scored.select(
+        "p_brand",
+        "n_lines",
+        "n_returns",
+        "return_rate",
+        "m_tests",
+        "p_u",
+        F.row_number().over(w_rank).alias("rank"),
+    ).select(
+        "*",
+        flag(
+            F.col("p_u") * F.col("m_tests")
+            <= F.col("rank").cast("long") * F.lit(FDR_Q_U).cast("long")
+        ).alias("qualifies"),
+    )
+    w_all2 = Window.partitionBy()
+    return (
+        ranked.select(
+            "p_brand",
+            "n_lines",
+            "n_returns",
+            "return_rate",
+            F.round(F.col("p_u").cast("double") / F.lit(1e9), 9).alias(
+                "p_hoeffding"
+            ),
+            "rank",
+            F.max(F.col("qualifies") * F.col("rank")).over(w_all2).alias("k_star"),
+        )
+        .select(
+            "p_brand",
+            "n_lines",
+            "n_returns",
+            "return_rate",
+            "p_hoeffding",
+            "rank",
+            flag(F.col("rank") <= F.col("k_star")).alias("rejected"),
+        )
+        .orderBy("rank")
+    )
+
+
+ORACLE_FDR_BH = f"""
+WITH per_brand AS (
+  SELECT p_brand, COUNT(*) AS n_lines,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returns
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), pooled AS (
+  SELECT p_brand, n_lines, n_returns,
+         SUM(n_lines) OVER () AS tot_n,
+         SUM(n_returns) OVER () AS tot_r,
+         COUNT(*) OVER () AS m_tests
+  FROM per_brand
+), scored AS (
+  SELECT p_brand, n_lines, n_returns, m_tests,
+         ROUND(CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+           AS return_rate,
+         CAST(ROUND(LEAST(1.0,
+                2.0 * exp(-2.0 * CAST(n_lines AS DOUBLE)
+                          * (CAST(n_returns AS DOUBLE)
+                               / CAST(n_lines AS DOUBLE)
+                             - CAST(tot_r AS DOUBLE)
+                               / CAST(tot_n AS DOUBLE))
+                          * (CAST(n_returns AS DOUBLE)
+                               / CAST(n_lines AS DOUBLE)
+                             - CAST(tot_r AS DOUBLE)
+                               / CAST(tot_n AS DOUBLE))))
+                * 1e9) AS BIGINT) AS p_u
+  FROM pooled
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY p_u, p_brand) AS rank
+  FROM scored
+), flagged AS (
+  SELECT *,
+         CASE WHEN p_u * m_tests <= rank * {FDR_Q_U} THEN 1 ELSE 0 END
+           AS qualifies
+  FROM ranked
+)
+SELECT p_brand, n_lines, CAST(n_returns AS BIGINT) AS n_returns,
+       return_rate,
+       ROUND(CAST(p_u AS DOUBLE) / 1e9, 9) AS p_hoeffding,
+       CAST(rank AS BIGINT) AS rank,
+       CASE WHEN rank <= MAX(qualifies * rank) OVER () THEN 1 ELSE 0 END
+         AS rejected
+FROM flagged
+ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Delta-method CI for a ratio metric (avg order value per segment)
+# ---------------------------------------------------------------------------
+
+def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error and 95% CI for the ratio metric
+    "revenue per order" with CUSTOMER-level clustering, per market
+    segment — the one-pass alternative to ``bootstrap_order_value``:
+    at 100 TB you cannot afford B resamples, but Var(x̄/ȳ) ≈
+    (s_x² − 2R·s_xy + R²·s_y²)/(n·ȳ²) needs only the five mixed
+    moments, which map-combine in a single pass. Clustering at the
+    customer (not order) level is what makes the CI honest when one
+    user contributes many correlated orders.
+
+    Exactness: per-customer revenue quantized to whole kilodollars
+    (the welch_ttest idiom) so all five moments are pure BIGINT
+    through the shuffle; R, SE, CI are scalar doubles per segment
+    row, textually mirrored in the oracle."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "cast(sum(cast(floor(o_totalprice) as bigint)) as bigint)"
+                " div 1000"
+            ).alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    seg = (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    xbar = F.col("sx").cast("double") / nd
+    ybar = F.col("sy").cast("double") / nd
+    vx = F.col("sxx").cast("double") / nd - xbar * xbar
+    vy = F.col("syy").cast("double") / nd - ybar * ybar
+    cxy = F.col("sxy").cast("double") / nd - xbar * ybar
+    ratio = xbar / ybar
+    se = F.sqrt(
+        (vx - F.lit(2.0) * ratio * cxy + ratio * ratio * vy)
+        / (nd * ybar * ybar)
+    )
+    return seg.select(
+        "c_mktsegment",
+        "n",
+        F.round(ratio, 6).alias("kusd_per_order"),
+        F.round(se, 6).alias("se_delta"),
+        F.round(ratio - F.lit(1.96) * se, 6).alias("ci_lo"),
+        F.round(ratio + F.lit(1.96) * se, 6).alias("ci_hi"),
+    ).orderBy("c_mktsegment")
+
+
+ORACLE_DELTA_METHOD = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) // 1000
+           AS x,
+         COUNT(*) AS y
+  FROM orders GROUP BY o_custkey
+), seg AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per_cust JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+       ROUND((CAST(sx AS DOUBLE) / n) / (CAST(sy AS DOUBLE) / n), 6)
+         AS kusd_per_order,
+       ROUND(sqrt(((CAST(sxx AS DOUBLE) / n
+                    - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                   - 2.0 * ((CAST(sx AS DOUBLE) / n)
+                            / (CAST(sy AS DOUBLE) / n))
+                     * (CAST(sxy AS DOUBLE) / n
+                        - (CAST(sx AS DOUBLE) / n)
+                          * (CAST(sy AS DOUBLE) / n))
+                   + ((CAST(sx AS DOUBLE) / n) / (CAST(sy AS DOUBLE) / n))
+                     * ((CAST(sx AS DOUBLE) / n) / (CAST(sy AS DOUBLE) / n))
+                     * (CAST(syy AS DOUBLE) / n
+                        - (CAST(sy AS DOUBLE) / n)
+                          * (CAST(sy AS DOUBLE) / n)))
+                  / (n * (CAST(sy AS DOUBLE) / n)
+                       * (CAST(sy AS DOUBLE) / n))), 6) AS se_delta,
+       ROUND((CAST(sx AS DOUBLE) / n) / (CAST(sy AS DOUBLE) / n)
+             - 1.96 * sqrt(((CAST(sxx AS DOUBLE) / n
+                    - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                   - 2.0 * ((CAST(sx AS DOUBLE) / n)
+                            / (CAST(sy AS DOUBLE) / n))
+                     * (CAST(sxy AS DOUBLE) / n
+                        - (CAST(sx AS DOUBLE) / n)
+                          * (CAST(sy AS DOUBLE) / n))
+                   + ((CAST(sx AS DOUBLE) / n) / (CAST(sy AS DOUBLE) / n))
+                     * ((CAST(sx AS DOUBLE) / n) / (CAST(sy AS DOUBLE) / n))
+                     * (CAST(syy AS DOUBLE) / n
+                        - (CAST(sy AS DOUBLE) / n)
+                          * (CAST(sy AS DOUBLE) / n)))
+                  / (n * (CAST(sy AS DOUBLE) / n)
+                       * (CAST(sy AS DOUBLE) / n))), 6) AS ci_lo,
+       ROUND((CAST(sx AS DOUBLE) / n) / (CAST(sy AS DOUBLE) / n)
+             + 1.96 * sqrt(((CAST(sxx AS DOUBLE) / n
+                    - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                   - 2.0 * ((CAST(sx AS DOUBLE) / n)
+                            / (CAST(sy AS DOUBLE) / n))
+                     * (CAST(sxy AS DOUBLE) / n
+                        - (CAST(sx AS DOUBLE) / n)
+                          * (CAST(sy AS DOUBLE) / n))
+                   + ((CAST(sx AS DOUBLE) / n) / (CAST(sy AS DOUBLE) / n))
+                     * ((CAST(sx AS DOUBLE) / n) / (CAST(sy AS DOUBLE) / n))
+                     * (CAST(syy AS DOUBLE) / n
+                        - (CAST(sy AS DOUBLE) / n)
+                          * (CAST(sy AS DOUBLE) / n)))
+                  / (n * (CAST(sy AS DOUBLE) / n)
+                       * (CAST(sy AS DOUBLE) / n))), 6) AS ci_hi
+FROM seg
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "anova_weekday_revenue": QuerySpec(
         anova_weekday_revenue, ORACLE_ANOVA_WEEKDAY, ["A1", "A4", "X-curation"]
@@ -3414,5 +3944,19 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "winsorized_segment_stats": QuerySpec(
         winsorized_segment_stats, ORACLE_WINSORIZED, ["A1", "J1", "X-curation"]
+    ),
+    "cramers_v_assoc": QuerySpec(
+        cramers_v_assoc, ORACLE_CRAMERS_V, ["A1", "A4", "X-curation"]
+    ),
+    "g_test_assoc": QuerySpec(
+        g_test_assoc, ORACLE_G_TEST, ["A1", "A4", "X-curation"]
+    ),
+    "fdr_bh_brands": QuerySpec(
+        fdr_bh_brands, ORACLE_FDR_BH, ["A1", "J1", "T1", "X-curation"]
+    ),
+    "delta_method_ratio_ci": QuerySpec(
+        delta_method_ratio_ci,
+        ORACLE_DELTA_METHOD,
+        ["A1", "A5", "J1", "X-curation"],
     ),
 }

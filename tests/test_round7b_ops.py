@@ -442,3 +442,63 @@ def test_cohens_kappa_identity(spark, sf_small):
     assert r.n_agree <= r.n_docs
     expected = (r.p_observed - r.p_expected) / (1.0 - r.p_expected)
     assert abs(r.kappa - expected) < 1e-4  # both sides 6dp-rounded
+
+
+def test_cramers_v_bounds(spark, sf_small):
+    """V and its bias-corrected variant live in [0, 1]; chi² ≥ 0;
+    df = (r−1)(c−1) — the defining constraints of the effect size."""
+    from cricket_analytics_nosql_spark.operators.drift import cramers_v_assoc
+
+    r = cramers_v_assoc(spark, sf_small).collect()[0]
+    assert r.chi2 >= 0.0
+    assert 0.0 <= r.cramers_v <= 1.0
+    assert 0.0 <= r.v_corrected <= 1.0
+    assert r.v_corrected <= r.cramers_v + 1e-9  # correction only shrinks
+    assert r.df == (r.r_levels - 1) * (r.c_levels - 1)
+
+
+def test_g_test_mi_identity(spark, sf_small):
+    """G = 2·N·I(X;Y) must give a non-negative MI (up to micro-unit
+    quantization slack), and G itself is non-negative for any
+    observed table."""
+    from cricket_analytics_nosql_spark.operators.drift import g_test_assoc
+
+    r = g_test_assoc(spark, sf_small).collect()[0]
+    eps = 1e-5
+    assert r.g_stat >= -eps
+    assert r.mi_nats >= -eps
+    assert abs(r.mi_nats - r.g_stat / (2.0 * r.n)) < 1e-9
+
+
+def test_fdr_bh_stepup_coherence(spark, sf_small):
+    """BH rejections must be a prefix of the p-value ranking (the
+    step-up property), p-values are valid probabilities, and ranks
+    are a permutation of 1..m."""
+    from cricket_analytics_nosql_spark.operators.drift import fdr_bh_brands
+
+    rows = fdr_bh_brands(spark, sf_small).collect()
+    assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    seen_accept = False
+    for r in sorted(rows, key=lambda r: r.rank):
+        assert 0.0 <= r.p_hoeffding <= 1.0
+        if r.rejected == 0:
+            seen_accept = True
+        else:
+            assert not seen_accept, "rejection after an acceptance"
+
+
+def test_delta_method_ci_brackets_ratio(spark, sf_small):
+    """The CI must bracket the point estimate symmetrically and the
+    SE must be non-negative; the ratio itself must be ≥ 0 (revenue
+    and order counts are non-negative)."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        delta_method_ratio_ci,
+    )
+
+    rows = delta_method_ratio_ci(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.se_delta >= 0.0
+        assert r.ci_lo <= r.kusd_per_order <= r.ci_hi
+        assert abs((r.kusd_per_order - r.ci_lo) - (r.ci_hi - r.kusd_per_order)) < 1e-4
+        assert r.kusd_per_order >= 0.0
