@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F
 
-from cricket_analytics_nosql_spark.functions.scalar import md5_u32
+from cricket_analytics_nosql_spark.functions.scalar import flag, md5_u32
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.sources.tables import fan_out, load_table
 
@@ -2501,6 +2501,350 @@ ORDER BY delta_micro DESC, source ASC
 """
 
 
+# ---------------------------------------------------------------------------
+# Interpolated precision-recall curve of the langid scorer
+# ---------------------------------------------------------------------------
+
+PR_RECALL_TARGETS_PM = (500, 800, 900, 950, 990)  # per-mille recall
+
+
+def pr_curve_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated precision-recall curve of the stopword-density
+    langid scorer: for each target recall (50/80/90/95/99%), the
+    best precision any threshold achieving that recall attains
+    (P_interp(r) = max_{t: R(t) ≥ r} P(t)) plus the smallest
+    predicted-positive set size that reaches it — the
+    class-imbalance-honest twin of ``roc_auc_langid`` (ROC flatters
+    scorers when negatives dominate; PR does not).
+
+    Exactness: the same distinct-score rollup as the AUC (bounded
+    micro-unit key), one DESC window for cumulative tp/fp, and the
+    recall qualification cross-multiplied to BIGINT (cum_tp·1000 ≥
+    pm·n_pos). Precision is a per-row double from two BIGINTs —
+    MAX/MIN are order-free, so no float accumulation anywhere."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per_score = (
+        docs.select(
+            _langid_score_u().alias("score_u"),
+            (F.col("lang") == "en").cast("long").alias("is_pos"),
+        )
+        .groupBy("score_u")
+        .agg(
+            F.sum("is_pos").alias("np"),
+            F.sum(F.lit(1) - F.col("is_pos")).alias("nn"),
+        )
+    )
+    w_desc = Window.orderBy(F.desc("score_u")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = per_score.select(
+        F.sum("np").over(w_desc).alias("cum_tp"),
+        F.sum("nn").over(w_desc).alias("cum_fp"),
+        F.sum("np").over(w_all).alias("n_pos"),
+    )
+    targets = spark.createDataFrame(
+        [(t,) for t in PR_RECALL_TARGETS_PM], "pm long"
+    )
+    qualified = cum.crossJoin(F.broadcast(targets)).filter(
+        F.col("cum_tp") * F.lit(1000) >= F.col("pm") * F.col("n_pos")
+    )
+    precision = F.col("cum_tp").cast("double") / (
+        F.col("cum_tp") + F.col("cum_fp")
+    ).cast("double")
+    return (
+        qualified.groupBy("pm")
+        .agg(
+            F.max("n_pos").alias("n_pos"),
+            F.min(F.col("cum_tp") + F.col("cum_fp")).alias("min_k"),
+            F.round(F.max(precision), 6).alias("interp_precision"),
+        )
+        .select(
+            (F.col("pm").cast("double") / F.lit(1000.0)).alias(
+                "recall_target"
+            ),
+            "n_pos",
+            "min_k",
+            "interp_precision",
+        )
+        .orderBy("recall_target")
+    )
+
+
+ORACLE_PR_CURVE = f"""
+WITH per_score AS (
+  SELECT {_LANGID_SCORE_U_SQL} AS score_u,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+  FROM documents GROUP BY 1
+), cum AS (
+  SELECT SUM(np) OVER (ORDER BY score_u DESC
+                       ROWS UNBOUNDED PRECEDING) AS cum_tp,
+         SUM(nn) OVER (ORDER BY score_u DESC
+                       ROWS UNBOUNDED PRECEDING) AS cum_fp,
+         SUM(np) OVER () AS n_pos
+  FROM per_score
+), qualified AS (
+  SELECT pm, cum_tp, cum_fp, n_pos
+  FROM cum
+  CROSS JOIN (SELECT unnest([{", ".join(str(t) for t in PR_RECALL_TARGETS_PM)}]) AS pm)
+  WHERE cum_tp * 1000 >= pm * n_pos
+)
+SELECT CAST(pm AS DOUBLE) / 1000.0 AS recall_target,
+       CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+       CAST(MIN(cum_tp + cum_fp) AS BIGINT) AS min_k,
+       ROUND(MAX(CAST(cum_tp AS DOUBLE) / CAST(cum_tp + cum_fp AS DOUBLE)),
+             6) AS interp_precision
+FROM qualified
+GROUP BY pm
+ORDER BY recall_target
+"""
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired test between two langid heuristics
+# ---------------------------------------------------------------------------
+
+MCNEMAR_STOP_THRESHOLD_U = 60_000  # stopword ratio ≥ 0.06 → predict en
+MCNEMAR_LEN_THRESHOLD_U = 4_500_000  # avg token length ≤ 4.5 → predict en
+
+
+def mcnemar_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test between two language-ID heuristics
+    (stopword density vs average token length) on the SAME labeled
+    documents — the statistically-correct way to compare classifiers
+    evaluated on one corpus: accuracy deltas ignore pairing; McNemar
+    tests only the discordant pairs b (A right, B wrong) and c (B
+    right, A wrong), with continuity correction (|b−c|−1)²/(b+c).
+
+    One corpus scan computes both predictions and collapses straight
+    to the 4-cell paired-confusion counts in a map-combined global
+    agg — pure BIGINT until the final three divisions."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    alen_u = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+            "double"
+        )
+        / F.size(tokens_col(F.col("text")))
+        * F.lit(1e6)
+    ).cast("long")
+    scored = docs.select(
+        (F.col("lang") == "en").alias("truth"),
+        (_langid_score_u() >= MCNEMAR_STOP_THRESHOLD_U).alias("pred_a"),
+        (alen_u <= MCNEMAR_LEN_THRESHOLD_U).alias("pred_b"),
+    ).select(
+        flag(F.col("pred_a") == F.col("truth")).alias("ok_a"),
+        flag(F.col("pred_b") == F.col("truth")).alias("ok_b"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok_a").alias("n_ok_a"),
+        F.sum("ok_b").alias("n_ok_b"),
+        F.sum(F.col("ok_a") * (1 - F.col("ok_b"))).alias("b_discordant"),
+        F.sum((1 - F.col("ok_a")) * F.col("ok_b")).alias("c_discordant"),
+    )
+    b = F.col("b_discordant").cast("double")
+    c = F.col("c_discordant").cast("double")
+    stat = (
+        (F.abs(b - c) - F.lit(1.0))
+        * (F.abs(b - c) - F.lit(1.0))
+        / (b + c)
+    )
+    return agg.select(
+        "n_docs",
+        F.round(F.col("n_ok_a").cast("double") / F.col("n_docs"), 6).alias(
+            "acc_stopword"
+        ),
+        F.round(F.col("n_ok_b").cast("double") / F.col("n_docs"), 6).alias(
+            "acc_toklen"
+        ),
+        "b_discordant",
+        "c_discordant",
+        F.round(stat, 6).alias("mcnemar_chi2"),
+    )
+
+
+ORACLE_MCNEMAR = f"""
+WITH scored AS (
+  SELECT CASE WHEN ({_LANGID_SCORE_U_SQL} >= {MCNEMAR_STOP_THRESHOLD_U})
+                   = (lang = 'en') THEN 1 ELSE 0 END AS ok_a,
+         CASE WHEN (CAST(ROUND(CAST(length(replace(text, ' ', ''))
+                                    AS DOUBLE)
+                          / len(string_split(text, ' ')) * 1e6) AS BIGINT)
+                    <= {MCNEMAR_LEN_THRESHOLD_U})
+                   = (lang = 'en') THEN 1 ELSE 0 END AS ok_b
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(ok_a) AS DOUBLE) / COUNT(*), 6) AS acc_stopword,
+       ROUND(CAST(SUM(ok_b) AS DOUBLE) / COUNT(*), 6) AS acc_toklen,
+       CAST(SUM(ok_a * (1 - ok_b)) AS BIGINT) AS b_discordant,
+       CAST(SUM((1 - ok_a) * ok_b) AS BIGINT) AS c_discordant,
+       ROUND((ABS(CAST(SUM(ok_a * (1 - ok_b)) AS DOUBLE)
+                  - CAST(SUM((1 - ok_a) * ok_b) AS DOUBLE)) - 1.0)
+             * (ABS(CAST(SUM(ok_a * (1 - ok_b)) AS DOUBLE)
+                    - CAST(SUM((1 - ok_a) * ok_b) AS DOUBLE)) - 1.0)
+             / (CAST(SUM(ok_a * (1 - ok_b)) AS DOUBLE)
+                + CAST(SUM((1 - ok_a) * ok_b) AS DOUBLE)), 6)
+         AS mcnemar_chi2
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit — vocabulary growth V(n) = K·n^beta
+# ---------------------------------------------------------------------------
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of dictionary growth (V = K·T^β over the
+    corpus prefix ordered by doc_id) — the capacity-planning twin of
+    ``zipf_fit_tokens``: β predicts how fast the n-gram dictionary
+    (and with it every vocab-keyed state store) grows as the corpus
+    scales to 100 TB, from a fit you can compute on any prefix. The
+    dictionary unit is the word TRIGRAM (the ``shingles_col``
+    3-gram): on this corpus the unigram vocabulary saturates in the
+    first decile, so the trigram dictionary is the one whose growth
+    actually needs forecasting.
+
+    Shape: one (trigram → first-seen doc) rollup and one per-doc
+    token count, each bucketed into doc-id deciles by pure integer
+    arithmetic (no global row ordering — doc_id deciles of the max
+    id, so the "prefix" is data-parallel); two ≤10-row cumulative
+    windows give (T_k, V_k); ln values are quantized to micro-nats
+    before the 10-point OLS so every sum stays BIGINT."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    max_id = docs.agg(F.max("doc_id").alias("max_id"))
+    bucket = F.expr("(doc_id * 10) div (max_id + 1) + 1")
+    tris = docs.select(
+        "doc_id",
+        F.explode(shingles_col(tokens_col(F.col("text")))).alias("term"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    first_seen = (
+        tris.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .crossJoin(F.broadcast(max_id))
+        .groupBy(bucket.alias("k"))
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    doc_tokens = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .crossJoin(F.broadcast(max_id))
+        .groupBy(bucket.alias("k"))
+        .agg(F.sum("n_tok").alias("bucket_tokens"))
+    )
+    w_cum = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        doc_tokens.join(first_seen, "k", "left")
+        .select(
+            "k",
+            F.sum(F.coalesce(F.col("new_terms"), F.lit(0)))
+            .over(w_cum)
+            .alias("v"),
+            F.sum("bucket_tokens").over(w_cum).alias("t"),
+        )
+        .select(
+            F.round(F.log(F.col("t").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("x_u"),
+            F.round(F.log(F.col("v").cast("double")) * F.lit(1e6))
+            .cast("long")
+            .alias("y_u"),
+            "v",
+            "t",
+        )
+    )
+    agg = curve.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("x_u").alias("sx"),
+        F.sum("y_u").alias("sy"),
+        F.sum(F.col("x_u") * F.col("y_u")).alias("sxy"),
+        F.sum(F.col("x_u") * F.col("x_u")).alias("sxx"),
+        F.max("v").alias("vocab_final"),
+        F.max("t").alias("tokens_final"),
+    )
+    nd = F.col("n_points").cast("double")
+    x = F.col("sx").cast("double") / F.lit(1e6)
+    y = F.col("sy").cast("double") / F.lit(1e6)
+    xy = F.col("sxy").cast("double") / F.lit(1e12)
+    xx = F.col("sxx").cast("double") / F.lit(1e12)
+    beta = (nd * xy - x * y) / (nd * xx - x * x)
+    return agg.select(
+        "n_points",
+        "vocab_final",
+        "tokens_final",
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp((y - beta * x) / nd), 4).alias("k_coef"),
+    )
+
+
+ORACLE_HEAPS_LAW = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE length(t.term) > 0
+), words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), tris AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS term
+  FROM words, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 3
+), mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+first_seen AS (
+  SELECT (MIN(doc_id) * 10) // (max_id + 1) + 1 AS k
+  FROM tris, mx GROUP BY term, max_id
+), fs AS (
+  SELECT k, COUNT(*) AS new_terms FROM first_seen GROUP BY k
+), doc_tokens AS (
+  SELECT (doc_id * 10) // (max_id + 1) + 1 AS k,
+         COUNT(*) AS bucket_tokens
+  FROM toks, mx GROUP BY 1
+), curve AS (
+  SELECT doc_tokens.k,
+         SUM(COALESCE(new_terms, 0)) OVER (ORDER BY doc_tokens.k
+                              ROWS UNBOUNDED PRECEDING) AS v,
+         SUM(bucket_tokens) OVER (ORDER BY doc_tokens.k
+                                  ROWS UNBOUNDED PRECEDING) AS t
+  FROM doc_tokens LEFT JOIN fs ON doc_tokens.k = fs.k
+), micro AS (
+  SELECT CAST(ROUND(ln(CAST(t AS DOUBLE)) * 1e6) AS BIGINT) AS x_u,
+         CAST(ROUND(ln(CAST(v AS DOUBLE)) * 1e6) AS BIGINT) AS y_u,
+         v, t
+  FROM curve
+), agg AS (
+  SELECT COUNT(*) AS n_points,
+         CAST(SUM(x_u) AS BIGINT) AS sx, CAST(SUM(y_u) AS BIGINT) AS sy,
+         CAST(SUM(x_u * y_u) AS BIGINT) AS sxy,
+         CAST(SUM(x_u * x_u) AS BIGINT) AS sxx,
+         CAST(MAX(v) AS BIGINT) AS vocab_final,
+         CAST(MAX(t) AS BIGINT) AS tokens_final
+  FROM micro
+)
+SELECT n_points, vocab_final, tokens_final,
+       ROUND((n_points * (CAST(sxy AS DOUBLE) / 1e12)
+              - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+             / (n_points * (CAST(sxx AS DOUBLE) / 1e12)
+                - (CAST(sx AS DOUBLE) / 1e6)
+                  * (CAST(sx AS DOUBLE) / 1e6)), 6) AS beta,
+       ROUND(exp((CAST(sy AS DOUBLE) / 1e6
+                  - ((n_points * (CAST(sxy AS DOUBLE) / 1e12)
+                      - (CAST(sx AS DOUBLE) / 1e6)
+                        * (CAST(sy AS DOUBLE) / 1e6))
+                     / (n_points * (CAST(sxx AS DOUBLE) / 1e12)
+                        - (CAST(sx AS DOUBLE) / 1e6)
+                          * (CAST(sx AS DOUBLE) / 1e6)))
+                    * (CAST(sx AS DOUBLE) / 1e6))
+                 / n_points), 4) AS k_coef
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "kneser_ney_surprisal": QuerySpec(
         kneser_ney_surprisal,
@@ -2522,6 +2866,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "roc_auc_langid": QuerySpec(
         roc_auc_langid, ORACLE_ROC_AUC_LANGID, ["X-text", "X-curation", "A4"]
+    ),
+    "pr_curve_langid": QuerySpec(
+        pr_curve_langid, ORACLE_PR_CURVE, ["X-text", "X-curation", "A4"]
+    ),
+    "mcnemar_langid": QuerySpec(
+        mcnemar_langid, ORACLE_MCNEMAR, ["X-text", "X-curation", "A4"]
+    ),
+    "heaps_law_fit": QuerySpec(
+        heaps_law_fit, ORACLE_HEAPS_LAW, ["X-text", "X-curation", "A1", "F2"]
     ),
     "calibration_bins_langid": QuerySpec(
         calibration_bins_langid,

@@ -502,3 +502,47 @@ def test_delta_method_ci_brackets_ratio(spark, sf_small):
         assert r.ci_lo <= r.kusd_per_order <= r.ci_hi
         assert abs((r.kusd_per_order - r.ci_lo) - (r.ci_hi - r.kusd_per_order)) < 1e-4
         assert r.kusd_per_order >= 0.0
+
+
+def test_pr_curve_monotone_tradeoff(spark, sf_small):
+    """Interpolated precision must be non-increasing in the recall
+    target (P_interp(r) = max over a shrinking threshold set), min_k
+    non-decreasing, and precision ≥ base rate is not required but
+    precision ∈ (0, 1] is."""
+    from cricket_analytics_nosql_spark.operators.text import pr_curve_langid
+
+    rows = pr_curve_langid(spark, sf_small).collect()
+    assert len(rows) == 5
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.recall_target > prev.recall_target
+        assert cur.interp_precision <= prev.interp_precision + 1e-9
+        assert cur.min_k >= prev.min_k
+    for r in rows:
+        assert 0.0 < r.interp_precision <= 1.0
+        assert r.min_k >= 1
+
+
+def test_mcnemar_accounting(spark, sf_small):
+    """Discordant counts can't exceed the corpus, the statistic is
+    non-negative, and accuracies are valid fractions."""
+    from cricket_analytics_nosql_spark.operators.text import mcnemar_langid
+
+    r = mcnemar_langid(spark, sf_small).collect()[0]
+    assert 0 <= r.b_discordant + r.c_discordant <= r.n_docs
+    assert 0.0 <= r.acc_stopword <= 1.0
+    assert 0.0 <= r.acc_toklen <= 1.0
+    if r.b_discordant + r.c_discordant > 0:
+        assert r.mcnemar_chi2 >= 0.0
+
+
+def test_heaps_law_sublinear(spark, sf_small):
+    """Heaps' β must be in (0, 1) for a natural-ish corpus (vocab
+    grows, but sublinearly), and the final curve point must account
+    for the whole corpus vocabulary."""
+    from cricket_analytics_nosql_spark.operators.text import heaps_law_fit
+
+    r = heaps_law_fit(spark, sf_small).collect()[0]
+    assert r.n_points == 10
+    assert 0.0 < r.beta < 1.0
+    assert r.k_coef > 0.0
+    assert 1 <= r.vocab_final <= r.tokens_final
