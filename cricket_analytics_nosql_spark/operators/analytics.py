@@ -2122,6 +2122,104 @@ ORDER BY band DESC
 """
 
 
+# ---------------------------------------------------------------------------
+# Instrumental-variable Wald estimator with weak-instrument guard
+# ---------------------------------------------------------------------------
+
+IV_WEAK_FIRST_STAGE = 0.01  # |first stage| below this → refuse the ratio
+
+
+def iv_wald_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald instrumental-variable estimate of the effect of a deep
+    discount (l_discount ≥ 0.05) on line revenue, instrumented by
+    part-key parity — the single-instrument 2SLS: LATE = (E[Y|Z=1] −
+    E[Y|Z=0]) / (E[T|Z=1] − E[T|Z=0]). The operator's real payload
+    is the WEAK-INSTRUMENT GUARD: when the first stage is under
+    ``IV_WEAK_FIRST_STAGE`` (as it is here — parity is a placebo by
+    construction), the ratio is refused (NULL) instead of reporting
+    an exploded pseudo-effect, which is exactly what an automated
+    100 TB causal dashboard must do rather than alert on noise.
+
+    One map-combined global agg over conditional integer sums (the
+    welch idiom): six BIGINTs cross the wire; every derived quantity
+    is scalar double arithmetic on the 1-row result."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        flag(F.pmod("l_partkey", F.lit(2)) == 1).alias("z"),
+        flag(F.col("l_discount") >= 0.05).alias("t"),
+        revenue_cents().alias("y"),
+    )
+    agg = li.agg(
+        F.sum("z").alias("n1"),
+        F.sum(1 - F.col("z")).alias("n0"),
+        F.sum(F.col("z") * F.col("t")).alias("t1"),
+        F.sum((1 - F.col("z")) * F.col("t")).alias("t0"),
+        F.sum(F.col("z") * F.col("y")).alias("y1"),
+        F.sum((1 - F.col("z")) * F.col("y")).alias("y0"),
+    )
+    itt = (
+        F.col("y1").cast("double") / F.col("n1")
+        - F.col("y0").cast("double") / F.col("n0")
+    ) / F.lit(100.0)
+    fs = (
+        F.col("t1").cast("double") / F.col("n1")
+        - F.col("t0").cast("double") / F.col("n0")
+    )
+    return agg.select(
+        "n1",
+        "n0",
+        F.round(F.col("t1").cast("double") / F.col("n1"), 6).alias(
+            "takeup_z1"
+        ),
+        F.round(F.col("t0").cast("double") / F.col("n0"), 6).alias(
+            "takeup_z0"
+        ),
+        F.round(itt, 6).alias("itt_usd"),
+        F.round(fs, 6).alias("first_stage"),
+        flag(F.abs(fs) < IV_WEAK_FIRST_STAGE).alias("weak_instrument"),
+        F.round(
+            F.when(F.abs(fs) >= IV_WEAK_FIRST_STAGE, itt / fs), 6
+        ).alias("late_usd"),
+    )
+
+
+ORACLE_IV_WALD = f"""
+WITH base AS (
+  SELECT CASE WHEN l_partkey % 2 = 1 THEN 1 ELSE 0 END AS z,
+         CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS t,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+           AS y
+  FROM lineitem
+), agg AS (
+  SELECT CAST(SUM(z) AS BIGINT) AS n1,
+         CAST(SUM(1 - z) AS BIGINT) AS n0,
+         CAST(SUM(z * t) AS BIGINT) AS t1,
+         CAST(SUM((1 - z) * t) AS BIGINT) AS t0,
+         CAST(SUM(z * y) AS BIGINT) AS y1,
+         CAST(SUM((1 - z) * y) AS BIGINT) AS y0
+  FROM base
+)
+SELECT n1, n0,
+       ROUND(CAST(t1 AS DOUBLE) / n1, 6) AS takeup_z1,
+       ROUND(CAST(t0 AS DOUBLE) / n0, 6) AS takeup_z0,
+       ROUND((CAST(y1 AS DOUBLE) / n1 - CAST(y0 AS DOUBLE) / n0) / 100.0,
+             6) AS itt_usd,
+       ROUND(CAST(t1 AS DOUBLE) / n1 - CAST(t0 AS DOUBLE) / n0, 6)
+         AS first_stage,
+       CASE WHEN ABS(CAST(t1 AS DOUBLE) / n1 - CAST(t0 AS DOUBLE) / n0)
+                 < {IV_WEAK_FIRST_STAGE} THEN 1 ELSE 0 END
+         AS weak_instrument,
+       ROUND(CASE WHEN ABS(CAST(t1 AS DOUBLE) / n1
+                           - CAST(t0 AS DOUBLE) / n0)
+                       >= {IV_WEAK_FIRST_STAGE}
+                  THEN ((CAST(y1 AS DOUBLE) / n1
+                         - CAST(y0 AS DOUBLE) / n0) / 100.0)
+                       / (CAST(t1 AS DOUBLE) / n1
+                          - CAST(t0 AS DOUBLE) / n0)
+             END, 6) AS late_usd
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "kaplan_meier_repeat": QuerySpec(
         kaplan_meier_repeat,
@@ -2209,5 +2307,8 @@ QUERIES: dict[str, QuerySpec] = {
     "funnel_conversion": QuerySpec(
         funnel_conversion, ORACLE_FUNNEL_CONVERSION, ["§2.8", "A3", "A4"],
         bench=True,
+    ),
+    "iv_wald_estimate": QuerySpec(
+        iv_wald_estimate, ORACLE_IV_WALD, ["A1", "A4", "A5", "X-curation"]
     ),
 }

@@ -1693,6 +1693,103 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Markov entropy rate of the per-user event process
+# ---------------------------------------------------------------------------
+
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order Markov chain fitted to
+    per-user event sequences — the single number that says how
+    PREDICTABLE user behavior is given the previous action: H_rate =
+    −Σ_ab π̂(a,b)·ln p̂(b|a), estimated from the empirical
+    transition counts (the companion scalar to
+    ``event_transition_probs``, which exposes the matrix itself).
+    ``efficiency`` = H_rate / ln(k) ∈ [0,1] normalizes by the
+    uniform-memoryless ceiling, so monitors can threshold on it
+    across deployments with different event alphabets.
+
+    Shape: one user-key exchange for the lead window, a map-combined
+    agg onto the ≤k² transition table, row marginals as a window
+    over that metadata frame, and micro-nat quantization of each
+    cell's c·ln(c/row) term before the global BIGINT sum."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    cells = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    w_row = Window.partitionBy("a")
+    w_all = Window.partitionBy()
+    term_u = F.round(
+        F.col("c")
+        * F.log(F.col("c").cast("double") / F.col("row_tot").cast("double"))
+        * F.lit(1e6)
+    ).cast("long")
+    agg = (
+        cells.select(
+            "a",
+            "c",
+            F.sum("c").over(w_row).alias("row_tot"),
+            F.sum("c").over(w_all).alias("total"),
+        )
+        .select("a", "total", term_u.alias("term_u"))
+        .groupBy()
+        .agg(
+            F.max("total").alias("n_transitions"),
+            F.countDistinct("a").alias("n_states"),
+            F.sum("term_u").alias("h_u"),
+        )
+    )
+    h_rate = -F.col("h_u").cast("double") / (
+        F.lit(1e6) * F.col("n_transitions").cast("double")
+    )
+    h_max = F.log(F.col("n_states").cast("double"))
+    return agg.select(
+        "n_transitions",
+        "n_states",
+        F.round(h_rate, 6).alias("entropy_rate_nats"),
+        F.round(h_max, 6).alias("h_max_nats"),
+        F.round(h_rate / h_max, 6).alias("efficiency"),
+    )
+
+
+ORACLE_MARKOV_ENTROPY = """
+WITH pairs AS (
+  SELECT event_type AS a,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS b
+  FROM events
+), cells AS (
+  SELECT a, b, COUNT(*) AS c FROM pairs WHERE b IS NOT NULL GROUP BY a, b
+), tot AS (
+  SELECT a, c,
+         SUM(c) OVER (PARTITION BY a) AS row_tot,
+         SUM(c) OVER () AS total
+  FROM cells
+), micro AS (
+  SELECT a, total,
+         CAST(ROUND(c * ln(CAST(c AS DOUBLE) / CAST(row_tot AS DOUBLE))
+                    * 1e6) AS BIGINT) AS term_u
+  FROM tot
+), agg AS (
+  SELECT CAST(MAX(total) AS BIGINT) AS n_transitions,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS n_states,
+         CAST(SUM(term_u) AS BIGINT) AS h_u
+  FROM micro
+)
+SELECT n_transitions, n_states,
+       ROUND(-CAST(h_u AS DOUBLE) / (1e6 * CAST(n_transitions AS DOUBLE)),
+             6) AS entropy_rate_nats,
+       ROUND(ln(CAST(n_states AS DOUBLE)), 6) AS h_max_nats,
+       ROUND((-CAST(h_u AS DOUBLE) / (1e6 * CAST(n_transitions AS DOUBLE)))
+             / ln(CAST(n_states AS DOUBLE)), 6) AS efficiency
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sprt_ab_monitor": QuerySpec(
         sprt_ab_monitor,
@@ -1769,5 +1866,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "chi_square_assoc": QuerySpec(
         chi_square_assoc, ORACLE_CHI_SQUARE, ["A1", "§2.8", "P15"]
+    ),
+    "markov_entropy_rate": QuerySpec(
+        markov_entropy_rate,
+        ORACLE_MARKOV_ENTROPY,
+        ["A1", "A4", "§2.8", "X-ts"],
     ),
 }

@@ -1215,11 +1215,96 @@ f AS (
     )
 
 
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment with group integrity + balance audit
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment at the CUSTOMER (group)
+    level with a per-fold stratification audit — the tabular twin of
+    ``leakage_safe_split``: the fold is a deterministic keyed hash
+    of the customer id (cross-engine ``md5_u32``), so every order of
+    a customer rides the same fold (no example of a held-out
+    customer ever trains the model), and re-running at any scale or
+    partitioning reproduces the identical assignment with zero
+    state. The readout is the audit a CV pipeline needs before
+    trusting the folds: per (fold × segment) group and example
+    counts plus the fold's share of its segment — if hashing were
+    biased, the shares would drift from 1/k.
+
+    One orders→customer equi-join (AQE strategy, both sides scale),
+    one (fold, segment) rollup; the share window runs over the
+    k×|segments| metadata frame."""
+    from cricket_analytics_nosql_spark.functions.scalar import md5_u32
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.pmod(md5_u32(F.col("c_custkey"), salt="kfold#"), F.lit(KFOLD_K))
+        .alias("fold"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    per_cell = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("fold", "c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w_seg = Window.partitionBy("c_mktsegment")
+    return (
+        per_cell.select(
+            "fold",
+            "c_mktsegment",
+            "n_customers",
+            "n_orders",
+            F.round(
+                F.col("n_customers").cast("double")
+                / F.sum("n_customers").over(w_seg).cast("double"),
+                6,
+            ).alias("segment_share"),
+        )
+        .orderBy("fold", "c_mktsegment")
+    )
+
+
+ORACLE_KFOLD = f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(('0x' || substr(md5('kfold#' || CAST(c_custkey AS VARCHAR)),
+                              1, 8)) AS BIGINT) % {KFOLD_K} AS fold
+  FROM customer
+), per_cell AS (
+  SELECT fold, c_mktsegment,
+         COUNT(DISTINCT c_custkey) AS n_customers,
+         COUNT(*) AS n_orders
+  FROM orders JOIN cust ON o_custkey = c_custkey
+  GROUP BY fold, c_mktsegment
+)
+SELECT fold, c_mktsegment, n_customers, n_orders,
+       ROUND(CAST(n_customers AS DOUBLE)
+             / CAST(SUM(n_customers)
+                    OVER (PARTITION BY c_mktsegment) AS DOUBLE), 6)
+         AS segment_share
+FROM per_cell
+ORDER BY fold, c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "leakage_safe_split": QuerySpec(
         leakage_safe_split,
         ORACLE_LEAKAGE_SAFE_SPLIT,
         ["X-training", "X-dedup", "A9"],
+    ),
+    "stratified_kfold_assign": QuerySpec(
+        stratified_kfold_assign,
+        ORACLE_KFOLD,
+        ["X-training", "X-curation", "A1", "J1"],
     ),
     "logreg_quality_train": QuerySpec(
         logreg_quality_train,
