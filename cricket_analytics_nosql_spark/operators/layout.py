@@ -400,7 +400,98 @@ ORDER BY h_block
     )
 
 
+# ---------------------------------------------------------------------------
+# Bucketed storage join — the shuffle-free co-located join
+# ---------------------------------------------------------------------------
+
+BUCKETED_N_BUCKETS = 8
+
+
+def bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders and customer as BUCKETED tables (8 buckets on the
+    customer key, sorted within buckets), then join them — the
+    storage-layout move that deletes the join shuffle entirely: both
+    sides' files are already hash-partitioned on the join key, so
+    the sort-merge join reads bucket i against bucket i with NO
+    Exchange under the join (``tests/test_plans.py`` pins that the
+    only Exchanges in the plan sit ABOVE the join — the segment
+    rollup and the output ordering).
+    This is THE pattern for a 100 TB fact⋈fact join that runs every
+    day: pay the partitioned write once, join shuffle-free forever
+    after; neither side needs to fit in memory (vs broadcast).
+
+    The query itself is revenue/order-count per market segment, with
+    exact cents kept BIGINT through the agg."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("o_cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    (
+        orders.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(BUCKETED_N_BUCKETS, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", os.path.join(base, "orders_b"))
+        .saveAsTable("bucketed_orders_tmp")
+    )
+    (
+        cust.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(BUCKETED_N_BUCKETS, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", os.path.join(base, "customer_b"))
+        .saveAsTable("bucketed_customer_tmp")
+    )
+    ob = spark.table("bucketed_orders_tmp")
+    cb = spark.table("bucketed_customer_tmp").hint("MERGE")
+    joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.sum("o_cents").alias("cents"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            "n_customers",
+            F.round(F.col("cents").cast("double") / F.lit(100.0), 2).alias(
+                "total_usd"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+WITH j AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS o_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       COUNT(DISTINCT c_custkey) AS n_customers,
+       ROUND(CAST(SUM(o_cents) AS DOUBLE) / 100.0, 2) AS total_usd
+FROM j
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bucketed_join_noshuffle": QuerySpec(
+        bucketed_join_noshuffle,
+        ORACLE_BUCKETED_JOIN,
+        ["S5", "J1", "A1", "X-layout"],
+    ),
     "zorder_layout": QuerySpec(
         zorder_layout, ORACLE_ZORDER_LAYOUT, ["S5", "A1", "X-layout"]
     ),

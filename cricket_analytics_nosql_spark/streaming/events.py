@@ -773,7 +773,92 @@ ORDER BY event_type, rk
 """
 
 
+def stream_percentile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live P50/P95 of event value per day window, from the SAME
+    mergeable fixed-bin histogram state as ``stream_histogram_
+    monitor`` — the streaming quantile pattern that actually works
+    at scale: per-row exact quantiles need a global sort a stream
+    can't do, but a constant-bin-edge histogram is a commutative
+    count state, and the histogram-quantile finish (smallest bin
+    whose cumulative count reaches ceil(q·n)) runs as a batch over
+    the drained, finalized state. Resolution is the bin width
+    ($20), which is the honest contract — the reported value is the
+    bin's lower edge, an exact integer both engines agree on.
+
+    Batch finish: one per-window cumulative window over the ≤(days ×
+    value-range/20) histogram frame, two conditional MINs — no float
+    accumulation anywhere."""
+    staged = stage_event_files(spark, sf_dir)
+    hist = run_available_now(
+        histogram_state(read_events_stream(spark, staged)), "complete"
+    )
+    w_cum = (
+        Window.partitionBy("win_start")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_win = Window.partitionBy("win_start")
+    cum = hist.select(
+        "win_start",
+        "bin",
+        F.sum("n_events").over(w_cum).alias("cum"),
+        F.sum("n_events").over(w_win).alias("total"),
+    )
+    return (
+        cum.groupBy("win_start")
+        .agg(
+            F.max("total").alias("n_events"),
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("total") * 50, F.col("bin"))
+            ).alias("p50_bin"),
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("total") * 95, F.col("bin"))
+            ).alias("p95_bin"),
+        )
+        .select(
+            "win_start",
+            "n_events",
+            (F.col("p50_bin") * F.lit(HIST_BIN_CENTS) / F.lit(100.0)).alias(
+                "p50_lo_usd"
+            ),
+            (F.col("p95_bin") * F.lit(HIST_BIN_CENTS) / F.lit(100.0)).alias(
+                "p95_lo_usd"
+            ),
+        )
+        .orderBy("win_start")
+    )
+
+
+ORACLE_STREAM_PERCENTILE = f"""
+WITH hist AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+         CAST(ROUND(value * 100, 0) AS BIGINT) // {HIST_BIN_CENTS} AS bin,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT win_start, bin,
+         SUM(n_events) OVER (PARTITION BY win_start ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n_events) OVER (PARTITION BY win_start) AS total
+  FROM hist
+)
+SELECT win_start, CAST(MAX(total) AS BIGINT) AS n_events,
+       MIN(CASE WHEN cum * 100 >= total * 50 THEN bin END)
+         * {HIST_BIN_CENTS} / 100.0 AS p50_lo_usd,
+       MIN(CASE WHEN cum * 100 >= total * 95 THEN bin END)
+         * {HIST_BIN_CENTS} / 100.0 AS p95_lo_usd
+FROM cum
+GROUP BY win_start
+ORDER BY win_start
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_percentile_monitor": QuerySpec(
+        stream_percentile_monitor,
+        ORACLE_STREAM_PERCENTILE,
+        ["§2.11", "A1", "X-ts"],
+    ),
     "stream_topk_monitor": QuerySpec(
         stream_topk_monitor,
         ORACLE_STREAM_TOPK,

@@ -1202,3 +1202,22 @@ def test_pit_assembly_one_customer_exchange(spark, sf_medium):
     assert len(cust_exchanges) == 1, plan
     # exactly 3 exchanges total: customer walk, year rollup, sort
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 3, plan
+
+
+def test_bucketed_join_has_no_exchange_under_join(spark, sf_medium):
+    """The whole point of the bucketed layout: the SortMergeJoin
+    must read `Bucketed: true` scans with NO Exchange beneath it —
+    every Exchange in the plan sits above the join (segment rollup
+    + output ordering). The string plan lists children after
+    parents, so no Exchange line may appear AFTER the SortMergeJoin
+    line in the simple plan dump."""
+    from cricket_analytics_nosql_spark.operators.layout import (
+        bucketed_join_noshuffle,
+    )
+
+    df = bucketed_join_noshuffle(spark, sf_medium)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    join_pos = plan.index("SortMergeJoin")
+    assert "Exchange" not in plan[join_pos:], plan

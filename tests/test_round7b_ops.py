@@ -616,3 +616,23 @@ def test_kfold_group_integrity_and_balance(spark, sf_small):
         .count()
     )
     assert dup == 0
+
+
+def test_stream_percentile_matches_batch_histogram(spark, sf_small):
+    """Batch↔stream parity at the quantile level: P50 ≤ P95, both
+    are non-negative bin lower edges on the $20 grid, and per-window
+    counts sum to the table size."""
+    from cricket_analytics_nosql_spark.streaming.events import (
+        HIST_BIN_CENTS,
+        stream_percentile_monitor,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = stream_percentile_monitor(spark, sf_small).collect()
+    assert rows
+    total = load_table(spark, sf_small, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    grid = HIST_BIN_CENTS / 100.0
+    for r in rows:
+        assert 0.0 <= r.p50_lo_usd <= r.p95_lo_usd
+        assert abs(r.p50_lo_usd / grid - round(r.p50_lo_usd / grid)) < 1e-9
