@@ -446,6 +446,135 @@ ORDER BY segment
 
 
 # --------------------------------------------------------------------------
+# Exponential-mechanism quantile (arithmetic audit, same contract as
+# dp_noisy_segment_counts)
+# --------------------------------------------------------------------------
+
+DPQ_BIN_USD = 10_000  # $10k candidate bins for the median release
+
+
+def dp_quantile_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-mechanism median ARITHMETIC AUDIT — like
+    ``dp_noisy_segment_counts``, NOT a privacy mechanism (the Gumbel
+    draws are a deterministic md5 of public values, and the true
+    median is co-emitted so both engines can cross-check): what it
+    pins is the RELEASE FORMULA for the DP quantile — candidate bins
+    scored by the rank utility u(b) = −|2·rank(b) − n| (sensitivity
+    2 in this scaling), selection via the Gumbel-max trick
+    (argmax of ε·u/4 + Gumbel(0,1)), which is exactly equivalent to
+    sampling w.p. ∝ exp(ε·u(b)/4). A real deployment swaps the hash
+    for fresh secret randomness and drops the true column.
+
+    Shape: per-(segment, $10k-bin) counts, one per-segment cumsum
+    window over the ≤50-bin frame, integer utilities; one ln pair
+    per candidate row. The fact stream feeds only the exact count
+    rollup."""
+    eps = DP_EPSILON_E2 / 1e2
+    bins = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("segment"),
+            F.floor(F.col("o_totalprice") / DPQ_BIN_USD)
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("segment")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seg = Window.partitionBy("segment")
+    cum = bins.select(
+        "segment",
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_seg).alias("n"),
+    )
+    u01 = (
+        md5_u32(
+            F.concat(F.col("segment"), F.lit("#"), F.col("bin")),
+            salt="dpq#",
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(DP_U32)
+    gumbel = -F.log(-F.log(u01))
+    utility = -F.abs(F.lit(2) * F.col("cum") - F.col("n"))
+    scored = cum.select(
+        "segment",
+        "bin",
+        "cum",
+        "n",
+        (F.lit(eps / 4.0) * utility.cast("double") + gumbel).alias("score"),
+    )
+    w_pick = Window.partitionBy("segment").orderBy(
+        F.desc("score"), F.asc("bin")
+    )
+    picked = (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("segment", F.col("bin").alias("dp_bin"))
+    )
+    truth = cum.groupBy("segment").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.lit(2) * F.col("cum") >= F.col("n"), F.col("bin"))
+        ).alias("true_bin"),
+    )
+    return (
+        truth.join(picked, "segment")
+        .select(
+            "segment",
+            "n",
+            (F.col("true_bin") * DPQ_BIN_USD).alias("true_median_lo_usd"),
+            (F.col("dp_bin") * DPQ_BIN_USD).alias("released_median_lo_usd"),
+            F.abs(F.col("dp_bin") - F.col("true_bin")).alias("err_bins"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_DP_QUANTILE = f"""
+WITH bins AS (
+  SELECT o_orderpriority AS segment,
+         CAST(FLOOR(o_totalprice / {DPQ_BIN_USD}) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+), cum AS (
+  SELECT segment, bin,
+         SUM(c) OVER (PARTITION BY segment ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY segment) AS n
+  FROM bins
+), scored AS (
+  SELECT segment, bin, cum, n,
+         {DP_EPSILON_E2 / 1e2} / 4.0
+           * (-ABS(2 * cum - n))
+         + (-ln(-ln((CAST(('0x' || substr(md5('dpq#' || segment || '#'
+                                          || CAST(bin AS VARCHAR)), 1, 8))
+                          AS BIGINT) + 0.5) / {DP_U32}))) AS score
+  FROM cum
+), picked AS (
+  SELECT segment, bin AS dp_bin,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY score DESC, bin ASC) AS rn
+  FROM scored
+), truth AS (
+  SELECT segment, CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN 2 * cum >= n THEN bin END) AS true_bin
+  FROM cum GROUP BY segment
+)
+SELECT truth.segment, n,
+       true_bin * {DPQ_BIN_USD} AS true_median_lo_usd,
+       dp_bin * {DPQ_BIN_USD} AS released_median_lo_usd,
+       ABS(dp_bin - true_bin) AS err_bins
+FROM truth JOIN picked ON truth.segment = picked.segment AND rn = 1
+ORDER BY truth.segment
+"""
+
+
+# --------------------------------------------------------------------------
 # k-anonymity audit over quasi-identifiers
 # --------------------------------------------------------------------------
 
@@ -849,6 +978,11 @@ QUERIES: dict[str, QuerySpec] = {
         dp_noisy_segment_counts,
         ORACLE_DP_NOISY_COUNTS,
         ["A1", "X-curation"],
+    ),
+    "dp_quantile_exponential": QuerySpec(
+        dp_quantile_exponential,
+        ORACLE_DP_QUANTILE,
+        ["A1", "§2.8", "X-curation"],
     ),
     "bootstrap_order_value": QuerySpec(
         bootstrap_order_value,

@@ -33,6 +33,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cricket_analytics_nosql_spark.functions.scalar import flag
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.sources.tables import fan_out, load_table
 
@@ -3178,7 +3179,235 @@ ORDER BY ct.step
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF nprobe sweep — the recall/cost tuning curve of the probe path
+# ---------------------------------------------------------------------------
+
+NPROBE_SWEEP_MAX = 4
+
+
+def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k vs candidate-pool cost as a function of ``nprobe``
+    (1..4 probed cells) for the label-quantized IVF index — the ONE
+    curve a vector-store operator actually tunes: more probed cells
+    buy recall linearly in scan cost, and the elbow is the
+    production setting. Exact-oracled (unlike the float-averaged
+    ``ann_ivf`` path) because the coarse quantizer here is the
+    integer-centroid construction of ``nearest_centroid_confusion``:
+    centroids are exact BIGINT sums of micro-quantized components,
+    so the per-query cell ranking is reproducible on any engine.
+
+    Cost accounting is the index-native form — the pool size comes
+    from the CELL SIZE TABLE (Σ sizes of probed cells, minus the
+    query's own vector when its home cell is probed), not from
+    enumerating candidates, which is what makes the readout O(cells)
+    at 100 TB. Recall joins the exact brute-force top-k pairs
+    against the probed-cell ranking (left join; unprobed → miss)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x as double) * 1000000) as long))"
+        ).alias("v"),
+    )
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("v").alias("pos", "val")
+    )
+    cent = comp.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        F.sum("val").alias("c_sum")
+    )
+    c_norm = cent.groupBy("c_label").agg(
+        F.sum(F.col("c_sum") * F.col("c_sum")).alias("c2")
+    )
+    sizes = emb.groupBy(F.col("label").alias("s_label")).agg(
+        F.count(F.lit(1)).alias("n_cell")
+    )
+    qdots = (
+        comp.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent), "pos")
+        .groupBy(F.col("vec_id").alias("q_id"), "c_label")
+        .agg(F.sum(F.col("val") * F.col("c_sum")).alias("dot"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc("c_label")
+    )
+    crank = (
+        qdots.join(F.broadcast(c_norm), "c_label")
+        .select(
+            "q_id",
+            "c_label",
+            (F.col("dot") / F.sqrt(F.col("c2").cast("double"))).alias(
+                "score"
+            ),
+        )
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= NPROBE_SWEEP_MAX)
+    )
+    exact = ann_brute_force(spark, sf_dir).select("q_id", "vec_id")
+    pair_rank = (
+        exact.join(emb.select("vec_id", "label"), "vec_id")
+        .join(
+            crank.select(
+                "q_id", F.col("c_label").alias("label"), "crank"
+            ),
+            ["q_id", "label"],
+            "left",
+        )
+    )
+    hits = pair_rank.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        *[
+            F.sum(flag(F.col("crank") <= n)).alias(f"h{n}")
+            for n in range(1, NPROBE_SWEEP_MAX + 1)
+        ],
+    )
+    q_labels = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    pool_rows = (
+        crank.join(
+            F.broadcast(sizes), crank.c_label == sizes.s_label
+        )
+        .join(F.broadcast(q_labels), "q_id")
+        .select(
+            "crank",
+            (
+                F.col("n_cell") - flag(F.col("c_label") == F.col("q_label"))
+            ).alias("eff"),
+        )
+    )
+    pools = pool_rows.agg(
+        *[
+            F.sum(F.when(F.col("crank") <= n, F.col("eff")).otherwise(0))
+            .alias(f"p{n}")
+            for n in range(1, NPROBE_SWEEP_MAX + 1)
+        ]
+    )
+    tot = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    row = hits.crossJoin(F.broadcast(pools)).crossJoin(F.broadcast(tot))
+    stacked = row.selectExpr(
+        "stack(4, 1, h1, p1, 2, h2, p2, 3, h3, p3, 4, h4, p4)"
+        " as (nprobe, hits, pool)",
+        "n_exact",
+        "n_vecs",
+    )
+    return stacked.select(
+        "nprobe",
+        "n_exact",
+        F.round(
+            F.col("hits").cast("double") / F.col("n_exact").cast("double"), 6
+        ).alias("recall_at_k"),
+        F.round(
+            F.col("pool").cast("double")
+            / (F.lit(float(N_QUERIES)) * (F.col("n_vecs") - 1).cast("double")),
+            6,
+        ).alias("pool_frac"),
+    ).orderBy("nprobe")
+
+
+def _nprobe_oracle() -> str:
+    probes = range(1, NPROBE_SWEEP_MAX + 1)
+    hits_cols = ",\n         ".join(
+        f"SUM(CASE WHEN crank <= {n} THEN 1 ELSE 0 END) AS h{n}"
+        for n in probes
+    )
+    pool_cols = ",\n         ".join(
+        f"SUM(CASE WHEN crank <= {n} THEN eff ELSE 0 END) AS p{n}"
+        for n in probes
+    )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {n} AS nprobe, n_exact,"
+        f" ROUND(CAST(h{n} AS DOUBLE) / CAST(n_exact AS DOUBLE), 6)"
+        f" AS recall_at_k,"
+        f" ROUND(CAST(p{n} AS DOUBLE)"
+        f" / ({N_QUERIES}.0 * (n_vecs - 1)), 6) AS pool_frac"
+        f" FROM hits, pools, tot"
+        for n in probes
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+), comp AS (
+  SELECT vec_id, label, i - 1 AS pos,
+         CAST(ROUND(ve[i] * 1000000) AS BIGINT) AS val
+  FROM emb, UNNEST(range(1, len(ve) + 1)) AS t(i)
+), cent AS (
+  SELECT label AS c_label, pos, CAST(SUM(val) AS BIGINT) AS c_sum
+  FROM comp GROUP BY label, pos
+), c_norm AS (
+  SELECT c_label, CAST(SUM(c_sum * c_sum) AS BIGINT) AS c2
+  FROM cent GROUP BY c_label
+), sizes AS (
+  SELECT label AS s_label, COUNT(*) AS n_cell FROM emb GROUP BY label
+), qdots AS (
+  SELECT comp.vec_id AS q_id, cent.c_label,
+         CAST(SUM(comp.val * cent.c_sum) AS BIGINT) AS dot
+  FROM comp JOIN cent ON comp.pos = cent.pos
+  WHERE comp.vec_id < {N_QUERIES}
+  GROUP BY comp.vec_id, cent.c_label
+), crank AS (
+  SELECT q_id, c_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id
+           ORDER BY dot / sqrt(CAST(c2 AS DOUBLE)) DESC, c_label ASC
+         ) AS crank
+  FROM qdots JOIN c_norm USING (c_label)
+  QUALIFY crank <= {NPROBE_SWEEP_MAX}
+), q AS (
+  SELECT vec_id AS q_id, ve AS qv FROM emb WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q_id, e.vec_id,
+         ROUND(list_inner_product(qv, ve)
+               / (sqrt(list_inner_product(qv, qv))
+                  * sqrt(list_inner_product(ve, ve))), 6) AS cos
+  FROM q, emb e
+  WHERE e.vec_id <> q.q_id
+), exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+), pair_rank AS (
+  SELECT exact.q_id, crank.crank
+  FROM exact
+  JOIN emb ON exact.vec_id = emb.vec_id
+  LEFT JOIN crank ON crank.q_id = exact.q_id
+                 AND crank.c_label = emb.label
+), hits AS (
+  SELECT COUNT(*) AS n_exact,
+         {hits_cols}
+  FROM pair_rank
+), q_labels AS (
+  SELECT vec_id AS q_id, label AS q_label FROM emb
+  WHERE vec_id < {N_QUERIES}
+), pool_rows AS (
+  SELECT crank.crank,
+         n_cell - (CASE WHEN crank.c_label = q_labels.q_label
+                        THEN 1 ELSE 0 END) AS eff
+  FROM crank
+  JOIN sizes ON crank.c_label = sizes.s_label
+  JOIN q_labels ON crank.q_id = q_labels.q_id
+), pools AS (
+  SELECT {pool_cols}
+  FROM pool_rows
+), tot AS (SELECT COUNT(*) AS n_vecs FROM emb)
+{finals}
+ORDER BY nprobe
+"""
+
+
+ORACLE_ANN_NPROBE_SWEEP = _nprobe_oracle()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ann_nprobe_sweep": QuerySpec(
+        ann_nprobe_sweep,
+        ORACLE_ANN_NPROBE_SWEEP,
+        ["X-ann", "A1", "J1", "T1"],
+    ),
     "kcenter_coreset": QuerySpec(
         kcenter_coreset,
         _kcenter_oracle(),

@@ -636,3 +636,41 @@ def test_stream_percentile_matches_batch_histogram(spark, sf_small):
     for r in rows:
         assert 0.0 <= r.p50_lo_usd <= r.p95_lo_usd
         assert abs(r.p50_lo_usd / grid - round(r.p50_lo_usd / grid)) < 1e-9
+
+
+def test_ann_nprobe_sweep_monotone(spark, sf_small):
+    """More probed cells can only help: recall and pool fraction
+    must both be non-decreasing in nprobe; recall ∈ [0, 1]; pool
+    fraction ∈ (0, 1]; n_exact constant across rows."""
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        ann_nprobe_sweep,
+    )
+
+    rows = ann_nprobe_sweep(spark, sf_small).collect()
+    assert [r.nprobe for r in rows] == [1, 2, 3, 4]
+    assert len({r.n_exact for r in rows}) == 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.recall_at_k >= prev.recall_at_k - 1e-9
+        assert cur.pool_frac >= prev.pool_frac - 1e-9
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert 0.0 < r.pool_frac <= 1.0
+
+
+def test_dp_quantile_release_on_grid(spark, sf_small):
+    """The released median must be a valid $10k bin edge, the true
+    median must be the type-1 median of the bin distribution, and
+    the (deterministic, auditable) error must be small at ε = 0.5
+    with thousands of rows per segment."""
+    from cricket_analytics_nosql_spark.operators.sampling import (
+        DPQ_BIN_USD,
+        dp_quantile_exponential,
+    )
+
+    rows = dp_quantile_exponential(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.released_median_lo_usd % DPQ_BIN_USD == 0
+        assert r.true_median_lo_usd % DPQ_BIN_USD == 0
+        assert r.err_bins >= 0
+        assert r.n > 0
