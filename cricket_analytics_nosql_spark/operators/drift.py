@@ -3833,6 +3833,91 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Experiment power analysis — minimum detectable effect per segment
+# ---------------------------------------------------------------------------
+
+MDE_Z_SUM = 2.8  # z_{alpha/2} + z_{power} = 1.96 + 0.84 (80% power, 5% alpha)
+
+
+def power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of a 50/50 customer-level revenue
+    experiment, per market segment — the number a team consults
+    BEFORE launching: MDE = (z_{α/2}+z_{β})·√(2σ²/(n/2)) on the
+    per-customer revenue metric. Read together with
+    ``delta_method_ratio_ci`` it closes the experiment-design loop:
+    design (this) → run → infer (CI).
+
+    Exactness: per-customer revenue in whole kilodollars (the Welch
+    quantization), (n, Σx, Σx²) integer moments per segment in one
+    pass; the MDE formula is scalar doubles on the ≤5-row segment
+    frame, textually mirrored."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "cast(sum(cast(floor(o_totalprice) as bigint)) as bigint)"
+                " div 1000"
+            ).alias("x")
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    seg = (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / nd
+    var = F.col("sxx").cast("double") / nd - mean * mean
+    mde = F.lit(MDE_Z_SUM) * F.sqrt(F.lit(2.0) * var / (nd / F.lit(2.0)))
+    return seg.select(
+        "c_mktsegment",
+        "n",
+        F.round(mean, 6).alias("mean_kusd"),
+        F.round(F.sqrt(var), 6).alias("sd_kusd"),
+        F.round(mde, 6).alias("mde_kusd"),
+        F.round(mde / mean, 6).alias("mde_relative"),
+    ).orderBy("c_mktsegment")
+
+
+ORACLE_POWER_MDE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) // 1000
+           AS x
+  FROM orders GROUP BY o_custkey
+), seg AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM per_cust JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+       ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_kusd,
+       ROUND(sqrt(CAST(sxx AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)),
+             6) AS sd_kusd,
+       ROUND({MDE_Z_SUM} * sqrt(2.0 * (CAST(sxx AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                  / (n / 2.0)), 6) AS mde_kusd,
+       ROUND({MDE_Z_SUM} * sqrt(2.0 * (CAST(sxx AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                  / (n / 2.0)) / (CAST(sx AS DOUBLE) / n), 6)
+         AS mde_relative
+FROM seg
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "anova_weekday_revenue": QuerySpec(
         anova_weekday_revenue, ORACLE_ANOVA_WEEKDAY, ["A1", "A4", "X-curation"]
@@ -3957,6 +4042,11 @@ QUERIES: dict[str, QuerySpec] = {
     "delta_method_ratio_ci": QuerySpec(
         delta_method_ratio_ci,
         ORACLE_DELTA_METHOD,
+        ["A1", "A5", "J1", "X-curation"],
+    ),
+    "power_analysis_mde": QuerySpec(
+        power_analysis_mde,
+        ORACLE_POWER_MDE,
         ["A1", "A5", "J1", "X-curation"],
     ),
 }

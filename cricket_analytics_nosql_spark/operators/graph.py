@@ -2725,7 +2725,260 @@ LIMIT {BETWEENNESS_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# DeepWalk training pairs — walks → skip-gram (center, context) corpus
+# ---------------------------------------------------------------------------
+
+DEEPWALK_WINDOW = 2
+DEEPWALK_START_MOD = 5  # deterministic 1/5 start-vertex subsample
+
+
+def deepwalk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DeepWalk data-prep: deterministic walks over the
+    trade graph (``deterministic_walks`` — the reproducible RNG-free
+    step rule) fed through a skip-gram window (±2) into the
+    (center, context) pair counts an SGNS embedding trainer
+    consumes — composing the two halves the catalog already proves
+    separately (``graph_walks``, ``skipgram_pairs``) into the
+    artifact that actually ships to training. Top-50 pairs by count
+    (ties: center, context) keep the readout bounded.
+
+    Shape: the walk build is |V| co-partitioned equi-joins deep
+    (WALK_LEN=4); pair emission is two leads over each walk's
+    ≤5-row frame, symmetrized; counting map-combines on the pair
+    key. Starts are subsampled 1/5 by pure modular arithmetic,
+    mirrored in the oracle's recursive CTE."""
+    from pyspark.sql import Window
+
+    walks = deterministic_walks(trade_graph_edges(spark, sf_dir)).filter(
+        F.pmod("start", F.lit(DEEPWALK_START_MOD)) == 0
+    )
+    w = Window.partitionBy("start").orderBy("step")
+    base = walks.select(
+        "start",
+        "step",
+        "vertex",
+        F.lead("vertex", 1).over(w).alias("c1"),
+        F.lead("vertex", 2).over(w).alias("c2"),
+    )
+    parts = []
+    for col in ("c1", "c2"):
+        fwd = base.filter(F.col(col).isNotNull()).select(
+            F.col("vertex").alias("center"), F.col(col).alias("context")
+        )
+        rev = base.filter(F.col(col).isNotNull()).select(
+            F.col(col).alias("center"), F.col("vertex").alias("context")
+        )
+        parts.extend([fwd, rev])
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "center", "context")
+        .limit(50)
+    )
+
+
+ORACLE_DEEPWALK_PAIRS = f"""
+WITH RECURSIVE e0 AS (
+  SELECT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+), edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+  UNION ALL
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM e0
+), adj AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM (SELECT DISTINCT src, dst FROM edges)
+), walk(start, step, vertex) AS (
+  SELECT DISTINCT src AS start, 0 AS step, src AS vertex FROM adj
+  WHERE src % {DEEPWALK_START_MOD} = 0
+  UNION ALL
+  SELECT w.start, w.step + 1, a.dst
+  FROM walk w JOIN adj a
+    ON a.src = w.vertex
+   AND a.idx = (w.vertex * {WALK_A} + w.step * {WALK_B}) % a.deg
+  WHERE w.step < {WALK_LEN}
+), led AS (
+  SELECT start, step, vertex,
+         LEAD(vertex, 1) OVER (PARTITION BY start ORDER BY step) AS cx1,
+         LEAD(vertex, 2) OVER (PARTITION BY start ORDER BY step) AS cx2
+  FROM walk
+), pairs AS (
+  SELECT vertex AS center, cx1 AS context FROM led WHERE cx1 IS NOT NULL
+  UNION ALL
+  SELECT cx1 AS center, vertex AS context FROM led WHERE cx1 IS NOT NULL
+  UNION ALL
+  SELECT vertex AS center, cx2 AS context FROM led WHERE cx2 IS NOT NULL
+  UNION ALL
+  SELECT cx2 AS center, vertex AS context FROM led WHERE cx2 IS NOT NULL
+)
+SELECT center, context, COUNT(*) AS n_pairs
+FROM pairs
+GROUP BY center, context
+ORDER BY n_pairs DESC, center, context
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Negative-edge sampling for link-prediction training
+# ---------------------------------------------------------------------------
+
+NEG_EDGE_K = 4
+
+
+def negative_edge_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data prep for link prediction: per customer, K=4
+    DETERMINISTIC candidate non-edges (hash-drawn supplier ids),
+    anti-joined against the real trade edges — the negative class
+    an edge classifier trains on, reproducible across runs and
+    engines (the keyed-hash sampling discipline, vs the usual
+    rejection sampling that resists any oracle). The audit row
+    reports the collision rate (candidates that WERE real edges —
+    the quantity that tells you whether K needs resampling) NEXT TO
+    the measured edge density: under a uniform hash they must agree
+    in expectation, so |collision − density| is a free uniformity
+    check on the sampler (the invariant the test pins). On this
+    synthetic graph density is high (~0.9); real bipartite graphs
+    at 100 TB sit near zero and the same plan yields negatives at
+    ~K per node.
+
+    Shape: candidates are a customers × K literal explode (no
+    joins), the collision check is one anti-join on the
+    co-partitioned edge key, and supplier-id range arrives as a
+    1-row broadcast — nothing here ever materializes the
+    |C|×|S| non-edge space."""
+    from cricket_analytics_nosql_spark.functions.scalar import md5_u32
+
+    edges = (
+        trade_graph_edges(spark, sf_dir)
+        .filter(F.pmod("src", F.lit(2)) == 0)  # customer→supplier side
+        .select(
+            F.expr("src div 2").alias("c"),
+            F.expr("(dst - 1) div 2").alias("s"),
+        )
+        .distinct()
+    )
+    n_supp = load_table(spark, sf_dir, "supplier").agg(
+        F.max("s_suppkey").alias("max_s")
+    )
+    cand = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("c"))
+        .crossJoin(F.broadcast(n_supp))
+        .select(
+            "c",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(NEG_EDGE_K - 1)),
+                    lambda j: F.pmod(
+                        md5_u32(
+                            F.concat(
+                                F.col("c").cast("string"),
+                                F.lit("#"),
+                                j.cast("string"),
+                            ),
+                            salt="negedge#",
+                        ),
+                        F.col("max_s") + 1,
+                    ),
+                )
+            ).alias("s"),
+        )
+    )
+    negatives = cand.join(edges, ["c", "s"], "left_anti")
+    agg_c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    agg_n = negatives.agg(
+        F.count(F.lit(1)).alias("n_negatives"),
+        F.countDistinct("c").alias("n_customers_covered"),
+    )
+    density = (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").agg(
+                    F.count(F.lit(1)).alias("n_cust")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(n_supp))
+        .select(
+            F.round(
+                F.col("n_edges").cast("double")
+                / (F.col("n_cust") * (F.col("max_s") + 1)).cast("double"),
+                6,
+            ).alias("edge_density")
+        )
+    )
+    return (
+        agg_c.crossJoin(F.broadcast(agg_n))
+        .crossJoin(F.broadcast(density))
+        .select(
+            "n_candidates",
+            "n_negatives",
+            (F.col("n_candidates") - F.col("n_negatives")).alias(
+                "n_collisions"
+            ),
+            "n_customers_covered",
+            F.round(
+                (F.col("n_candidates") - F.col("n_negatives")).cast("double")
+                / F.col("n_candidates").cast("double"),
+                6,
+            ).alias("collision_rate"),
+            "edge_density",
+        )
+    )
+
+
+ORACLE_NEG_EDGE = f"""
+WITH e0 AS (
+  SELECT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+), mx AS (SELECT MAX(s_suppkey) AS max_s FROM supplier),
+cand AS (
+  SELECT c_custkey AS c,
+         CAST(('0x' || substr(md5('negedge#' || CAST(c_custkey AS VARCHAR)
+                                  || '#' || CAST(j AS VARCHAR)), 1, 8))
+              AS BIGINT) % (max_s + 1) AS s
+  FROM customer, mx,
+       UNNEST(range(0, {NEG_EDGE_K})) AS t(j)
+), neg AS (
+  SELECT cand.c, cand.s FROM cand
+  LEFT JOIN e0 ON cand.c = e0.c AND cand.s = e0.s
+  WHERE e0.c IS NULL
+)
+SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+       COUNT(*) AS n_negatives,
+       (SELECT COUNT(*) FROM cand) - COUNT(*) AS n_collisions,
+       COUNT(DISTINCT c) AS n_customers_covered,
+       ROUND(CAST((SELECT COUNT(*) FROM cand) - COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM cand), 6) AS collision_rate,
+       (SELECT ROUND(CAST(COUNT(*) AS DOUBLE)
+               / ((SELECT COUNT(*) FROM customer)
+                  * ((SELECT MAX(s_suppkey) FROM supplier) + 1)), 6)
+        FROM e0) AS edge_density
+FROM neg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "deepwalk_pairs": QuerySpec(
+        deepwalk_pairs,
+        ORACLE_DEEPWALK_PAIRS,
+        ["G1", "A8", "T1", "X-graphml", "X-training"],
+    ),
+    "negative_edge_sampling": QuerySpec(
+        negative_edge_sampling,
+        ORACLE_NEG_EDGE,
+        ["G1", "J6", "A4", "X-graphml", "X-training"],
+    ),
     "betweenness_2hop": QuerySpec(
         betweenness_2hop,
         ORACLE_BETWEENNESS_2HOP,

@@ -1790,7 +1790,122 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Attribution-window sweep — conversion rate vs window length
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOWS_DAYS = (1, 3, 7, 14)
+
+
+def attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate (first view → first subsequent purchase) as a
+    function of the attribution-window length (1/3/7/14 days) — the
+    sweep that SETS the window a funnel dashboard then hard-codes:
+    too short undercounts slow converters, too long credits
+    coincidences; the curve's plateau is the honest setting.
+
+    One user-keyed rollup finds each user's first view; one
+    co-partitioned pass over that user's later purchases takes the
+    min; all four windows are conditional integer sums over the
+    per-user gap — the whole sweep costs exactly one funnel pass,
+    not four."""
+    ev = load_table(spark, sf_dir, "events")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"), F.min("t_view").alias("t_view"))
+    )
+    gaps = first_view.join(
+        first_purchase.select(
+            "user_id",
+            F.expr(
+                "(unix_micros(cast(t_buy as timestamp))"
+                " - unix_micros(cast(t_view as timestamp)))"
+                " div 86400000000"
+            ).alias("gap_days"),
+        ),
+        "user_id",
+        "left",
+    )
+    agg = gaps.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        *[
+            F.sum(
+                F.when(F.col("gap_days") <= d, 1).otherwise(0)
+            ).alias(f"c{d}")
+            for d in ATTR_WINDOWS_DAYS
+        ],
+    )
+    stacked = agg.selectExpr(
+        "stack(4, 1, c1, 3, c3, 7, c7, 14, c14)"
+        " as (window_days, n_converted)",
+        "n_viewers",
+    )
+    return stacked.select(
+        "window_days",
+        "n_viewers",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double")
+            / F.col("n_viewers").cast("double"),
+            6,
+        ).alias("conversion_rate"),
+    ).orderBy("window_days")
+
+
+def _attr_sweep_oracle() -> str:
+    counts = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN gap_days <= {d} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c{d}"
+        for d in ATTR_WINDOWS_DAYS
+    )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {d} AS window_days, n_viewers, c{d} AS n_converted,"
+        f" ROUND(CAST(c{d} AS DOUBLE) / n_viewers, 6) AS conversion_rate"
+        f" FROM agg"
+        for d in ATTR_WINDOWS_DAYS
+    )
+    return f"""
+WITH first_view AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), first_purchase AS (
+  SELECT e.user_id, MIN(e.ts) AS t_buy, MIN(v.t_view) AS t_view
+  FROM events e JOIN first_view v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+), gaps AS (
+  SELECT v.user_id,
+         (epoch_us(p.t_buy) - epoch_us(p.t_view)) // 86400000000
+           AS gap_days
+  FROM first_view v LEFT JOIN first_purchase p ON v.user_id = p.user_id
+), agg AS (
+  SELECT COUNT(*) AS n_viewers,
+         {counts}
+  FROM gaps
+)
+{finals}
+ORDER BY window_days
+"""
+
+
+ORACLE_ATTR_SWEEP = _attr_sweep_oracle()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "attribution_window_sweep": QuerySpec(
+        attribution_window_sweep,
+        ORACLE_ATTR_SWEEP,
+        ["A1", "A3", "J1", "§2.8", "X-ts"],
+    ),
     "sprt_ab_monitor": QuerySpec(
         sprt_ab_monitor,
         ORACLE_SPRT,

@@ -558,7 +558,120 @@ ORDER BY table_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Retention GC plan — what a time-travel VACUUM would delete
+# ---------------------------------------------------------------------------
+
+GC_RETAIN_DAYS = 90
+
+
+def retention_gc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel retention planner (the Delta VACUUM / Iceberg
+    expire-snapshots decision, computed BEFORE deleting anything):
+    treating each customer's order sequence as that account's SCD2
+    version chain (version valid from its order date to the next
+    order's date), report per market segment how many versions a
+    90-day retention policy may delete — a version is deletable iff
+    it was SUPERSEDED before the retention cutoff (its valid_to <
+    max_date − 90d); the latest version per key is always kept
+    (valid_to = ∞). The deletable fraction is the storage the GC
+    reclaims; the kept tail is what time-travel queries can still
+    reach.
+
+    Shape: one customer-keyed window (lead) builds valid_to, the
+    global cutoff arrives as a 1-row broadcast, and the readout is a
+    segment rollup — integer day arithmetic end to end."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    versions = o.select(
+        "o_custkey",
+        "d",
+        F.lead("d", 1).over(w).alias("valid_to"),
+    )
+    cutoff = o.agg(
+        (F.max("d") - F.lit(GC_RETAIN_DAYS)).alias("cut")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    flagged = (
+        versions.crossJoin(F.broadcast(cutoff))
+        .join(cust, versions.o_custkey == cust.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.when(
+                F.col("valid_to").isNotNull()
+                & (F.col("valid_to") < F.col("cut")),
+                1,
+            )
+            .otherwise(0)
+            .alias("deletable"),
+        )
+    )
+    return (
+        flagged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum("deletable").alias("n_deletable"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_versions",
+            "n_deletable",
+            (F.col("n_versions") - F.col("n_deletable")).alias("n_kept"),
+            F.round(
+                F.col("n_deletable").cast("double")
+                / F.col("n_versions").cast("double"),
+                6,
+            ).alias("deletable_frac"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_RETENTION_GC = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         epoch_us(o_orderdate) // 86400000000 AS d
+  FROM orders
+), versions AS (
+  SELECT o_custkey, d,
+         LEAD(d, 1) OVER (PARTITION BY o_custkey
+                          ORDER BY d, o_orderkey) AS valid_to
+  FROM o
+), cutoff AS (SELECT MAX(d) - {GC_RETAIN_DAYS} AS cut FROM o),
+flagged AS (
+  SELECT c_mktsegment,
+         CASE WHEN valid_to IS NOT NULL AND valid_to < cut
+              THEN 1 ELSE 0 END AS deletable
+  FROM versions, cutoff
+  JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, COUNT(*) AS n_versions,
+       CAST(SUM(deletable) AS BIGINT) AS n_deletable,
+       COUNT(*) - CAST(SUM(deletable) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(deletable) AS DOUBLE) / COUNT(*), 6)
+         AS deletable_frac
+FROM flagged
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "retention_gc_plan": QuerySpec(
+        retention_gc_plan,
+        ORACLE_RETENTION_GC,
+        ["§2.8", "A1", "J1", "X-layout", "X-curation"],
+    ),
     "forget_users_cascade": QuerySpec(
         forget_users_cascade,
         ORACLE_FORGET_CASCADE,

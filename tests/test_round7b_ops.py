@@ -674,3 +674,105 @@ def test_dp_quantile_release_on_grid(spark, sf_small):
         assert r.true_median_lo_usd % DPQ_BIN_USD == 0
         assert r.err_bins >= 0
         assert r.n > 0
+
+
+def test_deepwalk_pairs_symmetry_support(spark, sf_small):
+    """Pair emission is symmetrized, so for the TOP pair (center,
+    context) the reversed pair must exist with the same count in the
+    full (un-truncated) pair table; counts are positive."""
+    from cricket_analytics_nosql_spark.operators.graph import deepwalk_pairs
+
+    rows = deepwalk_pairs(spark, sf_small).collect()
+    assert rows and all(r.n_pairs >= 1 for r in rows)
+    by_pair = {(r.center, r.context): r.n_pairs for r in rows}
+    # symmetry within the top-50 cut: when both directions made the
+    # cut they must agree exactly
+    for (a, b), n in by_pair.items():
+        if (b, a) in by_pair:
+            assert by_pair[(b, a)] == n
+
+
+def test_negative_edge_sampling_accounting(spark, sf_small):
+    """Candidates = customers x K; negatives + collisions = candidates;
+    under a uniform hash the collision rate must track the measured
+    edge density."""
+    from cricket_analytics_nosql_spark.operators.graph import (
+        NEG_EDGE_K,
+        negative_edge_sampling,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    r = negative_edge_sampling(spark, sf_small).collect()[0]
+    n_cust = load_table(spark, sf_small, "customer").count()
+    assert r.n_candidates == n_cust * NEG_EDGE_K
+    assert r.n_negatives + r.n_collisions == r.n_candidates
+    # uniform-hash check: collision rate must track the measured
+    # edge density (K=4 draws/customer -> generous slack)
+    assert abs(r.collision_rate - r.edge_density) < 0.15
+    assert r.n_customers_covered <= n_cust
+
+
+def test_attribution_window_monotone(spark, sf_small):
+    """A longer attribution window can only add conversions:
+    n_converted and rate are non-decreasing in window_days; the rate
+    is a valid fraction; n_viewers is constant."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        attribution_window_sweep,
+    )
+
+    rows = attribution_window_sweep(spark, sf_small).collect()
+    assert [r.window_days for r in rows] == [1, 3, 7, 14]
+    assert len({r.n_viewers for r in rows}) == 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_converted >= prev.n_converted
+    for r in rows:
+        assert 0.0 <= r.conversion_rate <= 1.0
+
+
+def test_power_mde_scaling(spark, sf_small):
+    """MDE must be positive where variance is, and equal the closed
+    form from the emitted mean/sd/n (self-consistency up to 6dp
+    rounding); relative MDE = absolute / mean."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        MDE_Z_SUM,
+        power_analysis_mde,
+    )
+
+    rows = power_analysis_mde(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.sd_kusd >= 0.0
+        expect = MDE_Z_SUM * (2.0 * r.sd_kusd**2 / (r.n / 2.0)) ** 0.5
+        assert abs(r.mde_kusd - expect) < 1e-2  # both sides 6dp-rounded
+        if r.mean_kusd > 0:
+            assert abs(r.mde_relative - r.mde_kusd / r.mean_kusd) < 1e-2
+
+
+def test_retention_gc_keeps_latest_versions(spark, sf_small):
+    """The latest version of every key survives (kept ≥ number of
+    customers with orders in the segment), deletable + kept =
+    total, and fractions are valid."""
+    import pyspark.sql.functions as F
+
+    from cricket_analytics_nosql_spark.operators.versioning import (
+        retention_gc_plan,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = retention_gc_plan(spark, sf_small).collect()
+    assert rows
+    seg_customers = {
+        r.c_mktsegment: r.n
+        for r in load_table(spark, sf_small, "orders")
+        .join(
+            load_table(spark, sf_small, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_deletable + r.n_kept == r.n_versions
+        assert 0.0 <= r.deletable_frac <= 1.0
+        assert r.n_kept >= seg_customers[r.c_mktsegment]
