@@ -2123,6 +2123,186 @@ ORDER BY band DESC
 
 
 # ---------------------------------------------------------------------------
+# Simpson's-paradox audit — pooled vs stratified association sign
+# ---------------------------------------------------------------------------
+
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the discount→quantity association FLIP when you
+    stratify by brand? The classic aggregation trap a 100 TB
+    dashboard walks into daily: the pooled regression slope can
+    carry the opposite sign of (most of) the within-stratum slopes
+    when strata differ in both mix and level. One row: the pooled
+    OLS slope, how many brand strata agree/oppose it, and a paradox
+    flag (majority of strata oppose the pooled sign).
+
+    Exactness: discount in integer percent, quantity integer — the
+    (n, Σx, Σy, Σxy, Σxx) tuples are pure BIGINT per stratum and
+    pooled; slopes are per-row doubles; the sign comparisons are on
+    those exact doubles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_brand = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    pooled = per_brand.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+    ).select(slope.alias("pooled_slope"))
+    strata = per_brand.select(
+        flag(slope > 0).alias("pos"), flag(slope < 0).alias("neg")
+    ).agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("pos").alias("n_positive"),
+        F.sum("neg").alias("n_negative"),
+    )
+    return (
+        strata.crossJoin(F.broadcast(pooled))
+        .select(
+            "n_strata",
+            "n_positive",
+            "n_negative",
+            F.round(F.col("pooled_slope"), 6).alias("pooled_slope"),
+            flag(
+                (
+                    (F.col("pooled_slope") > 0)
+                    & (F.col("n_negative") * 2 > F.col("n_strata"))
+                )
+                | (
+                    (F.col("pooled_slope") < 0)
+                    & (F.col("n_positive") * 2 > F.col("n_strata"))
+                )
+            ).alias("paradox_flag"),
+        )
+    )
+
+
+ORACLE_SIMPSON = """
+WITH base AS (
+  SELECT p_brand,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), per_brand AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY p_brand
+), slopes AS (
+  SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+  FROM per_brand
+), strata AS (
+  SELECT COUNT(*) AS n_strata,
+         CAST(SUM(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_positive,
+         CAST(SUM(CASE WHEN slope < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_negative
+  FROM slopes
+), pooled AS (
+  SELECT (CAST(SUM(n) AS DOUBLE) * CAST(SUM(sxy) AS DOUBLE)
+          - CAST(SUM(sx) AS DOUBLE) * CAST(SUM(sy) AS DOUBLE))
+         / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(sxx) AS DOUBLE)
+            - CAST(SUM(sx) AS DOUBLE) * CAST(SUM(sx) AS DOUBLE))
+           AS pooled_slope
+  FROM per_brand
+)
+SELECT n_strata, n_positive, n_negative,
+       ROUND(pooled_slope, 6) AS pooled_slope,
+       CASE WHEN (pooled_slope > 0 AND n_negative * 2 > n_strata)
+              OR (pooled_slope < 0 AND n_positive * 2 > n_strata)
+            THEN 1 ELSE 0 END AS paradox_flag
+FROM strata, pooled
+"""
+
+
+# ---------------------------------------------------------------------------
+# Positivity / overlap audit — can the causal estimate be trusted?
+# ---------------------------------------------------------------------------
+
+POSITIVITY_LO = 0.05
+POSITIVITY_HI = 0.95
+
+
+def positivity_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positivity (overlap) audit for the discount-treatment causal
+    setup (``stratified_ate``, ``iv_wald_estimate``): per brand
+    stratum, the empirical propensity P(deep discount) — any stratum
+    with propensity outside [0.05, 0.95] has (near-)deterministic
+    assignment there, and every stratified/IPW estimator silently
+    extrapolates for it. The audit a causal pipeline must run BEFORE
+    reporting an ATE; one violating stratum at 100 TB can carry
+    billions of rows into the estimate.
+
+    One join + one 25-row stratum rollup; the violation flags are
+    integer comparisons cross-multiplied to avoid any float
+    threshold ambiguity (t_n·100 < n·5 etc.)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", flag(F.col("l_discount") >= 0.05).alias("t")
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_brand = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("t").alias("t_n"))
+    )
+    violates = flag(
+        (F.col("t_n") * 100 < F.col("n") * F.lit(int(POSITIVITY_LO * 100)))
+        | (F.col("t_n") * 100 > F.col("n") * F.lit(int(POSITIVITY_HI * 100)))
+    )
+    return per_brand.select(
+        "p_brand",
+        "n",
+        "t_n",
+        F.round(F.col("t_n").cast("double") / F.col("n").cast("double"), 6)
+        .alias("propensity"),
+        violates.alias("violates_positivity"),
+    ).orderBy("p_brand")
+
+
+ORACLE_POSITIVITY = f"""
+WITH per_brand AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+              AS BIGINT) AS t_n
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n, t_n,
+       ROUND(CAST(t_n AS DOUBLE) / CAST(n AS DOUBLE), 6) AS propensity,
+       CASE WHEN t_n * 100 < n * {int(POSITIVITY_LO * 100)}
+              OR t_n * 100 > n * {int(POSITIVITY_HI * 100)}
+            THEN 1 ELSE 0 END AS violates_positivity
+FROM per_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
 # Instrumental-variable Wald estimator with weak-instrument guard
 # ---------------------------------------------------------------------------
 
@@ -2310,5 +2490,15 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "iv_wald_estimate": QuerySpec(
         iv_wald_estimate, ORACLE_IV_WALD, ["A1", "A4", "A5", "X-curation"]
+    ),
+    "simpson_paradox_audit": QuerySpec(
+        simpson_paradox_audit,
+        ORACLE_SIMPSON,
+        ["A1", "A5", "J1", "X-curation"],
+    ),
+    "positivity_overlap_audit": QuerySpec(
+        positivity_overlap_audit,
+        ORACLE_POSITIVITY,
+        ["A1", "A3", "J1", "X-curation"],
     ),
 }

@@ -416,7 +416,72 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution roundtrip — mergeSchema across batch generations
+# ---------------------------------------------------------------------------
+
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read path: batch 1 writes (key, price),
+    batch 2 — a later producer generation — adds an o_orderstatus
+    column; reading the directory with ``mergeSchema=true`` must
+    union the schemas, null-fill the old batch, and lose no rows —
+    the evolution contract every long-lived 100 TB dataset depends
+    on (producers upgrade; history doesn't get rewritten). The
+    audit: per presence-of-status group, row count and exact cent
+    mass, equal to recomputing the same split from the source table.
+
+    Schema merging is a FOOTER-ONLY operation (no data rewrite),
+    which is why this is cheap at any scale; the explicit
+    ``mergeSchema`` option is the load-bearing line — without it
+    Spark serves the first footer it samples."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        cents(F.col("o_totalprice")).alias("price_c"),
+        "o_orderstatus",
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="evolve_"), "orders_evolving")
+    old_gen = orders.filter(F.pmod("o_orderkey", F.lit(2)) == 0).drop(
+        "o_orderstatus"
+    )
+    new_gen = orders.filter(F.pmod("o_orderkey", F.lit(2)) == 1)
+    old_gen.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+    new_gen.write.mode("append").parquet(os.path.join(out, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        back.groupBy(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<pre-evolution>"))
+            .alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_c").alias("price_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+ORACLE_SCHEMA_EVOLUTION = """
+WITH staged AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+              ELSE '<pre-evolution>' END AS status
+  FROM orders
+)
+SELECT status, COUNT(*) AS n_orders,
+       CAST(SUM(price_c) AS BIGINT) AS price_cents
+FROM staged
+GROUP BY status
+ORDER BY status
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "schema_evolution_roundtrip": QuerySpec(
+        schema_evolution_roundtrip,
+        ORACLE_SCHEMA_EVOLUTION,
+        ["S4", "S6", "P2", "X-layout"],
+    ),
     "csv_roundtrip": QuerySpec(
         csv_roundtrip, ORACLE_CSV_ROUNDTRIP, ["S1", "S4", "A1"]
     ),

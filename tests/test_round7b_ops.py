@@ -776,3 +776,53 @@ def test_retention_gc_keeps_latest_versions(spark, sf_small):
         assert r.n_deletable + r.n_kept == r.n_versions
         assert 0.0 <= r.deletable_frac <= 1.0
         assert r.n_kept >= seg_customers[r.c_mktsegment]
+
+
+def test_simpson_audit_accounting(spark, sf_small):
+    """Stratum sign counts partition (up to zero-slope strata), and
+    the paradox flag matches its own definition recomputed from the
+    emitted row."""
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        simpson_paradox_audit,
+    )
+
+    r = simpson_paradox_audit(spark, sf_small).collect()[0]
+    assert r.n_positive + r.n_negative <= r.n_strata
+    expect = int(
+        (r.pooled_slope > 0 and r.n_negative * 2 > r.n_strata)
+        or (r.pooled_slope < 0 and r.n_positive * 2 > r.n_strata)
+    )
+    assert r.paradox_flag == expect
+
+
+def test_positivity_propensity_bounds(spark, sf_small):
+    """Propensities are valid fractions and the violation flag
+    matches the integer cross-multiplied definition."""
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        positivity_overlap_audit,
+    )
+
+    rows = positivity_overlap_audit(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.propensity <= 1.0
+        expect = int(r.t_n * 100 < r.n * 5 or r.t_n * 100 > r.n * 95)
+        assert r.violates_positivity == expect
+
+
+def test_schema_evolution_no_row_loss(spark, sf_small):
+    """mergeSchema must lose no rows: group counts sum to the table
+    size, and the pre-evolution group holds exactly the even-key
+    half."""
+    import pyspark.sql.functions as F
+
+    from cricket_analytics_nosql_spark.operators.sinks import (
+        schema_evolution_roundtrip,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = schema_evolution_roundtrip(spark, sf_small).collect()
+    orders = load_table(spark, sf_small, "orders")
+    assert sum(r.n_orders for r in rows) == orders.count()
+    pre = {r.status: r.n_orders for r in rows}["<pre-evolution>"]
+    assert pre == orders.filter(F.pmod("o_orderkey", F.lit(2)) == 0).count()
