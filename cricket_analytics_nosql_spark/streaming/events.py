@@ -773,6 +773,180 @@ ORDER BY event_type, rk
 """
 
 
+def stream_wilson_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live A/B conversion monitor with Wilson 95% bounds, per day
+    window and variant (user_id parity) — the streaming twin of the
+    batch ``ab_conversion_wilson``: the state is the replay-safe
+    (window, variant) event/purchase count pair (commutative sums),
+    and the interval arithmetic runs as a batch finish on the
+    drained frame. Wilson rather than normal bounds so small early
+    windows don't emit intervals outside [0, 1] — exactly the
+    windows a live experiment dashboard shows first.
+
+    One stateful aggregation; the finish is scalar doubles per
+    (window × 2) row, textually mirrored in the oracle."""
+    staged = stage_event_files(spark, sf_dir)
+    counts = run_available_now(
+        read_events_stream(spark, staged)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.pmod("user_id", F.lit(2)).alias("variant"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+        ),
+        "complete",
+    ).select(
+        F.col("w.start").alias("win_start"),
+        "variant",
+        "n_events",
+        "n_purchases",
+    )
+    n = F.col("n_events").cast("double")
+    p = F.col("n_purchases") / F.col("n_events")
+    z2 = F.lit(1.96 * 1.96)
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(1.96)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return counts.select(
+        "win_start",
+        "variant",
+        "n_events",
+        "n_purchases",
+        F.round(p, 6).alias("purchase_rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    ).orderBy("win_start", "variant")
+
+
+ORACLE_STREAM_WILSON = """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+         user_id % 2 AS variant,
+         COUNT(*) AS n_events,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases
+  FROM events GROUP BY 1, 2
+)
+SELECT win_start, variant, n_events, n_purchases,
+       ROUND(CAST(n_purchases AS DOUBLE) / n_events, 6) AS purchase_rate,
+       ROUND(((CAST(n_purchases AS DOUBLE) / n_events)
+              + (1.96 * 1.96) / (2.0 * CAST(n_events AS DOUBLE)))
+             / (1.0 + (1.96 * 1.96) / CAST(n_events AS DOUBLE))
+             - 1.96 * sqrt((CAST(n_purchases AS DOUBLE) / n_events)
+                           * (1.0 - CAST(n_purchases AS DOUBLE) / n_events)
+                           / CAST(n_events AS DOUBLE)
+                           + (1.96 * 1.96)
+                             / (4.0 * CAST(n_events AS DOUBLE)
+                                * CAST(n_events AS DOUBLE)))
+               / (1.0 + (1.96 * 1.96) / CAST(n_events AS DOUBLE)), 6)
+         AS wilson_lo,
+       ROUND(((CAST(n_purchases AS DOUBLE) / n_events)
+              + (1.96 * 1.96) / (2.0 * CAST(n_events AS DOUBLE)))
+             / (1.0 + (1.96 * 1.96) / CAST(n_events AS DOUBLE))
+             + 1.96 * sqrt((CAST(n_purchases AS DOUBLE) / n_events)
+                           * (1.0 - CAST(n_purchases AS DOUBLE) / n_events)
+                           / CAST(n_events AS DOUBLE)
+                           + (1.96 * 1.96)
+                             / (4.0 * CAST(n_events AS DOUBLE)
+                                * CAST(n_events AS DOUBLE)))
+               / (1.0 + (1.96 * 1.96) / CAST(n_events AS DOUBLE)), 6)
+         AS wilson_hi
+FROM counts
+ORDER BY win_start, variant
+"""
+
+
+def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live distribution-drift monitor: per day window, the
+    Population Stability Index of that window's value histogram
+    against the all-time distribution — the production question
+    ("did today's traffic shift?") answered from the SAME mergeable
+    histogram state as ``stream_histogram_monitor``; the reference
+    distribution is just the state summed across windows, so one
+    drained frame feeds both sides. PSI over the shared-support
+    bins (both distributions quantized to the constant $20 grid);
+    each bin's (p−q)·ln(p/q) term is micro-nat-quantized BIGINT
+    before the per-window sum (the token_entropy_kl discipline).
+
+    PSI reading: <0.1 stable, 0.1-0.25 moderate shift, >0.25 major
+    shift — the alert thresholds are scale-free, which is what makes
+    this the drift monitor that survives a 100 TB deployment."""
+    staged = stage_event_files(spark, sf_dir)
+    hist = run_available_now(
+        histogram_state(read_events_stream(spark, staged)), "complete"
+    ).localCheckpoint()
+    w_win = Window.partitionBy("win_start")
+    globals_ = hist.groupBy("bin").agg(F.sum("n_events").alias("g"))
+    w_all = Window.partitionBy()
+    joined = (
+        hist.select(
+            "win_start",
+            "bin",
+            "n_events",
+            F.sum("n_events").over(w_win).alias("n_win"),
+        )
+        .join(
+            globals_.select(
+                "bin", "g", F.sum("g").over(w_all).alias("n_tot")
+            ),
+            "bin",
+        )
+    )
+    p = F.col("n_events").cast("double") / F.col("n_win").cast("double")
+    q = F.col("g").cast("double") / F.col("n_tot").cast("double")
+    term_u = F.round((p - q) * F.log(p / q) * F.lit(1e6)).cast("long")
+    return (
+        joined.select("win_start", "n_win", term_u.alias("term_u"))
+        .groupBy("win_start")
+        .agg(
+            F.max("n_win").alias("n_events"),
+            F.round(
+                F.sum("term_u").cast("double") / F.lit(1e6), 6
+            ).alias("psi"),
+        )
+        .orderBy("win_start")
+    )
+
+
+ORACLE_STREAM_PSI = f"""
+WITH hist AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+         CAST(ROUND(value * 100, 0) AS BIGINT) // {HIST_BIN_CENTS} AS bin,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), per_win AS (
+  SELECT win_start, bin, n_events,
+         SUM(n_events) OVER (PARTITION BY win_start) AS n_win
+  FROM hist
+), gdist AS (
+  SELECT bin, SUM(n_events) AS g,
+         SUM(SUM(n_events)) OVER () AS n_tot
+  FROM hist GROUP BY bin
+), terms AS (
+  SELECT win_start, n_win,
+         CAST(ROUND((CAST(p.n_events AS DOUBLE) / p.n_win
+                     - CAST(g.g AS DOUBLE) / g.n_tot)
+                    * ln((CAST(p.n_events AS DOUBLE) / p.n_win)
+                         / (CAST(g.g AS DOUBLE) / g.n_tot))
+                    * 1e6) AS BIGINT) AS term_u
+  FROM per_win p JOIN gdist g USING (bin)
+)
+SELECT win_start, CAST(MAX(n_win) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(term_u) AS DOUBLE) / 1e6, 6) AS psi
+FROM terms
+GROUP BY win_start
+ORDER BY win_start
+"""
+
+
 def stream_percentile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live P50/P95 of event value per day window, from the SAME
     mergeable fixed-bin histogram state as ``stream_histogram_
@@ -854,6 +1028,16 @@ ORDER BY win_start
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "stream_wilson_monitor": QuerySpec(
+        stream_wilson_monitor,
+        ORACLE_STREAM_WILSON,
+        ["§2.11", "A1", "A3", "X-curation"],
+    ),
+    "stream_psi_monitor": QuerySpec(
+        stream_psi_monitor,
+        ORACLE_STREAM_PSI,
+        ["§2.11", "A1", "X-curation", "X-ts"],
+    ),
     "stream_percentile_monitor": QuerySpec(
         stream_percentile_monitor,
         ORACLE_STREAM_PERCENTILE,

@@ -554,3 +554,36 @@ def test_batch_stream_parity_bitmap_distinct(spark, staged, events_batch):
         .collect()
     }
     assert got2 == want
+
+
+def test_stream_wilson_brackets_rate(spark, sf_small):
+    """Wilson bounds must bracket the point rate inside [0, 1] for
+    every (window, variant) row — including the small early windows
+    the interval exists for."""
+    from cricket_analytics_nosql_spark.streaming.events import (
+        stream_wilson_monitor,
+    )
+
+    rows = stream_wilson_monitor(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.purchase_rate <= r.wilson_hi <= 1.0
+        assert {r.variant} <= {0, 1}
+
+
+def test_stream_psi_nonnegative_and_scaled(spark, sf_small):
+    """PSI is a sum of (p-q)ln(p/q) terms, each non-negative, so the
+    per-window index must be ≥ 0 (micro-nat slack); the all-time
+    mixture of the windows IS the reference, so windows can't all be
+    wildly shifted — the minimum PSI must be small."""
+    from cricket_analytics_nosql_spark.streaming.events import (
+        stream_psi_monitor,
+    )
+
+    rows = stream_psi_monitor(spark, sf_small).collect()
+    assert rows
+    eps = 1e-4
+    for r in rows:
+        assert r.psi >= -eps
+        assert r.n_events > 0
+    assert min(r.psi for r in rows) < 0.5
