@@ -216,10 +216,188 @@ LIMIT 10
 """
 
 
+def _demo_deliveries(spark: SparkSession) -> DataFrame:
+    """Stage the fixture dump and run the full S1/S2/F1 path —
+    the shared front half of every cricket catalog query."""
+    from cricket_analytics_nosql_spark.operators.etl import flatten_deliveries
+    from cricket_analytics_nosql_spark.sources.cricket_fixtures import (
+        write_demo_dir,
+    )
+    from cricket_analytics_nosql_spark.sources.cricsheet import (
+        read_cricsheet,
+        split_quarantine,
+    )
+
+    good, _bad = split_quarantine(read_cricsheet(spark, write_demo_dir()))
+    return flatten_deliveries(good)
+
+
+def _deliveries_cte_sql() -> str:
+    """Shared oracle prefix: DuckDB re-runs parse → quarantine →
+    3-level flatten from the same fixture bytes (the
+    _cricket_pipeline_oracle construction, factored so every cricket
+    analytics query rides the identical independent ETL replay).
+    Emits per-ball rows (battingTeam, batter, bowler, runs_batter,
+    runs_total, wkt) including the list-vs-single-dict wicket drift
+    fix (P8)."""
+    from cricket_analytics_nosql_spark.sources.cricket_fixtures import (
+        demo_files_values_sql,
+    )
+
+    return f"""
+WITH files(name, raw) AS (VALUES {demo_files_values_sql()}),
+parsed AS (SELECT TRY_CAST(raw AS JSON) AS j FROM files),
+inn AS (
+  SELECT unnest(CAST(j->'$.innings' AS JSON[])) AS inning
+  FROM parsed WHERE j IS NOT NULL
+),
+ov AS (
+  SELECT inning->>'$.team' AS battingTeam,
+         unnest(CAST(inning->'$.overs' AS JSON[])) AS ov
+  FROM inn
+),
+del AS (
+  SELECT battingTeam,
+         unnest(CAST(ov->'$.deliveries' AS JSON[])) AS d
+  FROM ov
+),
+balls AS (
+  SELECT battingTeam,
+         COALESCE(d->>'$.batter', d->>'$.striker') AS batter,
+         d->>'$.bowler' AS bowler,
+         CAST(COALESCE(d->'$.runs'->>'$.batter', '0') AS BIGINT)
+           AS runs_batter,
+         CAST(COALESCE(d->'$.runs'->>'$.total',
+              CAST(CAST(COALESCE(d->'$.runs'->>'$.batter', '0') AS BIGINT)
+                   + CAST(COALESCE(d->'$.runs'->>'$.extras', '0') AS BIGINT)
+                   AS VARCHAR)) AS BIGINT) AS runs_total,
+         CASE WHEN (d->'$.wickets') IS NOT NULL THEN
+                CASE WHEN json_array_length(d->'$.wickets') > 0
+                     THEN 1 ELSE 0 END
+              WHEN (d->'$.wicket') IS NOT NULL THEN 1
+              ELSE 0 END AS wkt
+  FROM del
+)
+"""
+
+
+def cricket_wickets_by_bowler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$project(wkts) → $group → $sort → $limit
+    (mongo_analytics_examples.py:31-38), end-to-end from the staged
+    dump through the flatten — the reference's second analytics
+    pipeline as its own driver-checked entry."""
+    return wickets_by_bowler(_demo_deliveries(spark), limit=10)
+
+
+ORACLE_CRICKET_WICKETS = (
+    _deliveries_cte_sql()
+    + """
+SELECT bowler, CAST(SUM(wkt) AS BIGINT) AS wickets
+FROM balls GROUP BY bowler
+ORDER BY wickets DESC, bowler ASC
+LIMIT 10
+"""
+)
+
+
+def cricket_batter_vs_bowler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kohli_vs_southee (mongo_analytics_examples.py:40-48) / Cypher
+    (a): the head-to-head duel with the reference's own default
+    protagonists, P17-parameterized."""
+    return batter_vs_bowler(_demo_deliveries(spark), "V Kohli", "TG Southee")
+
+
+ORACLE_CRICKET_DUEL = (
+    _deliveries_cte_sql()
+    + """
+SELECT COUNT(*) AS balls,
+       CAST(SUM(runs_total) AS BIGINT) AS runs,
+       CAST(SUM(wkt) AS BIGINT) AS outs
+FROM balls
+WHERE batter = 'V Kohli' AND bowler = 'TG Southee'
+"""
+)
+
+
+def cricket_toughest_bowlers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher (b) (cypher_queries.cypher:10-16): the anchored
+    one-sided join with HAVING — min_balls lowered to 1 so the
+    6-ball fixture exercises the full shape."""
+    return toughest_bowlers(
+        _demo_deliveries(spark), "V Kohli", min_balls=1, limit=10
+    )
+
+
+ORACLE_CRICKET_TOUGHEST = (
+    _deliveries_cte_sql()
+    + """
+SELECT bowler, COUNT(*) AS balls,
+       CAST(SUM(runs_total) AS BIGINT) AS runs,
+       CAST(SUM(runs_total) AS DOUBLE) / COUNT(*) * 100 AS strikeRate,
+       CAST(SUM(wkt) AS BIGINT) AS outs
+FROM balls
+WHERE batter = 'V Kohli'
+GROUP BY bowler
+HAVING COUNT(*) >= 1
+ORDER BY strikeRate ASC, outs DESC, bowler ASC
+LIMIT 10
+"""
+)
+
+
+def cricket_partnerships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher (c) (cypher_queries.cypher:18-25): batters of one team
+    co-facing the same bowler — the 2-hop self-join with theta
+    residual, min_co lowered to 1 for the fixture scale."""
+    return partnership_proxy(
+        _demo_deliveries(spark), "India", min_co=1, limit=20
+    )
+
+
+ORACLE_CRICKET_PARTNERSHIPS = (
+    _deliveries_cte_sql()
+    + """
+, per_pair AS (
+  SELECT batter, bowler, COUNT(*) AS n
+  FROM balls WHERE battingTeam = 'India'
+  GROUP BY batter, bowler
+)
+SELECT pa.batter AS a, pb.batter AS b,
+       CAST(SUM(pa.n * pb.n) AS BIGINT) AS co_appearances
+FROM per_pair pa JOIN per_pair pb ON pa.bowler = pb.bowler
+WHERE pa.batter <> pb.batter
+GROUP BY pa.batter, pb.batter
+HAVING SUM(pa.n * pb.n) >= 1
+ORDER BY co_appearances DESC, a, b
+LIMIT 20
+"""
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cricket_pipeline": QuerySpec(
         cricket_pipeline,
         _cricket_pipeline_oracle(),
         ["S1", "S2", "F1", "P7", "P8", "P11", "P12", "T1", "T2", "T5"],
+    ),
+    "cricket_wickets_by_bowler": QuerySpec(
+        cricket_wickets_by_bowler,
+        ORACLE_CRICKET_WICKETS,
+        ["S1", "F1", "P8", "P13", "A2", "T1", "T5"],
+    ),
+    "cricket_batter_vs_bowler": QuerySpec(
+        cricket_batter_vs_bowler,
+        ORACLE_CRICKET_DUEL,
+        ["S1", "F1", "P10", "P17", "A4"],
+    ),
+    "cricket_toughest_bowlers": QuerySpec(
+        cricket_toughest_bowlers,
+        ORACLE_CRICKET_TOUGHEST,
+        ["S1", "F1", "J2", "A6", "P17", "T3"],
+    ),
+    "cricket_partnerships": QuerySpec(
+        cricket_partnerships,
+        ORACLE_CRICKET_PARTNERSHIPS,
+        ["S1", "F1", "J3", "P16", "A8", "T1"],
     ),
 }

@@ -371,3 +371,27 @@ def test_cli_pipeline_with_lookup_and_merge_sink(spark, tmp_path):
         ["pipeline", "--warehouse", wh, "--collection", "deliveries",
          "--pipeline", json.dumps(lk)]
     ) == 0
+
+
+def test_cricket_analytics_fixture_truths(spark):
+    """Hand-derivable truths of the 6-ball fixture: Kohli faced
+    Southee on balls 1-2 (4 + 0/1-extra = 5 total runs, 0
+    dismissals in that duel — Boult bowled him, not Southee);
+    Boult and Bumrah took 1 wicket each; the India partnership
+    pairs are symmetric."""
+    from cricket_analytics_nosql_spark.operators.cricket import (
+        cricket_batter_vs_bowler,
+        cricket_partnerships,
+        cricket_wickets_by_bowler,
+    )
+
+    duel = cricket_batter_vs_bowler(spark, "unused").collect()[0]
+    assert (duel.balls, duel.runs, duel.outs) == (2, 5, 0)
+    wk = {r.bowler: r.wickets for r in
+          cricket_wickets_by_bowler(spark, "unused").collect()}
+    assert wk["T Boult"] == 1 and wk["J Bumrah"] == 1
+    assert wk["TG Southee"] == 0
+    pairs = cricket_partnerships(spark, "unused").collect()
+    by_pair = {(r.a, r.b): r.co_appearances for r in pairs}
+    for (a, b), n in by_pair.items():
+        assert by_pair[(b, a)] == n
