@@ -3402,7 +3402,138 @@ ORDER BY nprobe
 ORACLE_ANN_NPROBE_SWEEP = _nprobe_oracle()
 
 
+# ---------------------------------------------------------------------------
+# kNN majority-vote label evaluation
+# ---------------------------------------------------------------------------
+
+KNN_EVAL_K = 5
+KNN_EVAL_QUERY_MOD = 5  # deterministic 1/5 of vectors serve as eval queries
+
+
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out kNN classification eval: a deterministic 1/5 of
+    the vectors are held-out queries; each is classified by the
+    majority label of its 5 exact-cosine nearest neighbors (ties:
+    smaller label), and the readout is per-true-label n / correct /
+    recall — the "are the labels even learnable from geometry"
+    sanity gate run before training any classifier on an embedding
+    column, complementing ``nearest_centroid_confusion`` (centroids
+    flatten multi-modal classes; kNN doesn't).
+
+    Shape: the query slice broadcasts against one corpus scan
+    (ann_brute_force posture), top-k and majority vote are two
+    windows over the (queries × k)-sized frame, and the readout is
+    a ≤|labels|-row rollup. Cosines are exact doubles from the same
+    expression tree on both engines."""
+    emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "vn", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    queries = emb.filter(
+        F.pmod("vec_id", F.lit(KNN_EVAL_QUERY_MOD)) == 0
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q"),
+        F.col("vn").alias("qn"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "true_label",
+            "label",
+            F.round(
+                dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+            ).alias("cos"),
+            "vec_id",
+        )
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    topk = scored.withColumn("rk", F.row_number().over(w_rank)).filter(
+        F.col("rk") <= KNN_EVAL_K
+    )
+    votes = topk.groupBy("q_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_vote = Window.partitionBy("q_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select("q_id", "true_label", F.col("label").alias("predicted"))
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                flag(F.col("predicted") == F.col("true_label"))
+            ).alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("true_label")
+    )
+
+
+ORACLE_KNN_LABEL_EVAL = f"""
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, label AS true_label FROM emb
+  WHERE vec_id % {KNN_EVAL_QUERY_MOD} = 0
+), scored AS (
+  SELECT q_id, true_label, e.label, e.vec_id,
+         ROUND(list_inner_product(qv, v)
+               / (sqrt(list_inner_product(qv, qv))
+                  * sqrt(list_inner_product(v, v))), 6) AS cos
+  FROM q, emb e
+  WHERE e.vec_id <> q.q_id
+), topk AS (
+  SELECT q_id, true_label, label FROM (
+    SELECT q_id, true_label, label,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, vec_id ASC) AS rk
+    FROM scored
+  ) WHERE rk <= {KNN_EVAL_K}
+), votes AS (
+  SELECT q_id, true_label, label, COUNT(*) AS n_votes
+  FROM topk GROUP BY q_id, true_label, label
+), pred AS (
+  SELECT q_id, true_label, label AS predicted FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY n_votes DESC, label ASC) AS vr
+    FROM votes
+  ) WHERE vr = 1
+)
+SELECT true_label, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS recall
+FROM pred
+GROUP BY true_label
+ORDER BY true_label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "knn_label_eval": QuerySpec(
+        knn_label_eval,
+        ORACLE_KNN_LABEL_EVAL,
+        ["X-ann", "A1", "J1", "T1"],
+    ),
     "ann_nprobe_sweep": QuerySpec(
         ann_nprobe_sweep,
         ORACLE_ANN_NPROBE_SWEEP,

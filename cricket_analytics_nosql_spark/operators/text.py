@@ -2845,7 +2845,166 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Positional-index phrase search — the Lucene-style position join
+# ---------------------------------------------------------------------------
+
+def positional_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index — the IR
+    primitive the char-n-gram index (``ngram_index_search``) can't
+    express: "these three words, ADJACENT, in this order". The index
+    is the classic (term, doc, position) posting list; a 3-word
+    phrase match is two self-equi-joins on (doc, pos+1) and
+    (doc, pos+2) — co-partitioned on doc, no candidate explosion
+    beyond true adjacency. The demo phrase is data-driven (the
+    corpus's most frequent word trigram, ties lexicographic), so
+    the query is self-contained at any SF; output = that phrase,
+    its total occurrence count, and the top-5 matching docs.
+
+    At 100 TB the postings index is built once (bucketed by term)
+    and the same two joins run against the posting shards — the
+    standard positional-search plan."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    index = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "term")
+    ).filter(F.length("term") > 0)
+    # raw (NON-distinct) trigram occurrences — shingles_col dedupes
+    # within a doc, which is right for Jaccard but would pick the
+    # "most widespread" rather than "most frequent" phrase here
+    words = tokens_col(F.col("text"))
+    raw_tris = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = docs.select(F.explode(raw_tris).alias("t"))
+    w_top = Window.orderBy(F.desc("n"), F.asc("t"))
+    phrase = (
+        tri.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.split(F.col("t"), " ").alias("w"),
+            F.col("t").alias("phrase"),
+        )
+        .select(
+            "phrase",
+            F.element_at("w", 1).alias("w1"),
+            F.element_at("w", 2).alias("w2"),
+            F.element_at("w", 3).alias("w3"),
+        )
+    )
+    p1 = index.crossJoin(F.broadcast(phrase)).filter(
+        F.col("term") == F.col("w1")
+    )
+    p2 = index.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("pos2"),
+        F.col("term").alias("t2"),
+    )
+    p3 = index.select(
+        F.col("doc_id").alias("d3"),
+        F.col("pos").alias("pos3"),
+        F.col("term").alias("t3"),
+    )
+    matches = (
+        p1.join(
+            p2,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("pos2") == F.col("pos") + 1)
+            & (F.col("t2") == F.col("w2")),
+        )
+        .join(
+            p3,
+            (F.col("doc_id") == F.col("d3"))
+            & (F.col("pos3") == F.col("pos") + 2)
+            & (F.col("t3") == F.col("w3")),
+        )
+        .groupBy("phrase", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    w_doc = Window.orderBy(F.desc("n_occ"), F.asc("doc_id"))
+    w_all = Window.partitionBy()
+    return (
+        matches.select(
+            "phrase",
+            "doc_id",
+            "n_occ",
+            F.sum("n_occ").over(w_all).alias("total_occurrences"),
+            F.count(F.lit(1)).over(w_all).alias("n_docs"),
+            F.row_number().over(w_doc).alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+        .select(
+            "phrase",
+            "rk",
+            "doc_id",
+            "n_occ",
+            "total_occurrences",
+            "n_docs",
+        )
+        .orderBy("rk")
+    )
+
+
+ORACLE_PHRASE_SEARCH = """
+WITH idx AS (
+  SELECT doc_id, t.pos - 1 AS pos, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS term,
+                       generate_subscripts(string_split(text, ' '), 1)
+                         AS pos) t
+  WHERE length(t.term) > 0
+), words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), tris AS (
+  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+  FROM words, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 3
+), phrase AS (
+  SELECT t AS phrase,
+         string_split(t, ' ')[1] AS w1,
+         string_split(t, ' ')[2] AS w2,
+         string_split(t, ' ')[3] AS w3
+  FROM (
+    SELECT t, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t ASC) AS rk
+    FROM tris GROUP BY t
+  ) WHERE rk = 1
+), matches AS (
+  SELECT phrase, p1.doc_id, COUNT(*) AS n_occ
+  FROM idx p1, phrase, idx p2, idx p3
+  WHERE p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+    AND p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+    AND p1.term = w1 AND p2.term = w2 AND p3.term = w3
+  GROUP BY phrase, p1.doc_id
+), ranked AS (
+  SELECT phrase, doc_id, n_occ,
+         CAST(SUM(n_occ) OVER () AS BIGINT) AS total_occurrences,
+         COUNT(*) OVER () AS n_docs,
+         ROW_NUMBER() OVER (ORDER BY n_occ DESC, doc_id ASC) AS rk
+  FROM matches
+)
+SELECT phrase, CAST(rk AS BIGINT) AS rk, doc_id, n_occ,
+       total_occurrences, n_docs
+FROM ranked WHERE rk <= 5
+ORDER BY rk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "positional_phrase_search": QuerySpec(
+        positional_phrase_search,
+        ORACLE_PHRASE_SEARCH,
+        ["S5", "X-text", "J3", "A8", "T1"],
+    ),
     "kneser_ney_surprisal": QuerySpec(
         kneser_ney_surprisal,
         ORACLE_KNESER_NEY,

@@ -826,3 +826,53 @@ def test_schema_evolution_no_row_loss(spark, sf_small):
     assert sum(r.n_orders for r in rows) == orders.count()
     pre = {r.status: r.n_orders for r in rows}["<pre-evolution>"]
     assert pre == orders.filter(F.pmod("o_orderkey", F.lit(2)) == 0).count()
+
+
+def test_knn_label_eval_accounting(spark, sf_small):
+    """Held-out query counts sum to the deterministic 1/5 slice,
+    recalls are valid fractions, and correct ≤ n per label."""
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        KNN_EVAL_QUERY_MOD,
+        knn_label_eval,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    rows = knn_label_eval(spark, sf_small).collect()
+    n_queries = (
+        load_table(spark, sf_small, "embeddings")
+        .filter(F.pmod("vec_id", F.lit(KNN_EVAL_QUERY_MOD)) == 0)
+        .count()
+    )
+    assert sum(r.n for r in rows) == n_queries
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n
+        assert 0.0 <= r.recall <= 1.0
+
+
+def test_phrase_search_adjacency(spark, sf_small):
+    """Every reported doc must actually contain the phrase as an
+    adjacent substring of its whitespace tokens, exactly n_occ
+    times; totals reconcile."""
+    from cricket_analytics_nosql_spark.operators.text import (
+        positional_phrase_search,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = positional_phrase_search(spark, sf_small).collect()
+    assert rows
+    phrase = rows[0].phrase
+    words = phrase.split(" ")
+    assert len(words) == 3
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_small, "documents").collect()
+    }
+    for r in rows:
+        toks = docs[r.doc_id].split(" ")
+        occ = sum(
+            1
+            for i in range(len(toks) - 2)
+            if toks[i : i + 3] == words
+        )
+        assert occ == r.n_occ, (r.doc_id, occ, r.n_occ)
