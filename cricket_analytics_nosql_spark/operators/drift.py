@@ -3918,7 +3918,113 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Freedman-Diaconis adaptive histogram
+# ---------------------------------------------------------------------------
+
+def freedman_diaconis_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of order totals with the bin width CHOSEN FROM THE
+    DATA by the Freedman-Diaconis rule h = 2·IQR/n^(1/3) — the
+    binning every fixed-width histogram in this catalog hard-codes,
+    made principled: FD is robust to outliers (IQR, not range) and
+    adapts resolution to sample size, so the same query renders a
+    sensible histogram at any SF without retuning.
+
+    Exactness: values quantized to whole dollars; the IQR comes
+    from exact type-1 quantiles over the dollar-value rollup (the
+    KS posture — the unpartitioned cumsum window runs on the
+    domain-bounded distinct-value frame, never the fact stream); h
+    is one double expression rounded up to whole dollars; the final
+    histogram is an integer rollup keyed by the derived bin."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("cast(floor(o_totalprice) as bigint)").alias("d")
+    )
+    per_val = o.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = per_val.select(
+        "d",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    quart = cum.agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("cum") * 4 >= F.col("n"), F.col("d"))
+        ).alias("q25"),
+        F.min(
+            F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("d"))
+        ).alias("q75"),
+    )
+    h = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(
+            F.lit(2.0)
+            * (F.col("q75") - F.col("q25")).cast("double")
+            / F.pow(F.col("n").cast("double"), F.lit(1.0 / 3.0))
+        ).cast("long"),
+    )
+    params = quart.select(
+        "n",
+        (F.col("q75") - F.col("q25")).alias("iqr_usd"),
+        h.alias("bin_usd"),
+    )
+    return (
+        o.crossJoin(F.broadcast(params))
+        .groupBy("n", "iqr_usd", "bin_usd", F.expr("d div bin_usd").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bin",
+            (F.col("bin") * F.col("bin_usd")).alias("bin_lo_usd"),
+            "n_orders",
+            "iqr_usd",
+            "bin_usd",
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_FD_HISTOGRAM = """
+WITH o AS (
+  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS d FROM orders
+), per_val AS (
+  SELECT d, COUNT(*) AS c FROM o GROUP BY d
+), cum AS (
+  SELECT d,
+         SUM(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS n
+  FROM per_val
+), quart AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         MIN(CASE WHEN cum * 4 >= n THEN d END) AS q25,
+         MIN(CASE WHEN cum * 4 >= n * 3 THEN d END) AS q75
+  FROM cum
+), params AS (
+  SELECT n, q75 - q25 AS iqr_usd,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(CEIL(2.0 * CAST(q75 - q25 AS DOUBLE)
+                            / POWER(CAST(n AS DOUBLE), 1.0 / 3.0))
+                       AS BIGINT)) AS bin_usd
+  FROM quart
+)
+SELECT d // bin_usd AS bin,
+       (d // bin_usd) * bin_usd AS bin_lo_usd,
+       COUNT(*) AS n_orders,
+       iqr_usd, bin_usd
+FROM o, params
+GROUP BY 1, 2, iqr_usd, bin_usd
+ORDER BY bin
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "freedman_diaconis_histogram": QuerySpec(
+        freedman_diaconis_histogram,
+        ORACLE_FD_HISTOGRAM,
+        ["A1", "A4", "§2.8", "X-curation"],
+    ),
     "anova_weekday_revenue": QuerySpec(
         anova_weekday_revenue, ORACLE_ANOVA_WEEKDAY, ["A1", "A4", "X-curation"]
     ),

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cricket_analytics_nosql_spark.functions.scalar import cents, dollars, epoch_day
+from cricket_analytics_nosql_spark.functions.scalar import cents, dollars, epoch_day, flag
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.sources.tables import load_table
 
@@ -1900,7 +1900,83 @@ ORDER BY window_days
 ORACLE_ATTR_SWEEP = _attr_sweep_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Negative-binomial fit of per-user activity (method of moments)
+# ---------------------------------------------------------------------------
+
+def negbin_fit_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit of per-user event
+    counts, per event type — the QUANTIFIED sequel to
+    ``activity_dispersion``: where the dispersion index only says
+    "overdispersed", the NB(r, p) parameters are what a synthetic-
+    traffic generator or capacity model actually consumes (r = the
+    heterogeneity shape, small r = a heavy-tailed user base). The
+    fit is refused (NULL) when σ² ≤ μ — underdispersed data has no
+    NB representation and emitting parameters anyway would be a
+    silent lie (the iv_wald guard discipline).
+
+    Same two-rollup shape as the dispersion index: integer
+    (n, Σc, Σc²) per type; r = μ²/(σ²−μ) and p = μ/σ² are scalar
+    doubles on the ≤|types|-row frame."""
+    pc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = pc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    nd = F.col("n_users").cast("double")
+    mu = F.col("s").cast("double") / nd
+    var = F.col("ss").cast("double") / nd - mu * mu
+    over = var > mu
+    return agg.select(
+        "event_type",
+        "n_users",
+        F.round(mu, 6).alias("mean_per_user"),
+        F.round(var, 6).alias("var_per_user"),
+        flag(over).alias("overdispersed"),
+        F.round(F.when(over, mu * mu / (var - mu)), 6).alias("nb_r"),
+        F.round(F.when(over, mu / var), 6).alias("nb_p"),
+    ).orderBy("event_type")
+
+
+ORACLE_NEGBIN_FIT = """
+WITH pc AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM pc GROUP BY event_type
+), m AS (
+  SELECT event_type, n_users,
+         CAST(s AS DOUBLE) / n_users AS mu,
+         CAST(ss AS DOUBLE) / n_users
+           - (CAST(s AS DOUBLE) / n_users)
+             * (CAST(s AS DOUBLE) / n_users) AS v
+  FROM agg
+)
+SELECT event_type, n_users,
+       ROUND(mu, 6) AS mean_per_user,
+       ROUND(v, 6) AS var_per_user,
+       CASE WHEN v > mu THEN 1 ELSE 0 END AS overdispersed,
+       ROUND(CASE WHEN v > mu THEN mu * mu / (v - mu) END, 6) AS nb_r,
+       ROUND(CASE WHEN v > mu THEN mu / v END, 6) AS nb_p
+FROM m
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "negbin_fit_activity": QuerySpec(
+        negbin_fit_activity,
+        ORACLE_NEGBIN_FIT,
+        ["A1", "A4", "X-ts", "X-curation"],
+    ),
     "attribution_window_sweep": QuerySpec(
         attribution_window_sweep,
         ORACLE_ATTR_SWEEP,

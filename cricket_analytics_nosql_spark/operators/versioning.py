@@ -666,7 +666,105 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the star schema
+# ---------------------------------------------------------------------------
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan scan over every foreign-key edge of the star schema
+    (lineitem→orders/part/supplier, orders→customer,
+    customer/supplier→nation, nation→region) — the referential-
+    integrity audit a lakehouse runs after every ingest, because
+    parquet enforces nothing: one row per FK edge with child row
+    count and orphan count. Each edge is a left-anti join on the key
+    (broadcastable dimension side where AQE chooses; the big fact
+    edges co-partition), and the seven counts union into a
+    7-row report.
+
+    An orphan count of zero everywhere is the precondition for every
+    join in this catalog being lossless inner joins."""
+    edges = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey -> nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey -> region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+    frames = []
+    for fk_name, child, ck, parent, pk in edges:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = c.join(p, "k", "left_anti")
+        frames.append(
+            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+                )
+            ).select(F.lit(fk_name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("fk_edge")
+
+
+ORACLE_FK_INTEGRITY = """
+SELECT * FROM (
+  SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+         (SELECT COUNT(*) FROM lineitem) AS n_child,
+         (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+           AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_partkey -> part',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+            ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey -> supplier',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+            ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+  UNION ALL
+  SELECT 'orders.o_custkey -> customer',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+  UNION ALL
+  SELECT 'customer.c_nationkey -> nation',
+         (SELECT COUNT(*) FROM customer),
+         (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+            ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+  UNION ALL
+  SELECT 'supplier.s_nationkey -> nation',
+         (SELECT COUNT(*) FROM supplier),
+         (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n
+            ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+  UNION ALL
+  SELECT 'nation.n_regionkey -> region',
+         (SELECT COUNT(*) FROM nation),
+         (SELECT COUNT(*) FROM nation n LEFT JOIN region r
+            ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL)
+)
+ORDER BY fk_edge
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "fk_integrity_audit": QuerySpec(
+        fk_integrity_audit,
+        ORACLE_FK_INTEGRITY,
+        ["J6", "A4", "P11", "X-curation"],
+    ),
     "retention_gc_plan": QuerySpec(
         retention_gc_plan,
         ORACLE_RETENTION_GC,

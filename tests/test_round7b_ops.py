@@ -876,3 +876,61 @@ def test_phrase_search_adjacency(spark, sf_small):
             if toks[i : i + 3] == words
         )
         assert occ == r.n_occ, (r.doc_id, occ, r.n_occ)
+
+
+def test_fk_integrity_zero_orphans(spark, sf_small):
+    """The driver's synthetic star schema is referentially intact:
+    all seven FK edges must report zero orphans, with child counts
+    matching the raw table sizes."""
+    from cricket_analytics_nosql_spark.operators.versioning import (
+        fk_integrity_audit,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = fk_integrity_audit(spark, sf_small).collect()
+    assert len(rows) == 7
+    li = load_table(spark, sf_small, "lineitem").count()
+    for r in rows:
+        assert r.n_orphans == 0, r.fk_edge
+        if r.fk_edge.startswith("lineitem."):
+            assert r.n_child == li
+
+
+def test_fd_histogram_partition(spark, sf_small):
+    """FD bins partition the orders (counts sum to the table size),
+    the bin width is ≥ $1, lower edges are bin*width, IQR ≥ 0."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        freedman_diaconis_histogram,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = freedman_diaconis_histogram(spark, sf_small).collect()
+    assert rows
+    total = load_table(spark, sf_small, "orders").count()
+    assert sum(r.n_orders for r in rows) == total
+    widths = {r.bin_usd for r in rows}
+    assert len(widths) == 1
+    w = widths.pop()
+    assert w >= 1
+    for r in rows:
+        assert r.bin_lo_usd == r.bin * w
+        assert r.iqr_usd >= 0
+
+
+def test_negbin_fit_guard_and_identity(spark, sf_small):
+    """Where the fit is emitted, the NB mean identity r(1-p)/p = μ
+    must hold (up to 6dp rounding); where refused, variance ≤ mean."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        negbin_fit_activity,
+    )
+
+    rows = negbin_fit_activity(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        if r.overdispersed == 1:
+            assert r.nb_r is not None and r.nb_p is not None
+            mu = r.nb_r * (1.0 - r.nb_p) / r.nb_p
+            assert abs(mu - r.mean_per_user) < 1e-2
+        else:
+            assert r.nb_r is None and r.nb_p is None
+            assert r.var_per_user <= r.mean_per_user + 1e-9
