@@ -1971,7 +1971,192 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Conversion-path analysis — the last-3-events path table
+# ---------------------------------------------------------------------------
+
+def conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top converting paths: for every user's FIRST purchase, the
+    ordered sequence of up to 3 events immediately preceding it,
+    joined into a path string ("view>click>error>purchase") and
+    counted — the Sankey/path-analysis readout product teams use to
+    see which behavior actually precedes conversion (vs the
+    marketing-touch view of ``multi_touch_attribution``).
+
+    Shape: one user-keyed window finds the first purchase and the
+    three lags before it; only the single conversion row per user
+    survives to the path rollup, so the exchange after the window
+    carries |converting users| rows. Ties inside the path rollup
+    break lexicographically for a deterministic top-10."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_lags = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 3).over(w).alias("p3"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy(
+                F.when(F.col("event_type") == "purchase", 0).otherwise(1),
+                "ts",
+                "event_id",
+            )
+        )
+        .alias("conv_rank"),
+    )
+    first_purchase = with_lags.filter(
+        (F.col("event_type") == "purchase") & (F.col("conv_rank") == 1)
+    )
+    path = F.concat_ws(
+        ">",
+        F.col("p3"),
+        F.col("p2"),
+        F.col("p1"),
+        F.lit("purchase"),
+    )
+    return (
+        first_purchase.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(10)
+    )
+
+
+ORACLE_CONVERSION_PATHS = """
+WITH lagged AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 1) OVER w AS p1,
+         LAG(event_type, 2) OVER w AS p2,
+         LAG(event_type, 3) OVER w AS p3,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END,
+                    ts, event_id
+         ) AS conv_rank
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), conv AS (
+  SELECT concat_ws('>', p3, p2, p1, 'purchase') AS path
+  FROM lagged
+  WHERE event_type = 'purchase' AND conv_rank = 1
+)
+SELECT path, COUNT(*) AS n_users
+FROM conv
+GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# SLO burn rate — short-window vs long-window error-rate ratio
+# ---------------------------------------------------------------------------
+
+SLO_TARGET_PPM = 250_000  # error budget: 25% of events may be errors
+
+
+def slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn rate over the event stream: per day, the
+    1-day error rate, the trailing-7-day error rate (RANGE window
+    over the calendar-bounded day rollup), and each as a multiple of
+    the error budget — the Google-SRE alerting construction (alert
+    when BOTH windows burn hot: the short window proves it's
+    happening now, the long window proves it's not a blip). The
+    ``alert`` flag is the 2-window AND at burn > 1.
+
+    Integer day-grain rollup first (the fact stream exchanges once,
+    keyed by day), then RANGE BETWEEN 6 PRECEDING over the ≤|days|
+    frame; burn ratios are cross-multiplied BIGINT comparisons for
+    the flag and one division each for display."""
+    ev = load_table(spark, sf_dir, "events").select(
+        epoch_day("ts").alias("day"),
+        flag(F.col("event_type") == "error").alias("is_err"),
+    )
+    per_day = ev.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_err").alias("errs"),
+    )
+    w7 = (
+        Window.orderBy("day").rangeBetween(-6, 0)
+    )
+    rolled = per_day.select(
+        "day",
+        "n",
+        "errs",
+        F.sum("n").over(w7).alias("n7"),
+        F.sum("errs").over(w7).alias("errs7"),
+    )
+    burn1 = (
+        F.col("errs").cast("double")
+        / F.col("n").cast("double")
+        / F.lit(SLO_TARGET_PPM / 1e6)
+    )
+    burn7 = (
+        F.col("errs7").cast("double")
+        / F.col("n7").cast("double")
+        / F.lit(SLO_TARGET_PPM / 1e6)
+    )
+    alert = flag(
+        (F.col("errs") * F.lit(1_000_000).cast("long")
+         > F.col("n") * F.lit(SLO_TARGET_PPM).cast("long"))
+        & (F.col("errs7") * F.lit(1_000_000).cast("long")
+           > F.col("n7") * F.lit(SLO_TARGET_PPM).cast("long"))
+    )
+    return rolled.select(
+        "day",
+        "n",
+        "errs",
+        F.round(burn1, 6).alias("burn_1d"),
+        F.round(burn7, 6).alias("burn_7d"),
+        alert.alias("alert"),
+    ).orderBy("day")
+
+
+ORACLE_SLO_BURN = f"""
+WITH per_day AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errs
+  FROM events GROUP BY 1
+), rolled AS (
+  SELECT day, n, errs,
+         SUM(n) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING
+                      AND CURRENT ROW) AS n7,
+         SUM(errs) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING
+                         AND CURRENT ROW) AS errs7
+  FROM per_day
+)
+SELECT day, n, errs,
+       ROUND(CAST(errs AS DOUBLE) / n / {SLO_TARGET_PPM / 1e6}, 6)
+         AS burn_1d,
+       ROUND(CAST(errs7 AS DOUBLE) / n7 / {SLO_TARGET_PPM / 1e6}, 6)
+         AS burn_7d,
+       CASE WHEN errs * 1000000 > n * {SLO_TARGET_PPM}
+             AND errs7 * 1000000 > n7 * {SLO_TARGET_PPM}
+            THEN 1 ELSE 0 END AS alert
+FROM rolled
+ORDER BY day
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "conversion_paths": QuerySpec(
+        conversion_paths,
+        ORACLE_CONVERSION_PATHS,
+        ["§2.8", "A1", "T1", "X-ts"],
+    ),
+    "slo_burn_rate": QuerySpec(
+        slo_burn_rate,
+        ORACLE_SLO_BURN,
+        ["A1", "A3", "§2.8", "X-ts"],
+    ),
     "negbin_fit_activity": QuerySpec(
         negbin_fit_activity,
         ORACLE_NEGBIN_FIT,

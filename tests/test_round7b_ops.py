@@ -957,3 +957,44 @@ def test_ppr_damping_sweep_structure(spark, sf_small):
         for a, b in zip(ordered, ordered[1:]):
             assert a.ppr >= b.ppr
         assert all(r.ppr > 0 for r in rs)
+
+
+def test_conversion_paths_end_in_purchase(spark, sf_small):
+    """Every path terminates in 'purchase', path users sum to at
+    most the number of purchasing users, and counts are ordered."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        conversion_paths,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    rows = conversion_paths(spark, sf_small).collect()
+    assert rows
+    purchasers = (
+        load_table(spark, sf_small, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) <= purchasers
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.n_users >= cur.n_users
+    for r in rows:
+        assert r.path.endswith("purchase")
+
+
+def test_slo_burn_alert_consistency(spark, sf_small):
+    """The alert flag must equal the two-window AND recomputed from
+    the emitted burn ratios (1.0 = exactly on budget), and 7-day
+    totals dominate 1-day counts."""
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        slo_burn_rate,
+    )
+
+    rows = slo_burn_rate(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        expect = int(r.burn_1d > 1.0 and r.burn_7d > 1.0)
+        assert r.alert == expect, r
+        assert r.errs <= r.n
