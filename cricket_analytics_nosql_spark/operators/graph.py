@@ -3032,7 +3032,140 @@ FROM neg
 """
 
 
+# ---------------------------------------------------------------------------
+# HITS — hubs & authorities over the directed trade graph
+# ---------------------------------------------------------------------------
+
+
+def _hits_step(
+    edges: DataFrame, x: DataFrame, from_col: str, to_col: str
+) -> DataFrame:
+    """One HITS half-round: w(to) = Σ x(from) over edges, then L1-
+    normalize. The normalizer is observed on the SAME job's pre-agg
+    rows (Σ over contributions ≡ Σ over the aggregated frame), so a
+    half-round costs exactly one edge-sized shuffle; the checkpointed
+    result is vertex-sized."""
+    obs = Observation()
+    w = (
+        edges.join(x.withColumnRenamed("id", from_col), from_col)
+        .select(F.col(to_col).alias("id"), F.col("x").alias("c"))
+        .observe(obs, F.sum("c").alias("s"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("x"))
+        .localCheckpoint()
+    )
+    total = float(obs.get["s"])
+    return w.select("id", (F.col("x") / F.lit(total)).alias("x"))
+
+
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2-family: HITS (Kleinberg) hubs and authorities over the
+    DIRECTED customer→supplier trade graph — the natural bipartite
+    binding: customers only point AT suppliers, so customers are the
+    hubs and suppliers the authorities (reference scope: the
+    gds.pageRank centrality family, cypher_queries.cypher:31-34,
+    extended to the other classic spectral centrality).
+
+    Three full rounds (auth ← Aᵀ·hub, hub ← A·auth, each L1-
+    normalized), fixed budget exactly like ``pagerank_top``'s 12: the
+    semantics ARE the budgeted iterates. Hash-ORACLED by unrolling
+    the recurrence as materialized DuckDB CTEs (``_hits_oracle_sql``).
+    Float-match: round 1 sums integer-valued doubles (exact); every
+    later round divides identical rationals by a sum whose only
+    cross-engine difference is summation order, ~1e-15 relative per
+    round — nine orders under the ROUND(·,6) output grid, the
+    ``pagerank_top`` argument verbatim.
+
+    Scale: each half-round is ONE shuffle sized by the collapsed edge
+    list (G1 pre-aggregation), score frames are vertex-sized and
+    localCheckpointed so round k never re-derives rounds 1..k-1. No
+    broadcast hints — customer/supplier scale with SF, AQE picks the
+    build side at runtime (the ``market_share`` discipline)."""
+    edges = (
+        trade_edges(spark, sf_dir).select("src", "dst").localCheckpoint()
+    )
+    hub = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.lit(1.0).alias("x"))
+    )
+    for _ in range(3):
+        auth = _hits_step(edges, hub, "src", "dst")
+        hub = _hits_step(edges, auth, "dst", "src")
+
+    def top(df: DataFrame, role: str) -> DataFrame:
+        return (
+            df.select(
+                F.lit(role).alias("role"),
+                F.col("id").alias("key"),
+                F.round("x", 6).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("key"))
+            .limit(10)
+        )
+
+    return (
+        top(auth, "authority")
+        .unionByName(top(hub, "hub"))
+        .orderBy("role", F.desc("score"), F.asc("key"))
+    )
+
+
+def _hits_oracle_sql(rounds: int = 3) -> str:
+    """The 3-round HITS recurrence unrolled as chained materialized
+    CTEs — mechanical SQL, the ``_pagerank_oracle_sql`` technique.
+    AS MATERIALIZED for the same fd-budget reason documented there."""
+    ctes = [
+        """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+h0 AS MATERIALIZED (SELECT DISTINCT c AS id, 1.0 AS x FROM e)"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""a{k}r AS MATERIALIZED (
+  SELECT e.s AS id, SUM(h.x) AS x FROM e JOIN h{k - 1} h ON e.c = h.id
+  GROUP BY e.s
+),
+a{k} AS MATERIALIZED (
+  SELECT id, x / (SELECT SUM(x) FROM a{k}r) AS x FROM a{k}r
+),
+h{k}r AS MATERIALIZED (
+  SELECT e.c AS id, SUM(a.x) AS x FROM e JOIN a{k} a ON e.s = a.id
+  GROUP BY e.c
+),
+h{k} AS MATERIALIZED (
+  SELECT id, x / (SELECT SUM(x) FROM h{k}r) AS x FROM h{k}r
+)"""
+        )
+    return (
+        ",\n".join(ctes)
+        + f"""
+SELECT role, key, score FROM (
+  SELECT 'authority' AS role, id AS key, ROUND(x, 6) AS score FROM a{rounds}
+  ORDER BY score DESC, key ASC LIMIT 10
+)
+UNION ALL
+SELECT role, key, score FROM (
+  SELECT 'hub' AS role, id AS key, ROUND(x, 6) AS score FROM h{rounds}
+  ORDER BY score DESC, key ASC LIMIT 10
+)
+ORDER BY role ASC, score DESC, key ASC
+"""
+    )
+
+
+ORACLE_HITS = _hits_oracle_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "hits_hub_authority": QuerySpec(
+        hits_hub_authority,
+        ORACLE_HITS,
+        ["G2", "T6", "A1", "X-graphml"],
+    ),
     "deepwalk_pairs": QuerySpec(
         deepwalk_pairs,
         ORACLE_DEEPWALK_PAIRS,

@@ -2113,6 +2113,112 @@ ORDER BY bin
 """
 
 
+def isotonic_calibration_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the langid scorer — the
+    standard post-hoc calibrator next to the reliability diagram:
+    fit the monotone step function minimizing squared error between
+    score bins and observed positive rate. Instead of the sequential
+    pool-adjacent-violators sweep (driver-shaped), this uses PAV's
+    EXACT min-max identity — iso(i) = max_{j≤i} min_{k≥i}
+    avg(pos)/(avg n) over the bin span [j,k] — which turns the fit
+    into three joins over the BIN GRID.
+
+    Exactness: every span average A(j,k) is one double division of
+    two exact integer sums; min/max compare identical doubles in
+    both engines; ROUND(·,6) applies after.
+
+    Plan: ONE corpus scan builds the bounded per-bin rollup (the
+    ``calibration_bins_langid`` plan); everything after runs on the
+    score grid — span pairs are grid²- and the span-membership join
+    grid³-bounded (≤21 bins at ANY data volume: the grid is
+    score-range/width, invariant in SF — the theil_sen posture)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    bins = (
+        docs.select(
+            _langid_score_u().alias("score_u"),
+            (F.col("lang") == "en").cast("long").alias("is_pos"),
+        )
+        .groupBy(
+            (F.floor(F.col("score_u") / CALIB_BIN_U)).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_pos").alias("n_pos"),
+        )
+        .localCheckpoint()
+    )
+    j, k, m, i = (bins.alias(x) for x in "jkmi")
+    spans = (
+        j.join(k, F.col("j.bin") <= F.col("k.bin"))
+        .join(
+            m,
+            (F.col("m.bin") >= F.col("j.bin"))
+            & (F.col("m.bin") <= F.col("k.bin")),
+        )
+        .groupBy(F.col("j.bin").alias("jb"), F.col("k.bin").alias("kb"))
+        .agg(
+            (
+                F.sum("m.n_pos").cast("double") / F.sum("m.n_docs")
+            ).alias("a")
+        )
+    )
+    per_ji = (
+        spans.join(
+            i,
+            (F.col("jb") <= F.col("i.bin")) & (F.col("i.bin") <= F.col("kb")),
+        )
+        .groupBy("jb", F.col("i.bin").alias("bin"))
+        .agg(F.min("a").alias("mn"))
+    )
+    iso = per_ji.groupBy("bin").agg(F.max("mn").alias("iso"))
+    return (
+        bins.join(iso, "bin")
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            (
+                F.round(F.col("n_pos").cast("double") / F.col("n_docs"), 6)
+                + F.lit(0.0)
+            ).alias("pos_rate"),
+            (F.round(F.col("iso"), 6) + F.lit(0.0)).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_ISOTONIC_CALIBRATION = f"""
+WITH scored AS (
+  SELECT {_LANGID_SCORE_U_SQL} AS score_u,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+  FROM documents
+), bins AS (
+  SELECT CAST(FLOOR(score_u / {CALIB_BIN_U}) AS BIGINT) AS bin,
+         COUNT(*) AS n_docs,
+         CAST(SUM(is_pos) AS BIGINT) AS n_pos
+  FROM scored GROUP BY 1
+), spans AS (
+  SELECT j.bin AS jb, k.bin AS kb,
+         CAST(SUM(m.n_pos) AS DOUBLE) / CAST(SUM(m.n_docs) AS BIGINT) AS a
+  FROM bins j
+  JOIN bins k ON j.bin <= k.bin
+  JOIN bins m ON m.bin BETWEEN j.bin AND k.bin
+  GROUP BY j.bin, k.bin
+), per_ji AS (
+  SELECT s.jb, i.bin AS bin, MIN(s.a) AS mn
+  FROM spans s JOIN bins i ON s.jb <= i.bin AND i.bin <= s.kb
+  GROUP BY s.jb, i.bin
+), iso AS (
+  SELECT bin, MAX(mn) AS iso FROM per_ji GROUP BY bin
+)
+SELECT b.bin, b.n_docs, b.n_pos,
+       ROUND(CAST(b.n_pos AS DOUBLE) / b.n_docs, 6) + 0.0 AS pos_rate,
+       ROUND(i.iso, 6) + 0.0 AS iso_rate
+FROM bins b JOIN iso i ON b.bin = i.bin
+ORDER BY b.bin
+"""
+
+
 # --------------------------------------------------------------------------
 # Skip-gram training pairs with word2vec frequency subsampling
 # --------------------------------------------------------------------------
@@ -3034,6 +3140,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "heaps_law_fit": QuerySpec(
         heaps_law_fit, ORACLE_HEAPS_LAW, ["X-text", "X-curation", "A1", "F2"]
+    ),
+    "isotonic_calibration_langid": QuerySpec(
+        isotonic_calibration_langid,
+        ORACLE_ISOTONIC_CALIBRATION,
+        ["X-text", "X-curation", "A1", "P16"],
     ),
     "calibration_bins_langid": QuerySpec(
         calibration_bins_langid,

@@ -497,6 +497,14 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # calendar² pair join: the day frame is bounded by the
         # CALENDAR (≈2.4k rows at any SF), so days² is scale-free
         "theil_sen_trend",
+        # grid² pair join: the contingency rollup is bounded by the
+        # 11-tick discount × 50-integer quantity GRID (≤550 cells at
+        # any SF) + the 1-row tie-count crosses
+        "kendall_tau_discount_qty",
+        # PAV min-max identity: span pairs grid²-, span membership
+        # grid³-bounded — the bin grid is score-range/width (≤21
+        # bins at ANY SF)
+        "isotonic_calibration_langid",
         # 9-row decile / 1-row quartile / 4-row coverage-target
         # frames crossed onto grid-sized rollups
         "quantile_treatment_effect",
@@ -591,6 +599,34 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # KM-family 1-row crosses: dmax censor date onto the subject
         # rollup, arm totals onto the 1-row O/E/V aggregate
         "logrank_repeat_priority",
+        # round-7 later-wave additions, audited one by one:
+        # 1-row pooled-OLS-moments frame crossed onto the brand-
+        # strata rollup (scalar-broadcast idiom)
+        "simpson_paradox_audit",
+        # 1-row supplier-id-range broadcast onto the customer×K
+        # candidate explode — the non-edge space is never built
+        "negative_edge_sampling",
+        # 1-row n_pos/n_neg totals + the 5-row recall-target grid
+        # theta-joined onto the bounded distinct-score rollup
+        "pr_curve_langid",
+        # 1-row max_id broadcast onto the trigram first-seen rollup;
+        # the OLS runs on the ≤10-row decile frame
+        "heaps_law_fit",
+        # 1-row (n, IQR, h) bin-width frame crossed onto the fact
+        # stream (the value_histogram shape, FD-derived width)
+        "freedman_diaconis_histogram",
+        # held-out query-slice broadcast against one corpus scan
+        # (the ann_brute_force posture)
+        "knn_label_eval",
+        # |labels|-row integer-centroid + cell-size table broadcasts
+        # (IVF probe ranking is cells×queries-bounded)
+        "ann_nprobe_sweep",
+        # per-FK-edge 1-row (child, orphan) count pairs crossed into
+        # the 7-row report (the forget_users_cascade shape)
+        "fk_integrity_audit",
+        # 1-row retention-cutoff (max date − 90d) broadcast onto the
+        # version-chain window rollup
+        "retention_gc_plan",
     }
     offenders = []
     for name, spec in all_queries().items():

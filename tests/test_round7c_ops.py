@@ -1,0 +1,159 @@
+"""Invariant + reference-pinning tests for the round-7 fifth-wave
+operators (HITS, Kendall τ-b, isotonic PAV calibration). The DuckDB
+parity sweep proves Spark ≡ SQL; these pin that the MATH does what
+each operator claims, against brute-force pure-Python references on
+the same parquet inputs."""
+
+from __future__ import annotations
+
+import duckdb
+import os
+
+import pyspark.sql.functions as F
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    return con
+
+
+def test_hits_matches_numpy_power_iteration(spark, sf_small):
+    """The Spark HITS iterates must equal a dense numpy replay of the
+    same 3-round L1-normalized recurrence on the same edge list (to
+    rounding), and scores must be valid L1-normalized masses."""
+    import numpy as np
+
+    from cricket_analytics_nosql_spark.operators.graph import (
+        hits_hub_authority,
+        trade_edges,
+    )
+
+    edges = [
+        (r.src, r.dst)
+        for r in trade_edges(spark, sf_small).select("src", "dst").collect()
+    ]
+    custs = sorted({c for c, _ in edges})
+    supps = sorted({s for _, s in edges})
+    ci = {c: i for i, c in enumerate(custs)}
+    si = {s: i for i, s in enumerate(supps)}
+    a_mat = np.zeros((len(custs), len(supps)))
+    for c, s in edges:
+        a_mat[ci[c], si[s]] = 1.0
+    hub = np.ones(len(custs))
+    for _ in range(3):
+        auth = a_mat.T @ hub
+        auth /= auth.sum()
+        hub = a_mat @ auth
+        hub /= hub.sum()
+
+    rows = hits_hub_authority(spark, sf_small).collect()
+    assert len(rows) == 20
+    by_role = {"authority": {}, "hub": {}}
+    for r in rows:
+        by_role[r.role][r.key] = r.score
+    for key, score in by_role["authority"].items():
+        assert abs(score - auth[si[key]]) < 1e-5, (key, score)
+    for key, score in by_role["hub"].items():
+        assert abs(score - hub[ci[key]]) < 1e-5, (key, score)
+    # top-10 per role really is the top-10 of the reference vector
+    ref_top_auth = sorted(auth, reverse=True)[:10]
+    got_auth = sorted(by_role["authority"].values(), reverse=True)
+    assert all(
+        abs(g - r) < 1e-5 for g, r in zip(got_auth, ref_top_auth)
+    )
+
+
+def test_kendall_matches_bruteforce(spark, sf_small):
+    """τ-b from the grid rollup must equal the O(n²) textbook pair
+    count on the raw rows (run on the sf0.001 slice where n² is
+    tractable), including the tie correction."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        kendall_tau_discount_qty,
+    )
+
+    import numpy as np
+
+    con = _duck(sf_small)
+    xs, ys = (
+        np.array(col)
+        for col in zip(
+            *con.execute(
+                "SELECT CAST(ROUND(l_discount*100) AS BIGINT), "
+                "CAST(l_quantity AS BIGINT) FROM lineitem"
+            ).fetchall()
+        )
+    )
+    n = len(xs)
+    conc = disc = tie_x = tie_y = 0
+    for lo in range(0, n, 512):  # chunked O(n²) outer comparison
+        hi = min(lo + 512, n)
+        dx = np.sign(xs[lo:hi, None] - xs[None, :])
+        dy = np.sign(ys[lo:hi, None] - ys[None, :])
+        # count each unordered pair once: columns strictly after row
+        mask = np.arange(n)[None, :] > np.arange(lo, hi)[:, None]
+        conc += int(((dx * dy > 0) & mask).sum())
+        disc += int(((dx * dy < 0) & mask).sum())
+        tie_x += int(((dx == 0) & mask).sum())
+        tie_y += int(((dy == 0) & mask).sum())
+    n0 = n * (n - 1) // 2
+    import math
+
+    ref_tau = (conc - disc) / math.sqrt((n0 - tie_x) * (n0 - tie_y))
+
+    r = kendall_tau_discount_qty(spark, sf_small).collect()[0]
+    assert r.n == n
+    assert r.concordant == conc
+    assert r.discordant == disc
+    assert abs(r.tau_b - ref_tau) < 1e-6
+
+
+def test_isotonic_is_monotone_and_matches_pav(spark, sf_small):
+    """The min-max identity must produce (a) a non-decreasing fit,
+    (b) the same values as the sequential pool-adjacent-violators
+    sweep, and (c) a weighted mean equal to the raw rate mean (PAV
+    preserves the weighted total)."""
+    from cricket_analytics_nosql_spark.operators.text import (
+        isotonic_calibration_langid,
+    )
+
+    rows = isotonic_calibration_langid(spark, sf_small).orderBy("bin").collect()
+    assert rows
+    iso = [r.iso_rate for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:])), iso
+
+    # sequential PAV on the same (n_pos, n_docs) bins
+    blocks = [[r.n_pos, r.n_docs] for r in rows]  # mutable [num, den]
+    out: list[list[float]] = []
+    for num, den in blocks:
+        cur = [float(num), float(den)]
+        while out and out[-1][0] * cur[1] >= cur[0] * out[-1][1]:
+            prev = out.pop()
+            cur = [prev[0] + cur[0], prev[1] + cur[1]]
+        out.append(cur)
+    ref: list[float] = []
+    for num, den in out:
+        # den is the pooled doc count; the pooled rate repeats over
+        # the pooled span (count spans by re-walking the widths)
+        ref.append((num, den))
+    # expand pooled blocks back to per-bin fitted values
+    expanded = []
+    idx = 0
+    for num, den in ref:
+        total = 0
+        while total < den - 1e-9:
+            total += rows[idx].n_docs
+            expanded.append(num / den)
+            idx += 1
+    assert len(expanded) == len(rows)
+    for got, want in zip(iso, expanded):
+        assert abs(got - want) < 1e-6, (iso, expanded)
+
+    # weighted totals preserved
+    w_raw = sum(r.n_pos for r in rows)
+    w_fit = sum(r.iso_rate * r.n_docs for r in rows)
+    assert abs(w_fit - w_raw) < 1e-3 * max(1, w_raw)
