@@ -3270,6 +3270,145 @@ WITH day AS (
 
 
 # ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test — "is the series white noise at all?"
+# ---------------------------------------------------------------------------
+
+# chi-square 95% critical value at df = ACF_MAX_LAG (7) — a fixed
+# literal, the one table entry the test needs
+LJUNG_BOX_CRIT_95_DF7 = 14.067140
+
+def ljung_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q over the first {ACF_MAX_LAG} autocorrelations of
+    daily revenue — the PORTMANTEAU summary of
+    ``revenue_acf_profile``: instead of eyeballing seven ACF bars,
+    one statistic Q = n(n+2)·Σ ρ_k²/(n−k) against the χ²(7) critical
+    value answers "is there ANY serial structure to model, or is a
+    mean forecast already optimal?" — the gate a forecast pipeline
+    checks before paying for seasonal models
+    (``forecast_backtest_naive`` / ``stl_weekly_profile``).
+
+    Exactness: identical integer-micro-unit moment machinery as the
+    ACF profile (order-free BIGINT sums over the calendar-bounded
+    day frame); Q is one double expression over those exact
+    integers, textually mirrored in the oracle, and the verdict
+    compares it to a literal critical value — no distribution code.
+
+    Plan: one fact rollup to the calendar day frame, one
+    unpartitioned window over it (KS posture), one global agg."""
+    day = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            epoch_day("o_orderdate").alias("d"),
+            (cents("o_totalprice") / 100).cast("long").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").alias("x"))
+    )
+    tot = day.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+    )
+    w = Window.orderBy("d")
+    lagged = day.crossJoin(F.broadcast(tot)).select(
+        "x",
+        "n",
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("m"),
+        *[
+            F.lag("x", k).over(w).alias(f"x{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    micro = lambda e: F.round(e, 0).cast("long")  # noqa: E731
+    cx = F.col("x").cast("double") - F.col("m")
+    agg = lagged.agg(
+        F.max("n").alias("n"),
+        F.sum(micro(cx * cx)).alias("den_micro"),
+        *[
+            F.sum(
+                micro(cx * (F.col(f"x{k}").cast("double") - F.col("m")))
+            ).alias(f"num_{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    n_d = F.col("n").cast("double")
+    rho = [
+        F.col(f"num_{k}").cast("double") / F.col("den_micro").cast("double")
+        for k in range(1, ACF_MAX_LAG + 1)
+    ]
+    terms = [
+        (rho[k - 1] * rho[k - 1]) / (n_d - k)
+        for k in range(1, ACF_MAX_LAG + 1)
+    ]
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    q = n_d * (n_d + 2) * s
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.lit(ACF_MAX_LAG).cast("long").alias("df"),
+        F.round(q, 6).alias("q_stat"),
+        (q > LJUNG_BOX_CRIT_95_DF7).alias("reject_white_noise"),
+    )
+
+
+ORACLE_LJUNG_BOX = (
+    """
+WITH day AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100)
+              AS BIGINT) AS x
+  FROM orders GROUP BY d
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM day
+), lagged AS (
+  SELECT x, n, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m, """
+    + ", ".join(
+        f"LAG(x, {k}) OVER (ORDER BY d) AS x{k}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    + """
+  FROM day CROSS JOIN tot
+), agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) - m)
+                             * (CAST(x AS DOUBLE) - m), 0)
+                       AS BIGINT)) AS BIGINT) AS den_micro, """
+    + ", ".join(
+        f"CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) - m)"
+        f" * (CAST(x{k} AS DOUBLE) - m), 0) AS BIGINT)) AS BIGINT)"
+        f" AS num_{k}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    + """
+  FROM lagged
+)
+SELECT n AS n_days, CAST("""
+    + str(ACF_MAX_LAG)
+    + """ AS BIGINT) AS df,
+       ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2) * ("""
+    + " + ".join(
+        f"((CAST(num_{k} AS DOUBLE) / CAST(den_micro AS DOUBLE))"
+        f" * (CAST(num_{k} AS DOUBLE) / CAST(den_micro AS DOUBLE)))"
+        f" / (CAST(n AS DOUBLE) - {k})"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    + """), 6) AS q_stat,
+       CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2) * ("""
+    + " + ".join(
+        f"((CAST(num_{k} AS DOUBLE) / CAST(den_micro AS DOUBLE))"
+        f" * (CAST(num_{k} AS DOUBLE) / CAST(den_micro AS DOUBLE)))"
+        f" / (CAST(n AS DOUBLE) - {k})"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    + f""") > {LJUNG_BOX_CRIT_95_DF7} AS reject_white_noise
+FROM agg
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Permutation test — assumption-free inference in ONE pass
 # ---------------------------------------------------------------------------
 
@@ -4192,6 +4331,11 @@ QUERIES: dict[str, QuerySpec] = {
         permutation_test_revenue,
         ORACLE_PERMUTATION_TEST,
         ["A1", "A4", "X-curation"],
+    ),
+    "ljung_box_revenue": QuerySpec(
+        ljung_box_revenue,
+        ORACLE_LJUNG_BOX,
+        ["A1", "A4", "§2.8", "X-ts"],
     ),
     "revenue_acf_profile": QuerySpec(
         revenue_acf_profile,

@@ -3033,6 +3033,109 @@ FROM neg
 
 
 # ---------------------------------------------------------------------------
+# Butterfly (bipartite 4-cycle) counting
+# ---------------------------------------------------------------------------
+
+
+def butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly census of the bipartite trade graph: a butterfly is
+    the bipartite 4-cycle (2 customers × 2 shared suppliers) — THE
+    motif for bipartite cohesion (triangles cannot exist), and the
+    building block of k-bitruss/k-wing decompositions. One audit
+    row: strong edges, wedges, co-shopping pairs, butterflies, and
+    the butterfly-per-wedge ratio (the bipartite analogue of the
+    global clustering coefficient).
+
+    Counting identity: B = Σ_pairs C(codeg,2) where codeg(c1,c2) =
+    shared suppliers — exact integers end to end (the only double is
+    the final ratio). Same STRONG-graph threshold + hub cut as
+    ``adamic_adar_linkpred`` (wedge generation is quadratic per
+    supplier degree; the cut is applied identically in the oracle so
+    parity stays exact, and its effect is itself VISIBLE in the
+    readout via n_edges_cut).
+
+    Plan: wedge join keyed on supplier over the collapsed strong
+    edge list → (c1,c2) codegree rollup → one global integer agg;
+    the same measured-shuffle posture PERF.md records for
+    adamic_adar (1371→12.5 MB at sf0.1 via the threshold + cut)."""
+    e = (
+        trade_edges(spark, sf_dir)
+        .filter(F.col("weight") >= AA_MIN_WEIGHT)
+        .select(F.col("src").alias("cust"), F.col("dst").alias("supp"))
+    )
+    deg = e.groupBy("supp").agg(F.count(F.lit(1)).alias("d"))
+    keyed = e.join(
+        deg.filter((F.col("d") >= 2) & (F.col("d") <= AA_MAX_DEG)), "supp"
+    )
+    a = keyed.select("supp", F.col("cust").alias("c1"))
+    b = keyed.select("supp", F.col("cust").alias("c2"))
+    codeg = (
+        a.join(b, "supp")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    stats = codeg.agg(
+        F.sum("k").alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.expr("k * (k - 1) div 2")).alias("n_butterflies"),
+    )
+    edge_stats = e.join(deg, "supp").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(
+            ((F.col("d") < 2) | (F.col("d") > AA_MAX_DEG)).cast("long")
+        ).alias("n_edges_cut"),
+    )
+    return edge_stats.join(stats, F.lit(True)).select(
+        "n_edges",
+        "n_edges_cut",
+        "n_wedges",
+        "n_pairs",
+        "n_butterflies",
+        F.round(
+            F.col("n_butterflies").cast("double")
+            / F.when(F.col("n_wedges") > 0, F.col("n_wedges")),
+            6,
+        ).alias("butterflies_per_wedge"),
+    )
+
+
+ORACLE_BUTTERFLY = f"""
+WITH e AS (
+  SELECT o_custkey AS cust, l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {AA_MIN_WEIGHT}
+), deg AS (
+  SELECT supp, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY supp
+), keyed AS (
+  SELECT e.supp, e.cust
+  FROM e JOIN deg USING (supp)
+  WHERE deg.d BETWEEN 2 AND {AA_MAX_DEG}
+), codeg AS (
+  SELECT a.cust AS c1, b.cust AS c2, CAST(COUNT(*) AS BIGINT) AS k
+  FROM keyed a JOIN keyed b ON a.supp = b.supp AND a.cust < b.cust
+  GROUP BY a.cust, b.cust
+), stats AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS n_wedges,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS n_butterflies
+  FROM codeg
+), edge_stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CASE WHEN deg.d < 2 OR deg.d > {AA_MAX_DEG}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_edges_cut
+  FROM e JOIN deg USING (supp)
+)
+SELECT n_edges, n_edges_cut, n_wedges, n_pairs, n_butterflies,
+       ROUND(CAST(n_butterflies AS DOUBLE)
+             / (CASE WHEN n_wedges > 0 THEN n_wedges END), 6)
+         AS butterflies_per_wedge
+FROM edge_stats, stats
+"""
+
+
+# ---------------------------------------------------------------------------
 # HITS — hubs & authorities over the directed trade graph
 # ---------------------------------------------------------------------------
 
@@ -3165,6 +3268,11 @@ QUERIES: dict[str, QuerySpec] = {
         hits_hub_authority,
         ORACLE_HITS,
         ["G2", "T6", "A1", "X-graphml"],
+    ),
+    "butterfly_count": QuerySpec(
+        butterfly_count,
+        ORACLE_BUTTERFLY,
+        ["G1", "G3", "A8", "J3", "X-graphml"],
     ),
     "deepwalk_pairs": QuerySpec(
         deepwalk_pairs,

@@ -2220,6 +2220,188 @@ ORDER BY b.bin
 
 
 # --------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier (hashed unigrams)
+# --------------------------------------------------------------------------
+
+NB_BUCKETS = 256  # hashed-unigram feature space (5 langs x 256 cells)
+NB_SPLIT_MOD = 5  # 1/5 of docs held out for eval
+
+
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes langid TRAINED ON THE CORPUS — the
+    supervised counterpart of the heuristic ``langid_heuristic``
+    scorer: an 80/20 split by keyed hash, hashed-unigram features
+    (the ``feature_hashing``/``dsir_importance_weights`` vocabulary-
+    free discipline — the model is a fixed 5×256 weight grid at ANY
+    corpus size), Laplace-smoothed log-likelihood weights in integer
+    MICRO-NATS (the ``lm_surprisal`` exactness idiom), and a
+    confusion-matrix readout over the held-out fifth.
+
+    Exactness: the only floats are per-cell ln() calls on exact
+    rationals, quantized to micro-nats BEFORE any aggregation —
+    every doc score is then a BIGINT sum, and argmax ties break on
+    the smaller language code, so prediction is bit-deterministic
+    across engines.
+
+    Scale: train counts are one map-combined token-stream groupBy
+    onto ≤5×256 cells; the weight grid is metadata-sized BY
+    CONSTRUCTION (bounded by langs × hash buckets, not by data), so
+    its broadcast survives any SF; scoring is one broadcast hash
+    join + one doc-keyed aggregation + one doc-partitioned window.
+
+    On THIS synthetic corpus the languages share one vocabulary with
+    only mild frequency skew, so the learned likelihoods are weak
+    and the 'en' prior dominates the argmax — the confusion matrix
+    honestly reports that (majority-class prediction), which is the
+    correct NB fit here, not a pipeline defect; on a real multilingual
+    corpus the same plan separates languages by vocabulary."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        (md5_u32(F.col("doc_id"), "nbsplit") % NB_SPLIT_MOD == 0).alias(
+            "is_test"
+        ),
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "is_test",
+        F.explode(tokens_col(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        "is_test",
+        (md5_u32(F.col("tok"), "nbfeat") % NB_BUCKETS).alias("b"),
+    )
+    train = toks.filter(~F.col("is_test"))
+    cnt = train.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("n_lb"))
+    tot = cnt.groupBy("lang").agg(F.sum("n_lb").alias("tot_l"))
+    grid = tot.select(
+        "lang",
+        "tot_l",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(NB_BUCKETS - 1)).cast("array<long>")
+        ).alias("b"),
+    )
+    w = grid.join(cnt, ["lang", "b"], "left").select(
+        F.col("lang").alias("model_lang"),
+        "b",
+        F.round(
+            F.log(
+                (F.coalesce(F.col("n_lb"), F.lit(0)) + 1).cast("double")
+                / (F.col("tot_l") + NB_BUCKETS)
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("wu"),
+    )
+    nd = (
+        docs.filter(~F.col("is_test"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd_l"))
+    )
+    # the 1-row total rides an unpartitioned window over the ≤5-row
+    # lang frame (bounded by the label set — no cross join needed)
+    pri = nd.select(
+        F.col("lang").alias("model_lang"),
+        F.round(
+            F.log(
+                F.col("nd_l").cast("double")
+                / F.sum("nd_l").over(Window.partitionBy())
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("pu"),
+    )
+    scored = (
+        toks.filter(F.col("is_test"))
+        .join(F.broadcast(w), "b")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "model_lang")
+        .agg(F.sum("wu").alias("s"))
+        .join(F.broadcast(pri), "model_lang")
+        .select(
+            "doc_id",
+            "true_lang",
+            "model_lang",
+            (F.col("s") + F.col("pu")).alias("score"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("model_lang")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("model_lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+_NB_HASH_DOC = (
+    "CAST(('0x' || substr(md5('nbsplit' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT)"
+)
+_NB_HASH_TOK = (
+    "CAST(('0x' || substr(md5('nbfeat' || tok), 1, 8)) AS BIGINT)"
+)
+
+ORACLE_NAIVE_BAYES = f"""
+WITH docs AS (
+  SELECT doc_id, lang, text,
+         ({_NB_HASH_DOC} % {NB_SPLIT_MOD} = 0) AS is_test
+  FROM documents
+), toks AS (
+  SELECT doc_id, lang, is_test, {_NB_HASH_TOK} % {NB_BUCKETS} AS b
+  FROM docs, UNNEST(string_split(text, ' ')) AS u(tok)
+), cnt AS (
+  SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS n_lb
+  FROM toks WHERE NOT is_test GROUP BY lang, b
+), tot AS (
+  SELECT lang, CAST(SUM(n_lb) AS BIGINT) AS tot_l FROM cnt GROUP BY lang
+), grid AS (
+  SELECT t.lang, t.tot_l, r.range AS b FROM tot t, range({NB_BUCKETS}) r
+), w AS (
+  SELECT g.lang AS model_lang, g.b,
+         CAST(ROUND(ln(CAST(COALESCE(c.n_lb, 0) + 1 AS DOUBLE)
+                       / (g.tot_l + {NB_BUCKETS})) * 1e6, 0) AS BIGINT) AS wu
+  FROM grid g LEFT JOIN cnt c ON g.lang = c.lang AND g.b = c.b
+), nd AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd_l
+  FROM docs WHERE NOT is_test GROUP BY lang
+), pri AS (
+  SELECT lang AS model_lang,
+         CAST(ROUND(ln(CAST(nd_l AS DOUBLE)
+                       / (SELECT SUM(nd_l) FROM nd)) * 1e6, 0) AS BIGINT)
+           AS pu
+  FROM nd
+), scored AS (
+  SELECT t.doc_id, t.lang AS true_lang, w.model_lang,
+         CAST(SUM(w.wu) AS BIGINT) + ANY_VALUE(p.pu) AS score
+  FROM toks t
+  JOIN w ON t.b = w.b
+  JOIN pri p ON p.model_lang = w.model_lang
+  WHERE t.is_test
+  GROUP BY t.doc_id, t.lang, w.model_lang
+), pred AS (
+  SELECT doc_id, true_lang, model_lang AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, model_lang ASC) AS rn
+  FROM scored
+)
+SELECT true_lang, pred_lang, COUNT(*) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+
+
+# --------------------------------------------------------------------------
 # Skip-gram training pairs with word2vec frequency subsampling
 # --------------------------------------------------------------------------
 
@@ -3140,6 +3322,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "heaps_law_fit": QuerySpec(
         heaps_law_fit, ORACLE_HEAPS_LAW, ["X-text", "X-curation", "A1", "F2"]
+    ),
+    "naive_bayes_langid": QuerySpec(
+        naive_bayes_langid,
+        ORACLE_NAIVE_BAYES,
+        ["X-text", "X-curation", "A1", "J1", "F2"],
     ),
     "isotonic_calibration_langid": QuerySpec(
         isotonic_calibration_langid,

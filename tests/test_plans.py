@@ -627,6 +627,13 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # 1-row retention-cutoff (max date − 90d) broadcast onto the
         # version-chain window rollup
         "retention_gc_plan",
+        # round-7 fifth-wave additions:
+        # 1-row edge-stats × 1-row wedge-stats final cross (the
+        # wedge join itself is equi-keyed on supplier)
+        "butterfly_count",
+        # 1-row (n, Σx) mean frame onto the calendar-bounded day
+        # frame (identical to the exempted revenue_acf_profile)
+        "ljung_box_revenue",
     }
     offenders = []
     for name, spec in all_queries().items():

@@ -157,3 +157,80 @@ def test_isotonic_is_monotone_and_matches_pav(spark, sf_small):
     w_raw = sum(r.n_pos for r in rows)
     w_fit = sum(r.iso_rate * r.n_docs for r in rows)
     assert abs(w_fit - w_raw) < 1e-3 * max(1, w_raw)
+
+
+def test_naive_bayes_confusion_partitions_test_docs(spark, sf_small):
+    """Confusion-matrix cells must partition the held-out docs
+    exactly (every test doc predicted exactly once), and every
+    predicted label must come from the training label set."""
+    from cricket_analytics_nosql_spark.operators.text import (
+        NB_SPLIT_MOD,
+        naive_bayes_langid,
+    )
+
+    rows = naive_bayes_langid(spark, sf_small).collect()
+    con = _duck(sf_small)
+    n_test, langs = con.execute(
+        "SELECT COUNT(*) FILTER (CAST(('0x' || substr(md5('nbsplit' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {NB_SPLIT_MOD} = 0),"
+        " COUNT(DISTINCT lang) FROM documents"
+    ).fetchone()
+    assert sum(r.n_docs for r in rows) == n_test
+    lang_set = {
+        r[0]
+        for r in con.execute("SELECT DISTINCT lang FROM documents").fetchall()
+    }
+    assert {r.pred_lang for r in rows} <= lang_set
+    assert {r.true_lang for r in rows} <= lang_set
+
+
+def test_butterfly_matches_supplier_side_bruteforce(spark, sf_small):
+    """B = Σ_{s1<s2} C(|N(s1)∩N(s2)|, 2)... the supplier-side count
+    of the SAME motif must equal the customer-side identity the
+    operator uses — a genuinely independent recount."""
+    from itertools import combinations
+
+    from cricket_analytics_nosql_spark.operators.graph import (
+        AA_MAX_DEG,
+        AA_MIN_WEIGHT,
+        butterfly_count,
+    )
+
+    con = _duck(sf_small)
+    edges = con.execute(
+        "SELECT o_custkey, l_suppkey FROM lineitem JOIN orders"
+        " ON l_orderkey = o_orderkey GROUP BY 1, 2"
+        f" HAVING COUNT(*) >= {AA_MIN_WEIGHT}"
+    ).fetchall()
+    nbrs: dict[int, set[int]] = {}
+    for c, s in edges:
+        nbrs.setdefault(s, set()).add(c)
+    kept = {s: cs for s, cs in nbrs.items() if 2 <= len(cs) <= AA_MAX_DEG}
+    ref_b = 0
+    for s1, s2 in combinations(sorted(kept), 2):
+        shared = len(kept[s1] & kept[s2])
+        ref_b += shared * (shared - 1) // 2
+    r = butterfly_count(spark, sf_small).collect()[0]
+    assert r.n_butterflies == ref_b
+    assert r.n_wedges >= r.n_pairs  # codeg ≥ 1 per pair
+    assert r.n_edges == sum(len(cs) for cs in nbrs.values())
+
+
+def test_ljung_box_consistent_with_acf_profile(spark, sf_small):
+    """Q recomputed from the published (rounded) ACF profile must
+    match the operator's Q to rounding tolerance — the two operators
+    must describe the same series."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        ljung_box_revenue,
+        revenue_acf_profile,
+    )
+
+    acf = {r.lag: r.acf for r in revenue_acf_profile(spark, sf_small).collect()}
+    r = ljung_box_revenue(spark, sf_small).collect()[0]
+    n = r.n_days
+    q_ref = n * (n + 2) * sum(
+        acf[k] ** 2 / (n - k) for k in sorted(acf)
+    )
+    assert abs(r.q_stat - q_ref) < 1e-2
+    assert r.df == len(acf)
+    assert r.reject_white_noise == (r.q_stat > 14.067140)
