@@ -3270,6 +3270,268 @@ WITH day AS (
 
 
 # ---------------------------------------------------------------------------
+# Kruskal-Wallis H — k-group rank test (the Mann-Whitney generalization)
+# ---------------------------------------------------------------------------
+
+# chi-square 95% critical value at df = 4 (the 5 fixed TPC-H order
+# priorities minus one) — the one table entry the verdict needs
+KRUSKAL_CRIT_95_DF4 = 9.487729
+
+
+def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL FIVE order priorities at once —
+    the k-group generalization of ``mann_whitney_drift``: one test
+    for "does order value differ by priority anywhere", run before
+    any pairwise drilldown (five pairwise MW tests would need a
+    multiplicity correction; KW doesn't).
+
+    Exactness: the ``mann_whitney_drift`` tie-averaged DOUBLED-rank
+    idiom (rank2 = 2·below + t + 1 per distinct cent value) makes
+    every per-group rank sum an exact BIGINT; the tie correction
+    Σ(t³−t) is BIGINT (headroom: n³ < 2⁶² through sf0.1 — past
+    that, compute the two cubic terms in double, where both engines
+    round identically). H's two ~3n-sized terms cancel to O(1), but
+    the inputs are exact integers-in-double, so cross-engine drift
+    is a few ulps of the Σ R²/n term scaled by 12/n² — ~1e-12,
+    six orders under the ROUND(·,6) grid.
+
+    Plan: one fact rollup onto the distinct-value grid (rank2 rides
+    the unpartitioned grid window — the KS posture), one join back,
+    one 5-row group agg, two 1-row tie/total frames."""
+    ov = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("p"),
+        cents("o_totalprice").alias("v"),
+    )
+    cnt = ov.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("v")
+    rank2 = cnt.select(
+        "v",
+        (
+            2
+            * F.coalesce(
+                F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            + F.col("t")
+            + 1
+        ).alias("r2"),
+    )
+    groups = (
+        ov.join(rank2, "v")
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_i"), F.sum("r2").alias("sr2_i"))
+    )
+    ties = cnt.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_cubes"
+        ),
+    )
+    n_d = F.col("n").cast("double")
+    # R_i = sr2_i / 2 (exact double); Σ R_i²/n_i over the 5-row frame
+    r_term = F.sum(
+        (F.col("sr2_i").cast("double") / 2)
+        * (F.col("sr2_i").cast("double") / 2)
+        / F.col("n_i")
+    ).alias("sum_r2n")
+    agg = groups.agg(
+        F.count(F.lit(1)).alias("k"), r_term
+    ).crossJoin(F.broadcast(ties))
+    h = (
+        F.lit(12.0) / (n_d * (n_d + 1)) * F.col("sum_r2n")
+        - 3.0 * (n_d + 1)
+    )
+    c = F.lit(1.0) - F.col("tie_cubes").cast("double") / (
+        n_d * n_d * n_d - n_d
+    )
+    h_adj = h / c
+    return agg.select(
+        "n",
+        "k",
+        F.round(h, 6).alias("h_stat"),
+        F.round(h_adj, 6).alias("h_adj"),
+        (h_adj > KRUSKAL_CRIT_95_DF4).alias("reject_same_dist"),
+    )
+
+
+ORACLE_KRUSKAL = f"""
+WITH ov AS (
+  SELECT o_orderpriority AS p,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), cnt AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM ov GROUP BY v
+), rank2 AS (
+  SELECT v, 2 * COALESCE(SUM(t) OVER (ORDER BY v
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) + t + 1 AS r2
+  FROM cnt
+), groups AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(r2) AS BIGINT) AS sr2_i
+  FROM ov JOIN rank2 USING (v) GROUP BY p
+), ties AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cubes
+  FROM cnt
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM((CAST(sr2_i AS DOUBLE) / 2) * (CAST(sr2_i AS DOUBLE) / 2)
+             / n_i) AS sum_r2n
+  FROM groups
+)
+SELECT n, k,
+       ROUND(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * sum_r2n
+             - 3.0 * (CAST(n AS DOUBLE) + 1), 6) AS h_stat,
+       ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * sum_r2n
+              - 3.0 * (CAST(n AS DOUBLE) + 1))
+             / (1.0 - CAST(tie_cubes AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))),
+             6) AS h_adj,
+       (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * sum_r2n
+        - 3.0 * (CAST(n AS DOUBLE) + 1))
+       / (1.0 - CAST(tie_cubes AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+       > {KRUSKAL_CRIT_95_DF4} AS reject_same_dist
+FROM agg, ties
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test — integer-quantized centered moments
+# ---------------------------------------------------------------------------
+
+# chi-square 95% critical value at df = 2
+JB_CRIT_95_DF2 = 5.991465
+
+
+def jarque_bera_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of order values — the missing
+    member of the distribution-shape family (moments exist, KS/MW
+    compare two samples; JB asks ONE sample "is it Gaussian" from
+    skewness and excess kurtosis): JB = n/6·(S² + K²/4) vs χ²(2).
+
+    Spark's ``skewness``/``kurtosis`` and DuckDB's disagree on bias
+    correction, so the statistic is built from scratch with the
+    integer-quantization idiom (``revenue_acf_profile``): center on
+    the exact-cents mean, then quantize each row's (x−m)², (x−m)³,
+    (x−m)⁴ term to integer units (whole-dollar², mega-dollar³,
+    tera-dollar⁴ — keeping every BIGINT sum inside 2⁶² at any
+    corpus scale). The quantization perturbs S and K by ~1e-5
+    RELATIVE but identically in both engines — parity is exact; the
+    statistic is a deterministic property of the quantized moments,
+    which the docstring hereby defines as the semantics.
+
+    Plan: one 1-row (n, Σcents) agg broadcast onto the fact scan,
+    one map-combined 4-moment agg — two passes, zero shuffle beyond
+    1-row frames."""
+    o = load_table(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("vc")
+    )
+    tot = o.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s_cents")
+    )
+    centered = o.crossJoin(F.broadcast(tot)).select(
+        "n",
+        (
+            F.col("vc").cast("double") / 100
+            - (F.col("s_cents").cast("double") / 100) / F.col("n")
+        ).alias("cx"),
+    )
+    cx = F.col("cx")
+    moments = centered.agg(
+        F.max("n").alias("n"),
+        F.sum(F.round(cx * cx, 0).cast("long")).alias("s2"),
+        F.sum(F.round(cx * cx * cx / 1e6, 0).cast("long")).alias("s3"),
+        F.sum(F.round(cx * cx * cx * cx / 1e12, 0).cast("long")).alias("s4"),
+    )
+    n_d = F.col("n").cast("double")
+    m2 = F.col("s2").cast("double") / n_d
+    m3 = F.col("s3").cast("double") * 1e6 / n_d
+    m4 = F.col("s4").cast("double") * 1e12 / n_d
+    s = m3 / F.sqrt(m2 * m2 * m2)
+    k = m4 / (m2 * m2) - 3.0
+    jb = n_d / 6 * (s * s + k * k / 4)
+    return moments.select(
+        "n",
+        F.round(s, 6).alias("skewness"),
+        F.round(k, 6).alias("ex_kurtosis"),
+        F.round(jb, 4).alias("jb_stat"),
+        (jb > JB_CRIT_95_DF2).alias("reject_normal"),
+    )
+
+
+_JB_CX = (
+    "(CAST(vc AS DOUBLE) / 100"
+    " - (CAST(s_cents AS DOUBLE) / 100) / n)"
+)
+
+ORACLE_JARQUE_BERA = f"""
+WITH o AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS vc FROM orders
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(vc) AS BIGINT) AS s_cents
+  FROM o
+), centered AS (
+  SELECT n, {_JB_CX} AS cx FROM o CROSS JOIN tot
+), moments AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(cx * cx, 0) AS BIGINT)) AS BIGINT) AS s2,
+         CAST(SUM(CAST(ROUND(cx * cx * cx / 1e6, 0) AS BIGINT)) AS BIGINT)
+           AS s3,
+         CAST(SUM(CAST(ROUND(cx * cx * cx * cx / 1e12, 0) AS BIGINT))
+              AS BIGINT) AS s4
+  FROM centered
+)
+SELECT n,
+       ROUND((CAST(s3 AS DOUBLE) * 1e6 / CAST(n AS DOUBLE))
+             / sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         AS skewness,
+       ROUND((CAST(s4 AS DOUBLE) * 1e12 / CAST(n AS DOUBLE))
+             / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0, 6)
+         AS ex_kurtosis,
+       ROUND(CAST(n AS DOUBLE) / 6
+             * (((CAST(s3 AS DOUBLE) * 1e6 / CAST(n AS DOUBLE))
+                 / sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))))
+                * ((CAST(s3 AS DOUBLE) * 1e6 / CAST(n AS DOUBLE))
+                   / sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))))
+                + ((CAST(s4 AS DOUBLE) * 1e12 / CAST(n AS DOUBLE))
+                   / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0)
+                  * ((CAST(s4 AS DOUBLE) * 1e12 / CAST(n AS DOUBLE))
+                     / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0)
+                  / 4), 4) AS jb_stat,
+       CAST(n AS DOUBLE) / 6
+       * (((CAST(s3 AS DOUBLE) * 1e6 / CAST(n AS DOUBLE))
+           / sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))))
+          * ((CAST(s3 AS DOUBLE) * 1e6 / CAST(n AS DOUBLE))
+             / sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))))
+          + ((CAST(s4 AS DOUBLE) * 1e12 / CAST(n AS DOUBLE))
+             / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0)
+            * ((CAST(s4 AS DOUBLE) * 1e12 / CAST(n AS DOUBLE))
+               / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0)
+            / 4) > {JB_CRIT_95_DF2} AS reject_normal
+FROM moments
+"""
+
+
+# ---------------------------------------------------------------------------
 # Ljung-Box portmanteau test — "is the series white noise at all?"
 # ---------------------------------------------------------------------------
 
@@ -4331,6 +4593,16 @@ QUERIES: dict[str, QuerySpec] = {
         permutation_test_revenue,
         ORACLE_PERMUTATION_TEST,
         ["A1", "A4", "X-curation"],
+    ),
+    "kruskal_wallis_priority": QuerySpec(
+        kruskal_wallis_priority,
+        ORACLE_KRUSKAL,
+        ["A1", "A4", "J1", "§2.8", "X-curation"],
+    ),
+    "jarque_bera_orders": QuerySpec(
+        jarque_bera_orders,
+        ORACLE_JARQUE_BERA,
+        ["A4", "X-curation"],
     ),
     "ljung_box_revenue": QuerySpec(
         ljung_box_revenue,

@@ -2402,6 +2402,102 @@ ORDER BY true_lang, pred_lang
 
 
 # --------------------------------------------------------------------------
+# Chi-square feature selection over the hashed-unigram space
+# --------------------------------------------------------------------------
+
+CHI2_TOPK = 20
+
+
+def chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² feature selection over the same hashed-unigram space the
+    naive-Bayes classifier trains on: for each of the 256 hash
+    buckets, the 2×2 contingency of (token in bucket?) × (doc lang
+    = 'en'?) scored by the one-df χ² statistic — the standard
+    filter-method ranking of which features carry class signal,
+    run BEFORE training to size the model (and, on this corpus, to
+    quantify how weak the unigram signal is — see
+    ``naive_bayes_langid``).
+
+    Exactness: a/b/c/d and (ad−bc) are exact BIGINTs (products
+    ≤ T² < 2⁵³ through sf1); the statistic is one double expression
+    over those integers, identical in both engines; ranking sorts
+    the ROUNDED χ² with the bucket id as tie-break.
+
+    Scale: one token-stream map-combined groupBy onto ≤256 cells;
+    totals ride an unpartitioned window over the bounded cell frame
+    (never the token stream); top-k is metadata-sized."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "text", (F.col("lang") == "en").cast("long").alias("is_pos")
+    )
+    toks = docs.select(
+        "is_pos", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).select(
+        "is_pos",
+        (md5_u32(F.col("tok"), "nbfeat") % NB_BUCKETS).alias("bucket"),
+    )
+    cells = toks.groupBy("bucket").agg(
+        F.sum("is_pos").alias("a"),
+        (F.count(F.lit(1)) - F.sum("is_pos")).alias("b"),
+    )
+    w_all = Window.partitionBy()
+    with_tot = cells.select(
+        "bucket",
+        "a",
+        "b",
+        (F.sum("a").over(w_all) - F.col("a")).alias("c"),
+        (F.sum("b").over(w_all) - F.col("b")).alias("d"),
+    )
+    t = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    det = (
+        F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    ).cast("double")
+    denom = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d")).cast("double")
+        * (F.col("a") + F.col("c")).cast("double")
+        * (F.col("b") + F.col("d")).cast("double")
+    )
+    return (
+        with_tot.select(
+            "bucket",
+            (F.col("a") + F.col("b")).alias("n_tokens"),
+            F.col("a").alias("n_en"),
+            F.round(t * det * det / denom, 6).alias("chi2"),
+        )
+        .orderBy(F.desc("chi2"), F.asc("bucket"))
+        .limit(CHI2_TOPK)
+    )
+
+
+ORACLE_CHI2_SELECT = f"""
+WITH toks AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+         {_NB_HASH_TOK} % {NB_BUCKETS} AS bucket
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+), cells AS (
+  SELECT bucket, CAST(SUM(is_pos) AS BIGINT) AS a,
+         CAST(COUNT(*) - SUM(is_pos) AS BIGINT) AS b
+  FROM toks GROUP BY bucket
+), with_tot AS (
+  SELECT bucket, a, b,
+         CAST(SUM(a) OVER () - a AS BIGINT) AS c,
+         CAST(SUM(b) OVER () - b AS BIGINT) AS d
+  FROM cells
+)
+SELECT bucket, a + b AS n_tokens, a AS n_en,
+       ROUND(CAST(a + b + c + d AS DOUBLE)
+             * CAST(a * d - b * c AS DOUBLE)
+             * CAST(a * d - b * c AS DOUBLE)
+             / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)),
+             6) AS chi2
+FROM with_tot
+ORDER BY chi2 DESC, bucket ASC
+LIMIT {CHI2_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # Skip-gram training pairs with word2vec frequency subsampling
 # --------------------------------------------------------------------------
 
@@ -3322,6 +3418,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "heaps_law_fit": QuerySpec(
         heaps_law_fit, ORACLE_HEAPS_LAW, ["X-text", "X-curation", "A1", "F2"]
+    ),
+    "chi2_feature_select": QuerySpec(
+        chi2_feature_select,
+        ORACLE_CHI2_SELECT,
+        ["X-text", "X-curation", "A1", "T1"],
     ),
     "naive_bayes_langid": QuerySpec(
         naive_bayes_langid,

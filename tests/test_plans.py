@@ -634,6 +634,11 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # 1-row (n, Σx) mean frame onto the calendar-bounded day
         # frame (identical to the exempted revenue_acf_profile)
         "ljung_box_revenue",
+        # 1-row tie/total frame crossed onto the 1-row rank-sum agg
+        "kruskal_wallis_priority",
+        # 1-row (n, Σcents) mean frame onto the fact scan (the
+        # value_histogram 1-row-totals-onto-stream shape)
+        "jarque_bera_orders",
     }
     offenders = []
     for name, spec in all_queries().items():

@@ -234,3 +234,104 @@ def test_ljung_box_consistent_with_acf_profile(spark, sf_small):
     assert abs(r.q_stat - q_ref) < 1e-2
     assert r.df == len(acf)
     assert r.reject_white_noise == (r.q_stat > 14.067140)
+
+
+def test_chi2_select_matches_python_contingency(spark, sf_small):
+    """Each reported χ² must equal the textbook 2×2 formula computed
+    in Python from an independent DuckDB contingency build."""
+    from cricket_analytics_nosql_spark.operators.text import (
+        NB_BUCKETS,
+        chi2_feature_select,
+    )
+
+    con = _duck(sf_small)
+    cells = dict()
+    for b, a, nb in con.execute(
+        "SELECT CAST(('0x' || substr(md5('nbfeat' || tok), 1, 8)) AS BIGINT)"
+        f" % {NB_BUCKETS} AS b,"
+        " SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), COUNT(*)"
+        " FROM documents, UNNEST(string_split(text, ' ')) u(tok) GROUP BY b"
+    ).fetchall():
+        cells[b] = (int(a), int(nb - a))
+    tot_a = sum(a for a, _ in cells.values())
+    tot_b = sum(bb for _, bb in cells.values())
+    for r in chi2_feature_select(spark, sf_small).collect():
+        a, bb = cells[r.bucket]
+        c, d = tot_a - a, tot_b - bb
+        t = a + bb + c + d
+        ref = t * (a * d - bb * c) ** 2 / ((a + bb) * (c + d) * (a + c) * (bb + d))
+        assert abs(r.chi2 - ref) < 1e-5
+        assert r.n_tokens == a + bb and r.n_en == a
+
+
+def test_kruskal_matches_python_ranks(spark, sf_small):
+    """H (tie-adjusted) must match a pure-Python average-rank
+    computation on the same cent-quantized values."""
+    from collections import defaultdict
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        kruskal_wallis_priority,
+    )
+
+    con = _duck(sf_small)
+    rows = con.execute(
+        "SELECT o_orderpriority, CAST(ROUND(o_totalprice*100) AS BIGINT)"
+        " FROM orders"
+    ).fetchall()
+    vals = sorted(v for _, v in rows)
+    # average rank per distinct value
+    avg_rank, i = {}, 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        avg_rank[vals[i]] = (i + 1 + j) / 2  # mean of ranks i+1..j
+        i = j
+    by_p = defaultdict(list)
+    for p, v in rows:
+        by_p[p].append(avg_rank[v])
+    n = len(rows)
+    h = 12 / (n * (n + 1)) * sum(
+        sum(rs) ** 2 / len(rs) for rs in by_p.values()
+    ) - 3 * (n + 1)
+    # tie correction
+    from collections import Counter
+
+    tc = Counter(vals)
+    c = 1 - sum(t**3 - t for t in tc.values()) / (n**3 - n)
+    r = kruskal_wallis_priority(spark, sf_small).collect()[0]
+    assert r.n == n and r.k == len(by_p)
+    assert abs(r.h_stat - h) < 1e-4
+    assert abs(r.h_adj - h / c) < 1e-4
+
+
+def test_jarque_bera_matches_numpy_moments(spark, sf_small):
+    """Skewness/kurtosis/JB must match numpy population moments on
+    the same dollar values to quantization tolerance (the operator
+    quantizes per-row moment terms to integer units)."""
+    import numpy as np
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        jarque_bera_orders,
+    )
+
+    con = _duck(sf_small)
+    x = np.array(
+        [
+            v / 100
+            for (v,) in con.execute(
+                "SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) FROM orders"
+            ).fetchall()
+        ]
+    )
+    cx = x - x.mean()
+    m2, m3, m4 = (cx**2).mean(), (cx**3).mean(), (cx**4).mean()
+    s_ref = m3 / m2**1.5
+    k_ref = m4 / m2**2 - 3
+    jb_ref = len(x) / 6 * (s_ref**2 + k_ref**2 / 4)
+    r = jarque_bera_orders(spark, sf_small).collect()[0]
+    assert r.n == len(x)
+    assert abs(r.skewness - s_ref) < 1e-4
+    assert abs(r.ex_kurtosis - k_ref) < 1e-4
+    assert abs(r.jb_stat - jb_ref) < max(1.0, 1e-3 * jb_ref)
+    assert r.reject_normal == (r.jb_stat > 5.991465)
