@@ -3270,6 +3270,215 @@ WITH day AS (
 
 
 # ---------------------------------------------------------------------------
+# Cochran-Armitage trend test — ordered exposure vs binary outcome
+# ---------------------------------------------------------------------------
+
+CA_CRIT_95_DF1 = 3.841459  # chi-square 95% critical value, df = 1
+
+
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for TREND of return rate across the
+    ordered discount ticks (0..10%) — the member of the association
+    family the χ²/G-test pair cannot replace: those treat discount
+    bands as unordered labels, so a clean monotone dose-response and
+    a zigzag of the same magnitude score identically; CA weights the
+    bands by their order and asks specifically "does return risk
+    CLIMB with discount depth?".
+
+    Exactness: with integer scores t = discount tick, the centered
+    numerator is the exact BIGINT d = N·Σta − A·Σtn (≤ ~1e13 at
+    sf0.1; 2⁶² headroom through sf10); Z² = N·d²/(A(N−A)(N·Σt²n −
+    (Σtn)²)) is one double expression over six exact integers,
+    mirrored textually. Verdict vs the literal χ²(1) critical value.
+
+    Plan: ONE map-combined global aggregate over the pruned 2-column
+    fact projection — six BIGINT scalars, zero shuffle, zero joins
+    (the iv_wald posture)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        cents("l_discount").alias("t"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("a"),
+        F.sum("t").alias("stn"),
+        F.sum(F.col("t") * F.col("t")).alias("st2n"),
+        F.sum(F.col("t") * F.col("y")).alias("sta"),
+    )
+    d = (F.col("n") * F.col("sta") - F.col("a") * F.col("stn")).cast(
+        "double"
+    )
+    n_d = F.col("n").cast("double")
+    z2 = (
+        n_d
+        * (d * d)
+        / (
+            F.col("a").cast("double")
+            * (F.col("n") - F.col("a")).cast("double")
+            * (
+                F.col("n").cast("double") * F.col("st2n")
+                - F.col("stn").cast("double") * F.col("stn")
+            )
+        )
+    )
+    return agg.select(
+        "n",
+        F.col("a").alias("n_returned"),
+        F.signum(d).cast("long").alias("trend_sign"),
+        F.round(z2, 6).alias("z2_stat"),
+        (z2 > CA_CRIT_95_DF1).alias("reject_no_trend"),
+    )
+
+
+ORACLE_COCHRAN_ARMITAGE = f"""
+WITH li AS (
+  SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS t,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS a,
+         CAST(SUM(t) AS BIGINT) AS stn,
+         CAST(SUM(t * t) AS BIGINT) AS st2n,
+         CAST(SUM(t * y) AS BIGINT) AS sta
+  FROM li
+)
+SELECT n, a AS n_returned,
+       CAST(SIGN(CAST(n * sta - a * stn AS DOUBLE)) AS BIGINT)
+         AS trend_sign,
+       ROUND(CAST(n AS DOUBLE)
+             * (CAST(n * sta - a * stn AS DOUBLE)
+                * CAST(n * sta - a * stn AS DOUBLE))
+             / (CAST(a AS DOUBLE) * CAST(n - a AS DOUBLE)
+                * (CAST(n AS DOUBLE) * st2n
+                   - CAST(stn AS DOUBLE) * stn)), 6) AS z2_stat,
+       CAST(n AS DOUBLE)
+       * (CAST(n * sta - a * stn AS DOUBLE)
+          * CAST(n * sta - a * stn AS DOUBLE))
+       / (CAST(a AS DOUBLE) * CAST(n - a AS DOUBLE)
+          * (CAST(n AS DOUBLE) * st2n
+             - CAST(stn AS DOUBLE) * stn)) > {CA_CRIT_95_DF1}
+         AS reject_no_trend
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mantel-Haenszel pooled odds ratio + CMH test across brand strata
+# ---------------------------------------------------------------------------
+
+
+def mantel_haenszel_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio of (deep discount → return)
+    ACROSS brand strata, with the CMH χ² — the inferential closure
+    of ``simpson_paradox_audit``: that audit flags when pooled and
+    stratified slopes disagree; MH answers "so what IS the
+    common-stratum effect, and is it significant?" by pooling each
+    brand's 2×2 with Σa·d/n over Σb·c/n weights (the estimator that
+    is consistent even when strata are tiny).
+
+    Exactness: per-stratum a,b,c,d are BIGINTs; every pooled term
+    (ad/n, bc/n, E_i, V_i) is a double from exact integers; the
+    25-stratum sums drift only by addition order (~1e-15 relative —
+    under the 1e-6 grid). CMH uses the continuity-free form
+    (Σa − ΣE)²/ΣV vs χ²(1).
+
+    Plan: one fact⋈part join (dim side AQE-picked), one 25-row
+    stratum rollup, one global agg — the brand-association posture
+    of ``fdr_bh_brands``."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (cents("l_discount") >= 6).alias("exposed"),
+        (F.col("l_returnflag") == "R").alias("ret"),
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum((F.col("exposed") & F.col("ret")).cast("long")).alias("a"),
+            F.sum((F.col("exposed") & ~F.col("ret")).cast("long")).alias("b"),
+            F.sum((~F.col("exposed") & F.col("ret")).cast("long")).alias("c"),
+            F.sum(
+                (~F.col("exposed") & ~F.col("ret")).cast("long")
+            ).alias("d"),
+        )
+    )
+    n_i = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    pooled = cells.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.col("a").cast("double") * F.col("d") / n_i).alias("s_ad"),
+        F.sum(F.col("b").cast("double") * F.col("c") / n_i).alias("s_bc"),
+        F.sum(F.col("a").cast("double")).alias("s_a"),
+        F.sum(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("a") + F.col("c"))
+            / n_i
+        ).alias("s_e"),
+        F.sum(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (n_i * n_i * (n_i - 1))
+        ).alias("s_v"),
+    )
+    cmh = (
+        (F.col("s_a") - F.col("s_e"))
+        * (F.col("s_a") - F.col("s_e"))
+        / F.col("s_v")
+    )
+    return pooled.select(
+        "n_strata",
+        F.round(F.col("s_ad") / F.col("s_bc"), 6).alias("or_mh"),
+        F.round(cmh, 6).alias("cmh_chi2"),
+        (cmh > CA_CRIT_95_DF1).alias("reject_no_assoc"),
+    )
+
+
+ORACLE_MANTEL_HAENSZEL = f"""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_discount * 100) AS BIGINT) >= 6 AS exposed,
+         l_returnflag = 'R' AS ret
+  FROM lineitem
+), cells AS (
+  SELECT p_brand,
+         CAST(SUM(CASE WHEN exposed AND ret THEN 1 ELSE 0 END) AS BIGINT)
+           AS a,
+         CAST(SUM(CASE WHEN exposed AND NOT ret THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN NOT exposed AND ret THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN NOT exposed AND NOT ret THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM li JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), pooled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         SUM(CAST(a AS DOUBLE) * d
+             / CAST(a + b + c + d AS DOUBLE)) AS s_ad,
+         SUM(CAST(b AS DOUBLE) * c
+             / CAST(a + b + c + d AS DOUBLE)) AS s_bc,
+         SUM(CAST(a AS DOUBLE)) AS s_a,
+         SUM(CAST(a + b AS DOUBLE) * (a + c)
+             / CAST(a + b + c + d AS DOUBLE)) AS s_e,
+         SUM(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+             / (CAST(a + b + c + d AS DOUBLE)
+                * CAST(a + b + c + d AS DOUBLE)
+                * (CAST(a + b + c + d AS DOUBLE) - 1))) AS s_v
+  FROM cells
+)
+SELECT n_strata,
+       ROUND(s_ad / s_bc, 6) AS or_mh,
+       ROUND((s_a - s_e) * (s_a - s_e) / s_v, 6) AS cmh_chi2,
+       (s_a - s_e) * (s_a - s_e) / s_v > {CA_CRIT_95_DF1}
+         AS reject_no_assoc
+FROM pooled
+"""
+
+
+# ---------------------------------------------------------------------------
 # Kruskal-Wallis H — k-group rank test (the Mann-Whitney generalization)
 # ---------------------------------------------------------------------------
 
@@ -4593,6 +4802,16 @@ QUERIES: dict[str, QuerySpec] = {
         permutation_test_revenue,
         ORACLE_PERMUTATION_TEST,
         ["A1", "A4", "X-curation"],
+    ),
+    "cochran_armitage_trend": QuerySpec(
+        cochran_armitage_trend,
+        ORACLE_COCHRAN_ARMITAGE,
+        ["A4", "X-curation"],
+    ),
+    "mantel_haenszel_returns": QuerySpec(
+        mantel_haenszel_returns,
+        ORACLE_MANTEL_HAENSZEL,
+        ["A1", "J1", "X-curation"],
     ),
     "kruskal_wallis_priority": QuerySpec(
         kruskal_wallis_priority,

@@ -1027,7 +1027,138 @@ ORDER BY win_start
 """
 
 
+def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM changepoint monitor on daily event volume per
+    event type — the live twin of the batch ``cusum_changepoint``:
+    the stateful stream keeps only replay-safe (day-window × type)
+    counts; the CUSUM recursion S_t = max(0, S_{t-1} + x_t − k) is
+    applied at drain time through its EXACT running-min identity
+    S_t = cum_t − min(0, min_{j≤t} cum_j) — two windows over the
+    calendar-bounded day frame, no sequential scan.
+
+    Exactness: deviations are pre-scaled to integers (dev_t =
+    n_t·D − T, so the day-count denominator never divides until the
+    readout): cum, running min, and the peak are all BIGINT; the
+    only doubles are the two readout divisions. The alert rule is a
+    pure integer comparison (2·peak > T: the cumulative excess tops
+    half a mean day's volume).
+
+    Scale: state is O(windows × types); the finish runs per-type
+    windows over the CALENDAR-bounded drained frame (the KS
+    posture)."""
+    staged = stage_event_files(spark, sf_dir)
+    counts = run_available_now(
+        read_events_stream(spark, staged)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n")),
+        "complete",
+    ).select(F.col("w.start").alias("day"), "event_type", "n")
+    w_type = Window.partitionBy("event_type")
+    w_ord = w_type.orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    enriched = counts.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w_type).alias("total"),
+        F.count(F.lit(1)).over(w_type).alias("n_days"),
+        F.row_number().over(w_ord).alias("idx"),
+        F.sum("n").over(w_cum).alias("cum_n"),
+    ).select(
+        "event_type",
+        "day",
+        "total",
+        "n_days",
+        (
+            F.col("n_days") * F.col("cum_n")
+            - F.col("idx") * F.col("total")
+        ).alias("cum_dev"),
+    )
+    w_ord2 = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = F.col("cum_dev") - F.least(
+        F.lit(0).cast("long"), F.min("cum_dev").over(w_ord2)
+    )
+    scored = enriched.select(
+        "event_type",
+        "day",
+        "total",
+        "n_days",
+        s.alias("s_scaled"),
+    )
+    w_peak = Window.partitionBy("event_type").orderBy(
+        F.desc("s_scaled"), F.asc("day")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_peak))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            "total",
+            F.col("day").alias("changepoint_day"),
+            F.round(
+                F.col("s_scaled").cast("double") / F.col("n_days"), 6
+            ).alias("peak_excess_events"),
+            (2 * F.col("s_scaled") > F.col("total") * F.col("n_days")).alias(
+                "alert"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAM_CUSUM = """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), enriched AS (
+  SELECT event_type, day,
+         CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+         CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS idx,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum_n
+  FROM counts
+), dev AS (
+  SELECT event_type, day, total, n_days,
+         n_days * cum_n - idx * total AS cum_dev
+  FROM enriched
+), scored AS (
+  SELECT event_type, day, total, n_days,
+         cum_dev - LEAST(CAST(0 AS BIGINT),
+                         MIN(cum_dev) OVER (PARTITION BY event_type
+                                            ORDER BY day
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW)) AS s_scaled
+  FROM dev
+), peak AS (
+  SELECT event_type, n_days, total, day AS changepoint_day, s_scaled,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY s_scaled DESC, day ASC) AS rn
+  FROM scored
+)
+SELECT event_type, n_days, total, changepoint_day,
+       ROUND(CAST(s_scaled AS DOUBLE) / n_days, 6) AS peak_excess_events,
+       2 * s_scaled > total * n_days AS alert
+FROM peak WHERE rn = 1
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_cusum_monitor": QuerySpec(
+        stream_cusum_monitor,
+        ORACLE_STREAM_CUSUM,
+        ["§2.11", "A1", "§2.8", "X-ts"],
+    ),
     "stream_wilson_monitor": QuerySpec(
         stream_wilson_monitor,
         ORACLE_STREAM_WILSON,

@@ -335,3 +335,113 @@ def test_jarque_bera_matches_numpy_moments(spark, sf_small):
     assert abs(r.ex_kurtosis - k_ref) < 1e-4
     assert abs(r.jb_stat - jb_ref) < max(1.0, 1e-3 * jb_ref)
     assert r.reject_normal == (r.jb_stat > 5.991465)
+
+
+def test_stream_cusum_matches_sequential_recursion(spark, sf_small):
+    """The running-min identity must equal the textbook sequential
+    CUSUM S_t = max(0, S_{t-1} + dev_t) replayed in Python on the
+    same drained day counts."""
+    from collections import defaultdict
+
+    from cricket_analytics_nosql_spark.streaming.events import (
+        stream_cusum_monitor,
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_small}/events.parquet')"
+    )
+    rows = con.execute(
+        "SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,"
+        " COUNT(*) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    by_type = defaultdict(list)
+    for et, day, n in rows:
+        by_type[et].append((day, n))
+    got = {
+        r.event_type: r
+        for r in stream_cusum_monitor(spark, sf_small).collect()
+    }
+    for et, series in by_type.items():
+        d_cnt = len(series)
+        total = sum(n for _, n in series)
+        s, peak, peak_day = 0, 0, series[0][0]
+        for day, n in series:
+            s = max(0, s + (n * d_cnt - total))
+            if s > peak:
+                peak, peak_day = s, day
+        r = got[et]
+        assert r.n_days == d_cnt and r.total == total
+        assert abs(r.peak_excess_events - peak / d_cnt) < 1e-6
+        if peak > 0:
+            assert r.changepoint_day == peak_day
+        assert r.alert == (2 * peak > total * d_cnt)
+
+
+def test_cochran_armitage_matches_python(spark, sf_small):
+    """Z² must equal the textbook CA statistic computed from the
+    per-tick contingency in Python."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        cochran_armitage_trend,
+    )
+
+    con = _duck(sf_small)
+    cells = con.execute(
+        "SELECT CAST(ROUND(l_discount*100) AS BIGINT) AS t,"
+        " SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END), COUNT(*)"
+        " FROM lineitem GROUP BY t"
+    ).fetchall()
+    n = sum(nt for _, _, nt in cells)
+    a = sum(at for _, at, _ in cells)
+    stn = sum(t * nt for t, _, nt in cells)
+    st2n = sum(t * t * nt for t, _, nt in cells)
+    sta = sum(t * at for t, at, _ in cells)
+    d = n * sta - a * stn
+    z2 = n * d * d / (a * (n - a) * (n * st2n - stn * stn))
+    r = cochran_armitage_trend(spark, sf_small).collect()[0]
+    assert r.n == n and r.n_returned == a
+    assert abs(r.z2_stat - z2) < 1e-5
+    assert r.trend_sign == (1 if d > 0 else (-1 if d < 0 else 0))
+
+
+def test_mantel_haenszel_matches_python(spark, sf_small):
+    """OR_MH and CMH must match a per-brand Python pooling of the
+    same 2×2 tables."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        mantel_haenszel_returns,
+    )
+
+    con = _duck(sf_small)
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_small, 'part')}.parquet')"
+    )
+    strata = con.execute(
+        "SELECT p_brand,"
+        " SUM(CASE WHEN d >= 6 AND ret THEN 1 ELSE 0 END),"
+        " SUM(CASE WHEN d >= 6 AND NOT ret THEN 1 ELSE 0 END),"
+        " SUM(CASE WHEN d < 6 AND ret THEN 1 ELSE 0 END),"
+        " SUM(CASE WHEN d < 6 AND NOT ret THEN 1 ELSE 0 END)"
+        " FROM (SELECT l_partkey,"
+        "              CAST(ROUND(l_discount*100) AS BIGINT) AS d,"
+        "              l_returnflag = 'R' AS ret FROM lineitem) li"
+        " JOIN part p ON li.l_partkey = p.p_partkey GROUP BY p_brand"
+    ).fetchall()
+    s_ad = s_bc = s_a = s_e = s_v = 0.0
+    for _, a, b, c, d in strata:
+        a, b, c, d = int(a), int(b), int(c), int(d)
+        n = a + b + c + d
+        s_ad += a * d / n
+        s_bc += b * c / n
+        s_a += a
+        s_e += (a + b) * (a + c) / n
+        s_v += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+    r = mantel_haenszel_returns(spark, sf_small).collect()[0]
+    assert r.n_strata == len(strata)
+    assert abs(r.or_mh - s_ad / s_bc) < 1e-5
+    ref_cmh = (s_a - s_e) ** 2 / s_v
+    assert abs(r.cmh_chi2 - ref_cmh) < 1e-5
+    assert r.reject_no_assoc == (r.cmh_chi2 > 3.841459)
