@@ -3270,6 +3270,230 @@ WITH day AS (
 
 
 # ---------------------------------------------------------------------------
+# Brown-Forsythe test — variance homogeneity across k groups
+# ---------------------------------------------------------------------------
+
+# F(4, inf) 95% critical value = chi2(4)/4 — asymptotic (n >> k),
+# the regime every SF here is in
+BF_CRIT_95_DF4_INF = 2.371902
+
+
+def brown_forsythe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of variance
+    homogeneity across the five order priorities — the SCALE twin of
+    ``kruskal_wallis_priority``'s location test: two groups can share
+    a median while one is twice as volatile, and every pooled-variance
+    method upstream (ANOVA, t, power analysis) silently assumes this
+    test passes. Median-centering (Brown-Forsythe) rather than
+    mean-centering (classic Levene) keeps the test robust on the
+    heavy-tailed order-value distribution.
+
+    Exactness: group medians are exact type-1 quantiles off the
+    per-group cent-value rollup; per-row deviations |v − med_g| are
+    integer cents, quantized to whole DOLLARS before squaring (the
+    ``jarque_bera_orders`` discipline — keeps Σz² < 2⁶² at any
+    corpus scale, identical in both engines); the F statistic is one
+    double expression over seven exact BIGINTs. Verdict vs the
+    literal asymptotic F critical value.
+
+    Plan: one fact rollup onto per-group value grids (the rank/KS
+    posture — windows run on the grid, never the stream), one join
+    back, one 5-row group agg, one global combine."""
+    ov = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("p"),
+        cents("o_totalprice").alias("v"),
+    )
+    cnt = ov.groupBy("p", "v").agg(F.count(F.lit(1)).alias("t"))
+    w_grid = Window.partitionBy("p").orderBy("v")
+    w_all = Window.partitionBy("p")
+    with_cum = cnt.select(
+        "p",
+        "v",
+        "t",
+        F.sum("t").over(
+            w_grid.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("t").over(w_all).alias("n_g"),
+    )
+    med = (
+        with_cum.filter(2 * F.col("cum") >= F.col("n_g"))
+        .groupBy("p")
+        .agg(F.min("v").alias("med"))
+    )
+    # integer division, not double-divide-then-cast: Spark's
+    # double→long cast truncates while DuckDB's CAST rounds — `div`
+    # and `//` agree exactly on non-negative integers
+    dev = ov.join(med, "p").select(
+        "p",
+        F.expr("abs(v - med) div 100").alias("z"),
+    )
+    g = dev.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("z").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).alias("q_g"),
+    )
+    comb = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.sum(
+            F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+        ).alias("s2n"),
+    )
+    n_d, k_d = F.col("n").cast("double"), F.col("k").cast("double")
+    between = F.col("s2n") - F.col("s").cast("double") * F.col("s") / n_d
+    within = F.col("q").cast("double") - F.col("s2n")
+    f_stat = (between / (k_d - 1)) / (within / (n_d - k_d))
+    return comb.select(
+        "n",
+        "k",
+        F.round(f_stat, 6).alias("f_stat"),
+        (f_stat > BF_CRIT_95_DF4_INF).alias("reject_equal_spread"),
+    )
+
+
+ORACLE_BROWN_FORSYTHE = f"""
+WITH ov AS (
+  SELECT o_orderpriority AS p,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), cnt AS (
+  SELECT p, v, CAST(COUNT(*) AS BIGINT) AS t FROM ov GROUP BY p, v
+), with_cum AS (
+  SELECT p, v, t,
+         CAST(SUM(t) OVER (PARTITION BY p ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(t) OVER (PARTITION BY p) AS BIGINT) AS n_g
+  FROM cnt
+), med AS (
+  SELECT p, MIN(v) AS med FROM with_cum WHERE 2 * cum >= n_g GROUP BY p
+), dev AS (
+  SELECT ov.p, CAST(ABS(ov.v - med.med) // 100 AS BIGINT) AS z
+  FROM ov JOIN med ON ov.p = med.p
+), g AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(z) AS BIGINT) AS s_g,
+         CAST(SUM(z * z) AS BIGINT) AS q_g
+  FROM dev GROUP BY p
+), comb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(q_g) AS BIGINT) AS q,
+         SUM(CAST(s_g AS DOUBLE) * s_g / n_g) AS s2n
+  FROM g
+)
+SELECT n, k,
+       ROUND(((s2n - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
+              / (CAST(k AS DOUBLE) - 1))
+             / ((CAST(q AS DOUBLE) - s2n)
+                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat,
+       ((s2n - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
+        / (CAST(k AS DOUBLE) - 1))
+       / ((CAST(q AS DOUBLE) - s2n)
+          / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+       > {BF_CRIT_95_DF4_INF} AS reject_equal_spread
+FROM comb
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) drift between two priority cohorts
+# ---------------------------------------------------------------------------
+
+
+def wasserstein_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W₁ (earth-mover) distance between the urgent and low-priority
+    order-value distributions — the INTEGRAL twin of
+    ``ks_drift_orders``: KS reports the single worst CDF gap (shape-
+    sensitive, magnitude-blind); W₁ integrates |F_A − F_B| over the
+    value axis, so it measures HOW MUCH money-mass must move, in
+    dollars — the drift number a retraining-cost model can actually
+    consume.
+
+    Exactness: on the merged distinct-cent grid, each segment's term
+    is |cumA·n_B − cumB·n_A| (exact BIGINT, cross-multiplied — no
+    rate rounding) × the next-value gap; only the per-segment scale
+    to dollars is a double, and the segment sum drifts by addition
+    order alone (~1e-15 relative — the stats_moments discipline).
+
+    Plan: one fact rollup onto the merged value grid, two cumulative
+    windows over that grid (the KS posture verbatim), one global
+    agg."""
+    ov = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(KS_GROUP_A, KS_GROUP_B))
+        .select(
+            (F.col("o_orderpriority") == KS_GROUP_A)
+            .cast("long")
+            .alias("is_a"),
+            cents("o_totalprice").alias("v"),
+        )
+    )
+    per_v = ov.groupBy("v").agg(
+        F.sum("is_a").alias("na_v"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("nb_v"),
+    )
+    w = Window.orderBy("v")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    grid = per_v.select(
+        "v",
+        F.sum("na_v").over(w_cum).alias("cum_a"),
+        F.sum("nb_v").over(w_cum).alias("cum_b"),
+        F.sum("na_v").over(w_all).alias("n_a"),
+        F.sum("nb_v").over(w_all).alias("n_b"),
+        F.lead("v").over(w).alias("v_next"),
+    )
+    term = (
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).cast("double")
+        * (F.col("v_next") - F.col("v"))
+        / F.col("n_a")
+        / F.col("n_b")
+        / 100
+    )
+    return grid.filter(F.col("v_next").isNotNull()).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.round(F.sum(term), 6).alias("w1_dollars"),
+    )
+
+
+ORACLE_WASSERSTEIN = f"""
+WITH ov AS (
+  SELECT CASE WHEN o_orderpriority = '{KS_GROUP_A}' THEN 1 ELSE 0 END
+           AS is_a,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+  WHERE o_orderpriority IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+), per_v AS (
+  SELECT v, CAST(SUM(is_a) AS BIGINT) AS na_v,
+         CAST(SUM(1 - is_a) AS BIGINT) AS nb_v
+  FROM ov GROUP BY v
+), grid AS (
+  SELECT v,
+         CAST(SUM(na_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS cum_a,
+         CAST(SUM(nb_v) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS cum_b,
+         CAST(SUM(na_v) OVER () AS BIGINT) AS n_a,
+         CAST(SUM(nb_v) OVER () AS BIGINT) AS n_b,
+         LEAD(v) OVER (ORDER BY v) AS v_next
+  FROM per_v
+)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       ROUND(SUM(CAST(ABS(cum_a * n_b - cum_b * n_a) AS DOUBLE)
+                 * (v_next - v) / n_a / n_b / 100), 6) AS w1_dollars
+FROM grid WHERE v_next IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cochran-Armitage trend test — ordered exposure vs binary outcome
 # ---------------------------------------------------------------------------
 
@@ -4802,6 +5026,16 @@ QUERIES: dict[str, QuerySpec] = {
         permutation_test_revenue,
         ORACLE_PERMUTATION_TEST,
         ["A1", "A4", "X-curation"],
+    ),
+    "brown_forsythe_priority": QuerySpec(
+        brown_forsythe_priority,
+        ORACLE_BROWN_FORSYTHE,
+        ["A1", "A4", "J1", "§2.8", "X-curation"],
+    ),
+    "wasserstein_drift_orders": QuerySpec(
+        wasserstein_drift_orders,
+        ORACLE_WASSERSTEIN,
+        ["A1", "A4", "§2.8", "X-curation"],
     ),
     "cochran_armitage_trend": QuerySpec(
         cochran_armitage_trend,

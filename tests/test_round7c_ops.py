@@ -445,3 +445,83 @@ def test_mantel_haenszel_matches_python(spark, sf_small):
     ref_cmh = (s_a - s_e) ** 2 / s_v
     assert abs(r.cmh_chi2 - ref_cmh) < 1e-5
     assert r.reject_no_assoc == (r.cmh_chi2 > 3.841459)
+
+
+def test_brown_forsythe_matches_python(spark, sf_small):
+    """F must equal the textbook BF computation (median-centered,
+    dollar-quantized deviations) replayed in Python."""
+    from collections import defaultdict
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        brown_forsythe_priority,
+    )
+
+    con = _duck(sf_small)
+    rows = con.execute(
+        "SELECT o_orderpriority, CAST(ROUND(o_totalprice*100) AS BIGINT)"
+        " FROM orders"
+    ).fetchall()
+    by_p = defaultdict(list)
+    for p, v in rows:
+        by_p[p].append(v)
+    zs = defaultdict(list)
+    for p, vs in by_p.items():
+        vs.sort()
+        # type-1 lower median: first value with 2*cum >= n
+        cum, med = 0, None
+        n = len(vs)
+        prev = None
+        for i, v in enumerate(vs):
+            if 2 * (i + 1) >= n:
+                med = v
+                break
+        for v in vs:
+            zs[p].append(abs(v - med) // 100)
+    n = sum(len(z) for z in zs.values())
+    k = len(zs)
+    s = sum(sum(z) for z in zs.values())
+    q = sum(sum(x * x for x in z) for z in zs.values())
+    s2n = sum(sum(z) ** 2 / len(z) for z in zs.values())
+    between = s2n - s * s / n
+    within = q - s2n
+    f_ref = (between / (k - 1)) / (within / (n - k))
+    r = brown_forsythe_priority(spark, sf_small).collect()[0]
+    assert r.n == n and r.k == k
+    assert abs(r.f_stat - f_ref) < 1e-5
+
+
+def test_wasserstein_matches_python_cdf_integral(spark, sf_small):
+    """W₁ must equal the sorted-CDF integral computed in Python on
+    the same cent values (scipy-free reference)."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        KS_GROUP_A,
+        KS_GROUP_B,
+        wasserstein_drift_orders,
+    )
+
+    con = _duck(sf_small)
+    a = sorted(
+        v
+        for (v,) in con.execute(
+            "SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) FROM orders"
+            f" WHERE o_orderpriority = '{KS_GROUP_A}'"
+        ).fetchall()
+    )
+    b = sorted(
+        v
+        for (v,) in con.execute(
+            "SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) FROM orders"
+            f" WHERE o_orderpriority = '{KS_GROUP_B}'"
+        ).fetchall()
+    )
+    grid = sorted(set(a) | set(b))
+    import bisect
+
+    w1 = 0.0
+    for v, v_next in zip(grid, grid[1:]):
+        fa = bisect.bisect_right(a, v) / len(a)
+        fb = bisect.bisect_right(b, v) / len(b)
+        w1 += abs(fa - fb) * (v_next - v) / 100
+    r = wasserstein_drift_orders(spark, sf_small).collect()[0]
+    assert r.n_a == len(a) and r.n_b == len(b)
+    assert abs(r.w1_dollars - w1) < 1e-4
