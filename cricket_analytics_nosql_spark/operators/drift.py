@@ -3270,6 +3270,110 @@ WITH day AS (
 
 
 # ---------------------------------------------------------------------------
+# Diebold-Mariano — which forecaster wins, statistically?
+# ---------------------------------------------------------------------------
+
+DM_CRIT_95 = 1.959964  # two-sided normal 95% critical value
+
+
+def diebold_mariano_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano comparison of the naive (yesterday) vs
+    seasonal-naive (same weekday last week) forecasters on daily
+    revenue — the inference layer ``forecast_backtest_naive`` stops
+    short of: a lower backtest MAE can be luck; DM tests whether the
+    absolute-error differential d_t = |e_naive| − |e_seasonal| has
+    nonzero mean, so "switch to the seasonal model" becomes a
+    significance call, not a point estimate.
+
+    Exactness: the day series is integer dollars, both errors and
+    d_t are exact BIGINTs, Σd and Σd² are BIGINT (|d| < 10⁶ dollars,
+    calendar-bounded count — 2⁶² headroom at any corpus scale); the
+    DM ratio is one double expression over three exact integers.
+    Verdict vs the literal two-sided normal critical value.
+
+    Plan: one fact rollup to the calendar day frame, two lag reads
+    over ONE unpartitioned window on it (KS posture), one global
+    agg — the ljung_box plan with two extra lag columns."""
+    day = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            epoch_day("o_orderdate").alias("d"),
+            (cents("o_totalprice") / 100).cast("long").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").alias("x"))
+    )
+    w = Window.orderBy("d")
+    lagged = day.select(
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    ).filter(F.col("x7").isNotNull())
+    dcol = F.abs(F.col("x") - F.col("x1")) - F.abs(F.col("x") - F.col("x7"))
+    agg = lagged.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum(dcol).alias("sd"),
+        F.sum(dcol * dcol).alias("qd"),
+    )
+    t_d = F.col("t").cast("double")
+    mean = F.col("sd").cast("double") / t_d
+    var = F.col("qd").cast("double") / t_d - mean * mean
+    dm = mean / F.sqrt(var / t_d)
+    return agg.select(
+        "t",
+        F.round(mean, 6).alias("mean_abs_err_gap"),
+        F.round(dm, 6).alias("dm_stat"),
+        F.when(dm > DM_CRIT_95, F.lit("seasonal_naive"))
+        .when(dm < -DM_CRIT_95, F.lit("naive"))
+        .otherwise(F.lit("no_significant_difference"))
+        .alias("better_forecaster"),
+    )
+
+
+ORACLE_DIEBOLD_MARIANO = f"""
+WITH day AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100)
+              AS BIGINT) AS x
+  FROM orders GROUP BY d
+), lagged AS (
+  SELECT x, LAG(x, 1) OVER (ORDER BY d) AS x1,
+         LAG(x, 7) OVER (ORDER BY d) AS x7
+  FROM day
+), dd AS (
+  SELECT ABS(x - x1) - ABS(x - x7) AS dv FROM lagged WHERE x7 IS NOT NULL
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(dv) AS BIGINT) AS sd,
+         CAST(SUM(dv * dv) AS BIGINT) AS qd
+  FROM dd
+)
+SELECT t,
+       ROUND(CAST(sd AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mean_abs_err_gap,
+       ROUND((CAST(sd AS DOUBLE) / CAST(t AS DOUBLE))
+             / sqrt((CAST(qd AS DOUBLE) / CAST(t AS DOUBLE)
+                     - (CAST(sd AS DOUBLE) / CAST(t AS DOUBLE))
+                       * (CAST(sd AS DOUBLE) / CAST(t AS DOUBLE)))
+                    / CAST(t AS DOUBLE)), 6) AS dm_stat,
+       CASE WHEN (CAST(sd AS DOUBLE) / CAST(t AS DOUBLE))
+                 / sqrt((CAST(qd AS DOUBLE) / CAST(t AS DOUBLE)
+                         - (CAST(sd AS DOUBLE) / CAST(t AS DOUBLE))
+                           * (CAST(sd AS DOUBLE) / CAST(t AS DOUBLE)))
+                        / CAST(t AS DOUBLE)) > {DM_CRIT_95}
+              THEN 'seasonal_naive'
+            WHEN (CAST(sd AS DOUBLE) / CAST(t AS DOUBLE))
+                 / sqrt((CAST(qd AS DOUBLE) / CAST(t AS DOUBLE)
+                         - (CAST(sd AS DOUBLE) / CAST(t AS DOUBLE))
+                           * (CAST(sd AS DOUBLE) / CAST(t AS DOUBLE)))
+                        / CAST(t AS DOUBLE)) < -{DM_CRIT_95}
+              THEN 'naive'
+            ELSE 'no_significant_difference' END AS better_forecaster
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Brown-Forsythe test — variance homogeneity across k groups
 # ---------------------------------------------------------------------------
 
@@ -5026,6 +5130,11 @@ QUERIES: dict[str, QuerySpec] = {
         permutation_test_revenue,
         ORACLE_PERMUTATION_TEST,
         ["A1", "A4", "X-curation"],
+    ),
+    "diebold_mariano_backtest": QuerySpec(
+        diebold_mariano_backtest,
+        ORACLE_DIEBOLD_MARIANO,
+        ["A1", "A4", "§2.8", "X-ts"],
     ),
     "brown_forsythe_priority": QuerySpec(
         brown_forsythe_priority,

@@ -2146,7 +2146,121 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# Markov next-event prediction eval — supervised readout of the chain
+# ---------------------------------------------------------------------------
+
+MARKOV_EVAL_MOD = 5  # 1/5 of users held out
+
+
+def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised eval of the first-order Markov model that
+    ``markov_entropy_rate`` measures in the abstract: fit argmax
+    next-event predictions on 4/5 of users (keyed-hash split — the
+    ``naive_bayes_langid`` discipline), score them on the held-out
+    fifth, and report per previous-event-type hit rate vs the
+    majority-class floor. The entropy rate says how predictable
+    behavior is in bits; this says what a deployed next-action
+    predictor would actually score.
+
+    Exactness: everything is integer counts until two per-row
+    divisions; the argmax breaks count ties on the smaller event
+    type, so the fitted model is bit-deterministic.
+
+    Plan: one user-key exchange for the lead window (shared shape
+    with markov_entropy_rate), a map-combined rollup onto ≤k² cells
+    for training, a broadcast of the k-row fitted model onto the
+    held-out transition stream, one ≤k-row readout."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    from cricket_analytics_nosql_spark.functions.scalar import md5_u32
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        (md5_u32(F.col("user_id"), "mkveval") % MARKOV_EVAL_MOD == 0).alias(
+            "is_test"
+        ),
+        F.col("event_type").alias("prev"),
+        F.lead("event_type", 1).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cells = (
+        pairs.filter(~F.col("is_test"))
+        .groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_fit = Window.partitionBy("prev").orderBy(F.desc("c"), F.asc("nxt"))
+    model = (
+        cells.withColumn("rn", F.row_number().over(w_fit))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("predicted_next"))
+    )
+    return (
+        pairs.filter(F.col("is_test"))
+        .join(F.broadcast(model), "prev")
+        .groupBy("prev", "predicted_next")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum(
+                (F.col("nxt") == F.col("predicted_next")).cast("long")
+            ).alias("n_hits"),
+        )
+        .select(
+            "prev",
+            "predicted_next",
+            "n_transitions",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_transitions"), 6
+            ).alias("hit_rate"),
+        )
+        .orderBy("prev")
+    )
+
+
+_MKV_HASH = (
+    "CAST(('0x' || substr(md5('mkveval' || CAST(user_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT)"
+)
+
+ORACLE_MARKOV_EVAL = f"""
+WITH pairs AS (
+  SELECT {_MKV_HASH} % {MARKOV_EVAL_MOD} = 0 AS is_test,
+         event_type AS prev,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+), pp AS (
+  SELECT * FROM pairs WHERE nxt IS NOT NULL
+), cells AS (
+  SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pp WHERE NOT is_test GROUP BY prev, nxt
+), model AS (
+  SELECT prev, nxt AS predicted_next
+  FROM (SELECT prev, nxt, ROW_NUMBER() OVER (PARTITION BY prev
+                                             ORDER BY c DESC, nxt ASC) AS rn
+        FROM cells)
+  WHERE rn = 1
+)
+SELECT p.prev, m.predicted_next,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN p.nxt = m.predicted_next THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN p.nxt = m.predicted_next THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS hit_rate
+FROM pp p JOIN model m ON p.prev = m.prev
+WHERE p.is_test
+GROUP BY p.prev, m.predicted_next
+ORDER BY p.prev
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "markov_next_event_eval": QuerySpec(
+        markov_next_event_eval,
+        ORACLE_MARKOV_EVAL,
+        ["A1", "J1", "T1", "§2.8", "X-ts", "X-curation"],
+    ),
     "conversion_paths": QuerySpec(
         conversion_paths,
         ORACLE_CONVERSION_PATHS,

@@ -525,3 +525,83 @@ def test_wasserstein_matches_python_cdf_integral(spark, sf_small):
     r = wasserstein_drift_orders(spark, sf_small).collect()[0]
     assert r.n_a == len(a) and r.n_b == len(b)
     assert abs(r.w1_dollars - w1) < 1e-4
+
+
+def test_markov_eval_matches_python_fit(spark, sf_small):
+    """The fitted argmax model and held-out hit counts must match a
+    Python replay of the same split/fit/score."""
+    from collections import Counter, defaultdict
+
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        MARKOV_EVAL_MOD,
+        markov_next_event_eval,
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_small}/events.parquet')"
+    )
+    rows = con.execute(
+        "SELECT user_id, event_type,"
+        " LEAD(event_type) OVER (PARTITION BY user_id"
+        "                        ORDER BY ts, event_id),"
+        " CAST(('0x' || substr(md5('mkveval' || CAST(user_id AS VARCHAR)),"
+        f" 1, 8)) AS BIGINT) % {MARKOV_EVAL_MOD} = 0"
+        " FROM events"
+    ).fetchall()
+    train, test = Counter(), defaultdict(list)
+    for _, prev, nxt, is_test in rows:
+        if nxt is None:
+            continue
+        if is_test:
+            test[prev].append(nxt)
+        else:
+            train[(prev, nxt)] += 1
+    model = {}
+    for (prev, nxt), c in train.items():
+        best = model.get(prev)
+        if best is None or (c, ) > (best[1], ) or (c == best[1] and nxt < best[0]):
+            if best is None or c > best[1] or (c == best[1] and nxt < best[0]):
+                model[prev] = (nxt, c)
+    got = {r.prev: r for r in markov_next_event_eval(spark, sf_small).collect()}
+    for prev, (pred, _) in model.items():
+        r = got[prev]
+        assert r.predicted_next == pred
+        assert r.n_transitions == len(test[prev])
+        assert r.n_hits == sum(1 for x in test[prev] if x == pred)
+
+
+def test_diebold_mariano_matches_python(spark, sf_small):
+    """DM must equal the Python replay on the same integer-dollar
+    day series."""
+    import math
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        diebold_mariano_backtest,
+    )
+
+    con = _duck(sf_small)
+    series = [
+        x
+        for (_, x) in con.execute(
+            "SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))"
+            " // 86400000000 AS BIGINT) AS d,"
+            " CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT) // 100)"
+            " AS BIGINT) FROM orders GROUP BY d ORDER BY d"
+        ).fetchall()
+    ]
+    ds = [
+        abs(series[i] - series[i - 1]) - abs(series[i] - series[i - 7])
+        for i in range(7, len(series))
+    ]
+    t = len(ds)
+    mean = sum(ds) / t
+    var = sum(x * x for x in ds) / t - mean**2
+    dm_ref = mean / math.sqrt(var / t)
+    r = diebold_mariano_backtest(spark, sf_small).collect()[0]
+    assert r.t == t
+    assert abs(r.dm_stat - dm_ref) < 1e-5
+    assert abs(r.mean_abs_err_gap - mean) < 1e-4
