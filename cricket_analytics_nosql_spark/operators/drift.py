@@ -20,6 +20,8 @@ same textual order as its oracle, then ``ROUND(..., 6)``.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -5061,7 +5063,333 @@ ORDER BY bin
 """
 
 
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test — non-parametric monotone-trend significance
+# ---------------------------------------------------------------------------
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall test for a monotone trend in daily revenue — the
+    SIGNIFICANCE companion to ``theil_sen_trend``'s magnitude:
+    S = Σ_{i<j} sign(c_j − c_i) over day pairs, the tie-corrected
+    variance Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18,
+    and the continuity-corrected normal deviate
+    Z = (S ∓ 1)/√Var(S). Also reports Kendall's τ_a = S/(n(n−1)/2).
+
+    Scale argument — the theil_sen posture verbatim: the pair space
+    is the CALENDAR squared (days², ~2.9M at 7 years, invariant in
+    data volume) after a one-pass exact-cents day rollup; the
+    day⨯day theta join is a bounded broadcast-nested-loop by
+    construction.
+
+    Exactness: S, n and the tie term are exact BIGINT sums of
+    {−1,0,+1} comparisons and cubic tie polynomials; the only
+    doubles are the final τ/Var/Z divisions, written in
+    oracle-identical textual order."""
+    day_rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(epoch_day("o_orderdate").alias("d"))
+        .agg(F.sum(cents("o_totalprice")).alias("c"))
+    )
+    a = day_rev.select(F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = day_rev.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    s_row = (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(
+                F.when(F.col("c2") > F.col("c1"), 1)
+                .when(F.col("c2") < F.col("c1"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    # n and the tie-group polynomial ride one rollup of the SAME
+    # day frame (t_g = multiplicity of each revenue value)
+    ties = (
+        day_rev.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum("t").alias("n_days"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    n = F.col("n_days").cast("double")
+    var_s = (
+        n * (n - 1.0) * (2.0 * n + 5.0)
+        - F.col("tie_term").cast("double")
+    ) / 18.0
+    s = F.col("s_stat").cast("double")
+    z = F.when(F.col("s_stat") > 0, (s - 1.0) / F.sqrt(var_s)).when(
+        F.col("s_stat") < 0, (s + 1.0) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return s_row.crossJoin(F.broadcast(ties)).select(
+        "n_days",
+        "s_stat",
+        F.round(s / (n * (n - 1.0) / 2.0), 6).alias("tau_a"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z + F.lit(0.0), 6).alias("z_stat"),
+    )
+
+
+ORACLE_MANN_KENDALL = """
+WITH day_rev AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY d
+), s_row AS (
+  SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM day_rev a JOIN day_rev b ON a.d < b.d
+), ties AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n_days,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM day_rev GROUP BY c)
+)
+SELECT n_days, s_stat,
+       ROUND(CAST(s_stat AS DOUBLE)
+             / (CAST(n_days AS DOUBLE) * (n_days - 1.0) / 2.0), 6) AS tau_a,
+       ROUND((CAST(n_days AS DOUBLE) * (n_days - 1.0) * (2.0 * n_days + 5.0)
+              - CAST(tie_term AS DOUBLE)) / 18.0, 6) AS var_s,
+       ROUND(CASE
+         WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+           / sqrt((CAST(n_days AS DOUBLE) * (n_days - 1.0)
+                   * (2.0 * n_days + 5.0)
+                   - CAST(tie_term AS DOUBLE)) / 18.0)
+         WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+           / sqrt((CAST(n_days AS DOUBLE) * (n_days - 1.0)
+                   * (2.0 * n_days + 5.0)
+                   - CAST(tie_term AS DOUBLE)) / 18.0)
+         ELSE 0.0 END + 0.0, 6) AS z_stat
+FROM s_row CROSS JOIN ties
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cramér-von Mises two-sample drift — integrated squared ECDF gap
+# ---------------------------------------------------------------------------
+
+
+def cvm_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion between the urgent vs
+    low-priority order-value distributions — the INTEGRATED member
+    of the drift family: KS reads the single worst ECDF gap, CvM
+    integrates (F_A − F_B)² over every observation, so many small
+    coherent gaps (a mean shift KS half-misses) light it up.
+
+    Tie-aware observation form (Anderson 1962):
+    T = Σ_v w_v · (F_A(v) − F_B(v))² / (n·m·(n+m)²) · (n·m), i.e.
+    T = (n·m/(n+m)²) · Σ_v w_v D_v² /(n·m)² with w_v the combined
+    multiplicity at value v — computed on the SAME dollar-quantized
+    value grid as ``ks_drift_orders``: bounded by the value domain,
+    never the fact stream.
+
+    Exactness: the per-value gap numerator (cumA·m − cumB·n) is an
+    exact BIGINT; its square times the weight rides a DECIMAL(38,0)
+    sum (128-bit on the oracle side: HUGEINT) so the integral is
+    EXACT until one final double division — no float sum over the
+    grid whose order could perturb a bit."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(KS_GROUP_A, KS_GROUP_B))
+        .select(
+            flag(F.col("o_orderpriority") == KS_GROUP_A).alias("is_a"),
+            F.expr(
+                "cast(round(o_totalprice * 100) as bigint) div 100"
+            ).alias("v"),
+        )
+    )
+    counts = o.groupBy("v").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(1 - F.col("is_a")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "v",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    d_num = (
+        F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+    ).cast("decimal(20,0)")
+    integral = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum(
+                d_num
+                * d_num
+                * (F.col("ca") + F.col("cb")).cast("decimal(10,0)")
+            ).alias("u_num")
+        )
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    return integral.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("u_num").cast("double")
+            / (na * nb * (na + nb) * (na + nb)),
+            6,
+        ).alias("cvm_stat"),
+    )
+
+
+ORACLE_CVM_DRIFT = f"""
+WITH o AS (
+  SELECT CASE WHEN o_orderpriority = '{KS_GROUP_A}' THEN 1 ELSE 0 END AS is_a,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS v
+  FROM orders
+  WHERE o_orderpriority IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+), counts AS (
+  SELECT v, CAST(SUM(is_a) AS BIGINT) AS ca,
+         CAST(SUM(1 - is_a) AS BIGINT) AS cb
+  FROM o GROUP BY v
+), cum AS (
+  SELECT v, ca, cb,
+         SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b
+  FROM counts
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM counts
+), integral AS (
+  SELECT n_a, n_b,
+         SUM(CAST(cum_a * n_b - cum_b * n_a AS HUGEINT)
+             * (cum_a * n_b - cum_b * n_a) * (ca + cb)) AS u_num
+  FROM cum CROSS JOIN tot
+  GROUP BY n_a, n_b
+)
+SELECT n_a, n_b,
+       ROUND(CAST(u_num AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * n_b * (n_a + n_b) * (n_a + n_b)),
+             6) AS cvm_stat
+FROM integral
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gumbel block-maxima fit — extreme-value model of peak revenue days
+# ---------------------------------------------------------------------------
+
+GUMBEL_EULER = 0.5772156649015329
+
+
+def gumbel_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel (EV-I) fit to MONTHLY maxima of daily revenue — the
+    block-maxima member of the extreme-value family next to
+    ``hill_tail_index``'s peaks-over-threshold: method-of-moments
+    β̂ = s·√6/π, μ̂ = x̄ − γ·β̂, plus the 99% return level
+    μ̂ − β̂·ln(−ln 0.99) ("the monthly peak exceeded once per ~100
+    months") — the capacity-planning number.
+
+    Scale: one exact-cents day rollup, one month-max rollup (both
+    map-side combined), then a single global (n, Σx, Σx²) aggregate
+    over the ~84-row month frame. Maxima are quantized to whole
+    kilodollars so Σx² stays inside BIGINT at any tested SF (the
+    welch_ttest idiom; at true 100 TB re-quantize to megadollars —
+    one constant).
+
+    Exactness: (n, Σx, Σx²) are exact integers; mean, sample s²,
+    and the three Gumbel outputs are the only doubles, evaluated in
+    oracle-identical textual order."""
+    day_rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias(
+                "mo"
+            ),
+            epoch_day("o_orderdate").alias("d"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("c"))
+    )
+    mo_max = day_rev.groupBy("mo").agg(
+        F.expr("max(c) div 100000").alias("x")
+    )
+    agg = mo_max.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_months").cast("double")
+    mean = F.col("sx").cast("double") / n
+    var = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / n
+    ) / (n - 1.0)
+    beta = F.sqrt(var * 6.0) / F.lit(math.pi)
+    mu = mean - F.lit(GUMBEL_EULER) * beta
+    return agg.select(
+        "n_months",
+        F.round(mean, 6).alias("mean_max_kusd"),
+        F.round(beta, 6).alias("beta_kusd"),
+        F.round(mu, 6).alias("mu_kusd"),
+        F.round(
+            mu - beta * F.log(-F.log(F.lit(0.99))), 6
+        ).alias("return_level_p99"),
+    )
+
+
+ORACLE_GUMBEL_FIT = f"""
+WITH day_rev AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mo,
+         CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY mo, d
+), mo_max AS (
+  SELECT mo, MAX(c) // 100000 AS x FROM day_rev GROUP BY mo
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM mo_max
+)
+SELECT n_months,
+       ROUND(CAST(sx AS DOUBLE) / n_months, 6) AS mean_max_kusd,
+       ROUND(sqrt((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_months)
+                  / (n_months - 1.0) * 6.0) / pi(), 6) AS beta_kusd,
+       ROUND(CAST(sx AS DOUBLE) / n_months
+             - {GUMBEL_EULER} * (sqrt((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_months)
+                  / (n_months - 1.0) * 6.0) / pi()), 6) AS mu_kusd,
+       ROUND(CAST(sx AS DOUBLE) / n_months
+             - {GUMBEL_EULER} * (sqrt((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_months)
+                  / (n_months - 1.0) * 6.0) / pi())
+             - (sqrt((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_months)
+                  / (n_months - 1.0) * 6.0) / pi())
+               * ln(-ln(0.99)), 6) AS return_level_p99
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mann_kendall_trend": QuerySpec(
+        mann_kendall_trend,
+        ORACLE_MANN_KENDALL,
+        ["A1", "A4", "J3", "X-ts", "X-curation"],
+    ),
+    "cvm_drift_orders": QuerySpec(
+        cvm_drift_orders,
+        ORACLE_CVM_DRIFT,
+        ["A1", "A4", "§2.8", "X-curation"],
+    ),
+    "gumbel_maxima_fit": QuerySpec(
+        gumbel_maxima_fit,
+        ORACLE_GUMBEL_FIT,
+        ["A1", "A4", "X-ts", "X-curation"],
+    ),
     "freedman_diaconis_histogram": QuerySpec(
         freedman_diaconis_histogram,
         ORACLE_FD_HISTOGRAM,

@@ -546,7 +546,128 @@ ORDER BY b.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# AMS tug-of-war sketch — second frequency moment (self-join size)
+# ---------------------------------------------------------------------------
+
+AMS_J = 16  # estimators: 4 groups × 4 → median of means
+AMS_G = 4
+
+
+def _ams_sign(j: int) -> Column:
+    """Deterministic ±1 from the cross-engine md5 hash of user_id."""
+    return F.when(
+        md5_u32(F.col("user_id"), salt=f"ams{j}#") % 2 == 0, 1
+    ).otherwise(-1)
+
+
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war estimate of F₂ = Σ_u f_u² of the per-user
+    event-count distribution (the SELF-JOIN SIZE on user_id — what a
+    join planner wants before committing a strategy), audited
+    against the exact F₂ in the same row.
+
+    The sketch: Z_j = Σ_events s_j(user) with deterministic ±1 hash
+    signs; E[Z_j²] = F₂. {AMS_J} estimators, {AMS_G} groups, median
+    of group means. Each Z_j is ONE map-combined conditional sum —
+    the whole sketch state is {AMS_J} bigints per partition, merged
+    by addition (the linear-sketch property; at 100 TB the exchange
+    carries {AMS_J} longs per map partition and nothing else). The
+    exact arm is a user rollup — correct but needing |users| state;
+    the sketch needs O(1).
+
+    Exactness: Z_j, the group sums of Z_j², and exact F₂ are all
+    BIGINT; median-of-means = (q₂+q₃)/(2·{AMS_G}) is the first
+    double, rel_err the second — both written oracle-identically."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    zs = ev.agg(
+        *[F.sum(_ams_sign(j)).alias(f"z{j}") for j in range(AMS_J)]
+    )
+    qs = [
+        sum(
+            F.col(f"z{g * AMS_G + i}") * F.col(f"z{g * AMS_G + i}")
+            for i in range(AMS_G)
+        ).alias(f"q{g}")
+        for g in range(AMS_J // AMS_G)
+    ]
+    est_row = zs.select(
+        *qs
+    ).select(
+        F.array_sort(
+            F.array(*[F.col(f"q{g}") for g in range(AMS_J // AMS_G)])
+        ).alias("qa")
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(
+            F.sum("f").alias("n_events"),
+            F.sum(F.col("f") * F.col("f")).alias("f2_exact"),
+        )
+    )
+    est = (
+        F.element_at(F.col("qa"), 2) + F.element_at(F.col("qa"), 3)
+    ).cast("double") / F.lit(2.0 * AMS_G)
+    return est_row.crossJoin(F.broadcast(exact)).select(
+        "n_events",
+        "f2_exact",
+        F.round(est, 2).alias("f2_est"),
+        F.round(
+            (est - F.col("f2_exact").cast("double"))
+            / F.col("f2_exact").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def _ams_oracle() -> str:
+    sign = (
+        "CASE WHEN CAST(('0x' || substr(md5('ams{j}#' ||"
+        " CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0"
+        " THEN 1 ELSE -1 END"
+    )
+    z_exprs = ",\n         ".join(
+        f"CAST(SUM({sign.format(j=j)}) AS BIGINT) AS z{j}"
+        for j in range(AMS_J)
+    )
+    q_exprs = ", ".join(
+        "("
+        + " + ".join(
+            f"z{g * AMS_G + i} * z{g * AMS_G + i}" for i in range(AMS_G)
+        )
+        + f") AS q{g}"
+        for g in range(AMS_J // AMS_G)
+    )
+    q_list = ", ".join(f"q{g}" for g in range(AMS_J // AMS_G))
+    return f"""
+WITH zs AS (
+  SELECT {z_exprs}
+  FROM events
+), qs AS (
+  SELECT {q_exprs} FROM zs
+), est AS (
+  SELECT CAST(list_sort([{q_list}])[2]
+              + list_sort([{q_list}])[3] AS DOUBLE)
+         / {2.0 * AMS_G} AS f2_est
+  FROM qs
+), exact AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS n_events,
+         CAST(SUM(f * f) AS BIGINT) AS f2_exact
+  FROM (SELECT COUNT(*) AS f FROM events GROUP BY user_id)
+)
+SELECT n_events, f2_exact, ROUND(f2_est, 2) AS f2_est,
+       ROUND((f2_est - CAST(f2_exact AS DOUBLE))
+             / CAST(f2_exact AS DOUBLE), 6) AS rel_err
+FROM est CROSS JOIN exact
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ams_f2_sketch": QuerySpec(
+        ams_f2_sketch,
+        _ams_oracle(),
+        ["A1", "A4", "X-curation"],
+    ),
     "bitmap_distinct_users": QuerySpec(
         bitmap_distinct_users,
         ORACLE_BITMAP_DISTINCT,

@@ -2498,6 +2498,219 @@ LIMIT {CHI2_TOPK}
 
 
 # --------------------------------------------------------------------------
+# Good-Turing mass estimates — how much probability belongs to the unseen?
+# --------------------------------------------------------------------------
+
+GT_MAX_R = 5
+
+
+def good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good-Turing frequency-mass profile of the token
+    unigram distribution: for r = 0..{GT_MAX_R}, the number of word
+    types seen exactly r times, the raw probability mass they carry
+    (r·N_r/N), and the Good-Turing REASSIGNED mass
+    ((r+1)·N_{{r+1}}/N — at r = 0 this is the famous N₁/N estimate of
+    the probability that the NEXT token is a never-seen word). The
+    number a corpus-growth planner and every smoothing scheme
+    (``kneser_ney_surprisal`` hardwires one) start from.
+
+    Exactness: N_r, N and the masses are exact integers and integer
+    rationals; the only doubles are the two final divisions.
+
+    Scale: one token rollup (map-combined), one count-of-counts
+    rollup onto a ≤|distinct r| frame, filtered to r ≤ {GT_MAX_R}+1
+    (bounded BY THE QUESTION, not the data); the 1-row token total
+    crosses onto the 6-row grid."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens_col(F.col("text"))).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    cc = freq.groupBy("c").agg(F.count(F.lit(1)).alias("n_types"))
+    tot = cc.agg(F.sum(F.col("c") * F.col("n_types")).alias("n"))
+    grid = (
+        spark.range(0, GT_MAX_R + 1)
+        .select(F.col("id").alias("r"))
+        .join(
+            F.broadcast(cc.filter(F.col("c") <= GT_MAX_R)),
+            F.col("r") == F.col("c"),
+            "left",
+        )
+        .select("r", "n_types")
+        .join(
+            F.broadcast(
+                cc.filter(F.col("c") <= GT_MAX_R + 1).select(
+                    (F.col("c") - 1).alias("r_m1"),
+                    F.col("n_types").alias("n_types_next"),
+                )
+            ),
+            F.col("r") == F.col("r_m1"),
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return grid.select(
+        "r",
+        "n_types",
+        F.round(
+            (F.col("r") * F.coalesce(F.col("n_types"), F.lit(0))).cast(
+                "double"
+            )
+            / F.col("n"),
+            6,
+        ).alias("raw_mass"),
+        F.round(
+            (
+                (F.col("r") + 1)
+                * F.coalesce(F.col("n_types_next"), F.lit(0))
+            ).cast("double")
+            / F.col("n"),
+            6,
+        ).alias("gt_mass"),
+    ).orderBy("r")
+
+
+ORACLE_GOOD_TURING = f"""
+WITH toks AS (
+  SELECT tok AS w FROM documents, UNNEST(string_split(text, ' ')) u(tok)
+), freq AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+), cc AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS n_types FROM freq GROUP BY c
+), tot AS (
+  SELECT CAST(SUM(c * n_types) AS BIGINT) AS n FROM cc
+), grid AS (
+  SELECT r.range AS r, a.n_types, b.n_types AS n_types_next, tot.n
+  FROM range({GT_MAX_R + 1}) r
+  LEFT JOIN cc a ON r.range = a.c
+  LEFT JOIN cc b ON r.range = b.c - 1
+  CROSS JOIN tot
+)
+SELECT r, n_types,
+       ROUND(CAST(r * COALESCE(n_types, 0) AS DOUBLE) / n, 6) AS raw_mass,
+       ROUND(CAST((r + 1) * COALESCE(n_types_next, 0) AS DOUBLE) / n, 6)
+         AS gt_mass
+FROM grid
+ORDER BY r
+"""
+
+
+# --------------------------------------------------------------------------
+# Burrows' Delta — stylometric distance between sources
+# --------------------------------------------------------------------------
+
+BURROWS_TOPK = 20
+
+
+def burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every pair of corpus sources — the
+    classic stylometric attribution distance: z-score each source's
+    relative frequency of the top-{BURROWS_TOPK} corpus words
+    (function words dominate that set — exactly Burrows' design),
+    then Delta(s₁,s₂) = mean |z₁−z₂|. Low Delta = same "authorial
+    fingerprint"; the dedup/contamination families find shared
+    CONTENT, this finds shared STYLE (templated generators, scraped
+    mirrors with rewritten words).
+
+    Exactness: relative frequencies are exact integer rationals;
+    μ/σ per word ride a |sources|-row window; all frames after the
+    one token rollup are (sources × top-k)-bounded, so the doubles
+    drift only by 5-term addition order (~1e-16).
+
+    Plan: one token-stream rollup to (source, word) cells, a
+    broadcast top-k word filter, the bounded grid completion
+    (sources × k cross — metadata-sized by construction), two
+    windows on it, one k-keyed equi self-join for the 10 pairs."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("w")
+    )
+    sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    stot = sw.groupBy("source").agg(F.sum("c").alias("s_toks"))
+    topk = (
+        sw.groupBy("w")
+        .agg(F.sum("c").alias("g"))
+        .orderBy(F.desc("g"), F.asc("w"))
+        .limit(BURROWS_TOPK)
+        .select("w")
+    )
+    grid = (
+        stot.crossJoin(F.broadcast(topk))
+        .join(sw, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("s_toks")
+            ).alias("f"),
+        )
+    )
+    w_word = Window.partitionBy("w")
+    z = grid.select(
+        "source",
+        "w",
+        (
+            (F.col("f") - F.avg("f").over(w_word))
+            / F.sqrt(
+                F.sum(F.col("f") * F.col("f")).over(w_word)
+                / F.count(F.lit(1)).over(w_word)
+                - F.avg("f").over(w_word) * F.avg("f").over(w_word)
+            )
+        ).alias("z"),
+    )
+    a = z.select(F.col("source").alias("s1"), "w", F.col("z").alias("z1"))
+    b = z.select(F.col("source").alias("s2"), "w", F.col("z").alias("z2"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("z1") - F.col("z2")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("delta")
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+ORACLE_BURROWS_DELTA = f"""
+WITH toks AS (
+  SELECT source, tok AS w
+  FROM documents, UNNEST(string_split(text, ' ')) u(tok)
+), sw AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, w
+), stot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS s_toks FROM sw GROUP BY source
+), topk AS (
+  SELECT w FROM (SELECT w, SUM(c) AS g FROM sw GROUP BY w)
+  ORDER BY g DESC, w ASC LIMIT {BURROWS_TOPK}
+), grid AS (
+  SELECT st.source, t.w,
+         CAST(COALESCE(sw.c, 0) AS DOUBLE) / st.s_toks AS f
+  FROM stot st CROSS JOIN topk t
+  LEFT JOIN sw ON sw.source = st.source AND sw.w = t.w
+), z AS (
+  SELECT source, w,
+         (f - AVG(f) OVER (PARTITION BY w))
+         / sqrt(SUM(f * f) OVER (PARTITION BY w)
+                / COUNT(*) OVER (PARTITION BY w)
+                - AVG(f) OVER (PARTITION BY w)
+                  * AVG(f) OVER (PARTITION BY w)) AS z
+  FROM grid
+)
+SELECT a.s1, b.s2,
+       ROUND(SUM(ABS(a.z1 - b.z2)) / COUNT(*), 6) AS delta
+FROM (SELECT source AS s1, w, z AS z1 FROM z) a
+JOIN (SELECT source AS s2, w, z AS z2 FROM z) b ON a.w = b.w
+WHERE a.s1 < b.s2
+GROUP BY a.s1, b.s2
+ORDER BY a.s1, b.s2
+"""
+
+
+# --------------------------------------------------------------------------
 # Skip-gram training pairs with word2vec frequency subsampling
 # --------------------------------------------------------------------------
 
@@ -3464,6 +3677,16 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "pmi_top_pairs": QuerySpec(
         pmi_top_pairs, ORACLE_PMI, ["X-text", "A1", "J1", "T1"]
+    ),
+    "good_turing_mass": QuerySpec(
+        good_turing_mass,
+        ORACLE_GOOD_TURING,
+        ["X-text", "X-curation", "A1", "A4", "J1"],
+    ),
+    "burrows_delta_sources": QuerySpec(
+        burrows_delta_sources,
+        ORACLE_BURROWS_DELTA,
+        ["X-text", "X-dedup", "A1", "§2.8", "J1", "T1"],
     ),
     "bm25_search": QuerySpec(
         bm25_search, ORACLE_BM25_SEARCH, ["X-text", "A1", "J1", "T1"]

@@ -1295,7 +1295,134 @@ ORDER BY fold, c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# Gini decision stump — the tree-learner split search as one pass
+# --------------------------------------------------------------------------
+
+
+def gini_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal single-feature decision stump: the token-length
+    threshold that best separates English from non-English docs by
+    weighted Gini impurity — the inner loop of every tree/GBDT
+    learner (find-best-split), expressed as ONE histogram pass
+    instead of per-threshold rescans.
+
+    All |thresholds| candidate splits are scored from a single
+    (length → count, positives) rollup: a cumulative window ordered
+    by length gives every left/right contingency at once — the
+    standard scan-once split-finding a distributed tree learner
+    (XGBoost's approx mode) runs per node. The candidate frame is
+    bounded by the LENGTH DOMAIN (≤ max tokens per doc), never the
+    corpus.
+
+    Exactness: every contingency cell is an exact BIGINT; the split
+    score 2/n·[e_l(n_l−e_l)/n_l + e_r(n_r−e_r)/n_r] is evaluated as
+    an exact-integer numerator pair over n_l·n_r with ONE double
+    division, so the argmin (ties → smallest threshold) is
+    bit-identical in any engine."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split(F.col("text"), " ")).alias("len"),
+        (F.col("lang") == "en").cast("long").alias("en"),
+    )
+    hist = docs.groupBy("len").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("en").alias("e")
+    )
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "len",
+        F.sum("cnt").over(w).alias("n_l"),
+        F.sum("e").over(w).alias("e_l"),
+    )
+    tot = hist.agg(F.sum("cnt").alias("n"), F.sum("e").alias("e_tot"))
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_l") < F.col("n"))
+        .select(
+            F.col("len").alias("split_len"),
+            "n_l",
+            "e_l",
+            (F.col("n") - F.col("n_l")).alias("n_r"),
+            (F.col("e_tot") - F.col("e_l")).alias("e_r"),
+            "n",
+            "e_tot",
+        )
+    )
+    score = (
+        (
+            F.col("e_l") * (F.col("n_l") - F.col("e_l")) * F.col("n_r")
+            + F.col("e_r") * (F.col("n_r") - F.col("e_r")) * F.col("n_l")
+        ).cast("double")
+        / (F.col("n_l") * F.col("n_r")).cast("double")
+    )
+    return (
+        cand.select(
+            "split_len",
+            F.col("n_l").alias("n_left"),
+            F.col("e_l").alias("en_left"),
+            F.col("n_r").alias("n_right"),
+            F.col("e_r").alias("en_right"),
+            F.round(score * 2.0 / F.col("n").cast("double"), 6).alias(
+                "gini_split"
+            ),
+            F.round(
+                2.0
+                * F.col("e_tot").cast("double")
+                * (F.col("n") - F.col("e_tot")).cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double")),
+                6,
+            ).alias("gini_parent"),
+            score.alias("_s"),
+        )
+        .orderBy(F.asc("_s"), F.asc("split_len"))
+        .limit(1)
+        .drop("_s")
+    )
+
+
+ORACLE_GINI_STUMP = """
+WITH docs AS (
+  SELECT len(string_split(text, ' ')) AS l,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+  FROM documents
+), hist AS (
+  SELECT l, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(en) AS BIGINT) AS e
+  FROM docs GROUP BY l
+), cum AS (
+  SELECT l, SUM(cnt) OVER (ORDER BY l) AS n_l,
+         SUM(e) OVER (ORDER BY l) AS e_l
+  FROM hist
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(SUM(e) AS BIGINT) AS e_tot
+  FROM hist
+), cand AS (
+  SELECT l AS split_len, n_l, e_l, n - n_l AS n_r, e_tot - e_l AS e_r,
+         n, e_tot
+  FROM cum CROSS JOIN tot
+  WHERE n_l < n
+)
+SELECT CAST(split_len AS INTEGER) AS split_len,
+       CAST(n_l AS BIGINT) AS n_left, CAST(e_l AS BIGINT) AS en_left,
+       CAST(n_r AS BIGINT) AS n_right, CAST(e_r AS BIGINT) AS en_right,
+       ROUND(CAST(e_l * (n_l - e_l) * n_r + e_r * (n_r - e_r) * n_l
+                  AS DOUBLE)
+             / CAST(n_l * n_r AS DOUBLE) * 2.0 / CAST(n AS DOUBLE), 6)
+         AS gini_split,
+       ROUND(2.0 * CAST(e_tot AS DOUBLE) * CAST(n - e_tot AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS gini_parent
+FROM cand
+ORDER BY CAST(e_l * (n_l - e_l) * n_r + e_r * (n_r - e_r) * n_l AS DOUBLE)
+         / CAST(n_l * n_r AS DOUBLE) ASC, split_len ASC
+LIMIT 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "gini_stump_split": QuerySpec(
+        gini_stump_split,
+        ORACLE_GINI_STUMP,
+        ["A1", "A6", "T1", "§2.8", "X-training", "X-curation"],
+    ),
     "leakage_safe_split": QuerySpec(
         leakage_safe_split,
         ORACLE_LEAKAGE_SAFE_SPLIT,

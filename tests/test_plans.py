@@ -639,6 +639,23 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # 1-row (n, Σcents) mean frame onto the fact scan (the
         # value_histogram 1-row-totals-onto-stream shape)
         "jarque_bera_orders",
+        # 1-row token-total N onto the (GT_MAX_R+1)-row count-of-
+        # counts grid — bounded by the QUESTION, not the data
+        "good_turing_mass",
+        # |sources| × top-k word grid completion (5 × 20 rows at any
+        # SF): the only corpus-sized frame is the equi-keyed rollup
+        "burrows_delta_sources",
+        # calendar-bounded day² sign-pair join (the theil_sen
+        # exemption class) + two 1-row stat frames crossed
+        "mann_kendall_trend",
+        # 1-row (n_a, n_b) totals crossed onto the dollar-grid ECDF
+        # frame (the ks_drift_orders shape)
+        "cvm_drift_orders",
+        # 1-row sketch frame × 1-row exact-F2 frame final cross
+        "ams_f2_sketch",
+        # 1-row (n, e_tot) totals onto the length-domain-bounded
+        # split-candidate frame (the ks/value_histogram shape)
+        "gini_stump_split",
     }
     offenders = []
     for name, spec in all_queries().items():

@@ -605,3 +605,281 @@ def test_diebold_mariano_matches_python(spark, sf_small):
     assert r.t == t
     assert abs(r.dm_stat - dm_ref) < 1e-5
     assert abs(r.mean_abs_err_gap - mean) < 1e-4
+
+
+def test_good_turing_matches_python_count_of_counts(spark, sf_small):
+    """Every N_r, raw mass and Good-Turing reassigned mass must equal
+    a pure-Python count-of-counts over the same whitespace tokens;
+    the r = 0 row must carry the N1/N unseen-mass estimate."""
+    from collections import Counter
+
+    from cricket_analytics_nosql_spark.operators.text import (
+        GT_MAX_R,
+        good_turing_mass,
+    )
+
+    con = _duck(sf_small)
+    freq = Counter()
+    for (txt,) in con.execute("SELECT text FROM documents").fetchall():
+        freq.update(txt.split(" "))
+    cc = Counter(freq.values())
+    n = sum(r * nr for r, nr in cc.items())
+    rows = {r.r: r for r in good_turing_mass(spark, sf_small).collect()}
+    assert sorted(rows) == list(range(GT_MAX_R + 1))
+    for r in range(GT_MAX_R + 1):
+        got = rows[r]
+        assert (got.n_types or 0) == cc.get(r, 0)
+        assert abs(got.raw_mass - round(r * cc.get(r, 0) / n, 6)) < 1e-9
+        assert (
+            abs(got.gt_mass - round((r + 1) * cc.get(r + 1, 0) / n, 6))
+            < 1e-9
+        )
+    # the headline number: P(next token unseen) = N1/N
+    assert abs(rows[0].gt_mass - round(cc.get(1, 0) / n, 6)) < 1e-9
+    assert rows[0].raw_mass == 0.0
+
+
+def test_burrows_delta_matches_python_stylometry(spark, sf_small):
+    """Each pairwise Delta must equal the textbook computation —
+    z-scored top-k relative word frequencies, mean absolute gap —
+    done in pure Python from the same corpus, and must be a
+    symmetric non-negative distance over all source pairs."""
+    import math
+    from collections import Counter, defaultdict
+
+    from cricket_analytics_nosql_spark.operators.text import (
+        BURROWS_TOPK,
+        burrows_delta_sources,
+    )
+
+    con = _duck(sf_small)
+    per_src = defaultdict(Counter)
+    for src, txt in con.execute(
+        "SELECT source, text FROM documents"
+    ).fetchall():
+        per_src[src].update(txt.split(" "))
+    glob = Counter()
+    for c in per_src.values():
+        glob.update(c)
+    topk = [
+        w
+        for w, _ in sorted(glob.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :BURROWS_TOPK
+        ]
+    ]
+    srcs = sorted(per_src)
+    f = {
+        s: {
+            w: per_src[s][w] / sum(per_src[s].values()) for w in topk
+        }
+        for s in srcs
+    }
+    z = {}
+    for w in topk:
+        vals = [f[s][w] for s in srcs]
+        mu = sum(vals) / len(vals)
+        sd = math.sqrt(sum(v * v for v in vals) / len(vals) - mu * mu)
+        for s in srcs:
+            z[(s, w)] = (f[s][w] - mu) / sd
+    got = {
+        (r.s1, r.s2): r.delta
+        for r in burrows_delta_sources(spark, sf_small).collect()
+    }
+    expected_pairs = {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]
+    }
+    assert set(got) == expected_pairs
+    for (s1, s2), d in got.items():
+        ref = sum(abs(z[(s1, w)] - z[(s2, w)]) for w in topk) / len(topk)
+        assert abs(d - ref) < 1e-5
+        assert d >= 0.0
+
+
+def test_mann_kendall_matches_python_pairs(spark, sf_small):
+    """S, τ_a, Var(S) and Z must equal a pure-Python O(n²) pair scan
+    over the same exact-cents daily revenue series."""
+    import math
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        mann_kendall_trend,
+    )
+
+    con = _duck(sf_small)
+    days = [
+        c
+        for (_, c) in con.execute(
+            "SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000"
+            " AS d, SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))"
+            " FROM orders GROUP BY d ORDER BY d"
+        ).fetchall()
+    ]
+    n = len(days)
+    s = sum(
+        (days[j] > days[i]) - (days[j] < days[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(days).values()
+    )
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18
+    z = (s - 1) / math.sqrt(var) if s > 0 else (
+        (s + 1) / math.sqrt(var) if s < 0 else 0.0
+    )
+    r = mann_kendall_trend(spark, sf_small).collect()[0]
+    assert r.n_days == n and r.s_stat == s
+    assert abs(r.tau_a - s / (n * (n - 1) / 2)) < 1e-6
+    assert abs(r.var_s - var) < 1e-3
+    assert abs(r.z_stat - z) < 1e-5
+
+
+def test_cvm_matches_python_ecdf_integral(spark, sf_small):
+    """The CvM criterion must equal a pure-Python integral of the
+    squared ECDF gap over every combined observation."""
+    from collections import Counter
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        KS_GROUP_A,
+        KS_GROUP_B,
+        cvm_drift_orders,
+    )
+
+    con = _duck(sf_small)
+    rows = con.execute(
+        "SELECT o_orderpriority, CAST(ROUND(o_totalprice*100) AS BIGINT)"
+        f" // 100 FROM orders WHERE o_orderpriority IN"
+        f" ('{KS_GROUP_A}', '{KS_GROUP_B}')"
+    ).fetchall()
+    a = Counter(v for p, v in rows if p == KS_GROUP_A)
+    b = Counter(v for p, v in rows if p == KS_GROUP_B)
+    n, m = sum(a.values()), sum(b.values())
+    cum_a = cum_b = 0
+    u = 0
+    for v in sorted(set(a) | set(b)):
+        cum_a += a.get(v, 0)
+        cum_b += b.get(v, 0)
+        d = cum_a * m - cum_b * n
+        u += d * d * (a.get(v, 0) + b.get(v, 0))
+    t_ref = u / (n * m * (n + m) * (n + m))
+    r = cvm_drift_orders(spark, sf_small).collect()[0]
+    assert (r.n_a, r.n_b) == (n, m)
+    assert abs(r.cvm_stat - t_ref) < 1e-6
+
+
+def test_gumbel_fit_matches_python_moments(spark, sf_small):
+    """μ̂, β̂ and the p99 return level must equal the textbook
+    method-of-moments fit on the same monthly maxima."""
+    import math
+    import statistics
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        GUMBEL_EULER,
+        gumbel_maxima_fit,
+    )
+
+    con = _duck(sf_small)
+    xs = [
+        x
+        for (_, x) in con.execute(
+            "SELECT mo, MAX(c) // 100000 FROM ("
+            " SELECT year(o_orderdate)*12 + month(o_orderdate) AS mo,"
+            " epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,"
+            " SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS c"
+            " FROM orders GROUP BY mo, d) GROUP BY mo"
+        ).fetchall()
+    ]
+    mean = sum(xs) / len(xs)
+    sd = statistics.stdev(xs)
+    beta = sd * math.sqrt(6) / math.pi
+    mu = mean - GUMBEL_EULER * beta
+    rl = mu - beta * math.log(-math.log(0.99))
+    r = gumbel_maxima_fit(spark, sf_small).collect()[0]
+    assert r.n_months == len(xs)
+    assert abs(r.mean_max_kusd - mean) < 1e-5
+    assert abs(r.beta_kusd - beta) < 1e-4
+    assert abs(r.mu_kusd - mu) < 1e-4
+    assert abs(r.return_level_p99 - rl) < 1e-3
+
+
+def test_ams_f2_matches_python_sketch_replay(spark, sf_small):
+    """The AMS estimate must equal a pure-Python replay of the same
+    md5-signed tug-of-war, and the exact F2 must match a Counter."""
+    import hashlib
+    from collections import Counter
+
+    from cricket_analytics_nosql_spark.operators.sketches import (
+        AMS_G,
+        AMS_J,
+        ams_f2_sketch,
+    )
+
+    con = _duck(sf_small)
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{os.path.join(sf_small, 'events')}.parquet')"
+    )
+    users = [u for (u,) in con.execute("SELECT user_id FROM events").fetchall()]
+    freq = Counter(users)
+    f2 = sum(c * c for c in freq.values())
+
+    def sign(j, u):
+        h = int(hashlib.md5(f"ams{j}#{u}".encode()).hexdigest()[:8], 16)
+        return 1 if h % 2 == 0 else -1
+
+    zs = [
+        sum(sign(j, u) * c for u, c in freq.items()) for j in range(AMS_J)
+    ]
+    qs = sorted(
+        sum(zs[g * AMS_G + i] ** 2 for i in range(AMS_G))
+        for g in range(AMS_J // AMS_G)
+    )
+    est = (qs[1] + qs[2]) / (2.0 * AMS_G)
+    r = ams_f2_sketch(spark, sf_small).collect()[0]
+    assert r.n_events == len(users)
+    assert r.f2_exact == f2
+    assert abs(r.f2_est - round(est, 2)) < 1e-6
+    assert abs(r.rel_err - round((est - f2) / f2, 6)) < 1e-6
+
+
+def test_gini_stump_is_the_bruteforce_argmin(spark, sf_small):
+    """The reported split must minimize weighted Gini over EVERY
+    candidate threshold in a brute-force Python scan, with exact
+    contingency counts."""
+    from collections import Counter
+
+    from cricket_analytics_nosql_spark.operators.training import (
+        gini_stump_split,
+    )
+
+    con = _duck(sf_small)
+    rows = con.execute(
+        "SELECT len(string_split(text, ' ')),"
+        " CASE WHEN lang = 'en' THEN 1 ELSE 0 END FROM documents"
+    ).fetchall()
+    n = len(rows)
+    e_tot = sum(e for _, e in rows)
+    cnt, pos = Counter(), Counter()
+    for l, e in rows:
+        cnt[l] += 1
+        pos[l] += e
+    best = None
+    n_l = e_l = 0
+    for l in sorted(cnt):
+        n_l += cnt[l]
+        e_l += pos[l]
+        if n_l == n:
+            continue
+        n_r, e_r = n - n_l, e_tot - e_l
+        g = (
+            e_l * (n_l - e_l) * n_r + e_r * (n_r - e_r) * n_l
+        ) / (n_l * n_r) * 2.0 / n
+        if best is None or g < best[0] - 1e-15:
+            best = (g, l, n_l, e_l, n_r, e_r)
+    r = gini_stump_split(spark, sf_small).collect()[0]
+    assert r.split_len == best[1]
+    assert (r.n_left, r.en_left, r.n_right, r.en_right) == best[2:]
+    assert abs(r.gini_split - best[0]) < 1e-6
+    parent = 2.0 * e_tot * (n - e_tot) / (n * n)
+    assert abs(r.gini_parent - parent) < 1e-6
