@@ -3596,7 +3596,531 @@ ORDER BY rk
 """
 
 
+# --------------------------------------------------------------------------
+# Lexical richness profile — vocabulary-health numbers per source
+# --------------------------------------------------------------------------
+
+
+def lexical_richness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-health panel: type-token ratio, hapax
+    share, Yule's K (repetitiveness — the stylometric constant
+    that survives corpus growth where raw TTR decays), Simpson's D
+    repeat probability, and the Chao1 estimate of the UNSEEN
+    vocabulary still to come (bias-corrected N₁(N₁−1)/(2(N₂+1))
+    form) — the five numbers a corpus-curation review reads before
+    admitting a new source.
+
+    Scale: ONE (source, term) rollup (map-combined), then a
+    per-source aggregate — no joins, no windows; the frame after
+    the first rollup is vocabulary-sized.
+
+    Exactness: every aggregate (Σc, Σc², N₁, N₂, types) is an exact
+    BIGINT; the five ratios are the only doubles, one division
+    each, oracle-identical textual order."""
+    c_st = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = c_st.groupBy("source").agg(
+        F.sum("c").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("n2"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    nt = F.col("n_tok").cast("double")
+    return agg.select(
+        "source",
+        "n_tok",
+        "n_types",
+        "n1",
+        F.round(F.col("n_types").cast("double") / nt, 6).alias("ttr"),
+        F.round(
+            F.col("n1").cast("double") / F.col("n_types").cast("double"), 6
+        ).alias("hapax_share"),
+        F.round(
+            1e4 * (F.col("sum_c2") - F.col("n_tok")).cast("double")
+            / (nt * nt),
+            6,
+        ).alias("yule_k"),
+        F.round(
+            (F.col("sum_c2") - F.col("n_tok")).cast("double")
+            / (nt * (nt - 1.0)),
+            6,
+        ).alias("simpson_d"),
+        F.round(
+            F.col("n_types").cast("double")
+            + F.col("n1").cast("double") * (F.col("n1") - 1).cast("double")
+            / (2.0 * (F.col("n2") + 1).cast("double")),
+            6,
+        ).alias("chao1"),
+    ).orderBy("source")
+
+
+ORACLE_LEXICAL_RICHNESS = """
+WITH c_st AS (
+  SELECT source, tok AS term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents, UNNEST(string_split(text, ' ')) u(tok)
+  WHERE length(tok) > 0
+  GROUP BY source, tok
+), agg AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tok,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM c_st GROUP BY source
+)
+SELECT source, n_tok, n_types, n1,
+       ROUND(CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS ttr,
+       ROUND(CAST(n1 AS DOUBLE) / CAST(n_types AS DOUBLE), 6)
+         AS hapax_share,
+       ROUND(1e4 * CAST(sum_c2 - n_tok AS DOUBLE)
+             / (CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)), 6)
+         AS yule_k,
+       ROUND(CAST(sum_c2 - n_tok AS DOUBLE)
+             / (CAST(n_tok AS DOUBLE) * (CAST(n_tok AS DOUBLE) - 1.0)), 6)
+         AS simpson_d,
+       ROUND(CAST(n_types AS DOUBLE)
+             + CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)
+               / (2.0 * CAST(n2 + 1 AS DOUBLE)), 6) AS chao1
+FROM agg
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence matrix — content drift between sources
+# --------------------------------------------------------------------------
+
+
+def jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between every two
+    sources' token unigram distributions — the bounded, symmetric
+    CONTENT distance next to ``burrows_delta_sources``' style
+    distance and ``token_entropy_kl``'s source-vs-corpus KL: which
+    scrapes say the same things, regardless of who wrote them.
+
+    Shared-mass decomposition so only the vocabulary INTERSECTION is
+    ever joined: JSD = ½Σ_shared p·ln(2p/(p+q)) + ½(1−Σ_shared p)·ln2
+    + the symmetric q half — terms private to one source contribute
+    exactly ln 2 of mass, algebraically, without materializing the
+    union.
+
+    Exactness (the token_entropy_kl micro-nats idiom): each log
+    ratio 2·c₁n₂/(c₁n₂+c₂n₁) is an exact-integer rational, its ln
+    quantized to integer micro-nats BEFORE the vocabulary sum; the
+    shared masses are exact BIGINTs; ln 2 enters once, in the same
+    textual position as the oracle.
+
+    Scale: one (source, term) rollup; the pair join is equi-keyed on
+    term (vocabulary-sized × ≤|sources|² fan-out, never the corpus
+    stream); the |sources|-row totals frame broadcasts."""
+    c_st = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_s = c_st.groupBy("source").agg(F.sum("c").alias("n"))
+    a = c_st.join(F.broadcast(n_s), "source").select(
+        F.col("source").alias("s1"),
+        "term",
+        F.col("c").alias("c1"),
+        F.col("n").alias("n1"),
+    )
+    b = c_st.join(F.broadcast(n_s), "source").select(
+        F.col("source").alias("s2"),
+        "term",
+        F.col("c").alias("c2"),
+        F.col("n").alias("n2"),
+    )
+    ln1 = F.log(
+        (2 * F.col("c1") * F.col("n2")).cast("double")
+        / (F.col("c1") * F.col("n2") + F.col("c2") * F.col("n1")).cast(
+            "double"
+        )
+    )
+    ln2_ = F.log(
+        (2 * F.col("c2") * F.col("n1")).cast("double")
+        / (F.col("c1") * F.col("n2") + F.col("c2") * F.col("n1")).cast(
+            "double"
+        )
+    )
+    pair = (
+        a.join(b, "term")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2", "n1", "n2")
+        .agg(
+            F.count(F.lit(1)).alias("shared_types"),
+            F.sum("c1").alias("sh1"),
+            F.sum("c2").alias("sh2"),
+            F.sum(
+                F.col("c1") * F.round(ln1 * 1e6, 0).cast("long")
+            ).alias("kl1_e6"),
+            F.sum(
+                F.col("c2") * F.round(ln2_ * 1e6, 0).cast("long")
+            ).alias("kl2_e6"),
+        )
+    )
+    ln2c = 0.6931471805599453
+    return pair.select(
+        "s1",
+        "s2",
+        "shared_types",
+        F.round(
+            0.5
+            * (
+                F.col("kl1_e6").cast("double")
+                / F.col("n1").cast("double")
+                / 1e6
+                + (F.col("n1") - F.col("sh1")).cast("double")
+                / F.col("n1").cast("double")
+                * F.lit(ln2c)
+            )
+            + 0.5
+            * (
+                F.col("kl2_e6").cast("double")
+                / F.col("n2").cast("double")
+                / 1e6
+                + (F.col("n2") - F.col("sh2")).cast("double")
+                / F.col("n2").cast("double")
+                * F.lit(ln2c)
+            ),
+            6,
+        ).alias("jsd_nats"),
+    ).orderBy("s1", "s2")
+
+
+ORACLE_JSD_SOURCES = """
+WITH c_st AS (
+  SELECT source, tok AS term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents, UNNEST(string_split(text, ' ')) u(tok)
+  WHERE length(tok) > 0
+  GROUP BY source, tok
+), n_s AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c_st GROUP BY source
+), a AS (
+  SELECT c_st.source AS s1, term, c AS c1, n AS n1
+  FROM c_st JOIN n_s ON c_st.source = n_s.source
+), b AS (
+  SELECT c_st.source AS s2, term, c AS c2, n AS n2
+  FROM c_st JOIN n_s ON c_st.source = n_s.source
+), pair AS (
+  SELECT s1, s2, n1, n2,
+         CAST(COUNT(*) AS BIGINT) AS shared_types,
+         CAST(SUM(c1) AS BIGINT) AS sh1,
+         CAST(SUM(c2) AS BIGINT) AS sh2,
+         CAST(SUM(c1 * CAST(ROUND(ln(CAST(2 * c1 * n2 AS DOUBLE)
+               / CAST(c1 * n2 + c2 * n1 AS DOUBLE)) * 1000000.0)
+               AS BIGINT)) AS BIGINT) AS kl1_e6,
+         CAST(SUM(c2 * CAST(ROUND(ln(CAST(2 * c2 * n1 AS DOUBLE)
+               / CAST(c1 * n2 + c2 * n1 AS DOUBLE)) * 1000000.0)
+               AS BIGINT)) AS BIGINT) AS kl2_e6
+  FROM a JOIN b USING (term)
+  WHERE s1 < s2
+  GROUP BY s1, s2, n1, n2
+)
+SELECT s1, s2, shared_types,
+       ROUND(0.5 * (CAST(kl1_e6 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0
+                    + CAST(n1 - sh1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      * 0.6931471805599453)
+             + 0.5 * (CAST(kl2_e6 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1000000.0
+                    + CAST(n2 - sh2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                      * 0.6931471805599453), 6) AS jsd_nats
+FROM pair
+ORDER BY s1, s2
+"""
+
+
+# --------------------------------------------------------------------------
+# k-fold cross-validated naive Bayes — generalization without rescans
+# --------------------------------------------------------------------------
+
+CV_FOLDS = 5
+
+
+def kfold_nb_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{CV_FOLDS}-fold cross-validated accuracy of the multinomial
+    naive-Bayes langid model — the GENERALIZATION readout the
+    single-split ``naive_bayes_langid`` confusion matrix can't give
+    (is the accuracy stable, or did one lucky split flatter it?).
+
+    The distributed-CV trick: all {CV_FOLDS} leave-fold-out models
+    come from ONE token-count pass by subtraction — train counts for
+    fold f are (global − fold f's own), so nothing rescans the
+    corpus per fold. The count cube is ≤ folds×langs×buckets cells
+    (bounded by construction, not data); each doc is then scored
+    under ITS OWN fold's held-out model via one broadcast join.
+
+    Exactness: all counts exact BIGINT; Laplace log-likelihoods and
+    priors quantized to integer micro-nats before the doc sum (the
+    naive_bayes_langid idiom); argmax ties break on the smaller
+    language code; the per-fold accuracy is the only double."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        (md5_u32(F.col("doc_id"), "cvfold") % CV_FOLDS).alias("fold"),
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "fold",
+        F.explode(tokens_col(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        "fold",
+        (md5_u32(F.col("tok"), "nbfeat") % NB_BUCKETS).alias("b"),
+    )
+    cnt_f = toks.groupBy("fold", "lang", "b").agg(
+        F.count(F.lit(1)).alias("n_flb")
+    )
+    cnt_lb = cnt_f.groupBy("lang", "b").agg(F.sum("n_flb").alias("n_lb"))
+    tot_l = cnt_lb.groupBy("lang").agg(F.sum("n_lb").alias("tot"))
+    own_fl = cnt_f.groupBy("fold", "lang").agg(F.sum("n_flb").alias("own"))
+    grid = (
+        tot_l.select(
+            "lang",
+            "tot",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(CV_FOLDS - 1)).cast(
+                    "array<long>"
+                )
+            ).alias("fold"),
+        )
+        .join(F.broadcast(own_fl), ["fold", "lang"], "left")
+        .select(
+            "fold",
+            "lang",
+            (F.col("tot") - F.coalesce(F.col("own"), F.lit(0))).alias(
+                "tot_train"
+            ),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(NB_BUCKETS - 1)).cast(
+                    "array<long>"
+                )
+            ).alias("b"),
+        )
+    )
+    w = (
+        grid.join(F.broadcast(cnt_lb), ["lang", "b"], "left")
+        .join(F.broadcast(cnt_f), ["fold", "lang", "b"], "left")
+        .select(
+            "fold",
+            F.col("lang").alias("model_lang"),
+            "b",
+            F.round(
+                F.log(
+                    (
+                        F.coalesce(F.col("n_lb"), F.lit(0))
+                        - F.coalesce(F.col("n_flb"), F.lit(0))
+                        + 1
+                    ).cast("double")
+                    / (F.col("tot_train") + NB_BUCKETS).cast("double")
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("wu"),
+        )
+    )
+    nd_l = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    nd_fl = docs.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).alias("nd_own")
+    )
+    pri_grid = (
+        nd_l.select(
+            "lang",
+            "nd",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(CV_FOLDS - 1)).cast(
+                    "array<long>"
+                )
+            ).alias("fold"),
+        )
+        .join(F.broadcast(nd_fl), ["fold", "lang"], "left")
+        .select(
+            "fold",
+            "lang",
+            (F.col("nd") - F.coalesce(F.col("nd_own"), F.lit(0))).alias(
+                "nd_train"
+            ),
+        )
+    )
+    w_fold = Window.partitionBy("fold")
+    pri = pri_grid.select(
+        "fold",
+        F.col("lang").alias("model_lang"),
+        F.round(
+            F.log(
+                F.col("nd_train").cast("double")
+                / F.sum("nd_train").over(w_fold).cast("double")
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("pu"),
+    )
+    scored = (
+        toks.join(F.broadcast(w), ["fold", "b"])
+        .groupBy(
+            "doc_id",
+            "fold",
+            F.col("lang").alias("true_lang"),
+            "model_lang",
+        )
+        .agg(F.sum("wu").alias("s"))
+        .join(F.broadcast(pri), ["fold", "model_lang"])
+        .select(
+            "doc_id",
+            "fold",
+            "true_lang",
+            "model_lang",
+            (F.col("s") + F.col("pu")).alias("score"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("model_lang")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") == 1)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("model_lang") == F.col("true_lang")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "fold",
+            "n_docs",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("acc"),
+        )
+        .orderBy("fold")
+    )
+
+
+_CV_HASH_DOC = (
+    "CAST(('0x' || substr(md5('cvfold' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT)"
+)
+_CV_HASH_TOK = (
+    "CAST(('0x' || substr(md5('nbfeat' || tok), 1, 8)) AS BIGINT)"
+)
+
+ORACLE_KFOLD_NB_CV = f"""
+WITH docs AS (
+  SELECT doc_id, lang, text, {_CV_HASH_DOC} % {CV_FOLDS} AS fold
+  FROM documents
+), toks AS (
+  SELECT doc_id, lang, fold, {_CV_HASH_TOK} % {NB_BUCKETS} AS b
+  FROM docs, UNNEST(string_split(text, ' ')) u(tok)
+), cnt_f AS (
+  SELECT fold, lang, b, CAST(COUNT(*) AS BIGINT) AS n_flb
+  FROM toks GROUP BY fold, lang, b
+), cnt_lb AS (
+  SELECT lang, b, CAST(SUM(n_flb) AS BIGINT) AS n_lb
+  FROM cnt_f GROUP BY lang, b
+), tot_l AS (
+  SELECT lang, CAST(SUM(n_lb) AS BIGINT) AS tot FROM cnt_lb GROUP BY lang
+), own_fl AS (
+  SELECT fold, lang, CAST(SUM(n_flb) AS BIGINT) AS own
+  FROM cnt_f GROUP BY fold, lang
+), grid AS (
+  SELECT f.range AS fold, t.lang, bb.range AS b,
+         t.tot - COALESCE(o.own, 0) AS tot_train
+  FROM range({CV_FOLDS}) f
+  CROSS JOIN tot_l t
+  CROSS JOIN range({NB_BUCKETS}) bb
+  LEFT JOIN own_fl o ON o.fold = f.range AND o.lang = t.lang
+), w AS (
+  SELECT g.fold, g.lang AS model_lang, g.b,
+         CAST(ROUND(ln(CAST(COALESCE(c.n_lb, 0) - COALESCE(cf.n_flb, 0) + 1
+                            AS DOUBLE)
+                       / CAST(g.tot_train + {NB_BUCKETS} AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS wu
+  FROM grid g
+  LEFT JOIN cnt_lb c ON c.lang = g.lang AND c.b = g.b
+  LEFT JOIN cnt_f cf ON cf.fold = g.fold AND cf.lang = g.lang
+                    AND cf.b = g.b
+), nd_l AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd FROM docs GROUP BY lang
+), nd_fl AS (
+  SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS nd_own
+  FROM docs GROUP BY fold, lang
+), pri_grid AS (
+  SELECT f.range AS fold, l.lang,
+         l.nd - COALESCE(o.nd_own, 0) AS nd_train
+  FROM range({CV_FOLDS}) f
+  CROSS JOIN nd_l l
+  LEFT JOIN nd_fl o ON o.fold = f.range AND o.lang = l.lang
+), pri AS (
+  SELECT fold, lang AS model_lang,
+         CAST(ROUND(ln(CAST(nd_train AS DOUBLE)
+                       / CAST(SUM(nd_train) OVER (PARTITION BY fold)
+                              AS DOUBLE)) * 1000000.0) AS BIGINT) AS pu
+  FROM pri_grid
+), scored AS (
+  SELECT t.doc_id, t.fold, t.lang AS true_lang, w.model_lang,
+         CAST(SUM(w.wu) AS BIGINT) AS s
+  FROM toks t JOIN w ON w.fold = t.fold AND w.b = t.b
+  GROUP BY t.doc_id, t.fold, t.lang, w.model_lang
+), final AS (
+  SELECT s.doc_id, s.fold, s.true_lang, s.model_lang,
+         s.s + p.pu AS score,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                            ORDER BY s.s + p.pu DESC, s.model_lang ASC)
+           AS rn
+  FROM scored s JOIN pri p ON p.fold = s.fold
+                          AND p.model_lang = s.model_lang
+)
+SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN model_lang = true_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN model_lang = true_lang THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS acc
+FROM final
+WHERE rn = 1
+GROUP BY fold
+ORDER BY fold
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "kfold_nb_cv": QuerySpec(
+        kfold_nb_cv,
+        ORACLE_KFOLD_NB_CV,
+        ["X-text", "X-training", "A1", "J1", "§2.8"],
+    ),
+    "lexical_richness_profile": QuerySpec(
+        lexical_richness_profile,
+        ORACLE_LEXICAL_RICHNESS,
+        ["X-text", "X-curation", "A1", "A4"],
+    ),
+    "jsd_source_divergence": QuerySpec(
+        jsd_source_divergence,
+        ORACLE_JSD_SOURCES,
+        ["X-text", "X-dedup", "X-curation", "A1", "J1"],
+    ),
     "positional_phrase_search": QuerySpec(
         positional_phrase_search,
         ORACLE_PHRASE_SEARCH,

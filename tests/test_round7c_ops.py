@@ -883,3 +883,150 @@ def test_gini_stump_is_the_bruteforce_argmin(spark, sf_small):
     assert abs(r.gini_split - best[0]) < 1e-6
     parent = 2.0 * e_tot * (n - e_tot) / (n * n)
     assert abs(r.gini_parent - parent) < 1e-6
+
+
+def test_lexical_richness_matches_python_counters(spark, sf_small):
+    """TTR, hapax share, Yule's K, Simpson's D and Chao1 must equal
+    pure-Python Counter arithmetic per source."""
+    from collections import Counter, defaultdict
+
+    from cricket_analytics_nosql_spark.operators.text import (
+        lexical_richness_profile,
+    )
+
+    con = _duck(sf_small)
+    per_src = defaultdict(Counter)
+    for src, txt in con.execute(
+        "SELECT source, text FROM documents"
+    ).fetchall():
+        per_src[src].update(t for t in txt.split(" ") if t)
+    got = {r.source: r for r in lexical_richness_profile(spark, sf_small).collect()}
+    assert sorted(got) == sorted(per_src)
+    for s, c in per_src.items():
+        n = sum(c.values())
+        types = len(c)
+        n1 = sum(1 for v in c.values() if v == 1)
+        n2 = sum(1 for v in c.values() if v == 2)
+        c2 = sum(v * v for v in c.values())
+        r = got[s]
+        assert (r.n_tok, r.n_types, r.n1) == (n, types, n1)
+        assert abs(r.ttr - types / n) < 1e-6
+        assert abs(r.hapax_share - n1 / types) < 1e-6
+        assert abs(r.yule_k - 1e4 * (c2 - n) / (n * n)) < 1e-6
+        assert abs(r.simpson_d - (c2 - n) / (n * (n - 1))) < 1e-6
+        assert abs(r.chao1 - (types + n1 * (n1 - 1) / (2 * (n2 + 1)))) < 1e-5
+
+
+def test_jsd_matches_python_full_union(spark, sf_small):
+    """The shared-mass decomposition must equal a direct full-union
+    JSD in Python (within micro-nat quantization), stay in
+    [0, ln 2], and cover every source pair."""
+    import math
+    from collections import Counter, defaultdict
+
+    from cricket_analytics_nosql_spark.operators.text import (
+        jsd_source_divergence,
+    )
+
+    con = _duck(sf_small)
+    per_src = defaultdict(Counter)
+    for src, txt in con.execute(
+        "SELECT source, text FROM documents"
+    ).fetchall():
+        per_src[src].update(t for t in txt.split(" ") if t)
+    srcs = sorted(per_src)
+    got = {
+        (r.s1, r.s2): r
+        for r in jsd_source_divergence(spark, sf_small).collect()
+    }
+    assert set(got) == {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]
+    }
+    for (s1, s2), r in got.items():
+        ca, cb = per_src[s1], per_src[s2]
+        n1, n2 = sum(ca.values()), sum(cb.values())
+        jsd = 0.0
+        for t in set(ca) | set(cb):
+            p, q = ca.get(t, 0) / n1, cb.get(t, 0) / n2
+            m = (p + q) / 2
+            if p:
+                jsd += 0.5 * p * math.log(p / m)
+            if q:
+                jsd += 0.5 * q * math.log(q / m)
+        assert abs(r.jsd_nats - jsd) < 1e-4
+        assert 0.0 <= r.jsd_nats <= math.log(2) + 1e-9
+        assert r.shared_types == len(set(ca) & set(cb))
+
+
+def test_kfold_nb_cv_matches_python_replay(spark, sf_small):
+    """Per-fold accuracy must equal a full pure-Python replay of the
+    leave-fold-out training, micro-nat weights, and argmax."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    from cricket_analytics_nosql_spark.operators.text import (
+        CV_FOLDS,
+        NB_BUCKETS,
+        kfold_nb_cv,
+    )
+
+    def h(salt, key):
+        return int(
+            hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16
+        )
+
+    con = _duck(sf_small)
+    docs = con.execute(
+        "SELECT doc_id, lang, text FROM documents"
+    ).fetchall()
+    langs = sorted({l for _, l, _ in docs})
+    cnt = defaultdict(Counter)  # (fold, lang) -> bucket counts
+    nd = Counter()  # (fold, lang) -> docs
+    feats = []
+    for did, lang, txt in docs:
+        fold = h("cvfold", did) % CV_FOLDS
+        bs = [h("nbfeat", t) % NB_BUCKETS for t in txt.split(" ")]
+        feats.append((did, lang, fold, bs))
+        cnt[(fold, lang)].update(bs)
+        nd[(fold, lang)] += 1
+    glob = {l: Counter() for l in langs}
+    for (f, l), c in cnt.items():
+        glob[l].update(c)
+    correct, total = Counter(), Counter()
+    for did, lang, fold, bs in feats:
+        best = None
+        for ml in langs:
+            tot_train = sum(glob[ml].values()) - sum(
+                cnt[(fold, ml)].values()
+            )
+            nd_train = {
+                l2: sum(
+                    nd[(f2, l2)] for f2 in range(CV_FOLDS) if f2 != fold
+                )
+                for l2 in langs
+            }
+            pu = round(
+                math.log(nd_train[ml] / sum(nd_train.values())) * 1e6
+            )
+            s = sum(
+                round(
+                    math.log(
+                        (glob[ml][b] - cnt[(fold, ml)][b] + 1)
+                        / (tot_train + NB_BUCKETS)
+                    )
+                    * 1e6
+                )
+                for b in bs
+            )
+            key = (-(s + pu), ml)
+            if best is None or key < best[0]:
+                best = (key, ml)
+        total[fold] += 1
+        correct[fold] += best[1] == lang
+    got = {r.fold: r for r in kfold_nb_cv(spark, sf_small).collect()}
+    assert sorted(got) == list(range(CV_FOLDS))
+    for f in range(CV_FOLDS):
+        assert got[f].n_docs == total[f]
+        assert got[f].n_correct == correct[f]
+        assert abs(got[f].acc - correct[f] / total[f]) < 1e-6
