@@ -5374,7 +5374,181 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Huber robust mean — IRLS location estimate on the value grid
+# ---------------------------------------------------------------------------
+
+HUBER_C = 1.345  # 95%-efficiency tuning constant
+MAD_CONSISTENCY = 1.4826
+
+
+def huber_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimate of the typical order value — the location
+    number between the median (throws away magnitude) and the mean
+    (one whale moves it): two IRLS iterations from the median, with
+    k = {HUBER_C}·(MAD·{MAD_CONSISTENCY}) — reported next to both so
+    the gap IS the outlier-influence readout.
+
+    The whole estimate lives on the dollar-quantized VALUE GRID
+    (the ks_drift_orders posture): one fact rollup to (value, count)
+    cells, then median, MAD, and both reweighting iterations are
+    grid-sized arithmetic — at 100 TB the iterations never touch
+    the fact again (IRLS weight depends only on the value, so the
+    grid rollup is a sufficient statistic).
+
+    Exactness: counts and dollar values are exact BIGINTs; weights
+    are quantized to 1e4 BEFORE the weighted sums (the micro-nats
+    discipline — bigint sums are merge-order-proof), so each
+    iteration is exact integers around ONE double division."""
+    grid = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                "cast(round(o_totalprice * 100) as bigint) div 100"
+            ).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "v", "cnt", F.sum("cnt").over(w_cum).alias("cum")
+    )
+    tot = grid.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("v") * F.col("cnt")).alias("sv"),
+    )
+    med_row = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= (F.col("n") + 1).cast("long") / 2)
+        .agg(F.min("v").alias("med"))
+    )
+    dev = (
+        grid.crossJoin(F.broadcast(med_row))
+        .groupBy(F.abs(F.col("v") - F.col("med")).alias("d"))
+        .agg(F.sum("cnt").alias("dc"))
+    )
+    w_dev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    mad_row = (
+        dev.select("d", F.sum("dc").over(w_dev).alias("dcum"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("dcum") >= (F.col("n") + 1).cast("long") / 2)
+        .agg(F.min("d").alias("mad"))
+    )
+
+    def irls(frame, m_col):
+        k = F.lit(HUBER_C * MAD_CONSISTENCY) * F.col("mad").cast("double")
+        ad = F.abs(F.col("v").cast("double") - m_col)
+        wq = F.when(ad <= k, F.lit(10000).cast("long")).otherwise(
+            F.round(k * 1e4 / ad, 0).cast("long")
+        )
+        return frame.groupBy("n", "sv", "med", "mad", "m_prev").agg(
+            F.sum(F.col("cnt") * wq * F.col("v")).alias("num"),
+            F.sum(F.col("cnt") * wq).alias("den"),
+        ).select(
+            "n",
+            "sv",
+            "med",
+            "mad",
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "m_prev"
+            ),
+        )
+
+    base = (
+        grid.crossJoin(F.broadcast(med_row))
+        .crossJoin(F.broadcast(mad_row))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("m_prev", F.col("med").cast("double"))
+    )
+    it1 = irls(base, F.col("m_prev"))
+    it2 = irls(
+        grid.crossJoin(F.broadcast(it1)), F.col("m_prev")
+    )
+    return it2.select(
+        "n",
+        F.col("med").alias("median_usd"),
+        F.col("mad").alias("mad_usd"),
+        F.round(
+            F.lit(HUBER_C * MAD_CONSISTENCY) * F.col("mad").cast("double"),
+            6,
+        ).alias("huber_k"),
+        F.round(F.col("sv").cast("double") / F.col("n").cast("double"), 6)
+        .alias("mean_usd"),
+        F.round(F.col("m_prev"), 6).alias("huber_mean_usd"),
+    )
+
+
+ORACLE_HUBER_MEAN = f"""
+WITH grid AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS v,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(v * cnt) AS BIGINT) AS sv
+  FROM grid
+), med_row AS (
+  SELECT MIN(v) AS med
+  FROM (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM grid)
+  CROSS JOIN tot
+  WHERE cum >= CAST(n + 1 AS DOUBLE) / 2
+), mad_row AS (
+  SELECT MIN(d) AS mad FROM (
+    SELECT d, SUM(dc) OVER (ORDER BY d) AS dcum FROM (
+      SELECT ABS(v - med) AS d, CAST(SUM(cnt) AS BIGINT) AS dc
+      FROM grid CROSS JOIN med_row GROUP BY 1
+    )
+  ) CROSS JOIN tot
+  WHERE dcum >= CAST(n + 1 AS DOUBLE) / 2
+), it1 AS (
+  SELECT n, sv, med, mad,
+         CAST(SUM(cnt * wq * v) AS DOUBLE) / CAST(SUM(cnt * wq) AS DOUBLE)
+           AS m_prev
+  FROM (
+    SELECT g.v, g.cnt, t.n, t.sv, m.med, d.mad,
+           CASE WHEN ABS(CAST(g.v AS DOUBLE) - CAST(m.med AS DOUBLE))
+                     <= {HUBER_C * MAD_CONSISTENCY} * CAST(d.mad AS DOUBLE)
+                THEN 10000
+                ELSE CAST(ROUND({HUBER_C * MAD_CONSISTENCY}
+                     * CAST(d.mad AS DOUBLE) * 10000.0
+                     / ABS(CAST(g.v AS DOUBLE) - CAST(m.med AS DOUBLE)))
+                     AS BIGINT) END AS wq
+    FROM grid g CROSS JOIN med_row m CROSS JOIN mad_row d CROSS JOIN tot t
+  )
+  GROUP BY n, sv, med, mad
+), it2 AS (
+  SELECT n, sv, med, mad,
+         CAST(SUM(cnt * wq * v) AS DOUBLE) / CAST(SUM(cnt * wq) AS DOUBLE)
+           AS m_prev
+  FROM (
+    SELECT g.v, g.cnt, i.n, i.sv, i.med, i.mad,
+           CASE WHEN ABS(CAST(g.v AS DOUBLE) - i.m_prev)
+                     <= {HUBER_C * MAD_CONSISTENCY} * CAST(i.mad AS DOUBLE)
+                THEN 10000
+                ELSE CAST(ROUND({HUBER_C * MAD_CONSISTENCY}
+                     * CAST(i.mad AS DOUBLE) * 10000.0
+                     / ABS(CAST(g.v AS DOUBLE) - i.m_prev)) AS BIGINT)
+                END AS wq
+    FROM grid g CROSS JOIN it1 i
+  )
+  GROUP BY n, sv, med, mad
+)
+SELECT n, med AS median_usd, mad AS mad_usd,
+       ROUND({HUBER_C * MAD_CONSISTENCY} * CAST(mad AS DOUBLE), 6)
+         AS huber_k,
+       ROUND(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_usd,
+       ROUND(m_prev, 6) AS huber_mean_usd
+FROM it2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "huber_mean_orders": QuerySpec(
+        huber_mean_orders,
+        ORACLE_HUBER_MEAN,
+        ["A1", "A4", "§2.8", "X-curation"],
+    ),
     "mann_kendall_trend": QuerySpec(
         mann_kendall_trend,
         ORACLE_MANN_KENDALL,

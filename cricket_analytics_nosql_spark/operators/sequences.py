@@ -187,6 +187,126 @@ FROM per_cust GROUP BY n_spans ORDER BY n_spans
 """
 
 
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets of part BRANDS co-ordered in one order,
+    with 3-way lift = P(abc)/(P(a)P(b)P(c)) — the next level of
+    ``market_basket_lift``'s pair affinity (A8 co-occurrence shape,
+    a-priori semantics). Top 10 by support.
+
+    Why this is NOT the textbook candidate-join a-priori: the item
+    space here is domain-bounded (|brands| ≈ 25 → ≤ C(25,3) = 2 300
+    possible triples at ANY scale factor), so the right distributed
+    plan generates triples JVM-side from each order's sorted
+    distinct-brand array inside the one order-keyed stage (the
+    market_basket_lift idiom — no self-joins, no candidate
+    exchange) and lets the map-side combine collapse the stream to
+    the ≤2 300-row triple frame. The a-priori machinery (L2 prune
+    before counting C3) pays off only when the itemset lattice
+    outgrows memory — here it would add three joins to produce the
+    IDENTICAL result (support(abc) ≥ minsup already implies every
+    sub-pair qualifies — the apriori property).
+
+    Exactness: supports and marginals are exact BIGINTs off one
+    basket rollup; lift is integer products inside one double
+    division."""
+    db = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            # no broadcast hint: part scales with SF — AQE decides
+            load_table(spark, sf_dir, "part").select(
+                "p_partkey", "p_brand"
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+    )
+    triples_expr = F.expr(
+        """
+        flatten(flatten(transform(bs, (x, i) ->
+          transform(slice(bs, i + 2, size(bs)), (y, j) ->
+            transform(slice(bs, i + j + 3, size(bs)),
+                      z -> struct(x AS a, y AS b, z AS c))))))
+        """
+    )
+    t_cnt = (
+        db.select(F.explode(triples_expr).alias("t"))
+        .groupBy(
+            F.col("t.a").alias("a"),
+            F.col("t.b").alias("b"),
+            F.col("t.c").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    marg = (
+        db.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_b = db.select(F.count(F.lit(1)).alias("n"))
+    m = lambda col: marg.select(  # noqa: E731
+        F.col("brand").alias(col), F.col("cnt").alias(f"c_{col}")
+    )
+    return (
+        t_cnt.join(F.broadcast(m("a")), "a")
+        .join(F.broadcast(m("b")), "b")
+        .join(F.broadcast(m("c")), "c")
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "a",
+            "b",
+            "c",
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("support_ratio"),
+            F.round(
+                (F.col("support") * F.col("n") * F.col("n")).cast("double")
+                / (F.col("c_a") * F.col("c_b") * F.col("c_c")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("lift3"),
+        )
+        .orderBy(F.desc("support"), "a", "b", "c")
+        .limit(10)
+    )
+
+
+ORACLE_FREQUENT_TRIPLES = """
+WITH db AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), t_cnt AS (
+  SELECT x.p_brand AS a, y.p_brand AS b, z.p_brand AS c,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM db x
+  JOIN db y ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+  JOIN db z ON y.l_orderkey = z.l_orderkey AND y.p_brand < z.p_brand
+  GROUP BY 1, 2, 3
+), marg AS (
+  SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM db GROUP BY p_brand
+), n_b AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM db
+)
+SELECT a, b, c, support,
+       ROUND(CAST(support AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS support_ratio,
+       ROUND(CAST(support * n * n AS DOUBLE)
+             / CAST(ma.cnt * mb.cnt * mc.cnt AS DOUBLE), 6) AS lift3
+FROM t_cnt
+JOIN marg ma ON ma.brand = a
+JOIN marg mb ON mb.brand = b
+JOIN marg mc ON mc.brand = c
+CROSS JOIN n_b
+ORDER BY support DESC, a, b, c
+LIMIT 10
+"""
+
+
 def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: part pairs co-ordered in the same
     order, scored by lift = P(a,b) / (P(a)·P(b)); top 20 pairs by
@@ -2344,6 +2464,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "interval_merge_coverage": QuerySpec(
         interval_merge_coverage, ORACLE_INTERVAL_MERGE, ["§2.8", "A1", "X-ts"]
+    ),
+    "frequent_triples": QuerySpec(
+        frequent_triples,
+        ORACLE_FREQUENT_TRIPLES,
+        ["A1", "A8", "J1", "T1", "X-curation"],
     ),
     "market_basket_lift": QuerySpec(
         market_basket_lift, ORACLE_MARKET_BASKET, ["A8", "A1", "J1", "T1"]

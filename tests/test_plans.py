@@ -656,6 +656,12 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # 1-row (n, e_tot) totals onto the length-domain-bounded
         # split-candidate frame (the ks/value_histogram shape)
         "gini_stump_split",
+        # 1-row basket-count cross onto the ≤C(|brands|,3)-row
+        # triple frame (domain-bounded by construction)
+        "frequent_triples",
+        # 1-row median/MAD/totals frames crossed onto the dollar
+        # value grid for the two IRLS reweighting passes
+        "huber_mean_orders",
     }
     offenders = []
     for name, spec in all_queries().items():

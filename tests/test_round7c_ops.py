@@ -1030,3 +1030,102 @@ def test_kfold_nb_cv_matches_python_replay(spark, sf_small):
         assert got[f].n_docs == total[f]
         assert got[f].n_correct == correct[f]
         assert abs(got[f].acc - correct[f] / total[f]) < 1e-6
+
+
+def test_frequent_triples_matches_python_enumeration(spark, sf_small):
+    """Top-10 brand triples must equal a pure-Python enumeration of
+    every order's distinct-brand combinations, with exact supports
+    and the 3-way lift formula."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from cricket_analytics_nosql_spark.operators.sequences import (
+        frequent_triples,
+    )
+
+    con = _duck(sf_small)
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM"
+        f" read_parquet('{os.path.join(sf_small, 'part')}.parquet')"
+    )
+    baskets = defaultdict(set)
+    for ok, br in con.execute(
+        "SELECT DISTINCT l_orderkey, p_brand FROM lineitem"
+        " JOIN part ON l_partkey = p_partkey"
+    ).fetchall():
+        baskets[ok].add(br)
+    tri, marg = Counter(), Counter()
+    for bs in baskets.values():
+        for b in bs:
+            marg[b] += 1
+        for t in combinations(sorted(bs), 3):
+            tri[t] += 1
+    n = len(baskets)
+    top = sorted(tri.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = frequent_triples(spark, sf_small).collect()
+    assert len(rows) == min(10, len(tri))
+    for r, ((a, b, c), s) in zip(rows, top):
+        assert (r.a, r.b, r.c, r.support) == (a, b, c, s)
+        assert abs(r.support_ratio - s / n) < 1e-6
+        lift = s * n * n / (marg[a] * marg[b] * marg[c])
+        assert abs(r.lift3 - lift) < 1e-5
+
+
+def test_huber_mean_matches_python_irls(spark, sf_small):
+    """The two-iteration Huber IRLS estimate must equal a
+    pure-Python replay with the same 1e4 weight quantization, and
+    sit between the median and the mean's outlier pull."""
+    from collections import Counter
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        HUBER_C,
+        MAD_CONSISTENCY,
+        huber_mean_orders,
+    )
+
+    con = _duck(sf_small)
+    vals = [
+        v
+        for (v,) in con.execute(
+            "SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) // 100"
+            " FROM orders"
+        ).fetchall()
+    ]
+    n = len(vals)
+    grid = Counter(vals)
+    sorted_v = sorted(vals)
+    # type-1 pick: first value whose cumulative count >= (n+1)/2
+    med = sorted_v[-(-(n + 1) // 2) - 1] if (n + 1) % 2 == 0 else None
+    cum = 0
+    for v in sorted(grid):
+        cum += grid[v]
+        if cum >= (n + 1) / 2:
+            med = v
+            break
+    dcum, mad = 0, None
+    dgrid = Counter()
+    for v, c in grid.items():
+        dgrid[abs(v - med)] += c
+    for d in sorted(dgrid):
+        dcum += dgrid[d]
+        if dcum >= (n + 1) / 2:
+            mad = d
+            break
+    k = HUBER_C * MAD_CONSISTENCY * mad
+    m = float(med)
+    for _ in range(2):
+        num = den = 0
+        for v, c in grid.items():
+            ad = abs(float(v) - m)
+            wq = 10000 if ad <= k else round(k * 1e4 / ad)
+            num += c * wq * v
+            den += c * wq
+        m = num / den
+    r = huber_mean_orders(spark, sf_small).collect()[0]
+    mean = sum(vals) / n
+    assert r.n == n and r.median_usd == med and r.mad_usd == mad
+    assert abs(r.huber_k - k) < 1e-5
+    assert abs(r.mean_usd - mean) < 1e-5
+    assert abs(r.huber_mean_usd - m) < 1e-5
+    lo, hi = sorted((med, mean))
+    assert lo - 1e-6 <= r.huber_mean_usd <= hi + mad
