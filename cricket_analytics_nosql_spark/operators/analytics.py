@@ -1056,6 +1056,139 @@ ORDER BY priority
 """
 
 
+def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of the per-brand return rates —
+    the statistical fix for ``return_rate_by_brand``'s league table
+    (small-n brands dominate a raw ranking by luck): fit a Beta
+    prior across brands by method of moments, then report each
+    brand's posterior rate (x+α)/(n+α+β). Brands keep their honest
+    uncertainty instead of a hard n ≥ 100 cutoff.
+
+    Scale: one fact rollup to the |brands| frame; the prior fit and
+    shrinkage are brand-frame arithmetic (windows over ≤|brands|
+    rows, bounded by the DOMAIN).
+
+    Exactness: x, n are exact BIGINTs; each raw rate quantizes to
+    an exact 1e6-scaled integer (one deterministic division per
+    brand), so the cross-brand mean/variance ride exact BIGINT sums
+    — the α, β and posterior divisions are the only free doubles,
+    oracle-identical textually."""
+    br = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_returnflag")
+        .join(
+            # no broadcast hint: part scales with SF — AQE decides
+            load_table(spark, sf_dir, "part").select(
+                "p_partkey", "p_brand"
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(flag(F.col("l_returnflag") == "R")).alias("x"),
+        )
+        .withColumn(
+            "r_e6",
+            F.round(
+                F.col("x").cast("double") * 1e6 / F.col("n").cast("double"),
+                0,
+            ).cast("long"),
+        )
+    )
+    w_all = Window.partitionBy()
+    stats = br.select(
+        "brand",
+        "n",
+        "x",
+        "r_e6",
+        F.count(F.lit(1)).over(w_all).alias("k"),
+        F.sum("r_e6").over(w_all).alias("sr"),
+        F.sum(F.col("r_e6") * F.col("r_e6")).over(w_all).alias("srr"),
+    )
+    kk = F.col("k").cast("double")
+    mu = F.col("sr").cast("double") / kk / 1e6
+    s2 = (
+        F.col("srr").cast("double") / kk / 1e12
+        - mu * mu
+    )
+    m_ = mu * (1.0 - mu) / s2 - 1.0
+    alpha = mu * m_
+    beta = (1.0 - mu) * m_
+    return stats.select(
+        "brand",
+        "n",
+        "x",
+        F.round(F.col("r_e6").cast("double") / 1e6, 6).alias("raw_rate"),
+        F.round(
+            (F.col("x").cast("double") + alpha)
+            / (F.col("n").cast("double") + alpha + beta),
+            6,
+        ).alias("shrunk_rate"),
+        F.round(alpha, 6).alias("prior_alpha"),
+        F.round(beta, 6).alias("prior_beta"),
+    ).orderBy("brand")
+
+
+ORACLE_EB_SHRUNK = """
+WITH br AS (
+  SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), rq AS (
+  SELECT brand, n, x,
+         CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE))
+              AS BIGINT) AS r_e6
+  FROM br
+), stats AS (
+  SELECT brand, n, x, r_e6,
+         COUNT(*) OVER () AS k,
+         SUM(r_e6) OVER () AS sr,
+         SUM(r_e6 * r_e6) OVER () AS srr
+  FROM rq
+)
+SELECT brand, n, x,
+       ROUND(CAST(r_e6 AS DOUBLE) / 1000000.0, 6) AS raw_rate,
+       ROUND((CAST(x AS DOUBLE)
+              + (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0)
+                * ((CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0)
+                   * (1.0 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)
+                         / 1000000.0)
+                   / (CAST(srr AS DOUBLE) / CAST(k AS DOUBLE) / 1e12
+                      - (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)
+                         / 1000000.0)
+                        * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)
+                           / 1000000.0)) - 1.0))
+             / (CAST(n AS DOUBLE)
+                + ((CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0)
+                   * (1.0 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)
+                         / 1000000.0)
+                   / (CAST(srr AS DOUBLE) / CAST(k AS DOUBLE) / 1e12
+                      - (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)
+                         / 1000000.0)
+                        * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)
+                           / 1000000.0)) - 1.0)), 6) AS shrunk_rate,
+       ROUND((CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0)
+             * ((CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0)
+                * (1.0 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0)
+                / (CAST(srr AS DOUBLE) / CAST(k AS DOUBLE) / 1e12
+                   - (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0)
+                     * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0))
+                - 1.0), 6) AS prior_alpha,
+       ROUND((1.0 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0)
+             * ((CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0)
+                * (1.0 - CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0)
+                / (CAST(srr AS DOUBLE) / CAST(k AS DOUBLE) / 1e12
+                   - (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0)
+                     * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) / 1000000.0))
+                - 1.0), 6) AS prior_beta
+FROM stats
+ORDER BY brand
+"""
+
+
 def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Return-rate league table by part brand: share of line items
     flagged 'R', with the revenue at stake — the product-quality
@@ -2436,6 +2569,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ship_latency_stats": QuerySpec(
         ship_latency_stats, ORACLE_SHIP_LATENCY, ["A1", "J1", "X-ts"]
+    ),
+    "eb_shrunk_return_rates": QuerySpec(
+        eb_shrunk_return_rates,
+        ORACLE_EB_SHRUNK,
+        ["A1", "A5", "J1", "§2.8", "X-curation"],
     ),
     "return_rate_by_brand": QuerySpec(
         return_rate_by_brand, ORACLE_RETURN_RATE, ["A1", "A3", "A6", "J1", "T1"]

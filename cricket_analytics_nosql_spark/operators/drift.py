@@ -5543,7 +5543,159 @@ FROM it2
 """
 
 
+# ---------------------------------------------------------------------------
+# Anderson-Darling two-sample — tail-weighted EDF drift test
+# ---------------------------------------------------------------------------
+
+
+def anderson_darling_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling statistic (the tie-adjusted
+    midrank A²akN of Scholz-Stephens 1987) between the urgent vs
+    low-priority order-value distributions — completing the EDF
+    drift trio: KS reads the worst gap, CvM the integrated gap, AD
+    re-weights the integral by 1/(F(1−F)) so TAIL drift (the region
+    dedup and outlier screens live in) dominates. Under H₀ the
+    statistic's expectation is k−1 = 1.
+
+    Same dollar-quantized value grid as ``ks_drift_orders``/
+    ``cvm_drift_orders``: the fact collapses map-side to per-value
+    cells and every cumulative lives on that bounded frame.
+
+    Exactness: all midrank quantities ride 2×-scaled INTEGERS
+    (2·cum − count kills the halves); each value's summand is one
+    deterministic IEEE expression over exact-in-double integers,
+    quantized to micro-units BEFORE the grid sum (bigint sums are
+    merge-order-proof); the final (N−1)/N/n_i scaling mirrors the
+    oracle textually."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(KS_GROUP_A, KS_GROUP_B))
+        .select(
+            flag(F.col("o_orderpriority") == KS_GROUP_A).alias("is_a"),
+            F.expr(
+                "cast(round(o_totalprice * 100) as bigint) div 100"
+            ).alias("v"),
+        )
+    )
+    counts = o.groupBy("v").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(1 - F.col("is_a")).alias("cb"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "v",
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("w"),
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    j = cum.crossJoin(F.broadcast(tot)).select(
+        "*", (F.col("n_a") + F.col("n_b")).alias("nn")
+    )
+    # midranks in half-units: B2 = 2·cum_w − w, M2_i = 2·cum_i − c_i
+    b2 = 2 * (F.col("cum_a") + F.col("cum_b")) - F.col("w")
+    m2a = 2 * F.col("cum_a") - F.col("ca")
+    m2b = 2 * F.col("cum_b") - F.col("cb")
+    denom = (b2 * (2 * F.col("nn") - b2) - F.col("nn") * F.col("w")).cast(
+        "double"
+    )
+    da = (F.col("nn") * m2a - F.col("n_a") * b2).cast("double")
+    db_ = (F.col("nn") * m2b - F.col("n_b") * b2).cast("double")
+    term_a = F.round(
+        F.col("w").cast("double") * da * da / denom * 1e6, 0
+    ).cast("long")
+    term_b = F.round(
+        F.col("w").cast("double") * db_ * db_ / denom * 1e6, 0
+    ).cast("long")
+    agg = j.groupBy("n_a", "n_b", "nn").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(term_a).alias("sa_e6"),
+        F.sum(term_b).alias("sb_e6"),
+    )
+    nn = F.col("nn").cast("double")
+    a2 = (
+        (nn - 1.0)
+        / nn
+        * (
+            F.col("sa_e6").cast("double")
+            / F.col("n_a").cast("double")
+            + F.col("sb_e6").cast("double") / F.col("n_b").cast("double")
+        )
+        / 1e6
+        / nn
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        F.round(a2, 6).alias("a2_akn"),
+    )
+
+
+ORACLE_AD_DRIFT = f"""
+WITH o AS (
+  SELECT CASE WHEN o_orderpriority = '{KS_GROUP_A}' THEN 1 ELSE 0 END AS is_a,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS v
+  FROM orders
+  WHERE o_orderpriority IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+), counts AS (
+  SELECT v, CAST(SUM(is_a) AS BIGINT) AS ca,
+         CAST(SUM(1 - is_a) AS BIGINT) AS cb
+  FROM o GROUP BY v
+), cum AS (
+  SELECT v, ca, cb, ca + cb AS w,
+         SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b
+  FROM counts
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM counts
+), terms AS (
+  SELECT n_a, n_b, n_a + n_b AS nn,
+         CAST(ROUND(CAST(w AS DOUBLE)
+              * CAST((n_a + n_b) * (2 * cum_a - ca)
+                     - n_a * (2 * (cum_a + cum_b) - w) AS DOUBLE)
+              * CAST((n_a + n_b) * (2 * cum_a - ca)
+                     - n_a * (2 * (cum_a + cum_b) - w) AS DOUBLE)
+              / CAST((2 * (cum_a + cum_b) - w)
+                     * (2 * (n_a + n_b) - (2 * (cum_a + cum_b) - w))
+                     - (n_a + n_b) * w AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS ta_e6,
+         CAST(ROUND(CAST(w AS DOUBLE)
+              * CAST((n_a + n_b) * (2 * cum_b - cb)
+                     - n_b * (2 * (cum_a + cum_b) - w) AS DOUBLE)
+              * CAST((n_a + n_b) * (2 * cum_b - cb)
+                     - n_b * (2 * (cum_a + cum_b) - w) AS DOUBLE)
+              / CAST((2 * (cum_a + cum_b) - w)
+                     * (2 * (n_a + n_b) - (2 * (cum_a + cum_b) - w))
+                     - (n_a + n_b) * w AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS tb_e6
+  FROM cum CROSS JOIN tot
+), agg AS (
+  SELECT n_a, n_b, nn, CAST(COUNT(*) AS BIGINT) AS n_values,
+         CAST(SUM(ta_e6) AS BIGINT) AS sa_e6,
+         CAST(SUM(tb_e6) AS BIGINT) AS sb_e6
+  FROM terms GROUP BY n_a, n_b, nn
+)
+SELECT n_a, n_b, n_values,
+       ROUND((CAST(nn AS DOUBLE) - 1.0) / CAST(nn AS DOUBLE)
+             * (CAST(sa_e6 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                + CAST(sb_e6 AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / 1000000.0 / CAST(nn AS DOUBLE), 6) AS a2_akn
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "anderson_darling_drift": QuerySpec(
+        anderson_darling_drift,
+        ORACLE_AD_DRIFT,
+        ["A1", "A4", "§2.8", "X-curation"],
+    ),
     "huber_mean_orders": QuerySpec(
         huber_mean_orders,
         ORACLE_HUBER_MEAN,

@@ -662,6 +662,9 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # 1-row median/MAD/totals frames crossed onto the dollar
         # value grid for the two IRLS reweighting passes
         "huber_mean_orders",
+        # 1-row (n_a, n_b) totals crossed onto the dollar-grid
+        # midrank frame (the ks/cvm shape)
+        "anderson_darling_drift",
     }
     offenders = []
     for name, spec in all_queries().items():

@@ -1129,3 +1129,84 @@ def test_huber_mean_matches_python_irls(spark, sf_small):
     assert abs(r.huber_mean_usd - m) < 1e-5
     lo, hi = sorted((med, mean))
     assert lo - 1e-6 <= r.huber_mean_usd <= hi + mad
+
+
+def test_anderson_darling_matches_python_midranks(spark, sf_small):
+    """A²akN must equal a pure-Python Scholz-Stephens midrank
+    computation (with the same micro-unit quantization) on the same
+    dollar-quantized cohorts."""
+    from collections import Counter
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        KS_GROUP_A,
+        KS_GROUP_B,
+        anderson_darling_drift,
+    )
+
+    con = _duck(sf_small)
+    rows = con.execute(
+        "SELECT o_orderpriority, CAST(ROUND(o_totalprice*100) AS BIGINT)"
+        f" // 100 FROM orders WHERE o_orderpriority IN"
+        f" ('{KS_GROUP_A}', '{KS_GROUP_B}')"
+    ).fetchall()
+    a = Counter(v for p, v in rows if p == KS_GROUP_A)
+    b = Counter(v for p, v in rows if p == KS_GROUP_B)
+    na, nb = sum(a.values()), sum(b.values())
+    nn = na + nb
+    cum_a = cum_b = 0
+    sa = sb = 0
+    values = sorted(set(a) | set(b))
+    for v in values:
+        ca, cb = a.get(v, 0), b.get(v, 0)
+        w = ca + cb
+        cum_a += ca
+        cum_b += cb
+        b2 = 2 * (cum_a + cum_b) - w
+        denom = b2 * (2 * nn - b2) - nn * w
+        da = nn * (2 * cum_a - ca) - na * b2
+        db = nn * (2 * cum_b - cb) - nb * b2
+        sa += round(w * float(da) * float(da) / denom * 1e6)
+        sb += round(w * float(db) * float(db) / denom * 1e6)
+    a2 = (nn - 1) / nn * (sa / na + sb / nb) / 1e6 / nn
+    r = anderson_darling_drift(spark, sf_small).collect()[0]
+    assert (r.n_a, r.n_b, r.n_values) == (na, nb, len(values))
+    assert abs(r.a2_akn - a2) < 1e-5
+
+
+def test_eb_shrinkage_matches_python_moments(spark, sf_small):
+    """Per-brand shrunk rates must equal the beta-binomial
+    method-of-moments fit replayed in Python, and shrinkage must
+    pull every raw rate toward the cross-brand mean."""
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        eb_shrunk_return_rates,
+    )
+
+    con = _duck(sf_small)
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM"
+        f" read_parquet('{os.path.join(sf_small, 'part')}.parquet')"
+    )
+    br = con.execute(
+        "SELECT p_brand, COUNT(*),"
+        " SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END)"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " GROUP BY p_brand"
+    ).fetchall()
+    rq = {brand: round(x * 1e6 / n) for brand, n, x in br}
+    k = len(br)
+    mu = sum(rq.values()) / k / 1e6
+    s2 = sum(v * v for v in rq.values()) / k / 1e12 - mu * mu
+    m = mu * (1 - mu) / s2 - 1
+    alpha, beta = mu * m, (1 - mu) * m
+    got = {r.brand: r for r in eb_shrunk_return_rates(spark, sf_small).collect()}
+    assert len(got) == k
+    for brand, n, x in br:
+        r = got[brand]
+        assert (r.n, r.x) == (n, x)
+        shrunk = (x + alpha) / (n + alpha + beta)
+        assert abs(r.shrunk_rate - shrunk) < 1e-6
+        assert abs(r.prior_alpha - alpha) < 1e-4
+        assert abs(r.prior_beta - beta) < 1e-4
+        raw = x / n
+        lo, hi = sorted((raw, mu))
+        assert lo - 1e-9 <= shrunk <= hi + 1e-9
