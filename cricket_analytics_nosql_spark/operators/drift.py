@@ -5690,7 +5690,436 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Dunn's post-hoc test — which priority pairs differ, after KW rejects
+# ---------------------------------------------------------------------------
+
+DUNN_Z_CRIT_BONF10 = 2.807  # two-sided α=0.05 / 10 pairwise comparisons
+
+
+def dunn_posthoc_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's pairwise rank test over all five order priorities —
+    the drilldown ``kruskal_wallis_priority`` hands off to once H
+    rejects: which PAIRS differ, with the Bonferroni-corrected
+    z-criterion (α=0.05 over the 10 comparisons → |z| > {DUNN_Z_CRIT_BONF10}).
+    Every pair reuses the ONE global tie-averaged rank frame — no
+    per-pair re-ranking (the error five pairwise Mann-Whitneys
+    would make: Dunn compares pairs on the POOLED ranking).
+
+    Exactness: the doubled-rank idiom (rank2 = 2·below+t+1) keeps
+    all rank sums exact BIGINT; the tie term is BIGINT; z is a
+    handful of double ops on the 10-row pair frame, textually
+    mirrored in the oracle.
+
+    Plan: the kruskal posture verbatim (fact → cent-value grid →
+    one join back → 5-row group frame), then a 5×5 theta pair join
+    on the GROUP frame (bounded by the priority domain)."""
+    ov = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("p"),
+        cents("o_totalprice").alias("v"),
+    )
+    cnt = ov.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("v")
+    rank2 = cnt.select(
+        "v",
+        (
+            2
+            * F.coalesce(
+                F.sum("t").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + F.col("t")
+            + 1
+        ).alias("r2"),
+    )
+    groups = (
+        ov.join(rank2, "v")
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_i"), F.sum("r2").alias("sr2_i"))
+    )
+    ties = cnt.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_cubes"
+        ),
+    )
+    g1 = groups.select(
+        F.col("p").alias("p1"),
+        F.col("n_i").alias("n_1"),
+        F.col("sr2_i").alias("sr2_1"),
+    )
+    g2 = groups.select(
+        F.col("p").alias("p2"),
+        F.col("n_i").alias("n_2"),
+        F.col("sr2_i").alias("sr2_2"),
+    )
+    j = (
+        g1.join(F.broadcast(g2), F.col("p1") < F.col("p2"))
+        .crossJoin(F.broadcast(ties))
+    )
+    n_d = F.col("n").cast("double")
+    m1 = F.col("sr2_1").cast("double") / 2.0 / F.col("n_1").cast("double")
+    m2 = F.col("sr2_2").cast("double") / 2.0 / F.col("n_2").cast("double")
+    var = (
+        n_d * (n_d + 1.0) / 12.0
+        - F.col("tie_cubes").cast("double") / (12.0 * (n_d - 1.0))
+    ) * (
+        1.0 / F.col("n_1").cast("double")
+        + 1.0 / F.col("n_2").cast("double")
+    )
+    z = (m1 - m2) / F.sqrt(var)
+    return j.select(
+        "p1",
+        "p2",
+        "n_1",
+        "n_2",
+        F.round(m1, 6).alias("mean_rank_1"),
+        F.round(m2, 6).alias("mean_rank_2"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > DUNN_Z_CRIT_BONF10).alias("reject_bonf"),
+    ).orderBy("p1", "p2")
+
+
+ORACLE_DUNN_POSTHOC = f"""
+WITH ov AS (
+  SELECT o_orderpriority AS p,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), cnt AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM ov GROUP BY v
+), rank2 AS (
+  SELECT v,
+         2 * COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS r2
+  FROM cnt
+), groups AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_i,
+         CAST(SUM(r2) AS BIGINT) AS sr2_i
+  FROM ov JOIN rank2 USING (v) GROUP BY p
+), ties AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cubes
+  FROM cnt
+)
+SELECT a.p AS p1, b.p AS p2, a.n_i AS n_1, b.n_i AS n_2,
+       ROUND(CAST(a.sr2_i AS DOUBLE) / 2.0 / CAST(a.n_i AS DOUBLE), 6)
+         AS mean_rank_1,
+       ROUND(CAST(b.sr2_i AS DOUBLE) / 2.0 / CAST(b.n_i AS DOUBLE), 6)
+         AS mean_rank_2,
+       ROUND((CAST(a.sr2_i AS DOUBLE) / 2.0 / CAST(a.n_i AS DOUBLE)
+              - CAST(b.sr2_i AS DOUBLE) / 2.0 / CAST(b.n_i AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+                     - CAST(tie_cubes AS DOUBLE)
+                       / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+                    * (1.0 / CAST(a.n_i AS DOUBLE)
+                       + 1.0 / CAST(b.n_i AS DOUBLE))), 6) AS z_stat,
+       ABS((CAST(a.sr2_i AS DOUBLE) / 2.0 / CAST(a.n_i AS DOUBLE)
+            - CAST(b.sr2_i AS DOUBLE) / 2.0 / CAST(b.n_i AS DOUBLE))
+           / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+                   - CAST(tie_cubes AS DOUBLE)
+                     / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+                  * (1.0 / CAST(a.n_i AS DOUBLE)
+                     + 1.0 / CAST(b.n_i AS DOUBLE))))
+         > {DUNN_Z_CRIT_BONF10} AS reject_bonf
+FROM groups a JOIN groups b ON a.p < b.p
+CROSS JOIN ties
+ORDER BY p1, p2
+"""
+
+
+# ---------------------------------------------------------------------------
+# PACF — partial autocorrelations via Durbin-Levinson on the ACF
+# ---------------------------------------------------------------------------
+
+PACF_LAGS = 3
+
+
+def pacf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1..{PACF_LAGS}
+    — the AR-order identifier ``revenue_acf_profile`` can't give
+    (ACF of an AR(1) decays forever; its PACF CUTS OFF after lag 1
+    — the cutoff lag IS the model order a forecaster fits):
+    Durbin-Levinson recursion unrolled in closed form over the
+    1-row ACF frame.
+
+    Plan/exactness: the revenue_acf posture verbatim — one
+    calendar-bounded day rollup, lags off ONE window, centered
+    products rounded to whole units before the bigint sums; the
+    Durbin-Levinson algebra is a handful of doubles on a 1-row
+    frame, textually mirrored in the oracle."""
+    day = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            epoch_day("o_orderdate").alias("d"),
+            (cents("o_totalprice") / 100).cast("long").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").alias("x"))
+    )
+    tot = day.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    w = Window.orderBy("d")
+    lagged = day.crossJoin(F.broadcast(tot)).select(
+        "x",
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "m"
+        ),
+        *[
+            F.lag("x", k).over(w).alias(f"x{k}")
+            for k in range(1, PACF_LAGS + 1)
+        ],
+    )
+    micro = lambda e: F.round(e, 0).cast("long")  # noqa: E731
+    cx = F.col("x").cast("double") - F.col("m")
+    agg = lagged.agg(
+        F.sum(micro(cx * cx)).alias("den"),
+        *[
+            F.sum(
+                micro(cx * (F.col(f"x{k}").cast("double") - F.col("m")))
+            ).alias(f"num_{k}")
+            for k in range(1, PACF_LAGS + 1)
+        ],
+    )
+    rho = [
+        F.col(f"num_{k}").cast("double") / F.col("den").cast("double")
+        for k in range(1, PACF_LAGS + 1)
+    ]
+    r1, r2, r3 = rho
+    p11 = r1
+    p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    p21 = r1 * (1.0 - p22)
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    cells = agg.select(
+        F.round(r1, 6).alias("acf_1"),
+        F.round(r2, 6).alias("acf_2"),
+        F.round(r3, 6).alias("acf_3"),
+        F.round(p11, 6).alias("pacf_1"),
+        F.round(p22, 6).alias("pacf_2"),
+        F.round(p33, 6).alias("pacf_3"),
+    )
+    return cells.selectExpr(
+        "stack(3, 1L, acf_1, pacf_1, 2L, acf_2, pacf_2,"
+        " 3L, acf_3, pacf_3) AS (lag, acf, pacf)"
+    ).orderBy("lag")
+
+
+_PACF_RHO = {
+    k: f"(CAST(num_{k} AS DOUBLE) / CAST(den AS DOUBLE))" for k in (1, 2, 3)
+}
+_P22 = (
+    f"(({_PACF_RHO[2]} - {_PACF_RHO[1]} * {_PACF_RHO[1]})"
+    f" / (1.0 - {_PACF_RHO[1]} * {_PACF_RHO[1]}))"
+)
+_P21 = f"({_PACF_RHO[1]} * (1.0 - {_P22}))"
+_P33 = (
+    f"(({_PACF_RHO[3]} - {_P21} * {_PACF_RHO[2]}"
+    f" - {_P22} * {_PACF_RHO[1]})"
+    f" / (1.0 - {_P21} * {_PACF_RHO[1]} - {_P22} * {_PACF_RHO[2]}))"
+)
+
+ORACLE_PACF = f"""
+WITH day AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100)
+              AS BIGINT) AS x
+  FROM orders GROUP BY d
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM day
+), lagged AS (
+  SELECT x, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         LAG(x, 1) OVER (ORDER BY d) AS x1,
+         LAG(x, 2) OVER (ORDER BY d) AS x2,
+         LAG(x, 3) OVER (ORDER BY d) AS x3
+  FROM day CROSS JOIN tot
+), agg AS (
+  SELECT CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) - m)
+                             * (CAST(x AS DOUBLE) - m), 0) AS BIGINT))
+              AS BIGINT) AS den,
+         CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) - m)
+                             * (CAST(x1 AS DOUBLE) - m), 0) AS BIGINT))
+              AS BIGINT) AS num_1,
+         CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) - m)
+                             * (CAST(x2 AS DOUBLE) - m), 0) AS BIGINT))
+              AS BIGINT) AS num_2,
+         CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) - m)
+                             * (CAST(x3 AS DOUBLE) - m), 0) AS BIGINT))
+              AS BIGINT) AS num_3
+  FROM lagged
+), cells AS (
+  SELECT ROUND({_PACF_RHO[1]}, 6) AS acf_1,
+         ROUND({_PACF_RHO[2]}, 6) AS acf_2,
+         ROUND({_PACF_RHO[3]}, 6) AS acf_3,
+         ROUND({_PACF_RHO[1]}, 6) AS pacf_1,
+         ROUND({_P22}, 6) AS pacf_2,
+         ROUND({_P33}, 6) AS pacf_3
+  FROM agg
+)
+SELECT lag, acf, pacf FROM (
+  SELECT 1 AS lag, acf_1 AS acf, pacf_1 AS pacf FROM cells
+  UNION ALL SELECT 2, acf_2, pacf_2 FROM cells
+  UNION ALL SELECT 3, acf_3, pacf_3 FROM cells
+)
+ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Periodogram at candidate periods — DETECT the cycle, don't assume it
+# ---------------------------------------------------------------------------
+
+PERIODOGRAM_PERIODS = (7, 14, 30, 91, 365)
+
+
+def periodogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-frequency periodogram of daily revenue at the
+    {len(PERIODOGRAM_PERIODS)} business-plausible candidate periods
+    {PERIODOGRAM_PERIODS} — the frequency-domain DETECTOR behind
+    ``stl_weekly_profile``'s period-7 ASSUMPTION: power
+    I(p) = (A²+B²)/n with A = Σ(x_d−x̄)cos(2πd/p),
+    B = Σ(x_d−x̄)sin(2πd/p). The winning period feeds STL /
+    seasonal-naive; a flat profile says don't deseasonalize.
+
+    Plan: ONE calendar-bounded day rollup crossed with the 5-row
+    period grid (bounded by the QUESTION); per-period A, B are
+    map-combined integer sums. Exactness: centered cos/sin products
+    round to whole units before the bigint sums (the revenue_acf
+    idiom — the angle doubles are identical IEEE on both engines
+    since d%p is exact integer); A²+B² rides DECIMAL(38,0)/HUGEINT
+    so the share denominator is exact; final divisions textual."""
+    day = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            epoch_day("o_orderdate").alias("d"),
+            (cents("o_totalprice") / 100).cast("long").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").alias("x"))
+    )
+    tot = day.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    per = tot.select(
+        "n",
+        "sx",
+        F.explode(
+            F.array(*[F.lit(p) for p in PERIODOGRAM_PERIODS]).cast(
+                "array<long>"
+            )
+        ).alias("p"),
+    )
+    j = day.crossJoin(F.broadcast(per))
+    cx = F.col("x").cast("double") - F.col("sx").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    ang = (
+        F.lit(2.0 * math.pi)
+        * (F.col("d") % F.col("p")).cast("double")
+        / F.col("p").cast("double")
+    )
+    ab = j.groupBy("p", "n").agg(
+        F.sum(F.round(cx * F.cos(ang), 0).cast("long")).alias("a"),
+        F.sum(F.round(cx * F.sin(ang), 0).cast("long")).alias("b"),
+    )
+    pw_num = (
+        F.col("a").cast("decimal(20,0)") * F.col("a").cast("decimal(20,0)")
+        + F.col("b").cast("decimal(20,0)")
+        * F.col("b").cast("decimal(20,0)")
+    )
+    w_all = Window.partitionBy()
+    ranked = ab.select(
+        "p",
+        "n",
+        pw_num.alias("pw_num"),
+    ).select(
+        "p",
+        "n",
+        "pw_num",
+        F.sum("pw_num").over(w_all).alias("pw_tot"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("pw_num"), F.asc("p")))
+        .alias("rk"),
+    )
+    return ranked.select(
+        F.col("p").alias("period"),
+        F.round(
+            F.col("pw_num").cast("double") / F.col("n").cast("double"), 2
+        ).alias("power"),
+        F.round(
+            F.col("pw_num").cast("double") / F.col("pw_tot").cast("double"),
+            6,
+        ).alias("power_share"),
+        (F.col("rk") == 1).alias("is_peak"),
+    ).orderBy("period")
+
+
+ORACLE_PERIODOGRAM = f"""
+WITH day AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100)
+              AS BIGINT) AS x
+  FROM orders GROUP BY d
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+  FROM day
+), per AS (
+  SELECT n, sx, CAST(u.p AS BIGINT) AS p
+  FROM tot, UNNEST([{", ".join(str(p) for p in PERIODOGRAM_PERIODS)}]) u(p)
+), ab AS (
+  SELECT p, n,
+         CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE)
+                              - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * cos(2.0 * pi() * CAST(d % p AS DOUBLE)
+                        / CAST(p AS DOUBLE)), 0) AS BIGINT)) AS BIGINT)
+           AS a,
+         CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE)
+                              - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * sin(2.0 * pi() * CAST(d % p AS DOUBLE)
+                        / CAST(p AS DOUBLE)), 0) AS BIGINT)) AS BIGINT)
+           AS b
+  FROM day CROSS JOIN per
+  GROUP BY p, n
+), ranked AS (
+  SELECT p, n,
+         CAST(a AS HUGEINT) * a + CAST(b AS HUGEINT) * b AS pw_num,
+         SUM(CAST(a AS HUGEINT) * a + CAST(b AS HUGEINT) * b) OVER ()
+           AS pw_tot,
+         ROW_NUMBER() OVER (ORDER BY CAST(a AS HUGEINT) * a
+                            + CAST(b AS HUGEINT) * b DESC, p ASC) AS rk
+  FROM ab
+)
+SELECT p AS period,
+       ROUND(CAST(pw_num AS DOUBLE) / CAST(n AS DOUBLE), 2) AS power,
+       ROUND(CAST(pw_num AS DOUBLE) / CAST(pw_tot AS DOUBLE), 6)
+         AS power_share,
+       rk = 1 AS is_peak
+FROM ranked
+ORDER BY period
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pacf_profile": QuerySpec(
+        pacf_profile,
+        ORACLE_PACF,
+        ["A1", "A4", "§2.8", "X-ts"],
+    ),
+    "periodogram_peaks": QuerySpec(
+        periodogram_peaks,
+        ORACLE_PERIODOGRAM,
+        ["A1", "A4", "§2.8", "X-ts"],
+    ),
+    "dunn_posthoc_priority": QuerySpec(
+        dunn_posthoc_priority,
+        ORACLE_DUNN_POSTHOC,
+        ["A1", "A4", "J3", "§2.8", "X-curation"],
+    ),
     "anderson_darling_drift": QuerySpec(
         anderson_darling_drift,
         ORACLE_AD_DRIFT,

@@ -953,7 +953,142 @@ FROM tot
 """
 
 
+# --------------------------------------------------------------------------
+# Neyman allocation — where to spend a fixed sampling/labeling budget
+# --------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 10000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal allocation of a fixed {NEYMAN_BUDGET}-unit
+    sampling budget across order-priority strata (n_h ∝ N_h·S_h) —
+    the survey-design answer to "which strata deserve labels":
+    variable strata get more than their population share, uniform
+    strata less. Reported against proportional allocation so the
+    gap IS the variance win; the labeling-budget planner for any
+    human-eval or QA pass over a 100 TB corpus partition.
+
+    Scale: one map-combined (n, Σv, Σv²) rollup per stratum; all
+    later arithmetic lives on the ≤|priorities| frame.
+
+    Exactness: stratum moments are exact BIGINTs (whole-dollar
+    quantization, the welch idiom); each weight N_h·S_h quantizes
+    to an exact integer before the cross-stratum window sum (order-
+    proof), leaving one rounded division per allocation."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("cast(round(o_totalprice * 100) as bigint) div 100").alias(
+            "v"
+        ),
+    )
+    agg = o.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    nh = F.col("n_h").cast("double")
+    mean = F.col("sv").cast("double") / nh
+    sd = F.sqrt(
+        (
+            F.col("svv").cast("double")
+            - F.col("sv").cast("double") * F.col("sv").cast("double") / nh
+        )
+        / (nh - 1.0)
+    )
+    w_all = Window.partitionBy()
+    weighted = agg.select(
+        "priority",
+        "n_h",
+        F.round(mean, 6).alias("mean_usd"),
+        F.round(sd, 6).alias("sd_usd"),
+        # N_h·S_h in exact centi-units: order-proof integer window sum
+        F.round(nh * sd * 100.0, 0).cast("long").alias("w_c"),
+    ).select(
+        "*",
+        F.sum("w_c").over(w_all).alias("w_tot"),
+        F.sum("n_h").over(w_all).alias("n_tot"),
+    )
+    return weighted.select(
+        "priority",
+        "n_h",
+        "mean_usd",
+        "sd_usd",
+        F.round(
+            F.lit(NEYMAN_BUDGET)
+            * F.col("w_c").cast("double")
+            / F.col("w_tot").cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("neyman_n"),
+        F.round(
+            F.lit(NEYMAN_BUDGET)
+            * F.col("n_h").cast("double")
+            / F.col("n_tot").cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("proportional_n"),
+        F.round(
+            F.lit(NEYMAN_BUDGET)
+            * F.col("w_c").cast("double")
+            / F.col("w_tot").cast("double")
+            / F.col("n_h").cast("double")
+            * 100.0,
+            6,
+        ).alias("sampling_pct"),
+    ).orderBy("priority")
+
+
+ORACLE_NEYMAN = f"""
+WITH o AS (
+  SELECT o_orderpriority AS priority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS v
+  FROM orders
+), agg AS (
+  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_h,
+         CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(v * v) AS BIGINT) AS svv
+  FROM o GROUP BY priority
+), weighted AS (
+  SELECT priority, n_h,
+         ROUND(CAST(sv AS DOUBLE) / CAST(n_h AS DOUBLE), 6) AS mean_usd,
+         ROUND(sqrt((CAST(svv AS DOUBLE)
+                     - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                       / CAST(n_h AS DOUBLE))
+                    / (CAST(n_h AS DOUBLE) - 1.0)), 6) AS sd_usd,
+         CAST(ROUND(CAST(n_h AS DOUBLE)
+              * sqrt((CAST(svv AS DOUBLE)
+                      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                        / CAST(n_h AS DOUBLE))
+                     / (CAST(n_h AS DOUBLE) - 1.0)) * 100.0)
+              AS BIGINT) AS w_c
+  FROM agg
+), tot AS (
+  SELECT priority, n_h, mean_usd, sd_usd, w_c,
+         SUM(w_c) OVER () AS w_tot,
+         SUM(n_h) OVER () AS n_tot
+  FROM weighted
+)
+SELECT priority, n_h, mean_usd, sd_usd,
+       CAST(ROUND({NEYMAN_BUDGET} * CAST(w_c AS DOUBLE)
+            / CAST(w_tot AS DOUBLE)) AS BIGINT) AS neyman_n,
+       CAST(ROUND({NEYMAN_BUDGET} * CAST(n_h AS DOUBLE)
+            / CAST(n_tot AS DOUBLE)) AS BIGINT) AS proportional_n,
+       ROUND({NEYMAN_BUDGET} * CAST(w_c AS DOUBLE) / CAST(w_tot AS DOUBLE)
+             / CAST(n_h AS DOUBLE) * 100.0, 6) AS sampling_pct
+FROM tot
+ORDER BY priority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "neyman_allocation": QuerySpec(
+        neyman_allocation,
+        ORACLE_NEYMAN,
+        ["A1", "A4", "§2.8", "X-curation", "X-training"],
+    ),
     "l_diversity_audit": QuerySpec(
         l_diversity_audit,
         ORACLE_L_DIVERSITY,

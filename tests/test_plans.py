@@ -665,6 +665,15 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # 1-row (n_a, n_b) totals crossed onto the dollar-grid
         # midrank frame (the ks/cvm shape)
         "anderson_darling_drift",
+        # 5×5 priority-pair theta join on the GROUP frame (domain-
+        # bounded) + the 1-row tie/total cross
+        "dunn_posthoc_priority",
+        # 1-row (n, Σx) mean frame onto the calendar-day frame (the
+        # revenue_acf posture)
+        "pacf_profile",
+        # 5-row candidate-period grid crossed onto the calendar-day
+        # frame — bounded by the QUESTION
+        "periodogram_peaks",
     }
     offenders = []
     for name, spec in all_queries().items():

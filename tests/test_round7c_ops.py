@@ -1210,3 +1210,183 @@ def test_eb_shrinkage_matches_python_moments(spark, sf_small):
         raw = x / n
         lo, hi = sorted((raw, mu))
         assert lo - 1e-9 <= shrunk <= hi + 1e-9
+
+
+def test_dunn_posthoc_matches_python_ranks(spark, sf_small):
+    """Every pairwise z must equal a pure-Python Dunn computation on
+    the same pooled tie-averaged ranking."""
+    from collections import Counter, defaultdict
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        dunn_posthoc_priority,
+    )
+
+    con = _duck(sf_small)
+    rows = con.execute(
+        "SELECT o_orderpriority, CAST(ROUND(o_totalprice*100) AS BIGINT)"
+        " FROM orders"
+    ).fetchall()
+    vals = sorted(v for _, v in rows)
+    avg_rank, i = {}, 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        avg_rank[vals[i]] = (i + 1 + j) / 2
+        i = j
+    by_p = defaultdict(list)
+    for p, v in rows:
+        by_p[p].append(avg_rank[v])
+    n = len(rows)
+    tie_cubes = sum(
+        t**3 - t for t in Counter(vals).values()
+    )
+    got = {
+        (r.p1, r.p2): r
+        for r in dunn_posthoc_priority(spark, sf_small).collect()
+    }
+    ps = sorted(by_p)
+    assert set(got) == {
+        (a, b) for i, a in enumerate(ps) for b in ps[i + 1 :]
+    }
+    import math
+
+    for (p1, p2), r in got.items():
+        m1 = sum(by_p[p1]) / len(by_p[p1])
+        m2 = sum(by_p[p2]) / len(by_p[p2])
+        var = (
+            n * (n + 1) / 12 - tie_cubes / (12 * (n - 1))
+        ) * (1 / len(by_p[p1]) + 1 / len(by_p[p2]))
+        z = (m1 - m2) / math.sqrt(var)
+        assert (r.n_1, r.n_2) == (len(by_p[p1]), len(by_p[p2]))
+        assert abs(r.mean_rank_1 - m1) < 1e-4
+        assert abs(r.z_stat - z) < 1e-5
+
+
+def test_neyman_allocation_matches_python_and_sums_to_budget(
+    spark, sf_small
+):
+    """Allocations must equal the textbook n_h ∝ N_h·S_h formula
+    (with the same centi-unit weight quantization) and the Neyman
+    total must hit the budget within per-stratum rounding."""
+    import math
+    import statistics
+    from collections import defaultdict
+
+    from cricket_analytics_nosql_spark.operators.sampling import (
+        NEYMAN_BUDGET,
+        neyman_allocation,
+    )
+
+    con = _duck(sf_small)
+    by_p = defaultdict(list)
+    for p, v in con.execute(
+        "SELECT o_orderpriority,"
+        " CAST(ROUND(o_totalprice*100) AS BIGINT) // 100 FROM orders"
+    ).fetchall():
+        by_p[p].append(v)
+    w = {
+        p: round(len(vs) * statistics.stdev(vs) * 100)
+        for p, vs in by_p.items()
+    }
+    w_tot = sum(w.values())
+    n_tot = sum(len(vs) for vs in by_p.values())
+    got = {r.priority: r for r in neyman_allocation(spark, sf_small).collect()}
+    assert sorted(got) == sorted(by_p)
+    for p, vs in by_p.items():
+        r = got[p]
+        assert r.n_h == len(vs)
+        assert abs(r.mean_usd - sum(vs) / len(vs)) < 1e-5
+        assert abs(r.sd_usd - statistics.stdev(vs)) < 1e-4
+        assert r.neyman_n == round(NEYMAN_BUDGET * w[p] / w_tot)
+        assert r.proportional_n == round(
+            NEYMAN_BUDGET * len(vs) / n_tot
+        )
+    assert (
+        abs(sum(r.neyman_n for r in got.values()) - NEYMAN_BUDGET)
+        <= len(by_p)
+    )
+
+
+def test_pacf_matches_python_durbin_levinson(spark, sf_small):
+    """ACF and PACF must equal a pure-Python replay (same whole-unit
+    product quantization, same Durbin-Levinson closed form)."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        pacf_profile,
+    )
+
+    con = _duck(sf_small)
+    series = [
+        x
+        for (_, x) in con.execute(
+            "SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))"
+            " // 86400000000 AS BIGINT) AS d,"
+            " CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT) // 100)"
+            " AS BIGINT) FROM orders GROUP BY d ORDER BY d"
+        ).fetchall()
+    ]
+    n = len(series)
+    m = sum(series) / n
+    den = sum(round((x - m) * (x - m)) for x in series)
+    rho = [
+        sum(
+            round((series[i] - m) * (series[i - k] - m))
+            for i in range(k, n)
+        )
+        / den
+        for k in (1, 2, 3)
+    ]
+    r1, r2, r3 = rho
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = r1 * (1 - p22)
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    got = {r.lag: r for r in pacf_profile(spark, sf_small).collect()}
+    assert sorted(got) == [1, 2, 3]
+    for k, (a_ref, p_ref) in zip(
+        (1, 2, 3), zip(rho, (r1, p22, p33))
+    ):
+        assert abs(got[k].acf - a_ref) < 1e-5
+        assert abs(got[k].pacf - p_ref) < 1e-5
+
+
+def test_periodogram_matches_python_goertzel(spark, sf_small):
+    """Per-period power must equal a pure-Python DFT at the same
+    candidate frequencies (same whole-unit quantization), shares
+    must sum to 1, and exactly one row is the peak."""
+    import math
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        PERIODOGRAM_PERIODS,
+        periodogram_peaks,
+    )
+
+    con = _duck(sf_small)
+    days = con.execute(
+        "SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))"
+        " // 86400000000 AS BIGINT) AS d,"
+        " CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT) // 100)"
+        " AS BIGINT) FROM orders GROUP BY d"
+    ).fetchall()
+    n = len(days)
+    m = sum(x for _, x in days) / n
+    pw = {}
+    for p in PERIODOGRAM_PERIODS:
+        a = sum(
+            round((x - m) * math.cos(2 * math.pi * (d % p) / p))
+            for d, x in days
+        )
+        b = sum(
+            round((x - m) * math.sin(2 * math.pi * (d % p) / p))
+            for d, x in days
+        )
+        pw[p] = a * a + b * b
+    tot = sum(pw.values())
+    got = {r.period: r for r in periodogram_peaks(spark, sf_small).collect()}
+    assert sorted(got) == sorted(PERIODOGRAM_PERIODS)
+    peak = max(pw, key=lambda p: (pw[p], -p))
+    assert sum(1 for r in got.values() if r.is_peak) == 1
+    for p in PERIODOGRAM_PERIODS:
+        assert abs(got[p].power - round(pw[p] / n, 2)) < 1e-6
+        assert abs(got[p].power_share - pw[p] / tot) < 1e-6
+        assert got[p].is_peak == (p == peak)
+    assert abs(sum(r.power_share for r in got.values()) - 1.0) < 1e-4
