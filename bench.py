@@ -28,6 +28,9 @@ BENCH_EXTENDED = (
     "dedup_substring_spans",
     "adamic_adar_linkpred",
     "pca_top_component",
+    # round-7 sixth-wave heavy hitters
+    "kfold_nb_cv",
+    "frequent_triples",
 )
 
 
