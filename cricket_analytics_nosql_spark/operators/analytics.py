@@ -1056,6 +1056,145 @@ ORDER BY priority
 """
 
 
+def kendalls_w_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W — do revenue, volume and line-count RANK the
+    brands the same way? The k-ranker concordance coefficient
+    (tie-corrected) over the three business orderings of the brand
+    league table: W = 1 means one ranking would do; W near 0 means
+    "top brand" depends on which metric you ask — exactly the
+    check a mixture/curation review needs before collapsing several
+    quality signals into one ordering (the rank-aggregation
+    question ``rrf_fuse_search`` answers constructively, measured).
+
+    Scale: one fact rollup to the ≤|brands| frame; the three
+    rankings are windows over that 25-row frame.
+
+    Exactness: doubled average ranks (2·rank + t − 1) keep every
+    rank sum an exact BIGINT; S·4 and the tie terms are exact
+    integers; W = 3·S4/(k²(n³−n) − k·ΣT) is ONE double division,
+    χ² = k(n−1)W one multiplication."""
+    k = 3
+    br = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", revenue_cents().alias("rc"))
+        .join(
+            # no broadcast hint: part scales with SF — AQE decides
+            load_table(spark, sf_dir, "part").select(
+                "p_partkey", "p_brand"
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum("rc").alias("rev"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+    def r2(col: str) -> F.Column:
+        # doubled tie-averaged rank, heaviest first
+        w_rank = Window.orderBy(F.desc(col))
+        w_tie = Window.partitionBy(col)
+        return (
+            2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1
+        )
+
+    def tie2(col: str) -> F.Column:
+        # Σ_values (t³−t) as Σ_rows (t²−1)
+        w_tie = Window.partitionBy(col)
+        t = F.count(F.lit(1)).over(w_tie)
+        return t * t - 1
+
+    ranked = br.select(
+        "brand",
+        r2("rev").alias("r2_rev"),
+        r2("qty").alias("r2_qty"),
+        r2("cnt").alias("r2_cnt"),
+        tie2("rev").alias("t_rev"),
+        tie2("qty").alias("t_qty"),
+        tie2("cnt").alias("t_cnt"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    dev = (
+        F.col("r2_rev")
+        + F.col("r2_qty")
+        + F.col("r2_cnt")
+        - 3 * (F.col("nb") + 1)
+    )
+    agg = ranked.agg(
+        F.max("nb").alias("n"),
+        F.sum(dev * dev).alias("s4"),
+        F.sum(
+            F.col("t_rev") + F.col("t_qty") + F.col("t_cnt")
+        ).alias("ties"),
+    )
+    n_d = F.col("n").cast("double")
+    w_stat = (
+        3.0
+        * F.col("s4").cast("double")
+        / (
+            F.lit(float(k * k)) * (n_d * n_d * n_d - n_d)
+            - F.lit(float(k)) * F.col("ties").cast("double")
+        )
+    )
+    return agg.select(
+        "n",
+        F.lit(k).alias("k"),
+        F.round(w_stat, 6).alias("w_concordance"),
+        F.round(F.lit(float(k)) * (n_d - 1.0) * w_stat, 6).alias(
+            "chi2_stat"
+        ),
+    )
+
+
+ORACLE_KENDALLS_W = """
+WITH br AS (
+  SELECT p_brand AS brand,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), ranked AS (
+  SELECT brand,
+         2 * RANK() OVER (ORDER BY rev DESC)
+           + COUNT(*) OVER (PARTITION BY rev) - 1 AS r2_rev,
+         2 * RANK() OVER (ORDER BY qty DESC)
+           + COUNT(*) OVER (PARTITION BY qty) - 1 AS r2_qty,
+         2 * RANK() OVER (ORDER BY cnt DESC)
+           + COUNT(*) OVER (PARTITION BY cnt) - 1 AS r2_cnt,
+         COUNT(*) OVER (PARTITION BY rev) * COUNT(*) OVER (PARTITION BY rev)
+           - 1 AS t_rev,
+         COUNT(*) OVER (PARTITION BY qty) * COUNT(*) OVER (PARTITION BY qty)
+           - 1 AS t_qty,
+         COUNT(*) OVER (PARTITION BY cnt) * COUNT(*) OVER (PARTITION BY cnt)
+           - 1 AS t_cnt,
+         COUNT(*) OVER () AS n
+  FROM br
+), agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM((r2_rev + r2_qty + r2_cnt - 3 * (n + 1))
+                  * (r2_rev + r2_qty + r2_cnt - 3 * (n + 1)))
+              AS BIGINT) AS s4,
+         CAST(SUM(t_rev + t_qty + t_cnt) AS BIGINT) AS ties
+  FROM ranked
+)
+SELECT n, 3 AS k,
+       ROUND(3.0 * CAST(s4 AS DOUBLE)
+             / (9.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))
+                - 3.0 * CAST(ties AS DOUBLE)), 6) AS w_concordance,
+       ROUND(3.0 * (CAST(n AS DOUBLE) - 1.0)
+             * (3.0 * CAST(s4 AS DOUBLE)
+                / (9.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))
+                   - 3.0 * CAST(ties AS DOUBLE))), 6) AS chi2_stat
+FROM agg
+"""
+
+
 def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-Bayes shrinkage of the per-brand return rates —
     the statistical fix for ``return_rate_by_brand``'s league table
@@ -2569,6 +2708,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ship_latency_stats": QuerySpec(
         ship_latency_stats, ORACLE_SHIP_LATENCY, ["A1", "J1", "X-ts"]
+    ),
+    "kendalls_w_brands": QuerySpec(
+        kendalls_w_brands,
+        ORACLE_KENDALLS_W,
+        ["A1", "A4", "§2.8", "X-curation"],
     ),
     "eb_shrunk_return_rates": QuerySpec(
         eb_shrunk_return_rates,

@@ -6104,7 +6104,189 @@ ORDER BY period
 """
 
 
+# ---------------------------------------------------------------------------
+# Seasonal / trend strength — is the decomposition worth using?
+# ---------------------------------------------------------------------------
+
+
+def seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's strength-of-components indices on the
+    ``stl_weekly_profile`` decomposition: F_seasonal =
+    max(0, 1 − Var(R)/Var(S+R)) and F_trend =
+    max(0, 1 − Var(R)/Var(T+R)) — the two scalars that say whether
+    the weekly cycle and the trend are REAL before anyone
+    deseasonalizes or differences (``periodogram_peaks`` finds the
+    period; this says how much of the variance it owns).
+
+    Plan: the STL-lite posture verbatim — calendar-day rollup,
+    7-day RANGE-window trend, 7-row seasonal means broadcast back —
+    then two passes over the day frame (totals, squared
+    deviations), all calendar-bounded.
+
+    Exactness: detrended/remainder/deseasonalized values ride
+    integer micro-dollars (seasonal means rounded once per dow);
+    squared deviations round to whole dollar² units before the
+    bigint sums (the acf idiom); the variance ratios are the only
+    free doubles."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(epoch_day("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint) div 100")
+            ).alias("y")
+        )
+    )
+    wr = Window.orderBy("day").rangeBetween(-3, 3)
+    detr = (
+        daily.select(
+            "day",
+            "y",
+            F.sum("y").over(wr).alias("wy"),
+            F.count(F.lit(1)).over(wr).alias("wn"),
+        )
+        .filter(F.col("wn") == 7)
+        .select(
+            (F.col("day") % 7).alias("dow"),
+            "y",
+            F.round(
+                (
+                    F.col("y").cast("double")
+                    - F.col("wy").cast("double") / F.col("wn")
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("d_micro"),
+        )
+    )
+    seas = detr.groupBy("dow").agg(
+        F.round(
+            F.sum("d_micro").cast("double") / F.count(F.lit(1)), 0
+        )
+        .cast("long")
+        .alias("s_micro")
+    )
+    cells = detr.join(F.broadcast(seas), "dow").select(
+        "d_micro",
+        (F.col("d_micro") - F.col("s_micro")).alias("r_micro"),
+        (F.col("y") * F.lit(1000000) - F.col("s_micro")).alias("v_micro"),
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d_micro").alias("sd"),
+        F.sum("r_micro").alias("sr"),
+        F.sum("v_micro").alias("sv"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    sq = lambda x, s: F.round(  # noqa: E731 — dollar²-scale deviation
+        ((x.cast("double") - F.col(s).cast("double") / F.col("n")) / 1e6)
+        * ((x.cast("double") - F.col(s).cast("double") / F.col("n")) / 1e6),
+        0,
+    ).cast("long")
+    var_agg = j.groupBy("n").agg(
+        F.sum(sq(F.col("d_micro"), "sd")).alias("ss_d"),
+        F.sum(sq(F.col("r_micro"), "sr")).alias("ss_r"),
+        F.sum(sq(F.col("v_micro"), "sv")).alias("ss_v"),
+    )
+    f_s = F.greatest(
+        F.lit(0.0),
+        1.0 - F.col("ss_r").cast("double") / F.col("ss_d").cast("double"),
+    )
+    f_t = F.greatest(
+        F.lit(0.0),
+        1.0 - F.col("ss_r").cast("double") / F.col("ss_v").cast("double"),
+    )
+    return var_agg.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            F.col("ss_d").cast("double") / F.col("n").cast("double"), 1
+        ).alias("var_detrended"),
+        F.round(
+            F.col("ss_r").cast("double") / F.col("n").cast("double"), 1
+        ).alias("var_remainder"),
+        F.round(
+            F.col("ss_v").cast("double") / F.col("n").cast("double"), 1
+        ).alias("var_deseasonalized"),
+        F.round(f_s, 6).alias("f_seasonal"),
+        F.round(f_t, 6).alias("f_trend"),
+    )
+
+
+ORACLE_SEASONAL_STRENGTH = """
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100)
+              AS BIGINT) AS y
+  FROM orders GROUP BY day
+), detr AS (
+  SELECT day % 7 AS dow, y,
+         CAST(ROUND((CAST(y AS DOUBLE) - CAST(wy AS DOUBLE) / wn)
+                    * 1000000, 0) AS BIGINT) AS d_micro
+  FROM (
+    SELECT day, y,
+           CAST(SUM(y) OVER (ORDER BY day
+                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+             AS wy,
+           COUNT(*) OVER (ORDER BY day
+                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+    FROM daily
+  ) WHERE wn = 7
+), seas AS (
+  SELECT dow, CAST(ROUND(CAST(SUM(d_micro) AS DOUBLE) / COUNT(*), 0)
+                   AS BIGINT) AS s_micro
+  FROM detr GROUP BY dow
+), cells AS (
+  SELECT d_micro, d_micro - s_micro AS r_micro,
+         y * 1000000 - s_micro AS v_micro
+  FROM detr JOIN seas USING (dow)
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d_micro) AS BIGINT) AS sd,
+         CAST(SUM(r_micro) AS BIGINT) AS sr,
+         CAST(SUM(v_micro) AS BIGINT) AS sv
+  FROM cells
+), var_agg AS (
+  SELECT n,
+         CAST(SUM(CAST(ROUND(((CAST(d_micro AS DOUBLE)
+                 - CAST(sd AS DOUBLE) / n) / 1000000.0)
+              * ((CAST(d_micro AS DOUBLE)
+                 - CAST(sd AS DOUBLE) / n) / 1000000.0), 0) AS BIGINT))
+              AS BIGINT) AS ss_d,
+         CAST(SUM(CAST(ROUND(((CAST(r_micro AS DOUBLE)
+                 - CAST(sr AS DOUBLE) / n) / 1000000.0)
+              * ((CAST(r_micro AS DOUBLE)
+                 - CAST(sr AS DOUBLE) / n) / 1000000.0), 0) AS BIGINT))
+              AS BIGINT) AS ss_r,
+         CAST(SUM(CAST(ROUND(((CAST(v_micro AS DOUBLE)
+                 - CAST(sv AS DOUBLE) / n) / 1000000.0)
+              * ((CAST(v_micro AS DOUBLE)
+                 - CAST(sv AS DOUBLE) / n) / 1000000.0), 0) AS BIGINT))
+              AS BIGINT) AS ss_v
+  FROM cells CROSS JOIN tot
+  GROUP BY n
+)
+SELECT n AS n_days,
+       ROUND(CAST(ss_d AS DOUBLE) / CAST(n AS DOUBLE), 1)
+         AS var_detrended,
+       ROUND(CAST(ss_r AS DOUBLE) / CAST(n AS DOUBLE), 1)
+         AS var_remainder,
+       ROUND(CAST(ss_v AS DOUBLE) / CAST(n AS DOUBLE), 1)
+         AS var_deseasonalized,
+       ROUND(GREATEST(0.0, 1.0 - CAST(ss_r AS DOUBLE)
+                               / CAST(ss_d AS DOUBLE)), 6) AS f_seasonal,
+       ROUND(GREATEST(0.0, 1.0 - CAST(ss_r AS DOUBLE)
+                               / CAST(ss_v AS DOUBLE)), 6) AS f_trend
+FROM var_agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "seasonal_strength": QuerySpec(
+        seasonal_strength,
+        ORACLE_SEASONAL_STRENGTH,
+        ["A1", "A4", "§2.8", "X-ts"],
+    ),
     "pacf_profile": QuerySpec(
         pacf_profile,
         ORACLE_PACF,

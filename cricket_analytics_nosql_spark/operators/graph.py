@@ -25,7 +25,7 @@ conflate customer k with supplier k.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
@@ -3263,7 +3263,147 @@ ORDER BY role ASC, score DESC, key ASC
 ORACLE_HITS = _hits_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# Modularity of a GIVEN partition — how community-like is geography?
+# ---------------------------------------------------------------------------
+
+
+def trade_modularity_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed weighted modularity of the NATION partition on the
+    customer→supplier trade graph — the measurement half of
+    community detection: ``lpa_communities`` FINDS a partition,
+    this SCORES one you already believe in (geography):
+    Q = Σ_c [w_cc/W − w_out(c)·w_in(c)/W²]. Q near 0 says trade
+    ignores borders (true for TPC-H's uniform wiring — the honest
+    null result); a real supply chain shows Q ≫ 0 regionalization.
+
+    Scale: the collapsed weighted edge list (G1 pre-aggregation)
+    joins its two nation keys, rolls up to the ≤25×25 nation-pair
+    frame, and every modularity term lives on ≤25 rows.
+
+    Exactness: all weights are exact BIGINT line counts; each
+    nation's contribution is the exact integer numerator
+    w_cc·W − w_out·w_in over W², summed exactly before ONE double
+    division (per row and for the global Q)."""
+    e = trade_edges(spark, sf_dir)
+    cn = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("src"),
+        F.col("c_nationkey").alias("src_n"),
+    )
+    sn = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("dst"),
+        F.col("s_nationkey").alias("dst_n"),
+    )
+    pairs = (
+        # no broadcast hints: customer/supplier scale with SF — AQE
+        e.join(cn, "src")
+        .join(sn, "dst")
+        .groupBy("src_n", "dst_n")
+        .agg(F.sum("weight").alias("w"))
+    )
+    tot = pairs.agg(F.sum("w").alias("ww"))
+    outs = pairs.groupBy(F.col("src_n").alias("n_key")).agg(
+        F.sum("w").alias("w_out")
+    )
+    ins = pairs.groupBy(F.col("dst_n").alias("n_key")).agg(
+        F.sum("w").alias("w_in")
+    )
+    within = pairs.filter(F.col("src_n") == F.col("dst_n")).select(
+        F.col("src_n").alias("n_key"), F.col("w").alias("w_within")
+    )
+    nations = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n_key"), F.col("n_name").alias("nation")
+    )
+    per = (
+        outs.join(ins, "n_key", "full")
+        .join(within, "n_key", "left")
+        .join(F.broadcast(nations), "n_key")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            F.coalesce(F.col("w_within"), F.lit(0)).alias("w_within"),
+            F.coalesce(F.col("w_out"), F.lit(0)).alias("w_out"),
+            F.coalesce(F.col("w_in"), F.lit(0)).alias("w_in"),
+            "ww",
+            (
+                F.coalesce(F.col("w_within"), F.lit(0)) * F.col("ww")
+                - F.coalesce(F.col("w_out"), F.lit(0))
+                * F.coalesce(F.col("w_in"), F.lit(0))
+            ).alias("num"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        "nation",
+        "w_within",
+        "w_out",
+        "w_in",
+        F.round(
+            F.col("num").cast("double")
+            / (F.col("ww").cast("double") * F.col("ww").cast("double")),
+            6,
+        ).alias("contrib"),
+        F.round(
+            F.sum("num").over(w_all).cast("double")
+            / (F.col("ww").cast("double") * F.col("ww").cast("double")),
+            6,
+        ).alias("q_modularity"),
+    ).orderBy("nation")
+
+
+ORACLE_TRADE_MODULARITY = """
+WITH e AS (
+  SELECT o_custkey AS src, l_suppkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT c.c_nationkey AS src_n, s.s_nationkey AS dst_n,
+         CAST(SUM(weight) AS BIGINT) AS w
+  FROM e JOIN customer c ON e.src = c.c_custkey
+         JOIN supplier s ON e.dst = s.s_suppkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS ww FROM pairs
+), outs AS (
+  SELECT src_n AS n_key, CAST(SUM(w) AS BIGINT) AS w_out
+  FROM pairs GROUP BY src_n
+), ins AS (
+  SELECT dst_n AS n_key, CAST(SUM(w) AS BIGINT) AS w_in
+  FROM pairs GROUP BY dst_n
+), within AS (
+  SELECT src_n AS n_key, w AS w_within FROM pairs WHERE src_n = dst_n
+), per AS (
+  SELECT n.n_name AS nation,
+         COALESCE(w_within, 0) AS w_within,
+         COALESCE(w_out, 0) AS w_out,
+         COALESCE(w_in, 0) AS w_in,
+         ww,
+         COALESCE(w_within, 0) * ww
+           - COALESCE(w_out, 0) * COALESCE(w_in, 0) AS num
+  FROM outs
+  FULL JOIN ins USING (n_key)
+  LEFT JOIN within USING (n_key)
+  JOIN nation n ON n.n_nationkey = n_key
+  CROSS JOIN tot
+)
+SELECT nation, w_within, w_out, w_in,
+       ROUND(CAST(num AS DOUBLE)
+             / (CAST(ww AS DOUBLE) * CAST(ww AS DOUBLE)), 6) AS contrib,
+       ROUND(CAST(SUM(num) OVER () AS DOUBLE)
+             / (CAST(ww AS DOUBLE) * CAST(ww AS DOUBLE)), 6)
+         AS q_modularity
+FROM per
+ORDER BY nation
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "trade_modularity_nations": QuerySpec(
+        trade_modularity_nations,
+        ORACLE_TRADE_MODULARITY,
+        ["G1", "G3", "A1", "A7", "J1", "X-graph"],
+    ),
     "hits_hub_authority": QuerySpec(
         hits_hub_authority,
         ORACLE_HITS,

@@ -674,6 +674,12 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # 5-row candidate-period grid crossed onto the calendar-day
         # frame — bounded by the QUESTION
         "periodogram_peaks",
+        # 1-row total-weight frame crossed onto the ≤25-row nation
+        # modularity frame
+        "trade_modularity_nations",
+        # 1-row (n, Σ) totals crossed onto the calendar-day frame
+        # for the variance passes (the acf posture)
+        "seasonal_strength",
     }
     offenders = []
     for name, spec in all_queries().items():

@@ -1390,3 +1390,154 @@ def test_periodogram_matches_python_goertzel(spark, sf_small):
         assert abs(got[p].power_share - pw[p] / tot) < 1e-6
         assert got[p].is_peak == (p == peak)
     assert abs(sum(r.power_share for r in got.values()) - 1.0) < 1e-4
+
+
+def test_trade_modularity_matches_python(spark, sf_small):
+    """Per-nation contributions and global Q must equal a
+    pure-Python modularity computation on the same weighted
+    nation-pair rollup."""
+    from collections import Counter
+
+    from cricket_analytics_nosql_spark.operators.graph import (
+        trade_modularity_nations,
+    )
+
+    con = _duck(sf_small)
+    for t in ("customer", "supplier", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{os.path.join(sf_small, t)}.parquet')"
+        )
+    pairs = Counter()
+    for sn, dn, w in con.execute(
+        "SELECT c_nationkey, s_nationkey, COUNT(*) FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " GROUP BY 1, 2"
+    ).fetchall():
+        pairs[(sn, dn)] = w
+    names = dict(
+        con.execute("SELECT n_nationkey, n_name FROM nation").fetchall()
+    )
+    ww = sum(pairs.values())
+    outs, ins, within = Counter(), Counter(), Counter()
+    for (sn, dn), w in pairs.items():
+        outs[sn] += w
+        ins[dn] += w
+        if sn == dn:
+            within[sn] += w
+    keys = set(outs) | set(ins)
+    nums = {
+        nk: within.get(nk, 0) * ww - outs.get(nk, 0) * ins.get(nk, 0)
+        for nk in keys
+    }
+    q = sum(nums.values()) / (ww * ww)
+    got = {r.nation: r for r in trade_modularity_nations(spark, sf_small).collect()}
+    assert set(got) == {names[nk] for nk in keys}
+    for nk in keys:
+        r = got[names[nk]]
+        assert (r.w_within, r.w_out, r.w_in) == (
+            within.get(nk, 0),
+            outs.get(nk, 0),
+            ins.get(nk, 0),
+        )
+        assert abs(r.contrib - nums[nk] / (ww * ww)) < 1e-6
+        assert abs(r.q_modularity - q) < 1e-6
+
+
+def test_kendalls_w_matches_python_ranks(spark, sf_small):
+    """W and χ² must equal a pure-Python tie-corrected concordance
+    over the same three brand metrics, and W must be 1 when the
+    three rankings are replaced by one."""
+    from collections import Counter, defaultdict
+
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        kendalls_w_brands,
+    )
+
+    con = _duck(sf_small)
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM"
+        f" read_parquet('{os.path.join(sf_small, 'part')}.parquet')"
+    )
+    br = con.execute(
+        "SELECT p_brand,"
+        " SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)"
+        " AS BIGINT)), SUM(CAST(l_quantity AS BIGINT)), COUNT(*)"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey"
+        " GROUP BY p_brand"
+    ).fetchall()
+    n, k = len(br), 3
+    r2_sum = defaultdict(int)
+    ties = 0
+    for mi in (1, 2, 3):
+        vals = [row[mi] for row in br]
+        cnt = Counter(vals)
+        # doubled tie-averaged rank, descending
+        sorted_desc = sorted(cnt, reverse=True)
+        min_rank, start = {}, 1
+        for v in sorted_desc:
+            min_rank[v] = start
+            start += cnt[v]
+        for row in br:
+            v = row[mi]
+            r2_sum[row[0]] += 2 * min_rank[v] + cnt[v] - 1
+        ties += sum(t**3 - t for t in cnt.values())
+    s4 = sum((r2_sum[b] - k * (n + 1)) ** 2 for b, *_ in br)
+    w = 3 * s4 / (k * k * (n**3 - n) - k * ties)
+    r = kendalls_w_brands(spark, sf_small).collect()[0]
+    assert (r.n, r.k) == (n, k)
+    assert abs(r.w_concordance - w) < 1e-6
+    assert abs(r.chi2_stat - k * (n - 1) * w) < 1e-4
+    assert 0.0 <= r.w_concordance <= 1.0 + 1e-9
+
+
+def test_seasonal_strength_matches_python_replay(spark, sf_small):
+    """F_seasonal / F_trend must equal a pure-Python replay of the
+    same decomposition and quantization, and both must lie in
+    [0, 1]."""
+    from collections import defaultdict
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        seasonal_strength,
+    )
+
+    con = _duck(sf_small)
+    days = con.execute(
+        "SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT),"
+        " CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT) // 100)"
+        " AS BIGINT) FROM orders GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    ymap = dict(days)
+    detr = []
+    for d, y in days:
+        win = [ymap[d + k] for k in range(-3, 4) if d + k in ymap]
+        if len(win) == 7:
+            dm = round((y - sum(win) / 7) * 1e6)
+            detr.append((d % 7, y, dm))
+    by_dow = defaultdict(list)
+    for dow, _, dm in detr:
+        by_dow[dow].append(dm)
+    s_micro = {
+        dow: round(sum(v) / len(v)) for dow, v in by_dow.items()
+    }
+    cells = [
+        (dm, dm - s_micro[dow], y * 1000000 - s_micro[dow])
+        for dow, y, dm in detr
+    ]
+    n = len(cells)
+
+    def ss(idx):
+        m = sum(c[idx] for c in cells) / n
+        return sum(round(((c[idx] - m) / 1e6) ** 2) for c in cells)
+
+    ss_d, ss_r, ss_v = ss(0), ss(1), ss(2)
+    f_s = max(0.0, 1 - ss_r / ss_d)
+    f_t = max(0.0, 1 - ss_r / ss_v)
+    r = seasonal_strength(spark, sf_small).collect()[0]
+    assert r.n_days == n
+    assert abs(r.var_detrended - round(ss_d / n, 1)) < 0.2
+    assert abs(r.f_seasonal - f_s) < 1e-5
+    assert abs(r.f_trend - f_t) < 1e-5
+    assert 0.0 <= r.f_seasonal <= 1.0 and 0.0 <= r.f_trend <= 1.0
