@@ -6281,7 +6281,146 @@ FROM var_agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Variance-ratio test — is the revenue series a random walk?
+# ---------------------------------------------------------------------------
+
+VR_HORIZONS = (2, 4, 8)
+
+
+def variance_ratio_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance ratio of daily revenue at horizons
+    {VR_HORIZONS}: VR(q) = Var(q-day change)/(q·Var(1-day change)).
+    A random walk gives VR ≈ 1 at every q; VR < 1 says mean
+    reversion (shocks die out — difference once and stop), VR > 1
+    says momentum — the differencing-order advisor that sits
+    between ``pacf_profile`` (AR order) and ``seasonal_strength``
+    (decomposition worth).
+
+    Plan: one calendar-day rollup; the q-day changes are lag reads
+    off ONE unpartitioned window over the bounded day frame.
+
+    Exactness: each squared change rounds to whole dollar² units
+    before the bigint sums (the acf idiom — changes are already
+    mean-free up to the drift term, which is subtracted as the
+    exact-integer mean change); one double division per horizon."""
+    day = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(epoch_day("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint) div 100")
+            ).alias("x")
+        )
+    )
+    w = Window.orderBy("d")
+    lagged = day.select(
+        "x",
+        *[
+            F.lag("x", q).over(w).alias(f"x{q}")
+            for q in (1,) + VR_HORIZONS
+        ],
+    )
+    tot = lagged.agg(
+        F.count("x1").alias("n1"),
+        F.sum(F.col("x") - F.col("x1")).alias("s1"),
+        *[
+            expr
+            for q in VR_HORIZONS
+            for expr in (
+                F.count(f"x{q}").alias(f"n{q}"),
+                F.sum(F.col("x") - F.col(f"x{q}")).alias(f"s{q}"),
+            )
+        ],
+    )
+    j = lagged.crossJoin(F.broadcast(tot))
+
+    def ssq(q: int) -> F.Column:
+        d = (F.col("x") - F.col(f"x{q}")).cast("double") - F.col(
+            f"s{q}"
+        ).cast("double") / F.col(f"n{q}").cast("double")
+        return F.sum(F.round(d * d, 0).cast("long")).alias(f"ss{q}")
+
+    agg = j.groupBy(
+        "n1", *[F.col(f"n{q}") for q in VR_HORIZONS]
+    ).agg(ssq(1), *[ssq(q) for q in VR_HORIZONS])
+    rows = []
+    for q in VR_HORIZONS:
+        var1 = F.col("ss1").cast("double") / F.col("n1").cast("double")
+        varq = F.col(f"ss{q}").cast("double") / F.col(
+            f"n{q}"
+        ).cast("double")
+        rows.append(
+            F.struct(
+                F.lit(q).cast("long").alias("q"),
+                F.col(f"n{q}").alias("n_obs"),
+                F.round(varq / (F.lit(float(q)) * var1), 6).alias(
+                    "variance_ratio"
+                ),
+            )
+        )
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.q", "r.n_obs", "r.variance_ratio")
+        .orderBy("q")
+    )
+
+
+def _vr_oracle() -> str:
+    lags = ", ".join(
+        f"LAG(x, {q}) OVER (ORDER BY d) AS x{q}"
+        for q in (1,) + VR_HORIZONS
+    )
+    tot = ", ".join(
+        f"CAST(COUNT(x{q}) AS BIGINT) AS n{q},"
+        f" CAST(SUM(x - x{q}) AS BIGINT) AS s{q}"
+        for q in (1,) + VR_HORIZONS
+    )
+    ss = ", ".join(
+        f"CAST(SUM(CAST(ROUND((CAST(x - x{q} AS DOUBLE)"
+        f" - CAST(s{q} AS DOUBLE) / n{q})"
+        f" * (CAST(x - x{q} AS DOUBLE)"
+        f" - CAST(s{q} AS DOUBLE) / n{q}), 0) AS BIGINT)) AS BIGINT)"
+        f" AS ss{q}"
+        for q in (1,) + VR_HORIZONS
+    )
+    ns = ", ".join(f"n{q}" for q in (1,) + VR_HORIZONS)
+    arms = "\n  UNION ALL ".join(
+        f"SELECT {q} AS q, n{q} AS n_obs,"
+        f" ROUND((CAST(ss{q} AS DOUBLE) / CAST(n{q} AS DOUBLE))"
+        f" / ({q}.0 * (CAST(ss1 AS DOUBLE) / CAST(n1 AS DOUBLE))), 6)"
+        f" AS variance_ratio FROM agg"
+        for q in VR_HORIZONS
+    )
+    return f"""
+WITH day AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100)
+              AS BIGINT) AS x
+  FROM orders GROUP BY d
+), lagged AS (
+  SELECT x, {lags} FROM day
+), tot AS (
+  SELECT {tot} FROM lagged
+), agg AS (
+  SELECT {ns}, {ss}
+  FROM lagged CROSS JOIN tot
+  GROUP BY {ns}
+)
+SELECT q, n_obs, variance_ratio FROM (
+  {arms}
+)
+ORDER BY q
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "variance_ratio_walk": QuerySpec(
+        variance_ratio_walk,
+        _vr_oracle(),
+        ["A1", "A4", "§2.8", "X-ts"],
+    ),
     "seasonal_strength": QuerySpec(
         seasonal_strength,
         ORACLE_SEASONAL_STRENGTH,

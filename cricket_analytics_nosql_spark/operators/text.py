@@ -4105,7 +4105,104 @@ ORDER BY fold
 """
 
 
+# --------------------------------------------------------------------------
+# Term burstiness — Church-Gale dispersion vs the Poisson baseline
+# --------------------------------------------------------------------------
+
+BURST_TOPK = 20
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness of the top-{BURST_TOPK} terms: a
+    Poisson word with collection frequency cf should appear in
+    ≈ D·(1−e^(−cf/D)) documents; CONTENT words land in far fewer
+    (they cluster — 'bursty'), function words hit the baseline.
+    burst_ratio = observed df / Poisson-expected df, and
+    mean_per_doc = cf/df is the within-document clustering. The
+    term-level dispersion diagnostic next to the corpus-level
+    ``lexical_richness_profile`` — the signal TF-IDF and stop-word
+    lists approximate.
+
+    Scale: one (doc, term) rollup → one term rollup (both
+    map-combined); the exp/ratio arithmetic runs on the top-k frame
+    only. Exactness: cf, df, D are exact BIGINTs; the three ratios
+    are per-row double expressions on the 20-row frame, textually
+    mirrored in the oracle."""
+    dt = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    terms = dt.groupBy("term").agg(
+        F.sum("c").alias("cf"), F.count(F.lit(1)).alias("df")
+    )
+    d_tot = dt.agg(F.countDistinct("doc_id").alias("d"))
+    top = (
+        terms.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(BURST_TOPK)
+        .crossJoin(F.broadcast(d_tot))
+    )
+    poisson_df = F.col("d").cast("double") * (
+        1.0
+        - F.exp(
+            -F.col("cf").cast("double") / F.col("d").cast("double")
+        )
+    )
+    return top.select(
+        "term",
+        "cf",
+        "df",
+        F.round(
+            F.col("cf").cast("double") / F.col("df").cast("double"), 6
+        ).alias("mean_per_doc"),
+        F.round(poisson_df, 2).alias("poisson_df"),
+        F.round(F.col("df").cast("double") / poisson_df, 6).alias(
+            "burst_ratio"
+        ),
+    ).orderBy(F.desc("cf"), F.asc("term"))
+
+
+ORACLE_TERM_BURSTINESS = f"""
+WITH dt AS (
+  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents, UNNEST(string_split(text, ' ')) u(tok)
+  WHERE length(tok) > 0
+  GROUP BY doc_id, tok
+), terms AS (
+  SELECT term, CAST(SUM(c) AS BIGINT) AS cf,
+         CAST(COUNT(*) AS BIGINT) AS df
+  FROM dt GROUP BY term
+), d_tot AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d FROM dt
+), top AS (
+  SELECT term, cf, df, d
+  FROM terms CROSS JOIN d_tot
+  ORDER BY cf DESC, term ASC LIMIT {BURST_TOPK}
+)
+SELECT term, cf, df,
+       ROUND(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS mean_per_doc,
+       ROUND(CAST(d AS DOUBLE)
+             * (1.0 - exp(-CAST(cf AS DOUBLE) / CAST(d AS DOUBLE))), 2)
+         AS poisson_df,
+       ROUND(CAST(df AS DOUBLE)
+             / (CAST(d AS DOUBLE)
+                * (1.0 - exp(-CAST(cf AS DOUBLE) / CAST(d AS DOUBLE)))), 6)
+         AS burst_ratio
+FROM top
+ORDER BY cf DESC, term ASC
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "term_burstiness": QuerySpec(
+        term_burstiness,
+        ORACLE_TERM_BURSTINESS,
+        ["X-text", "X-curation", "A1", "T1"],
+    ),
     "kfold_nb_cv": QuerySpec(
         kfold_nb_cv,
         ORACLE_KFOLD_NB_CV,

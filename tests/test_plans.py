@@ -680,6 +680,11 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         # 1-row (n, Σ) totals crossed onto the calendar-day frame
         # for the variance passes (the acf posture)
         "seasonal_strength",
+        # 1-row change-totals frame crossed onto the calendar-day
+        # frame for the per-horizon variance passes
+        "variance_ratio_walk",
+        # 1-row doc-count cross onto the top-k term frame
+        "term_burstiness",
     }
     offenders = []
     for name, spec in all_queries().items():

@@ -1541,3 +1541,71 @@ def test_seasonal_strength_matches_python_replay(spark, sf_small):
     assert abs(r.f_seasonal - f_s) < 1e-5
     assert abs(r.f_trend - f_t) < 1e-5
     assert 0.0 <= r.f_seasonal <= 1.0 and 0.0 <= r.f_trend <= 1.0
+
+
+def test_variance_ratio_matches_python_lags(spark, sf_small):
+    """VR(q) must equal a pure-Python replay (same drift-adjusted
+    whole-unit quantization) at every horizon."""
+    from cricket_analytics_nosql_spark.operators.drift import (
+        VR_HORIZONS,
+        variance_ratio_walk,
+    )
+
+    con = _duck(sf_small)
+    series = [
+        x
+        for (_, x) in con.execute(
+            "SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))"
+            " // 86400000000 AS BIGINT) AS d,"
+            " CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT) // 100)"
+            " AS BIGINT) FROM orders GROUP BY d ORDER BY d"
+        ).fetchall()
+    ]
+
+    def ss(q):
+        diffs = [
+            series[i] - series[i - q] for i in range(q, len(series))
+        ]
+        m = sum(diffs) / len(diffs)
+        return sum(round((d - m) ** 2) for d in diffs), len(diffs)
+
+    ss1, n1 = ss(1)
+    got = {r.q: r for r in variance_ratio_walk(spark, sf_small).collect()}
+    assert sorted(got) == list(VR_HORIZONS)
+    for q in VR_HORIZONS:
+        ssq, nq = ss(q)
+        vr = (ssq / nq) / (q * (ss1 / n1))
+        assert got[q].n_obs == nq
+        assert abs(got[q].variance_ratio - vr) < 1e-5
+
+
+def test_term_burstiness_matches_python_poisson(spark, sf_small):
+    """Top-k terms, observed df and the Poisson-baseline ratio must
+    match a pure-Python replay; function-word rows must sit near
+    the baseline while content words fall below it."""
+    import math
+    from collections import Counter
+
+    from cricket_analytics_nosql_spark.operators.text import (
+        BURST_TOPK,
+        term_burstiness,
+    )
+
+    con = _duck(sf_small)
+    cf, df = Counter(), Counter()
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    for _, txt in docs:
+        toks = [t for t in txt.split(" ") if t]
+        cf.update(toks)
+        df.update(set(toks))
+    d = len(docs)
+    top = sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))[:BURST_TOPK]
+    rows = term_burstiness(spark, sf_small).collect()
+    assert [r.term for r in rows] == [t for t, _ in top]
+    for r in rows:
+        exp_df = d * (1 - math.exp(-cf[r.term] / d))
+        assert (r.cf, r.df) == (cf[r.term], df[r.term])
+        assert abs(r.mean_per_doc - cf[r.term] / df[r.term]) < 1e-6
+        assert abs(r.poisson_df - round(exp_df, 2)) < 1e-6
+        assert abs(r.burst_ratio - df[r.term] / exp_df) < 1e-5
+        assert 0.0 < r.burst_ratio <= 1.0 + 1e-9
