@@ -1056,6 +1056,123 @@ ORDER BY priority
 """
 
 
+def price_index_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche and Fisher price indices between every
+    pair of consecutive ship years, over the parts traded in BOTH —
+    the economically correct answer to "did prices rise or did the
+    mix shift" that a raw revenue-per-unit trend conflates: base-
+    weighted (Laspeyres) vs current-weighted (Paasche) unit-value
+    indices bracket the truth, Fisher is their geometric mean.
+
+    Scale: one (year, part) rollup; the year-pair join is equi-
+    keyed on part (vocabulary-style frame — |parts| rows per pair,
+    never the fact stream); one aggregate per pair.
+
+    Exactness: per-part cross terms p₁q₀ = ep₁·q₀/q₁ quantize to
+    exact centi-cent integers before the part sums (order-proof);
+    both denominators that CAN be exact are (Σep is exact cents);
+    two divisions + one sqrt per pair, textually mirrored."""
+    yp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.year("l_shipdate").alias("y"),
+            "l_partkey",
+            cents("l_extendedprice").alias("ep"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("y", "l_partkey")
+        .agg(F.sum("ep").alias("ep"), F.sum("q").alias("q"))
+    )
+    a = yp.select(
+        F.col("y").alias("y0"),
+        "l_partkey",
+        F.col("ep").alias("ep0"),
+        F.col("q").alias("q0"),
+    )
+    b = yp.select(
+        (F.col("y") - 1).alias("y0"),
+        F.col("y").alias("y1"),
+        "l_partkey",
+        F.col("ep").alias("ep1"),
+        F.col("q").alias("q1"),
+    )
+    pair = a.join(b, ["y0", "l_partkey"])
+    agg = pair.groupBy("y0", "y1").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("ep0").alias("sum_p0q0"),
+        F.sum("ep1").alias("sum_p1q1"),
+        F.sum(
+            F.round(
+                F.col("ep1").cast("double")
+                * F.col("q0").cast("double")
+                * 100.0
+                / F.col("q1").cast("double"),
+                0,
+            ).cast("long")
+        ).alias("sum_p1q0_c"),
+        F.sum(
+            F.round(
+                F.col("ep0").cast("double")
+                * F.col("q1").cast("double")
+                * 100.0
+                / F.col("q0").cast("double"),
+                0,
+            ).cast("long")
+        ).alias("sum_p0q1_c"),
+    )
+    lasp = F.col("sum_p1q0_c").cast("double") / (
+        100.0 * F.col("sum_p0q0").cast("double")
+    )
+    paas = (100.0 * F.col("sum_p1q1").cast("double")) / F.col(
+        "sum_p0q1_c"
+    ).cast("double")
+    return agg.select(
+        "y0",
+        "y1",
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    ).orderBy("y0")
+
+
+ORACLE_PRICE_INDEX = """
+WITH yp AS (
+  SELECT year(l_shipdate) AS y, l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS ep,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+), pair AS (
+  SELECT a.y AS y0, b.y AS y1, a.l_partkey,
+         a.ep AS ep0, a.q AS q0, b.ep AS ep1, b.q AS q1
+  FROM yp a JOIN yp b ON b.y = a.y + 1 AND a.l_partkey = b.l_partkey
+), agg AS (
+  SELECT y0, y1, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(ep0) AS BIGINT) AS sum_p0q0,
+         CAST(SUM(ep1) AS BIGINT) AS sum_p1q1,
+         CAST(SUM(CAST(ROUND(CAST(ep1 AS DOUBLE) * CAST(q0 AS DOUBLE)
+                             * 100.0 / CAST(q1 AS DOUBLE), 0) AS BIGINT))
+              AS BIGINT) AS sum_p1q0_c,
+         CAST(SUM(CAST(ROUND(CAST(ep0 AS DOUBLE) * CAST(q1 AS DOUBLE)
+                             * 100.0 / CAST(q0 AS DOUBLE), 0) AS BIGINT))
+              AS BIGINT) AS sum_p0q1_c
+  FROM pair GROUP BY y0, y1
+)
+SELECT y0, y1, n_parts,
+       ROUND(CAST(sum_p1q0_c AS DOUBLE)
+             / (100.0 * CAST(sum_p0q0 AS DOUBLE)), 6) AS laspeyres,
+       ROUND((100.0 * CAST(sum_p1q1 AS DOUBLE))
+             / CAST(sum_p0q1_c AS DOUBLE), 6) AS paasche,
+       ROUND(sqrt((CAST(sum_p1q0_c AS DOUBLE)
+                   / (100.0 * CAST(sum_p0q0 AS DOUBLE)))
+                  * ((100.0 * CAST(sum_p1q1 AS DOUBLE))
+                     / CAST(sum_p0q1_c AS DOUBLE))), 6) AS fisher
+FROM agg
+ORDER BY y0
+"""
+
+
 def kendalls_w_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall's W — do revenue, volume and line-count RANK the
     brands the same way? The k-ranker concordance coefficient
@@ -2708,6 +2825,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ship_latency_stats": QuerySpec(
         ship_latency_stats, ORACLE_SHIP_LATENCY, ["A1", "J1", "X-ts"]
+    ),
+    "price_index_years": QuerySpec(
+        price_index_years,
+        ORACLE_PRICE_INDEX,
+        ["A1", "A5", "J1", "§2.8", "X-ts"],
     ),
     "kendalls_w_brands": QuerySpec(
         kendalls_w_brands,

@@ -6415,7 +6415,118 @@ ORDER BY q
 """
 
 
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test — randomness of daily up/down moves
+# ---------------------------------------------------------------------------
+
+
+def runs_test_updown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the SIGNS of daily revenue
+    changes — the distribution-free randomness check under
+    ``variance_ratio_walk``'s magnitudes: too few runs = momentum
+    (ups clump), too many = mean-reversion flip-flop;
+    z = (R − E[R])/√Var with E[R] = 2n₊n₋/(n₊+n₋) + 1. Ties (flat
+    days) drop, the classical convention.
+
+    Plan: calendar-day rollup, one lag for the sign, one lag OVER
+    THE FILTERED SIGN SEQUENCE for the run boundaries — both
+    windows on the bounded day frame.
+
+    Exactness: n₊, n₋ and the run count are exact BIGINTs; E, Var,
+    z are the only doubles, textually mirrored."""
+    day = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(epoch_day("o_orderdate").alias("d"))
+        .agg(F.sum(cents("o_totalprice")).alias("x"))
+    )
+    w = Window.orderBy("d")
+    signs = (
+        day.select(
+            "d",
+            (F.col("x") - F.lag("x", 1).over(w)).alias("diff"),
+        )
+        .filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+        .select(
+            "d", F.when(F.col("diff") > 0, 1).otherwise(0).alias("s")
+        )
+    )
+    runs = signs.select(
+        "s",
+        F.when(
+            F.lag("s", 1).over(w).isNull()
+            | (F.lag("s", 1).over(w) != F.col("s")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("s").alias("n_up"),
+        F.sum(1 - F.col("s")).alias("n_down"),
+        F.sum("new_run").alias("n_runs"),
+    )
+    n1 = F.col("n_up").cast("double")
+    n2 = F.col("n_down").cast("double")
+    e_r = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var_r = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return agg.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(e_r, 6).alias("expected_runs"),
+        F.round(
+            (F.col("n_runs").cast("double") - e_r) / F.sqrt(var_r), 6
+        ).alias("z_stat"),
+    )
+
+
+ORACLE_RUNS_TEST = """
+WITH day AS (
+  SELECT CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS x
+  FROM orders GROUP BY d
+), signs AS (
+  SELECT d, CASE WHEN diff > 0 THEN 1 ELSE 0 END AS s
+  FROM (SELECT d, x - LAG(x, 1) OVER (ORDER BY d) AS diff FROM day)
+  WHERE diff IS NOT NULL AND diff != 0
+), runs AS (
+  SELECT s, CASE WHEN LAG(s, 1) OVER (ORDER BY d) IS NULL
+                   OR LAG(s, 1) OVER (ORDER BY d) != s
+                 THEN 1 ELSE 0 END AS new_run
+  FROM signs
+), agg AS (
+  SELECT CAST(SUM(s) AS BIGINT) AS n_up,
+         CAST(SUM(1 - s) AS BIGINT) AS n_down,
+         CAST(SUM(new_run) AS BIGINT) AS n_runs
+  FROM runs
+)
+SELECT n_up, n_down, n_runs,
+       ROUND(2.0 * n_up * n_down / (n_up + n_down) + 1.0, 6)
+         AS expected_runs,
+       ROUND((CAST(n_runs AS DOUBLE)
+              - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+             / sqrt(2.0 * n_up * n_down
+                    * (2.0 * n_up * n_down - n_up - n_down)
+                    / ((n_up + n_down) * (n_up + n_down)
+                       * (n_up + n_down - 1.0))), 6) AS z_stat
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "runs_test_updown": QuerySpec(
+        runs_test_updown,
+        ORACLE_RUNS_TEST,
+        ["A1", "A4", "§2.8", "X-ts"],
+    ),
     "variance_ratio_walk": QuerySpec(
         variance_ratio_walk,
         _vr_oracle(),

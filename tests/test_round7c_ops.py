@@ -1609,3 +1609,93 @@ def test_term_burstiness_matches_python_poisson(spark, sf_small):
         assert abs(r.poisson_df - round(exp_df, 2)) < 1e-6
         assert abs(r.burst_ratio - df[r.term] / exp_df) < 1e-5
         assert 0.0 < r.burst_ratio <= 1.0 + 1e-9
+
+
+def test_runs_test_matches_python_sequence(spark, sf_small):
+    """Run counts and z must equal a pure-Python scan of the same
+    tie-dropped up/down sequence."""
+    import math
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        runs_test_updown,
+    )
+
+    con = _duck(sf_small)
+    series = [
+        x
+        for (_, x) in con.execute(
+            "SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP))"
+            " // 86400000000 AS d,"
+            " SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))"
+            " FROM orders GROUP BY d ORDER BY d"
+        ).fetchall()
+    ]
+    signs = [
+        1 if series[i] > series[i - 1] else 0
+        for i in range(1, len(series))
+        if series[i] != series[i - 1]
+    ]
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    r = 1 + sum(signs[i] != signs[i - 1] for i in range(1, len(signs)))
+    e = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    z = (r - e) / math.sqrt(var)
+    row = runs_test_updown(spark, sf_small).collect()[0]
+    assert (row.n_up, row.n_down, row.n_runs) == (n1, n2, r)
+    assert abs(row.expected_runs - e) < 1e-5
+    assert abs(row.z_stat - z) < 1e-5
+
+
+def test_price_index_matches_python_and_brackets(spark, sf_small):
+    """Laspeyres/Paasche must equal a pure-Python unit-value replay
+    (same centi-cent quantization) and Fisher must lie between
+    them."""
+    import math
+    from collections import defaultdict
+
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        price_index_years,
+    )
+
+    con = _duck(sf_small)
+    yp = defaultdict(lambda: [0, 0])
+    for y, pk, ep, q in con.execute(
+        "SELECT year(l_shipdate), l_partkey,"
+        " SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)),"
+        " SUM(CAST(l_quantity AS BIGINT)) FROM lineitem GROUP BY 1, 2"
+    ).fetchall():
+        yp[(y, pk)] = [ep, q]
+    years = sorted({y for y, _ in yp})
+    got = {(r.y0, r.y1): r for r in price_index_years(spark, sf_small).collect()}
+    for y0, y1 in zip(years, years[1:]):
+        parts = [
+            pk
+            for (y, pk) in yp
+            if y == y0 and (y1, pk) in yp
+        ]
+        s00 = sum(yp[(y0, pk)][0] for pk in parts)
+        s11 = sum(yp[(y1, pk)][0] for pk in parts)
+        s10 = sum(
+            round(
+                yp[(y1, pk)][0] * yp[(y0, pk)][1] * 100 / yp[(y1, pk)][1]
+            )
+            for pk in parts
+        )
+        s01 = sum(
+            round(
+                yp[(y0, pk)][0] * yp[(y1, pk)][1] * 100 / yp[(y0, pk)][1]
+            )
+            for pk in parts
+        )
+        lasp = s10 / (100 * s00)
+        paas = 100 * s11 / s01
+        r = got[(y0, y1)]
+        assert r.n_parts == len(parts)
+        assert abs(r.laspeyres - lasp) < 1e-5
+        assert abs(r.paasche - paas) < 1e-5
+        assert abs(r.fisher - math.sqrt(lasp * paas)) < 1e-5
+        lo, hi = sorted((lasp, paas))
+        assert lo - 1e-9 <= r.fisher <= hi + 1e-9
