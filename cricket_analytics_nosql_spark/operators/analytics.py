@@ -1056,6 +1056,251 @@ ORDER BY priority
 """
 
 
+def abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ classification of part brands — the inventory-
+    planning matrix: ABC from cumulative revenue share (A = first
+    80%, B = to 95%, C = tail) and XYZ from the coefficient of
+    variation of MONTHLY demand (X < 0.5 steady, Y < 1.0 seasonal,
+    Z erratic). An 'AZ' cell (big but erratic) is what a planner
+    loses sleep over; the same two-axis triage applies verbatim to
+    corpus sources (size × stability) before a mixture refresh.
+
+    Scale: one (brand, month) rollup feeds BOTH axes; cumulative
+    share is a window over the ≤|brands| frame.
+
+    Exactness: revenue cents and monthly (n, Σq, Σq²) are exact
+    BIGINTs; the share/CV divisions are the only doubles; class
+    edges compare doubles produced identically in both engines."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias(
+                "mo"
+            ),
+            revenue_cents().alias("rc"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .join(
+            # no broadcast hint: part scales with SF — AQE decides
+            load_table(spark, sf_dir, "part").select(
+                "p_partkey", "p_brand"
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"), "mo")
+        .agg(F.sum("rc").alias("rc"), F.sum("q").alias("q"))
+    )
+    br = li.groupBy("brand").agg(
+        F.sum("rc").alias("rev"),
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    w_cum = Window.orderBy(F.desc("rev"), F.asc("brand")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = br.select(
+        "brand",
+        "rev",
+        "n_months",
+        "sq",
+        "sqq",
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("tot_rev"),
+    )
+    nm = F.col("n_months").cast("double")
+    mean_q = F.col("sq").cast("double") / nm
+    sd_q = F.sqrt(
+        (
+            F.col("sqq").cast("double")
+            - F.col("sq").cast("double") * F.col("sq").cast("double") / nm
+        )
+        / (nm - 1.0)
+    )
+    cv = sd_q / mean_q
+    share_cum = F.col("cum_rev").cast("double") / F.col("tot_rev").cast(
+        "double"
+    )
+    abc = (
+        F.when(share_cum <= 0.80, "A")
+        .when(share_cum <= 0.95, "B")
+        .otherwise("C")
+    )
+    xyz = F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z")
+    return ranked.select(
+        "brand",
+        "rev",
+        F.round(share_cum, 6).alias("cum_share"),
+        F.round(cv, 6).alias("demand_cv"),
+        abc.alias("abc"),
+        xyz.alias("xyz"),
+        F.concat(abc, xyz).alias("cell"),
+    ).orderBy(F.desc("rev"), F.asc("brand"))
+
+
+ORACLE_ABC_XYZ = """
+WITH li AS (
+  SELECT p_brand AS brand,
+         year(l_shipdate) * 12 + month(l_shipdate) AS mo,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rc,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), br AS (
+  SELECT brand, CAST(SUM(rc) AS BIGINT) AS rev,
+         CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(SUM(q * q) AS BIGINT) AS sqq
+  FROM li GROUP BY brand
+), ranked AS (
+  SELECT brand, rev, n_months, sq, sqq,
+         SUM(rev) OVER (ORDER BY rev DESC, brand ASC) AS cum_rev,
+         SUM(rev) OVER () AS tot_rev
+  FROM br
+)
+SELECT brand, rev,
+       ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6)
+         AS cum_share,
+       ROUND(sqrt((CAST(sqq AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                     / CAST(n_months AS DOUBLE))
+                  / (CAST(n_months AS DOUBLE) - 1.0))
+             / (CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE)), 6)
+         AS demand_cv,
+       CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) <= 0.80
+              THEN 'A'
+            WHEN CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) <= 0.95
+              THEN 'B' ELSE 'C' END AS abc,
+       CASE WHEN sqrt((CAST(sqq AS DOUBLE)
+                       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                         / CAST(n_months AS DOUBLE))
+                      / (CAST(n_months AS DOUBLE) - 1.0))
+                 / (CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE)) < 0.5
+              THEN 'X'
+            WHEN sqrt((CAST(sqq AS DOUBLE)
+                       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                         / CAST(n_months AS DOUBLE))
+                      / (CAST(n_months AS DOUBLE) - 1.0))
+                 / (CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE)) < 1.0
+              THEN 'Y' ELSE 'Z' END AS xyz,
+       CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) <= 0.80
+              THEN 'A'
+            WHEN CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) <= 0.95
+              THEN 'B' ELSE 'C' END
+       || CASE WHEN sqrt((CAST(sqq AS DOUBLE)
+                          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                            / CAST(n_months AS DOUBLE))
+                         / (CAST(n_months AS DOUBLE) - 1.0))
+                    / (CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE)) < 0.5
+                 THEN 'X'
+               WHEN sqrt((CAST(sqq AS DOUBLE)
+                          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                            / CAST(n_months AS DOUBLE))
+                         / (CAST(n_months AS DOUBLE) - 1.0))
+                    / (CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE)) < 1.0
+                 THEN 'Y' ELSE 'Z' END AS cell
+FROM ranked
+ORDER BY rev DESC, brand ASC
+"""
+
+
+def pchart_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart of the monthly line-return rate — classical
+    SPC applied to a data-quality stream: centerline p̄ from the
+    whole history, per-month 3σ limits p̄ ± 3·√(p̄(1−p̄)/n_m)
+    (wider in thin months — the per-sample-size limit is the whole
+    point of a p-chart), and the out-of-control flag per month.
+    The same chart monitors any per-batch defect rate in a corpus
+    ingest pipeline.
+
+    Scale: one fact rollup to the month frame; the centerline is a
+    1-row cross onto ≤|months| rows.
+
+    Exactness: per-month (n, defects) and the global totals are
+    exact BIGINTs; p̄, the limits, and the flag comparisons are the
+    only doubles, textually mirrored."""
+    mo = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias(
+                "mo"
+            ),
+            flag(F.col("l_returnflag") == "R").alias("ret"),
+        )
+        .groupBy("mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("ret").alias("n_returned"),
+        )
+    )
+    tot = mo.agg(
+        F.sum("n_lines").alias("tn"), F.sum("n_returned").alias("tr")
+    )
+    j = mo.crossJoin(F.broadcast(tot))
+    pbar = F.col("tr").cast("double") / F.col("tn").cast("double")
+    se = F.sqrt(
+        pbar * (1.0 - pbar) / F.col("n_lines").cast("double")
+    )
+    p = F.col("n_returned").cast("double") / F.col("n_lines").cast(
+        "double"
+    )
+    ucl = pbar + 3.0 * se
+    lcl = F.greatest(F.lit(0.0), pbar - 3.0 * se)
+    return j.select(
+        "mo",
+        "n_lines",
+        "n_returned",
+        F.round(p, 6).alias("p_month"),
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        ((p > ucl) | (p < lcl)).alias("out_of_control"),
+    ).orderBy("mo")
+
+
+ORACLE_PCHART = """
+WITH mo AS (
+  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS mo,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returned
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_lines) AS BIGINT) AS tn,
+         CAST(SUM(n_returned) AS BIGINT) AS tr
+  FROM mo
+)
+SELECT mo, n_lines, n_returned,
+       ROUND(CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+         AS p_month,
+       ROUND(CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS p_bar,
+       ROUND(CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)
+             + 3.0 * sqrt((CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                          * (1.0 - CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                          / CAST(n_lines AS DOUBLE)), 6) AS ucl,
+       ROUND(GREATEST(0.0, CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)
+             - 3.0 * sqrt((CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                          * (1.0 - CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                          / CAST(n_lines AS DOUBLE))), 6) AS lcl,
+       (CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        > CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)
+          + 3.0 * sqrt((CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                       * (1.0 - CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                       / CAST(n_lines AS DOUBLE)))
+       OR (CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+           < GREATEST(0.0, CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)
+             - 3.0 * sqrt((CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                          * (1.0 - CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                          / CAST(n_lines AS DOUBLE))))
+         AS out_of_control
+FROM mo CROSS JOIN tot
+ORDER BY mo
+"""
+
+
 def price_index_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laspeyres, Paasche and Fisher price indices between every
     pair of consecutive ship years, over the parts traded in BOTH —
@@ -2825,6 +3070,16 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ship_latency_stats": QuerySpec(
         ship_latency_stats, ORACLE_SHIP_LATENCY, ["A1", "J1", "X-ts"]
+    ),
+    "abc_xyz_parts": QuerySpec(
+        abc_xyz_parts,
+        ORACLE_ABC_XYZ,
+        ["A1", "A5", "J1", "§2.8", "X-curation"],
+    ),
+    "pchart_return_rate": QuerySpec(
+        pchart_return_rate,
+        ORACLE_PCHART,
+        ["A1", "A4", "§2.8", "X-ts"],
     ),
     "price_index_years": QuerySpec(
         price_index_years,

@@ -685,6 +685,8 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "variance_ratio_walk",
         # 1-row doc-count cross onto the top-k term frame
         "term_burstiness",
+        # 1-row centerline totals crossed onto the ≤|months| frame
+        "pchart_return_rate",
     }
     offenders = []
     for name, spec in all_queries().items():

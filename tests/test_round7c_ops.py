@@ -1699,3 +1699,82 @@ def test_price_index_matches_python_and_brackets(spark, sf_small):
         assert abs(r.fisher - math.sqrt(lasp * paas)) < 1e-5
         lo, hi = sorted((lasp, paas))
         assert lo - 1e-9 <= r.fisher <= hi + 1e-9
+
+
+def test_abc_xyz_matches_python_classification(spark, sf_small):
+    """ABC cut points, demand CV and the class cells must match a
+    pure-Python replay, and cumulative shares must be monotone."""
+    import statistics
+    from collections import defaultdict
+
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        abc_xyz_parts,
+    )
+
+    con = _duck(sf_small)
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM"
+        f" read_parquet('{os.path.join(sf_small, 'part')}.parquet')"
+    )
+    cells = defaultdict(lambda: defaultdict(int))
+    for b, m, rc, q in con.execute(
+        "SELECT p_brand, year(l_shipdate)*12 + month(l_shipdate),"
+        " SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)),"
+        " SUM(CAST(l_quantity AS BIGINT))"
+        " FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2"
+    ).fetchall():
+        cells[b][m] = (rc, q)
+    rev = {b: sum(rc for rc, _ in ms.values()) for b, ms in cells.items()}
+    tot = sum(rev.values())
+    order = sorted(rev, key=lambda b: (-rev[b], b))
+    cum = 0
+    expected = {}
+    for b in order:
+        cum += rev[b]
+        share = cum / tot
+        qs = [q for _, q in cells[b].values()]
+        cv = statistics.stdev(qs) / (sum(qs) / len(qs))
+        abc = "A" if share <= 0.80 else ("B" if share <= 0.95 else "C")
+        xyz = "X" if cv < 0.5 else ("Y" if cv < 1.0 else "Z")
+        expected[b] = (share, cv, abc + xyz)
+    rows = abc_xyz_parts(spark, sf_small).collect()
+    assert [r.brand for r in rows] == order
+    prev = 0.0
+    for r in rows:
+        share, cv, cell = expected[r.brand]
+        assert abs(r.cum_share - share) < 1e-6
+        assert abs(r.demand_cv - cv) < 1e-5
+        assert r.cell == cell and r.abc + r.xyz == cell
+        assert r.cum_share >= prev - 1e-9
+        prev = r.cum_share
+
+
+def test_pchart_matches_python_limits(spark, sf_small):
+    """Monthly p, the shared centerline, the per-month 3σ limits
+    and the flags must match a pure-Python replay."""
+    import math
+
+    from cricket_analytics_nosql_spark.operators.analytics import (
+        pchart_return_rate,
+    )
+
+    con = _duck(sf_small)
+    mo = con.execute(
+        "SELECT year(l_shipdate)*12 + month(l_shipdate), COUNT(*),"
+        " SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END)"
+        " FROM lineitem GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    tn = sum(n for _, n, _ in mo)
+    tr = sum(r for _, _, r in mo)
+    pbar = tr / tn
+    got = {r.mo: r for r in pchart_return_rate(spark, sf_small).collect()}
+    assert sorted(got) == [m for m, _, _ in mo]
+    for m, n, ret in mo:
+        r = got[m]
+        se = math.sqrt(pbar * (1 - pbar) / n)
+        ucl, lcl = pbar + 3 * se, max(0.0, pbar - 3 * se)
+        assert (r.n_lines, r.n_returned) == (n, ret)
+        assert abs(r.p_month - ret / n) < 1e-6
+        assert abs(r.p_bar - pbar) < 1e-6
+        assert abs(r.ucl - ucl) < 1e-5 and abs(r.lcl - lcl) < 1e-5
+        assert r.out_of_control == (ret / n > ucl or ret / n < lcl)
