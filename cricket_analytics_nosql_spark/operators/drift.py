@@ -6521,7 +6521,159 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Mood's median test — the coarse, outlier-proof k-group location test
+# ---------------------------------------------------------------------------
+
+MOOD_CHI2_CRIT_95_DF4 = 9.488
+
+
+def moods_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across the five order priorities: count
+    above vs at-or-below the GLOBAL median per group, χ² on the
+    2×k table. The bluntest member of the k-group family — it uses
+    only which side of the median each order lands on, so a single
+    corrupt billion-dollar order cannot move it at all (Kruskal-
+    Wallis uses full ranks; this is the extreme-robustness end).
+
+    Plan: one fact rollup to the cent-value grid for the median
+    pick (the huber posture), one group rollup for the 2×k table;
+    everything after lives on ≤k rows.
+
+    Exactness: all counts exact BIGINT; each cell's χ² contribution
+    quantizes to 1e-6 units before the cross-group sum (order-
+    proof); expected counts are exact rationals in double."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("p"),
+        cents("o_totalprice").alias("v"),
+    )
+    grid = o.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = grid.agg(F.sum("t").alias("n"))
+    med_row = (
+        grid.select("v", F.sum("t").over(w_cum).alias("cum"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= (F.col("n") + 1).cast("double") / 2)
+        .agg(F.min("v").alias("med"))
+    )
+    groups = (
+        o.crossJoin(F.broadcast(med_row))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(flag(F.col("v") > F.col("med"))).alias("above"),
+        )
+    )
+    gt = groups.agg(
+        F.sum("n_g").alias("n"), F.sum("above").alias("tot_above")
+    )
+    j = groups.crossJoin(F.broadcast(gt))
+    e_above = (
+        F.col("n_g").cast("double")
+        * F.col("tot_above").cast("double")
+        / F.col("n").cast("double")
+    )
+    e_below = (
+        F.col("n_g").cast("double")
+        * (F.col("n") - F.col("tot_above")).cast("double")
+        / F.col("n").cast("double")
+    )
+    oa = F.col("above").cast("double")
+    ob = (F.col("n_g") - F.col("above")).cast("double")
+    cell_e6 = F.round(
+        ((oa - e_above) * (oa - e_above) / e_above
+         + (ob - e_below) * (ob - e_below) / e_below) * 1e6,
+        0,
+    ).cast("long")
+    w_all = Window.partitionBy()
+    return (
+        j.select(
+            "p",
+            "n_g",
+            "above",
+            F.round(e_above, 6).alias("expected_above"),
+            F.sum(cell_e6).over(w_all).alias("chi2_e6"),
+        )
+        .select(
+            "p",
+            "n_g",
+            "above",
+            "expected_above",
+            F.round(F.col("chi2_e6").cast("double") / 1e6, 6).alias(
+                "chi2_stat"
+            ),
+            (
+                F.col("chi2_e6").cast("double") / 1e6
+                > MOOD_CHI2_CRIT_95_DF4
+            ).alias("reject_same_median"),
+        )
+        .orderBy("p")
+    )
+
+
+ORACLE_MOODS_MEDIAN = f"""
+WITH o AS (
+  SELECT o_orderpriority AS p,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), grid AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM o GROUP BY v
+), tot AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n FROM grid
+), med_row AS (
+  SELECT MIN(v) AS med
+  FROM (SELECT v, SUM(t) OVER (ORDER BY v) AS cum FROM grid)
+  CROSS JOIN tot
+  WHERE cum >= CAST(n + 1 AS DOUBLE) / 2
+), groups AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT)
+           AS above
+  FROM o CROSS JOIN med_row GROUP BY p
+), gt AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(above) AS BIGINT) AS tot_above
+  FROM groups
+), cells AS (
+  SELECT p, n_g, above,
+         CAST(n_g AS DOUBLE) * CAST(tot_above AS DOUBLE)
+           / CAST(n AS DOUBLE) AS e_above,
+         CAST(ROUND(((CAST(above AS DOUBLE)
+                - CAST(n_g AS DOUBLE) * CAST(tot_above AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(above AS DOUBLE)
+                - CAST(n_g AS DOUBLE) * CAST(tot_above AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / (CAST(n_g AS DOUBLE) * CAST(tot_above AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             + (CAST(n_g - above AS DOUBLE)
+                - CAST(n_g AS DOUBLE)
+                  * CAST(n - tot_above AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n_g - above AS DOUBLE)
+                - CAST(n_g AS DOUBLE)
+                  * CAST(n - tot_above AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n_g AS DOUBLE)
+                  * CAST(n - tot_above AS DOUBLE) / CAST(n AS DOUBLE)))
+             * 1000000.0, 0) AS BIGINT) AS cell_e6
+  FROM groups CROSS JOIN gt
+)
+SELECT p, n_g, above,
+       ROUND(e_above, 6) AS expected_above,
+       ROUND(CAST(SUM(cell_e6) OVER () AS DOUBLE) / 1000000.0, 6)
+         AS chi2_stat,
+       CAST(SUM(cell_e6) OVER () AS DOUBLE) / 1000000.0
+         > {MOOD_CHI2_CRIT_95_DF4} AS reject_same_median
+FROM cells
+ORDER BY p
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "moods_median_test": QuerySpec(
+        moods_median_test,
+        ORACLE_MOODS_MEDIAN,
+        ["A1", "A4", "§2.8", "X-curation"],
+    ),
     "runs_test_updown": QuerySpec(
         runs_test_updown,
         ORACLE_RUNS_TEST,

@@ -4197,7 +4197,116 @@ ORDER BY cf DESC, term ASC
 """
 
 
+# --------------------------------------------------------------------------
+# Dunning G² keyness — what makes one source SOUND different
+# --------------------------------------------------------------------------
+
+KEYNESS_SRC_A = "src0"
+KEYNESS_SRC_B = "src1"
+KEYNESS_TOPK = 20
+
+
+def g2_keyness_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood (G²) keyness of '{KEYNESS_SRC_A}' vs
+    '{KEYNESS_SRC_B}': the corpus-linguistics standard for "which
+    words characterize THIS source" — per term, the 2×2 G² of
+    (count in A, count in B) against the pooled expectation, signed
+    by which side overuses it. Robust at low counts where the χ²
+    approximation breaks (Dunning 1993) — exactly the regime of
+    interesting keywords. Top {KEYNESS_TOPK} terms by G².
+
+    Scale: one (source, term) rollup filtered to the two sources;
+    all statistics are per-term expressions on the vocabulary
+    frame; the two corpus totals broadcast as one row.
+
+    Exactness: counts exact BIGINT; each term's G² is one
+    deterministic IEEE expression (x·ln(x/E) terms over exact
+    integers-in-double), ranked with a count/term tie-break."""
+    c_st = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(KEYNESS_SRC_A, KEYNESS_SRC_B))
+        .select(
+            (F.col("source") == KEYNESS_SRC_A).alias("is_a"),
+            F.explode(tokens_col(F.col("text"))).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(
+            F.sum(F.col("is_a").cast("long")).alias("a"),
+            F.sum((~F.col("is_a")).cast("long")).alias("b"),
+        )
+    )
+    tot = c_st.agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    j = c_st.crossJoin(F.broadcast(tot))
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    ea = na * (a + b) / (na + nb)
+    eb = nb * (a + b) / (na + nb)
+    # x·ln(x/E) with the 0·ln0 = 0 convention
+    term_a = F.when(F.col("a") > 0, a * F.log(a / ea)).otherwise(0.0)
+    term_b = F.when(F.col("b") > 0, b * F.log(b / eb)).otherwise(0.0)
+    g2 = 2.0 * (term_a + term_b)
+    return (
+        j.select(
+            "term",
+            "a",
+            "b",
+            F.round(g2, 6).alias("g2"),
+            F.when(a / na >= b / nb, F.lit(KEYNESS_SRC_A))
+            .otherwise(F.lit(KEYNESS_SRC_B))
+            .alias("overused_in"),
+        )
+        .orderBy(F.desc("g2"), F.asc("term"))
+        .limit(KEYNESS_TOPK)
+    )
+
+
+ORACLE_G2_KEYNESS = f"""
+WITH c_st AS (
+  SELECT tok AS term,
+         CAST(SUM(CASE WHEN source = '{KEYNESS_SRC_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN source = '{KEYNESS_SRC_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM documents, UNNEST(string_split(text, ' ')) u(tok)
+  WHERE source IN ('{KEYNESS_SRC_A}', '{KEYNESS_SRC_B}')
+    AND length(tok) > 0
+  GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+  FROM c_st
+)
+SELECT term, a, b,
+       ROUND(2.0 * (
+         CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+              * ln(CAST(a AS DOUBLE)
+                   / (CAST(na AS DOUBLE) * (CAST(a AS DOUBLE) + b)
+                      / (CAST(na AS DOUBLE) + nb))) ELSE 0.0 END
+         + CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+              * ln(CAST(b AS DOUBLE)
+                   / (CAST(nb AS DOUBLE) * (CAST(a AS DOUBLE) + b)
+                      / (CAST(na AS DOUBLE) + nb))) ELSE 0.0 END), 6)
+         AS g2,
+       CASE WHEN CAST(a AS DOUBLE) / CAST(na AS DOUBLE)
+                 >= CAST(b AS DOUBLE) / CAST(nb AS DOUBLE)
+            THEN '{KEYNESS_SRC_A}' ELSE '{KEYNESS_SRC_B}' END
+         AS overused_in
+FROM c_st CROSS JOIN tot
+ORDER BY g2 DESC, term ASC
+LIMIT {KEYNESS_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "g2_keyness_sources": QuerySpec(
+        g2_keyness_sources,
+        ORACLE_G2_KEYNESS,
+        ["X-text", "X-curation", "A1", "T1"],
+    ),
     "term_burstiness": QuerySpec(
         term_burstiness,
         ORACLE_TERM_BURSTINESS,

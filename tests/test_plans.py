@@ -687,6 +687,11 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "term_burstiness",
         # 1-row centerline totals crossed onto the ≤|months| frame
         "pchart_return_rate",
+        # 1-row corpus-totals frame onto the vocabulary keyness scan
+        "g2_keyness_sources",
+        # 1-row median broadcast onto the fact stream + 1-row table
+        # totals onto the ≤k group frame
+        "moods_median_test",
     }
     offenders = []
     for name, spec in all_queries().items():

@@ -1778,3 +1778,96 @@ def test_pchart_matches_python_limits(spark, sf_small):
         assert abs(r.p_bar - pbar) < 1e-6
         assert abs(r.ucl - ucl) < 1e-5 and abs(r.lcl - lcl) < 1e-5
         assert r.out_of_control == (ret / n > ucl or ret / n < lcl)
+
+
+def test_g2_keyness_matches_python_dunning(spark, sf_small):
+    """Top-k keyness terms and their G² must match a pure-Python
+    Dunning computation on the same two sources."""
+    import math
+    from collections import Counter
+
+    from cricket_analytics_nosql_spark.operators.text import (
+        KEYNESS_SRC_A,
+        KEYNESS_SRC_B,
+        KEYNESS_TOPK,
+        g2_keyness_sources,
+    )
+
+    con = _duck(sf_small)
+    ca, cb = Counter(), Counter()
+    for src, txt in con.execute(
+        "SELECT source, text FROM documents WHERE source IN"
+        f" ('{KEYNESS_SRC_A}', '{KEYNESS_SRC_B}')"
+    ).fetchall():
+        (ca if src == KEYNESS_SRC_A else cb).update(
+            t for t in txt.split(" ") if t
+        )
+    na, nb = sum(ca.values()), sum(cb.values())
+    scores = {}
+    for t in set(ca) | set(cb):
+        a, b = ca.get(t, 0), cb.get(t, 0)
+        ea = na * (a + b) / (na + nb)
+        eb = nb * (a + b) / (na + nb)
+        g2 = 2 * (
+            (a * math.log(a / ea) if a else 0.0)
+            + (b * math.log(b / eb) if b else 0.0)
+        )
+        scores[t] = (g2, a, b)
+    top = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[
+        :KEYNESS_TOPK
+    ]
+    rows = g2_keyness_sources(spark, sf_small).collect()
+    assert [r.term for r in rows] == [t for t, _ in top]
+    for r, (t, (g2, a, b)) in zip(rows, top):
+        assert (r.a, r.b) == (a, b)
+        assert abs(r.g2 - g2) < 1e-4
+        expect_side = (
+            KEYNESS_SRC_A if a / na >= b / nb else KEYNESS_SRC_B
+        )
+        assert r.overused_in == expect_side
+
+
+def test_moods_median_matches_python_table(spark, sf_small):
+    """The 2×k table and χ² must match a pure-Python replay with
+    the same global-median pick and 1e-6 cell quantization."""
+    from collections import defaultdict
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        moods_median_test,
+    )
+
+    con = _duck(sf_small)
+    rows = con.execute(
+        "SELECT o_orderpriority, CAST(ROUND(o_totalprice*100) AS BIGINT)"
+        " FROM orders"
+    ).fetchall()
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    cum, med = 0, None
+    from collections import Counter
+
+    grid = Counter(vals)
+    for v in sorted(grid):
+        cum += grid[v]
+        if cum >= (n + 1) / 2:
+            med = v
+            break
+    by_p = defaultdict(lambda: [0, 0])  # [n_g, above]
+    for p, v in rows:
+        by_p[p][0] += 1
+        by_p[p][1] += v > med
+    tot_above = sum(a for _, a in by_p.values())
+    chi2_e6 = 0
+    for p, (ng, a) in by_p.items():
+        ea = ng * tot_above / n
+        eb = ng * (n - tot_above) / n
+        chi2_e6 += round(
+            ((a - ea) ** 2 / ea + ((ng - a) - eb) ** 2 / eb) * 1e6
+        )
+    got = {r.p: r for r in moods_median_test(spark, sf_small).collect()}
+    assert sorted(got) == sorted(by_p)
+    for p, (ng, a) in by_p.items():
+        r = got[p]
+        assert (r.n_g, r.above) == (ng, a)
+        assert abs(r.expected_above - ng * tot_above / n) < 1e-5
+        assert abs(r.chi2_stat - chi2_e6 / 1e6) < 1e-5
