@@ -6668,7 +6668,140 @@ ORDER BY p
 """
 
 
+# ---------------------------------------------------------------------------
+# Taylor's law — variance-mean fluctuation scaling across event types
+# ---------------------------------------------------------------------------
+
+
+def taylors_law_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor's power law across event types: Var(daily count) ≈
+    a·Mean^b, fit as ln Var = ln a + b·ln Mean over the per-type
+    daily-count moments. b ≈ 1 is Poisson arrivals; b → 2 is
+    burst/cluster dominated — the one-number answer to "can I model
+    this stream as Poisson" that sizing, sampling-error and anomaly
+    thresholds all assume. Reports per-type mean/variance plus the
+    fitted slope and intercept on every row.
+
+    Plan: one (type, day) rollup, one per-type exact moment
+    aggregate, then a 2-parameter OLS over the ≤|types| frame.
+
+    Exactness: per-type (n, Σc, Σc²) exact BIGINT; ln mean / ln var
+    quantize to micro-nats per type before the cross-type OLS sums
+    (order-proof integers); slope/intercept are the only free
+    doubles."""
+    td = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", epoch_day("cast(ts as timestamp)").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mom = td.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("sc").cast("double") / n
+    var = (
+        F.col("scc").cast("double")
+        - F.col("sc").cast("double") * F.col("sc").cast("double") / n
+    ) / (n - 1.0)
+    pts = mom.select(
+        "event_type",
+        "n_days",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(F.log(mean) * 1e6, 0).cast("long").alias("lx_e6"),
+        F.round(F.log(var) * 1e6, 0).cast("long").alias("ly_e6"),
+    )
+    w_all = Window.partitionBy()
+    ols = pts.select(
+        "*",
+        F.count(F.lit(1)).over(w_all).alias("k"),
+        F.sum("lx_e6").over(w_all).alias("sx"),
+        F.sum("ly_e6").over(w_all).alias("sy"),
+        F.sum(F.col("lx_e6") * F.col("lx_e6")).over(w_all).alias("sxx"),
+        F.sum(F.col("lx_e6") * F.col("ly_e6")).over(w_all).alias("sxy"),
+    )
+    kk = F.col("k").cast("double")
+    slope = (
+        kk * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        kk * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") / kk
+        - slope * F.col("sx").cast("double") / kk
+    ) / 1e6
+    return ols.select(
+        "event_type",
+        "n_days",
+        "mean_daily",
+        "var_daily",
+        F.round(slope, 6).alias("taylor_b"),
+        F.round(intercept, 6).alias("ln_a"),
+    ).orderBy("event_type")
+
+
+ORACLE_TAYLORS_LAW = """
+WITH td AS (
+  SELECT event_type,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+           AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM(c * c) AS BIGINT) AS scc
+  FROM td GROUP BY event_type
+), pts AS (
+  SELECT event_type, n_days,
+         ROUND(CAST(sc AS DOUBLE) / n_days, 6) AS mean_daily,
+         ROUND((CAST(scc AS DOUBLE)
+                - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n_days)
+               / (n_days - 1.0), 6) AS var_daily,
+         CAST(ROUND(ln(CAST(sc AS DOUBLE) / n_days) * 1000000.0, 0)
+              AS BIGINT) AS lx_e6,
+         CAST(ROUND(ln((CAST(scc AS DOUBLE)
+                - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n_days)
+               / (n_days - 1.0)) * 1000000.0, 0) AS BIGINT) AS ly_e6
+  FROM mom
+), ols AS (
+  SELECT event_type, n_days, mean_daily, var_daily,
+         COUNT(*) OVER () AS k,
+         SUM(lx_e6) OVER () AS sx, SUM(ly_e6) OVER () AS sy,
+         SUM(lx_e6 * lx_e6) OVER () AS sxx,
+         SUM(lx_e6 * ly_e6) OVER () AS sxy
+  FROM pts
+)
+SELECT event_type, n_days, mean_daily, var_daily,
+       ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS taylor_b,
+       ROUND((CAST(sy AS DOUBLE) / CAST(k AS DOUBLE)
+              - ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE) / CAST(k AS DOUBLE)) / 1000000.0, 6)
+         AS ln_a
+FROM ols
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "taylors_law_events": QuerySpec(
+        taylors_law_events,
+        ORACLE_TAYLORS_LAW,
+        ["A1", "A4", "§2.8", "X-ts"],
+    ),
     "moods_median_test": QuerySpec(
         moods_median_test,
         ORACLE_MOODS_MEDIAN,

@@ -4301,7 +4301,81 @@ LIMIT {KEYNESS_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# Vocabulary accumulation — the marginal coverage of each added source
+# --------------------------------------------------------------------------
+
+
+def vocab_accumulation_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary accumulation curve over sources in deterministic
+    (name) order: after admitting sources 1..k, how many distinct
+    terms are covered, and how many did source k ADD — the
+    coverage-based marginal value of a source
+    (``loo_source_valuation`` prices loss; this prices NEW
+    vocabulary, the thing dedup can't recover once a source is
+    dropped). A flat tail says the next sources buy nothing.
+
+    The accumulation trick: each term attributes to its FIRST
+    source in the ordering (one min-aggregate), so the whole curve
+    is one rollup + a cumulative window over ≤|sources| rows —
+    never k passes over the corpus.
+
+    Exactness: everything is exact BIGINT counts; the one double is
+    the coverage share."""
+    first = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.min("source").alias("first_source"))
+    )
+    gained = first.groupBy(F.col("first_source").alias("source")).agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    w_cum = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    return gained.select(
+        "source",
+        "new_terms",
+        F.sum("new_terms").over(w_cum).alias("cum_vocab"),
+        F.round(
+            F.sum("new_terms").over(w_cum).cast("double")
+            / F.sum("new_terms").over(w_all).cast("double"),
+            6,
+        ).alias("coverage_share"),
+    ).orderBy("source")
+
+
+ORACLE_VOCAB_ACCUMULATION = """
+WITH first AS (
+  SELECT tok AS term, MIN(source) AS first_source
+  FROM documents, UNNEST(string_split(text, ' ')) u(tok)
+  WHERE length(tok) > 0
+  GROUP BY tok
+), gained AS (
+  SELECT first_source AS source, CAST(COUNT(*) AS BIGINT) AS new_terms
+  FROM first GROUP BY first_source
+)
+SELECT source, new_terms,
+       CAST(SUM(new_terms) OVER (ORDER BY source) AS BIGINT) AS cum_vocab,
+       ROUND(CAST(SUM(new_terms) OVER (ORDER BY source) AS DOUBLE)
+             / CAST(SUM(new_terms) OVER () AS DOUBLE), 6)
+         AS coverage_share
+FROM gained
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "vocab_accumulation_sources": QuerySpec(
+        vocab_accumulation_sources,
+        ORACLE_VOCAB_ACCUMULATION,
+        ["X-text", "X-curation", "A1", "§2.8"],
+    ),
     "g2_keyness_sources": QuerySpec(
         g2_keyness_sources,
         ORACLE_G2_KEYNESS,

@@ -1871,3 +1871,89 @@ def test_moods_median_matches_python_table(spark, sf_small):
         assert (r.n_g, r.above) == (ng, a)
         assert abs(r.expected_above - ng * tot_above / n) < 1e-5
         assert abs(r.chi2_stat - chi2_e6 / 1e6) < 1e-5
+
+
+def test_taylors_law_matches_python_ols(spark, sf_small):
+    """Per-type moments and the fitted power-law slope must equal a
+    pure-Python replay with the same micro-nat quantization."""
+    from collections import Counter
+
+    from cricket_analytics_nosql_spark.operators.drift import (
+        taylors_law_events,
+    )
+
+    import math
+
+    con = _duck(sf_small)
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{os.path.join(sf_small, 'events')}.parquet')"
+    )
+    cells = Counter()
+    for et, d in con.execute(
+        "SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP))"
+        " // 86400000000 FROM events"
+    ).fetchall():
+        cells[(et, d)] += 1
+    types = sorted({et for et, _ in cells})
+    pts = []
+    stats = {}
+    for et in types:
+        cs = [c for (t, _), c in cells.items() if t == et]
+        n = len(cs)
+        mean = sum(cs) / n
+        var = (sum(c * c for c in cs) - sum(cs) ** 2 / n) / (n - 1)
+        stats[et] = (n, mean, var)
+        pts.append(
+            (round(math.log(mean) * 1e6), round(math.log(var) * 1e6))
+        )
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    b = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    a = (sy / k - b * sx / k) / 1e6
+    got = {r.event_type: r for r in taylors_law_events(spark, sf_small).collect()}
+    assert sorted(got) == types
+    for et in types:
+        n, mean, var = stats[et]
+        r = got[et]
+        assert r.n_days == n
+        assert abs(r.mean_daily - mean) < 1e-5
+        assert abs(r.var_daily - var) < 1e-4
+        assert abs(r.taylor_b - b) < 1e-6
+        assert abs(r.ln_a - a) < 1e-6
+
+
+def test_vocab_accumulation_matches_python_first_source(spark, sf_small):
+    """New-term attribution and the cumulative curve must match a
+    pure-Python first-source scan; the last row must cover the full
+    vocabulary."""
+    from collections import defaultdict
+
+    from cricket_analytics_nosql_spark.operators.text import (
+        vocab_accumulation_sources,
+    )
+
+    con = _duck(sf_small)
+    first = {}
+    for src, txt in sorted(
+        con.execute("SELECT source, text FROM documents").fetchall()
+    ):
+        for t in txt.split(" "):
+            if t and (t not in first or src < first[t]):
+                first[t] = src
+    gained = defaultdict(int)
+    for t, s in first.items():
+        gained[s] += 1
+    rows = vocab_accumulation_sources(spark, sf_small).collect()
+    assert [r.source for r in rows] == sorted(gained)
+    cum = 0
+    for r in rows:
+        assert r.new_terms == gained[r.source]
+        cum += gained[r.source]
+        assert r.cum_vocab == cum
+        assert abs(r.coverage_share - cum / len(first)) < 1e-6
+    assert rows[-1].cum_vocab == len(first)
+    assert abs(rows[-1].coverage_share - 1.0) < 1e-9
