@@ -23,11 +23,11 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 # Rounds 1-6 rotated 240 queries through that window; all 240 are
 # hash-green at latest status (CORRECTNESS_r06 flipped the 8 round-5
 # oracle-typing reds green — zero red remain).  The catalog grew to
-# 408 in round 7 (16 operators early in the round + 24 in the second
+# 410 in round 7 (16 operators early in the round + 24 in the second
 # wave + 14 in the third + a fourth wave of 22 + a fifth of 16 + a
-# sixth wave of 29); the newcomers register AFTER the window boundary
+# sixth wave of 31); the newcomers register AFTER the window boundary
 # so the round-7 window below is untouched — they queue for the
-# round-8 windows (121 + canaries, three windows).
+# round-8 windows (123 + canaries, three windows).
 # Round-7 window (VERDICT.md r6 item 1): the 47 queries that have
 # never had a driver row — the 39 round-6 operator additions plus 8
 # low-information A1-family shapes deferred from r6 — fit in exactly
