@@ -207,8 +207,11 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-pair qualifies — the apriori property).
 
     Exactness: supports and marginals are exact BIGINTs off one
-    basket rollup; lift is integer products inside one double
-    division."""
+    basket rollup; the lift products are computed in double (cast
+    BEFORE multiplying — support·n² and the marginal product both
+    approach 2^63 around sf10, and the doubles are exact below
+    2^53 so test-SF values are bit-identical to the integer
+    form)."""
     db = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -262,11 +265,12 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("support").cast("double") / F.col("n").cast("double"),
                 6,
             ).alias("support_ratio"),
+            # double BEFORE multiplying: support·n² and c_a·c_b·c_c
+            # near 2^63 at sf≳10 would silently wrap in BIGINT
+            # (exact below 2^53 either way, so parity is unchanged)
             F.round(
-                (F.col("support") * F.col("n") * F.col("n")).cast("double")
-                / (F.col("c_a") * F.col("c_b") * F.col("c_c")).cast(
-                    "double"
-                ),
+                (F.col("support").cast("double") * F.col("n") * F.col("n"))
+                / (F.col("c_a").cast("double") * F.col("c_b") * F.col("c_c")),
                 6,
             ).alias("lift3"),
         )
@@ -295,8 +299,8 @@ WITH db AS (
 SELECT a, b, c, support,
        ROUND(CAST(support AS DOUBLE) / CAST(n AS DOUBLE), 6)
          AS support_ratio,
-       ROUND(CAST(support * n * n AS DOUBLE)
-             / CAST(ma.cnt * mb.cnt * mc.cnt AS DOUBLE), 6) AS lift3
+       ROUND((CAST(support AS DOUBLE) * n * n)
+             / (CAST(ma.cnt AS DOUBLE) * mb.cnt * mc.cnt), 6) AS lift3
 FROM t_cnt
 JOIN marg ma ON ma.brand = a
 JOIN marg mb ON mb.brand = b

@@ -1040,7 +1040,8 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_t·D − T, so the day-count denominator never divides until the
     readout): cum, running min, and the peak are all BIGINT; the
     only doubles are the two readout divisions. The alert rule is a
-    pure integer comparison (2·peak > T: the cumulative excess tops
+    pure integer comparison on the scaled peak (2·S_peak > T, i.e.
+    S_peak/D > (T/D)/2: the peak cumulative excess in events tops
     half a mean day's volume).
 
     Scale: state is O(windows × types); the finish runs per-type
@@ -1104,9 +1105,7 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("s_scaled").cast("double") / F.col("n_days"), 6
             ).alias("peak_excess_events"),
-            (2 * F.col("s_scaled") > F.col("total") * F.col("n_days")).alias(
-                "alert"
-            ),
+            (2 * F.col("s_scaled") > F.col("total")).alias("alert"),
         )
         .orderBy("event_type")
     )
@@ -1147,7 +1146,7 @@ WITH counts AS (
 )
 SELECT event_type, n_days, total, changepoint_day,
        ROUND(CAST(s_scaled AS DOUBLE) / n_days, 6) AS peak_excess_events,
-       2 * s_scaled > total * n_days AS alert
+       2 * s_scaled > total AS alert
 FROM peak WHERE rn = 1
 ORDER BY event_type
 """

@@ -378,7 +378,7 @@ def test_stream_cusum_matches_sequential_recursion(spark, sf_small):
         assert abs(r.peak_excess_events - peak / d_cnt) < 1e-6
         if peak > 0:
             assert r.changepoint_day == peak_day
-        assert r.alert == (2 * peak > total * d_cnt)
+        assert r.alert == (2 * peak > total)
 
 
 def test_cochran_armitage_matches_python(spark, sf_small):
