@@ -31,6 +31,12 @@ BENCH_EXTENDED = (
     # round-7 sixth-wave heavy hitters
     "kfold_nb_cv",
     "frequent_triples",
+    # round-8 additions (VERDICT r7 item 4): the three ops that got
+    # round-7 speedups (35.8→7.6, 18.3→7.1, 29.5→19.1 s at sf0.1)
+    # but had no regression guard afterwards
+    "semantic_dedup",
+    "ann_pq",
+    "ann_ivf_kmeans",
 )
 
 
