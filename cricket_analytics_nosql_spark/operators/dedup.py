@@ -455,12 +455,32 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 48) -> DataFrame:
 
 
 def lsh_candidates(
-    sigs: DataFrame, bands: int = 16, rows: int = 3
+    sigs: DataFrame,
+    bands: int = 16,
+    rows: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature (bands × rows = num_hashes); docs sharing
     any band bucket become candidate pairs. The bucket join is an
     equi-join on (band_id, bucket_hash) — fully shuffle-partitioned,
-    no driver involvement, and the band explode is ×bands, not ×n²."""
+    no driver involvement, and the band explode is ×bands, not ×n².
+
+    ``max_bucket_size`` is the hot-bucket lever for adversarial
+    corpora (millions of boilerplate docs that are near- but not
+    byte-identical): a bucket of k docs emits k·(k-1)/2 pairs, so
+    one pathological bucket turns the join quadratic. With a cap,
+    buckets larger than the cap are dropped BEFORE the self-join
+    (one windowed count over the same (band, bucket) key the join
+    shuffles on — ReuseExchange covers it), bounding candidates at
+    bands · (n/cap) · cap² = bands · n · cap, i.e. linear in the
+    corpus. Recall trade-off, documented: pairs whose ONLY
+    collision is inside dropped buckets are missed; for true
+    boilerplate floods that is the desired outcome (upstream exact
+    dedup owns byte-identical copies, and a templated flood is
+    better handled by the doc-frequency stop-shingle cap at
+    module top), so the default keeps the cap OFF and catalog
+    behavior unchanged. tests/test_llm_ops.py pins the bound on a
+    300-near-identical-doc adversarial corpus."""
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -474,6 +494,17 @@ def lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        banded = (
+            banded.withColumn(
+                "bsz",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("band", "bucket")
+                ),
+            )
+            .filter(F.col("bsz") <= max_bucket_size)
+            .drop("bsz")
+        )
     a = banded.select(
         F.col("doc_id").alias("d1"), "band", "bucket"
     )
