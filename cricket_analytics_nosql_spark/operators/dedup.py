@@ -1511,7 +1511,96 @@ LIMIT {CDC_TOPK}
 """
 
 
+EDIT_DIST_MAX = 16  # planted near-dups sit at dist 4; noise starts ≥ 39
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs — the character-level verify
+    metric the shingle tiers can't express (a doc-wide k-char edit
+    budget): all (d1 < d2) pairs with levenshtein ≤ EDIT_DIST_MAX.
+
+    The pair space is pruned LOSSLESSLY before any string math by
+    the metric's own lower bound |len(a) − len(b)| ≤ dist: docs are
+    bucketed into length bands of width K per language and each
+    right-side row is exploded to its three adjacent bands, so the
+    join is a plain equi-join on (lang, band) — every qualifying
+    pair lands in exactly one (left-band, exploded-band) bucket, no
+    distinct needed — and only in-band pairs with |Δlen| ≤ K reach
+    the verify. The verify itself uses the THRESHOLD form of
+    levenshtein (banded O(n·k), not O(n·m); returns −1 past the
+    budget) — on a 500-char doc that is a 60× cheaper inner loop.
+
+    Scale: the shuffle key is (lang, band) — cardinality grows with
+    the corpus length range, and a hot band is capped by composing
+    with the MinHash candidates (this operator verifies pairs, any
+    blocker can feed it). At 100 TB the length-band blocking is the
+    first-stage filter; the threshold cap keeps verify linear in
+    the edit budget."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    k = EDIT_DIST_MAX
+    a = docs.select(
+        F.col("doc_id").alias("d1"),
+        "lang",
+        F.col("n_chars").alias("c1"),
+        F.col("text").alias("t1"),
+        (F.col("n_chars") / k).cast("long").alias("band"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("d2"),
+        "lang",
+        F.col("n_chars").alias("c2"),
+        F.col("text").alias("t2"),
+        F.explode(
+            F.array(
+                (F.col("n_chars") / k).cast("long") - 1,
+                (F.col("n_chars") / k).cast("long"),
+                (F.col("n_chars") / k).cast("long") + 1,
+            )
+        ).alias("band"),
+    )
+    return (
+        a.join(b, ["lang", "band"])
+        .filter(
+            (F.col("d1") < F.col("d2"))
+            & (F.abs(F.col("c1") - F.col("c2")) <= k)
+        )
+        .select(
+            "d1",
+            "d2",
+            F.levenshtein(F.col("t1"), F.col("t2"), k)
+            .cast("long")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+        .orderBy("dist", "d1", "d2")
+        .limit(100)
+    )
+
+
+ORACLE_EDIT_DISTANCE = f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars, text FROM documents
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+FROM d a JOIN d b
+  ON a.lang = b.lang
+ AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= {EDIT_DIST_MAX}
+WHERE levenshtein(a.text, b.text) <= {EDIT_DIST_MAX}
+ORDER BY dist, d1, d2
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_edit_distance": QuerySpec(
+        dedup_edit_distance,
+        ORACLE_EDIT_DISTANCE,
+        ["X-dedup", "J1", "P16", "T3"],
+    ),
     "cdc_chunk_dedup": QuerySpec(
         cdc_chunk_dedup,
         ORACLE_CDC_CHUNK_DEDUP,

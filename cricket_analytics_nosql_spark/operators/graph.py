@@ -3398,7 +3398,140 @@ ORDER BY nation
 """
 
 
+def scc_dominance_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the nation DOMINANCE digraph
+    — the directed twin of ``wcc_components``: an edge n1→n2 exists
+    iff n1's customers buy MORE from n2's suppliers than vice versa
+    (strict, so ties and self-loops vanish), and an SCC is a set of
+    nations locked in a trade-dominance cycle. On near-uniform
+    TPC-H wiring the dominance direction is essentially a coin per
+    pair, so nontrivial cycles exist — the readout is each nation's
+    component id (min member) and component size.
+
+    Scale/shape: the 100 TB part is the G1 pre-aggregation — the
+    fact stream collapses to a ≤25×25 nation-pair weight frame
+    before any graph logic. The transitive closure then runs on
+    that ≤625-row frame as log₂(diameter) successor-doubling
+    self-joins (5 rounds covers any 25-node path), each a tiny
+    equi-join under fixed 2-partition shuffles with AQE off and
+    per-round localCheckpoint (the pagerank loop discipline) —
+    driver never sees an edge. SCC labels come from the closure by
+    the mutual-reachability join: scc(a) = min{b : a↝b ∧ b↝a} ∪ {a}.
+
+    Reference parity: extends the Cypher graph analytics family
+    (cypher_queries.cypher's reach/degree shapes) with the classic
+    directed-graph decomposition those clients leave to the GDS
+    server."""
+    e = trade_edges(spark, sf_dir)
+    cn = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("src"), F.col("c_nationkey").alias("src_n")
+    )
+    sn = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("dst"), F.col("s_nationkey").alias("dst_n")
+    )
+    w = (
+        e.join(cn, "src")
+        .join(sn, "dst")
+        .groupBy("src_n", "dst_n")
+        .agg(F.sum("weight").alias("w"))
+    )
+    rev = w.select(
+        F.col("dst_n").alias("src_n"),
+        F.col("src_n").alias("dst_n"),
+        F.col("w").alias("w_rev"),
+    )
+    dom = (
+        w.join(rev, ["src_n", "dst_n"], "left")
+        .filter(F.col("w") > F.coalesce(F.col("w_rev"), F.lit(0)))
+        .select(F.col("src_n").alias("a"), F.col("dst_n").alias("b"))
+    )
+    spark_ = spark
+    prev_aqe = spark_.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark_.conf.get("spark.sql.shuffle.partitions")
+    spark_.conf.set("spark.sql.adaptive.enabled", "false")
+    spark_.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        reach = dom.localCheckpoint()
+        for _ in range(5):  # doubling: paths up to 2^5 = 32 > 25 nodes
+            step = reach.alias("r1").join(
+                reach.alias("r2"), F.col("r1.b") == F.col("r2.a")
+            ).select(F.col("r1.a").alias("a"), F.col("r2.b").alias("b"))
+            reach = reach.union(step).distinct().localCheckpoint()
+    finally:
+        spark_.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark_.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    mutual = reach.alias("f").join(
+        reach.alias("g"),
+        (F.col("f.a") == F.col("g.b")) & (F.col("f.b") == F.col("g.a")),
+    ).select(F.col("f.a").alias("a"), F.col("f.b").alias("m"))
+    nations = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("a"), F.col("n_name").alias("nation")
+    )
+    labeled = (
+        nations.join(
+            mutual.groupBy("a").agg(F.min("m").alias("min_mutual")),
+            "a",
+            "left",
+        )
+        .select(
+            "a",
+            "nation",
+            F.least(
+                F.col("a"), F.coalesce(F.col("min_mutual"), F.col("a"))
+            ).alias("scc_id"),
+        )
+    )
+    sizes = labeled.groupBy("scc_id").agg(
+        F.count(F.lit(1)).alias("scc_size")
+    )
+    return (
+        labeled.join(sizes, "scc_id")
+        .select("nation", F.col("a").alias("nationkey"), "scc_id", "scc_size")
+        .orderBy("scc_id", "nationkey")
+    )
+
+
+ORACLE_SCC_DOMINANCE = """
+WITH RECURSIVE w AS (
+  SELECT c.c_nationkey AS src_n, s.s_nationkey AS dst_n,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), dom AS (
+  SELECT a.src_n AS a, a.dst_n AS b
+  FROM w a LEFT JOIN w r
+    ON a.src_n = r.dst_n AND a.dst_n = r.src_n
+  WHERE a.w > COALESCE(r.w, 0)
+), reach(a, b) AS (
+  SELECT a, b FROM dom
+  UNION
+  SELECT r.a, d.b FROM reach r JOIN dom d ON r.b = d.a
+), mutual AS (
+  SELECT f.a AS a, f.b AS m
+  FROM reach f JOIN reach g ON f.a = g.b AND f.b = g.a
+), labeled AS (
+  SELECT n.n_nationkey AS nationkey, n.n_name AS nation,
+         LEAST(n.n_nationkey,
+               COALESCE(MIN(m.m), n.n_nationkey)) AS scc_id
+  FROM nation n LEFT JOIN mutual m ON m.a = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, nationkey, scc_id,
+       COUNT(*) OVER (PARTITION BY scc_id) AS scc_size
+FROM labeled
+ORDER BY scc_id, nationkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "scc_dominance_nations": QuerySpec(
+        scc_dominance_nations,
+        ORACLE_SCC_DOMINANCE,
+        ["G1", "G3", "A8", "J3", "X-graph"],
+    ),
     "trade_modularity_nations": QuerySpec(
         trade_modularity_nations,
         ORACLE_TRADE_MODULARITY,

@@ -1566,6 +1566,12 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring side for the IVF probe (``ivf_topk`` with the full
     table as the query side) and trades exactness for cell-bounded
     candidates — same output schema, recall-tested like ``ann_ivf``."""
+    return knn_graph_edges(spark, sf_dir).orderBy("vec_id", "rank")
+
+
+def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unordered kNN edge frame ``knn_graph`` and
+    ``mutual_knn_pairs`` share — (vec_id, neighbor_id, cos, rank)."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
         "vn", F.sqrt(dot(F.col("v"), F.col("v")))
     )
@@ -1589,7 +1595,6 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= KNN_K)
-        .orderBy("vec_id", "rank")
     )
 
 
@@ -1612,6 +1617,65 @@ WITH emb AS (
 SELECT vec_id, neighbor_id, cos, rank FROM ranked
 WHERE rank <= {KNN_K}
 ORDER BY vec_id, rank
+"""
+
+
+def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-kNN pairs: (v1 < v2) where EACH vector is in the
+    other's exact top-{KNN_K} neighbor list — the high-precision
+    near-dup / same-entity signal retrieval systems layer on a kNN
+    graph (one-directional kNN is asymmetric and hubs collect false
+    neighbors; mutuality filters the hubs out, cf. the hubness
+    audit). Pure composition: the ``knn_graph`` edge list self-
+    joined on its reversed key — the edge frame is k·n rows, so the
+    mutual join is k·n ⋈ k·n on (src, dst), never touching the pair
+    space again. Output keeps both directions' ranks so the
+    asymmetry that was filtered is visible."""
+    edges = knn_graph_edges(spark, sf_dir)
+    fwd = edges.select(
+        F.col("vec_id").alias("v1"),
+        F.col("neighbor_id").alias("v2"),
+        F.col("cos").alias("cos"),
+        F.col("rank").alias("rank_fwd"),
+    ).filter(F.col("v1") < F.col("v2"))
+    rev = edges.select(
+        F.col("neighbor_id").alias("v1"),
+        F.col("vec_id").alias("v2"),
+        F.col("rank").alias("rank_rev"),
+    ).filter(F.col("v1") < F.col("v2"))
+    return (
+        fwd.join(rev, ["v1", "v2"])
+        .select("v1", "v2", "cos", "rank_fwd", "rank_rev")
+        .orderBy(F.desc("cos"), "v1", "v2")
+        .limit(100)
+    )
+
+
+ORACLE_MUTUAL_KNN = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+  FROM emb a, emb b
+  WHERE a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+), edges AS (
+  SELECT vec_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {KNN_K}
+)
+SELECT f.vec_id AS v1, f.neighbor_id AS v2, f.cos AS cos,
+       f.rank AS rank_fwd, r.rank AS rank_rev
+FROM edges f
+JOIN edges r ON r.vec_id = f.neighbor_id AND r.neighbor_id = f.vec_id
+WHERE f.vec_id < f.neighbor_id
+ORDER BY cos DESC, v1, v2
+LIMIT 100
 """
 
 
@@ -3676,6 +3740,11 @@ QUERIES: dict[str, QuerySpec] = {
         embedding_quantize_stats, ORACLE_EMBEDDING_QUANTIZE, ["X-sim", "X-training"]
     ),
     "knn_graph": QuerySpec(knn_graph, ORACLE_KNN_GRAPH, ["X-sim", "X-dedup"]),
+    "mutual_knn_pairs": QuerySpec(
+        mutual_knn_pairs,
+        ORACLE_MUTUAL_KNN,
+        ["X-sim", "X-dedup", "J3", "T1"],
+    ),
     "ann_hubness_audit": QuerySpec(
         ann_hubness_audit, ORACLE_ANN_HUBNESS, ["X-sim", "A1", "A4"]
     ),

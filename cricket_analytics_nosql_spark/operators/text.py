@@ -1289,6 +1289,163 @@ LIMIT 20
 """
 
 
+BM25_TOPK = 20
+
+
+def bm25_maxscore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxScore admissibility audit for BM25 top-k retrieval — the
+    index-side pruning bound every DAAT engine (Lucene's WAND /
+    MaxScore) rides: per term, keep the MAXIMUM per-doc contribution
+    ub(t); a doc can enter the top-k only if Σ ub(t) over its
+    matched terms ≥ θ (the running kth score), because its true
+    score is term-wise ≤ that bound. The audit computes exact
+    scores, the bounds, θ = the exact kth score, and reports how
+    much of the scored posting set the bound would prune WITHOUT
+    losing any top-k member (topk_covered must be true — that is
+    the admissibility proof, checked empirically here and by
+    construction in the docstring argument).
+
+    Exactness: per-(doc, term) scores are rounded once to integer
+    MICRO-units (×1e6, the same 6-dp contract as ``bm25_search``);
+    every downstream max / sum / θ-comparison is then exact BIGINT
+    arithmetic — no float-order hazard in the counts.
+
+    Scale: identical dataflow to ``bm25_search`` (posting stream is
+    query-term-filtered at the scan; df/ub/θ are O(terms)- or
+    O(1)-row broadcast frames); the audit adds one term-keyed max
+    and one doc-keyed sum over the same filtered stream."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda x: F.length(x) > 0
+            )
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    qt = list(BM25_QUERY)
+    tf = (
+        toks.filter(F.col("term").isin(qt))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    ts_micro = F.round(
+        idf * F.col("tf") * (BM25_K1 + 1) / norm * 1e6
+    ).cast("long")
+    per_term = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", ts_micro.alias("ts"))
+    )
+    doc_scores = per_term.groupBy("doc_id").agg(
+        F.sum("ts").alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = doc_scores.withColumn("rnk", F.row_number().over(w))
+    theta = ranked.filter(F.col("rnk") <= BM25_TOPK).agg(
+        F.min("score").alias("theta")
+    )
+    ub = per_term.groupBy("term").agg(F.max("ts").alias("ub"))
+    bounds = (
+        per_term.join(F.broadcast(ub), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("ub").alias("bound"))
+    )
+    return (
+        ranked.join(bounds, "doc_id")
+        .crossJoin(F.broadcast(theta))
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(
+                (F.col("bound") >= F.col("theta")).cast("long")
+            ).alias("n_candidates"),
+            F.round(
+                1.0
+                - F.sum((F.col("bound") >= F.col("theta")).cast("long"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("pruned_pct"),
+            (
+                F.sum(
+                    (
+                        (F.col("rnk") <= BM25_TOPK)
+                        & (F.col("bound") < F.col("theta"))
+                    ).cast("long")
+                )
+                == 0
+            ).alias("topk_covered"),
+        )
+    )
+
+
+ORACLE_BM25_MAXSCORE = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS term) t
+  WHERE length(t.term) > 0
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('spark', 'join', 'stream')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), per_term AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(ROUND(
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * ({BM25_K1} + 1)
+           / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl))
+           * 1e6) AS BIGINT) AS ts
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+), doc_scores AS (
+  SELECT doc_id, SUM(ts) AS score FROM per_term GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM doc_scores
+), theta AS (
+  SELECT MIN(score) AS theta FROM ranked WHERE rnk <= {BM25_TOPK}
+), ub AS (
+  SELECT term, MAX(ts) AS ub FROM per_term GROUP BY term
+), bounds AS (
+  SELECT p.doc_id, SUM(u.ub) AS bound
+  FROM per_term p JOIN ub u USING (term)
+  GROUP BY p.doc_id
+)
+SELECT COUNT(*) AS n_scored,
+       CAST(SUM(CASE WHEN bound >= theta THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_candidates,
+       ROUND(1.0 - SUM(CASE WHEN bound >= theta THEN 1 ELSE 0 END)
+                   / COUNT(*), 4) AS pruned_pct,
+       SUM(CASE WHEN rnk <= {BM25_TOPK} AND bound < theta
+                THEN 1 ELSE 0 END) = 0 AS topk_covered
+FROM ranked
+JOIN bounds USING (doc_id)
+CROSS JOIN theta
+"""
+
+
 # ---------------------------------------------------------------------------
 # Feature hashing (the hashing trick) — fixed-width sparse features
 # ---------------------------------------------------------------------------
@@ -4494,6 +4651,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "bm25_search": QuerySpec(
         bm25_search, ORACLE_BM25_SEARCH, ["X-text", "A1", "J1", "T1"]
+    ),
+    "bm25_maxscore_prune": QuerySpec(
+        bm25_maxscore_prune,
+        ORACLE_BM25_MAXSCORE,
+        ["X-text", "A1", "A3", "J1", "§2.8"],
     ),
     "boilerplate_chunks": QuerySpec(
         boilerplate_chunks,
