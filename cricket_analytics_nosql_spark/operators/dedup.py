@@ -469,11 +469,13 @@ def lsh_candidates(
     corpora (millions of boilerplate docs that are near- but not
     byte-identical): a bucket of k docs emits k·(k-1)/2 pairs, so
     one pathological bucket turns the join quadratic. With a cap,
-    buckets larger than the cap are dropped BEFORE the self-join
-    (one windowed count over the same (band, bucket) key the join
-    shuffles on — ReuseExchange covers it), bounding candidates at
-    bands · (n/cap) · cap² = bands · n · cap, i.e. linear in the
-    corpus. Recall trade-off, documented: pairs whose ONLY
+    buckets larger than the cap are dropped BEFORE the self-join: a
+    map-combined (band, bucket) count keeps only the offenders (hot
+    buckets are by definition few, so the blacklist is a tiny
+    frame) and a broadcast anti-join removes their rows without
+    adding any exchange to the banded stream itself. This bounds
+    candidates at bands · (n/cap) · cap² = bands · n · cap, i.e.
+    linear in the corpus. Recall trade-off, documented: pairs whose ONLY
     collision is inside dropped buckets are missed; for true
     boilerplate floods that is the desired outcome (upstream exact
     dedup owns byte-identical copies, and a templated flood is
@@ -495,15 +497,14 @@ def lsh_candidates(
         ).alias("band", "bucket"),
     )
     if max_bucket_size is not None:
-        banded = (
-            banded.withColumn(
-                "bsz",
-                F.count(F.lit(1)).over(
-                    Window.partitionBy("band", "bucket")
-                ),
-            )
-            .filter(F.col("bsz") <= max_bucket_size)
-            .drop("bsz")
+        hot = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
         )
     a = banded.select(
         F.col("doc_id").alias("d1"), "band", "bucket"
