@@ -27,9 +27,11 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 # 123, led by the four verbatim reference-parity cricket queries and
 # the five round-7 stream_* monitors, then the stats/drift wave,
 # plus 3 green canaries (47 + 3 = 50).  Backlog after this window:
-# 123 - 47 = 76 never-checked (rounds 9-10 clear it: 47 + 29).
-# Catalog growth is capped this round (≤10 new operators, VERDICT r7
-# item 2) and newcomers register AFTER the boundary.
+# 123 - 47 = 76 never-checked, + 4 round-8 additions
+# (dedup_edit_distance, scc_dominance_nations, bm25_maxscore_prune,
+# mutual_knn_pairs) = 80 (rounds 9-10 clear it: 47 + 33).
+# Catalog growth is capped this round (4 of the ≤10 allowed by
+# VERDICT r7 item 2) and newcomers register AFTER the boundary.
 # Every window entry is hash-green in the in-repo DuckDB parity
 # sweep; stream_cusum_monitor and frequent_triples carry this
 # round's ADVICE fixes (alert threshold; overflow-safe lift).
