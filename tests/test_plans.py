@@ -590,6 +590,11 @@ def test_no_cartesian_products_across_catalog(spark, sf_small):
         "brier_decomposition",
         # consumes knn_graph's broadcast scoring pass (already exempt)
         "ann_hubness_audit",
+        # same broadcast scoring pass via knn_graph_edges
+        "mutual_knn_pairs",
+        # 1-row avgdl/n_docs stats and 1-row theta crossed onto the
+        # query-term-filtered posting stream
+        "bm25_maxscore_prune",
         # 1-row threshold order-statistic onto the (k+1)-row top frame
         "hill_tail_index",
         # 1-row (n, Σx) mean frame onto the calendar-bounded day frame
