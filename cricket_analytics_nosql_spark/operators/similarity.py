@@ -114,7 +114,7 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tripling the array math. dot/(qn*vn) is bit-identical to the
     # inline cosine (same operand order), so the oracle still hashes.
     emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "vn", F.sqrt(dot(F.col("v"), F.col("v")))
+        "vn", F.sqrt(dot_unrolled("v", "v", 64))
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -128,7 +128,7 @@ def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id",
             "vec_id",
             F.round(
-                dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+                dot_unrolled("q", "v", 64) / (F.col("qn") * F.col("vn")), 6
             ).alias("cos"),
         )
     )
@@ -431,7 +431,7 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row.  Output per query: predicate selectivity, post-filter
     survivors, and post-vs-pre recall@5."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "vn", F.sqrt(dot(F.col("v"), F.col("v")))
+        "vn", F.sqrt(dot_unrolled("v", "v", 64))
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -448,7 +448,7 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.round(
-                dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+                dot_unrolled("q", "v", 64) / (F.col("qn") * F.col("vn")), 6
             ).alias("cos"),
         )
     )
@@ -951,7 +951,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor top-k window), exact cosine, fully SQL-expressible →
     exact oracle."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "vn", F.sqrt(dot(F.col("v"), F.col("v")))
+        "vn", F.sqrt(dot_unrolled("v", "v", 64))
     )
     anchors = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -969,7 +969,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("neg"))
             .alias("role"),
             F.round(
-                dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+                dot_unrolled("q", "v", 64) / (F.col("qn") * F.col("vn")), 6
             ).alias("cos"),
         )
     )
@@ -1019,7 +1019,7 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts by construction; corpus side is one scan — the
     decontaminate posture on the vector modality."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "vn", F.sqrt(dot(F.col("v"), F.col("v")))
+        "vn", F.sqrt(dot_unrolled("v", "v", 64))
     )
     bench = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -1031,7 +1031,7 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         "vec_id",
         F.round(
-            dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+            dot_unrolled("q", "v", 64) / (F.col("qn") * F.col("vn")), 6
         ).alias("cos"),
     )
     return (
@@ -1573,7 +1573,7 @@ def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unordered kNN edge frame ``knn_graph`` and
     ``mutual_knn_pairs`` share — (vec_id, neighbor_id, cos, rank)."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "vn", F.sqrt(dot(F.col("v"), F.col("v")))
+        "vn", F.sqrt(dot_unrolled("v", "v", 64))
     )
     right = emb.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1587,7 +1587,7 @@ def knn_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "neighbor_id",
             F.round(
-                dot(F.col("v"), F.col("nv")) / (F.col("vn") * F.col("nn")), 6
+                dot_unrolled("v", "nv", 64) / (F.col("vn") * F.col("nn")), 6
             ).alias("cos"),
         )
     )
@@ -1806,7 +1806,7 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap the micro grid down or the sum to DECIMAL there; exact at
     any tested SF.)"""
     emb = _doubles(load_table(spark, sf_dir, "embeddings"))
-    vn = F.sqrt(dot(F.col("v"), F.col("v")))
+    vn = F.sqrt(dot_unrolled("v", "v", 64))
     q = F.transform(
         F.col("v"), lambda x: F.round(x / vn * 1e6, 0).cast("long")
     )
@@ -2539,7 +2539,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's loop matches bit-for-bit), integer-e3 quantized for
     binning and integer-e6 summed for the exact mean."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings"))
-    norm = F.sqrt(dot(F.col("v"), F.col("v")))
+    norm = F.sqrt(dot_unrolled("v", "v", 64))
     rows = emb.select(
         F.round(norm * 1e3, 0).cast("long").alias("n_e3"),
         F.round(norm * 1e6, 0).cast("long").alias("n_e6"),
@@ -2990,7 +2990,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-at-6 cosines, so the whole greedy trajectory — not just
     the final set — is hash-checked against DuckDB."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "vn", F.sqrt(dot(F.col("v"), F.col("v")))
+        "vn", F.sqrt(dot_unrolled("v", "v", 64))
     )
     q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
         F.col("v").alias("q"), F.col("vn").alias("qn")
@@ -3002,7 +3002,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "v",
             "vn",
-            F.round(dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6).alias(
+            F.round(dot_unrolled("q", "v", 64) / (F.col("qn") * F.col("vn")), 6).alias(
                 "rel"
             ),
         )
@@ -3029,7 +3029,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a",
             "b",
             F.round(
-                dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6
+                dot_unrolled("av", "bv", 64) / (F.col("an") * F.col("bn")), 6
             ).alias("pcos"),
         )
     )
@@ -3544,7 +3544,7 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     a ≤|labels|-row rollup. Cosines are exact doubles from the same
     expression tree on both engines."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "vn", F.sqrt(dot(F.col("v"), F.col("v")))
+        "vn", F.sqrt(dot_unrolled("v", "v", 64))
     )
     queries = emb.filter(
         F.pmod("vec_id", F.lit(KNN_EVAL_QUERY_MOD)) == 0
@@ -3562,7 +3562,7 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_label",
             "label",
             F.round(
-                dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6
+                dot_unrolled("q", "v", 64) / (F.col("qn") * F.col("vn")), 6
             ).alias("cos"),
             "vec_id",
         )
