@@ -1415,7 +1415,9 @@ def exact_cosine_pairs(
         assigned.join(F.broadcast(centroids), "cell")
         .select(
             "cell",
-            _clamped_angle(cosine(F.col("v"), F.col("centroid"))).alias("th"),
+            _clamped_angle(
+                cosine_unrolled("v", "centroid", dim)
+            ).alias("th"),
         )
         .groupBy("cell")
         .agg(F.max("th").alias("r"))
