@@ -45,6 +45,16 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    # Bounded quiet-wait: the bench host carries bursty EXTERNAL load
+    # (observed 1-min load-avg spikes 0.2 -> 15 inside a session,
+    # uniformly inflating untouched queries 2-3x). Wait out a burst
+    # before timing — bounded at 2 min so a persistently busy host
+    # still benches — and stamp how long we waited.
+    quiet_wait = 0.0
+    while os.getloadavg()[0] > 8.0 and quiet_wait < 120.0:
+        time.sleep(15)
+        quiet_wait += 15.0
+
     load_start = os.getloadavg()
     spark = get_spark("bench")
     # Local-mode bench config: AQE's per-exchange re-planning
@@ -111,6 +121,7 @@ def main() -> None:
                 # should weigh run-to-run deltas against this stamp
                 "load_avg_1m_5m_15m": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+                "quiet_wait_sec": quiet_wait,
             }
         )
     )
