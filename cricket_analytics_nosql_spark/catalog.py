@@ -22,25 +22,82 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 # The driver's correctness gate checks the FIRST 50 catalog entries.
 # Rounds 1-7 rotated 287 queries through that window; all 287 are
 # hash-green at latest status (zero red).  The catalog sits at 410
-# after round 7; 123 round-7 additions have never had a driver row.
-# Round-8 window (VERDICT.md r7 items 1-2): the first 47 of those
-# 123, led by the four verbatim reference-parity cricket queries and
-# the five round-7 stream_* monitors, then the stats/drift wave,
-# plus 3 green canaries (47 + 3 = 50).  Backlog after this window:
-# 123 - 47 = 76 never-checked, + 4 round-8 additions
-# (dedup_edit_distance, scc_dominance_nations, bm25_maxscore_prune,
-# mutual_knn_pairs) = 80 (rounds 9-10 clear it: 47 + 33).
-# Catalog growth is capped this round (4 of the ≤10 allowed by
-# VERDICT r7 item 2) and newcomers register AFTER the boundary.
+# after round 7; rounds 1-8 rotated 334 queries through it, all
+# hash-green at latest status (zero red).  Backlog entering round 9:
+# 80 never-driver-checked (76 round-7 remnants + the 4 round-8
+# newcomers).
+# Round-9 window (VERDICT.md r8 item 1): the first 44 of the 80 in
+# catalog order (logrank_repeat_priority .. mcnemar_langid — the
+# round-7 stats/graph/text/eval waves; scc_dominance_nations, a
+# round-8 newcomer, falls inside that span) + the 3 remaining
+# round-8 newcomers (bm25_maxscore_prune, dedup_edit_distance,
+# mutual_knn_pairs) = 47, plus the same 3 green canaries as round 8
+# (47 + 3 = 50).  Backlog after this window: 80 - 47 = 33; round 10
+# clears it (33 + any round-9 additions ≤ 47-slot window).
+# Catalog growth stays capped (≤10 new operators, VERDICT r8
+# item 2) and newcomers register AFTER the boundary.
 # Every window entry is hash-green in the in-repo DuckDB parity
-# sweep; stream_cusum_monitor and frequent_triples carry this
-# round's ADVICE fixes (alert threshold; overflow-safe lift).
+# sweep at sf0.01 and sf0.1 (round-8 closing 414/414 sweeps,
+# re-verified for this window at round-9 start).
 # Rotated at round START, before any driver run, and not touched
 # mid-round (the driver reads the window at round END).
 # Entries past position 50 keep their green rows from earlier
 # rounds; queries not listed keep registry order after the window.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # ---- round-8 window: 47 never-driver-checked + 3 canaries ----
+    # ---- round-9 window: 47 never-driver-checked + 3 canaries ----
+    "logrank_repeat_priority",
+    "uplift_curve_bands",
+    "abc_xyz_parts",
+    "pchart_return_rate",
+    "price_index_years",
+    "kendalls_w_brands",
+    "eb_shrunk_return_rates",
+    "iv_wald_estimate",
+    "simpson_paradox_audit",
+    "positivity_overlap_audit",
+    "markov_next_event_eval",
+    "conversion_paths",
+    "slo_burn_rate",
+    "negbin_fit_activity",
+    "attribution_window_sweep",
+    "shapley_attribution",
+    "sequence_pattern_support",
+    "interarrival_burstiness",
+    "activity_dispersion",
+    "markov_entropy_rate",
+    "scc_dominance_nations",
+    "trade_modularity_nations",
+    "hits_hub_authority",
+    "butterfly_count",
+    "deepwalk_pairs",
+    "negative_edge_sampling",
+    "ppr_damping_sweep",
+    "betweenness_2hop",
+    "jaccard_linkpred",
+    "degree_assortativity",
+    "rich_club_profile",
+    "truss_support_profile",
+    "ams_f2_sketch",
+    "vocab_accumulation_sources",
+    "g2_keyness_sources",
+    "term_burstiness",
+    "kfold_nb_cv",
+    "lexical_richness_profile",
+    "jsd_source_divergence",
+    "positional_phrase_search",
+    "kneser_ney_surprisal",
+    "loo_source_valuation",
+    "pr_curve_langid",
+    "mcnemar_langid",
+    "bm25_maxscore_prune",
+    "dedup_edit_distance",
+    "mutual_knn_pairs",
+    "top_revenue_customers",
+    "dedup_minhash_lsh",
+    "stream_tumbling_agg",
+    # ---- position 50 boundary ----
+    # Round-8 window order preserved below for artifact traceability
+    # (all green in CORRECTNESS_r08; canaries hoisted above).
     "cricket_wickets_by_bowler",
     "cricket_batter_vs_bowler",
     "cricket_toughest_bowlers",
@@ -88,10 +145,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "fdr_bh_brands",
     "delta_method_ratio_ci",
     "power_analysis_mde",
-    "top_revenue_customers",
-    "dedup_minhash_lsh",
-    "stream_tumbling_agg",
-    # ---- position 50 boundary ----
     # Round-7 window order preserved below for artifact traceability
     # (all green in CORRECTNESS_r07; canaries hoisted above).
     "activity_heatmap",
