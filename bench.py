@@ -20,6 +20,67 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cricket_analytics_nosql_spark.catalog import all_queries  # noqa: E402
 from cricket_analytics_nosql_spark.session import get_spark  # noqa: E402
 
+
+def _sys_busy_jiffies() -> int:
+    """System-wide busy jiffies (everything except idle+iowait)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+
+
+def _tree_cpu_jiffies() -> int:
+    """utime+stime jiffies of this process and every live descendant
+    (the py4j-launched JVM does the actual work)."""
+    total = 0
+    stack, seen = [os.getpid()], set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                after_comm = f.read().rsplit(") ", 1)[1].split()
+            total += int(after_comm[11]) + int(after_comm[12])
+            for tid in os.listdir(f"/proc/{pid}/task"):
+                with open(f"/proc/{pid}/task/{tid}/children") as f:
+                    stack.extend(int(c) for c in f.read().split())
+        except (OSError, IndexError, ValueError):
+            continue
+    return total
+
+
+class ExternalLoadMeter:
+    """External busy cores over a sample window, measured directly:
+    (Δ system busy jiffies − Δ our-process-tree jiffies) / Δwall.
+
+    The 1-min load average cannot do this job: it is an EMA that
+    lags the window by up to a minute and it counts the bench's OWN
+    threads — at sf0.1 on local[32] the bench alone pushes loadavg
+    to 12-15, indistinguishable from the co-tenant bursts it is
+    supposed to detect. Jiffy deltas are window-exact and
+    self-excluding. Falls back to -1.0 (unknown) off /proc hosts.
+    """
+
+    def __init__(self) -> None:
+        self.hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+        self.ok = os.path.exists("/proc/stat")
+
+    def start(self) -> tuple:
+        if not self.ok:
+            return (0, 0, time.perf_counter())
+        return (_sys_busy_jiffies(), _tree_cpu_jiffies(), time.perf_counter())
+
+    def external_cores(self, t0: tuple) -> float:
+        if not self.ok:
+            return -1.0
+        wall = time.perf_counter() - t0[2]
+        if wall <= 0:
+            return -1.0
+        ext = (_sys_busy_jiffies() - t0[0]) - (_tree_cpu_jiffies() - t0[1])
+        return max(0.0, ext / self.hz / wall)
+
 # Second bench tier (VERDICT r6 item 6): round-over-round timing for
 # the heaviest round-6 operators WITHOUT touching the frozen headline
 # set (the 17 `bench=True` queries stay r1-comparable). Reported
@@ -45,17 +106,30 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
+    # Load threshold for "this sample overlapped an external burst".
+    # Scaled to the host (ADVICE r8): on the 32-cpu bench host this
+    # is 8.0 — the historically calibrated value — and it degrades
+    # sensibly on smaller hosts where a load of 8 is already
+    # saturation. 0.25·cpus rather than 0.75·cpus because the bench
+    # wants EVERY core: external load at a quarter of the cores
+    # already measurably inflates timings (the r8 burst to 12.6 on
+    # 32 cpus inflated untouched queries 5-17%), while the bench's
+    # own 1-min load contribution on a quiet host stays ≤ ~3
+    # (PERF.md quiet-run stamps), safely under the threshold.
+    load_thresh = max(4.0, 0.25 * (os.cpu_count() or 16))
+
     # Bounded quiet-wait: the bench host carries bursty EXTERNAL load
     # (observed 1-min load-avg spikes 0.2 -> 15 inside a session,
     # uniformly inflating untouched queries 2-3x). Wait out a burst
     # before timing — bounded at 2 min so a persistently busy host
     # still benches — and stamp how long we waited.
     quiet_wait = 0.0
-    while os.getloadavg()[0] > 8.0 and quiet_wait < 120.0:
+    while os.getloadavg()[0] > load_thresh and quiet_wait < 120.0:
         time.sleep(15)
         quiet_wait += 15.0
 
     load_start = os.getloadavg()
+    meter = ExternalLoadMeter()
     spark = get_spark("bench")
     # Local-mode bench config: AQE's per-exchange re-planning
     # round-trips cost 20-40% at sf0.1 on local[32] (measured
@@ -71,7 +145,7 @@ def main() -> None:
     # JVM/codegen warmup outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    def time_query(fn, runs: int) -> tuple[float, float]:
+    def time_query(fn, runs: int) -> tuple[float, float, float]:
         # best of N: the first run pays codegen/JIT for this plan
         # shape; the repeats measure the engine, not the compiler.
         # 5 rather than 3 for the headline tier: the host carries
@@ -81,27 +155,76 @@ def main() -> None:
         # at least one lands in a calm window, at ~40s extra wall
         # for the whole set. The median is reported alongside so a
         # reader can see the per-query noise spread without PERF.md.
+        # Each sample is stamped with the EXTERNAL busy-core count
+        # measured over exactly its window (jiffy deltas, self
+        # excluded); the stamp of the BEST sample certifies the
+        # recorded number.
         samples = []
         for _ in range(runs):
+            m0 = meter.start()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            samples.append(time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            samples.append((elapsed, meter.external_cores(m0)))
         samples.sort()
-        return samples[0], samples[len(samples) // 2]
+        best_t, best_load = samples[0]
+        return best_t, samples[len(samples) // 2][0], best_load
+
+    # Mid-run burst defense (VERDICT r8 item 3): the start-of-run
+    # quiet-wait can't see a burst that arrives mid-run (BENCH_r08:
+    # load 3.0 at start, 12.6 by end — ~5-17% uniform inflation).
+    # Two layers: (a) every recorded number carries the external
+    # busy-core count measured over its best sample's window, so the
+    # artifact self-certifies; (b) any query whose best sample
+    # overlapped external load > threshold is re-timed after a
+    # bounded quiet-wait, keeping the best of all samples. A query
+    # can still end up stamped hot if the co-tenant never calms —
+    # the stamp says so.
+    retime_wait_budget = [120.0]
+
+    def retime(entries: dict[str, float], loads: dict[str, float],
+               meds: dict[str, float], fns, runs: int) -> list[str]:
+        redone = []
+        for name in sorted(entries):
+            if loads[name] <= load_thresh:
+                continue
+            while retime_wait_budget[0] > 0.0:
+                m0 = meter.start()
+                time.sleep(5)
+                retime_wait_budget[0] -= 5.0
+                if meter.external_cores(m0) <= load_thresh:
+                    break
+            best, med, load = time_query(fns[name], runs)
+            if best < entries[name]:
+                entries[name] = round(best, 4)
+                loads[name] = round(load, 2)
+                if meds is not None and med < meds.get(name, med + 1):
+                    meds[name] = round(med, 4)
+            redone.append(name)
+        return redone
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    q_loads: dict[str, float] = {}
     for name in sorted(catalog):
-        best, med = time_query(catalog[name].fn, 5)
+        best, med, load = time_query(catalog[name].fn, 5)
         timings[name] = round(best, 4)
         medians[name] = round(med, 4)
+        q_loads[name] = round(load, 2)
 
     full = all_queries()
     extended: dict[str, float] = {}
+    ext_loads: dict[str, float] = {}
     for name in BENCH_EXTENDED:
         if name in full:
-            best, _ = time_query(full[name].fn, 3)
+            best, _, load = time_query(full[name].fn, 3)
             extended[name] = round(best, 4)
+            ext_loads[name] = round(load, 2)
+
+    retimed = retime(timings, q_loads, medians,
+                     {n: s.fn for n, s in catalog.items()}, 3)
+    retimed += retime(extended, ext_loads, None,
+                      {n: full[n].fn for n in extended}, 2)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -122,6 +245,15 @@ def main() -> None:
                 "load_avg_1m_5m_15m": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
                 "quiet_wait_sec": quiet_wait,
+                # per-query self-certification: EXTERNAL busy cores
+                # (system minus our process tree, jiffy deltas)
+                # measured over each recorded best sample's window,
+                # the burst threshold they were judged against, and
+                # which queries needed a post-pass re-time
+                "query_ext_cores": q_loads,
+                "extended_ext_cores": ext_loads,
+                "ext_cores_threshold": round(load_thresh, 2),
+                "retimed": sorted(retimed),
             }
         )
     )
