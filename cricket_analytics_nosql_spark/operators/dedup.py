@@ -454,6 +454,13 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 48) -> DataFrame:
     )
 
 
+# Hot-key blacklists (LSH buckets, edit-distance length bands) are
+# broadcast to keep the anti-join exchange-free; past this many key
+# rows fall back to a shuffle anti-join instead of risking driver /
+# executor memory on the broadcast.
+_HOT_BCAST_LIMIT = 100_000
+
+
 def lsh_candidates(
     sigs: DataFrame,
     bands: int = 16,
@@ -503,9 +510,14 @@ def lsh_candidates(
             .filter(F.col("bsz") > max_bucket_size)
             .select("band", "bucket")
         )
-        banded = banded.join(
-            F.broadcast(hot), ["band", "bucket"], "left_anti"
-        )
+        # "Hot buckets are few" holds for organic corpora but not for
+        # a small cap over a templated corpus (ADVICE r8): guard the
+        # broadcast with a bounded count and fall back to a shuffle
+        # anti-join when the blacklist outgrows broadcast size
+        # (~100k (band, bucket) key rows ≈ a few MB).
+        if hot.limit(_HOT_BCAST_LIMIT + 1).count() <= _HOT_BCAST_LIMIT:
+            hot = F.broadcast(hot)
+        banded = banded.join(hot, ["band", "bucket"], "left_anti")
     a = banded.select(
         F.col("doc_id").alias("d1"), "band", "bucket"
     )
@@ -1532,35 +1544,73 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget) — on a 500-char doc that is a 60× cheaper inner loop.
 
     Scale: the shuffle key is (lang, band) — cardinality grows with
-    the corpus length range, and a hot band is capped by composing
-    with the MinHash candidates (this operator verifies pairs, any
-    blocker can feed it). At 100 TB the length-band blocking is the
-    first-stage filter; the threshold cap keeps verify linear in
-    the edit budget."""
+    the corpus length range. A hot band (millions of same-language
+    docs in one length band — same adversarial shape as an LSH
+    boilerplate flood) is handled by ``max_band_size``, mirroring
+    ``lsh_candidates``' hot-bucket cap: see edit_distance_pairs.
+    At 100 TB the length-band blocking is the first-stage filter;
+    the threshold cap keeps verify linear in the edit budget."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars", "text"
     )
-    k = EDIT_DIST_MAX
+    return (
+        edit_distance_pairs(docs, EDIT_DIST_MAX)
+        .orderBy("dist", "d1", "d2")
+        .limit(100)
+    )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    k: int = EDIT_DIST_MAX,
+    max_band_size: int | None = None,
+) -> DataFrame:
+    """All (d1 < d2) pairs with levenshtein(t1, t2) ≤ k, blocked by
+    (lang, length band of width k) so the join is a plain equi-join
+    (see dedup_edit_distance for the lossless-blocking argument).
+
+    ``max_band_size`` is the hot-band lever for adversarial corpora
+    (N same-language docs packed into one length band make that
+    band's bucket quadratic — identical shape to the LSH boilerplate
+    flood that ``lsh_candidates(max_bucket_size=…)`` caps): bands
+    holding more than the cap are counted once on the UNEXPLODED
+    side (a map-combined (lang, band) count — hot bands are by
+    definition few, so the blacklist broadcasts; past
+    _HOT_BCAST_LIMIT keys it falls back to a shuffle anti-join) and
+    dropped from BOTH join sides before the equi-join, bounding
+    candidates per surviving bucket at cap left-rows × 3·cap
+    exploded right-rows — linear in the corpus, never quadratic.
+    Recall trade-off, documented: pairs inside dropped bands are
+    missed — for a true flood the intended resolution, as with the
+    LSH cap (exact dedup owns byte-identical copies upstream). The
+    default keeps the cap OFF: catalog behavior and the DuckDB
+    oracle are unchanged."""
+    band = (F.col("n_chars") / k).cast("long")
     a = docs.select(
         F.col("doc_id").alias("d1"),
         "lang",
         F.col("n_chars").alias("c1"),
         F.col("text").alias("t1"),
-        (F.col("n_chars") / k).cast("long").alias("band"),
+        band.alias("band"),
     )
     b = docs.select(
         F.col("doc_id").alias("d2"),
         "lang",
         F.col("n_chars").alias("c2"),
         F.col("text").alias("t2"),
-        F.explode(
-            F.array(
-                (F.col("n_chars") / k).cast("long") - 1,
-                (F.col("n_chars") / k).cast("long"),
-                (F.col("n_chars") / k).cast("long") + 1,
-            )
-        ).alias("band"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
     )
+    if max_band_size is not None:
+        hot = (
+            docs.groupBy("lang", band.alias("band"))
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") > max_band_size)
+            .select("lang", "band")
+        )
+        if hot.limit(_HOT_BCAST_LIMIT + 1).count() <= _HOT_BCAST_LIMIT:
+            hot = F.broadcast(hot)
+        a = a.join(hot, ["lang", "band"], "left_anti")
+        b = b.join(hot, ["lang", "band"], "left_anti")
     return (
         a.join(b, ["lang", "band"])
         .filter(
@@ -1575,8 +1625,6 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dist"),
         )
         .filter(F.col("dist") >= 0)
-        .orderBy("dist", "d1", "d2")
-        .limit(100)
     )
 
 

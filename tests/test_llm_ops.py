@@ -13,7 +13,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators.dedup import (
+    EDIT_DIST_MAX,
     connected_components,
+    edit_distance_pairs,
     jaccard_pairs,
     lsh_candidates,
     minhash_signatures,
@@ -147,6 +149,60 @@ def test_lsh_bucket_cap_preserves_benign_recall(spark, sf_small, docs):
         for r in lsh_candidates(sigs, max_bucket_size=64).collect()
     }
     assert base == capped
+
+
+def test_edit_distance_hot_band_cap_bounds_candidates(spark):
+    """Adversarial same-length flood (VERDICT r8 item 4, mirroring
+    the LSH hot-bucket cap): N same-language docs whose lengths all
+    land in ONE width-k band make the (lang, band) bucket exactly
+    quadratic — every C(N,2) pair reaches the levenshtein verify.
+    With ``max_band_size`` the hot band is dropped from both join
+    sides before the equi-join, so the flood contributes ZERO
+    candidates while the off-band control pair survives."""
+    n, k = 300, EDIT_DIST_MAX
+    flood_len = 10 * k + k // 2  # mid-band: no length straddling
+    flood = [
+        (i, "en", flood_len, f"{i:03d}" + "x" * (flood_len - 3))
+        for i in range(n)
+    ]
+    # control: two near-dup docs in a DIFFERENT band must survive
+    ctl_len = 20 * k + k // 2
+    flood += [
+        (1000, "en", ctl_len, "a" * ctl_len),
+        (1001, "en", ctl_len, "a" * (ctl_len - 2) + "bb"),
+    ]
+    docs = spark.createDataFrame(
+        flood, "doc_id long, lang string, n_chars long, text string"
+    )
+    # every flood doc is within edit budget of every other (3 edits),
+    # so uncapped candidates = the full quadratic pair set + control
+    uncapped = edit_distance_pairs(docs, k).count()
+    assert uncapped == n * (n - 1) // 2 + 1, (
+        f"flood should be fully quadratic uncapped (got {uncapped})"
+    )
+    capped = edit_distance_pairs(docs, k, max_band_size=16)
+    got = {(r.d1, r.d2) for r in capped.collect()}
+    assert got == {(1000, 1001)}, (
+        "cap must drop exactly the hot band and keep the control "
+        f"pair (got {len(got)} pairs)"
+    )
+
+
+def test_edit_distance_band_cap_preserves_benign_recall(spark, sf_small):
+    """On the REAL corpus (no length band anywhere near the cap) a
+    generous cap must be a no-op: identical verified pair set."""
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    base = {
+        (r.d1, r.d2, r.dist)
+        for r in edit_distance_pairs(docs).collect()
+    }
+    capped = {
+        (r.d1, r.d2, r.dist)
+        for r in edit_distance_pairs(docs, max_band_size=64).collect()
+    }
+    assert base == capped and base, "cap changed benign-corpus output"
 
 
 def test_simhash_identical_and_near(spark):

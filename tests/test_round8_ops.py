@@ -28,14 +28,20 @@ def test_edit_distance_pairs_are_verified_and_canonical(spark, sf_small):
     assert all(d1 < d2 for d1, d2 in got)
     assert all(0 <= d <= EDIT_DIST_MAX for d in got.values())
     con = duckdb.connect()
+    # same ORDER BY dist, d1, d2 LIMIT 100 as the operator (ADVICE
+    # r8): on a corpus with >100 qualifying pairs a bare brute-force
+    # set would spuriously exceed the operator's bounded output
     brute = {
         (a, b): d
         for a, b, d in con.execute(
-            "SELECT a.doc_id, b.doc_id, levenshtein(a.text, b.text)"
+            "SELECT * FROM ("
+            " SELECT a.doc_id AS d1, b.doc_id AS d2,"
+            "        levenshtein(a.text, b.text) AS dist"
             f" FROM '{sf_small}/documents.parquet' a"
             f" JOIN '{sf_small}/documents.parquet' b"
             "   ON a.lang = b.lang AND a.doc_id < b.doc_id"
             f" WHERE levenshtein(a.text, b.text) <= {EDIT_DIST_MAX}"
+            ") ORDER BY dist, d1, d2 LIMIT 100"
         ).fetchall()
     }
     assert got == brute, "length-band blocking lost or invented pairs"
