@@ -1402,15 +1402,41 @@ def exact_cosine_pairs(
     adversarial uniform data it degrades to a *blocked*, evenly
     hash-partitioned all-pairs — the information-theoretic floor for
     exact semantics — with per-task memory bounded by cell size, not
-    corpus size. At 100 TB: centroids/radii are ingest-time
-    artifacts; the cell-pair join keys are low-cardinality, so salt
-    the equi-joins by a vec_id hash suffix if executor-count exceeds
-    surviving-cell-pair count."""
+    corpus size.
+
+    The per-block inner kernel is a numpy GEMM under applyInPandas
+    (round 9): each surviving unordered cell pair becomes one group
+    holding both cells' vectors, the group computes its full cosine
+    block as one normalized matrix product, and candidates within
+    ε=1e-6 of τ come back as (v1, v2) id pairs only. EXACTNESS is
+    preserved by construction: the GEMM is a prefilter whose band
+    covers any summation-order divergence from the JVM fold (~1e-14
+    for unit-norm 64-dim vectors, band 1e-6), and every survivor is
+    re-verified on the JVM with the ORIGINAL codegen'd expression
+    (round(cosine, 6) ≥ τ), so emitted pairs and their ``cos``
+    values are bit-identical to the scalar path and the all-pairs
+    oracle. Why GEMM: the candidate stream is the hot path — dense
+    64-dim dot products are BLAS's home turf (one matrix product
+    per block vs millions of codegen'd scalar folds on the sf0.1
+    blocked all-pairs worst case) — exactly the "vectorized Python
+    where built-ins can't express it efficiently" rule.
+
+    At 100 TB: centroids/radii are ingest-time artifacts; block
+    replication is bounded by surviving-cell-pair degree (the
+    block-nested-loop floor); per-task memory is one cell pair's
+    vectors (cap cell size at ingest); survivors are proportional to
+    true near-dup pairs, so the re-verify joins broadcast the pair
+    frame, never the corpus."""
     import math
 
     if centroids is None:
         centroids = kmeans_fit(emb, k=k, max_iter=3, dim=dim)
-    assigned = assign_cells(emb, centroids, dim=dim)
+    # one materialization: radii, the cell-pair prune, and the block
+    # sides all reuse the assignment; without it the wide d²
+    # assignment expression re-executes (and re-compiles) once per
+    # consumer. At cluster scale this is the ingest-time "persist
+    # assignments next to the vectors" step.
+    assigned = assign_cells(emb, centroids, dim=dim).localCheckpoint()
     radii = (
         assigned.join(F.broadcast(centroids), "cell")
         .select(
@@ -1433,34 +1459,89 @@ def exact_cosine_pairs(
         F.col("centroid").alias("cent2"),
         F.col("r").alias("r2"),
     )
-    # directed k×k candidate table (tiny): both (x,y) and (y,x) kept
-    # so the v1<v2 pair filter below never loses a combination
+    # unordered k×k/2 candidate table (tiny): each qualifying cell
+    # pair kept once (c1 ≤ c2); the GEMM block emits each unordered
+    # vector pair exactly once with ids in (min, max) order
     theta_tau = math.acos(tau)
     cand_cells = c1.join(
         F.broadcast(c2),
-        _clamped_angle(cosine(F.col("cent1"), F.col("cent2")))
-        - F.col("r1")
-        - F.col("r2")
-        <= theta_tau + 1e-6,
+        (F.col("c1") <= F.col("c2"))
+        & (
+            _clamped_angle(cosine(F.col("cent1"), F.col("cent2")))
+            - F.col("r1")
+            - F.col("r2")
+            <= theta_tau + 1e-6
+        ),
         "inner",
     ).select("c1", "c2")
-    left = assigned.select(
-        F.col("vec_id").alias("v1"), F.col("v").alias("va"), F.col("cell").alias("ca")
+    # replicate each vector into every block it participates in:
+    # side 0 = the c1 cell, side 1 = the c2 cell (diagonal blocks
+    # need only side 0 — both roles are the same set)
+    sides = (
+        assigned.join(
+            F.broadcast(cand_cells), assigned["cell"] == F.col("c1")
+        )
+        .select("c1", "c2", "vec_id", "v", F.lit(0).alias("side"))
+        .unionByName(
+            assigned.join(
+                F.broadcast(cand_cells),
+                (assigned["cell"] == F.col("c2"))
+                & (F.col("c1") != F.col("c2")),
+            ).select("c1", "c2", "vec_id", "v", F.lit(1).alias("side"))
+        )
     )
-    right = assigned.select(
-        F.col("vec_id").alias("v2"), F.col("v").alias("vb"), F.col("cell").alias("cb")
+    pre_tau = tau - 1e-6  # covers fold-vs-GEMM ulps AND round(·, 6)
+
+    def _gemm_block(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        a_rows = pdf[pdf["side"] == 0]
+        b_rows = a_rows if key[0] == key[1] else pdf[pdf["side"] == 1]
+        empty = pd.DataFrame({
+            "v1": pd.Series(dtype="int64"),
+            "v2": pd.Series(dtype="int64"),
+        })
+        if a_rows.empty or b_rows.empty:
+            return empty
+        a_ids = a_rows["vec_id"].to_numpy()
+        b_ids = b_rows["vec_id"].to_numpy()
+        a_mat = np.stack(a_rows["v"].to_numpy())
+        a_n = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+        if key[0] == key[1]:
+            b_n = a_n
+        else:
+            b_mat = np.stack(b_rows["v"].to_numpy())
+            b_n = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+        block = a_n @ b_n.T
+        if key[0] == key[1]:
+            # same set on both axes: id order keeps each pair once
+            hit = (block >= pre_tau) & (a_ids[:, None] < b_ids[None, :])
+        else:
+            # disjoint sets: every hit is a distinct unordered pair
+            hit = block >= pre_tau
+        ii, jj = np.nonzero(hit)
+        if ii.size == 0:
+            return empty
+        lo = np.minimum(a_ids[ii], b_ids[jj])
+        hi = np.maximum(a_ids[ii], b_ids[jj])
+        return pd.DataFrame({"v1": lo, "v2": hi})
+
+    cand_pairs = sides.groupBy("c1", "c2").applyInPandas(
+        _gemm_block, "v1 long, v2 long"
     )
+    # exact re-verify of the (near-dup-sized) survivor band with the
+    # ORIGINAL JVM expression: pair frame broadcasts, corpus streams
+    e1 = emb.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
+    e2 = emb.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
+    with_a = e1.join(F.broadcast(cand_pairs), "v1")
     return (
-        left.join(F.broadcast(cand_cells), F.col("ca") == F.col("c1"))
-        .join(right, (F.col("cb") == F.col("c2")) & (F.col("v1") < F.col("v2")))
+        e2.join(F.broadcast(with_a), "v2")
         .select(
             "v1",
             "v2",
-            # unrolled: same IEEE result as the fold, but codegen'd —
-            # this is the candidate-pair hot stream
-            F.round(cosine_unrolled("va", "vb", 64), 6).alias(
-                "cos"
-            ),
+            # unrolled: same IEEE result as the fold, but codegen'd
+            F.round(cosine_unrolled("va", "vb", dim), 6).alias("cos"),
         )
         .filter(F.col("cos") >= tau)
     )
