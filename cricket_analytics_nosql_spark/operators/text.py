@@ -1194,6 +1194,9 @@ LIMIT 20
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_QUERY = ("spark", "join", "stream")
+# SQL literal list for the oracles — interpolated (ADVICE r8) so an
+# edit to BM25_QUERY can never desynchronize Spark side and oracle
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,7 +1270,7 @@ WITH toks AS (
   SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM toks
-  WHERE term IN ('spark', 'join', 'stream')
+  WHERE term IN ({_BM25_TERMS_SQL})
   GROUP BY doc_id, term
 ), df AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term
@@ -1403,7 +1406,7 @@ WITH toks AS (
   SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM toks
-  WHERE term IN ('spark', 'join', 'stream')
+  WHERE term IN ({_BM25_TERMS_SQL})
   GROUP BY doc_id, term
 ), df AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term
@@ -1643,7 +1646,7 @@ WITH toks AS (
   SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM toks
-  WHERE term IN ('spark', 'join', 'stream')
+  WHERE term IN ({_BM25_TERMS_SQL})
   GROUP BY doc_id, term
 ), df AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term
