@@ -32,6 +32,7 @@ import operator
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cricket_analytics_nosql_spark.functions.scalar import md5_u32
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.operators.text import shingles_col, tokens_col
 from cricket_analytics_nosql_spark.sources.tables import fan_out, load_table
@@ -1644,7 +1645,219 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# MinHash estimator-quality audit (round 9)
+# ---------------------------------------------------------------------------
+
+MH_EST_HASHES = 24
+MH_EST_TAU = 0.30
+MH_EST_TOPK = 200
+
+
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit: for every pair with exact
+    shingle Jaccard ≥ τ, the Jaccard a {MH_EST_HASHES}-hash MinHash
+    signature would ESTIMATE (fraction of matching signature
+    components) next to the exact value, plus the absolute error —
+    the measured gate for choosing signature width before trusting
+    LSH banding at scale (same audit pattern as ``ann_recall_audit``
+    for the ANN paths).
+
+    Signatures here use the md5 hash family (functions/scalar.py
+    ``md5_u32``) — the one keyed hash both engines compute
+    bit-identically — so the estimate itself is exact-oracled, not
+    just the exact side. The production path (``minhash_signatures``)
+    stays on xxhash64, which is faster JVM-side; estimator variance
+    is a property of the family size, not the family, so the audit
+    transfers.
+
+    Scale: signature build is one map-combined groupBy over the
+    shingle index (24 mins per doc); the pair frame is the exact
+    Jaccard join's output (near-dup-sized), and signatures attach by
+    two doc-keyed equi-joins."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _doc_shingles(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(md5_u32(F.col("s"), f"mh{h}#")).alias(f"m{h}")
+            for h in range(MH_EST_HASHES)
+        ]
+    )
+    exact = jaccard_pairs(docs, MH_EST_TAU)
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"m{h}").alias(f"a{h}") for h in range(MH_EST_HASHES)],
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"m{h}").alias(f"b{h}") for h in range(MH_EST_HASHES)],
+    )
+    matches = sum(
+        (F.col(f"a{h}") == F.col(f"b{h}")).cast("long")
+        for h in range(MH_EST_HASHES)
+    )
+    return (
+        exact.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("n_hash_matches", matches)
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            "n_hash_matches",
+            F.round(
+                F.col("n_hash_matches") / F.lit(float(MH_EST_HASHES)), 6
+            ).alias("est_jaccard"),
+        )
+        .withColumn(
+            "abs_err", F.round(F.abs(F.col("jaccard") - F.col("est_jaccard")), 6)
+        )
+        .orderBy("d1", "d2")
+        .limit(MH_EST_TOPK)
+    )
+
+
+_MH_SIG_SQL = ",\n         ".join(
+    "MIN(CAST(('0x' || substr(md5('mh%d#' || s), 1, 8)) AS BIGINT)) AS m%d"
+    % (h, h)
+    for h in range(MH_EST_HASHES)
+)
+_MH_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.m{h} = b.m{h} THEN 1 ELSE 0 END)"
+    for h in range(MH_EST_HASHES)
+)
+
+ORACLE_MINHASH_EST = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id,
+         {_MH_SIG_SQL}
+  FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), exact AS (
+  SELECT d1, d2,
+         ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON d1 = sa.doc_id
+  JOIN sizes sb ON d2 = sb.doc_id
+  WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {MH_EST_TAU}
+)
+SELECT e.d1, e.d2, e.jaccard,
+       CAST({_MH_MATCH_SQL} AS BIGINT) AS n_hash_matches,
+       ROUND(({_MH_MATCH_SQL}) / {float(MH_EST_HASHES)}, 6) AS est_jaccard,
+       ROUND(ABS(e.jaccard - ROUND(({_MH_MATCH_SQL})
+             / {float(MH_EST_HASHES)}, 6)), 6) AS abs_err
+FROM exact e
+JOIN sigs a ON e.d1 = a.doc_id
+JOIN sigs b ON e.d2 = b.doc_id
+ORDER BY e.d1, e.d2
+LIMIT {MH_EST_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Train/eval n-gram leakage audit (round 9)
+# ---------------------------------------------------------------------------
+
+LEAK_EVAL_MOD = 20  # doc_id % 20 == 0 → the held-out eval slice (5%)
+LEAK_FLAG_RATIO = 0.5
+
+
+def train_eval_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc contamination audit: for each document in a
+    deterministic 5% eval slice, the fraction of its distinct
+    3-gram shingles that appear ANYWHERE in the train slice, with a
+    contamination flag at {LEAK_FLAG_RATIO}. The reporting
+    counterpart of ``decontaminate`` (which removes): before
+    trusting an eval score, measure how much of the eval set the
+    training corpus has effectively seen (docs with <3 tokens have
+    no shingles and are out of scope — nothing to leak).
+
+    Scale: one equi-join of the (small) eval shingle slice against
+    the distinct train shingle set — the distinct is a map-combined
+    groupBy over the shingle index, never a pair space; no driver
+    participation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _doc_shingles(docs)
+    is_eval = F.pmod(F.col("doc_id"), F.lit(LEAK_EVAL_MOD)) == 0
+    ev = sh.filter(is_eval)
+    train_sh = sh.filter(~is_eval).select("s").distinct()
+    leaked = (
+        ev.join(train_sh, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    totals = ev.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        totals.join(leaked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_leaked"), F.lit(0)).alias("n_leaked"),
+        )
+        .withColumn(
+            "leak_ratio",
+            F.round(F.col("n_leaked") / F.col("n_shingles"), 6),
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("leak_ratio") >= LEAK_FLAG_RATIO).cast("int"),
+        )
+        .orderBy(F.desc("leak_ratio"), F.asc("doc_id"))
+    )
+
+
+ORACLE_NGRAM_LEAKAGE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+), ev AS (
+  SELECT doc_id, s FROM sh WHERE doc_id % {LEAK_EVAL_MOD} = 0
+), train_sh AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {LEAK_EVAL_MOD} <> 0
+), leaked AS (
+  SELECT e.doc_id, COUNT(*) AS n_leaked
+  FROM ev e WHERE e.s IN (SELECT s FROM train_sh)
+  GROUP BY e.doc_id
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(l.n_leaked, 0) AS n_leaked,
+       ROUND(CAST(COALESCE(l.n_leaked, 0) AS DOUBLE) / t.n_shingles, 6)
+         AS leak_ratio,
+       CAST(CASE WHEN ROUND(CAST(COALESCE(l.n_leaked, 0) AS DOUBLE)
+                      / t.n_shingles, 6) >= {LEAK_FLAG_RATIO}
+            THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM totals t LEFT JOIN leaked l ON t.doc_id = l.doc_id
+ORDER BY leak_ratio DESC, t.doc_id ASC
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "minhash_estimate_error": QuerySpec(
+        minhash_estimate_error,
+        ORACLE_MINHASH_EST,
+        ["X-dedup", "A1", "J1", "T3"],
+    ),
+    "train_eval_ngram_leakage": QuerySpec(
+        train_eval_ngram_leakage,
+        ORACLE_NGRAM_LEAKAGE,
+        ["X-dedup", "X-curation", "A1", "J6"],
+    ),
     "dedup_edit_distance": QuerySpec(
         dedup_edit_distance,
         ORACLE_EDIT_DISTANCE,

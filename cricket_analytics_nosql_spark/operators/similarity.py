@@ -3729,7 +3729,116 @@ ORDER BY true_label
 """
 
 
+# ---------------------------------------------------------------------------
+# SRP bucket-balance audit (round 9)
+# ---------------------------------------------------------------------------
+
+SRP_AUDIT_PLANES = 8
+
+
+def _srp_signs(planes: int = SRP_AUDIT_PLANES, dim: int = 64) -> list:
+    """±1 hyperplane components from md5 parity — computed in PYTHON
+    at plan-build time (hashlib is deterministic), so both the Spark
+    expression and the oracle SQL inline the SAME literals and no
+    engine hash function is involved at all."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"srp{j}:{i}".encode()).digest()[0] % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(planes)
+    ]
+
+
+def srp_bucket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-balance audit for sign-random-projection hashing: the
+    corpus bucketed by {SRP_AUDIT_PLANES} fixed hyperplane signs
+    (2^{SRP_AUDIT_PLANES} buckets), reporting each bucket's size and
+    corpus share. This is the capacity-planning readout for every
+    bucketed path in this engine (LSH bands, IVF cells, the GEMM
+    block kernel): per-task memory is bounded by the largest block,
+    so the skew of the bucket histogram IS the straggler/OOM risk at
+    100 TB — measure it before sizing executors.
+
+    Exactness: vectors are quantized to integer micro-units FIRST
+    (the ``embedding_isotropy`` idiom), so each hyperplane dot is a
+    BIGINT sum whose sign can never wobble across engines; the
+    hyperplane ±1s are Python-side md5-parity literals inlined into
+    both dialects. Scale: one narrow map over the scan into a
+    ≤2^{SRP_AUDIT_PLANES}-row aggregate; no joins, no shuffle beyond
+    the map-combined groupBy."""
+    signs = _srp_signs()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1e6, 0).cast("long"),
+        ).alias("qv")
+    )
+    dots = [
+        F.expr(
+            " + ".join(
+                f"({s}L * element_at(qv, {i + 1}))"
+                for i, s in enumerate(row)
+            )
+        )
+        for row in signs
+    ]
+    bucket = sum(
+        (d >= 0).cast("long") * (1 << j) for j, d in enumerate(dots)
+    )
+    w_all = Window.partitionBy()
+    return (
+        emb.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            "bucket",
+            "n_vecs",
+            F.round(
+                F.col("n_vecs") / F.sum("n_vecs").over(w_all), 6
+            ).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _srp_oracle() -> str:
+    signs = _srp_signs()
+    dots = [
+        " + ".join(f"({s} * qv[{i + 1}])" for i, s in enumerate(row))
+        for row in signs
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN ({d}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j, d in enumerate(dots)
+    )
+    return f"""
+WITH q AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 1e6, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), b AS (
+  SELECT CAST({bucket} AS BIGINT) AS bucket FROM q
+), agg AS (
+  SELECT bucket, COUNT(*) AS n_vecs FROM b GROUP BY bucket
+)
+SELECT bucket, n_vecs,
+       ROUND(CAST(n_vecs AS DOUBLE) / SUM(n_vecs) OVER (), 6) AS share
+FROM agg
+ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "srp_bucket_balance_audit": QuerySpec(
+        srp_bucket_balance_audit,
+        _srp_oracle(),
+        ["X-sim", "X-layout", "A1"],
+    ),
     "knn_label_eval": QuerySpec(
         knn_label_eval,
         ORACLE_KNN_LABEL_EVAL,

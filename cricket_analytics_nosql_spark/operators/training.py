@@ -1417,7 +1417,195 @@ LIMIT 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence-length budget histogram (round 9)
+# ---------------------------------------------------------------------------
+
+
+def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length budget audit: documents bucketed into
+    power-of-two token-length bands, with each band's doc count,
+    token mass, and the CUMULATIVE token share — the table a
+    pipeline reads before choosing a training context length
+    ("what fraction of the corpus fits in 2^k tokens?").
+
+    Exactness: the band is floor(log2(n_tokens)) computed WITHOUT
+    floating log — the length of the binary representation minus one
+    (Spark ``conv(n, 10, 2)``, DuckDB ``bin(n)``) — so band edges
+    can never wobble on an inexact libm log2. Scale: one narrow map
+    over the scan into a ≤~20-row aggregate; the cumulative window
+    runs on that tiny frame."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    banded = docs.select(
+        "n_tokens",
+        (F.length(F.conv(F.col("n_tokens"), 10, 2)) - 1)
+        .cast("long")
+        .alias("band"),
+    )
+    agg = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    w_cum = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    return (
+        agg.select(
+            "band",
+            F.expr("shiftleft(1L, CAST(band AS INT))").alias(
+                "band_lo_tokens"
+            ),
+            "n_docs",
+            "tokens",
+            F.round(
+                F.col("tokens") / F.sum("tokens").over(w_all), 6
+            ).alias("token_share"),
+            F.round(
+                F.sum("tokens").over(w_cum) / F.sum("tokens").over(w_all), 6
+            ).alias("cum_token_share"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_SEQ_LENGTH_HIST = """
+WITH tok AS (
+  SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+), banded AS (
+  SELECT n_tokens, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS band
+  FROM tok
+), agg AS (
+  SELECT band, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+  FROM banded GROUP BY band
+)
+SELECT band,
+       CAST(1 << band AS BIGINT) AS band_lo_tokens,
+       n_docs, tokens,
+       ROUND(CAST(tokens AS DOUBLE) / SUM(tokens) OVER (), 6)
+         AS token_share,
+       ROUND(CAST(SUM(tokens) OVER (ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / SUM(tokens) OVER (), 6) AS cum_token_share
+FROM agg
+ORDER BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Packing-efficiency audit (round 9)
+# ---------------------------------------------------------------------------
+
+
+def packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit: per language, the sequence count and
+    wasted-token mass of the NAIVE layout (one doc per sequence,
+    padded to the {PACK_BUDGET}-token budget, long docs split into
+    budget-sized chunks with the tail padded) against the
+    concat-and-split layout ``pack_sequences`` actually ships (per
+    (lang, shard) stream, only each stream's final sequence can end
+    short) — the measured justification for running the packer at
+    all, as a ratio a mix planner can budget with.
+
+    Exactness: pure integer arithmetic — ceil(a/b) as
+    (a + b - 1) // b, no floats until the final rounded ratios.
+    Scale: two narrow map-combined aggregations over the same
+    2-column scan; no joins wider than the ≤|langs| audit frame."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    b = F.lit(PACK_BUDGET)
+    per_stream = docs.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum(
+            F.floor((F.col("n_tokens") + b - 1) / b).cast("long")
+        ).alias("padded_seqs"),
+    )
+    packed = per_stream.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        "padded_seqs",
+        F.floor((F.col("tokens") + b - 1) / b).cast("long").alias(
+            "packed_seqs"
+        ),
+    )
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("tokens").alias("tokens"),
+            F.sum("padded_seqs").alias("padded_seqs"),
+            F.sum("packed_seqs").alias("packed_seqs"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            "padded_seqs",
+            "packed_seqs",
+            (F.col("padded_seqs") * PACK_BUDGET - F.col("tokens")).alias(
+                "pad_waste_tokens"
+            ),
+            (F.col("packed_seqs") * PACK_BUDGET - F.col("tokens")).alias(
+                "pack_waste_tokens"
+            ),
+            F.round(
+                F.col("padded_seqs") / F.col("packed_seqs").cast("double"), 6
+            ).alias("seqs_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_PACKING_EFFICIENCY = f"""
+WITH tok AS (
+  SELECT lang, doc_id % {PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), per_stream AS (
+  SELECT lang, shard, COUNT(*) AS n_docs, SUM(n_tokens) AS tokens,
+         SUM((n_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET})
+           AS padded_seqs
+  FROM tok GROUP BY lang, shard
+), packed AS (
+  SELECT lang, n_docs, tokens, padded_seqs,
+         (tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET} AS packed_seqs
+  FROM per_stream
+)
+SELECT lang,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS tokens,
+       CAST(SUM(padded_seqs) AS BIGINT) AS padded_seqs,
+       CAST(SUM(packed_seqs) AS BIGINT) AS packed_seqs,
+       CAST(SUM(padded_seqs) * {PACK_BUDGET} - SUM(tokens) AS BIGINT)
+         AS pad_waste_tokens,
+       CAST(SUM(packed_seqs) * {PACK_BUDGET} - SUM(tokens) AS BIGINT)
+         AS pack_waste_tokens,
+       ROUND(CAST(SUM(padded_seqs) AS DOUBLE) / SUM(packed_seqs), 6)
+         AS seqs_ratio
+FROM packed
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "seq_length_histogram": QuerySpec(
+        seq_length_histogram,
+        ORACLE_SEQ_LENGTH_HIST,
+        ["X-training", "X-text", "A1", "§2.8"],
+    ),
+    "packing_efficiency_audit": QuerySpec(
+        packing_efficiency_audit,
+        ORACLE_PACKING_EFFICIENCY,
+        ["X-training", "A1", "A5"],
+    ),
     "gini_stump_split": QuerySpec(
         gini_stump_split,
         ORACLE_GINI_STUMP,
