@@ -649,10 +649,20 @@ def kmeans_fit(
     n = int(n_obs.get["n"])
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(max(2, n // 100_000))
     )
+    # Every round builds a FRESH plan around the same giant unrolled
+    # d²/avg expressions, and Janino recompiles them from scratch —
+    # measured ~3× of ann_ivf_kmeans' wall time at sf0.1 (17 s → 5 s
+    # interpreted). Interpreted eval IS the same expression tree and
+    # the same IEEE arithmetic (results bit-identical; the oracle
+    # parity gate pins it), it just skips the per-round compiler.
+    # Scoped to the fit loop and restored: the one-shot scoring scan
+    # downstream keeps codegen, which wins on corpus-sized input.
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try:
         # one F.expr parse instead of dim py4j builds per round —
         # v[i] subscripts, identical values (see dot_unrolled note)
@@ -669,6 +679,7 @@ def kmeans_fit(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
     return centroids
 
 
@@ -1127,33 +1138,43 @@ def pq_codebooks(
         )
         .localCheckpoint()
     )
-    for _ in range(iters):
-        assigned = (
-            sub.join(F.broadcast(centroids), "subspace")
-            .select(
-                "subspace",
-                "vec_id",
-                "sv",
-                "cell",
-                dist2_unrolled("sv", "centroid", sub_dim).alias("d2"),
+    # per-round Janino recompiles of the unrolled d²/avg expressions
+    # are pure fixed overhead on these tiny frames — interpreted
+    # eval is the same IEEE arithmetic (see kmeans_fit); restored
+    # after the loop so downstream scans keep codegen
+    spark = emb.sparkSession
+    prev_wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        for _ in range(iters):
+            assigned = (
+                sub.join(F.broadcast(centroids), "subspace")
+                .select(
+                    "subspace",
+                    "vec_id",
+                    "sv",
+                    "cell",
+                    dist2_unrolled("sv", "centroid", sub_dim).alias("d2"),
+                )
+                .groupBy("subspace", "vec_id")
+                .agg(
+                    F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
+                    F.min_by("sv", F.struct("d2", "cell")).alias("sv"),
+                )
             )
-            .groupBy("subspace", "vec_id")
-            .agg(
-                F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
-                F.min_by("sv", F.struct("d2", "cell")).alias("sv"),
+            centroids = (
+                assigned.groupBy("subspace", "cell")
+                .agg(
+                    F.expr(
+                        "array("
+                        + ", ".join(f"avg(sv[{i}])" for i in range(sub_dim))
+                        + ")"
+                    ).alias("centroid")
+                )
+                .localCheckpoint()
             )
-        )
-        centroids = (
-            assigned.groupBy("subspace", "cell")
-            .agg(
-                F.expr(
-                    "array("
-                    + ", ".join(f"avg(sv[{i}])" for i in range(sub_dim))
-                    + ")"
-                ).alias("centroid")
-            )
-            .localCheckpoint()
-        )
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
     return centroids.select("subspace", "cell", "centroid")
 
 
