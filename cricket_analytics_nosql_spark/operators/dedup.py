@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.functions.scalar import md5_u32
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
-from cricket_analytics_nosql_spark.operators.text import shingles_col, tokens_col
+from cricket_analytics_nosql_spark.operators.text import (
+    _STOP_SQL,
+    quality_col,
+    shingles_col,
+    tokens_col,
+)
 from cricket_analytics_nosql_spark.sources.tables import fan_out, load_table
 
 
@@ -1847,6 +1852,254 @@ ORDER BY leak_ratio DESC, t.doc_id ASC
 """
 
 
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram (round 9)
+# ---------------------------------------------------------------------------
+
+
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the corpus is duplicated how many times: near-dup
+    clusters (exact Jaccard ≥ 0.8 → connected components, the
+    ``dedup_clusters`` fixpoint) rolled up BY CLUSTER SIZE —
+    (size, clusters of that size, docs bound in them, share of the
+    full corpus). The one-table summary a dedup policy is set from:
+    a corpus dominated by 2-clusters wants pair-level survivors, a
+    heavy tail of giant clusters wants the hot-bucket caps.
+
+    Scale: everything after the pair join is label-sized; the
+    histogram is a two-level map-combined rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()  # O(1) scalar for the share denominator
+    cc = connected_components(jaccard_pairs(docs, 0.8).select("d1", "d2"))
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            F.round(
+                (F.col("cluster_size") * F.col("n_clusters"))
+                / F.lit(float(total)),
+                6,
+            ).alias("corpus_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+ORACLE_DUP_CLUSTER_HIST = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes sa ON d1 = sa.doc_id
+  JOIN sizes sb ON d2 = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+), sym AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), cc AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a
+), csizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id
+), total AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM documents
+)
+SELECT cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(cluster_size * COUNT(*) AS DOUBLE) / ANY_VALUE(t.t), 6)
+         AS corpus_share
+FROM csizes CROSS JOIN total t
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token savings from exact dedup (round 9)
+# ---------------------------------------------------------------------------
+
+
+def token_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup buys, in the pipeline's own currency: per
+    source, the whitespace-token mass before and after dropping
+    byte-identical copies (first-writer-wins by smallest doc_id over
+    the md5 content hash, the ``dedup_exact``/``corpus_clean``
+    survivor rule) and the savings ratio. Dedup decisions are
+    budgeted in training tokens, not doc counts — this is the table
+    that converts one to the other.
+
+    Scale: one md5-keyed window over a 3-column projection (the
+    text column is hashed at the scan and never exchanged), then a
+    map-combined per-source rollup."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("h")
+    flagged = docs.withColumn("keeper", F.min("doc_id").over(w))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("doc_id") != F.col("keeper")).cast("long")
+            ).alias("n_dropped"),
+            F.sum("n_tokens").alias("tokens_before"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") == F.col("keeper"), F.col("n_tokens")
+                ).otherwise(F.lit(0))
+            ).alias("tokens_after"),
+        )
+        .withColumn(
+            "savings_ratio",
+            F.round(
+                (F.col("tokens_before") - F.col("tokens_after"))
+                / F.col("tokens_before").cast("double"),
+                6,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TOKEN_DEDUP_SAVINGS = """
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), flagged AS (
+  SELECT doc_id, source, n_tokens,
+         MIN(doc_id) OVER (PARTITION BY h) AS keeper
+  FROM d
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(SUM(CASE WHEN doc_id = keeper THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_after,
+       ROUND(CAST(SUM(n_tokens)
+                  - SUM(CASE WHEN doc_id = keeper THEN n_tokens ELSE 0 END)
+                  AS DOUBLE) / SUM(n_tokens), 6) AS savings_ratio
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware cluster survivor selection (round 9)
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivor selection by QUALITY instead of min-id: per
+    Jaccard-0.8 cluster, keep the member with the highest composite
+    quality score (``quality_col`` — the same scorer
+    text_quality_scores and corpus_clean share, rounded to 6 before
+    comparison so the argmax is engine-stable; ties break on the
+    smaller doc_id). What curation pipelines actually ship: when
+    near-dups differ by boilerplate or truncation, min-id keeps an
+    arbitrary copy, quality-argmax keeps the best one.
+
+    Scale: the quality score is a narrow map over the scan; the
+    argmax is one cluster-keyed max_by after the label-sized CC
+    frame joins back — no extra pair-space work anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    cc = connected_components(jaccard_pairs(docs, 0.8).select("d1", "d2"))
+    scored = docs.select(
+        "doc_id", F.round(quality_col(F.col("text")), 6).alias("q")
+    )
+    return (
+        cc.join(scored, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max_by(
+                F.col("doc_id"), F.struct(F.col("q"), -F.col("doc_id"))
+            ).alias("kept_doc_id"),
+            F.max("q").alias("kept_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_KEEP_BEST_QUALITY = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes sa ON d1 = sa.doc_id
+  JOIN sizes sb ON d2 = sb.doc_id
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+), sym AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), cc AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a
+), scored AS (
+  SELECT doc_id,
+         ROUND(0.4 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE)
+                           / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(string_split(text, ' ')))
+                           AS DOUBLE)
+                      / len(string_split(text, ' ')))
+             + 0.3 * (1.0 - LEAST(
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      t -> t IN ('{_STOP_SQL}'))) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 5, 1.0)), 6) AS q
+  FROM documents
+)
+SELECT cc.cluster_id,
+       COUNT(*) AS n_members,
+       FIRST(cc.doc_id ORDER BY s.q DESC, cc.doc_id ASC) AS kept_doc_id,
+       MAX(s.q) AS kept_quality
+FROM cc JOIN scored s ON cc.doc_id = s.doc_id
+GROUP BY cc.cluster_id
+ORDER BY cc.cluster_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "minhash_estimate_error": QuerySpec(
         minhash_estimate_error,
@@ -1857,6 +2110,21 @@ QUERIES: dict[str, QuerySpec] = {
         train_eval_ngram_leakage,
         ORACLE_NGRAM_LEAKAGE,
         ["X-dedup", "X-curation", "A1", "J6"],
+    ),
+    "dup_cluster_size_histogram": QuerySpec(
+        dup_cluster_size_histogram,
+        ORACLE_DUP_CLUSTER_HIST,
+        ["X-dedup", "X-curation", "A1"],
+    ),
+    "token_dedup_savings": QuerySpec(
+        token_dedup_savings,
+        ORACLE_TOKEN_DEDUP_SAVINGS,
+        ["X-dedup", "X-training", "A1", "§2.8"],
+    ),
+    "dedup_keep_best_quality": QuerySpec(
+        dedup_keep_best_quality,
+        ORACLE_KEEP_BEST_QUALITY,
+        ["X-dedup", "X-curation", "X-text", "A1"],
     ),
     "dedup_edit_distance": QuerySpec(
         dedup_edit_distance,

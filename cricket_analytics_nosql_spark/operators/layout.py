@@ -486,7 +486,77 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Shard-skew audit (round 9)
+# ---------------------------------------------------------------------------
+
+SHARD_COUNT = 64
+
+
+def shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-shard balance audit: documents hashed into
+    {SHARD_COUNT} shards by the cross-engine md5 key hash, reporting
+    each shard's doc count, token mass, and its token load relative
+    to the mean shard (the straggler factor). This is the
+    pre-flight for any sharded export (``pack_sequences`` streams,
+    ``multimodal_shard_pack``): a shard at 2× the mean doubles the
+    tail of every downstream stage that consumes one shard per task.
+
+    Scale: one narrow map over a 2-column projection into a
+    {SHARD_COUNT}-row aggregate; the mean rides an unpartitioned
+    window over that tiny frame — no second pass over the data."""
+    from cricket_analytics_nosql_spark.functions.scalar import md5_u32
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (md5_u32(F.col("doc_id"), "shard") % SHARD_COUNT).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        docs.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "tokens",
+            F.round(
+                F.col("tokens")
+                / (F.sum("tokens").over(w_all) / F.count(F.lit(1)).over(w_all)),
+                6,
+            ).alias("load_vs_mean"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_SHARD_SKEW = f"""
+WITH d AS (
+  SELECT CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {SHARD_COUNT} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), agg AS (
+  SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+  FROM d GROUP BY shard
+)
+SELECT shard, n_docs, tokens,
+       ROUND(CAST(tokens AS DOUBLE)
+             / (CAST(SUM(tokens) OVER () AS DOUBLE) / COUNT(*) OVER ()), 6)
+         AS load_vs_mean
+FROM agg
+ORDER BY shard
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "shard_skew_audit": QuerySpec(
+        shard_skew_audit,
+        ORACLE_SHARD_SKEW,
+        ["X-layout", "X-training", "A1"],
+    ),
     "bucketed_join_noshuffle": QuerySpec(
         bucketed_join_noshuffle,
         ORACLE_BUCKETED_JOIN,

@@ -156,3 +156,106 @@ def test_srp_bucket_balance_covers_corpus(spark, sf_small):
     assert all(0 <= r.bucket < (1 << SRP_AUDIT_PLANES) for r in a)
     b = srp_bucket_balance_audit(spark, sf_small).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_dup_cluster_histogram_consistent_with_clusters(spark, sf_small):
+    """The histogram must be exactly the size distribution of the
+    dedup_clusters fixpoint, and every cluster has >= 2 members."""
+    from collections import Counter
+
+    from cricket_analytics_nosql_spark.operators.dedup import (
+        connected_components,
+        dup_cluster_size_histogram,
+        jaccard_pairs,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    cc = connected_components(
+        jaccard_pairs(docs, 0.8).select("d1", "d2")
+    ).collect()
+    want = Counter(
+        Counter(r.cluster_id for r in cc).values()
+    )  # size -> n_clusters
+    rows = dup_cluster_size_histogram(spark, sf_small).collect()
+    assert {r.cluster_size: r.n_clusters for r in rows} == dict(want)
+    total = docs.count()
+    for r in rows:
+        assert r.cluster_size >= 2
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert abs(r.corpus_share - round(r.n_docs / total, 6)) < 1e-12
+
+
+def test_token_dedup_savings_mass_conservation(spark, sf_small):
+    """tokens_after <= tokens_before per source; global tokens_after
+    equals the token mass of distinct texts' first writers."""
+    from cricket_analytics_nosql_spark.operators.dedup import (
+        token_dedup_savings,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = token_dedup_savings(spark, sf_small).collect()
+    assert rows
+    docs = load_table(spark, sf_small, "documents").collect()
+    first_by_hash: dict[str, object] = {}
+    for d in sorted(docs, key=lambda d: d.doc_id):
+        first_by_hash.setdefault(d.text, d)
+    want_after = sum(
+        len(d.text.split(" ")) for d in first_by_hash.values()
+    )
+    assert sum(r.tokens_after for r in rows) == want_after
+    for r in rows:
+        assert 0 <= r.tokens_after <= r.tokens_before
+        assert r.n_dropped <= r.n_docs
+
+
+def test_keep_best_quality_beats_min_id_when_quality_differs(spark, sf_small):
+    """The survivor must carry the cluster-max quality; on clusters
+    where the min-id member is NOT the best one, the two policies
+    must disagree (proving the argmax is not vacuously min-id)."""
+    from cricket_analytics_nosql_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_best_quality,
+        jaccard_pairs,
+    )
+    from cricket_analytics_nosql_spark.operators.text import quality_col
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents")
+    q = {
+        r.doc_id: r.q
+        for r in docs.select(
+            "doc_id", F.round(quality_col(F.col("text")), 6).alias("q")
+        ).collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in connected_components(
+        jaccard_pairs(docs, 0.8).select("d1", "d2")
+    ).collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    rows = dedup_keep_best_quality(spark, sf_small).collect()
+    assert {r.cluster_id for r in rows} == set(members)
+    for r in rows:
+        ms = members[r.cluster_id]
+        best = max(ms, key=lambda d: (q[d], -d))
+        assert r.kept_doc_id == best
+        assert r.kept_quality == q[best]
+        assert r.n_members == len(ms)
+
+
+def test_shard_skew_partitions_and_mean(spark, sf_small):
+    """Shards partition the corpus exactly; the load factors average
+    to 1 by construction."""
+    from cricket_analytics_nosql_spark.operators.layout import (
+        SHARD_COUNT,
+        shard_skew_audit,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = shard_skew_audit(spark, sf_small).collect()
+    n = load_table(spark, sf_small, "documents").count()
+    assert sum(r.n_docs for r in rows) == n
+    assert all(0 <= r.shard < SHARD_COUNT for r in rows)
+    mean_load = sum(r.load_vs_mean * 1 for r in rows) / len(rows)
+    assert abs(mean_load - 1.0) < 1e-3
