@@ -1327,3 +1327,67 @@ def test_bucketed_join_has_no_exchange_under_join(spark, sf_medium):
     assert plan.count("Bucketed: true") == 2, plan
     join_pos = plan.index("SortMergeJoin")
     assert "Exchange" not in plan[join_pos:], plan
+
+
+def test_round9_audits_are_narrow_rollups(spark, sf_medium):
+    """seq_length_histogram and packing_efficiency_audit are narrow
+    maps into tiny map-combined aggregates: their scans must prune to
+    the columns the math needs, and partial aggregation must run
+    before any exchange."""
+    from cricket_analytics_nosql_spark.operators.training import (
+        packing_efficiency_audit,
+        seq_length_histogram,
+    )
+
+    for fn, needed, banned in (
+        (seq_length_histogram, ("text",), ("doc_id", "source", "lang")),
+        (packing_efficiency_audit, ("lang", "doc_id", "text"), ("source",)),
+    ):
+        plan = plan_of(fn(spark, sf_medium))
+        read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert read, plan
+        for col in needed:
+            assert col in read[0], read[0]
+        for col in banned:
+            assert col not in read[0], read[0]
+        assert "partial" in plan.lower(), plan
+
+
+def test_srp_bucket_audit_single_exchange(spark, sf_medium):
+    """The SRP balance audit is one map-combined groupBy over the
+    scan plus the tiny unpartitioned share window: nothing else may
+    shuffle, and the scan must not read vec_id or label."""
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        srp_bucket_balance_audit,
+    )
+
+    import re
+
+    plan = plan_of(srp_bucket_balance_audit(spark, sf_medium))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "embedding" in read[0], plan
+    assert "vec_id" not in read[0] and "label" not in read[0], read[0]
+    # bucket groupBy exchange + the SinglePartition window exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_token_dedup_savings_never_exchanges_text(spark, sf_medium):
+    """The md5 content hash must be computed AT THE SCAN so the
+    window exchange carries (hash, tokens), never the text column."""
+    from cricket_analytics_nosql_spark.operators.dedup import (
+        token_dedup_savings,
+    )
+
+    plan = plan_of(token_dedup_savings(spark, sf_medium))
+    # the content-hash window exchange: its Input row set must carry
+    # (hash, tokens, keys) — never the raw text attribute
+    lines = plan.splitlines()
+    hash_exchanges = [
+        i
+        for i, ln in enumerate(lines)
+        if "Arguments: hashpartitioning(h#" in ln
+    ]
+    assert hash_exchanges, plan
+    for i in hash_exchanges:
+        inputs = [ln for ln in lines[max(0, i - 3): i] if "Input" in ln]
+        assert inputs and "text#" not in inputs[-1], lines[max(0, i - 3): i + 1]
