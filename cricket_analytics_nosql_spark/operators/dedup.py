@@ -206,6 +206,11 @@ ORDER BY shared_hashes DESC, s1 ASC, s2 ASC
 
 
 CONTAIN_T = 0.8
+# Near-dup Jaccard threshold shared by the Spark sides AND (via
+# f-string interpolation) every oracle that spells the same cut —
+# editing it can never desynchronize the two dialects (the ADVICE r8
+# BM25 lesson, applied before it recurs).
+JACCARD_TAU = 0.8
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,13 +290,13 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs), strongest first."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        jaccard_pairs(docs, 0.8)
+        jaccard_pairs(docs, JACCARD_TAU)
         .orderBy(F.desc("jaccard"), F.asc("d1"), F.asc("d2"))
         .limit(200)
     )
 
 
-ORACLE_DEDUP_JACCARD = """
+ORACLE_DEDUP_JACCARD = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), sh AS (
@@ -309,7 +314,7 @@ SELECT d1, d2,
 FROM inter
 JOIN sizes sa ON d1 = sa.doc_id
 JOIN sizes sb ON d2 = sb.doc_id
-WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}
 ORDER BY jaccard DESC, d1 ASC, d2 ASC
 LIMIT 200
 """
@@ -591,7 +596,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cands = lsh_candidates(minhash_signatures(docs))
     return (
-        jaccard_verify(docs, cands, 0.8)
+        jaccard_verify(docs, cands, JACCARD_TAU)
         .orderBy(F.desc("jaccard"), F.asc("d1"), F.asc("d2"))
         .limit(200)
     )
@@ -627,7 +632,7 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_llm_ops.py pins the raw recalls)."""
     docs = load_table(spark, sf_dir, "documents")
     truth = (
-        jaccard_pairs(docs, 0.8).select("d1", "d2").localCheckpoint(eager=False)
+        jaccard_pairs(docs, JACCARD_TAU).select("d1", "d2").localCheckpoint(eager=False)
     )
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     sigs = minhash_signatures(docs).localCheckpoint(eager=False)
@@ -679,7 +684,7 @@ WITH toks AS (
   FROM inter
   JOIN sizes sa ON d1 = sa.doc_id
   JOIN sizes sb ON d2 = sb.doc_id
-  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}
 )
 SELECT CAST(bands AS BIGINT) AS bands, CAST(rows AS BIGINT) AS rows,
        (SELECT COUNT(*) FROM truth) AS n_true_pairs,
@@ -791,7 +796,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-oracle-checkable — the oracle closes the pair graph with a
     recursive CTE, which is the SQL spelling of the same fixpoint."""
     docs = load_table(spark, sf_dir, "documents")
-    cc = connected_components(jaccard_pairs(docs, 0.8).select("d1", "d2"))
+    cc = connected_components(jaccard_pairs(docs, JACCARD_TAU).select("d1", "d2"))
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
     return (
         cc.join(sizes, "cluster_id")
@@ -801,7 +806,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_CLUSTERS = """
+ORACLE_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), sh AS (
@@ -817,7 +822,7 @@ WITH RECURSIVE toks AS (
   SELECT d1, d2 FROM inter
   JOIN sizes sa ON d1 = sa.doc_id
   JOIN sizes sb ON d2 = sb.doc_id
-  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}
 ), sym AS (
   SELECT d1 AS a, d2 AS b FROM pairs
   UNION ALL
@@ -866,7 +871,7 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     losers = (
-        connected_components(jaccard_pairs(docs, 0.8).select("d1", "d2"))
+        connected_components(jaccard_pairs(docs, JACCARD_TAU).select("d1", "d2"))
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id", F.lit(True).alias("is_dup_loser"))
     )
@@ -922,7 +927,7 @@ WITH RECURSIVE toks AS (
   SELECT d1, d2 FROM inter
   JOIN sizes sa ON d1 = sa.doc_id
   JOIN sizes sb ON d2 = sb.doc_id
-  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}
 ), sym AS (
   SELECT d1 AS a, d2 AS b FROM pairs
   UNION ALL
@@ -971,7 +976,7 @@ def pipeline_stage_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     losers = (
-        connected_components(jaccard_pairs(docs, 0.8).select("d1", "d2"))
+        connected_components(jaccard_pairs(docs, JACCARD_TAU).select("d1", "d2"))
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id", F.lit(True).alias("is_dup_loser"))
     )
@@ -1870,7 +1875,7 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram is a two-level map-combined rollup."""
     docs = load_table(spark, sf_dir, "documents")
     total = docs.count()  # O(1) scalar for the share denominator
-    cc = connected_components(jaccard_pairs(docs, 0.8).select("d1", "d2"))
+    cc = connected_components(jaccard_pairs(docs, JACCARD_TAU).select("d1", "d2"))
     sizes = cc.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -1891,7 +1896,7 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DUP_CLUSTER_HIST = """
+ORACLE_DUP_CLUSTER_HIST = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), sh AS (
@@ -1907,7 +1912,7 @@ WITH RECURSIVE toks AS (
   SELECT d1, d2 FROM inter
   JOIN sizes sa ON d1 = sa.doc_id
   JOIN sizes sb ON d2 = sb.doc_id
-  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}
 ), sym AS (
   SELECT d1 AS a, d2 AS b FROM pairs
   UNION ALL
@@ -2031,7 +2036,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax is one cluster-keyed max_by after the label-sized CC
     frame joins back — no extra pair-space work anywhere."""
     docs = load_table(spark, sf_dir, "documents")
-    cc = connected_components(jaccard_pairs(docs, 0.8).select("d1", "d2"))
+    cc = connected_components(jaccard_pairs(docs, JACCARD_TAU).select("d1", "d2"))
     scored = docs.select(
         "doc_id", F.round(quality_col(F.col("text")), 6).alias("q")
     )
@@ -2065,7 +2070,7 @@ WITH RECURSIVE toks AS (
   SELECT d1, d2 FROM inter
   JOIN sizes sa ON d1 = sa.doc_id
   JOIN sizes sb ON d2 = sb.doc_id
-  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}
 ), sym AS (
   SELECT d1 AS a, d2 AS b FROM pairs
   UNION ALL

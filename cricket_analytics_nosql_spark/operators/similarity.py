@@ -1094,6 +1094,7 @@ ORDER BY q_id
 PQ_SUBSPACES = 8  # 64-d → 8 subvectors of 8 dims
 PQ_CODES = 16  # 4-bit codes per subspace → 8 bytes per vector
 PQ_CAND = 50  # ADC candidate pool before exact re-rank
+COS_TAU = 0.42  # near-dup cosine cut, shared by Spark sides and oracles
 
 
 def pq_codebooks(
@@ -1578,13 +1579,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     real output."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings"))
     return (
-        exact_cosine_pairs(emb, tau=0.42)
+        exact_cosine_pairs(emb, tau=COS_TAU)
         .orderBy(F.desc("cos"), F.asc("v1"), F.asc("v2"))
         .limit(100)
     )
 
 
-ORACLE_DEDUP_EMBEDDING = """
+ORACLE_DEDUP_EMBEDDING = f"""
 WITH emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), pairs AS (
@@ -1596,7 +1597,7 @@ WITH emb AS (
   WHERE a.vec_id < b.vec_id
 )
 SELECT v1, v2, cos FROM pairs
-WHERE cos >= 0.42
+WHERE cos >= {COS_TAU}
 ORDER BY cos DESC, v1 ASC, v2 ASC
 LIMIT 100
 """
@@ -2081,7 +2082,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = load_table(spark, sf_dir, "embeddings")
     emb = _doubles(raw)
-    pairs = exact_cosine_pairs(emb, tau=0.42).select(
+    pairs = exact_cosine_pairs(emb, tau=COS_TAU).select(
         F.col("v1").alias("d1"), F.col("v2").alias("d2")
     )
     cc = connected_components(pairs)
@@ -2103,7 +2104,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SEMANTIC_DEDUP = """
+ORACLE_SEMANTIC_DEDUP = f"""
 WITH RECURSIVE emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), pairs AS (
@@ -2112,7 +2113,7 @@ WITH RECURSIVE emb AS (
   WHERE a.vec_id < b.vec_id
     AND ROUND(list_inner_product(a.v, b.v)
               / (sqrt(list_inner_product(a.v, a.v))
-                 * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.42
+                 * sqrt(list_inner_product(b.v, b.v))), 6) >= {COS_TAU}
 ), sym AS (
   SELECT d1 AS a, d2 AS b FROM pairs
   UNION ALL
