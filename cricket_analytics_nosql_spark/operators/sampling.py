@@ -20,6 +20,12 @@ from cricket_analytics_nosql_spark.functions.scalar import md5_u32
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 from cricket_analytics_nosql_spark.sources.tables import load_table
 
+# 2^32 — the md5_u32 range; divides a hash into a uniform U(0,1)
+# (shared by the Spark sides and, via f-string interpolation, the
+# oracles, so the two dialects can never desynchronize)
+DP_U32 = 4294967296.0
+WS_TOPK = 50  # weighted-sample output size (Spark side + oracle LIMIT)
+
 # per-language keep-rates (percent) for the driver query: downsample
 # the majority language, keep the tail
 STRATA_PCT = {"en": 35, "de": 80, "fr": 80}
@@ -228,13 +234,11 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, so nothing ever shuffles but k rows per
     partition.  The classic streaming/distributed weighted-reservoir
     result, as one declarative expression."""
-    k = 50
+    k = WS_TOPK
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    u = md5_u32(F.col("doc_id"), salt="ws#").cast("double") / F.lit(
-        4294967296.0
-    )
+    u = md5_u32(F.col("doc_id"), salt="ws#").cast("double") / F.lit(DP_U32)
     priority = F.pow(u, F.lit(1.0) / F.col("n_chars"))
     return (
         docs.select(
@@ -248,14 +252,14 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_WEIGHTED_SAMPLE = """
+ORACLE_WEIGHTED_SAMPLE = f"""
 SELECT doc_id, source, n_chars,
        ROUND(pow(CAST(('0x' || substr(md5('ws#' || CAST(doc_id AS VARCHAR)),
-                                      1, 8)) AS BIGINT) / 4294967296.0,
+                                      1, 8)) AS BIGINT) / {DP_U32},
                  1.0 / n_chars), 9) AS priority
 FROM documents
 ORDER BY priority DESC, doc_id ASC
-LIMIT 50
+LIMIT {WS_TOPK}
 """
 
 
@@ -379,7 +383,6 @@ ORDER BY replicate
 
 
 DP_EPSILON_E2 = 50  # ε = 0.5 per released count
-DP_U32 = 4294967296.0
 
 
 def dp_noisy_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

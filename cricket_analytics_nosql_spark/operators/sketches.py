@@ -149,6 +149,9 @@ def misra_gries_summary(df: DataFrame, col: str, k: int) -> DataFrame:
 
 
 CMS_D = 4  # hash rows
+# SQL literal row list for the oracle probes — derived from CMS_D so
+# the sketch depth can never desynchronize between the two dialects
+_CMS_ROWS_SQL = ", ".join(f"({i})" for i in range(CMS_D))
 CMS_W = 512  # buckets per row
 
 
@@ -238,14 +241,14 @@ def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CMS_USER_COUNTS = """
+ORACLE_CMS_USER_COUNTS = f"""
 WITH ev AS (
   SELECT user_id FROM events
 ), hashed AS (
   SELECT user_id, i.i AS i,
          CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || i.i),
-                              1, 8)) AS BIGINT) % 512 AS b
-  FROM ev CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+                              1, 8)) AS BIGINT) % {CMS_W} AS b
+  FROM ev CROSS JOIN (VALUES {_CMS_ROWS_SQL}) AS i(i)
 ), sketch AS (
   SELECT i, b, COUNT(*) AS cnt FROM hashed GROUP BY i, b
 ), exact AS (
@@ -253,8 +256,8 @@ WITH ev AS (
 ), probes AS (
   SELECT e.user_id, e.exact_cnt, i.i AS i,
          CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || '#' || i.i),
-                              1, 8)) AS BIGINT) % 512 AS b
-  FROM exact e CROSS JOIN (VALUES (0), (1), (2), (3)) AS i(i)
+                              1, 8)) AS BIGINT) % {CMS_W} AS b
+  FROM exact e CROSS JOIN (VALUES {_CMS_ROWS_SQL}) AS i(i)
 ), est AS (
   SELECT p.user_id, p.exact_cnt, MIN(s.cnt) AS cms_est
   FROM probes p JOIN sketch s ON p.i = s.i AND p.b = s.b
