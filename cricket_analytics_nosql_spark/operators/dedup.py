@@ -1687,12 +1687,15 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     two doc-keyed equi-joins."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = _doc_shingles(docs)
+    # materialized once: both pair sides consume the signature frame,
+    # and without the checkpoint the 24-min aggregation over the
+    # shingle index executes once per side
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(md5_u32(F.col("s"), f"mh{h}#")).alias(f"m{h}")
             for h in range(MH_EST_HASHES)
         ]
-    )
+    ).localCheckpoint()
     exact = jaccard_pairs(docs, MH_EST_TAU)
     s1 = sig.select(
         F.col("doc_id").alias("d1"),
