@@ -36,12 +36,12 @@ from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 # clears it (33 + any round-9 additions ≤ 47-slot window).
 # Catalog growth stays capped (≤10 new operators, VERDICT r8
 # item 2) and newcomers register AFTER the boundary: round 9 adds
-# exactly 9 (minhash_estimate_error, train_eval_ngram_leakage,
+# exactly 10 (minhash_estimate_error, train_eval_ngram_leakage,
 # seq_length_histogram, packing_efficiency_audit,
 # srp_bucket_balance_audit, dup_cluster_size_histogram,
-# token_dedup_savings, dedup_keep_best_quality, shard_skew_audit —
-# catalog 414 → 423), so the round-10 window clears the whole
-# backlog: 33 + 9 = 42 ≤ 47.
+# token_dedup_savings, dedup_keep_best_quality, shard_skew_audit,
+# embedding_dim_profile — catalog 414 → 424), so the round-10
+# window clears the whole backlog: 33 + 10 = 43 ≤ 47.
 # Every window entry is hash-green in the in-repo DuckDB parity
 # sweep at sf0.01 and sf0.1 (round-8 closing 414/414 sweeps,
 # re-verified for this window at round-9 start).

@@ -3855,7 +3855,104 @@ ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (round 9)
+# ---------------------------------------------------------------------------
+
+DEAD_DIM_VAR = 1e-4  # variance floor below which a dimension is dead
+
+
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance profile of the embedding corpus
+    with a dead-dimension flag — the index-capacity audit that
+    complements ``embedding_isotropy`` (global) and
+    ``pca_top_component`` (principal direction): dimensions whose
+    variance collapses carry no signal but still cost bytes in every
+    signature, codebook, and distance loop, so they are the first
+    thing to truncate (the Matryoshka decision, measured).
+
+    Exactness: components are quantized to integer micro-units at
+    the scan (the isotropy idiom), so the per-dimension sums are
+    BIGINT-exact in any engine and partition order; mean/variance
+    are single exact-rational divisions rounded at the end.
+    Scale: posexplode fans each vector into (pos, q) rows — a narrow
+    ×dim map with NO text/vector payload — and the rollup is one
+    map-combined groupBy onto exactly ``dim`` cells."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1e6, 0).cast("long"),
+            )
+        ).alias("pos", "q")
+    )
+    return (
+        emb.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("s"),
+            F.sum(F.col("q") * F.col("q")).alias("ss"),
+        )
+        .select(
+            F.col("pos").cast("long").alias("dim_pos"),
+            F.round(F.col("s") / F.col("n") / 1e6, 6).alias("mean"),
+            F.round(
+                (
+                    F.col("ss") / F.col("n")
+                    - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+                )
+                / 1e12,
+                6,
+            ).alias("variance"),
+            (
+                (
+                    F.col("ss") / F.col("n")
+                    - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+                )
+                / 1e12
+                < DEAD_DIM_VAR
+            )
+            .cast("int")
+            .alias("is_dead"),
+        )
+        .orderBy("dim_pos")
+    )
+
+
+ORACLE_DIM_PROFILE = f"""
+WITH q AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 1e6, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), ex AS (
+  SELECT r.i - 1 AS pos, qv[r.i] AS q
+  FROM q CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) r
+), agg AS (
+  SELECT pos, COUNT(*) AS n,
+         CAST(SUM(q) AS BIGINT) AS s,
+         CAST(SUM(q * q) AS BIGINT) AS ss
+  FROM ex GROUP BY pos
+)
+SELECT CAST(pos AS BIGINT) AS dim_pos,
+       ROUND(CAST(s AS DOUBLE) / n / 1e6, 6) AS mean,
+       ROUND((CAST(ss AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / 1e12, 6)
+         AS variance,
+       CAST(CASE WHEN (CAST(ss AS DOUBLE) / n
+                       - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                      / 1e12 < {DEAD_DIM_VAR}
+            THEN 1 ELSE 0 END AS INT) AS is_dead
+FROM agg
+ORDER BY dim_pos
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_dim_profile": QuerySpec(
+        embedding_dim_profile,
+        ORACLE_DIM_PROFILE,
+        ["X-sim", "X-training", "A1"],
+    ),
     "srp_bucket_balance_audit": QuerySpec(
         srp_bucket_balance_audit,
         _srp_oracle(),

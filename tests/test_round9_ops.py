@@ -259,3 +259,50 @@ def test_shard_skew_partitions_and_mean(spark, sf_small):
     assert all(0 <= r.shard < SHARD_COUNT for r in rows)
     mean_load = sum(r.load_vs_mean * 1 for r in rows) / len(rows)
     assert abs(mean_load - 1.0) < 1e-3
+
+
+def test_embedding_dim_profile_matches_numpy(spark, sf_small):
+    """Per-dimension mean/variance must equal a numpy recomputation
+    over the SAME integer quantization, one row per dimension."""
+    import numpy as np
+
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        DEAD_DIM_VAR,
+        embedding_dim_profile,
+    )
+    from cricket_analytics_nosql_spark.sources.tables import load_table
+
+    rows = embedding_dim_profile(spark, sf_small).collect()
+    vecs = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, sf_small, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    q = np.round(vecs * 1e6)
+    assert len(rows) == q.shape[1]
+
+    def round_half_up(x: float, nd: int = 6) -> float:
+        # Spark's ROUND is HALF_UP on the double's shortest repr;
+        # Python's built-in round is banker's — they differ on ties
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("1e-%d" % nd), rounding=ROUND_HALF_UP
+            )
+        )
+
+    for r in rows:
+        col = q[:, r.dim_pos]
+        mean = col.sum() / len(col) / 1e6
+        var = (
+            (col * col).sum() / len(col)
+            - (col.sum() / len(col)) ** 2
+        ) / 1e12
+        assert abs(r.mean - round_half_up(mean)) < 1e-9
+        assert abs(r.variance - round_half_up(var)) < 1e-9
+        assert r.is_dead == int(var < DEAD_DIM_VAR)
