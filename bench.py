@@ -65,7 +65,20 @@ class ExternalLoadMeter:
 
     def __init__(self) -> None:
         self.hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+        # _tree_cpu_jiffies walks /proc/<pid>/task/<tid>/children,
+        # which needs CONFIG_PROC_CHILDREN (ADVICE r9). On a kernel
+        # without it the JVM's work would be misattributed to
+        # EXTERNAL load and every query stamped hot — so probe the
+        # file at init and fall back to the -1.0 unknown stamp.
         self.ok = os.path.exists("/proc/stat")
+        if self.ok:
+            try:
+                with open(
+                    f"/proc/{os.getpid()}/task/{os.getpid()}/children"
+                ) as f:
+                    f.read()
+            except OSError:
+                self.ok = False
 
     def start(self) -> tuple:
         if not self.ok:
@@ -78,13 +91,52 @@ class ExternalLoadMeter:
         wall = time.perf_counter() - t0[2]
         if wall <= 0:
             return -1.0
-        ext = (_sys_busy_jiffies() - t0[0]) - (_tree_cpu_jiffies() - t0[1])
+        # Clamp the tree delta at 0: a descendant exiting mid-window
+        # drops its whole jiffy count from tree(end), which would
+        # otherwise attribute our own past work to external load
+        # (ADVICE r9).
+        tree_delta = max(0, _tree_cpu_jiffies() - t0[1])
+        ext = (_sys_busy_jiffies() - t0[0]) - tree_delta
         return max(0.0, ext / self.hz / wall)
 
 # Second bench tier (VERDICT r6 item 6): round-over-round timing for
 # the heaviest round-6 operators WITHOUT touching the frozen headline
 # set (the 17 `bench=True` queries stay r1-comparable). Reported
 # under the "extended" key; excluded from the headline total.
+def retime_trigger(best_sec: float, load_thresh: float) -> float:
+    """Per-query re-time trigger scaled to duration (VERDICT r9
+    item 5): the global threshold is calibrated for burst detection
+    across a ~1s-15s set, but a sub-second query moves 20-30% under
+    even ~0.5 external cores (r9: ann_brute_force stamped 0.61
+    carried ~30% inflation into the series) while a 10s query
+    averages the same burst away. Linear in duration, clamped to
+    [1.0, load_thresh]: ~1 core for sub-second queries, the
+    historical threshold at >=10s."""
+    return min(load_thresh, max(1.0, load_thresh * best_sec / 10.0))
+
+
+def output_lines(full_record: dict) -> list[str]:
+    """Output discipline (VERDICT r9 item 2): the driver keeps only
+    the LAST 2000 bytes of stdout, and the fully-stamped record
+    outgrew that in round 9 ("parsed": null — the headline value
+    fell off the front). Emit the full record FIRST, then a compact
+    contract line LAST — metric/value/unit/queries/sf only, no
+    stamps — so the tail capture always contains one complete
+    parseable record."""
+    compact = {
+        "metric": full_record["metric"],
+        "value": full_record["value"],
+        "unit": full_record["unit"],
+        "queries": full_record["queries"],
+        "sf": full_record["sf"],
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # never outgrow the tail capture again
+        compact["queries"] = {"n": len(full_record["queries"])}
+        line = json.dumps(compact)
+    return [json.dumps(full_record), line]
+
+
 BENCH_EXTENDED = (
     "dedup_substring_spans",
     "adamic_adar_linkpred",
@@ -176,30 +228,32 @@ def main() -> None:
     # Two layers: (a) every recorded number carries the external
     # busy-core count measured over its best sample's window, so the
     # artifact self-certifies; (b) any query whose best sample
-    # overlapped external load > threshold is re-timed after a
+    # overlapped external load > its trigger is re-timed after a
     # bounded quiet-wait, keeping the best of all samples. A query
     # can still end up stamped hot if the co-tenant never calms —
     # the stamp says so.
     retime_wait_budget = [120.0]
 
     def retime(entries: dict[str, float], loads: dict[str, float],
-               meds: dict[str, float], fns, runs: int) -> list[str]:
+               fns, runs: int) -> list[str]:
+        # NOTE: medians are NOT touched here — the medians artifact
+        # stays a pure 5-run-per-query record (ADVICE r9: mixing a
+        # median-of-3 retry into it biased retimed entries low).
         redone = []
         for name in sorted(entries):
-            if loads[name] <= load_thresh:
+            trigger = retime_trigger(entries[name], load_thresh)
+            if loads[name] <= trigger:
                 continue
             while retime_wait_budget[0] > 0.0:
                 m0 = meter.start()
                 time.sleep(5)
                 retime_wait_budget[0] -= 5.0
-                if meter.external_cores(m0) <= load_thresh:
+                if meter.external_cores(m0) <= trigger:
                     break
-            best, med, load = time_query(fns[name], runs)
+            best, _, load = time_query(fns[name], runs)
             if best < entries[name]:
                 entries[name] = round(best, 4)
                 loads[name] = round(load, 2)
-                if meds is not None and med < meds.get(name, med + 1):
-                    meds[name] = round(med, 4)
             redone.append(name)
         return redone
 
@@ -221,42 +275,51 @@ def main() -> None:
             extended[name] = round(best, 4)
             ext_loads[name] = round(load, 2)
 
-    retimed = retime(timings, q_loads, medians,
+    retimed = retime(timings, q_loads,
                      {n: s.fn for n, s in catalog.items()}, 3)
-    retimed += retime(extended, ext_loads, None,
+    retimed += retime(extended, ext_loads,
                       {n: full[n].fn for n in extended}, 2)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "query_medians": medians,
-                # extended tier: heavy round-6 operators, best-of-3,
-                # NOT in the headline total (keeps the r1 series)
-                "extended": extended,
-                "sf": sf,
-                # host-noise context: the bench host carries bursty
-                # external load (observed load-avg 2-14); readers
-                # should weigh run-to-run deltas against this stamp
-                "load_avg_1m_5m_15m": [round(x, 2) for x in load_start],
-                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
-                "quiet_wait_sec": quiet_wait,
-                # per-query self-certification: EXTERNAL busy cores
-                # (system minus our process tree, jiffy deltas)
-                # measured over each recorded best sample's window,
-                # the burst threshold they were judged against, and
-                # which queries needed a post-pass re-time
-                "query_ext_cores": q_loads,
-                "extended_ext_cores": ext_loads,
-                "ext_cores_threshold": round(load_thresh, 2),
-                "retimed": sorted(retimed),
-            }
+    full_record = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "query_medians": medians,
+        # extended tier: heavy round-6 operators, best-of-3,
+        # NOT in the headline total (keeps the r1 series)
+        "extended": extended,
+        "sf": sf,
+        # host-noise context: the bench host carries bursty
+        # external load (observed load-avg 2-14); readers
+        # should weigh run-to-run deltas against this stamp
+        "load_avg_1m_5m_15m": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        "quiet_wait_sec": quiet_wait,
+        # per-query self-certification: EXTERNAL busy cores
+        # (system minus our process tree, jiffy deltas)
+        # measured over each recorded best sample's window,
+        # the burst threshold they were judged against, and
+        # which queries needed a post-pass re-time
+        "query_ext_cores": q_loads,
+        "extended_ext_cores": ext_loads,
+        "ext_cores_threshold": round(load_thresh, 2),
+        "retimed": sorted(retimed),
+    }
+    # Mirror the full stamped record to a side file for PERF.md,
+    # then print per output_lines (full first, compact contract
+    # line last for the driver's 2000-byte tail capture).
+    try:
+        side = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_stamps.json"
         )
-    )
+        with open(side, "w") as f:
+            json.dump(full_record, f)
+    except OSError:
+        pass
+    for line in output_lines(full_record):
+        print(line)
 
 
 if __name__ == "__main__":

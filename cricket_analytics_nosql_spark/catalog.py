@@ -20,37 +20,78 @@ from __future__ import annotations
 from cricket_analytics_nosql_spark.operators.spec import QuerySpec
 
 # The driver's correctness gate checks the FIRST 50 catalog entries.
-# Rounds 1-7 rotated 287 queries through that window; all 287 are
-# hash-green at latest status (zero red).  The catalog sits at 410
-# after round 7; rounds 1-8 rotated 334 queries through it, all
-# hash-green at latest status (zero red).  Backlog entering round 9:
-# 80 never-driver-checked (76 round-7 remnants + the 4 round-8
-# newcomers).
-# Round-9 window (VERDICT.md r8 item 1): the first 44 of the 80 in
-# catalog order (logrank_repeat_priority .. mcnemar_langid — the
-# round-7 stats/graph/text/eval waves; scc_dominance_nations, a
-# round-8 newcomer, falls inside that span) + the 3 remaining
-# round-8 newcomers (bm25_maxscore_prune, dedup_edit_distance,
-# mutual_knn_pairs) = 47, plus the same 3 green canaries as round 8
-# (47 + 3 = 50).  Backlog after this window: 80 - 47 = 33; round 10
-# clears it (33 + any round-9 additions ≤ 47-slot window).
-# Catalog growth stays capped (≤10 new operators, VERDICT r8
-# item 2) and newcomers register AFTER the boundary: round 9 adds
-# exactly 10 (minhash_estimate_error, train_eval_ngram_leakage,
-# seq_length_histogram, packing_efficiency_audit,
-# srp_bucket_balance_audit, dup_cluster_size_histogram,
-# token_dedup_savings, dedup_keep_best_quality, shard_skew_audit,
-# embedding_dim_profile — catalog 414 → 424), so the round-10
-# window clears the whole backlog: 33 + 10 = 43 ≤ 47.
-# Every window entry is hash-green in the in-repo DuckDB parity
-# sweep at sf0.01 and sf0.1 (round-8 closing 414/414 sweeps,
-# re-verified for this window at round-9 start).
+# Rounds 1-9 rotated 381 distinct queries through that window; all
+# 381 are hash-green at latest status (zero red).  The catalog sits
+# at 424 after round 9 (growth frozen for round 10 per VERDICT r9
+# item 3).  Backlog entering round 10: 43 never-driver-checked
+# (33 round-7/8 remnants + the 10 round-9 newcomers), all
+# pre-verified bit-exact by the round-9 judge (VERDICT.md r9,
+# independent oracle runs) and by the in-repo DuckDB parity sweep.
+# Round-10 window (VERDICT.md r9 item 1): ALL 43 backlog queries in
+# catalog order + 7 green canaries (the 3 standing canaries from
+# rounds 8-9 plus 4 headline-adjacent greens spanning dedup / ANN /
+# graph / streaming) = 50.  Backlog after this window: 0 — every
+# one of the 424 catalog queries then has a driver CORRECTNESS row.
 # Rotated at round START, before any driver run, and not touched
 # mid-round (the driver reads the window at round END).
 # Entries past position 50 keep their green rows from earlier
 # rounds; queries not listed keep registry order after the window.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # ---- round-9 window: 47 never-driver-checked + 3 canaries ----
+    # ---- round-10 window: the final 43 never-driver-checked ----
+    "heaps_law_fit",
+    "chi2_feature_select",
+    "naive_bayes_langid",
+    "isotonic_calibration_langid",
+    "good_turing_mass",
+    "burrows_delta_sources",
+    "cohens_kappa_langid",
+    "brier_decomposition",
+    "source_diversity_index",
+    "neyman_allocation",
+    "l_diversity_audit",
+    "t_closeness_audit",
+    "design_effect_stratified",
+    "dp_quantile_exponential",
+    "minhash_estimate_error",
+    "train_eval_ngram_leakage",
+    "dup_cluster_size_histogram",
+    "token_dedup_savings",
+    "dedup_keep_best_quality",
+    "cdc_chunk_dedup",
+    "taylors_law_events",
+    "blocking_quality_audit",
+    "fellegi_sunter_weights",
+    "embedding_dim_profile",
+    "srp_bucket_balance_audit",
+    "knn_label_eval",
+    "ann_nprobe_sweep",
+    "kcenter_coreset",
+    "ann_hubness_audit",
+    "embedding_isotropy_audit",
+    "multimodal_shard_pack",
+    "seq_length_histogram",
+    "packing_efficiency_audit",
+    "gini_stump_split",
+    "stratified_kfold_assign",
+    "temperature_mixture_alloc",
+    "fk_integrity_audit",
+    "retention_gc_plan",
+    "shard_skew_audit",
+    "bucketed_join_noshuffle",
+    "hilbert_layout",
+    "numeric_corr_matrix",
+    "schema_evolution_roundtrip",
+    # ---- 7 canaries (all driver-green in earlier rounds) ----
+    "top_revenue_customers",
+    "dedup_minhash_lsh",
+    "stream_tumbling_agg",
+    "semantic_dedup",
+    "ann_ivf",
+    "pagerank_top",
+    "asof_join",
+    # ---- position 50 boundary ----
+    # Round-9 window order preserved below for artifact traceability
+    # (all green in CORRECTNESS_r09; canaries hoisted above).
     "logrank_repeat_priority",
     "uplift_curve_bands",
     "abc_xyz_parts",
@@ -98,10 +139,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "bm25_maxscore_prune",
     "dedup_edit_distance",
     "mutual_knn_pairs",
-    "top_revenue_customers",
-    "dedup_minhash_lsh",
-    "stream_tumbling_agg",
-    # ---- position 50 boundary ----
+    # Round-8 window order preserved below for artifact traceability
+    # (all green in CORRECTNESS_r08; canaries hoisted above).
     # Round-8 window order preserved below for artifact traceability
     # (all green in CORRECTNESS_r08; canaries hoisted above).
     "cricket_wickets_by_bowler",

@@ -279,7 +279,7 @@ SELECT d1, d2,
 FROM inter
 JOIN sizes sa ON sa.doc_id = d1
 JOIN sizes sb ON sb.doc_id = d2
-WHERE CAST(i AS DOUBLE) / sa.n >= {CONTAIN_T}
+WHERE ROUND(CAST(i AS DOUBLE) / sa.n, 6) >= {CONTAIN_T}
 ORDER BY containment DESC, d1 ASC, d2 ASC
 LIMIT 200
 """
@@ -314,7 +314,7 @@ SELECT d1, d2,
 FROM inter
 JOIN sizes sa ON d1 = sa.doc_id
 JOIN sizes sb ON d2 = sb.doc_id
-WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}
+WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {JACCARD_TAU}
 ORDER BY jaccard DESC, d1 ASC, d2 ASC
 LIMIT 200
 """
@@ -684,7 +684,7 @@ WITH toks AS (
   FROM inter
   JOIN sizes sa ON d1 = sa.doc_id
   JOIN sizes sb ON d2 = sb.doc_id
-  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}
+  WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {JACCARD_TAU}
 )
 SELECT CAST(bands AS BIGINT) AS bands, CAST(rows AS BIGINT) AS rows,
        (SELECT COUNT(*) FROM truth) AS n_true_pairs,
@@ -822,7 +822,7 @@ WITH RECURSIVE toks AS (
   SELECT d1, d2 FROM inter
   JOIN sizes sa ON d1 = sa.doc_id
   JOIN sizes sb ON d2 = sb.doc_id
-  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}
+  WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {JACCARD_TAU}
 ), sym AS (
   SELECT d1 AS a, d2 AS b FROM pairs
   UNION ALL
@@ -927,7 +927,7 @@ WITH RECURSIVE toks AS (
   SELECT d1, d2 FROM inter
   JOIN sizes sa ON d1 = sa.doc_id
   JOIN sizes sb ON d2 = sb.doc_id
-  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}
+  WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {JACCARD_TAU}
 ), sym AS (
   SELECT d1 AS a, d2 AS b FROM pairs
   UNION ALL
@@ -1915,7 +1915,7 @@ WITH RECURSIVE toks AS (
   SELECT d1, d2 FROM inter
   JOIN sizes sa ON d1 = sa.doc_id
   JOIN sizes sb ON d2 = sb.doc_id
-  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}
+  WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {JACCARD_TAU}
 ), sym AS (
   SELECT d1 AS a, d2 AS b FROM pairs
   UNION ALL
@@ -2073,7 +2073,7 @@ WITH RECURSIVE toks AS (
   SELECT d1, d2 FROM inter
   JOIN sizes sa ON d1 = sa.doc_id
   JOIN sizes sb ON d2 = sb.doc_id
-  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_TAU}
+  WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= {JACCARD_TAU}
 ), sym AS (
   SELECT d1 AS a, d2 AS b FROM pairs
   UNION ALL

@@ -90,3 +90,75 @@ def test_external_cores_nonnegative_and_bounded_shape():
         assert ext >= 0.0
     else:
         assert ext == -1.0
+
+
+def test_meter_disables_without_proc_children(monkeypatch):
+    """ADVICE r9: on a kernel without CONFIG_PROC_CHILDREN the tree
+    walk loses the JVM's jiffies and every query would be stamped
+    hot — the meter must self-disable to the -1 unknown stamp."""
+    import builtins
+
+    real_open = builtins.open
+
+    def fake_open(path, *a, **kw):
+        if isinstance(path, str) and path.endswith("/children"):
+            raise OSError("no CONFIG_PROC_CHILDREN")
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", fake_open)
+    meter = ExternalLoadMeter()
+    assert not meter.ok
+    assert meter.external_cores(meter.start()) == -1.0
+
+
+def test_retime_trigger_scales_with_duration():
+    """VERDICT r9 item 5: sub-second queries re-time at ~1 external
+    core; long queries keep the historical burst threshold."""
+    from bench import retime_trigger
+
+    assert retime_trigger(0.5, 8.0) == 1.0
+    assert retime_trigger(0.9, 8.0) == 1.0
+    assert retime_trigger(5.0, 8.0) == 4.0
+    assert retime_trigger(10.0, 8.0) == 8.0
+    assert retime_trigger(60.0, 8.0) == 8.0
+    # degenerate hosts: trigger never exceeds the global threshold
+    assert retime_trigger(60.0, 4.0) == 4.0
+
+
+def test_output_lines_tail_always_parseable():
+    """VERDICT r9 item 2: the driver keeps the last 2000 bytes of
+    stdout; the LAST printed line must be a complete JSON record
+    with the headline contract fields, under that budget, no matter
+    how large the stamped record grows."""
+    import json
+
+    stamped = {
+        "metric": "headline_queries_total_time",
+        "value": 15.1,
+        "unit": "sec",
+        "queries": {f"query_name_{i}": 1.2345 for i in range(17)},
+        "query_medians": {f"query_name_{i}": 1.3 for i in range(17)},
+        "extended": {f"ext_{i}": 5.0 for i in range(8)},
+        "sf": 0.1,
+        "query_ext_cores": {f"query_name_{i}": 0.1 for i in range(17)},
+        "extended_ext_cores": {f"ext_{i}": 0.1 for i in range(8)},
+        "ext_cores_threshold": 8.0,
+        "retimed": [],
+    }
+    from bench import output_lines
+
+    lines = output_lines(stamped)
+    assert json.loads(lines[0]) == stamped  # full record still emitted
+    tail = json.loads(lines[-1])
+    assert len(lines[-1]) <= 1900
+    assert tail["metric"] == "headline_queries_total_time"
+    assert tail["value"] == 15.1 and tail["unit"] == "sec"
+    assert tail["sf"] == 0.1 and len(tail["queries"]) == 17
+
+    # pathological growth: per-query map alone larger than the tail
+    # budget -> queries collapse to a count, contract fields survive
+    huge = dict(stamped, queries={f"very_long_query_name_{i}": 1.2345
+                                  for i in range(300)})
+    tail = json.loads(output_lines(huge)[-1])
+    assert len(json.dumps(tail)) <= 1900
+    assert tail["value"] == 15.1 and tail["queries"] == {"n": 300}
