@@ -141,8 +141,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "mutual_knn_pairs",
     # Round-8 window order preserved below for artifact traceability
     # (all green in CORRECTNESS_r08; canaries hoisted above).
-    # Round-8 window order preserved below for artifact traceability
-    # (all green in CORRECTNESS_r08; canaries hoisted above).
     "cricket_wickets_by_bowler",
     "cricket_batter_vs_bowler",
     "cricket_toughest_bowlers",
