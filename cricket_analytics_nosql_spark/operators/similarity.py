@@ -30,7 +30,7 @@ import math
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.functions.scalar import flag
@@ -541,20 +541,12 @@ ORDER BY s.q_id
 # IVF scale path
 # ---------------------------------------------------------------------------
 
-def dist2(a: Column, b: Column) -> Column:
-    """Σ (aᵢ-bᵢ)² — squared euclidean, same zip_with/aggregate
-    native-expression shape as dot()."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def dist2_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     """Σ (aᵢ-bᵢ)² as an UNROLLED left-to-right sum of element_at
-    terms — bit-identical to ``dist2``'s fold (same accumulation
-    order, same IEEE adds) but plain expressions, so it runs inside
+    terms — bit-identical to the zip_with/aggregate fold
+    ``aggregate(zip_with(a, b, (x,y)->(x-y)²), 0.0, +)`` (same
+    accumulation order, same IEEE adds) but plain expressions, so
+    it runs inside
     whole-stage codegen instead of the interpreted higher-order
     evaluator. Use when ``dim`` is statically known and the call
     sits on a hot row stream (e.g. the k-means assign inner loop).
@@ -574,152 +566,252 @@ def dist2_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
         * (F.element_at(a, i + 1) - F.element_at(b, i + 1))
         for i in range(dim)
     ]
-    # match dist2's fold exactly: (((0.0 + t1) + t2) + ...)
+    # match the zip_with fold exactly: (((0.0 + t1) + t2) + ...)
     out: Column = F.lit(0.0)
     for t in terms:
         out = out + t
     return out
 
 
-def assign_cells(
-    emb: DataFrame, centroids: DataFrame, dim: int | None = None
+def _argmin_cell_expr(
+    cents: list[tuple[int, list[float]]],
+    dim: int,
+    vcol: str = "v",
+    offset: int = 0,
+    sliced: bool = False,
+) -> Column:
+    """Nearest-centroid cell id as ONE literal expression over the
+    vector column — the shuffle-free half of the allreduce k-means
+    (centroids are driver-side O(k·dim) state, the same discipline
+    as pagerank's dangling-mass scalar).
+
+    argmin_j ‖v−c_j‖² = argmin_j (‖c_j‖² − 2·v·c_j) since ‖v‖² is
+    constant within a row — half the flops of the expanded d², and
+    no crossJoin/groupBy: the previous plan materialized n×k
+    assignment rows and shuffled them back down to n (a data-sized
+    exchange per consumer); this is a pure projection the scan
+    absorbs. Ties break to the lowest cell id (array_position
+    returns the FIRST minimum; ``cents`` is sorted by cell id).
+    Literal doubles round-trip exactly through repr (verified: the
+    SQL parser reads the shortest-repr form back to the same bits).
+    ``offset`` addresses a subvector slice in place (PQ subspaces).
+
+    Shape matters: the codebook rides as ONE nested array literal
+    with the per-cell score under transform/zip_with/aggregate —
+    ~k·dim literal LEAVES but only a handful of expression NODES.
+    The fully unrolled per-cell product chain (k·dim operator nodes)
+    cost ~1.4 s of catalyst analysis + 4.7 s of Janino compile per
+    fresh plan at k=16, dim=64 (measured); this form analyzes in
+    ~0.1 s and evaluates through the interpreted higher-order
+    evaluator, which on an argmin over k cells is already
+    memory-bound, not compute-bound."""
+    vexpr = (
+        f"slice({vcol}, {offset + 1}, {dim})"
+        if sliced or offset != 0
+        else vcol
+    )
+    cells = ", ".join(str(cell) for cell, _ in cents)
+    arrs = ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in v) + ")" for _, v in cents
+    )
+    norms = ", ".join(f"{sum(x * x for x in v)!r}D" for _, v in cents)
+    scores = (
+        f"zip_with(array({norms}), transform(array({arrs}), "
+        f"c -> aggregate(zip_with({vexpr}, c, (x, y) -> x * y), "
+        f"0.0D, (a, p) -> a + p)), (n, d) -> n - 2.0D * d)"
+    )
+    return F.expr(
+        f"element_at(array({cells}), "
+        f"CAST(array_position({scores}, array_min({scores})) AS INT))"
+    )
+
+
+def _centroid_frame(
+    spark: SparkSession, cents: list[tuple[int, list[float]]]
 ) -> DataFrame:
-    """(vec_id, v, cell): each vector to its nearest centroid.
-    Centroids broadcast (k rows); argmin via min_by over a
-    (distance, cell) struct so ties break deterministically on the
-    lower cell id. One narrow map + a vec_id-keyed partial agg — no
-    data-sized shuffle beyond the assignment rows themselves.
-    Pass ``dim`` when statically known: the distance then runs as
-    the codegen'd unrolled sum (bit-identical to the fold) instead
-    of the interpreted higher-order evaluator — on the n×k assign
-    stream that is the k-means hot loop."""
-    d2 = (
-        dist2_unrolled("v", "centroid", dim)
-        if dim
-        else dist2(F.col("v"), F.col("centroid"))
+    """(cell, centroid) DataFrame view of driver-side centroids, for
+    consumers that join/broadcast the centroid table (probe ranking,
+    radii). k rows of metadata — never data-sized."""
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cell int, centroid array<double>",
     )
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "v",
-        "cell",
-        d2.alias("d2"),
+
+
+# Quantizer-training sample budget, per cell: the coarse quantizer
+# trains on the 256·k lowest vec_ids, the published FAISS default
+# band (train ≥ 39·k, typical 256·k per centroid; ScaNN and public
+# IVF guides use the same order). The sample is FIXED-SIZE — driver
+# memory O(256·k·dim) ≈ 2 MB at k=16, dim=64 — independent of corpus
+# scale, the same boundedness argument as the O(1)-row allreduce
+# fetches (training.py gradient, bpe.py argmax).
+KMEANS_TRAIN_PER_CELL = 256
+
+
+def _train_sample(emb: DataFrame, k: int) -> list:
+    """The deterministic bounded quantizer-train sample: the
+    256·k lowest vec_ids, ONE TakeOrdered job, O(256·k·dim) driver
+    bytes regardless of corpus size. Rows carry (vec_id, v) so the
+    same collect also serves the fixed demo query set (vec_id <
+    N_QUERIES — always a prefix of this sample)."""
+    return (
+        emb.orderBy("vec_id")
+        .limit(max(k, KMEANS_TRAIN_PER_CELL * k))
+        .select("vec_id", "v")
+        .collect()
     )
-    return scored.groupBy("vec_id").agg(
-        F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
-        # v is constant within the group; min_by keeps it deterministic
-        F.min_by("v", F.struct("d2", "cell")).alias("v"),
-    )
+
+
+def _lloyd_numpy(
+    x: "np.ndarray", k: int, max_iter: int
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's iteration on an in-memory train sample (float64
+    numpy, deterministic): seeds are the first k rows (callers pass
+    rows sorted by vec_id, so seeds = the k lowest vec_ids — the
+    same seeding the distributed loop used), assignment is
+    argmin_j (‖c_j‖² − 2·x·c_j) with numpy's first-minimum
+    tie-break (= lowest cell id, matching ``_argmin_cell_expr``),
+    update is the per-cell float64 mean. Cells that lose every
+    member drop out — k is an upper bound."""
+    cell_ids = list(range(1, min(k, len(x)) + 1))
+    cents = x[: len(cell_ids)].copy()
+    for _ in range(max_iter):
+        scores = (cents * cents).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
+        assign = scores.argmin(axis=1)
+        kept_ids, kept_cents = [], []
+        for idx, cid in enumerate(cell_ids):
+            members = assign == idx
+            if members.any():
+                kept_ids.append(cid)
+                kept_cents.append(x[members].mean(axis=0))
+        cell_ids = kept_ids
+        cents = np.asarray(kept_cents)
+    return [
+        (cid, [float(val) for val in cents[i]])
+        for i, cid in enumerate(cell_ids)
+    ]
+
+
+def kmeans_fit_rows(
+    emb: DataFrame,
+    k: int = 16,
+    max_iter: int = 4,
+    dim: int = 64,
+    sample: list | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Coarse-quantizer training → sorted driver-side
+    [(cell, centroid)] list: ONE TakeOrdered job collects the
+    deterministic bounded train sample (the 256·k lowest vec_ids —
+    see ``KMEANS_TRAIN_PER_CELL``; reproducible across
+    runs/partitionings, unlike random sampling), then Lloyd's
+    iteration runs on the sample in numpy.
+
+    Why not iterate on the cluster: a 16-cell quantizer needs a few
+    thousand training vectors no matter how big the corpus is —
+    that is how production ANN systems train coarse quantizers
+    (FAISS/ScaNN train on a fixed-size sample, never the corpus) —
+    so per-round Spark jobs buy nothing but scheduler latency. The
+    previous distributed loop cost ~0.5 s of fixed job overhead per
+    round on a corpus that fits in the sample anyway (measured
+    1.63 s for 3 rounds at sf0.1; this path: one ~0.1 s collect).
+    The corpus-sized work — assignment, probing, re-rank — stays
+    distributed (``_argmin_cell_expr`` projections, cell-keyed
+    joins). At 100 TB the sample is still 4096 vectors: collect
+    stays O(k·256·dim) bytes and the quantizer quality argument is
+    unchanged (centroid estimates converge in sample size, not
+    corpus size). Pass ``sample`` (rows from ``_train_sample``) to
+    reuse an already-collected sample — zero jobs then."""
+    if sample is None:
+        sample = _train_sample(emb, k)
+    x = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    return _lloyd_numpy(x, k, max_iter)
 
 
 def kmeans_fit(
     emb: DataFrame, k: int = 16, max_iter: int = 4, dim: int = 64
 ) -> DataFrame:
-    """Distributed Lloyd's iteration → (cell, centroid) DataFrame.
-
-    Deterministic: seeds are the k lowest vec_ids (reproducible
-    across runs/partitionings, unlike sampling). Each round is one
-    broadcast-assign + one per-cell average (map-side combinable:
-    the shuffle carries k×dim partial sums per partition, not
-    vectors). Centroids are localCheckpoint-ed per round — they feed
-    the next broadcast AND keep lineage flat (same discipline as
-    pagerank). Cells that lose every member simply drop out (the
-    classic empty-cell case) — k is an upper bound.
-
-    The loop runs with AQE off and shuffle partitions derived from
-    the measured vector count — the connected_components/pagerank
-    fixed-plan discipline: each round's shuffles carry ≤n assignment
-    rows and k×dim partial sums, so 32 default partitions on a
-    small corpus is pure task-launch overhead (measured 4.4 s → a
-    fraction of that at sf0.01's 500 vectors), while the same
-    formula keeps partitions in-memory at cluster scale."""
-    spark = emb.sparkSession
-    n_obs = Observation()
-    seeds = (
-        emb.observe(n_obs, F.count(F.lit(1)).alias("n"))
-        .orderBy("vec_id")
-        .limit(k)
-        .select(
-            F.row_number()
-            .over(Window.orderBy("vec_id"))
-            .alias("cell"),
-            F.col("v").alias("centroid"),
-        )
+    """Distributed Lloyd's iteration → (cell, centroid) DataFrame
+    (``kmeans_fit_rows`` wrapped for callers that join/broadcast
+    the centroid frame)."""
+    return _centroid_frame(
+        emb.sparkSession, kmeans_fit_rows(emb, k=k, max_iter=max_iter, dim=dim)
     )
-    centroids = seeds.localCheckpoint()
-    n = int(n_obs.get["n"])
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(max(2, n // 100_000))
-    )
-    # Every round builds a FRESH plan around the same giant unrolled
-    # d²/avg expressions, and Janino recompiles them from scratch —
-    # measured ~3× of ann_ivf_kmeans' wall time at sf0.1 (17 s → 5 s
-    # interpreted). Interpreted eval IS the same expression tree and
-    # the same IEEE arithmetic (results bit-identical; the oracle
-    # parity gate pins it), it just skips the per-round compiler.
-    # Scoped to the fit loop and restored: the one-shot scoring scan
-    # downstream keeps codegen, which wins on corpus-sized input.
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try:
-        # one F.expr parse instead of dim py4j builds per round —
-        # v[i] subscripts, identical values (see dot_unrolled note)
-        mean_centroid = F.expr(
-            "array(" + ", ".join(f"avg(v[{i}])" for i in range(dim)) + ")"
-        ).alias("centroid")
-        for _ in range(max_iter):
-            assigned = assign_cells(emb, centroids, dim=dim)
-            centroids = (
-                assigned.groupBy("cell")
-                .agg(mean_centroid)
-                .localCheckpoint()
-            )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
-    return centroids
 
 
 def ivf_topk(
     emb: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None = None,
     nprobe: int = 3,
     k: int = TOP_K,
     centroids: DataFrame | None = None,
+    centroid_rows: list[tuple[int, list[float]]] | None = None,
+    query_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF probe: nearest ``nprobe`` cells per query by centroid
-    cosine, exact re-rank within the probed cells. ``centroids``
-    (cell, centroid) normally comes from ``kmeans_fit`` at ingest;
-    when omitted, the given ``label`` plays the cell id (the probe
-    dataflow is identical either way)."""
+    cosine, exact re-rank within the probed cells. ``centroid_rows``
+    (driver-side [(cell, centroid)], normally from
+    ``kmeans_fit_rows`` at ingest) makes the corpus assignment a
+    pure literal projection — no exchange; a ``centroids``
+    DataFrame (k metadata rows) is collected down to the same form;
+    when both are omitted, the given ``label`` plays the cell id
+    (the probe dataflow is identical either way). ``query_rows``
+    (driver-side [(q_id, vector)] — the fixed demo query set is
+    O(1) metadata) additionally moves the probe-cell ranking to the
+    driver: |Q|×k numpy cosines replace the crossJoin → window jobs,
+    and the probe table becomes a local frame the cell join
+    broadcasts."""
     dim = 64
-    if centroids is None:
+    if centroid_rows is None and centroids is not None:
+        centroid_rows = sorted(
+            (r["cell"], list(r["centroid"])) for r in centroids.collect()
+        )
+    if centroid_rows is not None:
+        centroids = _centroid_frame(emb.sparkSession, centroid_rows)
+        emb = emb.withColumn(
+            "cell", _argmin_cell_expr(centroid_rows, dim)
+        )
+    else:
         centroids = emb.groupBy(F.col("label").alias("cell")).agg(
             F.array(
                 *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
             ).alias("centroid")
         )
         emb = emb.withColumn("cell", F.col("label"))
-    else:
-        emb = assign_cells(emb, centroids, dim=dim)
-    probe_w = Window.partitionBy("q_id").orderBy(
-        F.desc("c_cos"), F.asc("cell")
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(
-            "q_id",
-            "q",
-            "cell",
-            cosine(F.col("q"), F.col("centroid")).alias("c_cos"),
+    if query_rows is not None and centroid_rows is not None:
+        # probe ranking on the driver: |Q|·k cosines over metadata
+        cmat = np.asarray([c for _, c in centroid_rows], dtype=np.float64)
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+        probe_rows = []
+        for q_id, qv in sorted(query_rows):
+            qarr = np.asarray(qv, dtype=np.float64)
+            cos = (cmat @ qarr) / (cnorm * np.sqrt(qarr @ qarr))
+            # desc cosine, ties to the lower cell id (stable argsort
+            # over -cos keeps the original = cell order)
+            order = np.argsort(-cos, kind="stable")[:nprobe]
+            probe_rows.extend(
+                (int(q_id), [float(x) for x in qv],
+                 int(centroid_rows[i][0]))
+                for i in order
+            )
+        probes = emb.sparkSession.createDataFrame(
+            probe_rows, "q_id long, q array<double>, cell int"
         )
-        .withColumn("p", F.row_number().over(probe_w))
-        .filter(F.col("p") <= nprobe)
-        .select("q_id", "q", "cell")
-    )
+    else:
+        probe_w = Window.partitionBy("q_id").orderBy(
+            F.desc("c_cos"), F.asc("cell")
+        )
+        probes = (
+            queries.crossJoin(F.broadcast(centroids))
+            .select(
+                "q_id",
+                "q",
+                "cell",
+                cosine(F.col("q"), F.col("centroid")).alias("c_cos"),
+            )
+            .withColumn("p", F.row_number().over(probe_w))
+            .filter(F.col("p") <= nprobe)
+            .select("q_id", "q", "cell")
+        )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         emb.join(F.broadcast(probes), "cell")
@@ -755,11 +847,19 @@ def ann_ivf_kmeans_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Neighbor rows; audited by the ``ann_ivf_kmeans`` catalog query
     for the same float-averaging reason as ``ann_ivf_neighbors``."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q")
-    )
-    cents = kmeans_fit(emb, k=16, max_iter=3)
-    return ivf_topk(emb, queries, centroids=cents).orderBy("q_id", "rank")
+    # ONE metadata collect serves quantizer training AND the demo
+    # query set (the N_QUERIES lowest vec_ids are a prefix of the
+    # train sample by construction)
+    sample = _train_sample(emb, 16)
+    cents = kmeans_fit_rows(emb, k=16, max_iter=3, sample=sample)
+    q_rows = [
+        (r["vec_id"], list(r["v"]))
+        for r in sample
+        if r["vec_id"] < N_QUERIES
+    ]
+    return ivf_topk(
+        emb, centroid_rows=cents, query_rows=q_rows
+    ).orderBy("q_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -874,25 +974,31 @@ def _ann_method_audit(
     hash check goes red. Emits (n_queries, n_exact_pairs,
     avg_topk_cos, recall_ok)."""
     exact = ann_brute_force(spark, sf_dir).localCheckpoint()
-    n_exact = exact.count()
+    # count + rounded mean in ONE pass (the rounding happens
+    # JVM-side, so the collected double is bit-identical to the
+    # previous crossJoin(stats) plan and to the DuckDB oracle)
     stats = exact.agg(
-        (F.round(F.avg("cos"), 6) + F.lit(0.0)).alias("avg_topk_cos")
-    )
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.avg("cos"), 6) + F.lit(0.0)).alias("avg_topk_cos"),
+    ).collect()[0]
+    n_exact = stats["n"]
     hits = (
         neighbors_fn(spark, sf_dir)
         .select("q_id", "vec_id")
         .join(exact, ["q_id", "vec_id"], "left_semi")
         .count()
     )
-    flags = spark.createDataFrame(
-        [(N_QUERIES, hits / n_exact >= RECALL_FLOORS[method])],
-        "n_queries long, recall_ok boolean",
-    )
-    return flags.crossJoin(F.broadcast(stats)).select(
-        "n_queries",
-        F.lit(n_exact).cast("long").alias("n_exact_pairs"),
-        "avg_topk_cos",
-        "recall_ok",
+    return spark.createDataFrame(
+        [
+            (
+                N_QUERIES,
+                n_exact,
+                float(stats["avg_topk_cos"]),
+                hits / n_exact >= RECALL_FLOORS[method],
+            )
+        ],
+        "n_queries long, n_exact_pairs long, "
+        "avg_topk_cos double, recall_ok boolean",
     )
 
 
@@ -1097,6 +1203,42 @@ PQ_CAND = 50  # ADC candidate pool before exact re-rank
 COS_TAU = 0.42  # near-dup cosine cut, shared by Spark sides and oracles
 
 
+def pq_codebooks_rows(
+    emb: DataFrame,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+    iters: int = 3,
+    dim: int = 64,
+    sample: list | None = None,
+) -> dict[int, list[tuple[int, list[float]]]]:
+    """Per-subspace k-means codebooks, allreduce form → driver-side
+    {subspace: sorted [(cell, centroid)]}. The full codebook is
+    m·k·(dim/m) floats — KB-scale metadata, which is the entire
+    point of PQ: the corpus compresses to m small codes per vector
+    while search math runs against this table.
+
+    ONE TakeOrdered job collects the deterministic bounded train
+    sample (the 256·k lowest vec_ids — the ``kmeans_fit_rows``
+    rationale: codebook quality converges in sample size, not
+    corpus size; FAISS trains PQ codebooks the same way), then all
+    m subspace Lloyd loops run on the sample's slices in numpy.
+    Seeds per subspace are the k lowest vec_ids' slices — identical
+    across subspaces by construction, matching the previous
+    row_number seeding. The corpus-sized work (``pq_encode``, the
+    ADC scan) stays distributed. Pass ``sample`` to reuse an
+    already-collected ``_train_sample`` — zero jobs then."""
+    sub_dim = dim // m
+    if sample is None:
+        sample = _train_sample(emb, k)
+    x = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    return {
+        j: _lloyd_numpy(
+            x[:, j * sub_dim: (j + 1) * sub_dim].copy(), k, iters
+        )
+        for j in range(m)
+    }
+
+
 def pq_codebooks(
     emb: DataFrame,
     m: int = PQ_SUBSPACES,
@@ -1104,110 +1246,46 @@ def pq_codebooks(
     iters: int = 3,
     dim: int = 64,
 ) -> DataFrame:
-    """Per-subspace k-means codebooks → (subspace, cell, centroid).
-    Each subspace trains on its 8-dim slice via the shared
-    ``kmeans_fit`` (deterministic lowest-id seeds); m tiny loops over
-    vocabulary... vector-sized frames. The full codebook is
-    m·k·(dim/m) floats — KB-scale metadata that broadcasts
-    everywhere downstream, which is the entire point of PQ: the
-    corpus compresses to m small codes per vector while search math
-    runs against this table."""
-    sub_dim = dim // m
-    # ALL m subspaces train in ONE subspace-keyed Lloyd loop: the
-    # per-subspace python loop ran m×iters sequential Spark jobs
-    # (each with full job-launch + shuffle latency — measured 46 s
-    # at sf0.1 for 8×3 rounds of trivial work); batching them makes
-    # it `iters` jobs over m× the rows, identical math per subspace
-    # (same lowest-id seeds, same assignment, same per-cell means).
-    sub = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("v"), j * sub_dim + 1, sub_dim)
-                    for j in range(m)
-                ]
-            )
-        ).alias("subspace", "sv"),
-    ).localCheckpoint()
-    wseed = Window.partitionBy("subspace").orderBy("vec_id")
-    centroids = (
-        sub.withColumn("rn", F.row_number().over(wseed))
-        .filter(F.col("rn") <= k)
-        .select(
-            "subspace", F.col("rn").alias("cell"), F.col("sv").alias("centroid")
-        )
-        .localCheckpoint()
+    """Per-subspace codebooks → (subspace, cell, centroid) DataFrame
+    (``pq_codebooks_rows`` wrapped for callers that broadcast the
+    codebook table, e.g. the ADC lookup-table build)."""
+    books = pq_codebooks_rows(emb, m=m, k=k, iters=iters, dim=dim)
+    return emb.sparkSession.createDataFrame(
+        [
+            (j, int(c), [float(x) for x in v])
+            for j in sorted(books)
+            for c, v in books[j]
+        ],
+        "subspace int, cell int, centroid array<double>",
     )
-    # per-round Janino recompiles of the unrolled d²/avg expressions
-    # are pure fixed overhead on these tiny frames — interpreted
-    # eval is the same IEEE arithmetic (see kmeans_fit); restored
-    # after the loop so downstream scans keep codegen
-    spark = emb.sparkSession
-    prev_wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try:
-        for _ in range(iters):
-            assigned = (
-                sub.join(F.broadcast(centroids), "subspace")
-                .select(
-                    "subspace",
-                    "vec_id",
-                    "sv",
-                    "cell",
-                    dist2_unrolled("sv", "centroid", sub_dim).alias("d2"),
-                )
-                .groupBy("subspace", "vec_id")
-                .agg(
-                    F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
-                    F.min_by("sv", F.struct("d2", "cell")).alias("sv"),
-                )
-            )
-            centroids = (
-                assigned.groupBy("subspace", "cell")
-                .agg(
-                    F.expr(
-                        "array("
-                        + ", ".join(f"avg(sv[{i}])" for i in range(sub_dim))
-                        + ")"
-                    ).alias("centroid")
-                )
-                .localCheckpoint()
-            )
-    finally:
-        spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
-    return centroids.select("subspace", "cell", "centroid")
 
 
 def pq_encode(emb: DataFrame, books: DataFrame, dim: int = 64) -> DataFrame:
-    """(vec_id, subspace, code): nearest codebook cell per subvector
-    — one broadcast-assign per subspace, narrow over the scan."""
+    """(vec_id, subspace, code): nearest codebook cell per subvector.
+    The codebook (m·k metadata rows) collects to the driver once and
+    every subspace's code evaluates as a literal-argmin projection
+    in the same scan — no join, no groupBy: the previous plan
+    exploded the corpus to n×m rows and shuffled n×m×k assignment
+    rows through groupBy(subspace, vec_id)."""
     m = PQ_SUBSPACES
     sub_dim = dim // m
-    # one subspace-keyed assignment instead of m sequential ones
-    # (same math per subspace; the join key replaces the python loop)
-    sub = emb.select(
+    rows = {j: [] for j in range(m)}
+    for r in books.collect():
+        rows[r["subspace"]].append((r["cell"], list(r["centroid"])))
+    for j in range(m):
+        rows[j].sort()
+    return emb.select(
         "vec_id",
         F.posexplode(
             F.array(
                 *[
-                    F.slice(F.col("v"), j * sub_dim + 1, sub_dim)
+                    _argmin_cell_expr(
+                        rows[j], sub_dim, offset=j * sub_dim, sliced=True
+                    )
                     for j in range(m)
                 ]
             )
-        ).alias("subspace", "sv"),
-    )
-    return (
-        sub.join(F.broadcast(books), "subspace")
-        .select(
-            "subspace",
-            "vec_id",
-            "cell",
-            dist2_unrolled("sv", "centroid", sub_dim).alias("d2"),
-        )
-        .groupBy("subspace", "vec_id")
-        .agg(F.min_by("cell", F.struct("d2", "cell")).alias("code"))
-        .select("vec_id", "subspace", "code")
+        ).alias("subspace", "code"),
     )
 
 
@@ -1218,49 +1296,73 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-kmeans artifacts with no SQL twin. Pipeline: train m=8
     16-cell codebooks, encode the corpus to 8 codes/vector, build
     each query's (subspace, code) → partial-distance LOOKUP TABLE
-    (m·k rows per query — broadcast metadata), score every vector in
-    the COMPRESSED domain as the sum of m table lookups, keep the
-    top-50 ADC candidates per query, exact-re-rank those to top-k.
-    Recall vs the exact brute-force truth must clear the measured
-    floor. At 100 TB the ADC scan reads 8 BYTES per vector instead
-    of 256 — the 32× scan-compression is why this path exists."""
+    (m·k entries per query — literal metadata, the codebook and the
+    fixed demo query set are both driver-side), score every vector
+    in the COMPRESSED domain as the sum of m table lookups evaluated
+    IN THE ENCODE SCAN (textbook ADC: a map lookup per subspace per
+    query — no join, no groupBy; the previous plan exploded the
+    corpus to n×m rows, joined the LUT, and shuffled n×m×|Q|
+    partial-distance rows back down), keep the top-50 ADC candidates
+    per query, exact-re-rank those to top-k. Recall vs the exact
+    brute-force truth must clear the measured floor. At 100 TB the
+    ADC scan reads 8 BYTES per vector instead of 256 — the 32×
+    scan-compression is why this path exists — and the only
+    corpus-sized exchange left is the per-query top-50 selection."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings"))
-    books = pq_codebooks(emb).localCheckpoint()
-    codes = pq_encode(emb, books)
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q")
+    # ONE metadata collect serves codebook training AND the demo
+    # query set (see ann_ivf_kmeans_neighbors)
+    sample = _train_sample(emb, PQ_CODES)
+    books_rows = pq_codebooks_rows(emb, sample=sample)
+    m, sub_dim = PQ_SUBSPACES, 64 // PQ_SUBSPACES
+    # the demo query set is O(1) metadata (N_QUERIES fixed rows),
+    # so each query's LUT is a driver-side constant: pd[q][j][cell]
+    # = ‖q_j − centroid‖² over the subspace slice
+    q_rows = sorted(
+        (r["vec_id"], list(r["v"]))
+        for r in sample
+        if r["vec_id"] < N_QUERIES
     )
-    sub_dim = 64 // PQ_SUBSPACES
-    # LUT: partial squared distance from each query's j-th subvector
-    # to every cell centroid of subspace j (8 q × 8 m × 16 k = 1024
-    # rows — broadcast metadata)
-    lut = (
-        queries.crossJoin(F.broadcast(books))
-        .select(
-            "q_id",
-            "subspace",
-            F.col("cell").alias("code"),
-            dist2(
-                F.expr(
-                    f"slice(q, subspace * {sub_dim} + 1, {sub_dim})"
-                ),
-                F.col("centroid"),
-            ).alias("pd"),
-        )
-    )
-    adc = (
-        codes.join(F.broadcast(lut), ["subspace", "code"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("pd").alias("adc_d2"))
+    code_cols = [
+        _argmin_cell_expr(
+            books_rows[j], sub_dim, offset=j * sub_dim, sliced=True
+        ).alias(f"c{j}")
+        for j in range(m)
+    ]
+
+    def _adc_expr(qv: list[float]) -> str:
+        parts = []
+        for j in range(m):
+            qs = qv[j * sub_dim: (j + 1) * sub_dim]
+            entries = ", ".join(
+                f"{cell}, {sum((a - b) * (a - b) for a, b in zip(qs, c))!r}D"
+                for cell, c in books_rows[j]
+            )
+            parts.append(f"element_at(map({entries}), c{j})")
+        return " + ".join(parts)
+
+    adc_structs = F.array(
+        *[
+            F.struct(
+                F.lit(q_id).cast("long").alias("q_id"),
+                F.expr(_adc_expr(qv)).alias("adc_d2"),
+            )
+            for q_id, qv in q_rows
+        ]
     )
     w_adc = Window.partitionBy("q_id").orderBy(
         F.asc("adc_d2"), F.asc("vec_id")
     )
     cand = (
-        adc.withColumn("r", F.row_number().over(w_adc))
+        emb.select("vec_id", *code_cols)
+        .select("vec_id", F.explode(adc_structs).alias("qa"))
+        .select("vec_id", "qa.q_id", "qa.adc_d2")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("r", F.row_number().over(w_adc))
         .filter(F.col("r") <= PQ_CAND)
         .select("q_id", "vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q")
     )
     # exact re-rank of the candidate pool
     qv = queries.withColumnRenamed("q", "qv")
@@ -1275,20 +1377,24 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id")
     )
     exact = ann_brute_force(spark, sf_dir).localCheckpoint()
-    n_exact = exact.count()
+    # count + rounded mean in ONE pass (see _ann_method_audit)
     stats = exact.agg(
-        (F.round(F.avg("cos"), 6) + F.lit(0.0)).alias("avg_topk_cos")
-    )
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.avg("cos"), 6) + F.lit(0.0)).alias("avg_topk_cos"),
+    ).collect()[0]
+    n_exact = stats["n"]
     hits = approx.join(exact, ["q_id", "vec_id"], "left_semi").count()
-    flags = spark.createDataFrame(
-        [(N_QUERIES, hits / n_exact >= RECALL_FLOORS["pq"])],
-        "n_queries long, recall_ok boolean",
-    )
-    return flags.crossJoin(F.broadcast(stats)).select(
-        "n_queries",
-        F.lit(n_exact).cast("long").alias("n_exact_pairs"),
-        "avg_topk_cos",
-        "recall_ok",
+    return spark.createDataFrame(
+        [
+            (
+                N_QUERIES,
+                n_exact,
+                float(stats["avg_topk_cos"]),
+                hits / n_exact >= RECALL_FLOORS["pq"],
+            )
+        ],
+        "n_queries long, n_exact_pairs long, "
+        "avg_topk_cos double, recall_ok boolean",
     )
 
 
@@ -1452,13 +1558,21 @@ def exact_cosine_pairs(
     import math
 
     if centroids is None:
-        centroids = kmeans_fit(emb, k=k, max_iter=3, dim=dim)
+        cent_rows = kmeans_fit_rows(emb, k=k, max_iter=3, dim=dim)
+    else:
+        cent_rows = sorted(
+            (r["cell"], list(r["centroid"])) for r in centroids.collect()
+        )
+    centroids = _centroid_frame(emb.sparkSession, cent_rows)
     # one materialization: radii, the cell-pair prune, and the block
-    # sides all reuse the assignment; without it the wide d²
-    # assignment expression re-executes (and re-compiles) once per
-    # consumer. At cluster scale this is the ingest-time "persist
-    # assignments next to the vectors" step.
-    assigned = assign_cells(emb, centroids, dim=dim).localCheckpoint()
+    # sides all reuse the assignment (a pure literal-argmin
+    # projection — no exchange); without it the assignment
+    # expression re-executes once per consumer. At cluster scale
+    # this is the ingest-time "persist assignments next to the
+    # vectors" step.
+    assigned = emb.withColumn(
+        "cell", _argmin_cell_expr(cent_rows, dim)
+    ).localCheckpoint()
     radii = (
         assigned.join(F.broadcast(centroids), "cell")
         .select(

@@ -235,6 +235,13 @@ def test_no_driver_side_data_paths():
         # doubles, becomes next iteration's plan literals) — the
         # allreduce step of distributed training, never data rows
         ("operators/training.py", ".collect()"),
+        # Bounded-metadata reads only, each independent of corpus
+        # size: the 256·k-row quantizer train sample (_train_sample,
+        # the FAISS-style fixed-size train set, ~2 MB at k=16),
+        # k-row centroid / m·k-row codebook frames (become plan
+        # literals for the shuffle-free argmin assignment), and
+        # 1-row audit stats aggregates — never data rows
+        ("operators/similarity.py", ".collect()"),
     }
     bad = []
     for sub in ("operators", "plans", "streaming", "functions", "sources"):
