@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline catalog queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines (round 10): the
+full stamped record first (also mirrored to bench_stamps.json), then
+a compact contract line LAST, guaranteed <= 1900 bytes —
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+— so the driver's 2000-byte stdout tail capture always parses.
+Consumers parsing stdout should read it line-by-line (see
+tools/bench_compare._load), not as one JSON document.
 
 Each query is forced through the full plan with a noop sink (no
 driver collect — measures engine time, not result transfer).

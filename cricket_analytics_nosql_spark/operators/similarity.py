@@ -541,38 +541,6 @@ ORDER BY s.q_id
 # IVF scale path
 # ---------------------------------------------------------------------------
 
-def dist2_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
-    """Σ (aᵢ-bᵢ)² as an UNROLLED left-to-right sum of element_at
-    terms — bit-identical to the zip_with/aggregate fold
-    ``aggregate(zip_with(a, b, (x,y)->(x-y)²), 0.0, +)`` (same
-    accumulation order, same IEEE adds) but plain expressions, so
-    it runs inside
-    whole-stage codegen instead of the interpreted higher-order
-    evaluator. Use when ``dim`` is statically known and the call
-    sits on a hot row stream (e.g. the k-means assign inner loop).
-    String args take the one-``F.expr``-parse fast path (see
-    ``dot_unrolled``)."""
-    if isinstance(a, str) and isinstance(b, str):
-        return F.expr(
-            "0.0D + "
-            + " + ".join(
-                f"(element_at({a}, {i + 1}) - element_at({b}, {i + 1}))"
-                f" * (element_at({a}, {i + 1}) - element_at({b}, {i + 1}))"
-                for i in range(dim)
-            )
-        )
-    terms = [
-        (F.element_at(a, i + 1) - F.element_at(b, i + 1))
-        * (F.element_at(a, i + 1) - F.element_at(b, i + 1))
-        for i in range(dim)
-    ]
-    # match the zip_with fold exactly: (((0.0 + t1) + t2) + ...)
-    out: Column = F.lit(0.0)
-    for t in terms:
-        out = out + t
-    return out
-
-
 def _argmin_cell_expr(
     cents: list[tuple[int, list[float]]],
     dim: int,
@@ -620,9 +588,15 @@ def _argmin_cell_expr(
         f"c -> aggregate(zip_with({vexpr}, c, (x, y) -> x * y), "
         f"0.0D, (a, p) -> a + p)), (n, d) -> n - 2.0D * d)"
     )
+    # single evaluation of the score pipeline: lambda-bearing
+    # expressions are excluded from Spark's subexpression
+    # elimination (SPARK-35410), so the array_position/array_min
+    # form would compute every score TWICE per row. struct ordering
+    # is (score, cell) lexicographic — min score, ties to the
+    # lowest cell id, identical to the first-minimum semantics.
     return F.expr(
-        f"element_at(array({cells}), "
-        f"CAST(array_position({scores}, array_min({scores})) AS INT))"
+        f"array_min(zip_with({scores}, array({cells}), "
+        f"(s, c) -> struct(s, c))).c"
     )
 
 
@@ -724,6 +698,11 @@ def kmeans_fit_rows(
     if sample is None:
         sample = _train_sample(emb, k)
     x = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    if x.size and x.shape[1] != dim:
+        raise ValueError(
+            f"kmeans_fit_rows: vectors are {x.shape[1]}-dim, caller "
+            f"declared dim={dim}"
+        )
     return _lloyd_numpy(x, k, max_iter)
 
 
@@ -778,20 +757,33 @@ def ivf_topk(
         )
         emb = emb.withColumn("cell", F.col("label"))
     if query_rows is not None and centroid_rows is not None:
-        # probe ranking on the driver: |Q|·k cosines over metadata
-        cmat = np.asarray([c for _, c in centroid_rows], dtype=np.float64)
-        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+        # probe ranking on the driver: |Q|·k cosines over metadata,
+        # computed with the SAME left-to-right fold as the
+        # DataFrame path's `cosine` (Python float ops are the same
+        # IEEE binary64 add/mul/sqrt in the same order, so the two
+        # paths rank probe cells bit-identically even at ties)
+        def _fold_dot(a: list[float], b: list[float]) -> float:
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        cnorms = [
+            math.sqrt(_fold_dot(c, c)) for _, c in centroid_rows
+        ]
         probe_rows = []
         for q_id, qv in sorted(query_rows):
-            qarr = np.asarray(qv, dtype=np.float64)
-            cos = (cmat @ qarr) / (cnorm * np.sqrt(qarr @ qarr))
-            # desc cosine, ties to the lower cell id (stable argsort
-            # over -cos keeps the original = cell order)
-            order = np.argsort(-cos, kind="stable")[:nprobe]
+            qn = math.sqrt(_fold_dot(qv, qv))
+            scored = sorted(
+                (
+                    -(_fold_dot(qv, c) / (qn * cnorms[i])),
+                    cell,
+                )
+                for i, (cell, c) in enumerate(centroid_rows)
+            )[:nprobe]
             probe_rows.extend(
-                (int(q_id), [float(x) for x in qv],
-                 int(centroid_rows[i][0]))
-                for i in order
+                (int(q_id), [float(x) for x in qv], int(cell))
+                for _, cell in scored
             )
         probes = emb.sparkSession.createDataFrame(
             probe_rows, "q_id long, q array<double>, cell int"
@@ -1248,7 +1240,8 @@ def pq_codebooks(
 ) -> DataFrame:
     """Per-subspace codebooks → (subspace, cell, centroid) DataFrame
     (``pq_codebooks_rows`` wrapped for callers that broadcast the
-    codebook table, e.g. the ADC lookup-table build)."""
+    codebook table; ``ann_pq`` itself uses the rows form directly —
+    its ADC lookup tables are driver-side literals)."""
     books = pq_codebooks_rows(emb, m=m, k=k, iters=iters, dim=dim)
     return emb.sparkSession.createDataFrame(
         [

@@ -223,25 +223,28 @@ def test_no_driver_side_data_paths():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "cricket_analytics_nosql_spark",
     )
+    # (file, pattern) -> max allowed occurrences. The CAP is the
+    # enforcement: a new collect site added anywhere in an exempted
+    # file still trips the gate and must be justified here.
     allowed = {
         # O(1) time-bounds scalar for the stream replay harness
-        ("streaming/events.py", ".first()"),
+        ("streaming/events.py", ".first()"): 1,
         # O(1) min/max bounds for Z-order dimension rescaling
-        ("operators/layout.py", ".first()"),
+        ("operators/layout.py", ".first()"): 2,
         # O(1) argmax pair per BPE merge iteration (becomes a plan
         # literal) — never data rows
-        ("operators/bpe.py", ".first()"),
+        ("operators/bpe.py", ".first()"): 1,
         # O(d)-scalar gradient vector per logreg GD iteration (3
         # doubles, becomes next iteration's plan literals) — the
         # allreduce step of distributed training, never data rows
-        ("operators/training.py", ".collect()"),
+        ("operators/training.py", ".collect()"): 1,
         # Bounded-metadata reads only, each independent of corpus
         # size: the 256·k-row quantizer train sample (_train_sample,
         # the FAISS-style fixed-size train set, ~2 MB at k=16),
         # k-row centroid / m·k-row codebook frames (become plan
         # literals for the shuffle-free argmin assignment), and
         # 1-row audit stats aggregates — never data rows
-        ("operators/similarity.py", ".collect()"),
+        ("operators/similarity.py", ".collect()"): 6,
     }
     bad = []
     for sub in ("operators", "plans", "streaming", "functions", "sources"):
@@ -255,9 +258,13 @@ def test_no_driver_side_data_paths():
             src = re.sub(r'"""[\s\S]*?"""', "", src)
             src = re.sub(r"#[^\n]*", "", src)
             for pat in (".collect()", ".toPandas()", ".first()"):
-                if pat in src and (rel, pat) not in allowed:
-                    bad.append((rel, pat))
-    assert not bad, f"driver-side materialization in library code: {bad}"
+                n = src.count(pat)
+                if n > allowed.get((rel, pat), 0):
+                    bad.append((rel, pat, n, allowed.get((rel, pat), 0)))
+    assert not bad, (
+        f"driver-side materialization beyond the per-site budget "
+        f"(file, pattern, found, allowed): {bad}"
+    )
 
 
 def test_asof_join_single_shuffle_no_join(spark, sf_medium):

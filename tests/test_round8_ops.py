@@ -131,15 +131,14 @@ def test_bm25_maxscore_is_admissible_and_prunes(spark, sf_small):
 
 
 def test_unrolled_expr_fast_path_is_bit_identical(spark):
-    """The F.expr string fast path for dot/dist2/cosine_unrolled
-    must produce the SAME doubles as the Column-built form — same
-    element order, same fold, same IEEE result — on adversarial
-    values (subnormals, huge/tiny magnitude mixes, negatives)."""
+    """The F.expr string fast path for dot/cosine_unrolled must
+    produce the SAME doubles as the Column-built form — same element
+    order, same fold, same IEEE result — on adversarial values
+    (subnormals, huge/tiny magnitude mixes, negatives)."""
     import random
 
     from cricket_analytics_nosql_spark.operators.similarity import (
         cosine_unrolled,
-        dist2_unrolled,
         dot_unrolled,
     )
 
@@ -156,14 +155,11 @@ def test_unrolled_expr_fast_path_is_bit_identical(spark):
     got = df.select(
         dot_unrolled("a", "b", dim).alias("d_s"),
         dot_unrolled(F.col("a"), F.col("b"), dim).alias("d_c"),
-        dist2_unrolled("a", "b", dim).alias("e_s"),
-        dist2_unrolled(F.col("a"), F.col("b"), dim).alias("e_c"),
         cosine_unrolled("a", "b", dim).alias("c_s"),
         cosine_unrolled(F.col("a"), F.col("b"), dim).alias("c_c"),
     ).collect()
     for r in got:
         assert r.d_s == r.d_c  # exact equality, not approx
-        assert r.e_s == r.e_c
         assert r.c_s == r.c_c
 
 

@@ -15,11 +15,35 @@ NOISE = 0.20
 
 
 def _load(path: str) -> dict:
+    """Accept a driver BENCH_r{N}.json, a bench_stamps.json, or raw
+    ``bench.py`` stdout — which since round 10 is TWO JSON lines
+    (full stamped record first, compact contract line last). Prefer
+    the FIRST parseable line with a real per-query map: the compact
+    line collapses ``queries`` to ``{"n": N}`` when oversized, which
+    must not be read as a query named "n"."""
     with open(path) as f:
-        doc = json.load(f)
-    if "parsed" in doc:  # driver wrapper
-        doc = doc["parsed"]
-    return doc
+        text = f.read()
+    docs = []
+    try:
+        docs = [json.loads(text)]
+    except json.JSONDecodeError:
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                docs.append(json.loads(line))
+            except json.JSONDecodeError:
+                continue
+    if not docs:
+        raise SystemExit(f"{path}: no parseable JSON record")
+    for doc in docs:
+        if "parsed" in doc and isinstance(doc["parsed"], dict):
+            doc = doc["parsed"]
+        q = doc.get("queries")
+        if isinstance(q, dict) and set(q) != {"n"}:
+            return doc
+    raise SystemExit(f"{path}: no record with a per-query map")
 
 
 def main(argv: list[str]) -> int:
