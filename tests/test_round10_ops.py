@@ -53,8 +53,8 @@ def test_argmin_cell_expr_matches_numpy(spark):
 
 
 def test_argmin_cell_expr_tie_breaks_to_lowest_cell(spark):
-    """Exact distance ties go to the lowest cell id (array_position
-    returns the FIRST minimum) — the same tie-break the old
+    """Exact distance ties go to the lowest cell id ((score, cell)
+    struct ordering) — the same tie-break the old
     min_by(struct(d2, cell)) plan used."""
     # two identical centroids, plus a far one: every vector ties
     # between cells 1 and 2 and must land in cell 1
@@ -162,8 +162,7 @@ def test_pq_codebooks_frame_matches_rows(spark, sf_small):
             (r["cell"], list(r["centroid"]))
         )
     assert {j: sorted(v) for j, v in got.items()} == books
-    # every subspace codebook has 16-dim/4 = 16-wide slices? no:
-    # dim 64 / m 4 = 16-dim centroids
+    # dim 64 / m 4 subspaces = 16-dim centroids
     assert all(
         len(c) == 16 for j in books for _, c in books[j]
     )
@@ -194,3 +193,48 @@ def test_ann_audit_green_at_small_sf(spark, sf_small, name):
 
     row = QUERIES[name].fn(spark, sf_small).collect()[0]
     assert row.recall_ok and row.n_exact_pairs > 0
+
+
+def test_argmin_cell_expr_adversarial_magnitudes(spark):
+    """The literal-codebook argmin must agree with a Python
+    reference computing the SAME score form in the SAME fold order
+    (‖c‖² via left-to-right sum of squares, dot via left-to-right
+    fold, score = n − 2·d) across adversarial magnitudes — the
+    round-8 bit-identity pattern applied to the expression
+    generator (literal repr round-trips, negatives, subnormal-to-
+    huge scale mixes, k=1 degenerate)."""
+    import random
+
+    rng = random.Random(17)
+    dim = 8
+
+    def vec():
+        return [
+            rng.uniform(-1e3, 1e3) * 10 ** rng.randint(-12, 12)
+            for _ in range(dim)
+        ]
+
+    for k in (1, 5):
+        cents = [(j + 1, vec()) for j in range(k)]
+        vecs = [vec() for _ in range(40)]
+
+        def ref_cell(v):
+            best = None
+            for cell, c in cents:
+                n2 = sum(x * x for x in c)
+                d = 0.0
+                for x, y in zip(v, c):
+                    d = d + x * y
+                s = n2 - 2.0 * d
+                if best is None or (s, cell) < best:
+                    best = (s, cell)
+            return best[1]
+
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in _vec_df(spark, vecs)
+            .select("vec_id", _argmin_cell_expr(cents, dim).alias("cell"))
+            .collect()
+        }
+        want = {i: ref_cell(v) for i, v in enumerate(vecs)}
+        assert got == want, f"k={k}: literal argmin diverged from reference"
