@@ -973,14 +973,23 @@ def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not fix) cannot wobble the result, and the DuckDB oracle
     lands on identical bits.
 
-    Scale: the bigram stream shuffles twice for the two count tables
-    (both map-side-combined, output is vocabulary²-bounded which in
-    practice is ≪ corpus size) and twice more to join the counts
-    back. Stopword-headed keys are the documented skew: AQE skew-join
-    split handles the join side, and the count aggregates are immune
-    (partial combine collapses hot keys before the exchange). When
-    the LM is trained on a sample (the usual practice) both count
-    tables broadcast and the fact stream never shuffles at all."""
+    Scale (round 11 reshape): the bigram-type LM is ONE subtree —
+    count bigrams (map-side-combined, output bounded by the corpus'
+    bigram-type count, Heaps-sublinear ≪ corpus size), attach the
+    unigram total n1 = Σ_w2 n12 with a window over that already
+    vocabulary-sized frame (exact integer sum — no second corpus
+    pass for c1), fold the quotient into a per-(w1,w2) surprisal
+    score, and BROADCAST the score table into the fact stream. The
+    fact stream never shuffles: the old plan exchanged the full
+    bigram stream twice to sort-merge the counts back (measured
+    1.40 → 0.93 s best at sf0.1; plan: the two fact-sized join
+    exchanges are gone, 3 vocabulary/doc-bounded exchanges remain —
+    bigram-type agg, score window, per-doc rollup). Stopword-headed
+    key skew thereby leaves the plan entirely (broadcast join, no
+    keyed fact exchange). When bigram types outgrow broadcast
+    (open-vocabulary corpora at extreme scale) the documented
+    practice stands: train the LM on a sample, which re-bounds the
+    score table."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("w")
     )
@@ -996,13 +1005,13 @@ def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    scored = (
-        pairs.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
+    lm = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .withColumn("n1", F.sum("n12").over(Window.partitionBy("w1")))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.round(
                 F.log(F.col("n1").cast("double") / F.col("n12")) * 1e6, 0
             )
@@ -1010,9 +1019,13 @@ def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("surprisal_micro"),
         )
     )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("surprisal_micro").alias("surprisal_micro_total"),
+    per_doc = (
+        pairs.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("surprisal_micro").alias("surprisal_micro_total"),
+        )
     )
     return (
         per_doc.filter(F.col("n_bigrams") >= LM_MIN_BIGRAMS)
@@ -4043,9 +4056,18 @@ def kfold_nb_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold",
         (md5_u32(F.col("tok"), "nbfeat") % NB_BUCKETS).alias("b"),
     )
+    # The count cube is bounded by construction (≤ folds·langs·
+    # buckets = 6400 cells), but every consumer below rides a
+    # broadcast build — and broadcast subtrees don't share work, so
+    # left lazy this cube's scan+tokenize+agg re-ran once per
+    # consumer (7 parquet scans of documents in the executed plan;
+    # round 11). Pin the cube with one localCheckpoint job: the
+    # corpus is now scanned exactly twice — once for the cube, once
+    # for scoring (7 scans → 1 in the executed scoring plan; best
+    # quiet timings 4.0 → 3.0 s at sf0.1 on a noisy-host session).
     cnt_f = toks.groupBy("fold", "lang", "b").agg(
         F.count(F.lit(1)).alias("n_flb")
-    )
+    ).localCheckpoint()
     cnt_lb = cnt_f.groupBy("lang", "b").agg(F.sum("n_flb").alias("n_lb"))
     tot_l = cnt_lb.groupBy("lang").agg(F.sum("n_lb").alias("tot"))
     own_fl = cnt_f.groupBy("fold", "lang").agg(F.sum("n_flb").alias("own"))
@@ -4096,10 +4118,14 @@ def kfold_nb_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wu"),
         )
     )
-    nd_l = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    # Same dedup for the doc-count priors: materialize the
+    # (fold, lang) doc cube once (≤ folds·langs rows) and derive the
+    # per-lang totals from it by exact integer sum instead of a
+    # second scan of documents.
     nd_fl = docs.groupBy("fold", "lang").agg(
         F.count(F.lit(1)).alias("nd_own")
-    )
+    ).localCheckpoint()
+    nd_l = nd_fl.groupBy("lang").agg(F.sum("nd_own").alias("nd"))
     pri_grid = (
         nd_l.select(
             "lang",
@@ -4134,15 +4160,24 @@ def kfold_nb_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pu"),
     )
+    # Score from the per-doc bucket HISTOGRAM, not the raw token
+    # stream: Σ_tok wu = Σ_b k·wu exactly (integer micro-nats), so
+    # pre-aggregating (doc, b) → k before the ×langs model join
+    # shrinks both the join output and the wide rollup's input
+    # (270k tokens → 116k doc-bucket cells at sf0.1, ×5 langs
+    # downstream) — aggregate-before-multiply.
+    g = toks.groupBy("doc_id", "lang", "fold", "b").agg(
+        F.count(F.lit(1)).alias("k")
+    )
     scored = (
-        toks.join(F.broadcast(w), ["fold", "b"])
+        g.join(F.broadcast(w), ["fold", "b"])
         .groupBy(
             "doc_id",
             "fold",
             F.col("lang").alias("true_lang"),
             "model_lang",
         )
-        .agg(F.sum("wu").alias("s"))
+        .agg(F.sum(F.col("k") * F.col("wu")).alias("s"))
         .join(F.broadcast(pri), ["fold", "model_lang"])
         .select(
             "doc_id",
