@@ -717,12 +717,29 @@ def connected_components(
     is measured by an ``Observation`` on the update projection inside
     the same job that materializes the new labels (the probe-join
     alternative re-shuffles both label frames every round)."""
-    edges = pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+    # Symmetrize with a per-row EXPLODE instead of union-of-two-
+    # selects (round 11): a union embeds the pair-producing subtree
+    # TWICE in the checkpoint's plan, so an expensive upstream (for
+    # semantic_dedup, the whole cell-blocked GEMM threshold join)
+    # executed once per branch — the explode mirrors each pair
+    # inside the task that produced it, one upstream execution
+    # (semantic_dedup 7.1 → 4.3 s best at sf0.1; same trick as
+    # trade_graph_edges).
     e_obs = Observation()
     sym = (
-        edges.union(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("d1").alias("a"), F.col("d2").alias("b")
+                    ),
+                    F.struct(
+                        F.col("d2").alias("a"), F.col("d1").alias("b")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.a", "e.b")
         .observe(e_obs, F.count(F.lit(1)).alias("m"))
         .localCheckpoint()
     )

@@ -646,7 +646,11 @@ def _lloyd_numpy(
     argmin_j (‖c_j‖² − 2·x·c_j) with numpy's first-minimum
     tie-break (= lowest cell id, matching ``_argmin_cell_expr``),
     update is the per-cell float64 mean. Cells that lose every
-    member drop out — k is an upper bound."""
+    member drop out — k is an upper bound. An empty train set
+    yields an empty codebook (ADVICE r10: np.asarray([]) is 1-D and
+    the score expression would raise AxisError instead)."""
+    if len(x) == 0:
+        return []
     cell_ids = list(range(1, min(k, len(x)) + 1))
     cents = x[: len(cell_ids)].copy()
     for _ in range(max_iter):
@@ -709,9 +713,10 @@ def kmeans_fit_rows(
 def kmeans_fit(
     emb: DataFrame, k: int = 16, max_iter: int = 4, dim: int = 64
 ) -> DataFrame:
-    """Distributed Lloyd's iteration → (cell, centroid) DataFrame
-    (``kmeans_fit_rows`` wrapped for callers that join/broadcast
-    the centroid frame)."""
+    """Bounded-sample driver-side Lloyd fit → (cell, centroid)
+    DataFrame (``kmeans_fit_rows`` wrapped for callers that
+    join/broadcast the centroid frame; see that docstring for the
+    fixed 256·k train-sample design)."""
     return _centroid_frame(
         emb.sparkSession, kmeans_fit_rows(emb, k=k, max_iter=max_iter, dim=dim)
     )
@@ -740,6 +745,19 @@ def ivf_topk(
     and the probe table becomes a local frame the cell join
     broadcasts."""
     dim = 64
+    # Contract errors surface as ValueError, not an obscure
+    # AttributeError deep in the plan build (ADVICE r10): query_rows
+    # only short-circuits the probe ranking when the centroid side
+    # is also driver-resident, and at least one query form is
+    # required.
+    if query_rows is not None and centroids is None and centroid_rows is None:
+        raise ValueError(
+            "ivf_topk: query_rows requires centroid_rows (or a "
+            "centroids frame) — the driver-side probe ranking needs "
+            "both sides as metadata"
+        )
+    if queries is None and query_rows is None:
+        raise ValueError("ivf_topk: pass queries or query_rows")
     if centroid_rows is None and centroids is not None:
         centroid_rows = sorted(
             (r["cell"], list(r["centroid"])) for r in centroids.collect()
@@ -771,12 +789,31 @@ def ivf_topk(
         cnorms = [
             math.sqrt(_fold_dot(c, c)) for _, c in centroid_rows
         ]
+
+        def _probe_key(dot: float, denom: float) -> tuple[int, float]:
+            # Mirror the DataFrame path on zero norms instead of
+            # raising ZeroDivisionError (ADVICE r10): SQL double
+            # division yields ±Inf (sign of the dot) or NaN for 0/0,
+            # and Spark's DESCENDING sort puts NaN first, strictly
+            # before +Inf — a two-level key ((0 for NaN, 1 else),
+            # negated score) reproduces that total order exactly.
+            score = (
+                float("nan")
+                if denom == 0.0 and (dot == 0.0 or math.isnan(dot))
+                else math.copysign(math.inf, dot)
+                if denom == 0.0
+                else dot / denom
+            )
+            if math.isnan(score):
+                return (0, 0.0)
+            return (1, -score)
+
         probe_rows = []
         for q_id, qv in sorted(query_rows):
             qn = math.sqrt(_fold_dot(qv, qv))
             scored = sorted(
                 (
-                    -(_fold_dot(qv, c) / (qn * cnorms[i])),
+                    _probe_key(_fold_dot(qv, c), qn * cnorms[i]),
                     cell,
                 )
                 for i, (cell, c) in enumerate(centroid_rows)
