@@ -2302,6 +2302,15 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = e.join(
         deg.filter((F.col("d") >= 2) & (F.col("d") <= AA_MAX_DEG)), "supp"
     )
+    # Materialize the degree-keyed strong edge list ONCE, hash-
+    # partitioned on the wedge key (round 11): both self-join sides
+    # consume it, so left lazy the lineitem⋈orders build and both
+    # aggregations re-ran per side (8 parquet scans in the executed
+    # plan), and the supp-partitioned checkpoint makes the wedge
+    # self-join exchange-free (the final job carries ONE exchange —
+    # the pair aggregation; scans 8 → 0 there). At 100 TB this is
+    # the "persist the projected strong graph at ingest" step.
+    keyed = keyed.repartition(F.col("supp")).localCheckpoint()
     a = keyed.select("supp", F.col("cust").alias("c1"), "d")
     b = keyed.select("supp", F.col("cust").alias("c2"), "d").drop("d")
     pairs = a.join(b, "supp").filter(F.col("c1") < F.col("c2"))
