@@ -1374,9 +1374,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_hs = occ.groupBy("h", "source").agg(F.count(F.lit(1)).alias("nd_src"))
     # doc_id is unique across sources, so global doc count per span is
     # the sum of the per-source counts — no second pass over ``occ``.
-    per_h = per_hs.groupBy("h").agg(F.sum("nd_src").alias("nd"))
+    # Attached as a WINDOW over the per-(h, source) rollup (round 11)
+    # instead of an aggregate-then-self-join: the join consumed
+    # per_hs twice (re-running the span explode + distinct per
+    # consumer) and shuffled both sides; the window is one exchange
+    # over the already span-type-sized frame. Same exact integers.
     return (
-        per_hs.join(per_h, "h")
+        per_hs.withColumn("nd", F.sum("nd_src").over(Window.partitionBy("h")))
         .groupBy("source")
         .agg(
             F.sum("nd_src").alias("n_spans"),

@@ -30,7 +30,7 @@ import math
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.functions.scalar import flag
@@ -1566,7 +1566,11 @@ def exact_cosine_pairs(
     (round 9): each surviving unordered cell pair becomes one group
     holding both cells' vectors, the group computes its full cosine
     block as one normalized matrix product, and candidates within
-    ε=1e-6 of τ come back as (v1, v2) id pairs only. EXACTNESS is
+    ε=1e-6 of τ come back as (v1, v2) id pairs only. (A round-11
+    batch-segmented mapInArrow twin was measured IDENTICAL on the
+    sf0.1 blocked-all-pairs worst case — 136 groups, 0.8-0.9 s
+    stage either way on warm workers — so the simpler grouped form
+    stays.) EXACTNESS is
     preserved by construction: the GEMM is a prefilter whose band
     covers any summation-order divergence from the JVM fold (~1e-14
     for unit-norm 64-dim vectors, band 1e-6), and every survivor is
@@ -3017,13 +3021,21 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     # upper triangle INCLUDING the diagonal (trace lives there)
     pairs = _upper_pairs(emb.select(q.alias("q")), [], include_diag=True)
     second = pairs.groupBy("i", "j").agg(F.sum("xy").alias("s_ij"))
+    # One job serves the linear sums AND the row count (round 11):
+    # firsts fed two broadcast builds (si and sj) and n a crossJoin
+    # — three more corpus scans, since broadcast subtrees don't
+    # share work. Checkpoint the d-row sums frame once and ride the
+    # count on the same job as an Observation scalar.
+    n_obs = Observation()
     firsts = (
-        emb.select(F.posexplode(q).alias("i", "x"))
+        emb.observe(n_obs, F.count(F.lit(1)).alias("n"))
+        .select(F.posexplode(q).alias("i", "x"))
         .withColumn("i", F.col("i") + 1)
         .groupBy("i")
         .agg(F.sum("x").alias("s_i"))
+        .localCheckpoint()
     )
-    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    n_rows = int(n_obs.get["n"])
     upper = (
         second.join(
             F.broadcast(firsts.withColumnRenamed("i", "d")),
@@ -3040,11 +3052,10 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j") == F.col("d"),
         )
         .drop("d")
-        .crossJoin(F.broadcast(n))
         .select(
             "i",
             "j",
-            (F.col("n") * F.col("s_ij") - F.col("si") * F.col("sj"))
+            (F.lit(n_rows) * F.col("s_ij") - F.col("si") * F.col("sj"))
             .cast("double")
             .alias("c"),
         )
