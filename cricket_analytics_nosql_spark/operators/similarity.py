@@ -612,6 +612,67 @@ def _centroid_frame(
     )
 
 
+# Crossover between the two cell-assignment plan forms, in codebook
+# SCALARS (k·dim). The literal-argmin projection embeds the codebook
+# in the plan text, so fresh-plan cost grows with k: measured end to
+# end on sf0.001 (build+analyze+run, this host), literal vs
+# broadcast-row is 1.4 vs 2.1 s at 1k scalars (k=16·d=64 — the
+# contract queries, literal wins), 1.0 vs 0.5 s at 8k (k=128), and
+# 6.3 vs 0.7 s at 66k (k=1024, megabytes of SQL text) — while a
+# production IVF wants k ≈ √n, tens of thousands of cells. Past the
+# threshold the codebook ships as ONE broadcast row instead (same
+# argmin, bit-identical cells), whose plan size is O(1).
+ARGMIN_LITERAL_MAX_SCALARS = 4096
+
+
+def assign_cells(
+    emb: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    dim: int,
+    vcol: str = "v",
+    out: str = "cell",
+    literal_max: int = ARGMIN_LITERAL_MAX_SCALARS,
+) -> DataFrame:
+    """Nearest-centroid cell assignment with the plan form picked by
+    codebook size (VERDICT r10 hardening): k·dim ≤ ``literal_max``
+    uses the literal-codebook projection (``_argmin_cell_expr`` —
+    zero exchanges, scan-absorbed); larger codebooks ride as one
+    broadcast row of array<struct> attached by a 1-row broadcast
+    nested-loop join — still no data-sized exchange, and the plan
+    text stays O(1) instead of O(k·dim) literals.
+
+    Both forms compute bit-identical cells: the score is
+    ‖c‖² − 2·v·c with ‖c‖² pre-folded in Python (same left-to-right
+    float fold either way), the dot is the same zip_with/aggregate
+    fold, and ties break to the lowest cell id via the same
+    struct-min (tests/test_round11_ops.py pins equality across the
+    seam)."""
+    if len(cent_rows) * dim <= literal_max:
+        return emb.withColumn(out, _argmin_cell_expr(cent_rows, dim, vcol=vcol))
+    book = emb.sparkSession.createDataFrame(
+        [
+            (
+                [
+                    (int(c), [float(x) for x in v], float(sum(x * x for x in v)))
+                    for c, v in cents_sorted
+                ],
+            )
+            for cents_sorted in [sorted(cent_rows)]
+        ],
+        "__book array<struct<cell:int,centroid:array<double>,n2:double>>",
+    )
+    assigned = emb.crossJoin(F.broadcast(book)).withColumn(
+        out,
+        F.expr(
+            f"array_min(transform(__book, b -> struct("
+            f"b.n2 - 2.0D * aggregate(zip_with({vcol}, b.centroid, "
+            f"(x, y) -> x * y), 0.0D, (a, p) -> a + p) AS s, "
+            f"b.cell AS c))).c"
+        ),
+    )
+    return assigned.drop("__book")
+
+
 # Quantizer-training sample budget, per cell: the coarse quantizer
 # trains on the 256·k lowest vec_ids, the published FAISS default
 # band (train ≥ 39·k, typical 256·k per centroid; ScaNN and public
@@ -764,9 +825,7 @@ def ivf_topk(
         )
     if centroid_rows is not None:
         centroids = _centroid_frame(emb.sparkSession, centroid_rows)
-        emb = emb.withColumn(
-            "cell", _argmin_cell_expr(centroid_rows, dim)
-        )
+        emb = assign_cells(emb, centroid_rows, dim)
     else:
         centroids = emb.groupBy(F.col("label").alias("cell")).agg(
             F.array(
@@ -792,21 +851,16 @@ def ivf_topk(
 
         def _probe_key(dot: float, denom: float) -> tuple[int, float]:
             # Mirror the DataFrame path on zero norms instead of
-            # raising ZeroDivisionError (ADVICE r10): SQL double
-            # division yields ±Inf (sign of the dot) or NaN for 0/0,
-            # and Spark's DESCENDING sort puts NaN first, strictly
-            # before +Inf — a two-level key ((0 for NaN, 1 else),
-            # negated score) reproduces that total order exactly.
-            score = (
-                float("nan")
-                if denom == 0.0 and (dot == 0.0 or math.isnan(dot))
-                else math.copysign(math.inf, dot)
-                if denom == 0.0
-                else dot / denom
-            )
-            if math.isnan(score):
-                return (0, 0.0)
-            return (1, -score)
+            # raising ZeroDivisionError (ADVICE r10): non-ANSI SQL
+            # division by zero yields NULL, and the probe window's
+            # DESCENDING sort puts NULLs last — a two-level key
+            # ((1, ·) for NULL, (0, −score) otherwise) reproduces
+            # that total order exactly. (Under Spark 4's default
+            # ANSI mode the DataFrame path errors on this degenerate
+            # input instead; the driver path stays total.)
+            if denom == 0.0:
+                return (1, 0.0)
+            return (0, -(dot / denom))
 
         probe_rows = []
         for q_id, qv in sorted(query_rows):
@@ -1604,9 +1658,7 @@ def exact_cosine_pairs(
     # expression re-executes once per consumer. At cluster scale
     # this is the ingest-time "persist assignments next to the
     # vectors" step.
-    assigned = emb.withColumn(
-        "cell", _argmin_cell_expr(cent_rows, dim)
-    ).localCheckpoint()
+    assigned = assign_cells(emb, cent_rows, dim).localCheckpoint()
     radii = (
         assigned.join(F.broadcast(centroids), "cell")
         .select(
