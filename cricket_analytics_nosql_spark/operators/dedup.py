@@ -767,11 +767,18 @@ def connected_components(
 
 
 def _cc_loop(sym: DataFrame, max_iter: int) -> DataFrame:
+    # Round 1 fused with the label init (round 11): labels start as
+    # identity, so the first propagation is least(a, min neighbor) —
+    # a plain aggregate over the checkpointed edge list with no join,
+    # and the separate identity-frame materialization job disappears
+    # (one job less per CC consumer; values identical to init + one
+    # join round, since every neighbor's initial label IS itself).
     labels = (
-        sym.select("a").distinct().withColumn("label", F.col("a"))
+        sym.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         neighbor_min = (
             sym.join(
                 labels.select(
