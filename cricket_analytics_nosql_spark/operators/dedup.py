@@ -773,6 +773,11 @@ def _cc_loop(sym: DataFrame, max_iter: int) -> DataFrame:
     # and the separate identity-frame materialization job disappears
     # (one job less per CC consumer; values identical to init + one
     # join round, since every neighbor's initial label IS itself).
+    # The fusion means at least one propagation round always runs —
+    # make that floor an explicit contract instead of silently
+    # returning 1-round labels for a nonsensical budget.
+    if max_iter < 1:
+        raise ValueError("connected components: max_iter must be >= 1")
     labels = (
         sym.groupBy("a")
         .agg(F.least(F.col("a"), F.min("b")).alias("label"))

@@ -647,6 +647,14 @@ def assign_cells(
     fold, and ties break to the lowest cell id via the same
     struct-min (tests/test_round11_ops.py pins equality across the
     seam)."""
+    if not cent_rows:
+        # An empty codebook (empty train corpus) assigns no cell:
+        # every downstream consumer (radii, cell-pair prune, probe
+        # join) joins on the cell id and correctly yields an empty
+        # result. Without this, _argmin_cell_expr([]) builds untyped
+        # array() literals and dies in analysis — the crash the
+        # empty-codebook guard in _lloyd_numpy exists to avoid.
+        return emb.withColumn(out, F.lit(None).cast("int"))
     if len(cent_rows) * dim <= literal_max:
         return emb.withColumn(out, _argmin_cell_expr(cent_rows, dim, vcol=vcol))
     book = emb.sparkSession.createDataFrame(
@@ -783,6 +791,29 @@ def kmeans_fit(
     )
 
 
+def _probe_key(dot: float, denom: float) -> tuple[int, float]:
+    """Sort key for the driver-side probe ranking, mirroring the
+    DataFrame path's DESCENDING cosine order as a total order on
+    Python tuples (ADVICE r10 — the raw quotient raised
+    ZeroDivisionError on zero norms, and NaN keys make Python's sort
+    order position-dependent):
+
+    - NaN score (NaN vector/centroid components): class −1 — Spark
+      sorts NaN greater than everything, i.e. FIRST under desc;
+    - finite score: class 0, negated (desc);
+    - zero denominator: class 1 — non-ANSI SQL division by zero
+      yields NULL, which the probe window's desc sort puts LAST.
+      (Under Spark 4's default ANSI mode the DataFrame path errors
+      on this degenerate input instead; the driver path stays
+      total.)"""
+    if denom == 0.0:
+        return (1, 0.0)
+    score = dot / denom
+    if math.isnan(score):
+        return (-1, 0.0)
+    return (0, -score)
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame | None = None,
@@ -848,19 +879,6 @@ def ivf_topk(
         cnorms = [
             math.sqrt(_fold_dot(c, c)) for _, c in centroid_rows
         ]
-
-        def _probe_key(dot: float, denom: float) -> tuple[int, float]:
-            # Mirror the DataFrame path on zero norms instead of
-            # raising ZeroDivisionError (ADVICE r10): non-ANSI SQL
-            # division by zero yields NULL, and the probe window's
-            # DESCENDING sort puts NULLs last — a two-level key
-            # ((1, ·) for NULL, (0, −score) otherwise) reproduces
-            # that total order exactly. (Under Spark 4's default
-            # ANSI mode the DataFrame path errors on this degenerate
-            # input instead; the driver path stays total.)
-            if denom == 0.0:
-                return (1, 0.0)
-            return (0, -(dot / denom))
 
         probe_rows = []
         for q_id, qv in sorted(query_rows):

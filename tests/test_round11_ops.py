@@ -18,11 +18,9 @@ fails at the bench:
 
 from __future__ import annotations
 
-import math
 import random
 
 import pytest
-from pyspark.sql import Observation
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.operators import similarity as S
@@ -152,6 +150,25 @@ def test_lloyd_empty_train_set_returns_empty_codebook():
     assert S._lloyd_numpy(np.asarray([]), 16, 3) == []
 
 
+def test_assign_cells_empty_codebook_assigns_null(spark, sf_small):
+    """An empty codebook (empty train corpus) must not die in plan
+    analysis (untyped array() literals); it assigns NULL cells, so
+    every cell-keyed consumer correctly yields an empty result."""
+    emb = S._doubles(load_table(spark, sf_small, "embeddings"))
+    rows = S.assign_cells(emb, [], 64).select("cell").distinct().collect()
+    assert [r["cell"] for r in rows] == [None]
+
+
+def test_cc_loop_rejects_nonpositive_budget(spark):
+    from cricket_analytics_nosql_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(pairs, max_iter=0)
+
+
 def test_ivf_topk_contract_errors(spark, sf_small):
     emb = S._doubles(load_table(spark, sf_small, "embeddings"))
     with pytest.raises(ValueError, match="query_rows requires"):
@@ -197,23 +214,21 @@ def test_ivf_topk_zero_norm_centroid_matches_dataframe_path(spark, sf_small):
 
 
 def test_probe_key_total_order_matches_spark_desc():
-    """Non-ANSI SQL division by zero yields NULL, and the probe
-    window's desc sort puts NULLs LAST; the driver-side two-level
-    key must reproduce exactly that."""
+    """The driver-side probe key must reproduce Spark's DESCENDING
+    cosine order as a total order: NaN first (Spark sorts NaN
+    greater than everything), finite scores descending, NULLs
+    (non-ANSI division by zero) last — and the key must never itself
+    be NaN, which would make Python's sort position-dependent."""
     keys = {
-        "null_a": S_probe_key(0.0, 0.0),
-        "null_b": S_probe_key(5.0, 0.0),
-        "hi": S_probe_key(4.0, 2.0),
-        "lo": S_probe_key(-4.0, 2.0),
+        "nan": S._probe_key(float("nan"), 2.0),
+        "null_a": S._probe_key(0.0, 0.0),
+        "null_b": S._probe_key(5.0, 0.0),
+        "hi": S._probe_key(4.0, 2.0),
+        "lo": S._probe_key(-4.0, 2.0),
     }
+    for k in keys.values():  # total order: no NaN components
+        assert k == k and not (k < k)
     order = sorted(keys, key=lambda n: keys[n])
-    assert order[:2] == ["hi", "lo"]
-    assert set(order[2:]) == {"null_a", "null_b"}
-
-
-def S_probe_key(dot: float, denom: float):
-    """Standalone twin of ivf_topk's _probe_key (kept in sync by the
-    total-order assertion above plus the path-equality test)."""
-    if denom == 0.0:
-        return (1, 0.0)
-    return (0, -(dot / denom))
+    assert order[0] == "nan"
+    assert order[1:3] == ["hi", "lo"]
+    assert set(order[3:]) == {"null_a", "null_b"}
