@@ -1703,6 +1703,11 @@ def exact_cosine_pairs(
     # pair kept once (c1 ≤ c2); the GEMM block emits each unordered
     # vector pair exactly once with ids in (min, max) order
     theta_tau = math.acos(tau)
+    # k²-bounded (≤136 rows at k=16) — materialized once because BOTH
+    # sides-branches broadcast it, and broadcast builds don't share
+    # work: left lazy, the radii pass over the assigned corpus
+    # executed twice (round 11; one tiny checkpoint job replaces a
+    # second corpus-sized radii scan+agg).
     cand_cells = c1.join(
         F.broadcast(c2),
         (F.col("c1") <= F.col("c2"))
@@ -1713,7 +1718,7 @@ def exact_cosine_pairs(
             <= theta_tau + 1e-6
         ),
         "inner",
-    ).select("c1", "c2")
+    ).select("c1", "c2").localCheckpoint()
     # replicate each vector into every block it participates in:
     # side 0 = the c1 cell, side 1 = the c2 cell (diagonal blocks
     # need only side 0 — both roles are the same set)
