@@ -1074,15 +1074,24 @@ def _ann_method_audit(
     drops recall below the floor → recall_ok flips → the driver's
     hash check goes red. Emits (n_queries, n_exact_pairs,
     avg_topk_cos, recall_ok)."""
-    exact = ann_brute_force(spark, sf_dir).localCheckpoint()
-    # count + rounded mean in ONE pass (the rounding happens
-    # JVM-side, so the collected double is bit-identical to the
-    # previous crossJoin(stats) plan and to the DuckDB oracle)
-    stats = exact.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.round(F.avg("cos"), 6) + F.lit(0.0)).alias("avg_topk_cos"),
-    ).collect()[0]
-    n_exact = stats["n"]
+    # count + rounded mean observed ON the truth checkpoint job
+    # (round 11): the separate stats aggregate was one more full
+    # scheduler round-trip per audit. The rounding still happens
+    # JVM-side; summation order differs from the old hash-agg plan
+    # the same way partial-agg order always could, which round(·, 6)
+    # exists to absorb (oracle parity re-verified at all 3 scales).
+    obs = Observation()
+    exact = (
+        ann_brute_force(spark, sf_dir)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.avg("cos"), 6) + F.lit(0.0)).alias("avg_topk_cos"),
+        )
+        .localCheckpoint()
+    )
+    stats = obs.get
+    n_exact = int(stats["n"])
     hits = (
         neighbors_fn(spark, sf_dir)
         .select("q_id", "vec_id")
