@@ -471,6 +471,15 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 48) -> DataFrame:
 # executor memory on the broadcast.
 _HOT_BCAST_LIMIT = 100_000
 
+# connected_components re-keys its symmetric edge checkpoint on the
+# propagation key once the edge list is at least one task-width
+# (aligned with the loop's 150k-rows/task partition sizing): above
+# it, the keyed checkpoint removes an edge-sized exchange from every
+# propagation round; below it that exchange is KBs and the extra
+# materialization would be pure added latency. Tests drop this to 0
+# to pin keyed-vs-unkeyed label equality.
+_CC_KEYED_SYM_MIN_EDGES = 150_000
+
 
 def lsh_candidates(
     sigs: DataFrame,
@@ -753,10 +762,22 @@ def connected_components(
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(max(2, m // 150_000))
-    )
+    loop_parts = max(2, m // 150_000)
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
+        # Re-checkpoint the symmetric edge list hash-partitioned on
+        # the propagation key (round 11, the pagerank links
+        # treatment): the first checkpoint can't be keyed — it is
+        # the materialization that MEASURES m, which sizes the
+        # partitioning — but left unkeyed the loop re-exchanged the
+        # EDGE-sized frame by b every round. One extra edge pass at
+        # setup buys an exchange-free sym side for every round (the
+        # per-round shuffles left are all label-sized; plan checked:
+        # 2 exchanges/round → 1). Gated on the same one-task sizing
+        # constant: below it the per-round edge exchange is KBs and
+        # the extra materialization is pure added latency.
+        if m >= _CC_KEYED_SYM_MIN_EDGES:
+            sym = sym.repartition(loop_parts, F.col("b")).localCheckpoint()
         labels = _cc_loop(sym, max_iter)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

@@ -159,6 +159,27 @@ def test_assign_cells_empty_codebook_assigns_null(spark, sf_small):
     assert [r["cell"] for r in rows] == [None]
 
 
+def test_cc_keyed_sym_path_matches_unkeyed(spark, monkeypatch):
+    """Past the one-task edge threshold, connected_components re-keys
+    its symmetric edge checkpoint on the propagation key (removing an
+    edge-sized exchange per round); labels must be identical either
+    way. Force the keyed path by dropping the threshold to 0."""
+    from cricket_analytics_nosql_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (10, 11), (11, 12), (3, 5)],
+        "d1 long, d2 long",
+    )
+    base = sorted(map(tuple, D.connected_components(pairs).collect()))
+    monkeypatch.setattr(D, "_CC_KEYED_SYM_MIN_EDGES", 0)
+    keyed = sorted(map(tuple, D.connected_components(pairs).collect()))
+    assert keyed == base
+    assert base == [
+        (1, 1), (2, 1), (3, 1), (5, 1),
+        (7, 7), (9, 7), (10, 10), (11, 10), (12, 10),
+    ]
+
+
 def test_cc_loop_rejects_nonpositive_budget(spark):
     from cricket_analytics_nosql_spark.operators.dedup import (
         connected_components,
