@@ -133,10 +133,21 @@ def output_lines(full_record: dict) -> list[str]:
         "value": full_record["value"],
         "unit": full_record["unit"],
         "queries": full_record["queries"],
+        # round 12 (VERDICT r11 item 3): the extended tier rides the
+        # compact contract line too — additions-only (every prior key
+        # unchanged), so the driver's per-query diff finally scores
+        # the heavy tier where optimization work lands (~8 entries ≈
+        # 300 bytes against the 1900-byte budget).
+        "extended": full_record.get("extended", {}),
         "sf": full_record["sf"],
     }
     line = json.dumps(compact)
-    if len(line) > 1900:  # never outgrow the tail capture again
+    if len(line) > 1900:  # never outgrow the tail capture again:
+        # shed the extended tier first (it is the addition), then
+        # the headline map as the last resort
+        compact["extended"] = {"n": len(full_record.get("extended", {}))}
+        line = json.dumps(compact)
+    if len(line) > 1900:
         compact["queries"] = {"n": len(full_record["queries"])}
         line = json.dumps(compact)
     return [json.dumps(full_record), line]

@@ -187,6 +187,18 @@ FROM per_cust GROUP BY n_spans ORDER BY n_spans
 """
 
 
+# Basket-rollup materialization gate for frequent_triples, in
+# estimated INPUT bytes of the lineitem scan (Catalyst file-size
+# stats — no job). Below it the five redundant basket builds are
+# parallel stage work on otherwise idle local cores and a
+# materialization barrier is pure added latency (round-11 interleaved
+# A/B: 1.91 s lazy vs 2.28 s checkpointed at the sf0.1 ~11 MB scan);
+# above roughly two 128 MB scan task-widths the rebuilds stop being
+# free — five of them is 4 extra full passes over the fact table —
+# and one checkpoint wins on any real cluster.
+_BASKET_CKPT_MIN_INPUT_BYTES = 256 << 20
+
+
 def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent 3-itemsets of part BRANDS co-ordered in one order,
     with 3-way lift = P(abc)/(P(a)P(b)P(c)) — the next level of
@@ -212,10 +224,11 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     approach 2^63 around sf10, and the doubles are exact below
     2^53 so test-SF values are bit-identical to the integer
     form)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
     db = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .join(
+        li.join(
             # no broadcast hint: part scales with SF — AQE decides
             load_table(spark, sf_dir, "part").select(
                 "p_partkey", "p_brand"
@@ -225,6 +238,25 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
+    # The basket rollup feeds FIVE lazy consumers (triple counts, 3
+    # marginal broadcasts, the basket total), and broadcast subtrees
+    # don't share work — left lazy, the lineitem⋈part build executes
+    # once per consumer. Round 11 measured that an unconditional
+    # localCheckpoint LOSES locally (1.91 → 2.28 s best: the
+    # redundant builds were parallel stage work on idle cores and
+    # the barrier was pure added latency), so — VERDICT r11 item 2 —
+    # the materialization is gated on the MEASURED input size (the
+    # _CC_KEYED_SYM_MIN_EDGES pattern, but from the scan's Catalyst
+    # size estimate so the gate itself costs no job): below the gate
+    # today's parallel-redundant plan stays (the sf0.1 bench scan is
+    # ~11 MB — untouched), above it one materialization replaces
+    # five corpus-sized builds (scans 10 → 2). Equality across the
+    # gate is pinned by test (gate forced to 0).
+    if (
+        int(li._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        >= _BASKET_CKPT_MIN_INPUT_BYTES
+    ):
+        db = db.localCheckpoint()
     triples_expr = F.expr(
         """
         flatten(flatten(transform(bs, (x, i) ->

@@ -573,6 +573,20 @@ def _argmin_cell_expr(
     ~0.1 s and evaluates through the interpreted higher-order
     evaluator, which on an argmin over k cells is already
     memory-bound, not compute-bound."""
+    return F.expr(_argmin_struct_sql(cents, dim, vcol, offset, sliced) + ".c")
+
+
+def _argmin_struct_sql(
+    cents: list[tuple[int, list[float]]],
+    dim: int,
+    vcol: str = "v",
+    offset: int = 0,
+    sliced: bool = False,
+) -> str:
+    """SQL text of the argmin struct ``struct(s, c)`` (min score +
+    winning cell) over the literal codebook — the shared core of
+    ``_argmin_cell_expr`` and the radii-bearing assignment
+    (``_assign_with_radii``)."""
     vexpr = (
         f"slice({vcol}, {offset + 1}, {dim})"
         if sliced or offset != 0
@@ -594,9 +608,9 @@ def _argmin_cell_expr(
     # form would compute every score TWICE per row. struct ordering
     # is (score, cell) lexicographic — min score, ties to the
     # lowest cell id, identical to the first-minimum semantics.
-    return F.expr(
+    return (
         f"array_min(zip_with({scores}, array({cells}), "
-        f"(s, c) -> struct(s, c))).c"
+        f"(s, c) -> struct(s, c)))"
     )
 
 
@@ -679,6 +693,129 @@ def assign_cells(
         ),
     )
     return assigned.drop("__book")
+
+
+def _assign_with_radii(
+    emb: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    dim: int,
+    vcol: str = "v",
+    literal_max: int = ARGMIN_LITERAL_MAX_SCALARS,
+) -> tuple[DataFrame, dict[int, float]]:
+    """Cell assignment AND per-cell angular radii in ONE corpus pass
+    (round 12, guide §5/§1.5): the radius r_cell = max θ(member,
+    centroid) rides the assignment checkpoint job as an Observation
+    of k conditional maxes, so the separate radii pass over the
+    assigned corpus (scan + broadcast join + groupBy) disappears.
+
+    The member-centroid angle comes for free from the argmin struct:
+    the winning score is s = ‖c‖² − 2·v·c, so v·c = (‖c‖² − s)/2 and
+    cos = (‖c‖² − s)·0.5 / (‖v‖·‖c‖) — one extra ‖v‖ fold per row
+    instead of a second corpus pass. The recovered dot differs from
+    a direct fold by ~1 ulp of ‖c‖² (and acos amplifies that to
+    ~1e-8 near cos = 1), which the cell-pair prune's 1e-6 slack
+    absorbs with two orders of magnitude to spare — the prune only
+    needs a CONSERVATIVE upper bound, and emitted pairs are exact
+    regardless (every candidate is re-verified with the original
+    JVM expression).
+
+    Returns ``(assigned, radii)``: ``assigned`` is the checkpointed
+    (…, cell) frame (same schema as ``assign_cells`` output), and
+    ``radii`` maps each NON-EMPTY cell to its measured radius (empty
+    cells are absent, matching the old inner-join semantics).
+
+    Both assignment plan forms are kept (the ``assign_cells`` size
+    seam): literal codebook below ``literal_max`` scalars, one
+    broadcast array<struct> row past it. Cells are bit-identical to
+    ``assign_cells`` — same score fold, same struct-min tie-break.
+    """
+    if not cent_rows:
+        return assign_cells(emb, [], dim, vcol=vcol), {}
+    vnorm2 = (
+        f"aggregate(zip_with({vcol}, {vcol}, (x, y) -> x * y), "
+        f"0.0D, (a, p) -> a + p)"
+    )
+    if len(cent_rows) * dim <= literal_max:
+        # n2 lookup is a k-entry map literal (k scalars — O(k) plan
+        # text, not the O(k·dim) codebook the seam guards against)
+        n2_map = "map(" + ", ".join(
+            f"{cell}, {sum(x * x for x in v)!r}D" for cell, v in cent_rows
+        ) + ")"
+        sc = _argmin_struct_sql(cent_rows, dim, vcol)
+        # transform(array(sc), …)[1] binds the argmin struct ONCE —
+        # naming it in a projection and extracting .cell/.th above
+        # would invite CollapseProject to duplicate the whole score
+        # pipeline per consumer
+        cell_th = (
+            f"element_at(transform(array({sc}), sc -> struct("
+            f"sc.c AS cell, "
+            f"acos(least(1.0D, greatest(-1.0D, "
+            f"((element_at({n2_map}, sc.c) - sc.s) * 0.5D) "
+            f"/ (sqrt({vnorm2}) * sqrt(element_at({n2_map}, sc.c)))"
+            f"))) AS th)), 1)"
+        )
+        based = emb.withColumn("__a", F.expr(cell_th))
+    else:
+        book = emb.sparkSession.createDataFrame(
+            [
+                (
+                    [
+                        (int(c), [float(x) for x in v], float(sum(x * x for x in v)))
+                        for c, v in cents_sorted
+                    ],
+                )
+                for cents_sorted in [sorted(cent_rows)]
+            ],
+            "__book array<struct<cell:int,centroid:array<double>,n2:double>>",
+        )
+        # min over (s, c, n2): (s, c) decides first and c is unique,
+        # so the winner is identical to assign_cells' (s, c) min —
+        # n2 just rides along for the angle
+        amin = (
+            f"array_min(transform(__book, b -> struct("
+            f"b.n2 - 2.0D * aggregate(zip_with({vcol}, b.centroid, "
+            f"(x, y) -> x * y), 0.0D, (a, p) -> a + p) AS s, "
+            f"b.cell AS c, b.n2 AS n2)))"
+        )
+        cell_th = (
+            f"element_at(transform(array({amin}), sc -> struct("
+            f"sc.c AS cell, "
+            f"acos(least(1.0D, greatest(-1.0D, "
+            f"((sc.n2 - sc.s) * 0.5D) / (sqrt({vnorm2}) * sqrt(sc.n2))"
+            f"))) AS th)), 1)"
+        )
+        based = (
+            emb.crossJoin(F.broadcast(book))
+            .withColumn("__a", F.expr(cell_th))
+            .drop("__book")
+        )
+    obs = Observation()
+    cols = [c for c in emb.columns]
+    assigned = (
+        based.select(
+            *cols,
+            F.col("__a.cell").alias("cell"),
+            F.col("__a.th").alias("th"),
+        )
+        .observe(
+            obs,
+            *[
+                F.max(F.when(F.col("cell") == int(c), F.col("th"))).alias(
+                    f"r{int(c)}"
+                )
+                for c, _ in cent_rows
+            ],
+        )
+        .drop("th")
+        .localCheckpoint()
+    )
+    vals = obs.get
+    radii = {
+        int(c): float(vals[f"r{int(c)}"])
+        for c, _ in cent_rows
+        if vals[f"r{int(c)}"] is not None
+    }
+    return assigned, radii
 
 
 # Quantizer-training sample budget, per cell: the coarse quantizer
@@ -1061,6 +1198,23 @@ def ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 RECALL_FLOORS = {"ivf": 0.25, "ivf_kmeans": 0.6, "lsh": 0.4, "pq": 0.45}
 
 
+def _concurrent_frames(*thunks) -> list:
+    """Materialize independent frames as CONCURRENT jobs (guide
+    §2.6): Spark's scheduler happily runs several jobs at once inside
+    one application — actions are only sequential because driver code
+    calls them sequentially. Each thunk returns a (typically
+    localCheckpoint-ed) DataFrame; results come back in thunk order,
+    and the first raised exception propagates. Used where a query's
+    pipeline forks into independent corpus-scale branches that meet
+    only at a tiny final join (the ANN audits: exact truth vs the
+    method's candidates)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _ann_method_audit(
     spark: SparkSession, sf_dir: str, method: str, neighbors_fn
 ) -> DataFrame:
@@ -1081,23 +1235,36 @@ def _ann_method_audit(
     # the same way partial-agg order always could, which round(·, 6)
     # exists to absorb (oracle parity re-verified at all 3 scales).
     obs = Observation()
-    exact = (
-        ann_brute_force(spark, sf_dir)
-        .observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            (F.round(F.avg("cos"), 6) + F.lit(0.0)).alias("avg_topk_cos"),
+
+    def _exact() -> DataFrame:
+        return (
+            ann_brute_force(spark, sf_dir)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                (F.round(F.avg("cos"), 6) + F.lit(0.0)).alias("avg_topk_cos"),
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
+
+    def _neighbors() -> DataFrame:
+        return (
+            neighbors_fn(spark, sf_dir)
+            .select("q_id", "vec_id")
+            .localCheckpoint()
+        )
+
+    # The truth scan and the method's own pipeline are INDEPENDENT
+    # until the final (40-row semi-join) comparison — round 12,
+    # guide §2.6: submit both from driver threads so the method's
+    # candidate scan back-fills cores the brute-force tail leaves
+    # idle, instead of running strictly after it. Result frames and
+    # the recall boolean are unchanged (each job is deterministic on
+    # its own; only the wall-clock overlaps).
+    exact, neigh = _concurrent_frames(_exact, _neighbors)
     stats = obs.get
     n_exact = int(stats["n"])
-    hits = (
-        neighbors_fn(spark, sf_dir)
-        .select("q_id", "vec_id")
-        .join(exact, ["q_id", "vec_id"], "left_semi")
-        .count()
-    )
+    hits = neigh.join(exact, ["q_id", "vec_id"], "left_semi").count()
     return spark.createDataFrame(
         [
             (
@@ -1420,80 +1587,104 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-compression is why this path exists — and the only
     corpus-sized exchange left is the per-query top-50 selection."""
     emb = _doubles(load_table(spark, sf_dir, "embeddings"))
-    # ONE metadata collect serves codebook training AND the demo
-    # query set (see ann_ivf_kmeans_neighbors)
-    sample = _train_sample(emb, PQ_CODES)
-    books_rows = pq_codebooks_rows(emb, sample=sample)
     m, sub_dim = PQ_SUBSPACES, 64 // PQ_SUBSPACES
-    # the demo query set is O(1) metadata (N_QUERIES fixed rows),
-    # so each query's LUT is a driver-side constant: pd[q][j][cell]
-    # = ‖q_j − centroid‖² over the subspace slice
-    q_rows = sorted(
-        (r["vec_id"], list(r["v"]))
-        for r in sample
-        if r["vec_id"] < N_QUERIES
-    )
-    code_cols = [
-        _argmin_cell_expr(
-            books_rows[j], sub_dim, offset=j * sub_dim, sliced=True
-        ).alias(f"c{j}")
-        for j in range(m)
-    ]
 
-    def _adc_expr(qv: list[float]) -> str:
-        parts = []
-        for j in range(m):
-            qs = qv[j * sub_dim: (j + 1) * sub_dim]
-            entries = ", ".join(
-                f"{cell}, {sum((a - b) * (a - b) for a, b in zip(qs, c))!r}D"
-                for cell, c in books_rows[j]
-            )
-            parts.append(f"element_at(map({entries}), c{j})")
-        return " + ".join(parts)
-
-    adc_structs = F.array(
-        *[
-            F.struct(
-                F.lit(q_id).cast("long").alias("q_id"),
-                F.expr(_adc_expr(qv)).alias("adc_d2"),
-            )
-            for q_id, qv in q_rows
+    def _approx() -> DataFrame:
+        # ONE metadata collect serves codebook training AND the demo
+        # query set (see ann_ivf_kmeans_neighbors)
+        sample = _train_sample(emb, PQ_CODES)
+        books_rows = pq_codebooks_rows(emb, sample=sample)
+        # the demo query set is O(1) metadata (N_QUERIES fixed rows),
+        # so each query's LUT is a driver-side constant: pd[q][j][cell]
+        # = ‖q_j − centroid‖² over the subspace slice
+        q_rows = sorted(
+            (r["vec_id"], list(r["v"]))
+            for r in sample
+            if r["vec_id"] < N_QUERIES
+        )
+        code_cols = [
+            _argmin_cell_expr(
+                books_rows[j], sub_dim, offset=j * sub_dim, sliced=True
+            ).alias(f"c{j}")
+            for j in range(m)
         ]
-    )
-    w_adc = Window.partitionBy("q_id").orderBy(
-        F.asc("adc_d2"), F.asc("vec_id")
-    )
-    cand = (
-        emb.select("vec_id", *code_cols)
-        .select("vec_id", F.explode(adc_structs).alias("qa"))
-        .select("vec_id", "qa.q_id", "qa.adc_d2")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .withColumn("r", F.row_number().over(w_adc))
-        .filter(F.col("r") <= PQ_CAND)
-        .select("q_id", "vec_id")
-    )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q")
-    )
-    # exact re-rank of the candidate pool
-    qv = queries.withColumnRenamed("q", "qv")
-    vv = emb.select("vec_id", F.col("v").alias("vv"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    approx = (
-        cand.join(F.broadcast(qv), "q_id")
-        .join(vv, "vec_id")
-        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("vv")).alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "vec_id")
-    )
-    exact = ann_brute_force(spark, sf_dir).localCheckpoint()
-    # count + rounded mean in ONE pass (see _ann_method_audit)
-    stats = exact.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.round(F.avg("cos"), 6) + F.lit(0.0)).alias("avg_topk_cos"),
-    ).collect()[0]
-    n_exact = stats["n"]
+
+        def _adc_expr(qv: list[float]) -> str:
+            parts = []
+            for j in range(m):
+                qs = qv[j * sub_dim: (j + 1) * sub_dim]
+                entries = ", ".join(
+                    f"{cell}, {sum((a - b) * (a - b) for a, b in zip(qs, c))!r}D"
+                    for cell, c in books_rows[j]
+                )
+                parts.append(f"element_at(map({entries}), c{j})")
+            return " + ".join(parts)
+
+        adc_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(q_id).cast("long").alias("q_id"),
+                    F.expr(_adc_expr(qv)).alias("adc_d2"),
+                )
+                for q_id, qv in q_rows
+            ]
+        )
+        w_adc = Window.partitionBy("q_id").orderBy(
+            F.asc("adc_d2"), F.asc("vec_id")
+        )
+        cand = (
+            emb.select("vec_id", *code_cols)
+            .select("vec_id", F.explode(adc_structs).alias("qa"))
+            .select("vec_id", "qa.q_id", "qa.adc_d2")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .withColumn("r", F.row_number().over(w_adc))
+            .filter(F.col("r") <= PQ_CAND)
+            .select("q_id", "vec_id")
+        )
+        queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("q")
+        )
+        # exact re-rank of the candidate pool
+        qv = queries.withColumnRenamed("q", "qv")
+        vv = emb.select("vec_id", F.col("v").alias("vv"))
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("cos"), F.asc("vec_id")
+        )
+        return (
+            cand.join(F.broadcast(qv), "q_id")
+            .join(vv, "vec_id")
+            .select(
+                "q_id", "vec_id", cosine(F.col("qv"), F.col("vv")).alias("cos")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("q_id", "vec_id")
+            .localCheckpoint()
+        )
+
+    # count + rounded mean observed ON the truth checkpoint job
+    # (round 12 — the _ann_method_audit treatment: the separate
+    # stats aggregate was one more scheduler round-trip)
+    obs = Observation()
+
+    def _exact() -> DataFrame:
+        return (
+            ann_brute_force(spark, sf_dir)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                (F.round(F.avg("cos"), 6) + F.lit(0.0)).alias("avg_topk_cos"),
+            )
+            .localCheckpoint()
+        )
+
+    # The exact truth and the PQ pipeline (train collect → encode
+    # scan → ADC top-50 → re-rank) are independent until the final
+    # 40-row semi-join — run them as concurrent jobs (guide §2.6;
+    # see _concurrent_frames)
+    exact, approx = _concurrent_frames(_exact, _approx)
+    stats = obs.get
+    n_exact = int(stats["n"])
     hits = approx.join(exact, ["q_id", "vec_id"], "left_semi").count()
     return spark.createDataFrame(
         [
@@ -1603,12 +1794,6 @@ ORDER BY t.label, t.rank
 """
 
 
-def _clamped_angle(c: Column) -> Column:
-    """acos with the argument clamped to [-1, 1] — float rounding can
-    push a cosine a few ulp outside the domain and acos would NaN."""
-    return F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), c)))
-
-
 def exact_cosine_pairs(
     emb: DataFrame,
     tau: float,
@@ -1678,70 +1863,69 @@ def exact_cosine_pairs(
         cent_rows = sorted(
             (r["cell"], list(r["centroid"])) for r in centroids.collect()
         )
-    centroids = _centroid_frame(emb.sparkSession, cent_rows)
-    # one materialization: radii, the cell-pair prune, and the block
-    # sides all reuse the assignment (a pure literal-argmin
-    # projection — no exchange); without it the assignment
-    # expression re-executes once per consumer. At cluster scale
-    # this is the ingest-time "persist assignments next to the
-    # vectors" step.
-    assigned = assign_cells(emb, cent_rows, dim).localCheckpoint()
-    radii = (
-        assigned.join(F.broadcast(centroids), "cell")
-        .select(
-            "cell",
-            _clamped_angle(
-                cosine_unrolled("v", "centroid", dim)
-            ).alias("th"),
-        )
-        .groupBy("cell")
-        .agg(F.max("th").alias("r"))
-    )
-    cells = centroids.join(radii, "cell")
-    c1 = cells.select(
-        F.col("cell").alias("c1"),
-        F.col("centroid").alias("cent1"),
-        F.col("r").alias("r1"),
-    )
-    c2 = cells.select(
-        F.col("cell").alias("c2"),
-        F.col("centroid").alias("cent2"),
-        F.col("r").alias("r2"),
-    )
-    # unordered k×k/2 candidate table (tiny): each qualifying cell
-    # pair kept once (c1 ≤ c2); the GEMM block emits each unordered
-    # vector pair exactly once with ids in (min, max) order
+    # ONE corpus pass sets up the whole block structure (round 12,
+    # guide §5/§1.5): the assignment checkpoint job carries the
+    # per-cell radii as an Observation, and the k²-bounded cell-pair
+    # prune is plain driver-side float math over k centroids + k
+    # radii — the radii pass over the assigned corpus, its broadcast
+    # join, and the cand_cells checkpoint job all disappear (plan:
+    # 3 passes over the assigned corpus → 1 before the re-verify).
+    # At cluster scale this is the ingest-time "persist assignments
+    # and radii next to the vectors" step.
+    assigned, radii = _assign_with_radii(emb, cent_rows, dim)
+    # unordered k×k/2 candidate prune (driver-side): a cell pair
+    # survives iff θ(c1,c2) − r1 − r2 ≤ acos(τ) + 1e-6 — same bound,
+    # same 1e-6 slack as the old JVM broadcast join; numpy/Python
+    # float64 differs from the JVM fold by ~1e-16 and acos amplifies
+    # the radii recovery to ~1e-8 (see _assign_with_radii), both
+    # orders of magnitude inside the slack, and the prune only needs
+    # to be CONSERVATIVE — survivors are re-verified exactly below.
+    # Cells with no members carry no radius and join nothing, the
+    # old inner-join semantics.
     theta_tau = math.acos(tau)
-    # k²-bounded (≤136 rows at k=16) — materialized once because BOTH
-    # sides-branches broadcast it, and broadcast builds don't share
-    # work: left lazy, the radii pass over the assigned corpus
-    # executed twice (round 11; one tiny checkpoint job replaces a
-    # second corpus-sized radii scan+agg).
-    cand_cells = c1.join(
-        F.broadcast(c2),
-        (F.col("c1") <= F.col("c2"))
-        & (
-            _clamped_angle(cosine(F.col("cent1"), F.col("cent2")))
-            - F.col("r1")
-            - F.col("r2")
-            <= theta_tau + 1e-6
-        ),
-        "inner",
-    ).select("c1", "c2").localCheckpoint()
+    live = sorted(c for c in radii)
+    cent_by_id = dict(cent_rows)
+    cand: list[tuple[int, int]] = []
+    if live:
+        cmat = np.asarray([cent_by_id[c] for c in live], dtype=np.float64)
+        nrm = np.linalg.norm(cmat, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cosm = (cmat @ cmat.T) / np.outer(nrm, nrm)
+        theta = np.arccos(np.clip(cosm, -1.0, 1.0))
+        rv = np.asarray([radii[c] for c in live])
+        # NaN (zero-norm centroid) compares False → excluded, the
+        # same outcome as the old NULL-yielding JVM division
+        ok = theta - rv[:, None] - rv[None, :] <= theta_tau + 1e-6
+        cand = [
+            (live[i], live[j])
+            for i in range(len(live))
+            for j in range(i, len(live))
+            if ok[i, j]
+        ]
     # replicate each vector into every block it participates in:
     # side 0 = the c1 cell, side 1 = the c2 cell (diagonal blocks
-    # need only side 0 — both roles are the same set)
+    # need only side 0 — both roles are the same set). The role
+    # table is cell-keyed (k rows, ≤2k roles each) and broadcast, so
+    # the replication is ONE pass over the assigned corpus — the old
+    # two-branch union scanned it once per side.
+    roles: dict[int, list[tuple[int, int, int]]] = {}
+    for c1v, c2v in cand:
+        roles.setdefault(c1v, []).append((c1v, c2v, 0))
+        if c2v != c1v:
+            roles.setdefault(c2v, []).append((c1v, c2v, 1))
+    roles_df = emb.sparkSession.createDataFrame(
+        [(c, rs) for c, rs in sorted(roles.items())],
+        "cell int, rs array<struct<c1:int,c2:int,side:int>>",
+    )
     sides = (
-        assigned.join(
-            F.broadcast(cand_cells), assigned["cell"] == F.col("c1")
-        )
-        .select("c1", "c2", "vec_id", "v", F.lit(0).alias("side"))
-        .unionByName(
-            assigned.join(
-                F.broadcast(cand_cells),
-                (assigned["cell"] == F.col("c2"))
-                & (F.col("c1") != F.col("c2")),
-            ).select("c1", "c2", "vec_id", "v", F.lit(1).alias("side"))
+        assigned.join(F.broadcast(roles_df), "cell")
+        .select("vec_id", "v", F.explode("rs").alias("r"))
+        .select(
+            F.col("r.c1").alias("c1"),
+            F.col("r.c2").alias("c2"),
+            "vec_id",
+            "v",
+            F.col("r.side").alias("side"),
         )
     )
     pre_tau = tau - 1e-6  # covers fold-vs-GEMM ulps AND round(·, 6)
@@ -1785,9 +1969,12 @@ def exact_cosine_pairs(
         _gemm_block, "v1 long, v2 long"
     )
     # exact re-verify of the (near-dup-sized) survivor band with the
-    # ORIGINAL JVM expression: pair frame broadcasts, corpus streams
-    e1 = emb.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
-    e2 = emb.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
+    # ORIGINAL JVM expression: pair frame broadcasts, corpus streams.
+    # Both probes read the assignment CHECKPOINT (same vec_id/v
+    # values, materialized) instead of re-scanning the source —
+    # round 12: two parquet scans → two checkpoint reads.
+    e1 = assigned.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
+    e2 = assigned.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
     with_a = e1.join(F.broadcast(cand_pairs), "v1")
     return (
         e2.join(F.broadcast(with_a), "v2")

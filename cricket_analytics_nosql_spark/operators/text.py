@@ -16,7 +16,13 @@ convention to produce identical shingle sets.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import (  # noqa: F401
+    Column,
+    DataFrame,
+    Observation,
+    SparkSession,
+    Window,
+)
 from pyspark.sql import functions as F
 
 from cricket_analytics_nosql_spark.functions.scalar import flag, md5_u32
@@ -957,6 +963,18 @@ LM_MIN_BIGRAMS = 20
 LM_TOPK = 100
 
 
+# lm_surprisal broadcast gates (ADVICE r11). Input-size tier: below
+# this Catalyst scan estimate the bigram-TYPE count cannot exceed
+# the bigram-token count which cannot exceed the input bytes, so the
+# score table is broadcast-safe by construction and no measuring job
+# is spent. Row-cap tier: above the input gate the measured type
+# count must stay under this cap for the broadcast (~150 MB framed
+# at ~75 B/row — guide §3.1's comfortable band); past it the planner
+# falls back to a shuffle join, the pre-round-11 degradation path.
+_LM_BCAST_MAX_INPUT_BYTES = 16 << 20
+_LM_BCAST_MAX_TYPES = 2_000_000
+
+
 def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filtering without the external KenLM:
     train a bigram LM on the corpus itself (MLE, no smoothing — every
@@ -1019,8 +1037,38 @@ def lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("surprisal_micro"),
         )
     )
+    # Bound the score-table broadcast (ADVICE r11): the round-11
+    # reshape force-broadcast lm unconditionally — correct whenever
+    # Heaps' law holds, but an open-vocabulary corpus could OOM the
+    # driver where the old shuffle join degraded gracefully. Two-tier
+    # gate, costing the bench plan nothing: below the input-size gate
+    # (Catalyst scan estimate, no job) the bigram-type count is
+    # PROVABLY broadcast-safe (types ≤ bigram tokens ≤ input bytes),
+    # so broadcast directly — the sf0.1 bench corpus is ~0.6 MB and
+    # keeps its exact round-11 plan. Above it, materialize the
+    # vocabulary-sized LM once with its type count observed on the
+    # same job (at that scale the probe pass wants a materialized
+    # build side anyway) and broadcast only under the row cap —
+    # ~150 MB framed, inside the "few hundred MB is fine" band and
+    # far under the 8 GB / 512M-row broadcast hard caps; past the
+    # cap the planner's shuffle join takes over.
+    est_bytes = int(
+        docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if est_bytes <= _LM_BCAST_MAX_INPUT_BYTES:
+        lm_side = F.broadcast(lm)
+    else:
+        t_obs = Observation()
+        lm = lm.observe(
+            t_obs, F.count(F.lit(1)).alias("n_types")
+        ).localCheckpoint()
+        lm_side = (
+            F.broadcast(lm)
+            if int(t_obs.get["n_types"]) <= _LM_BCAST_MAX_TYPES
+            else lm
+        )
     per_doc = (
-        pairs.join(F.broadcast(lm), ["w1", "w2"])
+        pairs.join(lm_side, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -4056,17 +4104,25 @@ def kfold_nb_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold",
         (md5_u32(F.col("tok"), "nbfeat") % NB_BUCKETS).alias("b"),
     )
-    # The count cube is bounded by construction (≤ folds·langs·
-    # buckets = 6400 cells), but every consumer below rides a
-    # broadcast build — and broadcast subtrees don't share work, so
-    # left lazy this cube's scan+tokenize+agg re-ran once per
-    # consumer (7 parquet scans of documents in the executed plan;
-    # round 11). Pin the cube with one localCheckpoint job: the
-    # corpus is now scanned exactly twice — once for the cube, once
-    # for scoring (7 scans → 1 in the executed scoring plan; best
-    # quiet timings 4.0 → 3.0 s at sf0.1 on a noisy-host session).
-    cnt_f = toks.groupBy("fold", "lang", "b").agg(
-        F.count(F.lit(1)).alias("n_flb")
+    # ONE tokenize pass for the whole query (round 12, VERDICT r11
+    # item 5; supersedes the round-11 two-scan shape): the per-doc
+    # bucket histogram g — which scoring needs anyway — is the
+    # finest-grained cube here, so materialize IT once and derive
+    # the (fold, lang, b) count cube from it by exact integer sum
+    # (Σ_doc k ≡ count of tokens, same BIGINTs). Round 11 had the
+    # cube and the scoring pass each re-tokenize the corpus (2
+    # text-bearing scans); now the corpus text is read and tokenized
+    # exactly once. g is ~116k rows at sf0.1 — bounded by docs ×
+    # distinct buckets per doc, not by token volume.
+    g = toks.groupBy("doc_id", "lang", "fold", "b").agg(
+        F.count(F.lit(1)).alias("k")
+    ).localCheckpoint()
+    # The cube stays pinned too (≤ folds·langs·buckets = 6400 cells):
+    # its three broadcast consumers below don't share work, and one
+    # tiny checkpoint job over g's 116k materialized rows beats three
+    # re-aggregations of them.
+    cnt_f = g.groupBy("fold", "lang", "b").agg(
+        F.sum("k").alias("n_flb")
     ).localCheckpoint()
     cnt_lb = cnt_f.groupBy("lang", "b").agg(F.sum("n_flb").alias("n_lb"))
     tot_l = cnt_lb.groupBy("lang").agg(F.sum("n_lb").alias("tot"))
@@ -4165,10 +4221,9 @@ def kfold_nb_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-aggregating (doc, b) → k before the ×langs model join
     # shrinks both the join output and the wide rollup's input
     # (270k tokens → 116k doc-bucket cells at sf0.1, ×5 langs
-    # downstream) — aggregate-before-multiply.
-    g = toks.groupBy("doc_id", "lang", "fold", "b").agg(
-        F.count(F.lit(1)).alias("k")
-    )
+    # downstream) — aggregate-before-multiply. g is the checkpointed
+    # histogram above: scoring re-reads the materialized 116k rows,
+    # not the corpus.
     scored = (
         g.join(F.broadcast(w), ["fold", "b"])
         .groupBy(

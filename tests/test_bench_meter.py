@@ -154,11 +154,24 @@ def test_output_lines_tail_always_parseable():
     assert tail["metric"] == "headline_queries_total_time"
     assert tail["value"] == 15.1 and tail["unit"] == "sec"
     assert tail["sf"] == 0.1 and len(tail["queries"]) == 17
+    # round 12 (VERDICT r11 item 3): the extended tier rides the
+    # compact line — additions-only, prior keys untouched
+    assert tail["extended"] == stamped["extended"]
 
     # pathological growth: per-query map alone larger than the tail
-    # budget -> queries collapse to a count, contract fields survive
+    # budget -> extended sheds first, then queries collapse to a
+    # count; contract fields survive
     huge = dict(stamped, queries={f"very_long_query_name_{i}": 1.2345
                                   for i in range(300)})
     tail = json.loads(output_lines(huge)[-1])
     assert len(json.dumps(tail)) <= 1900
     assert tail["value"] == 15.1 and tail["queries"] == {"n": 300}
+    assert tail["extended"] == {"n": 8}
+
+    # extended alone overflowing sheds extended but keeps the full
+    # headline map (the pre-round-12 contract exactly)
+    ext_huge = dict(stamped, extended={f"very_long_extended_name_{i}": 5.0
+                                       for i in range(300)})
+    tail = json.loads(output_lines(ext_huge)[-1])
+    assert len(json.dumps(tail)) <= 1900
+    assert len(tail["queries"]) == 17 and tail["extended"] == {"n": 300}
