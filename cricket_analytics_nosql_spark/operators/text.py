@@ -4114,9 +4114,23 @@ def kfold_nb_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text-bearing scans); now the corpus text is read and tokenized
     # exactly once. g is ~116k rows at sf0.1 — bounded by docs ×
     # distinct buckets per doc, not by token volume.
-    g = toks.groupBy("doc_id", "lang", "fold", "b").agg(
-        F.count(F.lit(1)).alias("k")
-    ).localCheckpoint()
+    # The histogram job and the (fold, lang) doc-count cube below are
+    # independent until the final scoring join, so their checkpoint
+    # jobs run CONCURRENTLY (guide §2.6, the ANN-audit overlap
+    # helper) — the doc cube's text-free scan back-fills cores the
+    # tokenize job's tail leaves idle.
+    from cricket_analytics_nosql_spark.operators.similarity import (
+        _concurrent_frames,
+    )
+
+    g, nd_fl = _concurrent_frames(
+        lambda: toks.groupBy("doc_id", "lang", "fold", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(),
+        lambda: docs.groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).alias("nd_own"))
+        .localCheckpoint(),
+    )
     # The cube stays pinned too (≤ folds·langs·buckets = 6400 cells):
     # its three broadcast consumers below don't share work, and one
     # tiny checkpoint job over g's 116k materialized rows beats three
@@ -4174,13 +4188,10 @@ def kfold_nb_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wu"),
         )
     )
-    # Same dedup for the doc-count priors: materialize the
-    # (fold, lang) doc cube once (≤ folds·langs rows) and derive the
-    # per-lang totals from it by exact integer sum instead of a
+    # Same dedup for the doc-count priors: the (fold, lang) doc cube
+    # (≤ folds·langs rows, materialized concurrently with g above)
+    # yields the per-lang totals by exact integer sum instead of a
     # second scan of documents.
-    nd_fl = docs.groupBy("fold", "lang").agg(
-        F.count(F.lit(1)).alias("nd_own")
-    ).localCheckpoint()
     nd_l = nd_fl.groupBy("lang").agg(F.sum("nd_own").alias("nd"))
     pri_grid = (
         nd_l.select(
