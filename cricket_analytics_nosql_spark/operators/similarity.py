@@ -719,10 +719,15 @@ def _assign_with_radii(
     regardless (every candidate is re-verified with the original
     JVM expression).
 
-    Returns ``(assigned, radii)``: ``assigned`` is the checkpointed
-    (…, cell) frame (same schema as ``assign_cells`` output), and
-    ``radii`` maps each NON-EMPTY cell to its measured radius (empty
-    cells are absent, matching the old inner-join semantics).
+    Returns ``(assigned, radii, sizes)``: ``assigned`` is the
+    checkpointed (…, cell) frame (same schema as ``assign_cells``
+    output), ``radii`` maps each NON-EMPTY cell to its measured
+    radius (empty cells are absent, matching the old inner-join
+    semantics), and ``sizes`` maps each non-empty cell to its row
+    count — the same job also measures the data the downstream
+    block-replication exchange will carry, so its partition count
+    can be sized from measurement (the CC/pagerank loop-sizing
+    discipline) instead of inherited from the session.
 
     Both assignment plan forms are kept (the ``assign_cells`` size
     seam): literal codebook below ``literal_max`` scalars, one
@@ -730,7 +735,7 @@ def _assign_with_radii(
     ``assign_cells`` — same score fold, same struct-min tie-break.
     """
     if not cent_rows:
-        return assign_cells(emb, [], dim, vcol=vcol), {}
+        return assign_cells(emb, [], dim, vcol=vcol), {}, {}
     vnorm2 = (
         f"aggregate(zip_with({vcol}, {vcol}, (x, y) -> x * y), "
         f"0.0D, (a, p) -> a + p)"
@@ -805,6 +810,12 @@ def _assign_with_radii(
                 )
                 for c, _ in cent_rows
             ],
+            *[
+                F.count(F.when(F.col("cell") == int(c), F.lit(1))).alias(
+                    f"n{int(c)}"
+                )
+                for c, _ in cent_rows
+            ],
         )
         .drop("th")
         .localCheckpoint()
@@ -815,7 +826,12 @@ def _assign_with_radii(
         for c, _ in cent_rows
         if vals[f"r{int(c)}"] is not None
     }
-    return assigned, radii
+    sizes = {
+        int(c): int(vals[f"n{int(c)}"])
+        for c, _ in cent_rows
+        if vals[f"n{int(c)}"]
+    }
+    return assigned, radii, sizes
 
 
 # Quantizer-training sample budget, per cell: the coarse quantizer
@@ -1872,7 +1888,7 @@ def exact_cosine_pairs(
     # 3 passes over the assigned corpus → 1 before the re-verify).
     # At cluster scale this is the ingest-time "persist assignments
     # and radii next to the vectors" step.
-    assigned, radii = _assign_with_radii(emb, cent_rows, dim)
+    assigned, radii, sizes = _assign_with_radii(emb, cent_rows, dim)
     # unordered k×k/2 candidate prune (driver-side): a cell pair
     # survives iff θ(c1,c2) − r1 − r2 ≤ acos(τ) + 1e-6 — same bound,
     # same 1e-6 slack as the old JVM broadcast join; numpy/Python
@@ -1965,9 +1981,33 @@ def exact_cosine_pairs(
         hi = np.maximum(a_ids[ii], b_ids[jj])
         return pd.DataFrame({"v1": lo, "v2": hi})
 
-    cand_pairs = sides.groupBy("c1", "c2").applyInPandas(
-        _gemm_block, "v1 long, v2 long"
+    # The block exchange's partition count is sized from the
+    # MEASURED replicated-row count (Σ |cell|·roles(cell), exact
+    # from the assignment job's Observation) — the CC/pagerank
+    # ~150k-rows-per-task discipline — and the GEMM materializes
+    # under that pinned conf (restored after). Inherited session
+    # sizing ran this KB-scale exchange through 32 tasks at bench
+    # scale — measured 3.15 → 2.6 s for the pipeline at sf0.1 — and
+    # at cluster scale the same formula keeps block tasks in-memory.
+    # The checkpoint is pair-sized (the near-dup band), and the
+    # re-verify broadcast below reads it materialized.
+    sides_rows = sum(
+        sizes.get(c, 0) * len(rs) for c, rs in roles.items()
     )
+    spark = emb.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(2, sides_rows // 150_000)),
+    )
+    try:
+        cand_pairs = (
+            sides.groupBy("c1", "c2")
+            .applyInPandas(_gemm_block, "v1 long, v2 long")
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # exact re-verify of the (near-dup-sized) survivor band with the
     # ORIGINAL JVM expression: pair frame broadcasts, corpus streams.
     # Both probes read the assignment CHECKPOINT (same vec_id/v

@@ -46,9 +46,18 @@ def test_assign_with_radii_matches_assign_cells_and_direct(spark, sf_small):
     )
     cfr = S._centroid_frame(spark, cents)
     for lit_max in (10**9, 0):  # literal projection / broadcast row
-        assigned, radii = S._assign_with_radii(
+        assigned, radii, sizes = S._assign_with_radii(
             emb, cents, 64, literal_max=lit_max
         )
+        # per-cell sizes come from the same job; they must tally the
+        # corpus exactly and agree with a direct groupBy count
+        direct_sizes = {
+            r["cell"]: r["n"]
+            for r in assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert sizes == direct_sizes
         got_cells = sorted(
             map(tuple, assigned.select("vec_id", "cell").collect())
         )
@@ -83,8 +92,8 @@ def test_assign_with_radii_matches_assign_cells_and_direct(spark, sf_small):
 
 def test_assign_with_radii_empty_codebook(spark, sf_small):
     emb = S._doubles(load_table(spark, sf_small, "embeddings"))
-    assigned, radii = S._assign_with_radii(emb, [], 64)
-    assert radii == {}
+    assigned, radii, sizes = S._assign_with_radii(emb, [], 64)
+    assert radii == {} and sizes == {}
     rows = assigned.select("cell").distinct().collect()
     assert [r["cell"] for r in rows] == [None]
 
