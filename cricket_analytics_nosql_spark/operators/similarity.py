@@ -1827,10 +1827,14 @@ def exact_cosine_pairs(
     per cell we keep the angular radius r = max θ(member, centroid);
     a cell pair (c1, c2) can contain a qualifying pair only if
     θ(c1, c2) − r1 − r2 ≤ acos(τ), by the triangle inequality on
-    angles. Only surviving cell pairs are joined — two EQUI-joins on
-    the cell ids, never a Cartesian node — and candidates are
-    re-checked with the exact cosine, so the output set is identical
-    to the all-pairs baseline for ANY centroid quality.
+    angles. Radii ride the assignment checkpoint job as an
+    Observation (round 12 — ``_assign_with_radii``; no separate
+    radii pass), the surviving-cell-pair prune is driver-side float
+    math over k centroids + k radii, and vectors replicate into
+    their blocks through ONE broadcast role-table equi-join — never
+    a Cartesian node. Candidates are re-checked with the exact
+    cosine, so the output set is identical to the all-pairs baseline
+    for ANY centroid quality.
 
     Why not SRP-LSH here: at a τ this far below 1 (the per-hyperplane
     agreement for a τ=0.42 pair is only ≈0.64) a banding scheme with
@@ -1870,7 +1874,9 @@ def exact_cosine_pairs(
     block-nested-loop floor); per-task memory is one cell pair's
     vectors (cap cell size at ingest); survivors are proportional to
     true near-dup pairs, so the re-verify joins broadcast the pair
-    frame, never the corpus."""
+    frame, never the corpus. The driver-side prune is O(k²) numpy —
+    ~800 MB of θ matrix at k = 10⁴; chunk the outer loop (row-block
+    at a time) past that before raising k further."""
     import math
 
     if centroids is None:
