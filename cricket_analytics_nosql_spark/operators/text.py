@@ -4123,9 +4123,19 @@ def kfold_nb_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         _concurrent_frames,
     )
 
+    # g is checkpointed KEYED BY doc_id (guide §2.4 — operations
+    # keyed the same way share one exchange): the scoring join below
+    # is broadcast (streamed-side partitioning preserved), the
+    # 4-key per-doc aggregate clusters by a SUPERSET of doc_id, and
+    # the argmax window partitions by doc_id itself — so the whole
+    # scoring job runs on g's materialized partitioning with no
+    # exchange until the 5-row per-fold rollup (3 hash exchanges →
+    # 1 in the executed scoring plan; the re-key itself is one
+    # 116k-row exchange inside g's checkpoint job).
     g, nd_fl = _concurrent_frames(
         lambda: toks.groupBy("doc_id", "lang", "fold", "b")
         .agg(F.count(F.lit(1)).alias("k"))
+        .repartition(F.col("doc_id"))
         .localCheckpoint(),
         lambda: docs.groupBy("fold", "lang")
         .agg(F.count(F.lit(1)).alias("nd_own"))
